@@ -1,0 +1,147 @@
+"""Per-codec bit-identity unit tests on adversarial arrays (FIXTURES.md F5).
+
+Mirrors the reference's per-type converter test layer
+(/root/reference src/test/java/.../avro/converter/*, e.g.
+PrimitiveIntTest.java:13-42): tables of (input, expected) per codec.
+"""
+
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from plugin_serdes_ray.codecs import codec_names, decode_array, encode_array
+from plugin_serdes_ray.codecs.bitpack import (
+    pack_uints, unpack_uints, zigzag_decode, zigzag_encode,
+)
+from plugin_serdes_ray.codecs import fsst
+from plugin_serdes_ray.testing import arrays_equal
+
+rng = np.random.default_rng(42)
+
+CASES: dict[str, pa.Array] = {
+    "empty_str": pa.array([], type=pa.string()),
+    "empty_int": pa.array([], type=pa.int64()),
+    "one_str": pa.array(["only"]),
+    "strs": pa.array(["hello world", "hello there", None, "", "hello world hello world"]),
+    "strs_prefix": pa.array([f"https://example.com/path/{i}" for i in range(500)]),
+    "unicode": pa.array(["héllo", "𝔘𝔫𝔦", "a\x00b", "", None, "ff\xff"]),
+    "large_str": pa.array(["x" * 10_000, None, "abc"], type=pa.large_string()),
+    "bin": pa.array([b"\x00\xff\xfe" * 50, b"", None], type=pa.binary()),
+    "large_bin": pa.array([bytes(rng.integers(0, 256, 1000, dtype=np.uint8))], type=pa.large_binary()),
+    "ints": pa.array([1, 2, 3, None, 5], type=pa.int64()),
+    "ints_minmax": pa.array([-(2**63), 2**63 - 1, 0, None], type=pa.int64()),
+    "i8": pa.array([-128, 127, 0, None], type=pa.int8()),
+    "u64": pa.array([0, 2**64 - 1, 17], type=pa.uint64()),
+    "i32_runs": pa.array([100] * 40 + [200] * 40 + [None] * 5 + [200] * 10, type=pa.int32()),
+    "ts_sorted": pa.array(np.arange(10_000, dtype=np.int64) * 1_000_000 + 17, type=pa.timestamp("us")),
+    "ts_jitter": pa.array((np.arange(1000) * 1000 + rng.integers(-500, 500, 1000)).astype(np.int64), type=pa.timestamp("us")),
+    "ts_tz": pa.array([1, 2, None], type=pa.timestamp("ms", tz="UTC")),
+    "f64": pa.array([1.5, float("nan"), None, 0.0, -0.0, float("inf")]),
+    "f32": pa.array(np.array([1.5, 2.5], dtype=np.float32), type=pa.float32()),
+    "bools": pa.array([True, False, None, True] * 10),
+    "date": pa.array([1, 2, 3], type=pa.date32()),
+    "time": pa.array([1, 2, None], type=pa.time64("us")),
+    "dur": pa.array([5, -5, None], type=pa.duration("ns")),
+    "allnull_str": pa.array([None] * 7, type=pa.string()),
+    "allnull_int": pa.array([None] * 7, type=pa.int64()),
+    "const_int": pa.array([42] * 1000, type=pa.int64()),
+    "const_str": pa.array(["same"] * 1000),
+    "alternating": pa.array([0, 1] * 500, type=pa.int64()),
+    "rand_i64": pa.array(rng.integers(-(2**62), 2**62, 5000), type=pa.int64()),
+    "dec": pa.array([Decimal("1.23"), None, Decimal("-99.99")], type=pa.decimal128(10, 2)),
+    "fixedbin": pa.array([b"abcd", None, b"wxyz"], type=pa.binary(4)),
+    "nested_list": pa.array([[1, 2], [], None, [3]], type=pa.list_(pa.int64())),
+    "nested_struct": pa.array([{"a": 1, "b": "x"}, None], type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+}
+
+VARBIN = ["empty_str", "one_str", "strs", "strs_prefix", "unicode", "large_str", "bin", "large_bin", "allnull_str", "const_str"]
+FIXED = ["empty_int", "ints", "ints_minmax", "i8", "u64", "i32_runs", "ts_sorted", "ts_jitter", "ts_tz",
+         "f64", "f32", "bools", "date", "time", "dur", "allnull_int", "const_int", "alternating", "rand_i64"]
+INTLIKE = ["empty_int", "ints", "i8", "i32_runs", "ts_sorted", "ts_jitter", "ts_tz", "date", "time", "dur",
+           "allnull_int", "const_int", "alternating"]
+
+APPLICABLE: dict[str, list[str]] = {
+    "plain": VARBIN + FIXED + ["dec", "fixedbin"],
+    "raw_ipc": list(CASES),
+    "for": INTLIKE + ["bools"],
+    "delta": INTLIKE,
+    "rle": FIXED,
+    "dict": VARBIN + FIXED + ["dec"],
+    "dict_rle": ["strs", "i32_runs", "const_str", "allnull_str", "alternating"],
+    "dict_fsst": ["strs", "strs_prefix", "large_str", "bin", "const_str"],
+    "fsst": VARBIN,
+}
+
+
+@pytest.mark.parametrize(
+    "codec,case",
+    [(c, n) for c, names in APPLICABLE.items() for n in names],
+    ids=lambda v: v,
+)
+def test_roundtrip(codec, case):
+    arr = CASES[case]
+    blob = encode_array(arr, codec)
+    out = decode_array(blob, arr.type)
+    assert arrays_equal(out, arr), f"{codec} failed on {case}:\n{arr}\n{out}"
+
+
+def test_constant_codec():
+    for arr in (CASES["const_int"], CASES["const_str"], CASES["allnull_str"], CASES["allnull_int"]):
+        blob = encode_array(arr, "constant")
+        assert arrays_equal(decode_array(blob, arr.type), arr)
+        assert len(blob) < 600
+
+
+def test_sliced_input_roundtrip():
+    arr = CASES["strs_prefix"].slice(13, 100)
+    out = decode_array(encode_array(arr, "fsst"), arr.type)
+    assert arrays_equal(out, arr)
+    arr2 = CASES["rand_i64"].slice(7, 77)
+    out2 = decode_array(encode_array(arr2, "for"), arr2.type)
+    assert arrays_equal(out2, arr2)
+
+
+def test_bitpack_roundtrip():
+    for width in [0, 1, 3, 7, 8, 13, 31, 33, 63, 64]:
+        n = 257
+        vals = rng.integers(0, 2**min(width, 63), n, dtype=np.uint64) if width else np.zeros(n, dtype=np.uint64)
+        assert (unpack_uints(pack_uints(vals, width), n, width) == vals).all()
+
+
+def test_zigzag():
+    v = np.array([0, -1, 1, -(2**62), 2**62, 2**63 - 1, -(2**63)], dtype=np.int64)
+    assert (zigzag_decode(zigzag_encode(v)) == v).all()
+
+
+def test_fsst_stream_roundtrip():
+    data = (b"http://example.com/page " * 500) + bytes(range(256)) * 3
+    table = fsst.train_table(data[:4096])
+    assert len(table) <= 254
+    assert all(0xFF not in s for s in table)
+    enc = fsst.compress(data, table)
+    assert fsst.decompress(enc, table) == data
+    assert len(enc) < len(data)  # must actually compress repetitive text
+
+
+def test_fsst_compresses_urls_well():
+    urls = "".join(f"https://www.example{i % 20}.com/articles/2024/05/page-{i}\n" for i in range(2000)).encode()
+    table = fsst.train_table(urls[:65536])
+    enc = fsst.compress(urls, table)
+    assert len(enc) < 0.55 * len(urls)
+    assert fsst.decompress(enc, table) == urls
+
+
+def test_chunk_size_boundaries():
+    for n in [0, 1, 7, 8, 9, 63, 64, 65]:
+        arr = pa.array(list(range(n)), type=pa.int64())
+        for codec in ["plain", "for", "delta", "rle", "dict"]:
+            assert arrays_equal(decode_array(encode_array(arr, codec), arr.type), arr)
+
+
+def test_registry_complete():
+    assert set(codec_names()) >= {
+        "plain", "raw_ipc", "constant", "for", "delta", "rle",
+        "dict", "dict_rle", "dict_fsst", "fsst",
+    }
