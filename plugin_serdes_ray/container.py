@@ -1,0 +1,227 @@
+"""Chunked columnar container format (the engine's output file).
+
+Layout of a partition file (``part-NNNNN.grck``)::
+
+    magic "GRCK1\\n"
+    u32 header_len | header JSON | concatenated chunk payloads
+
+Header: Arrow schema (IPC, base64), row count, and per-column chunk
+descriptors ``{rows, off, len, crc, outer}``. Chunk payloads are the
+self-describing codec blobs from :mod:`plugin_serdes_ray.codecs`
+(codec name + codec meta travel inside the blob), optionally wrapped in a
+general-purpose outer compressor (zstd via pyarrow) when that wins.
+
+Replaces the reference's Parquet writer as the typed sink
+(/root/reference parquet/IonToParquet.java:103-240) — GZIP'd Parquet at
+those defaults is the size baseline this format must meet or beat.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+
+from .codecs import EncodeContext, decode_array, encode_array
+from .codecs.base import unpack_chunk
+
+MAGIC = b"GRCK1\n"
+
+# default chunking: bounded by raw bytes AND rows so one huge html cell
+# cannot blow a worker's heap (SURVEY.md §7.3 "very wide cells")
+TARGET_CHUNK_BYTES = 4 << 20
+MAX_CHUNK_ROWS = 1 << 16
+
+
+class ChunkCorruption(Exception):
+    """CRC mismatch or malformed chunk payload."""
+
+
+def _outer_compress(blob: bytes, level: int) -> tuple[bytes, Optional[dict]]:
+    if level <= 0 or len(blob) < 64:
+        return blob, None
+    codec = pa.Codec("zstd", compression_level=level)
+    z = bytes(codec.compress(blob))
+    if len(z) < len(blob):
+        return z, {"a": "zstd", "raw": len(blob)}
+    return blob, None
+
+
+def _outer_decompress(blob: bytes, outer: Optional[dict]) -> bytes:
+    if not outer:
+        return blob
+    codec = pa.Codec(outer["a"])
+    return bytes(codec.decompress(blob, outer["raw"]))
+
+
+def chunk_boundaries(arr: pa.ChunkedArray | pa.Array,
+                     target_bytes: int = TARGET_CHUNK_BYTES,
+                     max_rows: int = MAX_CHUNK_ROWS) -> list[tuple[int, int]]:
+    """Split a column into (offset, length) spans bounded by bytes and rows."""
+    n = len(arr)
+    if n == 0:
+        return []
+    total_bytes = arr.nbytes or 1
+    bytes_per_row = max(total_bytes / n, 1e-9)
+    rows_by_bytes = max(int(target_bytes / bytes_per_row), 1)
+    step = max(min(rows_by_bytes, max_rows), 1)
+    return [(off, min(step, n - off)) for off in range(0, n, step)]
+
+
+def encode_column(arr: pa.ChunkedArray | pa.Array, codec: str,
+                  ctx: EncodeContext, fallback: str = "plain") -> list[dict]:
+    """Encode one column into a list of chunk dicts {rows, blob, outer, crc}.
+
+    Per-chunk guard: if the planned codec's blob is larger than the plain
+    encoding of the same chunk, fall back (SURVEY.md §7.3 "≤ baseline size
+    guarantee"); constant chunks are detected opportunistically.
+    """
+    if isinstance(arr, pa.Array):
+        arr = pa.chunked_array([arr])
+    chunks = []
+    for off, ln in chunk_boundaries(arr):
+        piece = arr.slice(off, ln).combine_chunks()
+        blob = _encode_one(piece, codec, ctx, fallback)
+        payload, outer = _outer_compress(blob, ctx.outer_level)
+        chunks.append({
+            "rows": ln,
+            "blob": payload,
+            "outer": outer,
+            "crc": zlib.crc32(payload) & 0xFFFFFFFF,
+        })
+    return chunks
+
+
+def _encode_one(piece: pa.Array, codec: str, ctx: EncodeContext, fallback: str) -> bytes:
+    n = len(piece)
+    if n and piece.null_count == n:
+        return encode_array(piece, "constant", ctx)
+    try:
+        blob = encode_array(piece, codec, ctx)
+    except Exception:
+        blob = None
+    if fallback and fallback != codec:
+        try:
+            fb = encode_array(piece, fallback, ctx)
+        except Exception:
+            fb = encode_array(piece, "raw_ipc", ctx)
+        if blob is None or len(fb) < len(blob):
+            blob = fb
+    if blob is None:
+        blob = encode_array(piece, "raw_ipc", ctx)
+    return blob
+
+
+def write_partition(table: pa.Table, path: str, plan: dict[str, str],
+                    ctx: Optional[EncodeContext] = None,
+                    extra_meta: Optional[dict] = None) -> dict:
+    """Encode a table with per-column planned codecs -> one container file.
+
+    Returns metrics: raw/encoded bytes, per-column codec usage.
+    """
+    ctx = ctx or EncodeContext()
+    table = table.combine_chunks()
+    col_entries = []
+    payloads: list[bytes] = []
+    offset = 0
+    raw_bytes = table.nbytes
+    codec_used: dict[str, str] = {}
+    for name in table.column_names:
+        col = table.column(name)
+        ctx.column = name
+        codec = plan.get(name, "plain")
+        codec_used[name] = codec
+        entries = []
+        for ch in encode_column(col, codec, ctx):
+            entries.append({
+                "rows": ch["rows"], "off": offset, "len": len(ch["blob"]),
+                "crc": ch["crc"], "outer": ch["outer"],
+            })
+            payloads.append(ch["blob"])
+            offset += len(ch["blob"])
+        col_entries.append({"name": name, "chunks": entries})
+    header = {
+        "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
+        "rows": table.num_rows,
+        "columns": col_entries,
+        "meta": extra_meta or {},
+    }
+    hdr = json.dumps(header, separators=(",", ":")).encode()
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        for p in payloads:
+            f.write(p)
+    os.replace(tmp, path)  # atomic publish for resumability
+    enc_bytes = len(MAGIC) + 4 + len(hdr) + offset
+    return {
+        "rows": table.num_rows, "raw_bytes": raw_bytes,
+        "enc_bytes": enc_bytes, "codecs": codec_used,
+    }
+
+
+def read_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ChunkCorruption(f"{path}: bad magic {magic!r}")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen))
+        header["_data_start"] = len(MAGIC) + 4 + hlen
+    return header
+
+
+def read_partition(path: str, columns: Optional[list[str]] = None) -> pa.Table:
+    """Decode a container file back to a Table (column-prunable)."""
+    header = read_header(path)
+    schema = pa.ipc.read_schema(pa.BufferReader(
+        base64.b64decode(header["schema"])))
+    start = header["_data_start"]
+    wanted = columns if columns is not None else [c["name"] for c in header["columns"]]
+    out_cols: dict[str, pa.ChunkedArray] = {}
+    with open(path, "rb") as f:
+        for col in header["columns"]:
+            if col["name"] not in wanted:
+                continue
+            typ = schema.field(col["name"]).type
+            pieces = []
+            for ch in col["chunks"]:
+                f.seek(start + ch["off"])
+                payload = f.read(ch["len"])
+                if (zlib.crc32(payload) & 0xFFFFFFFF) != ch["crc"]:
+                    raise ChunkCorruption(
+                        f"{path}:{col['name']} chunk crc mismatch")
+                blob = _outer_decompress(payload, ch["outer"])
+                pieces.append(decode_array(blob, typ))
+            if pieces:
+                out_cols[col["name"]] = pa.chunked_array(pieces, type=typ)
+            else:
+                out_cols[col["name"]] = pa.chunked_array([pa.array([], type=typ)])
+    fields = [schema.field(n) for n in wanted]
+    return pa.table({n: out_cols[n] for n in wanted},
+                    schema=pa.schema(fields))
+
+
+def partition_codec_report(path: str) -> dict[str, list[str]]:
+    """Which codec each chunk of each column actually used (post-guard)."""
+    header = read_header(path)
+    start = header["_data_start"]
+    report: dict[str, list[str]] = {}
+    with open(path, "rb") as f:
+        for col in header["columns"]:
+            names = []
+            for ch in col["chunks"]:
+                f.seek(start + ch["off"])
+                payload = f.read(ch["len"])
+                blob = _outer_decompress(payload, ch["outer"])
+                names.append(unpack_chunk(blob)[0])
+            report[col["name"]] = names
+    return report

@@ -1,0 +1,251 @@
+"""Ray Data encode/decode pipelines over the container format.
+
+Two write paths (SURVEY.md §7.2):
+
+- :func:`encode_files` — the resumable production path. Partitioning is a
+  pure function of the input file list (one container partition per input
+  parquet file), so a resumed run re-derives identical partitions and skips
+  manifest-complete ones. Each partition is encoded by one Ray task inside
+  an actor-pool ``map_batches`` stage (plan deserialized once per actor, not
+  per batch) that streams the file row-group-by-row-group.
+
+- :func:`encode_dataset` — the fully streaming path for arbitrary Datasets
+  (output of upstream transforms): ``ds.map_batches(EncodeBlock)`` writes one
+  container file per block with no driver materialization. Not resumable
+  (block ids are not stable across runs) but pipelined end to end.
+
+Decode is a Dataset again: one task per partition file.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Iterable, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .container import read_partition, write_partition
+from .util import package_runtime_env
+from .plan import EncodePlan, build_plan
+from .state import checkpoint
+
+
+def _fingerprint(path: str) -> str:
+    st = os.stat(path)
+    return f"{os.path.basename(path)}:{st.st_size}"
+
+
+def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
+                           outer_level: int = 6,
+                           columns: Optional[list[str]] = None) -> EncodePlan:
+    """Pass 1: read a bounded sample (first row groups of the first files)
+    and build the frozen EncodePlan on the driver."""
+    batches = []
+    remaining = sample_rows
+    for path in files:
+        pf = pq.ParquetFile(path)
+        for i in range(pf.num_row_groups):
+            t = pf.read_row_group(i, columns=columns)
+            batches.append(t)
+            remaining -= t.num_rows
+            if remaining <= 0:
+                break
+        if remaining <= 0:
+            break
+    sample = pa.concat_tables(batches) if batches else pq.read_table(files[0], columns=columns)
+    if sample.num_rows > sample_rows:
+        sample = sample.slice(0, sample_rows)
+    return build_plan(sample.combine_chunks(), outer_level=outer_level)
+
+
+class EncodeShard:
+    """Actor-pool stage: one input parquet file -> one container partition.
+
+    Plan is fetched from the object store once per actor (__init__), not per
+    batch — the stateful-stage pattern (SURVEY.md §3.4 Ray mapping).
+    """
+
+    def __init__(self, plan_ref, out_dir: str, columns: Optional[list[str]] = None):
+        import ray
+
+        self.plan: EncodePlan = ray.get(plan_ref) if not isinstance(plan_ref, EncodePlan) else plan_ref
+        self.out_dir = out_dir
+        self.columns = columns
+
+    def __call__(self, batch: dict) -> dict:
+        import numpy as np
+
+        results = {"part_id": [], "rows": [], "raw_bytes": [], "enc_bytes": [], "secs": []}
+        for part_id, path in zip(batch["part_id"], batch["path"]):
+            part_id = int(part_id)
+            t0 = time.perf_counter()
+            table = pq.read_table(str(path), columns=self.columns)
+            out_name = f"part-{part_id:05d}.grck"
+            metrics = write_partition(
+                table, os.path.join(self.out_dir, out_name),
+                self.plan.codecs, self.plan.context(),
+                extra_meta={"part_id": part_id, "input": str(path)},
+            )
+            secs = time.perf_counter() - t0
+            checkpoint.write_manifest_entry(self.out_dir, part_id, {
+                "part_id": part_id,
+                "input": str(path),
+                "input_fingerprint": _fingerprint(str(path)),
+                "file": out_name,
+                "rows": metrics["rows"],
+                "raw_bytes": metrics["raw_bytes"],
+                "enc_bytes": metrics["enc_bytes"],
+                "codecs": metrics["codecs"],
+                "secs": secs,
+            })
+            results["part_id"].append(part_id)
+            results["rows"].append(metrics["rows"])
+            results["raw_bytes"].append(metrics["raw_bytes"])
+            results["enc_bytes"].append(metrics["enc_bytes"])
+            results["secs"].append(secs)
+        return {k: np.asarray(v) for k, v in results.items()}
+
+
+def encode_files(files: list[str], out_dir: str, *,
+                 plan: Optional[EncodePlan] = None,
+                 resume: bool = True,
+                 outer_level: int = 6,
+                 columns: Optional[list[str]] = None,
+                 concurrency: Optional[int] = None) -> dict:
+    """Resumable two-pass encode of a list of parquet files."""
+    import ray
+    import ray.data
+
+    files = sorted(str(f) for f in files)
+    checkpoint.ensure_dirs(out_dir)
+    if plan is None and resume:
+        plan = checkpoint.read_plan(out_dir)
+    if plan is None:
+        plan = sample_plan_from_files(files, outer_level=outer_level, columns=columns)
+    checkpoint.write_plan(out_dir, plan)
+
+    fingerprints = {i: _fingerprint(f) for i, f in enumerate(files)}
+    done = checkpoint.completed_parts(out_dir, fingerprints) if resume else set()
+    todo = [{"part_id": i, "path": f} for i, f in enumerate(files) if i not in done]
+    skipped = len(files) - len(todo)
+    if todo:
+        plan_ref = ray.put(plan)
+        ds = ray.data.from_items(todo)
+        if concurrency is None:
+            concurrency = max(min(len(todo), int(ray.cluster_resources().get("CPU", 8))), 1)
+        metrics = ds.map_batches(
+            EncodeShard,
+            fn_constructor_args=(plan_ref, out_dir, columns),
+            batch_size=1,
+            concurrency=min(concurrency, len(todo)),
+            num_cpus=1,
+            batch_format="numpy",
+            runtime_env=package_runtime_env(),
+        ).take_all()  # small: one row per partition
+    summary = checkpoint.Manifest(out_dir).summary()
+    summary["skipped_parts"] = skipped
+    summary["plan"] = dict(plan.codecs)
+    return summary
+
+
+class EncodeBlock:
+    """Streaming stage for arbitrary Datasets: each Arrow block -> one
+    container file named by a content-derived id. Use via encode_dataset."""
+
+    def __init__(self, plan_ref, out_dir: str):
+        import ray
+
+        self.plan: EncodePlan = ray.get(plan_ref) if not isinstance(plan_ref, EncodePlan) else plan_ref
+        self.out_dir = out_dir
+        self.counter = 0
+        self.actor_id = os.getpid()
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        import numpy as np
+
+        name = f"block-{self.actor_id}-{self.counter:05d}.grck"
+        self.counter += 1
+        t0 = time.perf_counter()
+        metrics = write_partition(table, os.path.join(self.out_dir, name),
+                                  self.plan.codecs, self.plan.context())
+        return pa.table({
+            "file": [name],
+            "rows": [metrics["rows"]],
+            "raw_bytes": [metrics["raw_bytes"]],
+            "enc_bytes": [metrics["enc_bytes"]],
+            "secs": [time.perf_counter() - t0],
+        })
+
+
+def encode_dataset(ds: "Any", out_dir: str, *,
+                   plan: Optional[EncodePlan] = None,
+                   sample_rows: int = 50_000,
+                   outer_level: int = 6,
+                   concurrency: Optional[int] = None,
+                   batch_rows: int = 65_536) -> dict:
+    """Streaming encode of an arbitrary Ray Dataset (blockwise, lazy)."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    if plan is None:
+        sample = ds.limit(sample_rows).to_arrow_refs()
+        tables = [t for t in ray.get(sample) if t.num_rows]
+        plan = build_plan(pa.concat_tables(tables).combine_chunks(),
+                          outer_level=outer_level)
+    plan_ref = ray.put(plan)
+    stats = ds.map_batches(
+        EncodeBlock,
+        fn_constructor_args=(plan_ref, out_dir),
+        batch_size=batch_rows,
+        batch_format="pyarrow",
+        concurrency=concurrency or 8,
+        num_cpus=1,
+        runtime_env=package_runtime_env(),
+    ).take_all()
+    raw = sum(r["raw_bytes"] for r in stats)
+    enc = sum(r["enc_bytes"] for r in stats)
+    return {"parts": len(stats), "rows": sum(r["rows"] for r in stats),
+            "raw_bytes": raw, "enc_bytes": enc,
+            "ratio": raw / enc if enc else 0.0, "plan": dict(plan.codecs)}
+
+
+def _part_files(out_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".grck")
+    )
+
+
+class DecodePart:
+    def __init__(self, columns: Optional[list[str]] = None):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> Iterable[pa.Table]:
+        for path in batch["path"].to_pylist():
+            yield read_partition(str(path), self.columns)
+
+
+def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
+                   concurrency: Optional[int] = None) -> "Any":
+    """Container dir -> Ray Dataset (one decode task per partition file)."""
+    import ray.data
+
+    files = _part_files(out_dir)
+    ds = ray.data.from_items([{"path": f} for f in files])
+    return ds.map_batches(
+        DecodePart,
+        fn_constructor_args=(columns,),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=min(concurrency or 8, max(len(files), 1)),
+        num_cpus=1,
+        runtime_env=package_runtime_env(),
+    )
+
+
+def decode_table(out_dir: str, columns: Optional[list[str]] = None) -> pa.Table:
+    """Driver-side decode (tests / small results only), partition order."""
+    tables = [read_partition(f, columns) for f in _part_files(out_dir)]
+    return pa.concat_tables(tables)

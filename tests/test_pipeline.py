@@ -1,0 +1,98 @@
+"""Ray Data pipeline tests: resumable encode, streaming encode, decode,
+checkpoint/kill-resume (reference end-to-end flow layer, RunnerTest.java)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from plugin_serdes_ray.encode import (
+    decode_dataset, decode_table, encode_dataset, encode_files,
+    sample_plan_from_files,
+)
+from plugin_serdes_ray.fixtures import generate_webpages, webpages_for_sf
+from plugin_serdes_ray.state import checkpoint
+from plugin_serdes_ray.testing import tables_equal
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wp"))
+    files = generate_webpages(out, 1200, 4)
+    return files
+
+
+def _orig(files):
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def test_encode_decode_files(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "enc")
+    summary = encode_files(corpus, out, concurrency=2)
+    assert summary["parts"] == 4
+    assert summary["enc_bytes"] < summary["raw_bytes"]
+    dec = decode_table(out)
+    assert tables_equal(_orig(corpus), dec)
+
+
+def test_text_byte_identical_per_url(ray_session, corpus, tmp_path):
+    """North-rule invariant: joined on url, text bytes equal."""
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2)
+    orig = _orig(corpus).select(["url", "text"]).sort_by("url")
+    dec = decode_table(out, columns=["url", "text"]).sort_by("url")
+    assert orig.column("url").equals(dec.column("url"))
+    assert orig.column("text").equals(dec.column("text"))
+
+
+def test_resume_skips_completed(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2)
+    s2 = encode_files(corpus, out, concurrency=2)
+    assert s2["skipped_parts"] == 4
+
+
+def test_kill_resume_recovers_missing_part(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2)
+    # simulate a mid-run kill: one output file lost, one manifest entry lost
+    os.remove(os.path.join(out, "part-00001.grck"))
+    os.remove(checkpoint.entry_path(out, 2))
+    s = encode_files(corpus, out, concurrency=2)
+    assert s["skipped_parts"] == 2  # parts 0 and 3 untouched
+    assert tables_equal(_orig(corpus), decode_table(out))
+
+
+def test_decode_dataset_distributed(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2)
+    ds = decode_dataset(out)
+    assert ds.count() == 1200
+    got = ds.take_all()
+    assert len(got) == 1200
+
+
+def test_streaming_encode_dataset(ray_session, corpus, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "enc_stream")
+    ds = ray.data.read_parquet(corpus)
+    summary = encode_dataset(ds, out, batch_rows=300, concurrency=2)
+    assert summary["rows"] == 1200
+    dec = decode_table(out)
+    # streaming path has no stable partition order; compare sorted by url
+    a = _orig(corpus).sort_by("url")
+    b = dec.sort_by("url")
+    assert a.num_rows == b.num_rows
+    for col in a.column_names:
+        assert a.column(col).combine_chunks().equals(b.column(col).combine_chunks()), col
+
+
+def test_plan_persisted_and_reused(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2)
+    plan = checkpoint.read_plan(out)
+    assert plan is not None
+    assert set(plan.codecs) == {"url", "warc_ts", "html", "text", "lang"}
