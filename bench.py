@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Headline benchmark: streaming re-encode of the Common-Crawl-style webpages
+corpus (north rule) — encode throughput, compression ratio vs the reference's
+Parquet-GZIP defaults, decode throughput, and N-vs-4N scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+--scaling runs the same job in two fresh processes (num_cpus=8 and 32) on the
+same input with a fixed partition count and reports throughput at both plus
+scaling efficiency (the in-sandbox stand-in for N vs 4N node clusters).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _corpus(sf_dir: str) -> list[str]:
+    from plugin_serdes_ray.fixtures import webpages_for_sf
+
+    return webpages_for_sf(sf_dir)
+
+
+def _parquet_gzip_baseline(files: list[str]) -> dict:
+    """Reference-equivalent output: pyarrow Parquet at the reference defaults
+    (GZIP, dictionary on — /root/reference parquet/IonToParquet.java:115,187).
+    Cached next to the corpus; timing is single-threaded like the reference."""
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(os.path.dirname(files[0]), "_parquet_gzip_baseline.json")
+    fp = f"{len(files)}:{sum(os.path.getsize(f) for f in files)}"
+    if os.path.exists(cache):
+        with open(cache) as f:
+            data = json.load(f)
+        if data.get("fingerprint") == fp:
+            return data
+    total_bytes = 0
+    raw_bytes = 0
+    t0 = time.perf_counter()
+    tmp = files[0] + ".gzbase.tmp"
+    for f in files:
+        t = pq.read_table(f)
+        raw_bytes += t.nbytes
+        pq.write_table(t, tmp, compression="gzip", use_dictionary=True,
+                       data_page_size=1 << 20)
+        total_bytes += os.path.getsize(tmp)
+        os.remove(tmp)
+    secs = time.perf_counter() - t0
+    data = {"fingerprint": fp, "bytes": total_bytes, "secs": secs,
+            "raw_bytes": raw_bytes}
+    with open(cache, "w") as f:
+        json.dump(data, f)
+    return data
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from plugin_serdes_ray.encode import (
+        decode_dataset, encode_files, sample_plan_from_files,
+    )
+
+    files = _corpus(sf_dir)
+    input_bytes = sum(os.path.getsize(f) for f in files)
+    out_dir = f"/tmp/graft_bench_out_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    plan = sample_plan_from_files(files, sample_rows=20_000)
+    t_plan = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    summary = encode_files(files, out_dir, plan=plan, resume=False,
+                           concurrency=num_cpus)
+    t_encode = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ds = decode_dataset(out_dir, concurrency=num_cpus)
+    n_rows = ds.count()
+    t_decode = time.perf_counter() - t0
+
+    baseline = _parquet_gzip_baseline(files)
+    raw = summary["raw_bytes"]
+    enc = summary["enc_bytes"]
+    result = {
+        "sf_dir": sf_dir,
+        "num_cpus": num_cpus,
+        "rows": n_rows,
+        "parts": summary["parts"],
+        "input_parquet_bytes": input_bytes,
+        "raw_arrow_bytes": raw,
+        "encoded_bytes": enc,
+        "compression_ratio": raw / enc if enc else 0.0,
+        "parquet_gzip_bytes": baseline["bytes"],
+        "parquet_gzip_secs": baseline["secs"],
+        "size_vs_parquet_gzip": enc / baseline["bytes"] if baseline["bytes"] else 0.0,
+        "plan_secs": t_plan,
+        "encode_secs": t_encode,
+        "decode_secs": t_decode,
+        "encode_gbps": raw / t_encode / 1e9,
+        "decode_gbps": raw / t_decode / 1e9,
+        "plan": summary["plan"],
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Two fresh processes, identical input + partition count."""
+    _corpus(sf_dir)  # pre-generate so neither child pays generation cost
+    results = {}
+    for cpus in (cpus_lo, cpus_hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sf-dir", sf_dir,
+             "--cpus", str(cpus), "--child"],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    lo, hi = results[cpus_lo], results[cpus_hi]
+    thr_lo = lo["extras"]["encode_gbps"]
+    thr_hi = hi["extras"]["encode_gbps"]
+    eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo) if thr_lo else 0.0
+    return {
+        "cpus_lo": cpus_lo, "cpus_hi": cpus_hi,
+        "encode_gbps_lo": thr_lo, "encode_gbps_hi": thr_hi,
+        "encode_secs_lo": lo["extras"]["encode_secs"],
+        "encode_secs_hi": hi["extras"]["encode_secs"],
+        "scaling_efficiency": eff,
+        "parts": lo["extras"]["parts"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    sf = os.path.basename(os.path.normpath(args.sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    if args.scaling:
+        scaling = run_scaling(args.sf_dir)
+        line = {
+            "metric": "webpages re-encode N-vs-4N scaling",
+            "value": scaling["scaling_efficiency"],
+            "unit": "efficiency",
+            "queries": {
+                f"encode_cpus{scaling['cpus_lo']}": scaling["encode_secs_lo"],
+                f"encode_cpus{scaling['cpus_hi']}": scaling["encode_secs_hi"],
+            },
+            "sf": sf_val,
+            "num_cpus": scaling["cpus_hi"],
+            "extras": scaling,
+        }
+        print(json.dumps(line))
+        return
+
+    import ray
+
+    res = run_bench(args.sf_dir, args.cpus)
+    total = res["plan_secs"] + res["encode_secs"] + res["decode_secs"]
+    line = {
+        "metric": "webpages corpus re-encode (plan+encode+decode) wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            "plan": res["plan_secs"],
+            "encode_webpages": res["encode_secs"],
+            "decode_webpages": res["decode_secs"],
+        },
+        "sf": sf_val,
+        "num_cpus": res["num_cpus"],
+        "extras": {k: v for k, v in res.items() if k not in ("plan",)},
+    }
+    print(json.dumps(line))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -149,8 +149,9 @@ def generate_webpages(out_dir: str, n_rows: int, n_shards: int,
 
     if use_ray:
         import ray
+        from .util import package_runtime_env
 
-        @ray.remote(num_cpus=1)
+        @ray.remote(num_cpus=1, runtime_env=package_runtime_env())
         def _gen(i: int) -> str:
             return _write(i)
 
@@ -163,13 +164,23 @@ def generate_webpages(out_dir: str, n_rows: int, n_shards: int,
 
 
 def webpages_for_sf(sf_dir: str, cache_root: str = "/tmp/graft_webpages") -> list[str]:
-    """Derive a deterministic webpages corpus sized to the given sf dir."""
+    """Derive a deterministic webpages corpus sized to the given sf dir.
+
+    Shard count is fixed per sf (a pure function of the input), NOT of the
+    CPU count — the scaling benchmark requires identical partitioning at
+    both parallelism levels (SURVEY.md §4.2)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     try:
-        n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+        n_li = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
     except Exception:
-        n_docs = 500
-    n_rows = max(n_docs * 4, 1000)
+        n_li = 6000
+    n_rows = max(n_li // 3, 1000)
     n_shards = max(min(n_rows // 500, 64), 4)
     out_dir = os.path.join(cache_root, tag)
-    return generate_webpages(out_dir, n_rows, n_shards)
+    use_ray = False
+    try:
+        import ray
+        use_ray = ray.is_initialized()
+    except Exception:
+        pass
+    return generate_webpages(out_dir, n_rows, n_shards, use_ray=use_ray)

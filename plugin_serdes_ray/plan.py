@@ -165,9 +165,17 @@ def _bounded_slice(arr: pa.Array) -> pa.Array:
     return arr.slice(0, rows)
 
 
+# Measured single-core encode cost (slower codecs must EARN their keep in
+# compressed size; keeps 100TB-scale throughput from collapsing for a few %):
+# a codec is picked only if its sample size beats the best cheaper codec by
+# more than its penalty fraction.
+SPEED_PENALTY = {"fsst": 0.10, "dict_fsst": 0.04}
+
+
 def measure_and_pick(arr: pa.Array, candidates: list[str],
                      ctx: EncodeContext) -> tuple[str, dict[str, int]]:
-    """Encode a bounded sample with each candidate (+outer wrap), pick smallest."""
+    """Encode a bounded sample with each candidate (+outer wrap); pick the
+    smallest penalty-adjusted size."""
     arr = _bounded_slice(arr)
     sizes: dict[str, int] = {}
     for name in candidates:
@@ -179,7 +187,8 @@ def measure_and_pick(arr: pa.Array, candidates: list[str],
             continue
     if not sizes:
         return "raw_ipc", sizes
-    return min(sizes, key=sizes.get), sizes
+    best = min(sizes, key=lambda k: sizes[k] * (1.0 + SPEED_PENALTY.get(k, 0.0)))
+    return best, sizes
 
 
 def build_plan(sample: pa.Table, outer_level: int = 6,
@@ -190,6 +199,15 @@ def build_plan(sample: pa.Table, outer_level: int = 6,
     for name in sample.column_names:
         col = sample.column(name).combine_chunks()
         typ = sample.schema.field(name).type
+        # bound the stats slice: planning must stay O(MB) per column no
+        # matter how large the provided sample is
+        n = len(col)
+        if n:
+            rows = min(n, 8192)
+            bpr = max(col.nbytes / n, 1e-9)
+            rows = max(min(rows, int((16 << 20) / bpr)), min(n, 256))
+            if rows < n:
+                col = col.slice(0, rows)
         stats = column_stats(col)
         cands = shortlist(stats, typ)
         # pre-train a shared FSST table if any candidate uses it
