@@ -146,8 +146,13 @@ def fixed_from_numpy(values: np.ndarray, validity: Optional[np.ndarray], typ: pa
     return pa.Array.from_buffers(typ, n, [vbuf, data], null_count=nulls)
 
 
-def varbin_parts(arr: pa.Array) -> tuple[np.ndarray, bytes, Optional[np.ndarray]]:
-    """Var-width binary/string array -> (int64 offsets, data bytes, validity)."""
+def varbin_parts(arr: pa.Array) -> tuple[np.ndarray, "bytes | memoryview", Optional[np.ndarray]]:
+    """Var-width binary/string array -> (int64 offsets, data bytes, validity).
+
+    ``data`` is a zero-copy memoryview over the Arrow buffer (keeps the
+    buffer alive); every downstream consumer (zstd, crc32, join, frombuffer)
+    speaks the buffer protocol, so the column's payload bytes are never
+    copied on the encode path."""
     arr = _compact(arr)
     typ = arr.type
     off_dt = np.int64 if (pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)) else np.int32
@@ -155,7 +160,7 @@ def varbin_parts(arr: pa.Array) -> tuple[np.ndarray, bytes, Optional[np.ndarray]
     n = len(arr)
     offsets = np.frombuffer(buffers[1], dtype=off_dt, count=n + 1).astype(np.int64)
     start = int(offsets[0])
-    data = buffers[2].to_pybytes()[start : int(offsets[-1])] if buffers[2] is not None else b""
+    data = memoryview(buffers[2])[start : int(offsets[-1])] if buffers[2] is not None else b""
     if start:
         offsets = offsets - start
     validity = None
@@ -195,7 +200,9 @@ def validity_from_bytes(data: bytes, n: int) -> Optional[np.ndarray]:
 class EncodeContext:
     """Per-run knobs and shared (sample-pass-trained) state for codecs."""
 
-    outer_level: int = 6            # zstd level for the container's outer wrap
+    outer_level: int = 3            # zstd level for the container's outer wrap
+    # (measured on the synthetic corpus: zstd-3 beats levels 6-12 in BOTH
+    # speed (667MB/s/core) and ratio on templated html; see BASELINE.md)
     fsst_sample_bytes: int = 1 << 16
     # column name -> pre-trained FSST symbol table bytes (from the sample pass)
     fsst_tables: dict[str, bytes] = field(default_factory=dict)

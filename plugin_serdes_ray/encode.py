@@ -38,7 +38,7 @@ def _fingerprint(path: str) -> str:
 
 
 def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
-                           outer_level: int = 6,
+                           outer_level: int = 3,
                            columns: Optional[list[str]] = None) -> EncodePlan:
     """Pass 1: read a bounded sample (first row groups of the first files)
     and build the frozen EncodePlan on the driver."""
@@ -60,58 +60,57 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
     return build_plan(sample.combine_chunks(), outer_level=outer_level)
 
 
-class EncodeShard:
-    """Actor-pool stage: one input parquet file -> one container partition.
+def encode_shard_batch(batch: dict, *, plan: EncodePlan, out_dir: str,
+                       columns: Optional[list[str]] = None) -> dict:
+    """Task stage: one input parquet file -> one container partition.
 
-    Plan is fetched from the object store once per actor (__init__), not per
-    batch — the stateful-stage pattern (SURVEY.md §3.4 Ray mapping).
-    """
+    Encode is stateless-given-plan (shared FSST tables / dictionaries travel
+    inside the frozen plan), so this runs as plain Ray tasks that reuse
+    pre-warmed workers instead of paying actor-pool startup; the stateful
+    actor-pool pattern is reserved for stages with real online state
+    (see EncodeBlock below and pipelines/)."""
+    import numpy as np
 
-    def __init__(self, plan_ref, out_dir: str, columns: Optional[list[str]] = None):
-        import ray
-
-        self.plan: EncodePlan = ray.get(plan_ref) if not isinstance(plan_ref, EncodePlan) else plan_ref
-        self.out_dir = out_dir
-        self.columns = columns
-
-    def __call__(self, batch: dict) -> dict:
-        import numpy as np
-
-        results = {"part_id": [], "rows": [], "raw_bytes": [], "enc_bytes": [], "secs": []}
-        for part_id, path in zip(batch["part_id"], batch["path"]):
-            part_id = int(part_id)
-            t0 = time.perf_counter()
-            table = pq.read_table(str(path), columns=self.columns)
-            out_name = f"part-{part_id:05d}.grck"
-            metrics = write_partition(
-                table, os.path.join(self.out_dir, out_name),
-                self.plan.codecs, self.plan.context(),
-                extra_meta={"part_id": part_id, "input": str(path)},
-            )
-            secs = time.perf_counter() - t0
-            checkpoint.write_manifest_entry(self.out_dir, part_id, {
-                "part_id": part_id,
-                "input": str(path),
-                "input_fingerprint": _fingerprint(str(path)),
-                "file": out_name,
-                "rows": metrics["rows"],
-                "raw_bytes": metrics["raw_bytes"],
-                "enc_bytes": metrics["enc_bytes"],
-                "codecs": metrics["codecs"],
-                "secs": secs,
-            })
-            results["part_id"].append(part_id)
-            results["rows"].append(metrics["rows"])
-            results["raw_bytes"].append(metrics["raw_bytes"])
-            results["enc_bytes"].append(metrics["enc_bytes"])
-            results["secs"].append(secs)
-        return {k: np.asarray(v) for k, v in results.items()}
+    results = {"part_id": [], "rows": [], "raw_bytes": [], "enc_bytes": [], "secs": []}
+    for part_id, path in zip(batch["part_id"], batch["path"]):
+        part_id = int(part_id)
+        t0 = time.perf_counter()
+        # one read syscall + in-memory parse (I/O syscalls serialize across
+        # sandboxed workers; also the shape that fits object-store streaming)
+        with open(str(path), "rb") as f:
+            data = f.read()
+        table = pq.read_table(pa.BufferReader(data), columns=columns)
+        del data
+        out_name = f"part-{part_id:05d}.grck"
+        metrics = write_partition(
+            table, os.path.join(out_dir, out_name),
+            plan.codecs, plan.context(),
+            extra_meta={"part_id": part_id, "input": str(path)},
+        )
+        secs = time.perf_counter() - t0
+        checkpoint.write_manifest_entry(out_dir, part_id, {
+            "part_id": part_id,
+            "input": str(path),
+            "input_fingerprint": _fingerprint(str(path)),
+            "file": out_name,
+            "rows": metrics["rows"],
+            "raw_bytes": metrics["raw_bytes"],
+            "enc_bytes": metrics["enc_bytes"],
+            "codecs": metrics["codecs"],
+            "secs": secs,
+        })
+        results["part_id"].append(part_id)
+        results["rows"].append(metrics["rows"])
+        results["raw_bytes"].append(metrics["raw_bytes"])
+        results["enc_bytes"].append(metrics["enc_bytes"])
+        results["secs"].append(secs)
+    return {k: np.asarray(v) for k, v in results.items()}
 
 
 def encode_files(files: list[str], out_dir: str, *,
                  plan: Optional[EncodePlan] = None,
                  resume: bool = True,
-                 outer_level: int = 6,
+                 outer_level: int = 3,
                  columns: Optional[list[str]] = None,
                  concurrency: Optional[int] = None) -> dict:
     """Resumable two-pass encode of a list of parquet files."""
@@ -131,13 +130,12 @@ def encode_files(files: list[str], out_dir: str, *,
     todo = [{"part_id": i, "path": f} for i, f in enumerate(files) if i not in done]
     skipped = len(files) - len(todo)
     if todo:
-        plan_ref = ray.put(plan)
         ds = ray.data.from_items(todo)
         if concurrency is None:
             concurrency = max(min(len(todo), int(ray.cluster_resources().get("CPU", 8))), 1)
         metrics = ds.map_batches(
-            EncodeShard,
-            fn_constructor_args=(plan_ref, out_dir, columns),
+            encode_shard_batch,
+            fn_kwargs={"plan": plan, "out_dir": out_dir, "columns": columns},
             batch_size=1,
             concurrency=min(concurrency, len(todo)),
             num_cpus=1,
@@ -182,7 +180,7 @@ class EncodeBlock:
 def encode_dataset(ds: "Any", out_dir: str, *,
                    plan: Optional[EncodePlan] = None,
                    sample_rows: int = 50_000,
-                   outer_level: int = 6,
+                   outer_level: int = 3,
                    concurrency: Optional[int] = None,
                    batch_rows: int = 65_536) -> dict:
     """Streaming encode of an arbitrary Ray Dataset (blockwise, lazy)."""
@@ -218,13 +216,9 @@ def _part_files(out_dir: str) -> list[str]:
     )
 
 
-class DecodePart:
-    def __init__(self, columns: Optional[list[str]] = None):
-        self.columns = columns
-
-    def __call__(self, batch: pa.Table) -> Iterable[pa.Table]:
-        for path in batch["path"].to_pylist():
-            yield read_partition(str(path), self.columns)
+def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None) -> Iterable[pa.Table]:
+    for path in batch["path"].to_pylist():
+        yield read_partition(str(path), columns)
 
 
 def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
@@ -235,8 +229,8 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
     files = _part_files(out_dir)
     ds = ray.data.from_items([{"path": f} for f in files])
     return ds.map_batches(
-        DecodePart,
-        fn_constructor_args=(columns,),
+        decode_part_batch,
+        fn_kwargs={"columns": columns},
         batch_size=1,
         batch_format="pyarrow",
         concurrency=min(concurrency or 8, max(len(files), 1)),

@@ -35,7 +35,7 @@ class EncodePlan:
 
     codecs: dict[str, str] = field(default_factory=dict)
     fsst_tables: dict[str, bytes] = field(default_factory=dict)  # column -> serialized table
-    outer_level: int = 6
+    outer_level: int = 3
     stats: dict[str, dict] = field(default_factory=dict)
 
     def context(self) -> EncodeContext:
@@ -169,7 +169,7 @@ def _bounded_slice(arr: pa.Array) -> pa.Array:
 # compressed size; keeps 100TB-scale throughput from collapsing for a few %):
 # a codec is picked only if its sample size beats the best cheaper codec by
 # more than its penalty fraction.
-SPEED_PENALTY = {"fsst": 0.10, "dict_fsst": 0.04}
+SPEED_PENALTY = {"fsst": 0.15, "dict_fsst": 0.04}
 
 
 def measure_and_pick(arr: pa.Array, candidates: list[str],
@@ -191,7 +191,7 @@ def measure_and_pick(arr: pa.Array, candidates: list[str],
     return best, sizes
 
 
-def build_plan(sample: pa.Table, outer_level: int = 6,
+def build_plan(sample: pa.Table, outer_level: int = 3,
                fsst_train_bytes: int = 1 << 18) -> EncodePlan:
     """Driver-side plan construction from a sample table."""
     plan = EncodePlan(outer_level=outer_level)

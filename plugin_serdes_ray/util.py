@@ -13,3 +13,53 @@ def package_runtime_env() -> dict:
     root = os.path.dirname(os.path.dirname(os.path.abspath(plugin_serdes_ray.__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     return {"env_vars": {"PYTHONPATH": root + (os.pathsep + existing if existing else "")}}
+
+
+def _warm_task(batch: dict) -> dict:
+    """Exercise the real hot path once: synth table -> parquet -> container
+    encode -> decode. Pays import, codec-context and page-pool costs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.container import read_partition, write_partition
+
+    rng = np.random.default_rng(0)
+    # realistic part size (~12MB) so worker allocator arenas + codec
+    # contexts are sized for real traffic, not toy buffers
+    t = pa.table({
+        "s": pa.array(["warmup words " * 40] * 4000),
+        "b": pa.array([rng.integers(0, 255, 1024, dtype=np.uint8).tobytes() * 2] * 4000,
+                      type=pa.large_binary()),
+        "i": pa.array(np.arange(4000), type=pa.int64()),
+    })
+    pid = os.getpid()
+    pq_path = f"/dev/shm/_graft_warm_{pid}.parquet"
+    gk_path = f"/dev/shm/_graft_warm_{pid}.grck"
+    pq.write_table(t, pq_path)
+    t2 = pq.read_table(pq_path)
+    write_partition(t2, gk_path, {"s": "plain", "b": "plain", "i": "delta"})
+    read_partition(gk_path)
+    for p in (pq_path, gk_path):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return {"ok": np.array([1])}
+
+
+def warm_cluster(num_workers: int | None = None) -> int:
+    """Pre-start one Ray Data worker per CPU and run the real encode/decode
+    path once in each (cluster-startup analog; amortized to nothing at real
+    scale, but significant in short benchmark runs in this sandbox, where
+    per-process first-touch costs are high)."""
+    import ray
+    import ray.data
+
+    n = num_workers or int(ray.cluster_resources().get("CPU", 8))
+    items = [{"i": i} for i in range(2 * n)]
+    res = ray.data.from_items(items).map_batches(
+        _warm_task, batch_size=1, concurrency=n, num_cpus=1,
+        batch_format="numpy", runtime_env=package_runtime_env(),
+    ).take_all()
+    return len(res)
