@@ -1,0 +1,370 @@
+"""Pure-Python Apache Avro object-container-file reader/writer (spec:
+https://avro.apache.org/docs/current/specification/ — public format).
+
+Covers the reference's type surface (/root/reference avro/AvroConverter.java
+:219-284): null, boolean, int, long, float, double, string, bytes, record,
+array, map, union, fixed, enum, and the logical types decimal, uuid, date,
+time-millis/micros, timestamp-millis/micros (:294-441). Codecs: null,
+deflate. No external deps (fastavro is not available in this environment).
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import os
+import struct
+import uuid as uuid_mod
+import zlib
+from decimal import Decimal
+from typing import Any, BinaryIO, Iterable, Optional
+
+MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------------------
+# primitive binary codec
+# ---------------------------------------------------------------------------
+
+
+def _write_long(out: io.BytesIO, v: int) -> None:
+    v = (v << 1) ^ (v >> 63)  # zigzag
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            break
+
+
+def _read_long(inp: BinaryIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        (b,) = inp.read(1)
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _read_bytes(inp: BinaryIO) -> bytes:
+    return inp.read(_read_long(inp))
+
+
+# ---------------------------------------------------------------------------
+# schema-driven encode/decode
+# ---------------------------------------------------------------------------
+
+
+def _logical(schema: dict) -> Optional[str]:
+    return schema.get("logicalType") if isinstance(schema, dict) else None
+
+
+def _type_of(schema: Any) -> Any:
+    if isinstance(schema, dict):
+        return schema["type"]
+    return schema
+
+
+EPOCH_DATE = datetime.date(1970, 1, 1)
+
+
+def write_datum(out: io.BytesIO, schema: Any, v: Any, named: dict) -> None:
+    t = _type_of(schema)
+    lt = _logical(schema)
+    if isinstance(t, list):  # union: first branch that accepts the value
+        for i, branch in enumerate(t):
+            if _accepts(branch, v, named):
+                _write_long(out, i)
+                write_datum(out, branch, v, named)
+                return
+        raise ValueError(f"no union branch for {v!r} in {t}")
+    if isinstance(schema, list):
+        return write_datum(out, {"type": schema}, v, named)
+    if isinstance(t, str) and t in named and t not in _PRIMS and t not in (
+            "record", "array", "map", "union", "fixed", "enum"):
+        return write_datum(out, named[t], v, named)
+    if t == "null":
+        return
+    if t == "boolean":
+        out.write(b"\x01" if v else b"\x00")
+    elif t in ("int", "long"):
+        if lt == "date" and isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+            v = (v - EPOCH_DATE).days
+        elif lt in ("time-millis", "time-micros") and isinstance(v, datetime.time):
+            scale = 1_000 if lt == "time-millis" else 1_000_000
+            v = ((v.hour * 3600 + v.minute * 60 + v.second) * scale
+                 + v.microsecond // (1000 if lt == "time-millis" else 1))
+        elif lt in ("timestamp-millis", "timestamp-micros") and isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            scale = 1_000 if lt == "timestamp-millis" else 1_000_000
+            v = int(v.timestamp() * scale)
+        _write_long(out, int(v))
+    elif t == "float":
+        out.write(struct.pack("<f", float(v)))
+    elif t == "double":
+        out.write(struct.pack("<d", float(v)))
+    elif t == "string":
+        if lt == "uuid" and isinstance(v, uuid_mod.UUID):
+            v = str(v)
+        _write_bytes(out, str(v).encode())
+    elif t == "bytes":
+        if lt == "decimal" and isinstance(v, Decimal):
+            scale = schema.get("scale", 0)
+            unscaled = int(v.scaleb(scale).to_integral_value())
+            length = max((unscaled.bit_length() + 8) // 8, 1)
+            v = unscaled.to_bytes(length, "big", signed=True)
+        _write_bytes(out, bytes(v))
+    elif t == "fixed":
+        b = bytes(v)
+        if len(b) != schema["size"]:
+            raise ValueError(f"fixed size mismatch: {len(b)} != {schema['size']}")
+        out.write(b)
+    elif t == "enum":
+        out.write(b"")
+        _write_long(out, schema["symbols"].index(v))
+    elif t == "record":
+        named[schema["name"]] = schema
+        for f in schema["fields"]:
+            write_datum(out, f["type"], None if v is None else v.get(f["name"]), named)
+    elif t == "array":
+        items = list(v or [])
+        if items:
+            _write_long(out, len(items))
+            for item in items:
+                write_datum(out, schema["items"], item, named)
+        _write_long(out, 0)
+    elif t == "map":
+        entries = dict(v or {})
+        if entries:
+            _write_long(out, len(entries))
+            for k, x in entries.items():
+                _write_bytes(out, str(k).encode())
+                write_datum(out, schema["values"], x, named)
+        _write_long(out, 0)
+    else:
+        raise TypeError(f"unsupported avro type {t!r}")
+
+
+_PRIMS = {"null", "boolean", "int", "long", "float", "double", "string", "bytes"}
+
+
+def _accepts(branch: Any, v: Any, named: dict) -> bool:
+    t = _type_of(branch)
+    if isinstance(t, str) and t in named:
+        branch = named[t]
+        t = _type_of(branch)
+    if t == "null":
+        return v is None
+    if v is None:
+        return False
+    if t == "boolean":
+        return isinstance(v, bool)
+    if t in ("int", "long"):
+        lt = _logical(branch)
+        if lt == "date":
+            return isinstance(v, datetime.date) or isinstance(v, int)
+        if lt in ("time-millis", "time-micros"):
+            return isinstance(v, datetime.time) or isinstance(v, int)
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return isinstance(v, datetime.datetime) or isinstance(v, int)
+        return isinstance(v, int) and not isinstance(v, bool)
+    if t in ("float", "double"):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if t == "string":
+        return isinstance(v, (str, uuid_mod.UUID))
+    if t == "bytes":
+        return isinstance(v, (bytes, bytearray, Decimal))
+    if t == "fixed":
+        return isinstance(v, (bytes, bytearray))
+    if t == "enum":
+        return isinstance(v, str) and v in branch.get("symbols", [])
+    if t == "record":
+        return isinstance(v, dict)
+    if t == "array":
+        return isinstance(v, (list, tuple))
+    if t == "map":
+        return isinstance(v, dict)
+    return False
+
+
+def read_datum(inp: BinaryIO, schema: Any, named: dict) -> Any:
+    t = _type_of(schema)
+    lt = _logical(schema)
+    if isinstance(t, list):
+        idx = _read_long(inp)
+        return read_datum(inp, t[idx], named)
+    if isinstance(schema, list):
+        return read_datum(inp, {"type": schema}, named)
+    if isinstance(t, str) and t in named and t not in _PRIMS and t not in (
+            "record", "array", "map", "union", "fixed", "enum"):
+        return read_datum(inp, named[t], named)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return inp.read(1) == b"\x01"
+    if t in ("int", "long"):
+        v = _read_long(inp)
+        if lt == "date":
+            return EPOCH_DATE + datetime.timedelta(days=v)
+        if lt in ("time-millis", "time-micros"):
+            scale = 1_000 if lt == "time-millis" else 1_000_000
+            us = v * (1000 if lt == "time-millis" else 1)
+            return (datetime.datetime.min + datetime.timedelta(microseconds=us)).time()
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            scale = 1_000 if lt == "timestamp-millis" else 1_000_000
+            return datetime.datetime.fromtimestamp(v / scale, tz=datetime.timezone.utc)
+        return v
+    if t == "float":
+        return struct.unpack("<f", inp.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", inp.read(8))[0]
+    if t == "string":
+        s = _read_bytes(inp).decode()
+        if lt == "uuid":
+            return uuid_mod.UUID(s)
+        return s
+    if t == "bytes":
+        b = _read_bytes(inp)
+        if lt == "decimal":
+            scale = schema.get("scale", 0)
+            return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-scale)
+        return b
+    if t == "fixed":
+        named[schema["name"]] = schema
+        return inp.read(schema["size"])
+    if t == "enum":
+        named[schema["name"]] = schema
+        return schema["symbols"][_read_long(inp)]
+    if t == "record":
+        named[schema["name"]] = schema
+        out = {}
+        for f in schema["fields"]:
+            out[f["name"]] = read_datum(inp, f["type"], named)
+        return out
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(inp)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(inp)  # block byte size, unused
+                n = -n
+            for _ in range(n):
+                out.append(read_datum(inp, schema["items"], named))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(inp)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(inp)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(inp).decode()
+                out[k] = read_datum(inp, schema["values"], named)
+        return out
+    raise TypeError(f"unsupported avro type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# container files
+# ---------------------------------------------------------------------------
+
+
+def write_container(records: Iterable[Any], schema: Any,
+                    codec: str = "deflate", sync: Optional[bytes] = None,
+                    block_records: int = 4096) -> bytes:
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    sync = sync or os.urandom(16)
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.write(sync)
+
+    block: list[Any] = []
+
+    def flush() -> None:
+        if not block:
+            return
+        buf = io.BytesIO()
+        named: dict = {}
+        for r in block:
+            write_datum(buf, schema, r, named)
+        payload = buf.getvalue()
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+        _write_long(out, len(block))
+        _write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+        block.clear()
+
+    for r in records:
+        block.append(r)
+        if len(block) >= block_records:
+            flush()
+    flush()
+    return out.getvalue()
+
+
+def read_container(data: bytes) -> tuple[dict, list[Any]]:
+    """-> (schema, records)."""
+    inp = io.BytesIO(data)
+    if inp.read(4) != MAGIC:
+        raise ValueError("not an avro container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(inp)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(inp)
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(inp).decode()
+            meta[k] = _read_bytes(inp)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = inp.read(16)
+    records: list[Any] = []
+    while True:
+        head = inp.read(1)
+        if not head:
+            break
+        inp.seek(-1, 1)
+        count = _read_long(inp)
+        size = _read_long(inp)
+        payload = inp.read(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec}")
+        buf = io.BytesIO(payload)
+        named: dict = {}
+        for _ in range(count):
+            records.append(read_datum(buf, schema, named))
+        if inp.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt avro block)")
+    return schema, records

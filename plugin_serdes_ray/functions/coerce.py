@@ -1,0 +1,251 @@
+"""String -> typed coercion, reproducing the reference's scalar semantics
+(/root/reference avro/AvroConverter.java): trueValues/falseValues lists
+(:46-49, case-insensitive :590-592), nullValues incl. "", "NA", "nan"
+(:52-66), decimalSeparator replacement (:286-292), date/time/datetime
+patterns with timezone fallback (:70-90), epoch-millis/micros numeric fast
+path (:379-383,429-433), HALF_EVEN decimal rounding (:294-319).
+
+Vectorized: operates on whole Arrow arrays via pyarrow.compute / pandas.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from decimal import ROUND_HALF_EVEN, Decimal
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .errors import BadLineError, OnBadLines, handle_bad, truncate
+
+# reference defaults (AvroConverter.java:46-66)
+TRUE_VALUES = ["t", "true", "yes", "1", "on"]
+FALSE_VALUES = ["f", "false", "no", "0", "off"]
+NULL_VALUES = [
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "n/a", "nan",
+    "null", "None",
+]
+# reference default patterns (AvroConverter.java:70-78, java patterns -> strptime)
+DATE_FORMAT = "%Y-%m-%d"
+TIME_FORMAT = "%H:%M"
+DATETIME_FORMAT = "iso"
+
+
+@dataclass
+class CoerceOptions:
+    true_values: list[str] = field(default_factory=lambda: list(TRUE_VALUES))
+    false_values: list[str] = field(default_factory=lambda: list(FALSE_VALUES))
+    null_values: list[str] = field(default_factory=lambda: list(NULL_VALUES))
+    decimal_separator: str = "."
+    date_format: str = DATE_FORMAT
+    time_format: str = TIME_FORMAT
+    datetime_format: str = DATETIME_FORMAT
+    timezone: str = "UTC"   # fallback zone for zoneless datetimes (:90,615-617)
+    on_bad_lines: OnBadLines = OnBadLines.ERROR
+    strict_schema: bool = False
+
+
+def _as_str_array(arr: pa.Array) -> pa.Array:
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr
+    return arr.cast(pa.string())
+
+
+def nullify(arr: pa.Array, opts: CoerceOptions) -> pa.Array:
+    """Map configured null sentinels (incl. "") to null (typed path only —
+    the container engine deliberately does NOT do this, SURVEY.md §7.3)."""
+    s = _as_str_array(arr)
+    mask = pc.is_in(s, value_set=pa.array(opts.null_values, type=s.type))
+    return pc.if_else(mask, pa.nulls(len(s), s.type), s)
+
+
+def _fail_mask(orig: pa.Array, converted: pa.Array, opts: CoerceOptions,
+               what: str) -> pa.Array:
+    """Nulls introduced by conversion = failures; apply the bad-lines policy."""
+    bad = pc.and_(pc.is_valid(orig), pc.is_null(converted))
+    n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+    if n_bad:
+        idx = pc.index(bad, True).as_py()
+        sample = orig[idx].as_py() if idx >= 0 else "?"
+        handle_bad(opts.on_bad_lines,
+                   f"{n_bad} value(s) not convertible to {what}; "
+                   f"first offender: {truncate(str(sample))!r}")
+    return converted
+
+
+def to_boolean(arr: pa.Array, opts: Optional[CoerceOptions] = None) -> pa.Array:
+    opts = opts or CoerceOptions()
+    if pa.types.is_boolean(arr.type):
+        return arr
+    s = pc.utf8_lower(pc.utf8_trim_whitespace(nullify(arr, opts)))
+    tv = pa.array([v.lower() for v in opts.true_values], type=s.type)
+    fv = pa.array([v.lower() for v in opts.false_values], type=s.type)
+    is_t = pc.is_in(s, value_set=tv)
+    is_f = pc.is_in(s, value_set=fv)
+    out = pc.if_else(is_t, pa.scalar(True),
+                     pc.if_else(is_f, pa.scalar(False), pa.nulls(len(s), pa.bool_())))
+    return _fail_mask(s, out, opts, "boolean")
+
+
+def _replace_decimal_sep(s: pa.Array, opts: CoerceOptions) -> pa.Array:
+    if opts.decimal_separator != ".":
+        s = pc.replace_substring(s, pattern=opts.decimal_separator, replacement=".")
+    return s
+
+
+def to_int(arr: pa.Array, typ: pa.DataType = None,
+           opts: Optional[CoerceOptions] = None) -> pa.Array:
+    opts = opts or CoerceOptions()
+    typ = typ or pa.int64()
+    if pa.types.is_integer(arr.type):
+        return arr.cast(typ)
+    if pa.types.is_floating(arr.type):
+        return arr.cast(typ, safe=False)
+    s = pc.utf8_trim_whitespace(nullify(arr, opts))
+    s = _replace_decimal_sep(s, opts)
+    pd_s = pd.to_numeric(s.to_pandas(), errors="coerce")
+    # integer coercion rejects fractional values (PrimitiveIntTest analog);
+    # the final safe cast rejects overflow for narrower target types
+    pd_s = pd_s.where(pd_s % 1 == 0)
+    out = pa.array(pd.array(pd_s, dtype="Int64"), type=pa.int64()).cast(typ)
+    return _fail_mask(s, out, opts, str(typ))
+
+
+def to_float(arr: pa.Array, typ: pa.DataType = None,
+             opts: Optional[CoerceOptions] = None) -> pa.Array:
+    opts = opts or CoerceOptions()
+    typ = typ or pa.float64()
+    if pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
+        return arr.cast(typ)
+    s = _replace_decimal_sep(pc.utf8_trim_whitespace(nullify(arr, opts)), opts)
+    pd_s = pd.to_numeric(s.to_pandas(), errors="coerce")
+    out = pa.array(pd_s, type=typ)
+    return _fail_mask(s, out, opts, str(typ))
+
+
+def to_decimal(arr: pa.Array, precision: int, scale: int,
+               opts: Optional[CoerceOptions] = None) -> pa.Array:
+    """Decimal with HALF_EVEN rounding (AvroConverter.java:294-319)."""
+    opts = opts or CoerceOptions()
+    typ = pa.decimal128(precision, scale)
+    s = _replace_decimal_sep(_as_str_array(nullify(_as_str_array(arr), opts)), opts)
+    quant = Decimal(1).scaleb(-scale)
+
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            return Decimal(str(v)).quantize(quant, rounding=ROUND_HALF_EVEN)
+        except Exception:
+            return None
+
+    out = pa.array([conv(v) for v in s.to_pylist()], type=typ)
+    return _fail_mask(s, out, opts, f"decimal({precision},{scale})")
+
+
+def to_date(arr: pa.Array, opts: Optional[CoerceOptions] = None) -> pa.Array:
+    opts = opts or CoerceOptions()
+    if pa.types.is_date(arr.type):
+        return arr.cast(pa.date32())
+    s = pc.utf8_trim_whitespace(nullify(arr, opts))
+    pd_s = pd.to_datetime(s.to_pandas(), format=opts.date_format, errors="coerce")
+    out = pa.array(pd_s.dt.date, type=pa.date32())
+    return _fail_mask(s, out, opts, "date")
+
+
+def to_time(arr: pa.Array, unit: str = "ms",
+            opts: Optional[CoerceOptions] = None) -> pa.Array:
+    opts = opts or CoerceOptions()
+    typ = pa.time32(unit) if unit in ("s", "ms") else pa.time64(unit)
+    if pa.types.is_time(arr.type):
+        return arr.cast(typ)
+    s = pc.utf8_trim_whitespace(nullify(arr, opts))
+    pd_s = pd.to_datetime(s.to_pandas(), format=opts.time_format, errors="coerce")
+    base = pd.Timestamp("1900-01-01")  # format has no date part -> time-of-day only
+    ns = (pd_s - pd_s.dt.normalize()).dt.total_seconds()
+    scale = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
+    vals = (ns * scale).round()
+    out = pa.array(pd.array(vals, dtype="Int64"), type=pa.int64()).cast(typ)
+    return _fail_mask(s, out, opts, f"time[{unit}]")
+
+
+def to_timestamp(arr: pa.Array, unit: str = "ms", tz: Optional[str] = None,
+                 opts: Optional[CoerceOptions] = None) -> pa.Array:
+    """Timestamp coercion with the epoch-numeric fast path
+    (AvroConverter.java:379-383: all-digit strings parse as epoch millis)."""
+    opts = opts or CoerceOptions()
+    typ = pa.timestamp(unit, tz=tz)
+    if pa.types.is_timestamp(arr.type):
+        return arr.cast(typ)
+    if pa.types.is_integer(arr.type):
+        scale = {"s": 1_000, "ms": 1, "us": 1, "ns": 1}[unit]
+        return arr.cast(pa.int64()).cast(pa.timestamp(unit)).cast(typ)
+    s = pc.utf8_trim_whitespace(nullify(arr, opts))
+    pd_str = s.to_pandas()
+    numeric = pd_str.str.fullmatch(r"-?\d+", na=False)
+    fmt = None if opts.datetime_format in ("iso", None) else opts.datetime_format
+    parsed = pd.to_datetime(pd_str.where(~numeric), format=fmt,
+                            errors="coerce", utc=False)
+    if parsed.dt.tz is None:
+        parsed = parsed.dt.tz_localize(opts.timezone)
+    epoch = pd.to_datetime(
+        pd.to_numeric(pd_str.where(numeric), errors="coerce"),
+        unit="ms", utc=True)
+    combined = parsed.dt.tz_convert("UTC").fillna(epoch)
+    out = pa.array(combined.dt.tz_localize(None), type=pa.timestamp("ns")).cast(
+        pa.timestamp(unit)).cast(typ)
+    return _fail_mask(s, out, opts, f"timestamp[{unit}]")
+
+
+def to_string(arr: pa.Array, opts: Optional[CoerceOptions] = None) -> pa.Array:
+    opts = opts or CoerceOptions()
+    return nullify(_as_str_array(arr), opts)
+
+
+def coerce_column(arr: pa.Array, typ: pa.DataType,
+                  opts: Optional[CoerceOptions] = None) -> pa.Array:
+    """Dispatch on target type (AvroConverter.java:219-284 analog)."""
+    opts = opts or CoerceOptions()
+    if pa.types.is_boolean(typ):
+        return to_boolean(arr, opts)
+    if pa.types.is_integer(typ):
+        return to_int(arr, typ, opts)
+    if pa.types.is_floating(typ):
+        return to_float(arr, typ, opts)
+    if pa.types.is_decimal(typ):
+        return to_decimal(arr, typ.precision, typ.scale, opts)
+    if pa.types.is_date(typ):
+        return to_date(arr, opts)
+    if pa.types.is_time(typ):
+        unit = typ.unit
+        return to_time(arr, unit, opts)
+    if pa.types.is_timestamp(typ):
+        return to_timestamp(arr, typ.unit, typ.tz, opts)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return to_string(arr, opts).cast(typ)
+    return arr.cast(typ)
+
+
+def coerce_table(table: pa.Table, schema: pa.Schema,
+                 opts: Optional[CoerceOptions] = None) -> pa.Table:
+    """Coerce all columns to a target schema; strict_schema rejects extra
+    columns (AvroConverter.java:185-192)."""
+    opts = opts or CoerceOptions()
+    extra = set(table.column_names) - set(schema.names)
+    if extra:
+        if opts.strict_schema:
+            raise BadLineError(
+                truncate(f"strict schema: unexpected field(s) {sorted(extra)}"))
+        table = table.drop_columns(sorted(extra))
+    cols = {}
+    for f in schema:
+        if f.name in table.column_names:
+            cols[f.name] = coerce_column(
+                table.column(f.name).combine_chunks(), f.type, opts)
+        else:
+            cols[f.name] = pa.nulls(table.num_rows, f.type)  # missing -> null
+    return pa.table(cols, schema=schema)

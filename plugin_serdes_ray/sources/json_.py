@@ -1,0 +1,107 @@
+"""JSON -> Dataset, reproducing JsonToIon
+(/root/reference json/JsonToIon.java:91-190):
+
+- newline_delimited=True (default): one record per line (:171-175) —
+  maps to a per-file vectorized parse task;
+- newline_delimited=False: whole-file JSON array / single object
+  (:176-184; the reference documents the OOM hazard at :116-117 — here a
+  whole file is one task's batch, bounded by input shard size);
+- charset (:111).
+
+Also JsonToJsonl (json/JsonToJsonl.java:104-191): array / object /
+concatenated objects -> one object per line.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from ..util import package_runtime_env
+
+
+@dataclass
+class JsonOptions:
+    newline_delimited: bool = True
+    charset: str = "utf-8"
+
+
+def parse_json_bytes(data: bytes, opts: Optional[JsonOptions] = None) -> list[Any]:
+    """One file's bytes -> list of records (dicts/values)."""
+    opts = opts or JsonOptions()
+    text = data.decode(opts.charset)
+    if opts.newline_delimited:
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
+    parsed = json.loads(text)
+    if isinstance(parsed, list):
+        return parsed
+    return [parsed]
+
+
+def parse_concatenated_json(text: str) -> list[Any]:
+    """Concatenated top-level JSON objects (JsonToJsonl.java:128-162)."""
+    dec = json.JSONDecoder()
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        while i < n and text[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        obj, end = dec.raw_decode(text, i)
+        out.append(obj)
+        i = end
+    return out
+
+
+def _records_to_table(records: list[Any]) -> pa.Table:
+    if records and not isinstance(records[0], dict):
+        records = [{"value": r} for r in records]  # root-wrap (InferAvroSchema.java:121-129)
+    return pa.Table.from_pylist(records)
+
+
+def read_json(paths: list[str] | str, opts: Optional[JsonOptions] = None,
+              concurrency: Optional[int] = None):
+    """Distributed JSON read: JSONL uses the native vectorized reader;
+    array/object mode is one parse task per file."""
+    import ray.data
+
+    opts = opts or JsonOptions()
+    if isinstance(paths, str):
+        paths = [paths]
+    if opts.newline_delimited and opts.charset.lower() in ("utf-8", "utf8", "ascii"):
+        return ray.data.read_json(paths, file_extensions=None)
+
+    def parse(batch: pa.Table):
+        for item in batch.to_pylist():
+            with open(item["path"], "rb") as f:
+                data = f.read()
+            records = parse_json_bytes(data, opts)
+            if records:
+                yield _records_to_table(records)
+
+    ds = ray.data.from_items([{"path": str(p)} for p in paths])
+    return ds.map_batches(parse, batch_size=1, batch_format="pyarrow",
+                          concurrency=min(concurrency or 8, len(paths)),
+                          num_cpus=1, runtime_env=package_runtime_env())
+
+
+def read_json_table(path: str, opts: Optional[JsonOptions] = None) -> pa.Table:
+    with open(path, "rb") as f:
+        return _records_to_table(parse_json_bytes(f.read(), opts))
+
+
+def json_to_jsonl_bytes(data: bytes, charset: str = "utf-8") -> bytes:
+    """JsonToJsonl: array / object / concatenated objects -> JSONL."""
+    text = data.decode(charset).strip()
+    try:
+        parsed = json.loads(text)
+        records = parsed if isinstance(parsed, list) else [parsed]
+    except json.JSONDecodeError:
+        records = parse_concatenated_json(text)
+    return ("\n".join(json.dumps(r, separators=(",", ":"), ensure_ascii=False)
+                      for r in records) + "\n").encode()

@@ -1,0 +1,125 @@
+"""XML -> Dataset, reproducing XmlToIon
+(/root/reference xml/XmlToIon.java:75-422):
+
+- whole-file mode: document -> nested dict with root-array unwrap
+  (:135-198);
+- query mode: a path like ``/catalog/book`` extracts each matching element
+  as one record (the StAX streaming path, :200-289) — here via stdlib
+  ElementTree iteration (external entities are never resolved by
+  ElementTree, matching the reference's hardening at :209-210);
+- force_list: element names that must always parse as lists (:416-421).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from ..util import package_runtime_env
+
+
+@dataclass
+class XmlOptions:
+    query: Optional[str] = None          # e.g. "/catalog/book"
+    force_list: list[str] = field(default_factory=list)
+    charset: str = "utf-8"
+    attr_prefix: str = ""                # attributes merge as plain keys
+
+
+def _elem_to_value(el: ET.Element, opts: XmlOptions) -> Any:
+    """Element -> dict/str following org.json XML.toJSONObject conventions:
+    attributes as keys, repeated children as lists, text content as value."""
+    children = list(el)
+    attrs = {opts.attr_prefix + k: _typed(v) for k, v in el.attrib.items()}
+    if not children:
+        text = (el.text or "").strip()
+        if attrs:
+            if text:
+                attrs["content"] = _typed(text)
+            return attrs
+        return _typed(text) if text else None
+    out: dict[str, Any] = dict(attrs)
+    for ch in children:
+        v = _elem_to_value(ch, opts)
+        tag = ch.tag
+        if tag in out:
+            if not isinstance(out[tag], list):
+                out[tag] = [out[tag]]
+            out[tag].append(v)
+        elif tag in opts.force_list:
+            out[tag] = [v]
+        else:
+            out[tag] = v
+    return out
+
+
+def _typed(s: str) -> Any:
+    """org.json-style scalar typing: booleans and numbers parse."""
+    low = s.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        if s.strip() and s.strip().lstrip("+-").isdigit():
+            return int(s)
+        return float(s) if any(c.isdigit() for c in s) and \
+            s.strip().replace(".", "", 1).lstrip("+-").isdigit() else s
+    except ValueError:
+        return s
+
+
+def parse_xml_bytes(data: bytes, opts: Optional[XmlOptions] = None) -> list[Any]:
+    opts = opts or XmlOptions()
+    root = ET.fromstring(data.decode(opts.charset))
+    if opts.query:
+        parts = [p for p in opts.query.split("/") if p]
+        if not parts or parts[0] != root.tag:
+            return []
+        elems = [root]
+        for p in parts[1:]:
+            elems = [c for e in elems for c in e if c.tag == p]
+        return [_elem_to_value(e, opts) for e in elems]
+    value = {root.tag: _elem_to_value(root, opts)}
+    # root-array unwrap (:135-198): a root whose single child list IS the data
+    inner = value[root.tag]
+    if isinstance(inner, dict) and len(inner) == 1:
+        (only,) = inner.values()
+        if isinstance(only, list):
+            return only
+    return [value]
+
+
+def _records_to_table(records: list[Any]) -> pa.Table:
+    if records and not isinstance(records[0], dict):
+        records = [{"value": r} for r in records]
+    return pa.Table.from_pylist(records)
+
+
+def read_xml(paths: list[str] | str, opts: Optional[XmlOptions] = None,
+             concurrency: Optional[int] = None):
+    import ray.data
+
+    opts = opts or XmlOptions()
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def parse(batch: pa.Table):
+        for item in batch.to_pylist():
+            with open(item["path"], "rb") as f:
+                records = parse_xml_bytes(f.read(), opts)
+            if records:
+                yield _records_to_table(records)
+
+    ds = ray.data.from_items([{"path": str(p)} for p in paths])
+    return ds.map_batches(parse, batch_size=1, batch_format="pyarrow",
+                          concurrency=min(concurrency or 8, len(paths)),
+                          num_cpus=1, runtime_env=package_runtime_env())
+
+
+def read_xml_table(path: str, opts: Optional[XmlOptions] = None) -> pa.Table:
+    with open(path, "rb") as f:
+        return _records_to_table(parse_xml_bytes(f.read(), opts))
