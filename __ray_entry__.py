@@ -4,16 +4,26 @@ The driver initialises Ray BEFORE importing this module; nothing here may
 call ``ray.init()`` / ``ray.shutdown()``.
 
 - ``entry()``: flagship pipeline (webpages corpus re-encode) at sf0.001.
-- ``queries()``: one callable per implemented operator/pipeline (SURVEY.md §2).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (same column names).
+- ``queries()``: one callable per implemented operator/pipeline (SURVEY.md §2
+  + training-data ops).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (same column names);
+  omitted for non-SQL-expressible ops (near-dup LSH, fingerprints,
+  multimodal) -> driver records the weaker rows-only check.
+
+Float-sensitive oracles only aggregate order-independent quantities (counts,
+mins/maxes, integer-valued sums) so value hashes are reproducible across
+summation orders.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 from collections.abc import Callable
 from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 _QUERY_CACHE_ROOT = "/tmp/graft_query_cache"
 
@@ -22,15 +32,274 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)) or "sf"
 
 
+def _cache_dir(sf_dir: str, name: str) -> str:
+    d = os.path.join(_QUERY_CACHE_ROOT, _sf_tag(sf_dir), name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _env() -> dict:
+    from plugin_serdes_ray.util import package_runtime_env
+
+    return package_runtime_env()
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# container-engine round trips (the flagship correctness path)
+# ---------------------------------------------------------------------------
+
+
 def _roundtrip(sf_dir: str, table: str):
-    """Encode one testdata table through the container engine and decode it
-    back — the flagship correctness path (bit-identical serde round trip)."""
     from plugin_serdes_ray.encode import decode_table, encode_files
 
     src = os.path.join(sf_dir, f"{table}.parquet")
-    out = os.path.join(_QUERY_CACHE_ROOT, _sf_tag(sf_dir), f"rt_{table}")
+    out = _cache_dir(sf_dir, f"rt_{table}")
     encode_files([src], out, resume=True)
     return decode_table(out)
+
+
+# ---------------------------------------------------------------------------
+# serde round trips (format -> format, exercising sources/sinks + coercion)
+# ---------------------------------------------------------------------------
+
+
+def _serde_roundtrip(sf_dir: str, table: str, fmt: str) -> pa.Table:
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+
+    src = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    d = _cache_dir(sf_dir, f"serde_{fmt}_{table}")
+    path = os.path.join(d, f"data.{fmt}")
+    if fmt == "csv":
+        from plugin_serdes_ray.sinks.csv_ import table_to_csv_bytes
+        from plugin_serdes_ray.sources.csv_ import read_csv_table
+        open(path, "wb").write(table_to_csv_bytes(src))
+        back = read_csv_table(path)
+    elif fmt == "jsonl":
+        from plugin_serdes_ray.sinks.json_ import table_to_json_bytes
+        from plugin_serdes_ray.sources.json_ import read_json_table
+        open(path, "wb").write(table_to_json_bytes(src))
+        back = read_json_table(path)
+    elif fmt == "yaml":
+        from plugin_serdes_ray.sinks.yaml_ import table_to_yaml_bytes
+        from plugin_serdes_ray.sources.yaml_ import read_yaml_table
+        open(path, "wb").write(table_to_yaml_bytes(src))
+        back = read_yaml_table(path)
+    elif fmt == "xml":
+        from plugin_serdes_ray.sinks.xml_ import table_to_xml_bytes
+        from plugin_serdes_ray.sources.xml_ import read_xml_table
+        open(path, "wb").write(table_to_xml_bytes(src))
+        back = read_xml_table(path)
+    elif fmt == "avro":
+        from plugin_serdes_ray.sinks.avro_ import table_to_avro_bytes
+        from plugin_serdes_ray.sources.avro_ import read_avro_table
+        open(path, "wb").write(table_to_avro_bytes(src))
+        back = read_avro_table(path)
+    elif fmt == "xlsx":
+        from plugin_serdes_ray.sinks.excel_ import tables_to_xlsx_bytes
+        from plugin_serdes_ray.sources.excel_ import read_excel_tables
+        open(path, "wb").write(tables_to_xlsx_bytes({"Sheet1": src}))
+        back = read_excel_tables(path)["Sheet1"]
+    elif fmt == "toon":
+        from plugin_serdes_ray.functions import toon
+        text = toon.encode({"rows": src.to_pylist()})
+        open(path, "w").write(text)
+        back = pa.Table.from_pylist(toon.decode(text)["rows"])
+    else:
+        raise ValueError(fmt)
+    # re-impose the original schema (string->typed coercion layer)
+    return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
+
+
+# ---------------------------------------------------------------------------
+# training-data / wide ops
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(sf_dir: str):
+    from plugin_serdes_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents")
+    out = exact_dedup(ds, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
+def _dedup_minhash(sf_dir: str):
+    from plugin_serdes_ray.pipelines.dedup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents")
+    out = minhash_lsh_dedup(ds, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
+def _dedup_simhash(sf_dir: str):
+    from plugin_serdes_ray.pipelines.dedup import simhash_duplicates
+
+    ds = _read(sf_dir, "documents")
+    pairs = simhash_duplicates(ds, "text", "doc_id").take_all()
+    dup = sorted({r["dup_id"] for r in pairs})
+    return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
+
+
+def _dedup_embedding(sf_dir: str):
+    from plugin_serdes_ray.pipelines.dedup import embedding_duplicates
+
+    ds = _read(sf_dir, "embeddings")
+    pairs = embedding_duplicates(ds, "embedding", "vec_id",
+                                 threshold=0.99).take_all()
+    dup = sorted({r["dup_id"] for r in pairs})
+    return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
+
+
+def _ann_brute(sf_dir: str):
+    from plugin_serdes_ray.pipelines.ann import knn_brute
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.sort_by("vec_id")  # oracle takes the 3 smallest vec_ids
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_pylist()
+    q = vecs[:3]
+    out = knn_brute(_read(sf_dir, "embeddings"), q, query_ids=ids[:3], k=10)
+    return out.select(["query_id", "vec_id"])
+
+
+def _ann_ivf(sf_dir: str):
+    from plugin_serdes_ray.pipelines.ann import knn_ivf
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = t.column("vec_id").to_pylist()
+    out = knn_ivf(_read(sf_dir, "embeddings"), vecs[:3], query_ids=ids[:3],
+                  k=10, n_clusters=8, nprobe=8)  # nprobe=all -> exact
+    return out.select(["query_id", "vec_id"])
+
+
+def _textstats_tokens(sf_dir: str):
+    from plugin_serdes_ray.pipelines.textstats import token_counts
+
+    ds = _read(sf_dir, "documents")
+    out = ds.map_batches(lambda b: token_counts(b), batch_format="pyarrow", runtime_env=_env())
+    rows = out.take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "ws_tokens": pa.array([r["ws_tokens"] for r in rows], type=pa.int64()),
+    })
+
+
+def _textstats_len(sf_dir: str):
+    from plugin_serdes_ray.pipelines.textstats import quality_scores
+
+    ds = _read(sf_dir, "documents")
+    out = ds.map_batches(lambda b: quality_scores(b), batch_format="pyarrow", runtime_env=_env())
+    rows = out.take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "q_length": pa.array([r["q_length"] for r in rows], type=pa.int64()),
+    })
+
+
+def _fingerprints(sf_dir: str):
+    from plugin_serdes_ray.pipelines.textstats import fingerprint
+
+    ds = _read(sf_dir, "documents")
+    out = ds.map_batches(lambda b: fingerprint(b), batch_format="pyarrow", runtime_env=_env())
+    rows = out.take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "fingerprint": pa.array([r["fingerprint"] for r in rows], type=pa.int64()),
+    })
+
+
+def _agg_lineitem(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "lineitem")
+    out = grouped_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                            sum_cols=["l_quantity"])
+    rows = out.take_all()
+    return pa.table({
+        "l_returnflag": [r["l_returnflag"] for r in rows],
+        "l_linestatus": [r["l_linestatus"] for r in rows],
+        "sum_qty": pa.array([r["sum_l_quantity"] for r in rows], type=pa.float64()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
+def _agg_events(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events")
+    out = grouped_aggregate(ds, ["event_type"], sum_cols=[])
+    rows = out.take_all()
+    return pa.table({
+        "event_type": [r["event_type"] for r in rows],
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
+def _lang_counts(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "documents")
+    rows = grouped_aggregate(ds, ["lang"], sum_cols=[]).take_all()
+    return pa.table({
+        "lang": [r["lang"] for r in rows],
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
+def _join_orders_mktsegment(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import broadcast_join, grouped_aggregate
+
+    orders = _read(sf_dir, "orders")
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(
+        orders, cust.rename_columns(["o_custkey", "c_mktsegment"]),
+        key="o_custkey")
+    rows = grouped_aggregate(joined, ["c_mktsegment"], sum_cols=[]).take_all()
+    return pa.table({
+        "c_mktsegment": [r["c_mktsegment"] for r in rows],
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
+def _topk_orders(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import top_k
+
+    ds = _read(sf_dir, "orders")
+    out = top_k(ds, "o_totalprice", k=10)
+    return out.select(["o_orderkey", "o_totalprice"])
+
+
+def _html_to_text(sf_dir: str):
+    """Webpages html -> markdown -> text stage (north-rule extraction)."""
+    from plugin_serdes_ray.fixtures import webpages_for_sf
+    from plugin_serdes_ray.functions.markdown import html_to_markdown, markdown_to_text
+    import ray.data
+
+    files = webpages_for_sf(sf_dir)[:2]
+    ds = ray.data.read_parquet(files, columns=["url", "html"])
+
+    def xf(batch: pa.Table) -> pa.Table:
+        texts = []
+        for v in batch.column("html").to_pylist():
+            if v is None:
+                texts.append(None)
+            else:
+                texts.append(markdown_to_text(html_to_markdown(v.decode())))
+        return pa.table({"url": batch.column("url"),
+                         "extracted_len": pa.array(
+                             [len(t) if t else 0 for t in texts], type=pa.int64())})
+
+    return ds.map_batches(xf, batch_format="pyarrow", runtime_env=_env())
 
 
 def entry() -> Any:
@@ -46,21 +315,92 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    q: dict[str, Callable[[str], Any]] = {
+    return {
+        # container engine round trips
         "roundtrip_lineitem": lambda sf: _roundtrip(sf, "lineitem"),
         "roundtrip_orders": lambda sf: _roundtrip(sf, "orders"),
         "roundtrip_documents": lambda sf: _roundtrip(sf, "documents"),
         "roundtrip_events": lambda sf: _roundtrip(sf, "events"),
         "roundtrip_customer": lambda sf: _roundtrip(sf, "customer"),
+        # serde format round trips
+        "csv_roundtrip_customer": lambda sf: _serde_roundtrip(sf, "customer", "csv"),
+        "csv_roundtrip_orders": lambda sf: _serde_roundtrip(sf, "orders", "csv"),
+        "jsonl_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "jsonl"),
+        "yaml_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "yaml"),
+        "xml_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "xml"),
+        "avro_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "avro"),
+        "xlsx_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "xlsx"),
+        "toon_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "toon"),
+        # dedup family
+        "dedup_exact_documents": _dedup_exact,
+        "dedup_minhash_documents": _dedup_minhash,
+        "dedup_simhash_documents": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        # similarity search
+        "ann_brute_top10": _ann_brute,
+        "ann_ivf_top10": _ann_ivf,
+        # text analysis
+        "textstats_tokens": _textstats_tokens,
+        "textstats_len": _textstats_len,
+        "doc_fingerprints": _fingerprints,
+        # wide ops
+        "agg_lineitem_q1": _agg_lineitem,
+        "agg_events_by_type": _agg_events,
+        "lang_counts": _lang_counts,
+        "join_orders_mktsegment": _join_orders_mktsegment,
+        "topk_orders": _topk_orders,
+        # document transform over the webpages corpus
+        "html_extract_len": _html_to_text,
     }
-    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "roundtrip_lineitem": "SELECT * FROM lineitem",
-        "roundtrip_orders": "SELECT * FROM orders",
-        "roundtrip_documents": "SELECT * FROM documents",
-        "roundtrip_events": "SELECT * FROM events",
-        "roundtrip_customer": "SELECT * FROM customer",
+    rt = {f"roundtrip_{t}": f"SELECT * FROM {t}"
+          for t in ["lineitem", "orders", "documents", "events", "customer"]}
+    serde = {
+        "csv_roundtrip_customer": "SELECT * FROM customer",
+        "csv_roundtrip_orders": "SELECT * FROM orders",
+        "jsonl_roundtrip_nation": "SELECT * FROM nation",
+        "yaml_roundtrip_region": "SELECT * FROM region",
+        "xml_roundtrip_region": "SELECT * FROM region",
+        "avro_roundtrip_supplier": "SELECT * FROM supplier",
+        "xlsx_roundtrip_nation": "SELECT * FROM nation",
+        "toon_roundtrip_region": "SELECT * FROM region",
     }
+    rest = {
+        "dedup_exact_documents":
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "ann_brute_top10": """
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            QUALIFY row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                       e.vec_id) <= 10
+        """,
+        "textstats_tokens": """
+            SELECT doc_id, CAST(len(list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
+              AS ws_tokens FROM documents
+        """,
+        "textstats_len": "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_length FROM documents",
+        "agg_lineitem_q1": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_events_by_type":
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "join_orders_mktsegment": """
+            SELECT c_mktsegment, count(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 10
+        """,
+    }
+    return {**rt, **serde, **rest}

@@ -1,0 +1,149 @@
+"""Wide-operation building blocks used by the engine's pipelines
+(SURVEY.md §2.5 — the ops the reference lacks, expressed Ray-Data-first):
+
+- :func:`grouped_aggregate` — partial aggregation INSIDE map_batches (one
+  row per key per block) before the keyed shuffle, so the all-to-all moves
+  combiner output, not raw rows.
+- :func:`broadcast_join` — small side ``ray.put`` once, per-batch
+  ``pa.Table.join`` in every task; no shuffle of the large side.
+- :func:`top_k` — per-batch local top-k, driver merge (never a global sort).
+- :func:`salted_key` — hot-key salting for skew-aware keyed operations
+  (sample-detected hot keys spread over ``salt_n`` subkeys).
+- :func:`sort_within_partitions` — per-block sort (e.g. by `lang` before
+  dict+RLE encode) without a global shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import package_runtime_env
+
+
+def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
+                      count_name: Optional[str] = "n",
+                      mean_cols: Sequence[str] = ()):
+    """SUM/COUNT/MEAN by key with per-block pre-aggregation.
+
+    Returns a Dataset with columns: keys + ``sum_<c>`` + count + ``mean_<c>``.
+    """
+    keys = list(keys)
+    sum_all = list(dict.fromkeys(list(sum_cols) + list(mean_cols)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_all]
+        if count_name:
+            aggs.append((keys[0], "count"))
+        g = batch.group_by(keys).aggregate(aggs)
+        names = {f"{c}_sum": f"__s_{c}" for c in sum_all}
+        if count_name:
+            names[f"{keys[0]}_count"] = "__cnt"
+        return g.rename_columns([names.get(n, n) for n in g.column_names])
+
+    def final(group: pa.Table) -> pa.Table:
+        out = {k: [group.column(k)[0].as_py()] for k in keys}
+        cnt = int(pc.sum(group.column("__cnt")).as_py() or 0) if count_name else None
+        for c in sum_all:
+            s = pc.sum(group.column(f"__s_{c}")).as_py()
+            if c in sum_cols:
+                out[f"sum_{c}"] = [s]
+            if c in mean_cols:
+                out[f"mean_{c}"] = [None if not cnt else s / cnt]
+        if count_name:
+            out[count_name] = [cnt]
+        return pa.table(out)
+
+    env = package_runtime_env()
+    return (ds.map_batches(partial, batch_format="pyarrow", runtime_env=env)
+              .groupby(keys if len(keys) > 1 else keys[0])
+              .map_groups(final, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()))
+
+
+def broadcast_join(ds, small: pa.Table, key: str,
+                   join_type: str = "inner"):
+    """Join a Dataset against a small in-memory table without shuffling the
+    large side: the table ships through the object store once."""
+    import ray
+
+    ref = ray.put(small)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        right = ray.get(ref)
+        return batch.join(right, keys=key, join_type=join_type)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
+def top_k(ds, column: str, k: int = 10, descending: bool = True) -> pa.Table:
+    """Global top-k rows by a column: local top-k per block, driver merge.
+    No global sort / shuffle."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        order = "descending" if descending else "ascending"
+        idx = pc.array_sort_indices(batch.column(column).combine_chunks(),
+                                    order=order)
+        return batch.take(idx[: min(k, batch.num_rows)])
+
+    parts = ds.map_batches(local, batch_format="pyarrow",
+                           runtime_env=package_runtime_env()).take_all()
+    if not parts:
+        return pa.table({})
+    t = pa.Table.from_pylist(parts)
+    idx = pc.array_sort_indices(
+        t.column(column).combine_chunks(),
+        order="descending" if descending else "ascending")
+    return t.take(idx[:k])
+
+
+def detect_hot_keys(ds, key: str, sample_rows: int = 10_000,
+                    hot_frac: float = 0.05) -> list:
+    """Sample-pass hot-key detection (keys above hot_frac of the sample)."""
+    rows = ds.limit(sample_rows).take_all()
+    if not rows:
+        return []
+    vals = pa.array([r[key] for r in rows])
+    counts = pa.table({"v": vals}).group_by("v").aggregate([("v", "count")])
+    n = len(rows)
+    hot = [r["v"] for r in counts.to_pylist() if r["v_count"] / n >= hot_frac]
+    return hot
+
+
+def salted_key(ds, key: str, hot_keys: list, salt_n: int = 8,
+               out_column: str = "__salted"):
+    """Append a shuffle key column: cold keys -> "<key>#0", hot keys ->
+    "<key>#<deterministic 0..salt_n-1>" so no single reducer drowns."""
+    import ray
+
+    hot_ref = ray.put(set(hot_keys))
+
+    def add(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        vals = batch.column(key).to_pylist()
+        out = []
+        for i, v in enumerate(vals):
+            if v in hot:
+                out.append(f"{v}#{i % salt_n}")
+            else:
+                out.append(f"{v}#0")
+        return batch.append_column(out_column, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
+def sort_within_partitions(ds, keys: Sequence[str]):
+    """Per-block sort (cheap, no shuffle) — e.g. sort by `lang` before the
+    dict+RLE encode so runs materialize (SURVEY.md §7.2.4)."""
+    keys = list(keys)
+
+    def local_sort(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([(k, "ascending") for k in keys])
+
+    return ds.map_batches(local_sort, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())

@@ -53,7 +53,11 @@ def _stringify(table: pa.Table, opts: CsvWriteOptions) -> pa.Table:
         if pa.types.is_timestamp(t):
             if t.tz:
                 col = col.cast(pa.timestamp(t.unit))  # stored UTC
-            cols[name] = pc.strftime(col, format="%Y-%m-%dT%H:%M:%S.%f")
+            # cast -> "YYYY-MM-DD HH:MM:SS.ffffff"; use T separator (ISO).
+            # (Arrow strftime lacks %f and would emit it literally.)
+            cols[name] = pc.replace_substring(
+                col.cast(pa.string()), pattern=" ", replacement="T",
+                max_replacements=1)
         elif pa.types.is_date(t):
             cols[name] = pc.strftime(col.cast(pa.timestamp("s")), format="%Y-%m-%d")
         elif pa.types.is_time(t):
