@@ -128,6 +128,16 @@ def _encode_one(piece: pa.Array, codec: str, ctx: EncodeContext, fallback: str) 
     n = len(piece)
     if n and piece.null_count == n:
         return encode_array(piece, "constant", ctx)
+    if n and piece.null_count == 0:
+        # opportunistic constant chunks (e.g. `lang` after groupby-lang):
+        # cheap first==last pre-check gates the full distinct count
+        try:
+            if piece[0].equals(piece[n - 1]):
+                import pyarrow.compute as pc
+                if pc.count_distinct(piece).as_py() == 1:
+                    return encode_array(piece, "constant", ctx)
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            pass
     try:
         blob = encode_array(piece, codec, ctx)
     except Exception:

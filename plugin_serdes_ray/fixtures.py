@@ -163,6 +163,78 @@ def generate_webpages(out_dir: str, n_rows: int, n_shards: int,
     return sorted(files)
 
 
+def generate_alltypes(rows: int = 1000, seed: int = SEED) -> "pa.Table":
+    """FIXTURES.md F2: the reference's 'full' schema — every primitive +
+    logical type it converts (/root/reference src/test/resources/csv/full.avsc
+    and avro/all.avsc, used by IonToParquetTest.java:42-100)."""
+    import decimal
+
+    rng = np.random.default_rng([seed, 99])
+    names = np.array([f"name{i}" for i in range(rows)], dtype=object)
+    emails = np.array([f"user{rng.integers(10**6)}@ex{i % 7}.com"
+                       for i in range(rows)], dtype=object)
+    genders = np.array(["Female", "Male"], dtype=object)[rng.integers(0, 2, rows)]
+    nullable = np.where(rng.random(rows) < 0.2, None, names)
+    decs = [decimal.Decimal(int(rng.integers(-10**6, 10**6))).scaleb(-2)
+            for _ in range(rows)]
+    fixed = [bytes(rng.integers(0, 256, 8, dtype=np.uint8)) for _ in range(rows)]
+    uuids = [f"{rng.integers(16**8):08x}-0000-4000-8000-{rng.integers(16**12):012x}"
+             for _ in range(rows)]
+    return pa.table({
+        "id": pa.array(np.arange(rows, dtype=np.int32)),
+        "name": pa.array(names, type=pa.string()),
+        "nameNullable": pa.array(nullable, type=pa.string()),
+        "email": pa.array(emails, type=pa.string()),
+        "enum": pa.array(genders, type=pa.string()).dictionary_encode(),
+        "long": pa.array(np.where(rng.random(rows) < 0.1, None,
+                                  rng.integers(-(2**62), 2**62, rows)),
+                         type=pa.int64()),
+        "double": pa.array(rng.standard_normal(rows)),
+        "boolean": pa.array(rng.random(rows) < 0.5),
+        "date": pa.array(rng.integers(0, 20000, rows).astype(np.int32)).cast(pa.date32()),
+        "timeMillis": pa.array(rng.integers(0, 86_400_000, rows).astype(np.int32),
+                               type=pa.time32("ms")),
+        "timestampMillis": pa.array(rng.integers(0, 2**41, rows),
+                                    type=pa.timestamp("ms")),
+        "timestampMicros": pa.array(rng.integers(0, 2**44, rows),
+                                    type=pa.timestamp("us")),
+        "decimal": pa.array(decs, type=pa.decimal128(12, 2)),
+        "binary": pa.array([bytes(rng.integers(0, 256, int(n), dtype=np.uint8))
+                            for n in rng.integers(0, 64, rows)], type=pa.binary()),
+        "fixed": pa.array(fixed, type=pa.binary(8)),
+        "uuid": pa.array(uuids, type=pa.string()),
+    })
+
+
+def generate_nested(rows: int = 200, seed: int = SEED) -> "pa.Table":
+    """FIXTURES.md F3: struct/list/map coverage (strict_schema_nested.jsonl,
+    inference tests FullIonConversionAbstractTest.java:55-156)."""
+    rng = np.random.default_rng([seed, 77])
+    recs = []
+    for i in range(rows):
+        r = rng.random()
+        if r < 0.1:
+            recs.append({"id": None, "str1": None, "labels": None,
+                         "data1": None, "attrs": None})
+            continue
+        recs.append({
+            "id": int(i),
+            "str1": None if r < 0.3 else f"s{i}",
+            "labels": [] if r < 0.5 else [f"l{j}" for j in range(int(rng.integers(1, 4)))],
+            "data1": {"field1": f"f{i}"},
+            "attrs": [(f"k{j}", f"v{j}") for j in range(int(rng.integers(0, 3)))],
+        })
+    typ = pa.struct([("field1", pa.string())])
+    return pa.table({
+        "id": pa.array([r["id"] for r in recs], type=pa.int64()),
+        "str1": pa.array([r["str1"] for r in recs], type=pa.string()),
+        "labels": pa.array([r["labels"] for r in recs], type=pa.list_(pa.string())),
+        "data1": pa.array([r["data1"] for r in recs], type=typ),
+        "attrs": pa.array([r["attrs"] for r in recs],
+                          type=pa.map_(pa.string(), pa.string())),
+    })
+
+
 def webpages_for_sf(sf_dir: str, cache_root: str = "/tmp/graft_webpages") -> list[str]:
     """Derive a deterministic webpages corpus sized to the given sf dir.
 

@@ -108,8 +108,10 @@ def write_datum(out: io.BytesIO, schema: Any, v: Any, named: dict) -> None:
         elif lt in ("timestamp-millis", "timestamp-micros") and isinstance(v, datetime.datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=datetime.timezone.utc)
-            scale = 1_000 if lt == "timestamp-millis" else 1_000_000
-            v = int(v.timestamp() * scale)
+            # integer arithmetic: float .timestamp() loses sub-ms precision
+            delta = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            us = delta // datetime.timedelta(microseconds=1)
+            v = us if lt == "timestamp-micros" else us // 1000
         _write_long(out, int(v))
     elif t == "float":
         out.write(struct.pack("<f", float(v)))
@@ -223,8 +225,9 @@ def read_datum(inp: BinaryIO, schema: Any, named: dict) -> Any:
             us = v * (1000 if lt == "time-millis" else 1)
             return (datetime.datetime.min + datetime.timedelta(microseconds=us)).time()
         if lt in ("timestamp-millis", "timestamp-micros"):
-            scale = 1_000 if lt == "timestamp-millis" else 1_000_000
-            return datetime.datetime.fromtimestamp(v / scale, tz=datetime.timezone.utc)
+            us = v * 1000 if lt == "timestamp-millis" else v
+            return (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                    + datetime.timedelta(microseconds=us))
         return v
     if t == "float":
         return struct.unpack("<f", inp.read(4))[0]

@@ -115,6 +115,9 @@ def _encode_object(obj: dict, depth: int, out: list[str]) -> None:
         if _is_primitive(v):
             out.append(f"{pad}{_fmt_key(k)}: {_fmt_scalar(v)}")
         elif isinstance(v, dict):
+            if not v:
+                out.append(f"{pad}{_fmt_key(k)}: {{}}")  # empty object literal
+                continue
             out.append(f"{pad}{_fmt_key(k)}:")
             _encode_object(v, depth + 1, out)
         else:
@@ -125,6 +128,8 @@ def encode(value: Any) -> str:
     """JSON-compatible value -> TOON text (no trailing newline, :741-748)."""
     out: list[str] = []
     if isinstance(value, dict):
+        if not value:
+            return "{}"
         _encode_object(value, 0, out)
     elif isinstance(value, (list, tuple)):
         _encode_array(None, list(value), 0, out)
@@ -151,6 +156,8 @@ def _scalar(tok: str) -> Any:
     tok = tok.strip()
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
         return _unquote(tok)
+    if tok == "{}":
+        return {}
     if tok == "null" or tok == "":
         return None
     if tok == "true":
@@ -281,6 +288,10 @@ def decode(text: str) -> Any:
     if not lines:
         return None
     first = lines[0].strip()
+    if len(lines) == 1 and first == "{}":
+        return {}
+    if len(lines) == 1 and re.fullmatch(r'"(?:[^"\\]|\\.)*"', first):
+        return _scalar(first)  # root quoted-string scalar (may contain ':')
     if len(lines) == 1 and ":" not in first and not _ARRAY_HEAD.match(first):
         return _scalar(first)
     return _Parser(lines).parse_block(0)

@@ -1,0 +1,81 @@
+"""The north-rule wide-path re-encode: groupby(lang) skew-aware repartition
+feeding dictionary+RLE (BASELINE.json north_star; SURVEY.md §7.2.4).
+
+Stages:
+1. sample pass: detect hot langs (Zipf head — `en` ~60%) via
+   :func:`relational.detect_hot_keys`;
+2. salt hot keys so no reducer drowns (`en#0..en#k`), cold langs keep one
+   subkey — the ONLY shuffle in the pipeline;
+3. per-group: sort by (lang, warc_ts) and stream-encode the group through
+   the container engine — with rows grouped by lang, the `lang` column is
+   constant/run-heavy per partition, so the measured selector picks
+   constant/dict+RLE and the timestamp delta codec sees near-sorted input.
+
+Compare with the embarrassingly-parallel path (encode.encode_files), which
+preserves input order: this path trades one shuffle for strictly better
+compression on the grouped columns.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+
+from ..container import write_partition
+from ..plan import EncodePlan, build_plan
+from ..state import checkpoint
+from ..util import package_runtime_env
+from .relational import detect_hot_keys, salted_key
+
+
+def reencode_grouped(ds, out_dir: str, group_key: str = "lang", *,
+                     sort_keys: Optional[list[str]] = None,
+                     plan: Optional[EncodePlan] = None,
+                     sample_rows: int = 8192,
+                     salt_n: int = 8,
+                     hot_frac: float = 0.10) -> dict:
+    """Dataset -> grouped container partitions (one file per salted group)."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    checkpoint.ensure_dirs(out_dir)
+    if plan is None:
+        rows = ds.limit(sample_rows).take_all()
+        plan = build_plan(pa.Table.from_pylist(rows).combine_chunks())
+    # per-group plans re-measure cheaply via the per-chunk guard; the shared
+    # plan still carries FSST tables etc.
+    plan_ref = ray.put(plan)
+    hot = detect_hot_keys(ds, group_key, sample_rows=sample_rows,
+                          hot_frac=hot_frac)
+    salted = salted_key(ds, group_key, hot, salt_n=salt_n)
+    sort_cols = sort_keys or [group_key]
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        plan_local: EncodePlan = ray.get(plan_ref)
+        key = group.column("__salted")[0].as_py()
+        safe = "".join(c if c.isalnum() or c in "#_-" else "_" for c in str(key))
+        table = group.drop_columns(["__salted"]).sort_by(
+            [(c, "ascending") for c in sort_cols])
+        name = f"group-{safe}.grck"
+        metrics = write_partition(
+            table, os.path.join(out_dir, name), plan_local.codecs,
+            plan_local.context(), extra_meta={"group": str(key)})
+        return pa.table({
+            "group": [str(key)], "file": [name],
+            "rows": [metrics["rows"]],
+            "raw_bytes": [metrics["raw_bytes"]],
+            "enc_bytes": [metrics["enc_bytes"]],
+        })
+
+    stats = (salted.groupby("__salted")
+             .map_groups(encode_group, batch_format="pyarrow",
+                         runtime_env=package_runtime_env())
+             .take_all())
+    raw = sum(r["raw_bytes"] for r in stats)
+    enc = sum(r["enc_bytes"] for r in stats)
+    return {"groups": len(stats), "rows": sum(r["rows"] for r in stats),
+            "raw_bytes": raw, "enc_bytes": enc,
+            "ratio": raw / enc if enc else 0.0,
+            "hot_keys": hot}
