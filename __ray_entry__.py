@@ -271,6 +271,20 @@ def _join_orders_mktsegment(sf_dir: str):
     })
 
 
+def _events_hourly(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import tumbling_window_aggregate
+
+    ds = _read(sf_dir, "events")
+    rows = tumbling_window_aggregate(ds, "ts", "1h",
+                                     keys=["event_type"]).take_all()
+    return pa.table({
+        "window_start": pa.array([r["window_start"] for r in rows],
+                                 type=pa.timestamp("us")),
+        "event_type": [r["event_type"] for r in rows],
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
 def _topk_orders(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import top_k
 
@@ -348,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_events_by_type": _agg_events,
         "lang_counts": _lang_counts,
         "join_orders_mktsegment": _join_orders_mktsegment,
+        "events_hourly": _events_hourly,
         "topk_orders": _topk_orders,
         # document transform over the webpages corpus
         "html_extract_len": _html_to_text,
@@ -397,6 +412,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -137,6 +137,35 @@ def salted_key(ds, key: str, hot_keys: list, salt_n: int = 8,
                           runtime_env=package_runtime_env())
 
 
+_WINDOW_US = {"1m": 60_000_000, "5m": 300_000_000, "15m": 900_000_000,
+              "1h": 3_600_000_000, "1d": 86_400_000_000}
+
+
+def tumbling_window_aggregate(ds, ts_column: str, window: str = "1h",
+                              keys: Sequence[str] = (),
+                              sum_cols: Sequence[str] = (),
+                              count_name: str = "n"):
+    """Tumbling-window aggregate over an event-time column: the window start
+    is computed inside map_batches (pure truncation, no state/watermarks —
+    batch semantics over closed data), then the grouped-aggregate path runs
+    with (window, *keys) as the shuffle key. Returns window starts as
+    timestamp[us] column ``window_start``."""
+    span = _WINDOW_US[window] if isinstance(window, str) else int(window)
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_column).combine_chunks().cast(pa.int64())
+        import numpy as np
+        v = ts.to_numpy(zero_copy_only=False)
+        start = (v // span) * span
+        return batch.append_column(
+            "window_start", pa.array(start).cast(pa.timestamp("us")))
+
+    with_w = ds.map_batches(add_window, batch_format="pyarrow",
+                            runtime_env=package_runtime_env())
+    return grouped_aggregate(with_w, ["window_start", *keys],
+                             sum_cols=sum_cols, count_name=count_name)
+
+
 def sort_within_partitions(ds, keys: Sequence[str]):
     """Per-block sort (cheap, no shuffle) — e.g. sort by `lang` before the
     dict+RLE encode so runs materialize (SURVEY.md §7.2.4)."""
