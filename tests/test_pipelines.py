@@ -250,3 +250,32 @@ def test_sort_within_partitions(ray_session):
     for b in batches:
         vals = b.column("lang").to_pylist()
         assert vals == sorted(vals)
+
+
+def test_tumbling_window_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import tumbling_window_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    rows = tumbling_window_aggregate(ds, "ts", "1h", keys=["event_type"]).take_all()
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in rows}
+    want = {(r[0], r[1]): r[2] for r in duckdb.sql(
+        f"SELECT date_trunc('hour', ts), event_type, count(*) "
+        f"FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1,2").fetchall()}
+    assert got == want
+
+
+def test_infer_schema_dataset_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from plugin_serdes_ray.functions.infer import infer_schema_dataset
+
+    rows = [{"a": 1, "b": "x"}] * 50 + [{"a": None, "c": 2.5}] * 50
+    ds = ray.data.from_items(rows)
+    schema = infer_schema_dataset(ds, infer_all_fields=True)
+    assert schema.field("a").nullable
+    assert schema.field("b").nullable
+    assert schema.field("c").type == pa.float64()
