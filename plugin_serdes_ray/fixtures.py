@@ -130,7 +130,7 @@ def generate_webpages(out_dir: str, n_rows: int, n_shards: int,
     """Write the corpus as n_shards parquet files; cached by a marker file."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_GENERATED.json")
-    want = {"n_rows": n_rows, "n_shards": n_shards, "seed": seed, "v": 3}
+    want = {"n_rows": n_rows, "n_shards": n_shards, "seed": seed, "v": 4}
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == want:
@@ -143,7 +143,10 @@ def generate_webpages(out_dir: str, n_rows: int, n_shards: int,
     def _write(i: int) -> str:
         t = generate_shard(i, per[i], seed)
         path = os.path.join(out_dir, f"webpages-{i:05d}.parquet")
-        pq.write_table(t, path + ".tmp", compression="snappy")
+        # uncompressed landing-zone parquet: the bench measures THIS
+        # engine's read->encode, not a third-party decompressor saturating
+        # the shared memory bus (snappy decode dominated parallel scaling)
+        pq.write_table(t, path + ".tmp", compression=None)
         os.replace(path + ".tmp", path)
         return path
 
