@@ -316,6 +316,30 @@ def _html_to_text(sf_dir: str):
     return ds.map_batches(xf, batch_format="pyarrow", runtime_env=_env())
 
 
+def _multimodal_features(sf_dir: str):
+    """Actor-pool media plumbing over a deterministic synthetic binary table
+    (media libs absent in this container -> deterministic fake kernels; the
+    Ray-side schema/batching/actor plumbing is the real artifact)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import decode_images
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    t = pa.table({
+        "doc_id": docs.column("doc_id"),
+        "image": pa.array([s.encode()[:256] if s else None
+                           for s in docs.column("text").to_pylist()],
+                          type=pa.large_binary()),
+    })
+    ds = ray.data.from_arrow(t)
+    rows = decode_images(ds, concurrency=2).take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "feat_dim": pa.array([len(r["image_feat"]) for r in rows], type=pa.int64()),
+    })
+
+
 def entry() -> Any:
     """Flagship: generate the sf0.001 webpages corpus, run the two-pass
     codec-auto-selected re-encode, return the decoded Dataset."""
@@ -366,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _topk_orders,
         # document transform over the webpages corpus
         "html_extract_len": _html_to_text,
+        # multimodal actor-pool plumbing
+        "multimodal_image_features": _multimodal_features,
     }
 
 
