@@ -1,0 +1,200 @@
+"""CLI: the task-level surface a kestra-io/plugin-serdes user would switch
+to (each subcommand ≈ one reference task family).
+
+    python -m plugin_serdes_ray encode  IN_DIR OUT_DIR   # parquet -> .grck
+    python -m plugin_serdes_ray decode  IN_DIR OUT.parquet
+    python -m plugin_serdes_ray verify  IN_DIR GRCK_DIR  # bit-identity check
+    python -m plugin_serdes_ray convert IN OUT           # format by extension
+    python -m plugin_serdes_ray infer   IN               # print .avsc
+
+Owns its Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    return ray
+
+
+def _input_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def cmd_encode(args) -> int:
+    _ray()
+    from .encode import encode_files
+
+    summary = encode_files(_input_files(args.input), args.output,
+                           resume=not args.no_resume,
+                           outer_level=args.outer_level)
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .encode import decode_table
+
+    table = decode_table(args.input)
+    pq.write_table(table, args.output)
+    print(json.dumps({"rows": table.num_rows, "out": args.output}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .encode import decode_table
+    from .testing import tables_equal
+
+    orig = pa.concat_tables([pq.read_table(f) for f in _input_files(args.input)])
+    dec = decode_table(args.grck_dir)
+    ok = tables_equal(orig, dec)
+    print(json.dumps({"rows": orig.num_rows, "bit_identical": ok}))
+    return 0 if ok else 1
+
+
+_READERS = {
+    ".csv": ("plugin_serdes_ray.sources.csv_", "read_csv_table"),
+    ".json": ("plugin_serdes_ray.sources.json_", "read_json_table"),
+    ".jsonl": ("plugin_serdes_ray.sources.json_", "read_json_table"),
+    ".yaml": ("plugin_serdes_ray.sources.yaml_", "read_yaml_table"),
+    ".yml": ("plugin_serdes_ray.sources.yaml_", "read_yaml_table"),
+    ".xml": ("plugin_serdes_ray.sources.xml_", "read_xml_table"),
+    ".avro": ("plugin_serdes_ray.sources.avro_", "read_avro_table"),
+    ".xlsx": ("plugin_serdes_ray.sources.excel_", "read_excel_tables"),
+    ".parquet": ("plugin_serdes_ray.sources.parquet_", "read_parquet_table"),
+}
+
+
+def _read_any(path: str):
+    import importlib
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".toon":
+        from .functions import toon
+        import pyarrow as pa
+        value = toon.decode(open(path).read())
+        if isinstance(value, dict) and len(value) == 1 \
+                and isinstance(next(iter(value.values())), list):
+            value = next(iter(value.values()))  # {"rows": [...]} wrapper
+        rows = value if isinstance(value, list) else [value]
+        return pa.Table.from_pylist(rows)
+    mod_name, fn_name = _READERS[ext]
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    out = fn(path)
+    if isinstance(out, dict):  # xlsx sheet map -> first sheet
+        out = next(iter(out.values()))
+    return out
+
+
+def _write_any(table, path: str) -> None:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".csv":
+        from .sinks.csv_ import table_to_csv_bytes
+        open(path, "wb").write(table_to_csv_bytes(table))
+    elif ext in (".json", ".jsonl"):
+        from .sinks.json_ import JsonWriteOptions, table_to_json_bytes
+        open(path, "wb").write(table_to_json_bytes(
+            table, JsonWriteOptions(newline_delimited=ext == ".jsonl")))
+    elif ext in (".yaml", ".yml"):
+        from .sinks.yaml_ import table_to_yaml_bytes
+        open(path, "wb").write(table_to_yaml_bytes(table))
+    elif ext == ".xml":
+        from .sinks.xml_ import table_to_xml_bytes
+        open(path, "wb").write(table_to_xml_bytes(table))
+    elif ext == ".avro":
+        from .sinks.avro_ import table_to_avro_bytes
+        open(path, "wb").write(table_to_avro_bytes(table))
+    elif ext == ".xlsx":
+        from .sinks.excel_ import tables_to_xlsx_bytes
+        open(path, "wb").write(tables_to_xlsx_bytes({"Sheet1": table}))
+    elif ext == ".toon":
+        from .functions import toon
+        open(path, "w").write(toon.encode({"rows": table.to_pylist()}))
+    elif ext == ".parquet":
+        from .sinks.parquet_ import table_to_parquet_bytes
+        open(path, "wb").write(table_to_parquet_bytes(table))
+    else:
+        raise SystemExit(f"unsupported output format: {ext}")
+
+
+def cmd_convert(args) -> int:
+    table = _read_any(args.input)
+    _write_any(table, args.output)
+    print(json.dumps({"rows": table.num_rows, "out": args.output}))
+    return 0
+
+
+def cmd_infer(args) -> int:
+    from .functions.infer import infer_rows, to_avsc
+
+    table = _read_any(args.input)
+    root = infer_rows(table.to_pylist(),
+                      number_of_rows_to_scan=args.rows,
+                      infer_all_fields=args.all)
+    print(to_avsc(root))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="plugin_serdes_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="parquet dir/file -> container dir")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--outer-level", type=int, default=3)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help="container dir -> parquet file")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("verify", help="bit-identity: parquet vs container")
+    p.add_argument("input")
+    p.add_argument("grck_dir")
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("convert", help="format conversion by extension")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("infer", help="print inferred .avsc for a file")
+    p.add_argument("input")
+    p.add_argument("--rows", type=int, default=100)
+    p.add_argument("--all", action="store_true")
+    p.set_defaults(fn=cmd_infer)
+
+    args = ap.parse_args(argv)
+    rc = args.fn(args)
+    try:
+        import ray
+        if ray.is_initialized():
+            ray.shutdown()
+    except ImportError:
+        pass
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

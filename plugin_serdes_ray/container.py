@@ -168,6 +168,7 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
     offset = 0
     raw_bytes = table.nbytes
     codec_used: dict[str, str] = {}
+    col_bytes: dict[str, list[int]] = {}
     for name in table.column_names:
         col = table.column(name)
         ctx.column = name
@@ -182,6 +183,7 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
             payloads.append(ch["blob"])
             offset += len(ch["blob"])
         col_entries.append({"name": name, "chunks": entries})
+        col_bytes[name] = [col.nbytes, sum(e["len"] for e in entries)]
     header = {
         "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
         "rows": table.num_rows,
@@ -201,6 +203,9 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
     return {
         "rows": table.num_rows, "raw_bytes": raw_bytes,
         "enc_bytes": enc_bytes, "codecs": codec_used,
+        # per-column [raw, encoded] bytes — the codec-choice metrics carried
+        # into the partition lineage manifest (north-rule observability)
+        "column_bytes": col_bytes,
     }
 
 

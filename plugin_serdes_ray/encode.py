@@ -97,6 +97,7 @@ def encode_shard_batch(batch: dict, *, plan: EncodePlan, out_dir: str,
             "raw_bytes": metrics["raw_bytes"],
             "enc_bytes": metrics["enc_bytes"],
             "codecs": metrics["codecs"],
+            "column_bytes": metrics.get("column_bytes", {}),
             "secs": secs,
         })
         results["part_id"].append(part_id)

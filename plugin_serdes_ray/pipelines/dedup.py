@@ -174,17 +174,38 @@ def minhash_lsh_duplicates(ds, column: str, id_column: str,
     return pairs
 
 
+def union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find over (a, b) duplicate pairs -> {id: root}.
+    Roots are the smallest id of each transitive cluster, so chains
+    (a~b, b~c) collapse to one keeper even when (a, c) never met in a
+    bucket. Pairs are O(duplicates) — tiny relative to the corpus."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def minhash_lsh_dedup(ds, column: str, id_column: str, **kw):
-    """Drop near-duplicate rows (the larger id of each verified pair).
-    The pair set is collected to the driver (it is O(duplicates), small by
-    assumption) and broadcast as a filter — ds itself streams."""
+    """Drop near-duplicate rows: every member of a transitive duplicate
+    cluster except the smallest id. The verified pair set is collected to
+    the driver (it is O(duplicates), small by assumption), union-found into
+    clusters, and broadcast as a filter — ds itself streams."""
     import ray
 
     pairs = minhash_lsh_duplicates(ds, column, id_column, **kw)
-    dup_ids = set()
-    for row in pairs.take_all():
-        if row["dup_id"] not in dup_ids:
-            dup_ids.add(row["dup_id"])
+    roots = union_find_clusters(
+        [(row["keep_id"], row["dup_id"]) for row in pairs.take_all()])
+    dup_ids = {x for x, r in roots.items() if x != r}
     dup_ref = ray.put(dup_ids)
 
     def drop(batch: pa.Table) -> pa.Table:

@@ -279,3 +279,11 @@ def test_infer_schema_dataset_distributed(ray_session):
     assert schema.field("a").nullable
     assert schema.field("b").nullable
     assert schema.field("c").type == pa.float64()
+
+
+def test_union_find_transitive_chain():
+    from plugin_serdes_ray.pipelines.dedup import union_find_clusters
+
+    roots = union_find_clusters([(1, 2), (2, 3), (5, 6), (3, 4)])
+    assert roots[2] == roots[3] == roots[4] == 1
+    assert roots[6] == 5
