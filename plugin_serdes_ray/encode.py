@@ -60,9 +60,44 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
     return build_plan(sample.combine_chunks(), outer_level=outer_level)
 
 
+def plan_partitions(files: list[str],
+                    target_part_bytes: int = 256 << 20) -> list[dict]:
+    """Deterministic partition list: a pure function of the input file list
+    and parquet metadata, so a resumed run re-derives identical partitions
+    (SURVEY.md §7.3 "determinism for resume").
+
+    Small files stay one-partition-per-file; a file whose total uncompressed
+    size exceeds ``target_part_bytes`` splits into consecutive ROW-GROUP
+    ranges, so a 10 GB input never has to fit one worker's heap. Each
+    partition: {part_id, path, rg_start, rg_end, fingerprint}."""
+    parts: list[dict] = []
+    for path in files:
+        meta = pq.read_metadata(path)
+        n_rg = meta.num_row_groups
+        sizes = [meta.row_group(i).total_byte_size for i in range(n_rg)]
+        fp = _fingerprint(path)
+        start = 0
+        acc = 0
+        for i in range(n_rg):
+            acc += sizes[i]
+            last = i == n_rg - 1
+            if acc >= target_part_bytes or last:
+                parts.append({"path": path, "rg_start": start, "rg_end": i + 1,
+                              "fingerprint": f"{fp}:rg{start}-{i + 1}"})
+                start = i + 1
+                acc = 0
+        if n_rg == 0:
+            parts.append({"path": path, "rg_start": 0, "rg_end": 0,
+                          "fingerprint": f"{fp}:rg0-0"})
+    for pid, p in enumerate(parts):
+        p["part_id"] = pid
+    return parts
+
+
 def encode_shard_batch(batch: dict, *, plan: EncodePlan, out_dir: str,
                        columns: Optional[list[str]] = None) -> dict:
-    """Task stage: one input parquet file -> one container partition.
+    """Task stage: one input partition (file or row-group range) -> one
+    container partition.
 
     Encode is stateless-given-plan (shared FSST tables / dictionaries travel
     inside the frozen plan), so this runs as plain Ray tasks that reuse
@@ -72,26 +107,39 @@ def encode_shard_batch(batch: dict, *, plan: EncodePlan, out_dir: str,
     import numpy as np
 
     results = {"part_id": [], "rows": [], "raw_bytes": [], "enc_bytes": [], "secs": []}
-    for part_id, path in zip(batch["part_id"], batch["path"]):
+    for part_id, path, rg_start, rg_end, fingerprint in zip(
+            batch["part_id"], batch["path"], batch["rg_start"],
+            batch["rg_end"], batch["fingerprint"]):
         part_id = int(part_id)
+        rg_start, rg_end = int(rg_start), int(rg_end)
         t0 = time.perf_counter()
-        # one read syscall + in-memory parse (I/O syscalls serialize across
-        # sandboxed workers; also the shape that fits object-store streaming)
-        with open(str(path), "rb") as f:
-            data = f.read()
-        table = pq.read_table(pa.BufferReader(data), columns=columns)
-        del data
+        pf = pq.ParquetFile(str(path))
+        whole = rg_start == 0 and rg_end >= pf.num_row_groups
+        if whole:
+            # one read syscall + in-memory parse (I/O syscalls serialize
+            # across sandboxed workers)
+            pf.close()
+            with open(str(path), "rb") as f:
+                data = f.read()
+            table = pq.read_table(pa.BufferReader(data), columns=columns)
+            del data
+        else:
+            table = pf.read_row_groups(list(range(rg_start, rg_end)),
+                                       columns=columns)
+            pf.close()
         out_name = f"part-{part_id:05d}.grck"
         metrics = write_partition(
             table, os.path.join(out_dir, out_name),
             plan.codecs, plan.context(),
-            extra_meta={"part_id": part_id, "input": str(path)},
+            extra_meta={"part_id": part_id, "input": str(path),
+                        "rg_range": [rg_start, rg_end]},
         )
         secs = time.perf_counter() - t0
         checkpoint.write_manifest_entry(out_dir, part_id, {
             "part_id": part_id,
             "input": str(path),
-            "input_fingerprint": _fingerprint(str(path)),
+            "rg_range": [rg_start, rg_end],
+            "input_fingerprint": str(fingerprint),
             "file": out_name,
             "rows": metrics["rows"],
             "raw_bytes": metrics["raw_bytes"],
@@ -113,8 +161,10 @@ def encode_files(files: list[str], out_dir: str, *,
                  resume: bool = True,
                  outer_level: int = 3,
                  columns: Optional[list[str]] = None,
-                 concurrency: Optional[int] = None) -> dict:
-    """Resumable two-pass encode of a list of parquet files."""
+                 concurrency: Optional[int] = None,
+                 target_part_bytes: int = 256 << 20) -> dict:
+    """Resumable two-pass encode of a list of parquet files (large files
+    split into row-group-range partitions bounded by target_part_bytes)."""
     import ray
     import ray.data
 
@@ -126,10 +176,11 @@ def encode_files(files: list[str], out_dir: str, *,
         plan = sample_plan_from_files(files, outer_level=outer_level, columns=columns)
     checkpoint.write_plan(out_dir, plan)
 
-    fingerprints = {i: _fingerprint(f) for i, f in enumerate(files)}
+    partitions = plan_partitions(files, target_part_bytes)
+    fingerprints = {p["part_id"]: p["fingerprint"] for p in partitions}
     done = checkpoint.completed_parts(out_dir, fingerprints) if resume else set()
-    todo = [{"part_id": i, "path": f} for i, f in enumerate(files) if i not in done]
-    skipped = len(files) - len(todo)
+    todo = [p for p in partitions if p["part_id"] not in done]
+    skipped = len(partitions) - len(todo)
     if todo:
         ds = ray.data.from_items(todo)
         if concurrency is None:

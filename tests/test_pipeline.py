@@ -96,3 +96,39 @@ def test_plan_persisted_and_reused(ray_session, corpus, tmp_path):
     plan = checkpoint.read_plan(out)
     assert plan is not None
     assert set(plan.codecs) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_large_file_splits_by_row_groups(ray_session, tmp_path):
+    """A file bigger than target_part_bytes splits into row-group-range
+    partitions (no worker ever holds the whole file), and decode is still
+    bit-identical in partition order."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.encode import encode_files, decode_table, plan_partitions
+
+    rng = np.random.default_rng(5)
+    words = rng.integers(0, 10**12, 40_000)
+    t = pa.table({
+        "k": pa.array(np.arange(40_000), type=pa.int64()),
+        "payload": pa.array([f"{w:012d}" * 16 for w in words]),
+    })
+    big = str(tmp_path / "big.parquet")
+    pq.write_table(t, big, row_group_size=5_000, compression=None)
+
+    parts = plan_partitions([big], target_part_bytes=2 << 20)
+    assert len(parts) > 1
+    assert parts[0]["rg_start"] == 0 and parts[-1]["rg_end"] == 8
+    # contiguity
+    for a, b in zip(parts, parts[1:]):
+        assert a["rg_end"] == b["rg_start"]
+
+    out = str(tmp_path / "enc")
+    summary = encode_files([big], out, concurrency=2, target_part_bytes=2 << 20)
+    assert summary["parts"] == len(parts)
+    dec = decode_table(out)
+    assert tables_equal(t, dec)
+
+    # resume still skips everything
+    s2 = encode_files([big], out, concurrency=2, target_part_bytes=2 << 20)
+    assert s2["skipped_parts"] == len(parts)
