@@ -137,6 +137,20 @@ def salted_key(ds, key: str, hot_keys: list, salt_n: int = 8,
                           runtime_env=package_runtime_env())
 
 
+def add_url_host(ds, url_column: str = "url", out_column: str = "host"):
+    """Vectorized url -> host column (the hot-url-prefix partition key,
+    SURVEY.md §7.2.4): `pc.extract_regex` over the whole batch."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column(url_column).combine_chunks(),
+                             pattern=r"^[a-z]+://(?P<host>[^/]+)")
+        host = pc.struct_field(m, "host")
+        return batch.append_column(out_column, host)
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
 _WINDOW_US = {"1m": 60_000_000, "5m": 300_000_000, "15m": 900_000_000,
               "1h": 3_600_000_000, "1d": 86_400_000_000}
 

@@ -287,3 +287,24 @@ def test_union_find_transitive_chain():
     roots = union_find_clusters([(1, 2), (2, 3), (5, 6), (3, 4)])
     assert roots[2] == roots[3] == roots[4] == 1
     assert roots[6] == 5
+
+
+def test_url_host_hot_prefix_salting(ray_session, tmp_path):
+    """SURVEY §7.2.4: hot url prefixes detected from the sample and salted
+    for even partition sizes, over the webpages corpus."""
+    import ray.data
+
+    from plugin_serdes_ray.fixtures import generate_webpages
+    from plugin_serdes_ray.pipelines.relational import (
+        add_url_host, detect_hot_keys, salted_key,
+    )
+
+    files = generate_webpages(str(tmp_path / "wp"), 2000, 2)
+    ds = add_url_host(ray.data.read_parquet(files, columns=["url"]))
+    sample = ds.take(5)
+    assert all(r["host"].startswith("www.") for r in sample)
+    hot = detect_hot_keys(ds, "host", sample_rows=2000, hot_frac=0.02)
+    assert hot  # Zipf head hosts exist
+    out = salted_key(ds, "host", hot, salt_n=4).take_all()
+    hot_salts = {r["__salted"] for r in out if r["host"] == hot[0]}
+    assert len(hot_salts) > 1
