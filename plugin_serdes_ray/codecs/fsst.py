@@ -1,8 +1,9 @@
 """FSST-style string compression (Boncz, Neumann, Muehleisen: "FSST: Fast
 Random Access String Compression", VLDB 2020) — pure numpy/bytes, no C ext.
 
-A symbol table of up to 254 byte-sequences (len 1..8) maps to 1-byte codes;
-byte 0xFF is the escape prefix for literals. Training is the paper's
+A symbol table of up to 253 byte-sequences (len 1..8) maps to 1-byte codes;
+byte 0xFF is the escape prefix for literals and code 0xFE is reserved for a
+literal 0xFF byte (which keeps every pattern match provably pair-aligned). Training is the paper's
 bottom-up iterative scheme: encode a sample with the current table, count
 adjacent token pairs, promote the highest-gain merges. Encoding is done with
 C-speed ``bytes.replace`` passes over an escape-expanded buffer (symbols
@@ -28,7 +29,8 @@ from .base import (
 from .bitpack import bit_width, pack_uints, unpack_uints
 
 ESCAPE = 255
-MAX_SYMBOLS = 254
+FF_CODE = 254          # reserved code: a literal 0xFF byte
+MAX_SYMBOLS = 253      # codes 0..252; 254 reserved, 255 escape
 MAX_SYMBOL_LEN = 8
 
 
@@ -63,6 +65,12 @@ def compress(data: bytes, symbols: list[bytes]) -> bytes:
     replacement is a quality tradeoff, never a correctness issue (decode only
     needs a valid code/escape stream)."""
     s = _escape_all(data)
+    # substitute literal-0xFF escape pairs with the reserved FF_CODE first:
+    # with no 0xFF literals left, every 0xFF in the stream is an escape
+    # prefix and every symbol pattern (0xFF, b1, 0xFF, b2, ...) can only
+    # match pair-aligned — mid-pair false matches (a code byte following a
+    # literal-FF pair) are impossible by construction
+    s = s.replace(b"\xff\xff", bytes([FF_CODE]))
     # longest-first: long matches must not be shadowed by their own prefixes
     # (quality only — decode is correct under any order); measured on the
     # synthetic corpus, gain-first ordering loses ~12pp of compression win
@@ -73,21 +81,19 @@ def compress(data: bytes, symbols: list[bytes]) -> bytes:
 
 
 def _classify(b: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Return (escape, literal, code) boolean masks over the encoded stream."""
+    """Return (escape, literal, code) boolean masks over the encoded stream.
+
+    Literal 0xFF bytes never appear escaped (compress() folds them into the
+    reserved FF_CODE), so every 0xFF byte IS an escape prefix and the byte
+    after it is its literal."""
     n = len(b)
     if n == 0:
         e = np.empty(0, dtype=bool)
         return e, e.copy(), e.copy()
-    f = b == ESCAPE
-    idx = np.arange(n, dtype=np.int64)
-    lastnf = np.maximum.accumulate(np.where(~f, idx, -1))
-    prev_run = np.empty(n, dtype=np.int64)
-    prev_run[0] = 0
-    prev_run[1:] = idx[1:] - 1 - lastnf[:-1]
-    esc = f & (prev_run % 2 == 0)
+    esc = b == ESCAPE
     lit = np.zeros(n, dtype=bool)
     lit[1:] = esc[:-1]
-    code = ~f & ~lit
+    code = ~esc & ~lit
     return esc, lit, code
 
 
@@ -102,6 +108,8 @@ def decompress(enc: bytes, symbols: list[bytes]) -> bytes:
     for c, s in enumerate(symbols):
         sym_len[c] = len(s)
         sym_mat[c, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    sym_len[FF_CODE] = 1
+    sym_mat[FF_CODE, 0] = 0xFF
     tok_len = np.zeros(n, dtype=np.int64)
     tok_len[lit] = 1
     tok_len[code] = sym_len[b[code]]
@@ -140,6 +148,8 @@ def train_table(sample: bytes, max_symbols: int = MAX_SYMBOLS, rounds: int = 3) 
         tok = np.where(esc[pos], 256 + enc[nxt].astype(np.int64), enc[pos].astype(np.int64))
 
         def underlying(t: int) -> bytes:
+            if t == FF_CODE:
+                return b"\xff"
             return symbols[t] if t < 256 else bytes([t - 256])
 
         def cost(t: int) -> int:
