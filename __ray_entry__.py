@@ -69,6 +69,17 @@ def _roundtrip(sf_dir: str, table: str):
 # ---------------------------------------------------------------------------
 
 
+def _roundtrip_filtered(sf_dir: str, table: str, predicate) -> pa.Table:
+    """Decode with manifest zone-map pruning + exact row filter."""
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    out = _cache_dir(sf_dir, f"rt_{table}")
+    encode_files([src], out, resume=True)
+    ds = decode_dataset(out, predicate=predicate)
+    return pa.Table.from_pylist(ds.take_all())
+
+
 def _serde_roundtrip(sf_dir: str, table: str, fmt: str) -> pa.Table:
     from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
 
@@ -360,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_documents": lambda sf: _roundtrip(sf, "documents"),
         "roundtrip_events": lambda sf: _roundtrip(sf, "events"),
         "roundtrip_customer": lambda sf: _roundtrip(sf, "customer"),
+        "roundtrip_orders_filtered": lambda sf: _roundtrip_filtered(
+            sf, "orders", ("o_totalprice", ">=", 300000.0)),
         # serde format round trips
         "csv_roundtrip_customer": lambda sf: _serde_roundtrip(sf, "customer", "csv"),
         "csv_roundtrip_orders": lambda sf: _serde_roundtrip(sf, "orders", "csv"),
@@ -398,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     rt = {f"roundtrip_{t}": f"SELECT * FROM {t}"
           for t in ["lineitem", "orders", "documents", "events", "customer"]}
+    rt["roundtrip_orders_filtered"] = \
+        "SELECT * FROM orders WHERE o_totalprice >= 300000.0"
     serde = {
         "csv_roundtrip_customer": "SELECT * FROM customer",
         "csv_roundtrip_orders": "SELECT * FROM orders",
