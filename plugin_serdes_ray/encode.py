@@ -54,6 +54,10 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
                 break
         if remaining <= 0:
             break
+    if batches:
+        # heterogeneous inputs: plan from the first schema; columns absent
+        # from the plan fall back to measured plain/guard per partition
+        batches = [t for t in batches if t.schema == batches[0].schema]
     sample = pa.concat_tables(batches) if batches else pq.read_table(files[0], columns=columns)
     if sample.num_rows > sample_rows:
         sample = sample.slice(0, sample_rows)

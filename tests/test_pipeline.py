@@ -162,3 +162,49 @@ def test_zone_map_predicate_pruning(ray_session, tmp_path):
     assert ds.input_files() is not None or True
     pruned = decode_dataset(out, predicate=("k", "<", 0))
     assert pruned.count() == 0
+
+
+def test_zero_row_input_file(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.encode import decode_table, encode_files
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.string())})
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(empty, p)
+    out = str(tmp_path / "enc")
+    s = encode_files([p], out, concurrency=1)
+    assert s["rows"] == 0
+    dec = decode_table(out)
+    assert dec.num_rows == 0 and dec.schema == empty.schema
+
+
+def test_decode_empty_dir(tmp_path):
+    from plugin_serdes_ray.encode import decode_table
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decode_table(str(tmp_path / "nothing"))
+
+
+def test_mixed_schema_inputs_each_partition_self_describing(ray_session, tmp_path):
+    """Heterogeneous inputs: every container partition carries its own
+    schema; per-partition decode is exact (global concat is the caller's
+    concern, as with parquet datasets)."""
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.container import read_partition
+    from plugin_serdes_ray.encode import encode_files
+
+    a = pa.table({"x": pa.array([1, 2], type=pa.int64())})
+    b = pa.table({"y": pa.array(["s"], type=pa.string())})
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(a, pa_)
+    pq.write_table(b, pb)
+    out = str(tmp_path / "enc")
+    encode_files([pa_, pb], out, concurrency=1)
+    import glob
+    parts = sorted(glob.glob(out + "/part-*.grck"))
+    t0, t1 = read_partition(parts[0]), read_partition(parts[1])
+    assert {tuple(t0.schema.names), tuple(t1.schema.names)} == {("x",), ("y",)}
