@@ -165,7 +165,7 @@ def to_time(arr: pa.Array, unit: str = "ms",
         return arr.cast(typ)
     s = pc.utf8_trim_whitespace(nullify(arr, opts))
     pd_s = pd.to_datetime(s.to_pandas(), format=opts.time_format, errors="coerce")
-    base = pd.Timestamp("1900-01-01")  # format has no date part -> time-of-day only
+    # format has no date part -> keep time-of-day only
     ns = (pd_s - pd_s.dt.normalize()).dt.total_seconds()
     scale = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
     vals = (ns * scale).round()

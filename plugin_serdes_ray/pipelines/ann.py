@@ -80,9 +80,7 @@ def knn_brute(ds, queries: np.ndarray, query_ids: Optional[list[int]] = None,
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096,
                            runtime_env=package_runtime_env()).take_all()
-    tables = [pa.Table.from_pylist(parts)] if parts and isinstance(parts, list) else []
-    if parts and isinstance(parts[0], dict):
-        tables = [pa.Table.from_pylist(parts)]
+    tables = [pa.Table.from_pylist(parts)] if parts else []
     return _topk_merge(tables, k)
 
 
