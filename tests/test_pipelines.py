@@ -308,3 +308,29 @@ def test_url_host_hot_prefix_salting(ray_session, tmp_path):
     out = salted_key(ds, "host", hot, salt_n=4).take_all()
     hot_salts = {r["__salted"] for r in out if r["host"] == hot[0]}
     assert len(hot_salts) > 1
+
+
+def test_distributed_convert_files(ray_session, sf_dir, tmp_path):
+    """X -> Y conversion fleet: one task per file, atomic resumable outputs
+    (the reference's task-chain use case with no ION hub files)."""
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.pipelines.convert import convert_files
+    from plugin_serdes_ray.sources.json_ import read_json_table
+
+    src = pq.read_table(f"{sf_dir}/nation.parquet")
+    from plugin_serdes_ray.sinks.csv_ import table_to_csv_bytes
+    ins = []
+    for i in range(3):
+        p = str(tmp_path / f"n{i}.csv")
+        open(p, "wb").write(table_to_csv_bytes(src.slice(i * 8, 8)))
+        ins.append(p)
+    out = str(tmp_path / "out")
+    s = convert_files(ins, out, "csv", "jsonl", concurrency=2)
+    assert s["converted"] == 3 and s["rows"] == 24
+    back = pa.concat_tables([read_json_table(p) for p in s["outputs"]])
+    assert back.num_rows == 24
+    assert set(back.column_names) == set(src.column_names)
+    # resume: nothing to do
+    s2 = convert_files(ins, out, "csv", "jsonl", concurrency=2)
+    assert s2["converted"] == 0 and s2["skipped"] == 3
