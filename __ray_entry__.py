@@ -327,6 +327,23 @@ def _html_to_text(sf_dir: str):
     return ds.map_batches(xf, batch_format="pyarrow", runtime_env=_env())
 
 
+def _grouped_reencode_documents(sf_dir: str):
+    """North-rule wide path: salted groupby-lang re-encode of documents,
+    decode-all-groups must reproduce the full table (SQL-checked)."""
+    import glob
+
+    from plugin_serdes_ray.container import read_partition
+    from plugin_serdes_ray.pipelines.reencode import reencode_grouped
+
+    ds = _read(sf_dir, "documents")
+    out = _cache_dir(sf_dir, "grouped_docs")
+    for f in glob.glob(os.path.join(out, "group-*.grck")):
+        os.remove(f)
+    reencode_grouped(ds, out, group_key="lang", sort_keys=["lang", "doc_id"])
+    parts = sorted(glob.glob(os.path.join(out, "group-*.grck")))
+    return pa.concat_tables([read_partition(f) for f in parts])
+
+
 def _multimodal_features(sf_dir: str):
     """Actor-pool media plumbing over a deterministic synthetic binary table
     (media libs absent in this container -> deterministic fake kernels; the
@@ -405,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_len": _html_to_text,
         # multimodal actor-pool plumbing
         "multimodal_image_features": _multimodal_features,
+        # north-rule grouped re-encode (salted groupby-lang -> container)
+        "grouped_reencode_documents": _grouped_reencode_documents,
     }
 
 
@@ -454,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c_mktsegment
         """,
+        "grouped_reencode_documents": "SELECT * FROM documents",
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
