@@ -375,3 +375,13 @@ def test_markdown_to_html_and_text():
     text = markdown.markdown_to_text(md)
     assert text.startswith("H")
     assert "- a" in text and "**" not in text and "(u)" not in text
+
+
+def test_csv_raw_text_mode_preserves_leading_zeros():
+    """infer_types=False = the reference's raw-string CSV path: "001" stays
+    "001" (typed later by the coercion layer)."""
+    t = parse_csv_bytes(b"a,b\n001,x\n2.50,y\n", CsvOptions(infer_types=False))
+    assert t.column("a").to_pylist() == ["001", "2.50"]
+    assert t.schema.field("a").type == pa.string()
+    t = parse_csv_bytes(b"007,x\n", CsvOptions(header=False, infer_types=False))
+    assert t.column("col0").to_pylist() == ["007"]
