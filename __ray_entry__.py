@@ -160,13 +160,35 @@ def _dedup_simhash(sf_dir: str):
 
 
 def _dedup_embedding(sf_dir: str):
+    """The testdata embeddings contain no near-duplicates (max pairwise
+    cosine ~0.51), so controlled positives are injected: tiny deterministic
+    perturbations of the first 5 vectors under ids >= 1e6. The operator must
+    find exactly those 5 pairs and nothing else."""
+    import ray.data
+
     from plugin_serdes_ray.pipelines.dedup import embedding_duplicates
 
-    ds = _read(sf_dir, "embeddings")
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    k = 5
+    near = vecs[:k] * 1.0009  # same direction -> cosine ~= 1.0
+    aug = pa.table({
+        "vec_id": pa.array(list(ids) + [10**6 + i for i in range(k)],
+                           type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs] +
+                              [v.tolist() for v in near],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(aug)
     pairs = embedding_duplicates(ds, "embedding", "vec_id",
                                  threshold=0.99).take_all()
-    dup = sorted({r["dup_id"] for r in pairs})
-    return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
+    out = sorted((r["keep_id"], r["dup_id"]) for r in pairs)
+    return pa.table({
+        "keep_id": pa.array([p[0] for p in out], type=pa.int64()),
+        "dup_id": pa.array([p[1] for p in out], type=pa.int64()),
+    })
 
 
 def _ann_brute(sf_dir: str):
@@ -445,6 +467,12 @@ def oracle_sql() -> dict[str, str]:
     rest = {
         "dedup_exact_documents":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_embedding": """
+            SELECT vec_id AS keep_id,
+                   CAST(999999 + row_number() OVER (ORDER BY vec_id) AS BIGINT)
+                     AS dup_id
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+        """,
         "ann_brute_top10": """
             SELECT q.vec_id AS query_id, e.vec_id AS vec_id
             FROM embeddings q CROSS JOIN embeddings e
