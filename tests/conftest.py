@@ -1,6 +1,14 @@
 import os
 
 import pytest
+from hypothesis import settings
+
+# deterministic property tests in CI/driver runs: the fuzzing happened
+# during development (incl. a 3000-trial FSST byte fuzz); the committed
+# suite must be reproducible
+settings.register_profile("ci", derandomize=True, max_examples=25,
+                          deadline=None)
+settings.load_profile("ci")
 
 
 @pytest.fixture(scope="session")
