@@ -176,13 +176,44 @@ def _zone_stats(col: "pa.ChunkedArray | pa.Array"):
         return [lo, hi]
     if pa.types.is_timestamp(typ) or pa.types.is_date(typ) or pa.types.is_time(typ):
         # store temporals as int64 storage units (JSON-safe, order-preserving)
+        # plus a tag that reconstructs the storage type, so predicate values
+        # can be converted into the SAME unit/tz at prune time
         c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         try:
             mmi = pc.min_max(c.cast(pa.int64()))
         except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
             return None
-        return [mmi["min"].as_py(), mmi["max"].as_py(), "i64"]
+        return [mmi["min"].as_py(), mmi["max"].as_py(), temporal_type_tag(typ)]
     return [lo, hi]
+
+
+def temporal_type_tag(typ: pa.DataType) -> str:
+    """JSON-safe tag encoding a temporal storage type, e.g. ``ts:us:UTC``,
+    ``ts:ms:`` (naive), ``date32``, ``time64:ns``."""
+    if pa.types.is_timestamp(typ):
+        return f"ts:{typ.unit}:{typ.tz or ''}"
+    if pa.types.is_date32(typ):
+        return "date32"
+    if pa.types.is_date64(typ):
+        return "date64"
+    if pa.types.is_time(typ):
+        return f"time{typ.bit_width}:{typ.unit}"
+    raise ValueError(f"not a temporal type: {typ}")
+
+
+def temporal_type_from_tag(tag: str) -> pa.DataType:
+    if tag.startswith("ts:"):
+        _, unit, tz = tag.split(":", 2)
+        return pa.timestamp(unit, tz=tz or None)
+    if tag == "date32":
+        return pa.date32()
+    if tag == "date64":
+        return pa.date64()
+    if tag.startswith("time32:"):
+        return pa.time32(tag.split(":", 1)[1])
+    if tag.startswith("time64:"):
+        return pa.time64(tag.split(":", 1)[1])
+    raise ValueError(f"unknown temporal tag: {tag}")
 
 
 def write_partition(table: pa.Table, path: str, plan: dict[str, str],

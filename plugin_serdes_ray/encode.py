@@ -33,8 +33,10 @@ from .state import checkpoint
 
 
 def _fingerprint(path: str) -> str:
+    # mtime_ns guards against same-size content changes (regenerated
+    # fixed-row fixtures) silently fingerprint-matching on resume
     st = os.stat(path)
-    return f"{os.path.basename(path)}:{st.st_size}"
+    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
 
 
 def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
@@ -279,8 +281,19 @@ def _zone_may_match(stats: Optional[list], op: str, value) -> bool:
     if not stats:
         return True
     lo, hi = stats[0], stats[1]
-    if len(stats) == 3 and stats[2] == "i64" and hasattr(value, "timestamp"):
-        value = int(value.timestamp() * 1_000_000)
+    if len(stats) == 3:
+        # temporal column: lo/hi are int64 storage units; convert the
+        # predicate value into the column's OWN unit/tz via pa.scalar.
+        # Any conversion uncertainty keeps the partition (conservative).
+        from .container import temporal_type_from_tag
+
+        try:
+            typ = temporal_type_from_tag(str(stats[2]))
+            value = pa.scalar(value, type=typ).cast(pa.int64()).as_py()
+        except Exception:
+            return True
+        if value is None:
+            return True
     try:
         if op == "==":
             return lo <= value <= hi
@@ -302,6 +315,10 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         if predicate is not None and t.num_rows:
             col, op, value = predicate
             c = t.column(col).combine_chunks()
+            try:
+                value = pa.scalar(value, type=c.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                pass  # let Arrow's comparison kernel infer/cast
             mask = {"==": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
                     "<": pc.less, "<=": pc.less_equal}[op](c, value)
             t = t.filter(mask)

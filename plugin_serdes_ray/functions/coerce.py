@@ -104,7 +104,12 @@ def to_int(arr: pa.Array, typ: pa.DataType = None,
     if pa.types.is_integer(arr.type):
         return arr.cast(typ)
     if pa.types.is_floating(arr.type):
-        return arr.cast(typ, safe=False)
+        # mirror the string path: fractional values (and NaN) are coercion
+        # failures, not silent truncations; safe cast range-checks overflow
+        whole = pc.equal(arr, pc.floor(arr))
+        out = pc.if_else(pc.fill_null(whole, False), arr,
+                         pa.nulls(len(arr), arr.type)).cast(typ)
+        return _fail_mask(arr, out, opts, str(typ))
     s = pc.utf8_trim_whitespace(nullify(arr, opts))
     s = _replace_decimal_sep(s, opts)
     pd_s = pd.to_numeric(s.to_pandas(), errors="coerce")

@@ -164,6 +164,45 @@ def test_zone_map_predicate_pruning(ray_session, tmp_path):
     assert pruned.count() == 0
 
 
+def test_zone_map_temporal_units(ray_session, tmp_path):
+    """Datetime predicates prune correctly whatever the column's storage
+    unit (ADVICE r1: timestamp[ms] partitions were wrongly pruned because
+    the predicate was always converted at [us])."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.encode import _zone_may_match, decode_dataset, encode_files
+
+    base = datetime.datetime(2024, 1, 1)
+    for unit in ["s", "ms", "us", "ns"]:
+        vals = [base + datetime.timedelta(hours=h) for h in range(48)]
+        t = pa.table({"ts": pa.array(vals, type=pa.timestamp(unit)),
+                      "v": pa.array(range(48))})
+        p = str(tmp_path / f"in_{unit}.parquet")
+        pq.write_table(t, p)
+        out = str(tmp_path / f"enc_{unit}")
+        encode_files([p], out, concurrency=1)
+        cut = base + datetime.timedelta(hours=24)
+        ds = decode_dataset(out, predicate=("ts", ">=", cut))
+        assert ds.count() == 24, unit
+        # exact boundary value must NOT be pruned
+        ds2 = decode_dataset(out, predicate=("ts", "==", cut))
+        assert ds2.count() == 1, unit
+
+    # tz-aware storage: aware predicate converts through the tz
+    aware = pa.array([base + datetime.timedelta(hours=h) for h in range(4)],
+                     type=pa.timestamp("ms")).cast(pa.timestamp("ms", tz="UTC"))
+    stats = [aware.cast(pa.int64())[0].as_py(), aware.cast(pa.int64())[-1].as_py(),
+             "ts:ms:UTC"]
+    probe = datetime.datetime(2024, 1, 1, 2, tzinfo=datetime.timezone.utc)
+    assert _zone_may_match(stats, "==", probe)
+    assert not _zone_may_match(
+        stats, "==", probe + datetime.timedelta(days=2))
+    # unconvertible predicate value -> conservative keep
+    assert _zone_may_match([0, 1, "ts:ms:UTC"], "==", object())
+
+
 def test_zero_row_input_file(ray_session, tmp_path):
     import pyarrow.parquet as pq
 

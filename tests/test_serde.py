@@ -290,6 +290,19 @@ def test_coerce_int_rejects_fraction_and_overflow():
     assert to_int(pa.array(["42", " 7 "])).to_pylist() == [42, 7]
 
 
+def test_coerce_int_from_float_mirrors_string_semantics():
+    # fractional floats are coercion failures, not silent truncations
+    with pytest.raises(BadLineError):
+        to_int(pa.array([1.5]))
+    with pytest.raises(BadLineError):
+        to_int(pa.array([float("nan")]))
+    out = to_int(pa.array([1.5, 2.0, None]), opts=CoerceOptions(on_bad_lines="SKIP"))
+    assert out.to_pylist() == [None, 2, None]
+    with pytest.raises(pa.ArrowInvalid):  # overflow range-checked, not wrapped
+        to_int(pa.array([300.0]), pa.int8())
+    assert to_int(pa.array([42.0, -7.0])).to_pylist() == [42, -7]
+
+
 def test_coerce_decimal_separator_and_rounding():
     out = to_decimal(pa.array(["1,005"]), 10, 2,
                      CoerceOptions(decimal_separator=","))
