@@ -141,29 +141,51 @@ def _dedup_exact(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def _dedup_oracle_corpus(sf_dir: str, n_injected: int = 5,
+                         perturb_tokens: int = 6):
+    """Deterministic near-dup oracle corpus over the documents table's ids:
+    unique random-token base texts (pairwise Jaccard ~0.002, simhash
+    hamming ~32) + n_injected controlled near-dups of the smallest ids
+    under ids >= 1e6 — so SQL can enumerate the exact expected output."""
+    import ray.data
+
+    from plugin_serdes_ray.fixtures import dedup_corpus_table
+
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    return ray.data.from_arrow(
+        dedup_corpus_table(ids, n_injected, perturb_tokens=perturb_tokens))
+
+
 def _dedup_minhash(sf_dir: str):
+    """The operator must drop exactly the injected near-dups (ids >= 1e6)
+    and keep every base id -> oracle: SELECT doc_id FROM documents."""
     from plugin_serdes_ray.pipelines.dedup import minhash_lsh_dedup
 
-    ds = _read(sf_dir, "documents")
-    out = minhash_lsh_dedup(ds, "text", "doc_id")
+    out = minhash_lsh_dedup(_dedup_oracle_corpus(sf_dir), "text", "doc_id")
     ids = sorted(r["doc_id"] for r in out.take_all())
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
 def _dedup_simhash(sf_dir: str):
+    """Dup side of the controlled corpus (1-token perturbation -> simhash
+    hamming 0-4, vs ~32 between base pairs): exactly the injected ids."""
     from plugin_serdes_ray.pipelines.dedup import simhash_duplicates
 
-    ds = _read(sf_dir, "documents")
-    pairs = simhash_duplicates(ds, "text", "doc_id").take_all()
+    pairs = simhash_duplicates(
+        _dedup_oracle_corpus(sf_dir, perturb_tokens=1), "text", "doc_id",
+        max_hamming=4).take_all()
     dup = sorted({r["dup_id"] for r in pairs})
     return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
 
 def _dedup_embedding(sf_dir: str):
     """The testdata embeddings contain no near-duplicates (max pairwise
-    cosine ~0.51), so controlled positives are injected: tiny deterministic
-    perturbations of the first 5 vectors under ids >= 1e6. The operator must
-    find exactly those 5 pairs and nothing else."""
+    cosine ~0.51), so controlled positives are injected under ids >= 1e6:
+    the first 5 vectors ROTATED toward a deterministic orthogonal direction
+    to cosine 0.96..0.98 (not scalar multiples — rotation exercises the
+    banded-LSH recall, which a cosine-1.0 copy never leaves bucket 0 to
+    test). The operator must find exactly those 5 pairs and nothing else."""
     import ray.data
 
     from plugin_serdes_ray.pipelines.dedup import embedding_duplicates
@@ -173,7 +195,15 @@ def _dedup_embedding(sf_dir: str):
     vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
     ids = np.asarray(t.column("vec_id").to_pylist())
     k = 5
-    near = vecs[:k] * 1.0009  # same direction -> cosine ~= 1.0
+    near = []
+    rng = np.random.default_rng(271828)
+    for i in range(k):
+        u = vecs[i] / np.linalg.norm(vecs[i])
+        w = rng.standard_normal(len(u)).astype(np.float32)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        cos = 0.96 + 0.005 * i
+        near.append((cos * u + np.sqrt(1 - cos * cos) * w).astype(np.float32))
     aug = pa.table({
         "vec_id": pa.array(list(ids) + [10**6 + i for i in range(k)],
                            type=pa.int64()),
@@ -183,7 +213,7 @@ def _dedup_embedding(sf_dir: str):
     })
     ds = ray.data.from_arrow(aug)
     pairs = embedding_duplicates(ds, "embedding", "vec_id",
-                                 threshold=0.99).take_all()
+                                 threshold=0.95).take_all()
     out = sorted((r["keep_id"], r["dup_id"]) for r in pairs)
     return pa.table({
         "keep_id": pa.array([p[0] for p in out], type=pa.int64()),
@@ -474,6 +504,14 @@ def oracle_sql() -> dict[str, str]:
     rest = {
         "dedup_exact_documents":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # controlled-corpus near-dup oracles: the operator must drop exactly
+        # the injected ids (>= 1e6) and keep every base documents id
+        "dedup_minhash_documents": "SELECT doc_id FROM documents",
+        "dedup_simhash_documents": """
+            SELECT CAST(999999 + row_number() OVER (ORDER BY doc_id) AS BIGINT)
+              AS dup_id
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+        """,
         "dedup_embedding": """
             SELECT vec_id AS keep_id,
                    CAST(999999 + row_number() OVER (ORDER BY vec_id) AS BIGINT)

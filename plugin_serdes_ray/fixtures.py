@@ -259,3 +259,50 @@ def webpages_for_sf(sf_dir: str, cache_root: str = "/tmp/graft_webpages") -> lis
     except Exception:
         pass
     return generate_webpages(out_dir, n_rows, n_shards, use_ray=use_ray)
+
+
+# ---------------------------------------------------------------------------
+# deterministic dedup-oracle corpus (near-dup queries)
+# ---------------------------------------------------------------------------
+
+DEDUP_INJECT_BASE = 10**6
+
+
+def dedup_corpus_text(doc_id: int, n_tokens: int = 200, vocab: int = 50_000,
+                      perturb_tokens: int = 6) -> str:
+    """Pure function doc_id -> text for the near-dup oracle queries.
+
+    Base ids get a unique random-token text (pairwise Jaccard ~0 across the
+    corpus). Ids >= DEDUP_INJECT_BASE are controlled near-duplicates of base
+    id ``doc_id - DEDUP_INJECT_BASE``: the last ``perturb_tokens`` of
+    ``n_tokens`` tokens are replaced, giving a shingle Jaccard ~0.93 at the
+    defaults (>= LSH threshold 0.7 with huge margin) while staying far from
+    exact-equal. An oracle can therefore enumerate exactly which ids any
+    near-dup operator must drop: the injected ones and nothing else."""
+    injected = doc_id >= DEDUP_INJECT_BASE
+    base_id = doc_id - DEDUP_INJECT_BASE if injected else doc_id
+    rng = np.random.default_rng(982451653 + base_id)
+    toks = rng.integers(0, vocab, n_tokens)
+    if injected and perturb_tokens:
+        alt = np.random.default_rng(15485863 + base_id)
+        toks[-perturb_tokens:] = alt.integers(0, vocab, perturb_tokens)
+    # render as letter words with UNIFORM letters: low-entropy renderings
+    # (digits, or base-26 of a small id) share so many char k-grams across
+    # unrelated docs that their simhashes correlate (measured hamming ~2 at
+    # Jaccard 0.03); an odd-constant multiply is bijective mod 2^32 so
+    # distinct token ids stay distinct words
+    def word(v: int) -> str:
+        m = (v * 2654435761) % (1 << 32)
+        return "".join(chr(97 + (m // 26**j) % 26) for j in range(7))
+    return " ".join(word(int(v)) for v in toks)
+
+
+def dedup_corpus_table(base_ids: list[int], n_injected: int,
+                       perturb_tokens: int = 6) -> "pa.Table":
+    """(doc_id, text) table: every base id plus n_injected near-dups of the
+    smallest base ids, under ids >= DEDUP_INJECT_BASE."""
+    lows = sorted(base_ids)[:n_injected]
+    all_ids = list(base_ids) + [DEDUP_INJECT_BASE + i for i in lows]
+    texts = [dedup_corpus_text(i, perturb_tokens=perturb_tokens) for i in all_ids]
+    return pa.table({"doc_id": pa.array(all_ids, type=pa.int64()),
+                     "text": pa.array(texts, type=pa.large_string())})

@@ -57,19 +57,65 @@ def test_minhash_detects_duplicates(ray_session):
     assert 4 in kept and 1 in kept and 2 not in kept
 
 
+def test_minhash_shuffle_ships_no_text(ray_session):
+    """100 TB contract: the rows entering the band-key shuffle are exactly
+    (band_key, doc_id, sig) — fixed-width, no document text (VERDICT r1:
+    shipping text per band was a 16x corpus all-to-all)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import minhash_band_rows
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "hello world " * 30}])
+    rows = minhash_band_rows(ds, "text", "doc_id")
+    t = pa.Table.from_pylist(rows.take_all())
+    assert sorted(t.column_names) == ["band_key", "doc_id", "sig"]
+    assert t.num_rows == 16  # bands rows per doc
+    assert all(len(s) == 64 * 8 for s in t.column("sig").to_pylist())
+
+
 def test_simhash_duplicates(ray_session):
     import ray.data
 
+    from plugin_serdes_ray.fixtures import DEDUP_INJECT_BASE, dedup_corpus_text
     from plugin_serdes_ray.pipelines.dedup import hamming64, simhash64, simhash_duplicates
 
-    a = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4
-    b = a.replace("dolor", "color")
-    assert hamming64(simhash64(a), simhash64(b)) <= 6
+    # unrelated docs must be FAR apart (the r1 unsigned-score bug collapsed
+    # every doc to hamming ~1); tiny perturbations must stay close
+    a, other = dedup_corpus_text(0), dedup_corpus_text(1)
+    near = dedup_corpus_text(DEDUP_INJECT_BASE, perturb_tokens=1)
+    assert hamming64(simhash64(a), simhash64(other)) > 10
+    assert hamming64(simhash64(a), simhash64(near)) <= 4
     ds = ray.data.from_items([{"doc_id": 1, "text": a}, {"doc_id": 2, "text": a},
-                              {"doc_id": 3, "text": "zzz totally other thing " * 8}])
+                              {"doc_id": 3, "text": near},
+                              {"doc_id": 4, "text": other}])
     pairs = {(r["keep_id"], r["dup_id"])
-             for r in simhash_duplicates(ds, "text", "doc_id").take_all()}
+             for r in simhash_duplicates(ds, "text", "doc_id",
+                                         max_hamming=4).take_all()}
     assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert all(d != 4 for _, d in pairs)
+
+
+def test_simhash_pair_with_smaller_unrelated_id(ray_session):
+    """b~c is found even though an unrelated smaller id exists (the chained
+    -canon verify: unmatched docs become new canons instead of being the
+    only comparison point — ADVICE r1)."""
+    import ray.data
+
+    from plugin_serdes_ray.fixtures import DEDUP_INJECT_BASE, dedup_corpus_text
+    from plugin_serdes_ray.pipelines.dedup import simhash_duplicates
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": dedup_corpus_text(3)},  # unrelated, smallest id
+        {"doc_id": 2, "text": dedup_corpus_text(7)},
+        {"doc_id": 3, "text": dedup_corpus_text(DEDUP_INJECT_BASE + 7,
+                                                perturb_tokens=1)},
+    ])
+    pairs = {(r["keep_id"], r["dup_id"])
+             for r in simhash_duplicates(ds, "text", "doc_id",
+                                         max_hamming=4).take_all()}
+    assert (2, 3) in pairs
+    assert all(d != 1 and k != 1 for k, d in pairs)
 
 
 def test_embedding_duplicates(ray_session):
