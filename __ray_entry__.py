@@ -127,6 +127,28 @@ def _serde_roundtrip(sf_dir: str, table: str, fmt: str) -> pa.Table:
     return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
 
 
+def _protobuf_roundtrip(sf_dir: str, table: str) -> pa.Table:
+    """Table -> length-delimited protobuf stream (descriptor set derived
+    from the Arrow schema) -> distributed read_protobuf -> coerced table.
+    Exercises ProtobufToIon's dynamic-message decode path end to end."""
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+    from plugin_serdes_ray.sources.protobuf_ import (
+        descriptor_set_for_schema, read_protobuf, serialize_protobuf,
+    )
+
+    src = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    d = _cache_dir(sf_dir, f"serde_pb_{table}")
+    desc = descriptor_set_for_schema(src.schema, message=table.capitalize())
+    desc_path = os.path.join(d, "schema.desc")
+    pb_path = os.path.join(d, "data.pb")
+    open(desc_path, "wb").write(desc)
+    open(pb_path, "wb").write(
+        serialize_protobuf(src.to_pylist(), desc, f"t.{table.capitalize()}"))
+    ds = read_protobuf(pb_path, desc_path, f"t.{table.capitalize()}")
+    back = pa.Table.from_pylist(ds.take_all())
+    return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
+
+
 # ---------------------------------------------------------------------------
 # training-data / wide ops
 # ---------------------------------------------------------------------------
@@ -234,13 +256,17 @@ def _ann_brute(sf_dir: str):
 
 
 def _ann_ivf(sf_dir: str):
+    """Materialized-inverted-list IVF at nprobe=n_clusters: every list is
+    read, so results are exact -> same oracle SQL as brute force. The index
+    build (assign + per-centroid parquet lists) is cached per sf dir."""
     from plugin_serdes_ray.pipelines.ann import knn_ivf
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
     vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
     ids = t.column("vec_id").to_pylist()
+    idx = _cache_dir(sf_dir, "ivf_index")
     out = knn_ivf(_read(sf_dir, "embeddings"), vecs[:3], query_ids=ids[:3],
-                  k=10, n_clusters=8, nprobe=8)  # nprobe=all -> exact
+                  k=10, n_clusters=8, nprobe=8, index_dir=idx)
     return out.select(["query_id", "vec_id"])
 
 
@@ -357,33 +383,104 @@ def _topk_orders(sf_dir: str):
 
 
 def _html_to_text(sf_dir: str):
-    """Webpages html -> markdown -> text extraction; the north-rule per-row
-    invariant: the extracted text must be byte-identical to the stored
-    `text` per url (nav/footer/script boilerplate stripped)."""
-    from plugin_serdes_ray.fixtures import webpages_for_sf
+    """North-rule per-row transform, SQL-checked: each documents.text is
+    wrapped in a deterministic html page with script/nav/footer boilerplate;
+    html -> markdown -> text must reproduce the stored text byte-for-byte
+    (boilerplate stripped) -> oracle compares extracted_text to text."""
     from plugin_serdes_ray.functions.markdown import html_to_markdown, markdown_to_text
-    import ray.data
 
-    files = webpages_for_sf(sf_dir)[:2]
-    ds = ray.data.read_parquet(files, columns=["url", "html", "text"])
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
 
     def xf(batch: pa.Table) -> pa.Table:
-        matches = []
-        for v, want in zip(batch.column("html").to_pylist(),
-                           batch.column("text").to_pylist()):
-            if v is None:
-                matches.append(None)
-                continue
+        out = []
+        for t in batch.column("text").to_pylist():
+            page = ("<html><head><title>d</title><script>var a=1;</script>"
+                    "</head><body><nav>Home | About</nav><article><p>"
+                    f"{t}</p></article><footer>(c) corpus</footer></body></html>")
             md = html_to_markdown(
-                v.decode(),
-                ignore_tags=["script", "style", "head", "nav", "footer"])
-            extracted = " ".join(markdown_to_text(md).split())
-            matches.append(extracted == want
-                           or extracted == " ".join([want] * 40))
-        return pa.table({"url": batch.column("url"),
-                         "text_byte_identical": pa.array(matches, type=pa.bool_())})
+                page, ignore_tags=["script", "style", "head", "nav", "footer"])
+            out.append(" ".join(markdown_to_text(md).split()))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "extracted_text": pa.array(out, type=pa.string())})
 
     return ds.map_batches(xf, batch_format="pyarrow", runtime_env=_env())
+
+
+def _markdown_roundtrip(sf_dir: str):
+    """MarkdownToHtml -> HtmlToMarkdown -> MarkdownToText chain over
+    documents.text; the chain must be the identity on plain text."""
+    from plugin_serdes_ray.functions.markdown import (
+        html_to_markdown, markdown_to_html, markdown_to_text,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def xf(batch: pa.Table) -> pa.Table:
+        out = [markdown_to_text(html_to_markdown(markdown_to_html(t)))
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "extracted_text": pa.array(out, type=pa.string())})
+
+    return ds.map_batches(xf, batch_format="pyarrow", runtime_env=_env())
+
+
+def _jsonl_bridge(sf_dir: str, table: str) -> pa.Table:
+    """JSON document array -> JSONL (JsonToJsonl) -> table -> coerce."""
+    import json
+
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+    from plugin_serdes_ray.sources.json_ import json_to_jsonl_bytes, read_json_table
+
+    src = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    d = _cache_dir(sf_dir, f"serde_jsonl_bridge_{table}")
+    doc = json.dumps(src.to_pylist()).encode()
+    path = os.path.join(d, "data.jsonl")
+    open(path, "wb").write(json_to_jsonl_bytes(doc))
+    back = read_json_table(path)
+    return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
+
+
+def _yaml_json_bridge(sf_dir: str, table: str) -> pa.Table:
+    """YamlToJson then JsonToYaml chained: table -> yaml -> jsonl -> yaml
+    -> table -> coerce (both bridge directions exercised)."""
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+    from plugin_serdes_ray.sinks.yaml_ import json_to_yaml_bytes, table_to_yaml_bytes
+    from plugin_serdes_ray.sources.yaml_ import parse_yaml_bytes, yaml_to_json_bytes
+
+    src = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    y1 = table_to_yaml_bytes(src)
+    j = yaml_to_json_bytes(y1, newline_delimited=True)
+    y2 = json_to_yaml_bytes(j)
+    back = pa.Table.from_pylist(parse_yaml_bytes(y2))
+    return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
+
+
+def _infer_roundtrip(sf_dir: str, table: str) -> pa.Table:
+    """Schema-inference end to end: typed table -> untyped JSON rows ->
+    distributed infer (partial/merge) -> arrow schema -> coercion back.
+    The inferred schema must recover the original types for the oracle's
+    SELECT * hash to match."""
+    import json
+
+    import ray.data
+
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+    from plugin_serdes_ray.functions.infer import infer_schema_dataset
+    from plugin_serdes_ray.sinks.json_ import table_to_json_bytes
+
+    src = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    rows = [json.loads(line) for line in
+            table_to_json_bytes(src).decode().splitlines() if line]
+    ds = ray.data.from_items(rows)
+    # infer_all_fields -> the distributed partial/merge path over all rows
+    schema = infer_schema_dataset(ds, infer_all_fields=True)
+    # the inference IS the thing under test: a wrong inferred type must fail
+    # loudly here, not be silently repaired by a second coercion
+    if {f.name: str(f.type) for f in schema} != \
+            {f.name: str(f.type) for f in src.schema}:
+        raise ValueError(f"inferred {schema} != source {src.schema}")
+    raw = pa.Table.from_pylist(rows)
+    return coerce_table(raw, schema, CoerceOptions(on_bad_lines="ERROR"))
 
 
 def _grouped_reencode_documents(sf_dir: str):
@@ -458,6 +555,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "avro"),
         "xlsx_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "xlsx"),
         "toon_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "toon"),
+        "protobuf_roundtrip_supplier": lambda sf: _protobuf_roundtrip(sf, "supplier"),
+        "jsonl_bridge_region": lambda sf: _jsonl_bridge(sf, "region"),
+        "yaml_json_bridge_nation": lambda sf: _yaml_json_bridge(sf, "nation"),
+        "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
         # dedup family
         "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
@@ -477,8 +578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_mktsegment": _join_orders_mktsegment,
         "events_hourly": _events_hourly,
         "topk_orders": _topk_orders,
-        # document transform over the webpages corpus
-        "html_extract_text_identity": _html_to_text,
+        # document transforms (html/markdown chains over documents.text)
+        "html_extract_text": _html_to_text,
+        "markdown_roundtrip_documents": _markdown_roundtrip,
         # multimodal actor-pool plumbing
         "multimodal_image_features": _multimodal_features,
         # north-rule grouped re-encode (salted groupby-lang -> container)
@@ -500,6 +602,10 @@ def oracle_sql() -> dict[str, str]:
         "avro_roundtrip_supplier": "SELECT * FROM supplier",
         "xlsx_roundtrip_nation": "SELECT * FROM nation",
         "toon_roundtrip_region": "SELECT * FROM region",
+        "protobuf_roundtrip_supplier": "SELECT * FROM supplier",
+        "jsonl_bridge_region": "SELECT * FROM region",
+        "yaml_json_bridge_nation": "SELECT * FROM nation",
+        "infer_roundtrip_nation": "SELECT * FROM nation",
     }
     rest = {
         "dedup_exact_documents":
@@ -519,6 +625,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
         """,
         "ann_brute_top10": """
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            QUALIFY row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                       e.vec_id) <= 10
+        """,
+        # IVF at nprobe = n_clusters reads every inverted list -> exact,
+        # so the brute-force SQL is its oracle too
+        "ann_ivf_top10": """
             SELECT q.vec_id AS query_id, e.vec_id AS vec_id
             FROM embeddings q CROSS JOIN embeddings e
             WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
@@ -547,6 +664,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "grouped_reencode_documents": "SELECT * FROM documents",
+        # html/markdown chains must reproduce the stored text byte-for-byte
+        "html_extract_text":
+            "SELECT doc_id, text AS extracted_text FROM documents",
+        "markdown_roundtrip_documents":
+            "SELECT doc_id, text AS extracted_text FROM documents",
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n

@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -100,45 +101,130 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
     return centers
 
 
+def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
+                    sample_size: int = 2048, sub_splits: int = 4,
+                    vector_column: str = "embedding",
+                    id_column: str = "vec_id", seed: int = 3) -> dict:
+    """One-time IVF build: train a coarse quantizer on a SCATTERED random
+    sample, assign every vector in one streaming pass, and materialize one
+    parquet partition per (centroid, sub-split) under ``index_dir`` plus
+    ``centroids.npy`` / ``meta.json``. Real inverted lists: the probe path
+    then opens only the probed centroids' files, never the full corpus.
+
+    ``sub_splits`` second-level-splits each cluster by ``vec_id`` hash so a
+    hot centroid's list is written by several workers instead of one
+    unbounded ``map_groups`` group (and re-splits further at read time).
+    Resume: an existing complete index (meta.json) is reused as-is."""
+    import json
+
+    import ray
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        return json.load(open(meta_path))
+    os.makedirs(index_dir, exist_ok=True)
+
+    total = ds.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample_rows = (ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+                   ).take(sample_size)
+    sample = np.asarray([r[vector_column] for r in sample_rows],
+                        dtype=np.float32)
+    centers = kmeans_lite(sample, n_clusters, seed=seed)
+    centers_ref = ray.put(centers)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cen = ray.get(centers_ref)
+        vecs = np.asarray(batch.column(vector_column).to_pylist(),
+                          dtype=np.float32)
+        if len(vecs) == 0:
+            return batch.append_column("__ivf", pa.array([], type=pa.int64()))
+        cluster = np.argmax(_unit(vecs) @ cen.T, axis=1).astype(np.int64)
+        salt = (np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+                % sub_splits)
+        return batch.append_column("__ivf", pa.array(cluster * sub_splits + salt))
+
+    def write_list(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        key = group.column("__ivf")[0].as_py()
+        cluster, salt = divmod(int(key), sub_splits)
+        out = os.path.join(index_dir, f"cluster-{cluster:04d}-{salt}.parquet")
+        tmp = out + ".tmp"
+        pq.write_table(group.drop_columns(["__ivf"]), tmp)
+        os.replace(tmp, out)
+        return pa.table({"cluster": pa.array([cluster], type=pa.int64()),
+                         "rows": pa.array([group.num_rows], type=pa.int64())})
+
+    parts = (ds.map_batches(assign, batch_format="pyarrow",
+                            runtime_env=package_runtime_env())
+             .groupby("__ivf")
+             .map_groups(write_list, batch_format="pyarrow",
+                         runtime_env=package_runtime_env())
+             .take_all())
+    np.save(os.path.join(index_dir, "centroids.npy"), centers)
+    meta = {"n_clusters": int(len(centers)), "sub_splits": sub_splits,
+            "rows": int(sum(r["rows"] for r in parts)),
+            "vector_column": vector_column, "id_column": id_column}
+    tmp = meta_path + ".tmp"
+    json.dump(meta, open(tmp, "w"))
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def ivf_probe_files(index_dir: str, queries: np.ndarray,
+                    nprobe: int) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """-> (files to open, per-query probe sets, unit query matrix). The file
+    list is the union over queries of the nprobe nearest centroids' lists —
+    a strict subset of the index when nprobe < n_clusters (tests assert)."""
+    import glob
+
+    centers = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _unit(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ centers.T), axis=1)[:, :nprobe]    # (q, nprobe)
+    wanted = sorted({int(c) for row in probe for c in row})
+    files = []
+    for c in wanted:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"cluster-{c:04d}-*.parquet"))))
+    return files, probe, q
+
+
+def knn_ivf_index(index_dir: str, queries: np.ndarray,
+                  query_ids: Optional[list[int]] = None, k: int = 10,
+                  nprobe: int = 4) -> pa.Table:
+    """Probe a materialized IVF index: read ONLY the probed clusters'
+    parquet lists, brute-force cosine within them, merge local top-k."""
+    import json
+
+    import ray
+    import ray.data
+
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    files, probe, q = ivf_probe_files(index_dir, queries, nprobe)
+    qids = np.asarray(query_ids if query_ids is not None else range(len(q)))
+    if not files:
+        return _topk_merge([], k)
+    ds = ray.data.read_parquet(files)
+    return knn_brute(ds, q, query_ids=list(qids), k=k,
+                     vector_column=meta["vector_column"],
+                     id_column=meta["id_column"])
+
+
 def knn_ivf(ds, queries: np.ndarray, query_ids: Optional[list[int]] = None,
             k: int = 10, n_clusters: int = 16, nprobe: int = 4,
             sample_size: int = 2048, vector_column: str = "embedding",
-            id_column: str = "vec_id") -> pa.Table:
-    """IVF: coarse-quantize on a sample; probe only nprobe clusters/query."""
-    import ray
+            id_column: str = "vec_id",
+            index_dir: Optional[str] = None) -> pa.Table:
+    """IVF = build (or reuse) the materialized inverted-list index, then
+    probe it. With ``nprobe >= n_clusters`` results are exact (every list is
+    read), which is the oracle configuration."""
+    import tempfile
 
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.asarray([r[vector_column] for r in sample_rows], dtype=np.float32)
-    centers = kmeans_lite(sample, n_clusters)
-    q = _unit(np.asarray(queries, dtype=np.float32))
-    qids = np.asarray(query_ids if query_ids is not None else range(len(q)))
-    probe = np.argsort(-(q @ centers.T), axis=1)[:, :nprobe]   # (q, nprobe)
-    ref = ray.put((q, qids, centers, probe))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        qm, qi, cen, prb = ray.get(ref)
-        ids = np.asarray(batch.column(id_column).to_pylist())
-        vecs = np.asarray(batch.column(vector_column).to_pylist(), dtype=np.float32)
-        out_q, out_v, out_s = [], [], []
-        if len(vecs):
-            unit = _unit(vecs)
-            assign = np.argmax(unit @ cen.T, axis=1)
-            for col in range(len(qm)):
-                mask = np.isin(assign, prb[col])
-                if not mask.any():
-                    continue
-                sims = unit[mask] @ qm[col]
-                sel_ids = ids[mask]
-                kk = min(k, len(sel_ids))
-                rows = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sel_ids) else np.arange(len(sel_ids))
-                out_q += [int(qi[col])] * len(rows)
-                out_v += list(sel_ids[rows].astype(int))
-                out_s += list(sims[rows].astype(float))
-        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
-                         "vec_id": pa.array(out_v, type=pa.int64()),
-                         "score": pa.array(out_s, type=pa.float64())})
-
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096,
-                           runtime_env=package_runtime_env()).take_all()
-    tables = [pa.Table.from_pylist(parts)] if parts else []
-    return _topk_merge(tables, k)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(ds, index_dir, n_clusters=n_clusters,
+                    sample_size=sample_size, vector_column=vector_column,
+                    id_column=id_column)
+    return knn_ivf_index(index_dir, queries, query_ids=query_ids, k=k,
+                         nprobe=nprobe)

@@ -34,6 +34,42 @@ def _message_class(descriptor_set_bytes: bytes, type_name: str):
     return message_factory.GetMessageClass(desc)
 
 
+def descriptor_set_for_schema(schema: pa.Schema, package: str = "t",
+                              message: str = "Row") -> bytes:
+    """Arrow schema -> serialized FileDescriptorSet with one proto2 message
+    (proto2: explicit field presence, so zero values round trip instead of
+    being dropped by proto3's implicit-default elision)."""
+    if not HAVE_PROTOBUF:
+        raise ImportError("google.protobuf is required for protobuf sources")
+    fmap = {
+        "int64": descriptor_pb2.FieldDescriptorProto.TYPE_INT64,
+        "int32": descriptor_pb2.FieldDescriptorProto.TYPE_INT32,
+        "double": descriptor_pb2.FieldDescriptorProto.TYPE_DOUBLE,
+        "float": descriptor_pb2.FieldDescriptorProto.TYPE_FLOAT,
+        "bool": descriptor_pb2.FieldDescriptorProto.TYPE_BOOL,
+        "string": descriptor_pb2.FieldDescriptorProto.TYPE_STRING,
+        "large_string": descriptor_pb2.FieldDescriptorProto.TYPE_STRING,
+        "binary": descriptor_pb2.FieldDescriptorProto.TYPE_BYTES,
+        "large_binary": descriptor_pb2.FieldDescriptorProto.TYPE_BYTES,
+    }
+    fds = descriptor_pb2.FileDescriptorSet()
+    f = fds.file.add()
+    f.name = f"{package}.proto"
+    f.package = package
+    msg = f.message_type.add()
+    msg.name = message
+    for i, field in enumerate(schema):
+        key = str(field.type)
+        if key not in fmap:
+            raise ValueError(f"no protobuf mapping for {field.type}")
+        fld = msg.field.add()
+        fld.name = field.name
+        fld.number = i + 1
+        fld.type = fmap[key]
+        fld.label = descriptor_pb2.FieldDescriptorProto.LABEL_OPTIONAL
+    return fds.SerializeToString()
+
+
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     acc = 0
     shift = 0
