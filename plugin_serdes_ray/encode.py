@@ -42,20 +42,38 @@ def _fingerprint(path: str) -> str:
 def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
                            outer_level: int = 3,
                            columns: Optional[list[str]] = None) -> EncodePlan:
-    """Pass 1: read a bounded sample (first row groups of the first files)
-    and build the frozen EncodePlan on the driver."""
+    """Pass 1: read a bounded SCATTERED sample and build the frozen
+    EncodePlan on the driver.
+
+    Row groups are taken evenly spaced across ALL files (sorted, so the
+    scatter is stable under input reordering), not head-first: on a
+    heterogeneous 100 TB corpus the head of the data is not the data, and a
+    plan built from it picks codecs the tail regrets (VERDICT r1). The
+    per-chunk plain-fallback guard still caps damage; scattering fixes the
+    missed wins too."""
+    rg_index: list[tuple[str, int, int]] = []   # (path, rg, rows)
+    for path in sorted(files):
+        meta = pq.read_metadata(path)
+        for i in range(meta.num_row_groups):
+            rg_index.append((path, i, meta.row_group(i).num_rows))
     batches = []
-    remaining = sample_rows
-    for path in files:
-        pf = pq.ParquetFile(path)
-        for i in range(pf.num_row_groups):
+    if rg_index:
+        total_rows = sum(r for _, _, r in rg_index)
+        mean_rg = max(total_rows // len(rg_index), 1)
+        need = max(sample_rows // mean_rg, 1)
+        stride = max(len(rg_index) // need, 1)
+        picked = rg_index[::stride]
+        remaining = sample_rows
+        open_files: dict[str, pq.ParquetFile] = {}
+        for path, i, _ in picked:
+            pf = open_files.setdefault(path, pq.ParquetFile(path))
             t = pf.read_row_group(i, columns=columns)
             batches.append(t)
             remaining -= t.num_rows
             if remaining <= 0:
                 break
-        if remaining <= 0:
-            break
+        for pf in open_files.values():
+            pf.close()
     if batches:
         # heterogeneous inputs: plan from the first schema; columns absent
         # from the plan fall back to measured plain/guard per partition

@@ -102,36 +102,49 @@ def top_k(ds, column: str, k: int = 10, descending: bool = True) -> pa.Table:
 
 
 def detect_hot_keys(ds, key: str, sample_rows: int = 10_000,
-                    hot_frac: float = 0.05) -> list:
-    """Sample-pass hot-key detection (keys above hot_frac of the sample)."""
-    rows = ds.limit(sample_rows).take_all()
+                    hot_frac: float = 0.05, seed: int = 11) -> list:
+    """Hot-key detection on a SCATTERED random sample — ``ds.limit`` reads
+    only the first blocks, which on a sorted/clustered 100 TB input sees a
+    single key range and misses every other region's hot keys (VERDICT r1).
+    ``random_sample`` touches every block at ~sample_rows/total rate
+    instead; the per-key frequency estimate is unbiased under reordering."""
+    total = ds.count()
+    if not total:
+        return []
+    frac = min(1.0, sample_rows / total)
+    sampled = ds.select_columns([key])
+    if frac < 1.0:
+        sampled = sampled.random_sample(frac, seed=seed)
+    rows = sampled.take(sample_rows)
     if not rows:
         return []
     vals = pa.array([r[key] for r in rows])
     counts = pa.table({"v": vals}).group_by("v").aggregate([("v", "count")])
     n = len(rows)
-    hot = [r["v"] for r in counts.to_pylist() if r["v_count"] / n >= hot_frac]
-    return hot
+    return [r["v"] for r in counts.to_pylist() if r["v_count"] / n >= hot_frac]
 
 
 def salted_key(ds, key: str, hot_keys: list, salt_n: int = 8,
                out_column: str = "__salted"):
     """Append a shuffle key column: cold keys -> "<key>#0", hot keys ->
     "<key>#<deterministic 0..salt_n-1>" so no single reducer drowns."""
-    import ray
+    import numpy as np
 
-    hot_ref = ray.put(set(hot_keys))
+    hot = list(hot_keys)
 
     def add(batch: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)
-        vals = batch.column(key).to_pylist()
-        out = []
-        for i, v in enumerate(vals):
-            if v in hot:
-                out.append(f"{v}#{i % salt_n}")
-            else:
-                out.append(f"{v}#0")
-        return batch.append_column(out_column, pa.array(out, type=pa.string()))
+        # vectorized: is_in mask + elementwise string join, no row loop and
+        # no per-batch ray.get (the small hot list travels in the closure)
+        col = batch.column(key).combine_chunks()
+        s = col.cast(pa.string()) if not pa.types.is_string(col.type) else col
+        is_hot = pc.is_in(col, value_set=pa.array(hot, type=col.type)) \
+            if hot else pa.array(np.zeros(len(col), dtype=bool))
+        salts = np.arange(len(col), dtype=np.int64) % salt_n
+        salt_str = pa.array(
+            np.where(pc.fill_null(is_hot, False).to_numpy(zero_copy_only=False),
+                     salts, 0).astype(str))
+        out = pc.binary_join_element_wise(pc.fill_null(s, "null"), salt_str, "#")
+        return batch.append_column(out_column, out)
 
     return ds.map_batches(add, batch_format="pyarrow",
                           runtime_env=package_runtime_env())

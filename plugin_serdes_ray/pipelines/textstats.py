@@ -37,11 +37,16 @@ _LANG_STOPWORDS: dict[str, set[str]] = {
 
 
 def token_counts(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Whitespace token count + BPE-ish sub-token count per row."""
-    texts = batch.column(column).to_pylist()
-    ws = [0 if t is None else len(t.split()) for t in texts]
-    bpe = [0 if t is None else len(_BPE_SPLIT.findall(t)) for t in texts]
-    return batch.append_column("ws_tokens", pa.array(ws, type=pa.int64())) \
+    """Whitespace token count + BPE-ish sub-token count per row.
+
+    ws_tokens is Arrow-native (count of non-space runs — the same re2 \\s
+    class DuckDB's regexp_split oracle uses); the BPE pattern needs a
+    negative lookahead re2 lacks, so it stays a compiled-regex row loop."""
+    col = batch.column(column)
+    ws = pc.fill_null(pc.count_substring_regex(col, r"\S+"), 0).cast(pa.int64())
+    bpe = [0 if t is None else len(_BPE_SPLIT.findall(t))
+           for t in col.to_pylist()]
+    return batch.append_column("ws_tokens", ws.combine_chunks()) \
                 .append_column("bpe_tokens", pa.array(bpe, type=pa.int64()))
 
 
@@ -83,23 +88,48 @@ def quality_scores(batch: pa.Table, column: str = "text") -> pa.Table:
     return out
 
 
+_LANGS = sorted(_LANG_STOPWORDS)
+_ALL_STOPS = sorted({w for s in _LANG_STOPWORDS.values() for w in s})
+_STOP_INDEX = {w: i for i, w in enumerate(_ALL_STOPS)}
+_LANG_MASKS = np.zeros((len(_LANGS), len(_ALL_STOPS)), dtype=bool)
+for _li, _lang in enumerate(_LANGS):
+    for _w in _LANG_STOPWORDS[_lang]:
+        _LANG_MASKS[_li, _STOP_INDEX[_w]] = True
+
+
 def detect_language(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Stopword-overlap language heuristic -> (lang_pred, lang_conf)."""
-    texts = batch.column(column).to_pylist()
-    preds, confs = [], []
-    for t in texts:
-        if not t:
-            preds.append(None)
-            confs.append(0.0)
-            continue
-        words = set(t.lower().split()[:400])
-        best, best_hits = "unknown", 0
-        for lang, stops in _LANG_STOPWORDS.items():
-            hits = len(words & stops)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        preds.append(best if best_hits else "unknown")
-        confs.append(best_hits / 10.0)
+    """Stopword-overlap language heuristic -> (lang_pred, lang_conf).
+
+    Arrow-vectorized: lower/split/slice as list kernels, then one numpy
+    scatter counting DISTINCT stopword hits per (row, language) — no Python
+    loop over rows. Hits = |set(first 400 words) ∩ stopwords(lang)|."""
+    col = batch.column(column).combine_chunks()
+    n = len(col)
+    words = pc.list_slice(pc.split_pattern_regex(pc.utf8_lower(col), r"\s+"),
+                          0, 400)
+    lengths = pc.fill_null(pc.list_value_length(words), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    stop_ord = pc.index_in(flat, value_set=pa.array(_ALL_STOPS))
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    ords = stop_ord.to_numpy(zero_copy_only=False)
+    matched = ~np.isnan(ords) if ords.dtype.kind == "f" else ords != None  # noqa: E711
+    hit_rows = row_idx[matched]
+    hit_ords = ords[matched].astype(np.int64)
+    # distinct (row, stopword) pairs -> per-row per-lang hit counts
+    pairs = np.unique(hit_rows * len(_ALL_STOPS) + hit_ords)
+    p_rows, p_ords = divmod(pairs, len(_ALL_STOPS))
+    hits = np.zeros((n, len(_ALL_STOPS)), dtype=np.int32)
+    hits[p_rows, p_ords] = 1
+    lang_hits = hits @ _LANG_MASKS.T.astype(np.int32)      # (n, n_langs)
+    best = np.argmax(lang_hits, axis=1)
+    best_hits = lang_hits[np.arange(n), best]
+    null_or_empty = pc.fill_null(
+        pc.equal(pc.fill_null(col, ""), ""), True).to_numpy(zero_copy_only=False)
+    preds = [None if null_or_empty[i]
+             else (_LANGS[best[i]] if best_hits[i] else "unknown")
+             for i in range(n)]
+    confs = np.where(null_or_empty, 0.0, best_hits / 10.0)
     return batch.append_column("lang_pred", pa.array(preds, type=pa.string())) \
                 .append_column("lang_conf", pa.array(confs, type=pa.float64()))
 

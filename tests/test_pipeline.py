@@ -203,6 +203,35 @@ def test_zone_map_temporal_units(ray_session, tmp_path):
     assert _zone_may_match([0, 1, "ts:ms:UTC"], "==", object())
 
 
+def test_plan_sample_scattered_and_order_stable(tmp_path):
+    """The codec plan is built from row groups scattered across ALL files:
+    reordering the input list yields the same plan, and a head-only sampler
+    would mis-plan a corpus whose first file is unrepresentative."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.encode import sample_plan_from_files
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(4):
+        # first file constant, the rest high-entropy: a head-first sample
+        # would see only the constant column
+        if i == 0:
+            vals = np.zeros(20_000, dtype=np.int64)
+        else:
+            vals = rng.integers(-(2**60), 2**60, 20_000)
+        t = pa.table({"v": pa.array(vals)})
+        p = str(tmp_path / f"s{i}.parquet")
+        pq.write_table(t, p, row_group_size=2_000)
+        paths.append(p)
+    plan_fwd = sample_plan_from_files(paths, sample_rows=8_000)
+    plan_rev = sample_plan_from_files(list(reversed(paths)), sample_rows=8_000)
+    assert plan_fwd.codecs == plan_rev.codecs
+    # the scattered sample saw the random files -> must not pick constant
+    assert plan_fwd.codecs.get("v") != "constant"
+
+
 def test_zero_row_input_file(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
