@@ -93,6 +93,38 @@ def parse_xml_bytes(data: bytes, opts: Optional[XmlOptions] = None) -> list[Any]
     return [value]
 
 
+def iter_xml_query(source, opts: XmlOptions, batch_records: int = 1024):
+    """STREAMING query mode (the reference's StAX path, XmlToIon.java:
+    200-289): yields lists of records matching ``/a/b`` without ever holding
+    the document — each matched element is converted, detached from its
+    parent and cleared, so memory is O(one record + current ancestry), not
+    O(file). A 10 GB XML streams in bounded batches."""
+    parts = [p for p in opts.query.split("/") if p]
+    path: list[str] = []
+    elem_stack: list[ET.Element] = []
+    batch: list[Any] = []
+    for event, el in ET.iterparse(source, events=("start", "end")):
+        if event == "start":
+            path.append(el.tag)
+            elem_stack.append(el)
+            continue
+        if path == parts:
+            batch.append(_elem_to_value(el, opts))
+            if len(elem_stack) >= 2:        # free the finished subtree
+                try:
+                    elem_stack[-2].remove(el)
+                except ValueError:
+                    pass
+            el.clear()
+            if len(batch) >= batch_records:
+                yield batch
+                batch = []
+        path.pop()
+        elem_stack.pop()
+    if batch:
+        yield batch
+
+
 def _records_to_table(records: list[Any]) -> pa.Table:
     if records and not isinstance(records[0], dict):
         records = [{"value": r} for r in records]
@@ -100,7 +132,7 @@ def _records_to_table(records: list[Any]) -> pa.Table:
 
 
 def read_xml(paths: list[str] | str, opts: Optional[XmlOptions] = None,
-             concurrency: Optional[int] = None):
+             concurrency: Optional[int] = None, batch_records: int = 4096):
     import ray.data
 
     opts = opts or XmlOptions()
@@ -109,6 +141,19 @@ def read_xml(paths: list[str] | str, opts: Optional[XmlOptions] = None,
 
     def parse(batch: pa.Table):
         for item in batch.to_pylist():
+            if opts.query:
+                # streaming path: never loads the whole document
+                if opts.charset.lower().replace("-", "") in ("utf8", "ascii"):
+                    with open(item["path"], "rb") as f:
+                        for recs in iter_xml_query(f, opts, batch_records):
+                            yield _records_to_table(recs)
+                else:   # exotic charset: transcode (rare; bounded by file)
+                    import io
+                    data = open(item["path"], "rb").read().decode(opts.charset)
+                    for recs in iter_xml_query(io.BytesIO(data.encode()),
+                                               opts, batch_records):
+                        yield _records_to_table(recs)
+                continue
             with open(item["path"], "rb") as f:
                 records = parse_xml_bytes(f.read(), opts)
             if records:

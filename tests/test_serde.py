@@ -19,6 +19,7 @@ from plugin_serdes_ray.functions.infer import (
 )
 from plugin_serdes_ray.sinks.csv_ import CsvWriteOptions, table_to_csv_bytes
 from plugin_serdes_ray.sinks.excel_ import tables_to_xlsx_bytes
+from plugin_serdes_ray.sources.excel_ import ExcelOptions, read_xlsx_bytes
 from plugin_serdes_ray.sinks.json_ import JsonWriteOptions, table_to_json_bytes
 from plugin_serdes_ray.sinks.xml_ import records_to_xml
 from plugin_serdes_ray.sinks.yaml_ import records_to_yaml
@@ -265,6 +266,133 @@ def test_excel_missing_header_cells():
     from plugin_serdes_ray.sources.excel_ import _rows_to_table, ExcelOptions
     out = _rows_to_table([["h1", None, "h3"], [1, 2, 3]], ExcelOptions())
     assert out.column_names == ["h1", "Column2", "h3"]
+
+
+def test_xml_streaming_query_mode():
+    """iter_xml_query streams /catalog/book records in bounded batches and
+    matches the whole-file parser exactly (XmlToIon's StAX path)."""
+    import io
+
+    from plugin_serdes_ray.sources.xml_ import (
+        XmlOptions, iter_xml_query, parse_xml_bytes,
+    )
+
+    body = "".join(
+        f'<book id="{i}"><title>t{i}</title><price>{i}.5</price></book>'
+        for i in range(250))
+    doc = f"<catalog>{body}<meta>x</meta></catalog>".encode()
+    opts = XmlOptions(query="/catalog/book")
+    whole = parse_xml_bytes(doc, opts)
+    batches = list(iter_xml_query(io.BytesIO(doc), opts, batch_records=100))
+    assert [len(b) for b in batches] == [100, 100, 50]   # bounded batches
+    streamed = [r for b in batches for r in b]
+    assert streamed == whole
+    assert streamed[3] == {"id": 3, "title": "t3", "price": 3.5}
+
+
+def test_csv_max_field_size_policy():
+    from plugin_serdes_ray.sources.csv_ import CsvOptions, parse_csv_bytes
+
+    big = "x" * 2000
+    data = f"a,b\n1,ok\n2,{big}\n3,fine\n".encode()
+    with pytest.raises(BadLineError):
+        parse_csv_bytes(data, CsvOptions(max_field_size=1000))
+    out = parse_csv_bytes(data, CsvOptions(max_field_size=1000,
+                                           on_bad_lines="SKIP"))
+    assert out.column("a").to_pylist() == [1, 3]   # offending row dropped
+    ok = parse_csv_bytes(data, CsvOptions())       # 16 MiB default: fine
+    assert ok.num_rows == 3
+
+
+def _mini_xlsx(rows_xml: str, num_fmts: str = "", cell_xfs: str = "") -> bytes:
+    """Minimal hand-built xlsx with a styles part (our sink writes no
+    styles, so the FORMATTED render paths need a raw fixture)."""
+    import io
+    import zipfile
+
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns='
+             f'"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+             f'<sheetData>{rows_xml}</sheetData></worksheet>')
+    styles = (f'<?xml version="1.0"?><styleSheet xmlns='
+              f'"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+              f'{num_fmts}<cellXfs>{cell_xfs}</cellXfs></styleSheet>')
+    wb = ('<?xml version="1.0"?><workbook xmlns='
+          '"http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+          'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+          'relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/>'
+          '</sheets></workbook>')
+    rels = ('<?xml version="1.0"?><Relationships xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+            '</Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/styles.xml", styles)
+    return buf.getvalue()
+
+
+def test_excel_formatted_value_render():
+    """ValueRender.FORMATTED_VALUE applies the cell's number format
+    (ExcelToIon.java:272-283 via POI DataFormatter)."""
+    xfs = ('<xf numFmtId="0"/><xf numFmtId="4"/><xf numFmtId="9"/>'
+           '<xf numFmtId="164"/>')
+    fmts = '<numFmts count="1"><numFmt numFmtId="164" formatCode="0.000"/></numFmts>'
+    rows = ('<row r="1">'
+            '<c r="A1" s="1"><v>1234.5</v></c>'
+            '<c r="B1" s="2"><v>0.75</v></c>'
+            '<c r="C1" s="3"><v>2.5</v></c>'
+            '<c r="D1"><v>7</v></c>'
+            '<c r="E1" t="b"><v>1</v></c>'
+            '</row>')
+    blob = _mini_xlsx(rows, fmts, xfs)
+    opts = ExcelOptions(header=False, value_render="FORMATTED_VALUE")
+    out = read_xlsx_bytes(blob, opts)["S"]
+    assert out.to_pylist()[0] == {
+        "Column1": "1,234.50", "Column2": "75%", "Column3": "2.500",
+        "Column4": "7", "Column5": "TRUE"}
+    # UNFORMATTED keeps typed values
+    out2 = read_xlsx_bytes(blob, ExcelOptions(header=False))["S"]
+    assert out2.to_pylist()[0]["Column1"] == 1234.5
+    assert out2.to_pylist()[0]["Column5"] is True
+
+
+def test_excel_date_render_modes():
+    """DateTimeRender: UNFORMATTED -> ISO local date, SERIAL_NUMBER -> raw
+    serial, FORMATTED_STRING -> the cell's date format applied
+    (ExcelToIon.java:295-314)."""
+    xfs = '<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>'
+    fmts = ('<numFmts count="1"><numFmt numFmtId="164" '
+            'formatCode="yyyy-mm-dd hh:mm"/></numFmts>')
+    # serial 45000.5 = 2023-03-15 12:00
+    rows = ('<row r="1"><c r="A1" s="1"><v>45000.5</v></c>'
+            '<c r="B1" s="2"><v>45000.5</v></c></row>')
+    blob = _mini_xlsx(rows, fmts, xfs)
+    iso = read_xlsx_bytes(blob, ExcelOptions(header=False))["S"].to_pylist()[0]
+    assert iso == {"Column1": "2023-03-15", "Column2": "2023-03-15"}
+    ser = read_xlsx_bytes(blob, ExcelOptions(
+        header=False, date_time_render="SERIAL_NUMBER"))["S"].to_pylist()[0]
+    assert ser == {"Column1": 45000.5, "Column2": 45000.5}
+    fstr = read_xlsx_bytes(blob, ExcelOptions(
+        header=False, date_time_render="FORMATTED_STRING"))["S"].to_pylist()[0]
+    assert fstr["Column1"] == "3/15/23"
+    assert fstr["Column2"] == "2023-03-15 12:00"
+
+
+def test_excel_format_code_helpers():
+    from plugin_serdes_ray.sources.excel_ import _is_date_fmt, format_cell_value
+
+    assert _is_date_fmt("m/d/yy h:mm")
+    assert _is_date_fmt("yyyy-mm-dd")
+    assert not _is_date_fmt("#,##0.00")
+    assert not _is_date_fmt("General")
+    assert not _is_date_fmt('0.00"m"')          # quoted literal m is not a date
+    assert format_cell_value(0.125, "0.00%") == "12.50%"
+    assert format_cell_value(1234567.891, "#,##0") == "1,234,568"
+    assert format_cell_value(3.0, "General") == "3"
+    assert format_cell_value(45000.75, "h:mm AM/PM") == "6:00 PM"
 
 
 # --------------------------------------------------------------- coercion
