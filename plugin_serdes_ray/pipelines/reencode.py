@@ -27,7 +27,7 @@ from ..container import write_partition
 from ..plan import EncodePlan, build_plan
 from ..state import checkpoint
 from ..util import package_runtime_env
-from .relational import detect_hot_keys, salted_key
+from .relational import salt_counts_for_target, salted_key, sample_key_stats
 
 
 def reencode_grouped(ds, out_dir: str, group_key: str = "lang", *,
@@ -35,8 +35,15 @@ def reencode_grouped(ds, out_dir: str, group_key: str = "lang", *,
                      plan: Optional[EncodePlan] = None,
                      sample_rows: int = 8192,
                      salt_n: int = 8,
-                     hot_frac: float = 0.10) -> dict:
-    """Dataset -> grouped container partitions (one file per salted group)."""
+                     hot_frac: float = 0.10,
+                     target_group_bytes: int = 256 << 20) -> dict:
+    """Dataset -> grouped container partitions (one+ file per salted group).
+
+    Group sizes are CAPPED two ways (SURVEY §7.2.4): the salt count per key
+    scales with the key's estimated byte mass (a 60%-hot key gets enough
+    subkeys that each salted group lands under ``target_group_bytes``, not a
+    fixed divide-by-8), and any group that still overshoots the estimate is
+    written as multiple capped container files."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
@@ -47,10 +54,15 @@ def reencode_grouped(ds, out_dir: str, group_key: str = "lang", *,
     # per-group plans re-measure cheaply via the per-chunk guard; the shared
     # plan still carries FSST tables etc.
     plan_ref = ray.put(plan)
-    hot = detect_hot_keys(ds, group_key, sample_rows=sample_rows,
-                          hot_frac=hot_frac)
-    salted = salted_key(ds, group_key, hot, salt_n=salt_n)
+    key_stats = sample_key_stats(ds, group_key, sample_rows=sample_rows)
+    hot = [k for k, f in key_stats["fractions"].items() if f >= hot_frac]
+    counts = salt_counts_for_target(key_stats, target_group_bytes,
+                                    hot_frac=hot_frac, min_hot_salt=salt_n)
+    salted = salted_key(ds, group_key, hot, salt_n=salt_n,
+                        salt_counts=counts or None)
     sort_cols = sort_keys or [group_key]
+    mean_row_bytes = max(key_stats["mean_row_bytes"], 1.0)
+    max_rows_per_file = max(int(2 * target_group_bytes / mean_row_bytes), 1)
 
     def encode_group(group: pa.Table) -> pa.Table:
         plan_local: EncodePlan = ray.get(plan_ref)
@@ -58,16 +70,20 @@ def reencode_grouped(ds, out_dir: str, group_key: str = "lang", *,
         safe = "".join(c if c.isalnum() or c in "#_-" else "_" for c in str(key))
         table = group.drop_columns(["__salted"]).sort_by(
             [(c, "ascending") for c in sort_cols])
-        name = f"group-{safe}.grck"
-        metrics = write_partition(
-            table, os.path.join(out_dir, name), plan_local.codecs,
-            plan_local.context(), extra_meta={"group": str(key)})
-        return pa.table({
-            "group": [str(key)], "file": [name],
-            "rows": [metrics["rows"]],
-            "raw_bytes": [metrics["raw_bytes"]],
-            "enc_bytes": [metrics["enc_bytes"]],
-        })
+        out_rows = []
+        n_files = (table.num_rows + max_rows_per_file - 1) // max_rows_per_file
+        for i in range(max(n_files, 1)):
+            piece = table.slice(i * max_rows_per_file, max_rows_per_file)
+            name = f"group-{safe}.grck" if n_files <= 1 \
+                else f"group-{safe}-p{i:03d}.grck"
+            metrics = write_partition(
+                piece, os.path.join(out_dir, name), plan_local.codecs,
+                plan_local.context(), extra_meta={"group": str(key)})
+            out_rows.append({
+                "group": str(key), "file": name, "rows": metrics["rows"],
+                "raw_bytes": metrics["raw_bytes"],
+                "enc_bytes": metrics["enc_bytes"]})
+        return pa.Table.from_pylist(out_rows)
 
     stats = (salted.groupby("__salted")
              .map_groups(encode_group, batch_format="pyarrow",
