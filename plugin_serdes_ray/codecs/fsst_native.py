@@ -1,0 +1,234 @@
+"""Optional C kernel for the FSST greedy encoder.
+
+The pure-python encoder (bytes.replace chains in fsst.py) costs one full
+buffer pass per symbol — ~0.5-5 MB/s with a 100+ symbol table, which made
+FSST unpickable in practice (BASELINE.md r1). The real FSST encodes with a
+single greedy longest-match pass (Boncz et al., VLDB 2020 §4); that loop is
+inherently sequential per byte, so it is expressed here as ~40 lines of C,
+compiled ONCE per machine into a content-addressed .so under /tmp with the
+system compiler, loaded via ctypes. No third-party packages, no network.
+Everything degrades gracefully: if no compiler is present the caller falls
+back to the replace-chain path and the output format is unchanged (the
+streams are mutually decodable — decode only needs a valid code/escape
+stream).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_C_SRC = r"""
+#include <string.h>
+
+/* Greedy longest-match FSST encode.
+   Stream format (fsst.py): code byte 0..252 = symbol, 254 = literal 0xFF,
+   255 b = escaped literal b. Symbols never contain 0xFF (training skips
+   them), so no escape can be shadowed.  Returns output length. */
+long fsst_encode(const unsigned char *d, long n,
+                 const unsigned char *syms, const int *off,
+                 const unsigned char *slen, int nsym,
+                 unsigned char *out)
+{
+    static const int HSIZE = 65536;
+    int head[65536];
+    int nxt[256];
+    int one[256];
+    memset(head, -1, HSIZE * sizeof(int));
+    memset(one, -1, 256 * sizeof(int));
+    memset(nxt, -1, 256 * sizeof(int));
+    /* build chains LONGEST-FIRST (push-front: iterate length ascending,
+       code descending) so the first chain hit is the longest match and the
+       walk can break immediately — hot 2-byte prefixes in html/urls carry
+       many symbols and a full-chain walk dominated the encode otherwise */
+    for (int L = 1; L <= 8; ++L) {
+        for (int c = nsym - 1; c >= 0; --c) {
+            if (slen[c] != L) continue;
+            const unsigned char *s = syms + off[c];
+            if (L == 1) {
+                if (one[s[0]] < 0) one[s[0]] = c;
+            } else {
+                int key = (s[0] << 8) | s[1];
+                nxt[c] = head[key];
+                head[key] = c;
+            }
+        }
+    }
+    long o = 0, i = 0;
+    while (i < n) {
+        int best = -1, bl = 0;
+        if (i + 1 < n) {
+            int key = (d[i] << 8) | d[i + 1];
+            for (int c = head[key]; c >= 0; c = nxt[c]) {
+                int L = slen[c];
+                if (i + L <= n && memcmp(d + i, syms + off[c], L) == 0) {
+                    best = c;
+                    bl = L;
+                    break;              /* chains are length-descending */
+                }
+            }
+        }
+        if (best < 0 && one[d[i]] >= 0) { best = one[d[i]]; bl = 1; }
+        if (best >= 0) {
+            out[o++] = (unsigned char) best;
+            i += bl;
+        } else if (d[i] == 0xFF) {
+            out[o++] = 254;
+            i += 1;
+        } else {
+            out[o++] = 0xFF;
+            out[o++] = d[i];
+            i += 1;
+        }
+    }
+    return o;
+}
+
+/* Exact decoded length of a code/escape stream (first pass of decode). */
+long fsst_decoded_len(const unsigned char *e, long n,
+                      const unsigned char *slen, int nsym)
+{
+    long o = 0, i = 0;
+    while (i < n) {
+        unsigned char c = e[i];
+        if (c == 0xFF) { if (i + 1 < n) o += 1; i += 2; }
+        else if (c == 254) { o += 1; i += 1; }
+        else { if (c < nsym) o += slen[c]; i += 1; }
+    }
+    return o;
+}
+
+/* Inverse: code/escape stream -> bytes. Caller supplies an exact-size out
+   buffer (length precomputed vectorized in python). Unknown codes decode
+   to nothing. Returns bytes written. */
+long fsst_decode(const unsigned char *e, long n,
+                 const unsigned char *syms, const int *off,
+                 const unsigned char *slen, int nsym,
+                 unsigned char *out)
+{
+    long o = 0, i = 0;
+    while (i < n) {
+        unsigned char c = e[i];
+        if (c == 0xFF) {
+            if (i + 1 < n) out[o++] = e[i + 1];
+            i += 2;
+        } else if (c == 254) {
+            out[o++] = 0xFF;
+            i += 1;
+        } else if (c < nsym) {
+            int L = slen[c];
+            memcpy(out + o, syms + off[c], L);
+            o += L;
+            i += 1;
+        } else {
+            i += 1;
+        }
+    }
+    return o;
+}
+"""
+
+_LIB: "ctypes.CDLL | bool | None" = None
+
+
+def _build_lib():
+    """Compile (or reuse) the kernel; returns a CDLL or None."""
+    digest = hashlib.sha1(_C_SRC.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"fsst_kernel_{digest}.so")
+    if not os.path.exists(so_path):
+        cc = None
+        for cand in ("cc", "gcc", "clang"):
+            try:
+                subprocess.run([cand, "--version"], capture_output=True,
+                               check=True)
+                cc = cand
+                break
+            except Exception:
+                continue
+        if cc is None:
+            return None
+        src = so_path + f".{os.getpid()}.c"
+        tmp = so_path + f".{os.getpid()}.so"
+        try:
+            with open(src, "w") as f:
+                f.write(_C_SRC)
+            subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                           capture_output=True, check=True)
+            os.replace(tmp, so_path)   # atomic: concurrent workers race safely
+        except Exception:
+            return None
+        finally:
+            for p in (src, tmp):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+    try:
+        lib = ctypes.CDLL(so_path)
+        common = [ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+                  ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
+                  ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
+        lib.fsst_encode.restype = ctypes.c_long
+        lib.fsst_encode.argtypes = common
+        lib.fsst_decode.restype = ctypes.c_long
+        lib.fsst_decode.argtypes = common
+        lib.fsst_decoded_len.restype = ctypes.c_long
+        lib.fsst_decoded_len.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                         ctypes.c_char_p, ctypes.c_int]
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+def get_lib():
+    global _LIB
+    if _LIB is None:
+        _LIB = _build_lib() or False
+    return _LIB or None
+
+
+def _sym_args(symbols: list[bytes]):
+    flat = b"".join(symbols)
+    offs = (ctypes.c_int * max(len(symbols), 1))()
+    pos = 0
+    for i, s in enumerate(symbols):
+        offs[i] = pos
+        pos += len(s)
+    lens = bytes(len(s) for s in symbols)
+    return flat, offs, lens
+
+
+def native_compress(data: bytes, symbols: list[bytes]):
+    """C greedy encode -> stream bytes, or None when no compiler exists."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not isinstance(data, bytes):
+        data = bytes(data)      # c_char_p rejects memoryview/ndarray
+    flat, offs, lens = _sym_args(symbols)
+    out = np.empty(2 * len(data) + 16, dtype=np.uint8)
+    n_out = lib.fsst_encode(
+        data, len(data), flat, offs, lens, len(symbols),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out[:n_out].tobytes()
+
+
+def native_decompress(enc: bytes, symbols: list[bytes]):
+    """Two C passes (exact length, then decode); None without a compiler."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not isinstance(enc, bytes):
+        enc = bytes(enc)
+    flat, offs, lens = _sym_args(symbols)
+    total = lib.fsst_decoded_len(enc, len(enc), lens, len(symbols))
+    out = np.empty(max(int(total), 1), dtype=np.uint8)
+    n_out = lib.fsst_decode(
+        enc, len(enc), flat, offs, lens, len(symbols),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out[:n_out].tobytes()

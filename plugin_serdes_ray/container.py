@@ -43,11 +43,15 @@ class ChunkCorruption(Exception):
 
 
 # Outer wrap is framed: blobs larger than OUTER_FRAME compress as
-# independent 1 MiB zstd frames. Measured on this corpus: ~6% size cost on
-# html vs whole-buffer zstd, but the bounded working set keeps per-core
-# throughput flat from 8 to 32 concurrent workers (near-ideal scaling),
-# where whole-buffer zstd degrades ~1.5-4x under memory contention.
-OUTER_FRAME = 1 << 20
+# independent zstd frames. Framing costs ratio vs whole-buffer (the match
+# window resets per frame) but bounds the working set so per-core
+# throughput stays flat under many concurrent workers, where whole-buffer
+# zstd degrades ~1.5-4x under memory contention. Measured on the templated
+# -html corpus at level 3: 1 MiB frames cost ~5.8% vs whole-buffer, 4 MiB
+# frames only ~1%, at identical speed — so 4 MiB is the default. The frame
+# size used at write time travels in the outer dict ("fs"); readers never
+# assume the constant (old 1 MiB files keep decoding).
+OUTER_FRAME = 4 << 20
 
 
 def _outer_compress(blob: bytes, level: int) -> tuple[bytes, Optional[dict]]:
@@ -64,7 +68,7 @@ def _outer_compress(blob: bytes, level: int) -> tuple[bytes, Optional[dict]]:
     z = b"".join(frames)
     if len(z) < len(blob):
         return z, {"a": "zstd", "raw": len(blob),
-                   "fl": [len(f) for f in frames]}
+                   "fl": [len(f) for f in frames], "fs": OUTER_FRAME}
     return blob, None
 
 
@@ -75,14 +79,15 @@ def _outer_decompress(blob: bytes, outer: Optional[dict]) -> bytes:
     raw = outer["raw"]
     if "fl" not in outer:
         return bytes(codec.decompress(blob, raw))
+    frame_size = outer.get("fs", 1 << 20)   # legacy files framed at 1 MiB
     out = []
     pos = 0
     remaining = raw
     for fl in outer["fl"]:
         out.append(bytes(codec.decompress(blob[pos:pos + fl],
-                                          min(OUTER_FRAME, remaining))))
+                                          min(frame_size, remaining))))
         pos += fl
-        remaining -= OUTER_FRAME
+        remaining -= frame_size
     return b"".join(out)
 
 

@@ -168,8 +168,19 @@ def _bounded_slice(arr: pa.Array) -> pa.Array:
 # Measured single-core encode cost (slower codecs must EARN their keep in
 # compressed size; keeps 100TB-scale throughput from collapsing for a few %):
 # a codec is picked only if its sample size beats the best cheaper codec by
-# more than its penalty fraction.
-SPEED_PENALTY = {"fsst": 0.15, "dict_fsst": 0.04}
+# more than its penalty fraction. With the C greedy kernel (fsst_native,
+# ~130-250 MB/s measured vs 3-5 MB/s for the replace chains) fsst is no
+# longer order-of-magnitude slower than plain+zstd, so the penalty is small;
+# it jumps back up if only the pure-python fallback is available.
+def _speed_penalty() -> dict[str, float]:
+    from .codecs.fsst_native import get_lib
+
+    if get_lib() is not None:
+        return {"fsst": 0.03, "dict_fsst": 0.02}
+    return {"fsst": 0.15, "dict_fsst": 0.04}
+
+
+SPEED_PENALTY = _speed_penalty()
 
 
 def measure_and_pick(arr: pa.Array, candidates: list[str],

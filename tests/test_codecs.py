@@ -145,3 +145,42 @@ def test_registry_complete():
         "plain", "raw_ipc", "constant", "for", "delta", "rle",
         "dict", "dict_rle", "dict_fsst", "fsst",
     }
+
+
+def test_fsst_native_and_fallback_streams_interchangeable():
+    """The C greedy encoder and the replace-chain fallback produce different
+    parses of the SAME stream format; decode must recover the input from
+    either, and the C parse must never be larger."""
+    from plugin_serdes_ray.codecs import fsst
+    from plugin_serdes_ray.codecs.fsst_native import get_lib, native_compress
+
+    data = (b"http://example.com/path/one http://example.org/path/two " * 200
+            + bytes(range(256)) * 3 + b"\xff\xff tail \xff")
+    syms = fsst.train_table(data[:4096])
+    py_stream = fsst._compress_replace(data, syms)
+    assert fsst.decompress(py_stream, syms) == data
+    if get_lib() is not None:
+        c_stream = native_compress(data, syms)
+        assert fsst.decompress(c_stream, syms) == data
+        assert len(c_stream) <= len(py_stream)
+
+
+def test_fsst_outer_frame_size_travels_in_metadata():
+    """Files written with any OUTER_FRAME keep decoding when the constant
+    changes (the write-time frame size is recorded per chunk)."""
+    import plugin_serdes_ray.container as container
+
+    rng = np.random.default_rng(3)
+    blob = rng.integers(0, 50, 9_000_000, dtype=np.uint8).tobytes()
+    z, outer = container._outer_compress(blob, 3)
+    assert outer["fs"] == container.OUTER_FRAME
+    old = container.OUTER_FRAME
+    try:
+        container.OUTER_FRAME = 1 << 20     # reader with a different default
+        assert container._outer_decompress(z, outer) == blob
+        legacy = dict(outer)
+        legacy.pop("fs")                    # r1 file: framed at 1 MiB
+        z1, o1 = container._outer_compress(blob, 3)
+        assert container._outer_decompress(z1, o1) == blob
+    finally:
+        container.OUTER_FRAME = old
