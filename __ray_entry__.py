@@ -374,6 +374,49 @@ def _events_hourly(sf_dir: str):
     })
 
 
+def _hash_join_orders(sf_dir: str):
+    """Big-big join path: one keyed shuffle, no broadcast — row-level output
+    so the oracle hash checks the actual join, not just aggregates."""
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    out = hash_join(orders, cust, key="o_custkey", right_key="c_custkey")
+    rows = out.take_all()
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=pa.int64()),
+        "c_mktsegment": pa.array([r["c_mktsegment"] for r in rows]),
+    })
+
+
+def _events_sliding(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import sliding_window_aggregate
+
+    ds = _read(sf_dir, "events")
+    rows = sliding_window_aggregate(ds, "ts", "1h", "30m").take_all()
+    return pa.table({
+        "window_start": pa.array([r["window_start"] for r in rows],
+                                 type=pa.timestamp("us")),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
+def _sessions(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import sessionize
+
+    ds = _read(sf_dir, "events")
+    rows = sessionize(ds, "user_id", "ts", gap="30m").take_all()
+    rows.sort(key=lambda r: (r["user_id"], r["session_start"]))
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+        "session_start": pa.array([r["session_start"] for r in rows],
+                                  type=pa.timestamp("us")),
+        "session_end": pa.array([r["session_end"] for r in rows],
+                                type=pa.timestamp("us")),
+        "n_events": pa.array([r["n_events"] for r in rows], type=pa.int64()),
+    })
+
+
 def _topk_orders(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import top_k
 
@@ -576,7 +619,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_events_by_type": _agg_events,
         "lang_counts": _lang_counts,
         "join_orders_mktsegment": _join_orders_mktsegment,
+        "hash_join_orders_customer": _hash_join_orders,
         "events_hourly": _events_hourly,
+        "events_sliding_30m": _events_sliding,
+        "user_sessions_30m": _sessions,
         "topk_orders": _topk_orders,
         # document transforms (html/markdown chains over documents.text)
         "html_extract_text": _html_to_text,
@@ -673,6 +719,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "hash_join_orders_customer": """
+            SELECT o.o_orderkey, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        # 1h windows hopping every 30m: each event is in exactly 2 windows
+        "events_sliding_30m": """
+            SELECT ws AS window_start, count(*) AS n FROM (
+              SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL '30 minutes', ts)
+                     - INTERVAL '30 minutes' FROM events
+            ) GROUP BY ws
+        """,
+        "user_sessions_30m": """
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts)
+                                 > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events)
+            ) GROUP BY user_id, sess
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -80,6 +80,147 @@ def broadcast_join(ds, small: pa.Table, key: str,
                           runtime_env=package_runtime_env())
 
 
+def hash_join(left, right, key: str, right_key: Optional[str] = None,
+              suffix: str = "_r"):
+    """Big-big equi-join with ONE keyed shuffle and no broadcast: both sides
+    are padded to the union schema, tagged, unioned, hash-partitioned by the
+    join key, and joined inside each key group (cross product of the key's
+    left x right rows). Use :func:`broadcast_join` when one side fits in the
+    object store; use this when BOTH sides are large. Hot join keys can be
+    pre-salted by the caller (:func:`salted_key` on both sides with the same
+    counts) — the per-group work is O(|L_k| x |R_k|) by definition of the
+    join. Inner join semantics; null keys never match."""
+    right_key = right_key or key
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_out = {}      # right column -> output name
+    for nm in r_schema.names:
+        if nm == right_key:
+            continue
+        r_out[nm] = nm + suffix if nm in l_names else nm
+    out_fields = []
+    for nm, typ in zip(l_schema.names, l_schema.types):
+        out_fields.append((nm, typ))
+    for nm, typ in zip(r_schema.names, r_schema.types):
+        if nm in r_out:
+            out_fields.append((r_out[nm], typ))
+    out_names = [nm for nm, _ in out_fields]
+    out_types = {nm: t for nm, t in out_fields}
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        cols = {nm: (batch.column(nm) if nm in batch.column_names
+                     else pa.nulls(batch.num_rows, out_types[nm]))
+                for nm in out_names}
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table(cols).filter(pc.is_valid(batch.column(key)))
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for nm in out_names:
+            if nm == key:
+                cols[nm] = batch.column(right_key)
+            elif nm in r_out.values():
+                src = next(s for s, d in r_out.items() if d == nm)
+                cols[nm] = batch.column(src)
+            else:
+                cols[nm] = pa.nulls(batch.num_rows, out_types[nm])
+        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table(cols).filter(pc.is_valid(batch.column(right_key)))
+
+    env = package_runtime_env()
+    tagged = left.map_batches(pad_left, batch_format="pyarrow",
+                              runtime_env=env).union(
+        right.map_batches(pad_right, batch_format="pyarrow", runtime_env=env))
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return group.slice(0, 0).drop_columns(["__side"])
+        lrep = np.repeat(li, len(ri))
+        rrep = np.tile(ri, len(li))
+        lt = group.take(lrep)
+        rt = group.take(rrep)
+        # out_names = left names + right output names, disjoint by
+        # construction (right collisions carry the suffix)
+        cols = {nm: (lt if nm in l_names else rt).column(nm)
+                for nm in out_names}
+        return pa.table(cols)
+
+    return (tagged.groupby(key)
+            .map_groups(join_group, batch_format="pyarrow",
+                        runtime_env=package_runtime_env()))
+
+
+_HOP_US = {"30m": 1_800_000_000, "15m": 900_000_000, "5m": 300_000_000,
+           "1h": 3_600_000_000}
+
+
+def sliding_window_aggregate(ds, ts_column: str, window: str = "1h",
+                             hop: str = "30m", keys: Sequence[str] = (),
+                             count_name: str = "n"):
+    """Hopping/sliding-window count: each event lands in window/hop
+    overlapping windows, expanded VECTORIZED inside map_batches, then the
+    partial-aggregate path runs as usual (the shuffle moves one row per
+    (window, key) per block — the expansion factor never hits the
+    all-to-all)."""
+    win_us = _WINDOW_US[window]
+    hop_us = _HOP_US[hop]
+    if win_us % hop_us:
+        raise ValueError("window must be a multiple of hop")
+    k = win_us // hop_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_column).combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us
+        starts = np.concatenate([base - i * hop_us for i in range(k)])
+        idx = np.tile(np.arange(batch.num_rows, dtype=np.int64), k)
+        out = batch.take(idx).append_column(
+            "window_start", pa.array(starts).cast(pa.timestamp("us")))
+        return out
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow",
+                              runtime_env=package_runtime_env())
+    return grouped_aggregate(expanded, ["window_start", *keys],
+                             count_name=count_name)
+
+
+def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
+    """Gap-based session windows per user: ONE groupby(user) shuffle, then a
+    vectorized in-group split (sorted diffs > gap). Emits one row per
+    session: (user, session_start, session_end, n_events). The per-group
+    state is one user's events — the natural partitioning key for session
+    semantics; hot users can be range-split upstream if one user exceeds a
+    worker (not the case for behavioral event streams)."""
+    gap_us = _HOP_US.get(gap) or _WINDOW_US[gap]
+
+    def split(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_column).combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        new_sess = np.ones(len(ts), dtype=bool)
+        new_sess[1:] = np.diff(ts) > gap_us
+        sess_id = np.cumsum(new_sess) - 1
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(ts)] - 1
+        user = group.column(user_column)[0].as_py()
+        return pa.table({
+            user_column: pa.array([user] * len(starts), type=pa.int64()),
+            "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+            "session_end": pa.array(ts[ends]).cast(pa.timestamp("us")),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+        })
+
+    return (ds.groupby(user_column)
+            .map_groups(split, batch_format="pyarrow",
+                        runtime_env=package_runtime_env()))
+
+
 def top_k(ds, column: str, k: int = 10, descending: bool = True) -> pa.Table:
     """Global top-k rows by a column: local top-k per block, driver merge.
     No global sort / shuffle."""

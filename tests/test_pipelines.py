@@ -418,3 +418,60 @@ def test_distributed_convert_files(ray_session, sf_dir, tmp_path):
     # resume: nothing to do
     s2 = convert_files(ins, out, "csv", "jsonl", concurrency=2)
     assert s2["converted"] == 0 and s2["skipped"] == 3
+
+
+def test_hash_join_no_broadcast(ray_session):
+    """Big-big equi-join: one keyed shuffle, correct inner semantics,
+    null keys dropped, name collisions suffixed."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_items([
+        {"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 2, "v": "c"},
+        {"k": None, "v": "x"}, {"k": 9, "v": "z"}])
+    right = ray.data.from_items([
+        {"rk": 2, "v": "R2"}, {"rk": 2, "v": "R2b"}, {"rk": 1, "v": "R1"},
+        {"rk": None, "v": "RN"}, {"rk": 7, "v": "R7"}])
+    rows = hash_join(left, right, key="k", right_key="rk").take_all()
+    got = sorted((r["k"], r["v"], r["v_r"]) for r in rows)
+    assert got == [(1, "a", "R1"), (2, "b", "R2"), (2, "b", "R2b"),
+                   (2, "c", "R2"), (2, "c", "R2b")]
+
+
+def test_sliding_window_membership(ray_session):
+    import datetime
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import sliding_window_aggregate
+
+    base = datetime.datetime(2024, 1, 1, 0, 45)  # in windows 00:00 and 00:30
+    ds = ray.data.from_items([{"ts": base}])
+    rows = sliding_window_aggregate(ds, "ts", "1h", "30m").take_all()
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts == [datetime.datetime(2024, 1, 1, 0, 0),
+                      datetime.datetime(2024, 1, 1, 0, 30)]
+    assert all(r["n"] == 1 for r in rows)
+    with pytest.raises(ValueError):
+        sliding_window_aggregate(ds, "ts", window="15m", hop="30m")
+
+
+def test_sessionize_gap_split(ray_session):
+    import datetime
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)
+    ds = ray.data.from_items(
+        [{"user_id": 1, "ts": mins(m)} for m in (0, 10, 20, 90, 95)] +
+        [{"user_id": 2, "ts": mins(0)}])
+    rows = sorted(sessionize(ds, "user_id", "ts", gap="30m").take_all(),
+                  key=lambda r: (r["user_id"], r["session_start"]))
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 3), (1, 2), (2, 1)]
+    assert rows[0]["session_start"] == mins(0)
+    assert rows[0]["session_end"] == mins(20)
+    assert rows[1]["session_start"] == mins(90)
