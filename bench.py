@@ -102,10 +102,15 @@ def run_bench(sf_dir: str, num_cpus: int, outer_level: int = 3, repeat: int = 1,
     # both cluster sizes get identical treatment
     t_encode = min(encode_times)
 
-    t0 = time.perf_counter()
-    ds = decode_dataset(out_dir, concurrency=num_cpus)
-    n_rows = ds.count()
-    t_decode = time.perf_counter() - t0
+    # best-of-2 decode, same treatment as encode (shared-tenant walls swing
+    # 2-3x between identical runs; min approximates the un-contended box)
+    decode_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ds = decode_dataset(out_dir, concurrency=num_cpus)
+        n_rows = ds.count()
+        decode_times.append(time.perf_counter() - t0)
+    t_decode = min(decode_times)
 
     baseline = _parquet_gzip_baseline(files)
     raw = summary["raw_bytes"]

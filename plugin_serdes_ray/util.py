@@ -38,7 +38,8 @@ def _warm_task(batch: dict) -> dict:
     gk_path = f"/dev/shm/_graft_warm_{pid}.grck"
     pq.write_table(t, pq_path)
     t2 = pq.read_table(pq_path)
-    write_partition(t2, gk_path, {"s": "plain", "b": "plain", "i": "delta"})
+    # "s": fsst loads the native kernel (ctypes CDLL, one-time per process)
+    write_partition(t2, gk_path, {"s": "fsst", "b": "plain", "i": "delta"})
     read_partition(gk_path)
     for p in (pq_path, gk_path):
         try:
