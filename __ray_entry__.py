@@ -149,6 +149,34 @@ def _protobuf_roundtrip(sf_dir: str, table: str) -> pa.Table:
     return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
 
 
+def _convert_fleet(sf_dir: str, table: str = "orders", shards: int = 4) -> pa.Table:
+    """Distributed conversion fleet end to end: table -> N csv shard files
+    -> convert_files(csv->avro, one task per file, atomic resumable outputs)
+    -> read every avro output back -> coerce. Oracle: SELECT *."""
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+    from plugin_serdes_ray.pipelines.convert import convert_files
+    from plugin_serdes_ray.sinks.csv_ import table_to_csv_bytes
+    from plugin_serdes_ray.sources.avro_ import read_avro_table
+
+    src = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    d = _cache_dir(sf_dir, f"convert_fleet_{table}")
+    in_dir = os.path.join(d, "in")
+    out_dir = os.path.join(d, "out")
+    os.makedirs(in_dir, exist_ok=True)
+    step = (src.num_rows + shards - 1) // shards
+    files = []
+    for i in range(shards):
+        piece = src.slice(i * step, step)
+        p = os.path.join(in_dir, f"shard-{i:02d}.csv")
+        if not os.path.exists(p):
+            open(p, "wb").write(table_to_csv_bytes(piece))
+        files.append(p)
+    summary = convert_files(files, out_dir, "csv", "avro")
+    backs = [read_avro_table(p) for p in summary["outputs"]]
+    back = pa.concat_tables(backs)
+    return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
+
+
 # ---------------------------------------------------------------------------
 # training-data / wide ops
 # ---------------------------------------------------------------------------
@@ -602,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_bridge_region": lambda sf: _jsonl_bridge(sf, "region"),
         "yaml_json_bridge_nation": lambda sf: _yaml_json_bridge(sf, "nation"),
         "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
+        "convert_fleet_orders": lambda sf: _convert_fleet(sf, "orders"),
         # dedup family
         "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
@@ -652,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_bridge_region": "SELECT * FROM region",
         "yaml_json_bridge_nation": "SELECT * FROM nation",
         "infer_roundtrip_nation": "SELECT * FROM nation",
+        "convert_fleet_orders": "SELECT * FROM orders",
     }
     rest = {
         "dedup_exact_documents":
