@@ -265,7 +265,11 @@ def encode_dataset(ds: "Any", out_dir: str, *,
 
     os.makedirs(out_dir, exist_ok=True)
     if plan is None:
-        sample = ds.limit(sample_rows).to_arrow_refs()
+        # randomize_block_order is a metadata-only shuffle of block order:
+        # the sample sees scattered blocks, not the head of the stream
+        # (same head-bias fix as sample_plan_from_files, VERDICT r1)
+        sample = ds.randomize_block_order(seed=17).limit(
+            sample_rows).to_arrow_refs()
         tables = [t for t in ray.get(sample) if t.num_rows]
         plan = build_plan(pa.concat_tables(tables).combine_chunks(),
                           outer_level=outer_level)

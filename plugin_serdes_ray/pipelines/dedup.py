@@ -25,18 +25,29 @@ MERSENNE = (1 << 61) - 1
 
 
 def _content_hash64(arr: pa.Array) -> np.ndarray:
-    """Vectorized-enough 64-bit content hash (sha1 truncated — stable across
-    runs and processes, unlike Python's randomized hash())."""
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, v in enumerate(arr):
-        b = v.as_py()
-        if b is None:
-            out[i] = 0
-        else:
-            if isinstance(b, str):
-                b = b.encode()
-            out[i] = np.frombuffer(hashlib.sha1(b).digest()[:8], dtype=np.uint64)[0]
-    return out
+    """64-bit content hash of each value. Fast path: polars' vectorized
+    xxhash with a fixed seed (deterministic across worker processes of one
+    run — all that a shuffle key needs; in-group verification compares the
+    actual values, so even a cross-version hash change cannot corrupt
+    results). Fallback: per-row truncated sha1."""
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(arr if isinstance(arr, pa.Array)
+                          else arr.combine_chunks())
+        return s.hash(seed=0).to_numpy().astype(np.uint64)
+    except Exception:
+        out = np.empty(len(arr), dtype=np.uint64)
+        for i, v in enumerate(arr):
+            b = v.as_py()
+            if b is None:
+                out[i] = 0
+            else:
+                if isinstance(b, str):
+                    b = b.encode()
+                out[i] = np.frombuffer(hashlib.sha1(b).digest()[:8],
+                                       dtype=np.uint64)[0]
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -251,13 +262,14 @@ def minhash_lsh_dedup(ds, column: str, id_column: str, **kw):
     pairs = minhash_lsh_duplicates(ds, column, id_column, **kw)
     roots = union_find_clusters(
         [(row["keep_id"], row["dup_id"]) for row in pairs.take_all()])
-    dup_ids = {x for x, r in roots.items() if x != r}
-    dup_ref = ray.put(dup_ids)
+    dup_arr = pa.array(sorted(x for x, r in roots.items() if x != r),
+                       type=pa.int64())
+    dup_ref = ray.put(dup_arr)
 
     def drop(batch: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
-        mask = pa.array([i not in dups for i in batch.column(id_column).to_pylist()])
-        return batch.filter(mask)
+        keep = pc.invert(pc.is_in(batch.column(id_column), value_set=dups))
+        return batch.filter(pc.fill_null(keep, True))
 
     return ds.map_batches(drop, batch_format="pyarrow",
                           runtime_env=package_runtime_env())

@@ -155,10 +155,6 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
                         runtime_env=package_runtime_env()))
 
 
-_HOP_US = {"30m": 1_800_000_000, "15m": 900_000_000, "5m": 300_000_000,
-           "1h": 3_600_000_000}
-
-
 def sliding_window_aggregate(ds, ts_column: str, window: str = "1h",
                              hop: str = "30m", keys: Sequence[str] = (),
                              count_name: str = "n"):
@@ -167,8 +163,8 @@ def sliding_window_aggregate(ds, ts_column: str, window: str = "1h",
     partial-aggregate path runs as usual (the shuffle moves one row per
     (window, key) per block — the expansion factor never hits the
     all-to-all)."""
-    win_us = _WINDOW_US[window]
-    hop_us = _HOP_US[hop]
+    win_us = duration_us(window)
+    hop_us = duration_us(hop)
     if win_us % hop_us:
         raise ValueError("window must be a multiple of hop")
     k = win_us // hop_us
@@ -196,7 +192,7 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
     state is one user's events — the natural partitioning key for session
     semantics; hot users can be range-split upstream if one user exceeds a
     worker (not the case for behavioral event streams)."""
-    gap_us = _HOP_US.get(gap) or _WINDOW_US[gap]
+    gap_us = duration_us(gap)
 
     def split(group: pa.Table) -> pa.Table:
         ts = group.column(ts_column).combine_chunks().cast(
@@ -357,8 +353,21 @@ def add_url_host(ds, url_column: str = "url", out_column: str = "host"):
                           runtime_env=package_runtime_env())
 
 
-_WINDOW_US = {"1m": 60_000_000, "5m": 300_000_000, "15m": 900_000_000,
-              "1h": 3_600_000_000, "1d": 86_400_000_000}
+_UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
+            "d": 86_400_000_000}
+
+
+def duration_us(spec: str) -> int:
+    """'90s' / '30m' / '2h' / '1d' -> microseconds."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)([smhd])", spec)
+    if not m:
+        raise ValueError(f"bad duration {spec!r} (want e.g. '30m', '1h')")
+    return int(m.group(1)) * _UNIT_US[m.group(2)]
+
+
+
 
 
 def tumbling_window_aggregate(ds, ts_column: str, window: str = "1h",
@@ -370,7 +379,7 @@ def tumbling_window_aggregate(ds, ts_column: str, window: str = "1h",
     batch semantics over closed data), then the grouped-aggregate path runs
     with (window, *keys) as the shuffle key. Returns window starts as
     timestamp[us] column ``window_start``."""
-    span = _WINDOW_US[window] if isinstance(window, str) else int(window)
+    span = duration_us(window) if isinstance(window, str) else int(window)
 
     def add_window(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_column).combine_chunks().cast(pa.int64())
