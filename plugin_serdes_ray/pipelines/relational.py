@@ -170,6 +170,8 @@ def sliding_window_aggregate(ds, ts_column: str, window: str = "1h",
     k = win_us // hop_us
 
     def expand(batch: pa.Table) -> pa.Table:
+        # rows without an event time belong to no window
+        batch = batch.filter(pc.is_valid(batch.column(ts_column)))
         ts = batch.column(ts_column).combine_chunks().cast(
             pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         base = (ts // hop_us) * hop_us
@@ -195,6 +197,13 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
     gap_us = duration_us(gap)
 
     def split(group: pa.Table) -> pa.Table:
+        group = group.filter(pc.is_valid(group.column(ts_column)))
+        if group.num_rows == 0:
+            utyp = group.schema.field(user_column).type
+            return pa.table({user_column: pa.array([], type=utyp),
+                             "session_start": pa.array([], type=pa.timestamp("us")),
+                             "session_end": pa.array([], type=pa.timestamp("us")),
+                             "n_events": pa.array([], type=pa.int64())})
         ts = group.column(ts_column).combine_chunks().cast(
             pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
         order = np.argsort(ts, kind="stable")
@@ -206,7 +215,8 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
         ends = np.r_[starts[1:], len(ts)] - 1
         user = group.column(user_column)[0].as_py()
         return pa.table({
-            user_column: pa.array([user] * len(starts), type=pa.int64()),
+            user_column: pa.array([user] * len(starts),
+                                  type=group.schema.field(user_column).type),
             "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
             "session_end": pa.array(ts[ends]).cast(pa.timestamp("us")),
             "n_events": pa.array((ends - starts + 1).astype(np.int64)),
