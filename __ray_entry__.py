@@ -229,6 +229,31 @@ def _dedup_simhash(sf_dir: str):
     return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
 
+def _dedup_jaccard_exact(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup path (LSH candidates -> semi-join back
+    to text -> exact Jaccard): must find exactly the injected pairs."""
+    from plugin_serdes_ray.pipelines.dedup import minhash_lsh_duplicates_exact
+
+    out = minhash_lsh_duplicates_exact(_dedup_oracle_corpus(sf_dir),
+                                       "text", "doc_id")
+    t = out.sort_by([("keep_id", "ascending"), ("dup_id", "ascending")])
+    return t
+
+
+def _sample_documents(sf_dir: str):
+    """Deterministic per-key mixing sample: en capped at 10%, rest kept.
+    Pure function of (doc_id, lang) -> SQL re-evaluates it exactly."""
+    from plugin_serdes_ray.pipelines.relational import stratified_sample
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    rows = stratified_sample(ds, "lang", {"en": 0.1}, "doc_id").take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "lang": pa.array([r["lang"] for r in rows]),
+    })
+
+
 def _dedup_embedding(sf_dir: str):
     """The testdata embeddings contain no near-duplicates (max pairwise
     cosine ~0.51), so controlled positives are injected under ids >= 1e6:
@@ -635,7 +660,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
         "dedup_simhash_documents": _dedup_simhash,
+        "dedup_jaccard_exact": _dedup_jaccard_exact,
         "dedup_embedding": _dedup_embedding,
+        "sample_documents_per_lang": _sample_documents,
         # similarity search
         "ann_brute_top10": _ann_brute,
         "ann_ivf_top10": _ann_ivf,
@@ -693,6 +720,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(999999 + row_number() OVER (ORDER BY doc_id) AS BIGINT)
               AS dup_id
             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+        """,
+        # exact-Jaccard verify finds exactly the 5 injected (keep, dup) pairs
+        "dedup_jaccard_exact": """
+            SELECT doc_id AS keep_id,
+                   CAST(999999 + row_number() OVER (ORDER BY doc_id) AS BIGINT)
+                     AS dup_id
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+        """,
+        # the Ray side keeps rows where knuth32(doc_id)/2^32 < frac(lang)
+        "sample_documents_per_lang": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
+                  (CASE lang WHEN 'en' THEN 0.1 ELSE 1.0 END)
         """,
         "dedup_embedding": """
             SELECT vec_id AS keep_id,

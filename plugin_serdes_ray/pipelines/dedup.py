@@ -231,6 +231,50 @@ def minhash_lsh_duplicates(ds, column: str, id_column: str,
     )
 
 
+def minhash_lsh_duplicates_exact(ds, column: str, id_column: str,
+                                 num_perm: int = 64, bands: int = 16,
+                                 threshold: float = 0.7, k: int = 5,
+                                 candidate_slack: float = 0.1):
+    """MinHash LSH candidates verified by EXACT n-gram Jaccard via a
+    semi-join back to the text — the scale-correct exact path:
+
+    1. the signature-only LSH emits candidate pairs at a slackened
+       estimated threshold (catching estimator noise around the cut);
+    2. only the candidate ids' texts are fetched (``is_in`` filter —
+       a semi-join bounded by O(candidates), never a full-corpus move);
+    3. exact shingle Jaccard decides at the true threshold.
+
+    Returns a pa.Table of (keep_id, dup_id) distinct pairs."""
+    est_threshold = max(threshold - candidate_slack, 0.0)
+    cand = minhash_lsh_duplicates(ds, column, id_column, num_perm=num_perm,
+                                  bands=bands, threshold=est_threshold, k=k)
+    pairs = sorted({(r["keep_id"], r["dup_id"]) for r in cand.take_all()})
+    if not pairs:
+        return pa.table({"keep_id": pa.array([], type=pa.int64()),
+                         "dup_id": pa.array([], type=pa.int64())})
+    wanted = sorted({i for p in pairs for i in p})
+    id_set = pa.array(wanted, type=pa.int64())
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(id_column), value_set=id_set)
+        return batch.filter(pc.fill_null(m, False)).select(
+            [id_column, column])
+
+    rows = ds.map_batches(keep_candidates, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()).take_all()
+    texts = {r[id_column]: r[column] for r in rows}
+    keep, dup = [], []
+    for a, b in pairs:
+        ta, tb = texts.get(a), texts.get(b)
+        if ta is None or tb is None:
+            continue
+        if jaccard(ta, tb, k) >= threshold:
+            keep.append(a)
+            dup.append(b)
+    return pa.table({"keep_id": pa.array(keep, type=pa.int64()),
+                     "dup_id": pa.array(dup, type=pa.int64())})
+
+
 def union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Driver-side union-find over (a, b) duplicate pairs -> {id: root}.
     Roots are the smallest id of each transitive cluster, so chains

@@ -227,6 +227,34 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
                         runtime_env=package_runtime_env()))
 
 
+def stratified_sample(ds, key: str, fractions: dict, id_column: str,
+                      default: float = 1.0):
+    """Deterministic per-key downsampling (training-data mixing: cap the
+    Zipf-head languages, keep the tail). A row survives iff
+    ``hash32(id) / 2^32 < fractions.get(key, default)`` with hash32 =
+    Knuth multiplicative on the id — a pure function of the row, so the
+    sample is reproducible, shuffle-free, map-only, and SQL-expressible
+    (the correctness oracle re-evaluates the same arithmetic)."""
+    keys = list(fractions.keys())
+    fracs = np.asarray([float(fractions[k]) for k in keys])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) / float(1 << 32)
+        thresh = np.full(len(ids), default)
+        if keys:
+            ords = pc.index_in(batch.column(key),
+                               value_set=pa.array(keys))
+            ov = ords.to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(ov) if ov.dtype.kind == "f" else ov != None  # noqa: E711
+            thresh[valid] = fracs[ov[valid].astype(np.int64)]
+        return batch.filter(pa.array(u < thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
 def top_k(ds, column: str, k: int = 10, descending: bool = True) -> pa.Table:
     """Global top-k rows by a column: local top-k per block, driver merge.
     No global sort / shuffle."""

@@ -475,3 +475,49 @@ def test_sessionize_gap_split(ray_session):
     assert rows[0]["session_start"] == mins(0)
     assert rows[0]["session_end"] == mins(20)
     assert rows[1]["session_start"] == mins(90)
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import stratified_sample
+
+    rows = [{"id": i, "k": "hot" if i % 2 == 0 else "cold"}
+            for i in range(2000)]
+    ds = ray.data.from_items(rows)
+    out1 = sorted(r["id"] for r in
+                  stratified_sample(ds, "k", {"hot": 0.2}, "id").take_all())
+    out2 = sorted(r["id"] for r in
+                  stratified_sample(ds, "k", {"hot": 0.2}, "id").take_all())
+    assert out1 == out2                       # pure function of the row
+    hot = [i for i in out1 if i % 2 == 0]
+    cold = [i for i in out1 if i % 2 == 1]
+    assert len(cold) == 1000                  # default 1.0 keeps everything
+    assert 100 <= len(hot) <= 320             # ~20% of 1000
+
+
+def test_minhash_exact_jaccard_verify(ray_session):
+    """The exact path agrees with true Jaccard at the threshold — including
+    a pair the est-Jaccard screen admits but exact verification rejects."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import (
+        jaccard, minhash_lsh_duplicates_exact,
+    )
+    from plugin_serdes_ray.fixtures import DEDUP_INJECT_BASE, dedup_corpus_text
+
+    a = dedup_corpus_text(0)
+    near = dedup_corpus_text(DEDUP_INJECT_BASE, perturb_tokens=6)   # J ~0.94
+    borderline = dedup_corpus_text(DEDUP_INJECT_BASE, perturb_tokens=70)
+    jb = jaccard(a, borderline)
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": a}, {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": borderline},
+        {"doc_id": 4, "text": dedup_corpus_text(9)}])
+    thr = 0.7 if jb < 0.65 else jb + 0.03     # put the cut above borderline
+    out = minhash_lsh_duplicates_exact(ds, "text", "doc_id", threshold=thr)
+    pairs = set(zip(out.column("keep_id").to_pylist(),
+                    out.column("dup_id").to_pylist()))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs                # exact verify rejects it
+    assert all(4 not in p for p in pairs)
