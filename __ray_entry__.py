@@ -470,6 +470,31 @@ def _sessions(sf_dir: str):
     })
 
 
+def _distinct_counts(sf_dir: str):
+    from plugin_serdes_ray.pipelines.relational import count_distinct
+
+    n_cust = count_distinct(_read(sf_dir, "orders"), "o_custkey")
+    n_types = count_distinct(_read(sf_dir, "events"), "event_type")
+    return pa.table({
+        "n_custkeys": pa.array([n_cust], type=pa.int64()),
+        "n_event_types": pa.array([n_types], type=pa.int64()),
+    })
+
+
+def _quantiles_lineitem(sf_dir: str):
+    """Distributed EXACT order statistics (no global sort): histogram pass
+    locates each rank's bucket, second pass reads only those buckets."""
+    from plugin_serdes_ray.pipelines.relational import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem").select_columns(["l_extendedprice"])
+    out = exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.9])
+    qs = sorted(out)
+    return pa.table({
+        "q": pa.array(qs, type=pa.float64()),
+        "value": pa.array([out[q] for q in qs], type=pa.float64()),
+    })
+
+
 def _topk_orders(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import top_k
 
@@ -680,6 +705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_30m": _events_sliding,
         "user_sessions_30m": _sessions,
         "topk_orders": _topk_orders,
+        "distinct_counts": _distinct_counts,
+        "quantiles_lineitem": _quantiles_lineitem,
         # document transforms (html/markdown chains over documents.text)
         "html_extract_text": _html_to_text,
         "markdown_roundtrip_documents": _markdown_roundtrip,
@@ -824,6 +851,22 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "distinct_counts": """
+            SELECT (SELECT count(DISTINCT o_custkey) FROM orders)
+                     AS n_custkeys,
+                   (SELECT count(DISTINCT event_type) FROM events)
+                     AS n_event_types
+        """,
+        "quantiles_lineitem": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.9) FROM lineitem
         """,
     }
     return {**rt, **serde, **rest}

@@ -227,6 +227,107 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
                         runtime_env=package_runtime_env()))
 
 
+def count_distinct(ds, column: str) -> int:
+    """Exact distinct count: per-block ``unique`` pre-shrink, then ONE keyed
+    shuffle of the already-distinct values (the all-to-all moves at most
+    blocks x block-distinct values, never raw rows), count groups."""
+
+    def shrink(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column(column).combine_chunks())
+        return pa.table({column: pc.drop_null(u)})
+
+    def one(group: pa.Table) -> pa.Table:
+        return pa.table({"__one": pa.array([1], type=pa.int64())})
+
+    env = package_runtime_env()
+    groups = (ds.map_batches(shrink, batch_format="pyarrow", runtime_env=env)
+              .groupby(column)
+              .map_groups(one, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()))
+    return int(groups.count())
+
+
+def exact_quantiles(ds, column: str, qs: Sequence[float],
+                    n_buckets: int = 4096) -> dict[float, float]:
+    """EXACT order statistics (quantile_disc semantics: the ceil(q*n)-th
+    smallest element) over a distributed column without a global sort:
+
+    pass 1 histograms values into fixed buckets per block (pre-aggregated —
+    one count row per non-empty bucket per block); the driver locates each
+    target rank's bucket from the merged histogram; pass 2 collects ONLY the
+    values inside located buckets (expected n/n_buckets of the data) and
+    selects the rank within them. Two streaming passes, O(buckets + bucket
+    contents) driver memory, deterministic."""
+    qs = list(qs)
+    col = ds.select_columns([column])
+    stats = col.map_batches(
+        lambda b: pa.table({
+            "lo": [pc.min(b.column(column)).as_py()],
+            "hi": [pc.max(b.column(column)).as_py()],
+            "n": [b.num_rows - b.column(column).null_count],
+        }),
+        batch_format="pyarrow", runtime_env=package_runtime_env()).take_all()
+    stats = [s for s in stats if s["n"]]
+    if not stats:
+        return {q: None for q in qs}
+    lo = min(s["lo"] for s in stats)
+    hi = max(s["hi"] for s in stats)
+    n = sum(s["n"] for s in stats)
+    if hi == lo:
+        return {q: lo for q in qs}
+    width = (hi - lo) / n_buckets
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).combine_chunks()
+        v = pc.drop_null(v).to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
+        uniq, counts = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    rows = ds.map_batches(hist, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()).take_all()
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        counts[r["bucket"]] += r["cnt"]
+    cum = np.cumsum(counts)
+    # rank = ceil(q*n) in EXACT decimal arithmetic (quantile_disc semantics;
+    # float 0.9*10 = 9.000000000000002 would off-by-one the rank)
+    import math
+    from fractions import Fraction
+
+    ranks = {q: max(int(math.ceil(Fraction(str(q)) * n)), 1) for q in qs}
+    target_buckets = {int(np.searchsorted(cum, r)) for r in ranks.values()}
+    tb = sorted(target_buckets)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        v = pc.drop_null(batch.column(column).combine_chunks()).to_numpy(
+            zero_copy_only=False)
+        if not len(v):
+            return pa.table({"v": pa.array([], type=pa.float64())})
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
+        keep = np.isin(b, tb)
+        return pa.table({"v": pa.array(v[keep].astype(np.float64))})
+
+    vals = np.sort(np.asarray(
+        [r["v"] for r in
+         ds.map_batches(collect, batch_format="pyarrow",
+                        runtime_env=package_runtime_env()).take_all()],
+        dtype=np.float64))
+    out = {}
+    for q, r in ranks.items():
+        bucket = int(np.searchsorted(cum, r))
+        before = int(cum[bucket - 1]) if bucket else 0
+        # values in earlier TARGET buckets precede this bucket's in `vals`
+        earlier = sum(int(counts[x]) for x in tb if x < bucket)
+        offset_in_bucket = r - before - 1
+        out[q] = float(vals[earlier + offset_in_bucket])
+    return out
+
+
 def stratified_sample(ds, key: str, fractions: dict, id_column: str,
                       default: float = 1.0):
     """Deterministic per-key downsampling (training-data mixing: cap the

@@ -521,3 +521,27 @@ def test_minhash_exact_jaccard_verify(ray_session):
     assert (1, 2) in pairs
     assert (1, 3) not in pairs                # exact verify rejects it
     assert all(4 not in p for p in pairs)
+
+
+def test_count_distinct_and_exact_quantiles(ray_session):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import count_distinct, exact_quantiles
+
+    rng = np.random.default_rng(12)
+    vals = rng.normal(100, 25, 5000)
+    keys = rng.integers(0, 137, 5000)
+    ds = ray.data.from_arrow(pa.table({"v": vals, "k": keys}))
+    assert count_distinct(ds, "k") == len(np.unique(keys))
+
+    out = exact_quantiles(ds, "v", [0.25, 0.5, 0.9, 0.999])
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": vals}))
+    for q, got in out.items():
+        want = con.execute(
+            f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert got == want, q
+    # degenerate cases: constant column, empty after nulls
+    const = ray.data.from_arrow(pa.table({"v": [7.0] * 10}))
+    assert exact_quantiles(const, "v", [0.5]) == {0.5: 7.0}
