@@ -54,6 +54,23 @@ def test_resume_skips_completed(ray_session, corpus, tmp_path):
     assert s2["skipped_parts"] == 4
 
 
+def test_resume_invalidates_on_content_change(ray_session, corpus, tmp_path):
+    """A regenerated same-size input must NOT fingerprint-match (ADVICE r1:
+    basename+size alone kept stale output); mtime_ns is in the print."""
+    import shutil
+
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2)
+    # rewrite one input byte-identically -> new mtime -> must re-encode
+    src = corpus[1]
+    tmp = src + ".copy"
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, src)
+    s = encode_files(corpus, out, concurrency=2)
+    assert s["skipped_parts"] == 3
+    assert tables_equal(_orig(corpus), decode_table(out))
+
+
 def test_kill_resume_recovers_missing_part(ray_session, corpus, tmp_path):
     out = str(tmp_path / "enc")
     encode_files(corpus, out, concurrency=2)
