@@ -81,15 +81,21 @@ def broadcast_join(ds, small: pa.Table, key: str,
 
 
 def hash_join(left, right, key: str, right_key: Optional[str] = None,
-              suffix: str = "_r"):
+              suffix: str = "_r", skew_salts: Optional[dict] = None):
     """Big-big equi-join with ONE keyed shuffle and no broadcast: both sides
     are padded to the union schema, tagged, unioned, hash-partitioned by the
     join key, and joined inside each key group (cross product of the key's
     left x right rows). Use :func:`broadcast_join` when one side fits in the
-    object store; use this when BOTH sides are large. Hot join keys can be
-    pre-salted by the caller (:func:`salted_key` on both sides with the same
-    counts) — the per-group work is O(|L_k| x |R_k|) by definition of the
-    join. Inner join semantics; null keys never match."""
+    object store; use this when BOTH sides are large.
+
+    Skewed join keys: pass ``skew_salts`` ({hot_key: n}, e.g. from
+    :func:`salt_counts_for_target` on the LEFT side). Left rows of a hot key
+    spread over n subkeys; RIGHT rows of that key are REPLICATED into all n
+    subkeys so every (l, r) pair still meets exactly once. (Salting both
+    sides independently would silently drop pairs — left k#3 never meets
+    right k#5.) Replication costs n x |R_k| rows for hot keys only; choose
+    the smaller/dimension side as ``right``. Inner join semantics; null
+    keys never match."""
     right_key = right_key or key
 
     l_schema = left.schema()
@@ -109,12 +115,34 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
     out_names = [nm for nm, _ in out_fields]
     out_types = {nm: t for nm, t in out_fields}
 
+    salts = dict(skew_salts or {})
+    hot_keys = list(salts.keys())
+    hot_counts = np.asarray([int(salts[k]) for k in hot_keys], dtype=np.int64)
+
+    def _jk(key_col: pa.Array, salt: np.ndarray) -> pa.Array:
+        s = key_col.cast(pa.string()) if not pa.types.is_string(key_col.type) \
+            else key_col
+        return pc.binary_join_element_wise(
+            pc.fill_null(s, "null"), pa.array(salt.astype(str)), "#")
+
+    def _salt_for(key_col: pa.Array) -> np.ndarray:
+        per_row = np.ones(len(key_col), dtype=np.int64)
+        if hot_keys:
+            ords = pc.index_in(key_col, value_set=pa.array(hot_keys,
+                                                           type=key_col.type))
+            ov = ords.to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(ov) if ov.dtype.kind == "f" else ov != None  # noqa: E711
+            per_row[valid] = hot_counts[ov[valid].astype(np.int64)]
+        return np.arange(len(key_col), dtype=np.int64) % per_row
+
     def pad_left(batch: pa.Table) -> pa.Table:
         cols = {nm: (batch.column(nm) if nm in batch.column_names
                      else pa.nulls(batch.num_rows, out_types[nm]))
                 for nm in out_names}
         cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
-        return pa.table(cols).filter(pc.is_valid(batch.column(key)))
+        t = pa.table(cols).filter(pc.is_valid(batch.column(key)))
+        kc = t.column(key).combine_chunks()
+        return t.append_column("__jk", _jk(kc, _salt_for(kc)))
 
     def pad_right(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -127,30 +155,55 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
             else:
                 cols[nm] = pa.nulls(batch.num_rows, out_types[nm])
         cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
-        return pa.table(cols).filter(pc.is_valid(batch.column(right_key)))
+        t = pa.table(cols).filter(pc.is_valid(batch.column(right_key)))
+        kc = t.column(key).combine_chunks()
+        pieces = [t.append_column("__jk", _jk(kc, np.zeros(len(kc), np.int64)))]
+        # hot keys: replicate this side's rows into every left salt subkey
+        for hk, n in salts.items():
+            if n <= 1:
+                continue
+            sub = t.filter(pc.equal(kc, hk))
+            if sub.num_rows == 0:
+                continue
+            skc = sub.column(key).combine_chunks()
+            for sval in range(1, int(n)):
+                pieces.append(sub.append_column(
+                    "__jk", _jk(skc, np.full(len(skc), sval, np.int64))))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
     env = package_runtime_env()
     tagged = left.map_batches(pad_left, batch_format="pyarrow",
                               runtime_env=env).union(
         right.map_batches(pad_right, batch_format="pyarrow", runtime_env=env))
 
+    empty = {nm: pa.array([], type=out_types[nm]) for nm in out_names}
+
     def join_group(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
-        li = np.flatnonzero(side == 0)
-        ri = np.flatnonzero(side == 1)
-        if len(li) == 0 or len(ri) == 0:
-            return group.slice(0, 0).drop_columns(["__side"])
-        lrep = np.repeat(li, len(ri))
-        rrep = np.tile(ri, len(li))
-        lt = group.take(lrep)
-        rt = group.take(rrep)
+        # sub-group by the ACTUAL key: a "#"-containing string key could
+        # collide with another (key, salt) in the __jk string space
+        codes = pc.dictionary_encode(
+            group.column(key).combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lrep_parts, rrep_parts = [], []
+        for c in np.unique(codes):
+            m = codes == c
+            li = np.flatnonzero(m & (side == 0))
+            ri = np.flatnonzero(m & (side == 1))
+            if len(li) and len(ri):
+                lrep_parts.append(np.repeat(li, len(ri)))
+                rrep_parts.append(np.tile(ri, len(li)))
+        if not lrep_parts:
+            return pa.table(empty)
+        lt = group.take(np.concatenate(lrep_parts))
+        rt = group.take(np.concatenate(rrep_parts))
         # out_names = left names + right output names, disjoint by
         # construction (right collisions carry the suffix)
         cols = {nm: (lt if nm in l_names else rt).column(nm)
                 for nm in out_names}
         return pa.table(cols)
 
-    return (tagged.groupby(key)
+    return (tagged.groupby("__jk")
             .map_groups(join_group, batch_format="pyarrow",
                         runtime_env=package_runtime_env()))
 

@@ -545,3 +545,24 @@ def test_count_distinct_and_exact_quantiles(ray_session):
     # degenerate cases: constant column, empty after nulls
     const = ray.data.from_arrow(pa.table({"v": [7.0] * 10}))
     assert exact_quantiles(const, "v", [0.5]) == {0.5: 7.0}
+
+
+def test_hash_join_skew_salts_complete(ray_session):
+    """Skewed-key handling: left rows salt over n subkeys, right rows of the
+    hot key REPLICATE into all n — every (l, r) pair meets exactly once."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_items(
+        [{"k": "hot", "lv": i} for i in range(40)] +
+        [{"k": "cold", "lv": 100}])
+    right = ray.data.from_items(
+        [{"k": "hot", "rv": j} for j in range(3)] +
+        [{"k": "cold", "rv": 7}])
+    rows = hash_join(left, right, key="k",
+                     skew_salts={"hot": 4}).take_all()
+    hot_pairs = {(r["lv"], r["rv"]) for r in rows if r["k"] == "hot"}
+    assert hot_pairs == {(i, j) for i in range(40) for j in range(3)}
+    assert {(r["lv"], r["rv"]) for r in rows if r["k"] == "cold"} == {(100, 7)}
+    assert len(rows) == 40 * 3 + 1            # exactly once each
