@@ -470,6 +470,20 @@ def _sessions(sf_dir: str):
     })
 
 
+def _events_props_extract(sf_dir: str):
+    """Semi-structured promotion: the events.props JSON-string column's 'k'
+    field becomes a typed int64 column inside a streaming map_batches."""
+    from plugin_serdes_ray.functions.jsoncol import parse_json_column
+
+    ds = _read(sf_dir, "events").select_columns(["event_id", "props"])
+    out = parse_json_column(ds, "props", {"k": pa.int64()})
+    rows = out.take_all()
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], type=pa.int64()),
+        "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+    })
+
+
 def _distinct_counts(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import count_distinct
 
@@ -706,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions_30m": _sessions,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
+        "events_props_extract": _events_props_extract,
         "quantiles_lineitem": _quantiles_lineitem,
         # document transforms (html/markdown chains over documents.text)
         "html_extract_text": _html_to_text,
@@ -857,6 +872,11 @@ def oracle_sql() -> dict[str, str]:
                      AS n_custkeys,
                    (SELECT count(DISTINCT event_type) FROM events)
                      AS n_event_types
+        """,
+        "events_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "quantiles_lineitem": """
             SELECT CAST(0.25 AS DOUBLE) AS q,

@@ -526,3 +526,21 @@ def test_csv_raw_text_mode_preserves_leading_zeros():
     assert t.schema.field("a").type == pa.string()
     t = parse_csv_bytes(b"007,x\n", CsvOptions(header=False, infer_types=False))
     assert t.column("col0").to_pylist() == ["007"]
+
+
+def test_json_column_extraction_policies():
+    from plugin_serdes_ray.functions.jsoncol import extract_json_fields
+
+    t = pa.table({"props": ['{"k": 1, "s": "x"}', '{"k": "7"}', None,
+                            "not json", '{"other": 3}', '{"k": null}']})
+    out = extract_json_fields(t, "props", {"k": pa.int64(), "s": pa.string()})
+    assert out.column("k").to_pylist() == [1, 7, None, None, None, None]
+    assert out.column("s").to_pylist() == ["x", None, None, None, None, None]
+    # nested values stringify as JSON when the target type is string
+    t2 = pa.table({"props": ['{"v": {"a": 1}}']})
+    out2 = extract_json_fields(t2, "props", {"v": pa.string()})
+    assert out2.column("v").to_pylist() == ['{"a": 1}']
+    # type failures follow the bad-lines policy
+    with pytest.raises(BadLineError):
+        extract_json_fields(pa.table({"p": ['{"k": "xyz"}']}), "p",
+                            {"k": pa.int64()})
