@@ -289,15 +289,10 @@ def count_distinct(ds, column: str) -> int:
         u = pc.unique(batch.column(column).combine_chunks())
         return pa.table({column: pc.drop_null(u)})
 
-    def one(group: pa.Table) -> pa.Table:
-        return pa.table({"__one": pa.array([1], type=pa.int64())})
-
     env = package_runtime_env()
-    groups = (ds.map_batches(shrink, batch_format="pyarrow", runtime_env=env)
-              .groupby(column)
-              .map_groups(one, batch_format="pyarrow",
-                          runtime_env=package_runtime_env()))
-    return int(groups.count())
+    shrunk = ds.map_batches(shrink, batch_format="pyarrow", runtime_env=env)
+    # native grouped count (no per-group python call), then count key rows
+    return int(shrunk.groupby(column).count().count())
 
 
 def exact_quantiles(ds, column: str, qs: Sequence[float],
@@ -357,27 +352,39 @@ def exact_quantiles(ds, column: str, qs: Sequence[float],
     tb = sorted(target_buckets)
 
     def collect(batch: pa.Table) -> pa.Table:
+        # (value, count) per DISTINCT value in a target bucket: a bucket
+        # full of one repeated value (worst-case skew) collapses to one row
+        # instead of flooding the driver
         v = pc.drop_null(batch.column(column).combine_chunks()).to_numpy(
             zero_copy_only=False)
         if not len(v):
-            return pa.table({"v": pa.array([], type=pa.float64())})
+            return pa.table({"v": pa.array([], type=pa.float64()),
+                             "c": pa.array([], type=pa.int64())})
         b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
-        keep = np.isin(b, tb)
-        return pa.table({"v": pa.array(v[keep].astype(np.float64))})
+        kept = v[np.isin(b, tb)]
+        uniq, cnts = np.unique(kept, return_counts=True)
+        return pa.table({"v": pa.array(uniq.astype(np.float64)),
+                         "c": pa.array(cnts.astype(np.int64))})
 
-    vals = np.sort(np.asarray(
-        [r["v"] for r in
-         ds.map_batches(collect, batch_format="pyarrow",
-                        runtime_env=package_runtime_env()).take_all()],
-        dtype=np.float64))
+    agg: dict[float, int] = {}
+    for r in ds.map_batches(collect, batch_format="pyarrow",
+                            runtime_env=package_runtime_env()).take_all():
+        agg[r["v"]] = agg.get(r["v"], 0) + r["c"]
+    vals = np.asarray(sorted(agg), dtype=np.float64)
+    vcnt = np.asarray([agg[v] for v in sorted(agg)], dtype=np.int64)
+    vcum = np.cumsum(vcnt)
+    # rank of each collected value GLOBALLY = (values below its bucket that
+    # were not collected) + cumulative count within collected values; since
+    # collected buckets are exactly the target buckets, non-collected mass
+    # below value x = cum[bucket(x)-1] - (collected mass in earlier buckets)
     out = {}
     for q, r in ranks.items():
         bucket = int(np.searchsorted(cum, r))
-        before = int(cum[bucket - 1]) if bucket else 0
-        # values in earlier TARGET buckets precede this bucket's in `vals`
-        earlier = sum(int(counts[x]) for x in tb if x < bucket)
-        offset_in_bucket = r - before - 1
-        out[q] = float(vals[earlier + offset_in_bucket])
+        before_bucket = int(cum[bucket - 1]) if bucket else 0
+        earlier_collected = sum(int(counts[x]) for x in tb if x < bucket)
+        rank_in_collected = r - before_bucket + earlier_collected
+        idx = int(np.searchsorted(vcum, rank_in_collected))
+        out[q] = float(vals[idx])
     return out
 
 
