@@ -153,6 +153,69 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near-dup/exact dedup of a parquet table -> deduped parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    _ray()
+    ds = ray.data.read_parquet(_input_files(args.input))
+    if args.method == "exact":
+        from .pipelines.dedup import exact_dedup
+
+        out = pa.Table.from_pylist(
+            exact_dedup(ds, args.column, args.id_column).take_all())
+    else:
+        from .pipelines.dedup import minhash_lsh_dedup
+
+        out = pa.Table.from_pylist(
+            minhash_lsh_dedup(ds, args.column, args.id_column,
+                              threshold=args.threshold).take_all())
+    pq.write_table(out, args.output)
+    print(json.dumps({"rows": out.num_rows, "out": args.output}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic per-key mixing sample -> parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    _ray()
+    from .pipelines.relational import stratified_sample
+
+    fractions = {k: float(v) for k, v in
+                 (pair.split("=") for pair in args.fraction)}
+    ds = ray.data.read_parquet(_input_files(args.input))
+    out = pa.Table.from_pylist(
+        stratified_sample(ds, args.key, fractions, args.id_column,
+                          default=args.default).take_all())
+    pq.write_table(out, args.output)
+    print(json.dumps({"rows": out.num_rows, "out": args.output}))
+    return 0
+
+
+def cmd_textstats(args) -> int:
+    """Tokens/quality/language/fingerprint columns appended -> parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    _ray()
+    from .pipelines.textstats import analyze
+
+    ds = ray.data.read_parquet(_input_files(args.input))
+    out = pa.Table.from_pylist(analyze(ds, args.column).take_all())
+    pq.write_table(out, args.output)
+    print(json.dumps({"rows": out.num_rows, "out": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="plugin_serdes_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -184,6 +247,31 @@ def main(argv=None) -> int:
     p.add_argument("--rows", type=int, default=100)
     p.add_argument("--all", action="store_true")
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("dedup", help="exact/minhash dedup -> parquet")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    p.add_argument("--column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("sample", help="per-key deterministic sample -> parquet")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--key", required=True)
+    p.add_argument("--id-column", required=True)
+    p.add_argument("--fraction", action="append", default=[],
+                   metavar="KEY=FRAC", help="repeatable, e.g. --fraction en=0.1")
+    p.add_argument("--default", type=float, default=1.0)
+    p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("textstats", help="append text-analysis columns -> parquet")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--column", default="text")
+    p.set_defaults(fn=cmd_textstats)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)

@@ -28,3 +28,28 @@ def test_cli_unsupported_format(tmp_path, sf_dir):
 
     with pytest.raises(SystemExit):
         main(["convert", f"{sf_dir}/region.parquet", str(tmp_path / "x.docx")])
+
+
+def test_cli_dedup_sample_textstats(ray_session, tmp_path, capsys, sf_dir):
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    src = f"{sf_dir}/documents.parquet"
+    n_src = pq.read_metadata(src).num_rows
+
+    out = str(tmp_path / "dedup.parquet")
+    assert main(["dedup", src, out, "--method", "exact"]) == 0
+    assert 0 < pq.read_metadata(out).num_rows <= n_src
+
+    out2 = str(tmp_path / "sample.parquet")
+    assert main(["sample", src, out2, "--key", "lang",
+                 "--id-column", "doc_id", "--fraction", "en=0.1"]) == 0
+    assert 0 < pq.read_metadata(out2).num_rows < n_src
+
+    out3 = str(tmp_path / "stats.parquet")
+    assert main(["textstats", src, out3]) == 0
+    t = pq.read_table(out3)
+    for col in ("ws_tokens", "q_score", "lang_pred", "fingerprint"):
+        assert col in t.column_names
+    assert t.num_rows == n_src
