@@ -50,30 +50,88 @@ def token_counts(batch: pa.Table, column: str = "text") -> pa.Table:
                 .append_column("bpe_tokens", pa.array(bpe, type=pa.int64()))
 
 
+_PUNCT_LUT = np.zeros(256, dtype=np.int64)
+_PUNCT_LUT[np.frombuffer(b"!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~", np.uint8)] = 1
+_ALPHA_LUT = np.zeros(256, dtype=np.int64)
+_ALPHA_LUT[65:91] = 1
+_ALPHA_LUT[97:123] = 1
+_ALPHA_LUT[128:] = 1
+
+
 def quality_scores(batch: pa.Table, column: str = "text") -> pa.Table:
     """Heuristic document-quality features: length, alpha ratio, punctuation
-    ratio, stopword ratio, mean word length, and a combined [0,1] score."""
-    texts = batch.column(column).to_pylist()
-    n = len(texts)
-    length = np.zeros(n, np.int64)
-    alpha_ratio = np.zeros(n)
-    punct_ratio = np.zeros(n)
-    stop_ratio = np.zeros(n)
-    mean_wlen = np.zeros(n)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        b = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
-        length[i] = len(t)
-        is_alpha = ((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122)) | (b >= 128)
-        alpha_ratio[i] = is_alpha.mean()
-        punct = np.isin(b, np.frombuffer(b"!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~", np.uint8))
-        punct_ratio[i] = punct.mean()
-        words = t.lower().split()
-        if words:
-            en_stops = _LANG_STOPWORDS["en"]
-            stop_ratio[i] = sum(1 for w in words if w in en_stops) / len(words)
-            mean_wlen[i] = float(np.mean([len(w) for w in words]))
+    ratio, stopword ratio, mean word length, and a combined [0,1] score.
+
+    Fully vectorized: one byte-class LUT pass over the column's flattened
+    data buffer with per-row ``add.reduceat`` reductions, and word-level
+    stats via Arrow list kernels — no Python loop over rows."""
+    col = batch.column(column).combine_chunks()
+    n = len(col)
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(col, "")
+
+    length = pc.fill_null(pc.utf8_length(col), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+    # byte-level classes over the column's own flattened values buffer
+    sarr = filled.cast(pa.string())
+    buf = np.frombuffer(sarr.buffers()[2] or b"", dtype=np.uint8) \
+        if sarr.buffers()[2] is not None else np.empty(0, np.uint8)
+    offs = np.frombuffer(sarr.buffers()[1], dtype=np.int32)[
+        sarr.offset:sarr.offset + n + 1].astype(np.int64)
+    nbytes = np.diff(offs)
+    starts = offs[:-1]
+    nz = nbytes > 0
+    alpha_cnt = np.zeros(n, np.int64)
+    punct_cnt = np.zeros(n, np.int64)
+    if buf.size and nz.any():
+        a = _ALPHA_LUT[buf]
+        p = _PUNCT_LUT[buf]
+        red = np.add.reduceat
+        # reduceat needs strictly valid start indices; empty rows patched out
+        idx = starts[nz]
+        seg_a = red(a, idx)[: nz.sum()] if len(idx) else np.empty(0, np.int64)
+        seg_p = red(p, idx)[: nz.sum()] if len(idx) else np.empty(0, np.int64)
+        # reduceat sums to the NEXT index; the final segment runs to the end
+        # of the buffer, which may include bytes past this array's window
+        end = offs[-1]
+        if len(idx):
+            extra_a = a[end:].sum()
+            extra_p = p[end:].sum()
+            seg_a = seg_a.copy()
+            seg_p = seg_p.copy()
+            seg_a[-1] -= extra_a
+            seg_p[-1] -= extra_p
+            # middle segments spanning empty rows: reduceat with idx drawn
+            # only from non-empty rows sums across the gap correctly since
+            # empty rows contribute zero bytes
+        alpha_cnt[nz] = seg_a
+        punct_cnt[nz] = seg_p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha_ratio = np.where(nbytes > 0, alpha_cnt / np.maximum(nbytes, 1), 0.0)
+        punct_ratio = np.where(nbytes > 0, punct_cnt / np.maximum(nbytes, 1), 0.0)
+
+    # word-level stats via Arrow list kernels (utf8_split_whitespace is the
+    # non-regex kernel and matches str.split()'s unicode-whitespace rule)
+    words = pc.utf8_split_whitespace(pc.utf8_lower(filled))
+    wlens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(words)
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), wlens)
+    nonempty = flat_len > 0
+    n_words = np.bincount(row_of[nonempty], minlength=n)
+    sum_wlen = np.bincount(row_of, weights=flat_len.astype(np.float64),
+                           minlength=n)
+    en_hits_flat = pc.is_in(flat, value_set=pa.array(
+        sorted(_LANG_STOPWORDS["en"]))).to_numpy(zero_copy_only=False)
+    stop_hits = np.bincount(row_of[en_hits_flat], minlength=n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_ratio = np.where(n_words > 0, stop_hits / np.maximum(n_words, 1), 0.0)
+        mean_wlen = np.where(n_words > 0, sum_wlen / np.maximum(n_words, 1), 0.0)
+    length[~valid] = 0
+    for arr in (alpha_ratio, punct_ratio, stop_ratio, mean_wlen):
+        arr[~valid] = 0.0
     score = np.clip(
         0.3 * (np.clip(length, 0, 2000) / 2000)
         + 0.3 * alpha_ratio
