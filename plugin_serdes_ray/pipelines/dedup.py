@@ -65,8 +65,6 @@ def exact_dedup(ds, column: str, id_column: str):
         return batch.append_column("__h", pa.array(h.astype(np.int64)))
 
     def first_per_group(group: pa.Table) -> pa.Table:
-        idx = pc.index(group.column(id_column),
-                       pc.min(group.column(id_column)).as_py()).as_py()
         # hash collisions: keep first row per distinct actual value
         vals = group.column(column)
         seen: dict = {}
@@ -212,7 +210,7 @@ def minhash_lsh_duplicates(ds, column: str, id_column: str,
         # all pairs across DISTINCT signatures (no canon-only blind spot:
         # b~c is compared even when a smaller non-duplicate id shares the
         # bucket); distinct-sig counts per bucket are small by construction
-        reps.sort()
+        reps.sort(key=lambda r: r[0])   # never compare the ndarray payloads
         if len(reps) > 1:
             mat = np.stack([r[1] for r in reps])
             eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
@@ -352,8 +350,15 @@ def hamming64(a: int, b: int) -> int:
 def simhash_duplicates(ds, column: str, id_column: str,
                        max_hamming: int = 3, bands: int = 4):
     """Near-dup pairs by SimHash banding: if hamming(a,b) <= bands-1, at
-    least one of ``bands`` disjoint 16-bit bands matches exactly -> bucket
-    groupby on (band, band_bits), verify full hamming in-group."""
+    least one of ``bands`` disjoint bands matches exactly (pigeonhole) ->
+    bucket groupby on (band, band_bits), verify full hamming in-group.
+
+    The band count AUTO-RAISES to keep the pigeonhole guarantee: asking for
+    max_hamming=4 with 4 bands would silently miss ~10% of hamming-4 pairs
+    (one flipped bit per band), so bands becomes the smallest power-of-two
+    divisor of 64 that exceeds max_hamming."""
+    while bands <= max_hamming and bands < 32:
+        bands *= 2
     width = 64 // bands
 
     def sigs(batch: pa.Table):

@@ -105,7 +105,12 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
     for nm in r_schema.names:
         if nm == right_key:
             continue
-        r_out[nm] = nm + suffix if nm in l_names else nm
+        out_nm = nm + suffix if nm in l_names else nm
+        if out_nm in l_names:   # suffixed name still collides: fail loudly
+            raise ValueError(
+                f"hash_join output column {out_nm!r} collides with an "
+                f"existing left column; pass a different suffix")
+        r_out[nm] = out_nm
     out_fields = []
     for nm, typ in zip(l_schema.names, l_schema.types):
         out_fields.append((nm, typ))
@@ -148,7 +153,9 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
         cols = {}
         for nm in out_names:
             if nm == key:
-                cols[nm] = batch.column(right_key)
+                # cast to the LEFT key's type: mixed-width keys (int32 vs
+                # int64) must not put two block schemas into one group
+                cols[nm] = batch.column(right_key).cast(out_types[key])
             elif nm in r_out.values():
                 src = next(s for s, d in r_out.items() if d == nm)
                 cols[nm] = batch.column(src)
@@ -336,7 +343,7 @@ def exact_quantiles(ds, column: str, qs: Sequence[float],
         return pa.table({"bucket": pa.array(uniq),
                          "cnt": pa.array(counts.astype(np.int64))})
 
-    rows = ds.map_batches(hist, batch_format="pyarrow",
+    rows = col.map_batches(hist, batch_format="pyarrow",
                           runtime_env=package_runtime_env()).take_all()
     counts = np.zeros(n_buckets, dtype=np.int64)
     for r in rows:
@@ -367,7 +374,7 @@ def exact_quantiles(ds, column: str, qs: Sequence[float],
                          "c": pa.array(cnts.astype(np.int64))})
 
     agg: dict[float, int] = {}
-    for r in ds.map_batches(collect, batch_format="pyarrow",
+    for r in col.map_batches(collect, batch_format="pyarrow",
                             runtime_env=package_runtime_env()).take_all():
         agg[r["v"]] = agg.get(r["v"], 0) + r["c"]
     vals = np.asarray(sorted(agg), dtype=np.float64)
@@ -400,6 +407,9 @@ def stratified_sample(ds, key: str, fractions: dict, id_column: str,
     fracs = np.asarray([float(fractions[k]) for k in keys])
 
     def pick(batch: pa.Table) -> pa.Table:
+        # null ids: the SQL-equivalent arithmetic yields NULL and the WHERE
+        # drops the row — mirror that (and avoid NaN->uint64 UB)
+        batch = batch.filter(pc.is_valid(batch.column(id_column)))
         ids = batch.column(id_column).combine_chunks().cast(pa.int64()) \
             .to_numpy(zero_copy_only=False).astype(np.uint64)
         u = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) / float(1 << 32)

@@ -172,15 +172,20 @@ def _bounded_slice(arr: pa.Array) -> pa.Array:
 # ~130-250 MB/s measured vs 3-5 MB/s for the replace chains) fsst is no
 # longer order-of-magnitude slower than plain+zstd, so the penalty is small;
 # it jumps back up if only the pure-python fallback is available.
-def _speed_penalty() -> dict[str, float]:
-    from .codecs.fsst_native import get_lib
-
-    if get_lib() is not None:
-        return {"fsst": 0.03, "dict_fsst": 0.02}
-    return {"fsst": 0.15, "dict_fsst": 0.04}
+_SPEED_PENALTY: dict | None = None
 
 
-SPEED_PENALTY = _speed_penalty()
+def speed_penalty() -> dict[str, float]:
+    """Lazy: probing/compiling the C kernel at module import would block
+    every importer (decode-only workers included) on a subprocess."""
+    global _SPEED_PENALTY
+    if _SPEED_PENALTY is None:
+        from .codecs.fsst_native import get_lib
+
+        _SPEED_PENALTY = ({"fsst": 0.03, "dict_fsst": 0.02}
+                          if get_lib() is not None
+                          else {"fsst": 0.15, "dict_fsst": 0.04})
+    return _SPEED_PENALTY
 
 
 def measure_and_pick(arr: pa.Array, candidates: list[str],
@@ -198,7 +203,8 @@ def measure_and_pick(arr: pa.Array, candidates: list[str],
             continue
     if not sizes:
         return "raw_ipc", sizes
-    best = min(sizes, key=lambda k: sizes[k] * (1.0 + SPEED_PENALTY.get(k, 0.0)))
+    pen = speed_penalty()
+    best = min(sizes, key=lambda k: sizes[k] * (1.0 + pen.get(k, 0.0)))
     return best, sizes
 
 

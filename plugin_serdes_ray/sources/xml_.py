@@ -119,6 +119,16 @@ def iter_xml_query(source, opts: XmlOptions, batch_records: int = 1024):
             if len(batch) >= batch_records:
                 yield batch
                 batch = []
+        elif len(path) <= len(parts) and path != parts[:len(path)]:
+            # off the match spine: this subtree can never contain a match,
+            # so NON-matching siblings must not accumulate under the root
+            # (a 10 GB file of mostly-unmatched elements would OOM)
+            if len(elem_stack) >= 2:
+                try:
+                    elem_stack[-2].remove(el)
+                except ValueError:
+                    pass
+            el.clear()
         path.pop()
         elem_stack.pop()
     if batch:
