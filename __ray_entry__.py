@@ -758,16 +758,16 @@ def oracle_sql() -> dict[str, str]:
         # controlled-corpus near-dup oracles: the operator must drop exactly
         # the injected ids (>= 1e6) and keep every base documents id
         "dedup_minhash_documents": "SELECT doc_id FROM documents",
+        # injected ids are DEDUP_INJECT_BASE + base_id by construction, so
+        # the oracle derives them from the ids themselves (robust to any
+        # fixture id numbering, unlike row_number arithmetic)
         "dedup_simhash_documents": """
-            SELECT CAST(999999 + row_number() OVER (ORDER BY doc_id) AS BIGINT)
-              AS dup_id
+            SELECT doc_id + 1000000 AS dup_id
             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
         """,
         # exact-Jaccard verify finds exactly the 5 injected (keep, dup) pairs
         "dedup_jaccard_exact": """
-            SELECT doc_id AS keep_id,
-                   CAST(999999 + row_number() OVER (ORDER BY doc_id) AS BIGINT)
-                     AS dup_id
+            SELECT doc_id AS keep_id, doc_id + 1000000 AS dup_id
             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
         """,
         # the Ray side keeps rows where knuth32(doc_id)/2^32 < frac(lang)
