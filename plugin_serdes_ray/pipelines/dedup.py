@@ -347,6 +347,21 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _effective_bands(bands: int, max_hamming: int) -> int:
+    """Smallest valid band count >= requested that preserves the pigeonhole
+    guarantee (bands > max_hamming). 64-bit simhash caps at 32 bands."""
+    if bands < 1:
+        raise ValueError("bands must be >= 1")
+    if max_hamming >= 32:
+        raise ValueError(
+            f"max_hamming={max_hamming}: a 64-bit simhash banded into at "
+            f"most 32 bands cannot guarantee recall above hamming 31")
+    b = 1
+    while b < bands or b <= max_hamming:   # power-of-two divisor of 64
+        b *= 2
+    return min(b, 32)
+
+
 def simhash_duplicates(ds, column: str, id_column: str,
                        max_hamming: int = 3, bands: int = 4):
     """Near-dup pairs by SimHash banding: if hamming(a,b) <= bands-1, at
@@ -356,9 +371,9 @@ def simhash_duplicates(ds, column: str, id_column: str,
     The band count AUTO-RAISES to keep the pigeonhole guarantee: asking for
     max_hamming=4 with 4 bands would silently miss ~10% of hamming-4 pairs
     (one flipped bit per band), so bands becomes the smallest power-of-two
-    divisor of 64 that exceeds max_hamming."""
-    while bands <= max_hamming and bands < 32:
-        bands *= 2
+    divisor of 64 that exceeds max_hamming (ValueError beyond 31 — a 64-bit
+    simhash cannot guarantee recall there)."""
+    bands = _effective_bands(bands, max_hamming)
     width = 64 // bands
 
     def sigs(batch: pa.Table):

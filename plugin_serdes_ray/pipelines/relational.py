@@ -106,10 +106,12 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
         if nm == right_key:
             continue
         out_nm = nm + suffix if nm in l_names else nm
-        if out_nm in l_names:   # suffixed name still collides: fail loudly
+        if out_nm in l_names or out_nm in r_out.values():
+            # suffixed name collides with a left column OR with another
+            # right column's output: fail loudly, never drop data silently
             raise ValueError(
-                f"hash_join output column {out_nm!r} collides with an "
-                f"existing left column; pass a different suffix")
+                f"hash_join output column {out_nm!r} collides; "
+                f"pass a different suffix")
         r_out[nm] = out_nm
     out_fields = []
     for nm, typ in zip(l_schema.names, l_schema.types):
@@ -150,12 +152,27 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
         return t.append_column("__jk", _jk(kc, _salt_for(kc)))
 
     def pad_right(batch: pa.Table) -> pa.Table:
+        # cast the join key to the LEFT key's type: mixed-width keys (int32
+        # vs int64) must not put two block schemas into one group. Keys the
+        # left type cannot represent can never match a left row — filter
+        # them instead of letting a safe-cast overflow kill the join.
+        rk = batch.column(right_key).combine_chunks()
+        if rk.type != out_types[key]:
+            try:
+                rk_cast = rk.cast(out_types[key])
+            except pa.ArrowInvalid:
+                back = rk.cast(out_types[key], safe=False).cast(rk.type,
+                                                                safe=False)
+                keep = pc.fill_null(pc.equal(back, rk), False)
+                batch = batch.filter(keep)
+                rk_cast = batch.column(right_key).combine_chunks().cast(
+                    out_types[key], safe=False)
+        else:
+            rk_cast = rk
         cols = {}
         for nm in out_names:
             if nm == key:
-                # cast to the LEFT key's type: mixed-width keys (int32 vs
-                # int64) must not put two block schemas into one group
-                cols[nm] = batch.column(right_key).cast(out_types[key])
+                cols[nm] = rk_cast
             elif nm in r_out.values():
                 src = next(s for s, d in r_out.items() if d == nm)
                 cols[nm] = batch.column(src)

@@ -93,21 +93,28 @@ def parse_xml_bytes(data: bytes, opts: Optional[XmlOptions] = None) -> list[Any]
     return [value]
 
 
-def iter_xml_query(source, opts: XmlOptions, batch_records: int = 1024):
+def iter_xml_query(source, opts: XmlOptions, batch_records: int = 1024,
+                   stats: Optional[dict] = None):
     """STREAMING query mode (the reference's StAX path, XmlToIon.java:
     200-289): yields lists of records matching ``/a/b`` without ever holding
-    the document — each matched element is converted, detached from its
-    parent and cleared, so memory is O(one record + current ancestry), not
-    O(file). A 10 GB XML streams in bounded batches."""
+    the document — each finished element (matching OR not) is converted if
+    needed, detached from its parent and cleared, so memory is O(one record
+    + current ancestry), not O(file). A 10 GB XML streams in bounded
+    batches. ``stats`` (tests) records max_root_children, the high-water
+    mark of elements attached under the root."""
     parts = [p for p in opts.query.split("/") if p]
     path: list[str] = []
     elem_stack: list[ET.Element] = []
     batch: list[Any] = []
+    max_root_children = 0
     for event, el in ET.iterparse(source, events=("start", "end")):
         if event == "start":
             path.append(el.tag)
             elem_stack.append(el)
             continue
+        if stats is not None and elem_stack:
+            max_root_children = max(max_root_children, len(elem_stack[0]))
+            stats["max_root_children"] = max_root_children
         if path == parts:
             batch.append(_elem_to_value(el, opts))
             if len(elem_stack) >= 2:        # free the finished subtree

@@ -604,22 +604,29 @@ def test_review_fixes_roundup(ray_session):
 
 
 def test_simhash_band_autoraise_guarantee():
-    """max_hamming >= bands would void the pigeonhole guarantee; the band
-    count auto-raises so a hamming-4 pair ALWAYS shares a band bucket."""
-    import zlib as _z
+    """max_hamming >= bands voids the pigeonhole guarantee; _effective_bands
+    must raise the band count (and refuse impossible requests)."""
+    from plugin_serdes_ray.pipelines.dedup import _effective_bands
 
-    from plugin_serdes_ray.pipelines.dedup import simhash_duplicates  # noqa: F401
-    # structural check via a worst-case pair: one flipped bit in each of the
-    # four 16-bit quarters -> no 4-band bucket match, but with 8 bands at
-    # least one 8-bit band is untouched
+    assert _effective_bands(4, 3) == 4     # guarantee already holds
+    assert _effective_bands(4, 4) == 8     # the oracle-query configuration
+    assert _effective_bands(4, 9) == 16
+    assert _effective_bands(3, 3) == 4     # non-power-of-two normalised
+    assert _effective_bands(4, 31) == 32
+    with pytest.raises(ValueError):
+        _effective_bands(4, 32)            # 64-bit simhash can't guarantee
+    with pytest.raises(ValueError):
+        _effective_bands(0, 3)
+    # worst-case hamming-4 pair: one flipped bit per 16-bit quarter shares
+    # NO 4-band bucket, but with the raised 8 bands at least one is clean
     a = 0
     b = (1 << 3) | (1 << 19) | (1 << 35) | (1 << 51)
-    for bands in (8,):
+    for bands, expect in ((4, False), (8, True)):
         width = 64 // bands
         shared = any(((a >> (i * width)) & ((1 << width) - 1)) ==
                      ((b >> (i * width)) & ((1 << width) - 1))
                      for i in range(bands))
-        assert shared
+        assert shared == expect
 
 
 def test_xml_streaming_does_not_accumulate_nonmatching(ray_session):
@@ -629,14 +636,42 @@ def test_xml_streaming_does_not_accumulate_nonmatching(ray_session):
 
     from plugin_serdes_ray.sources.xml_ import XmlOptions, iter_xml_query
 
+    pad = "y" * 2000   # records >> iterparse's ~16KB read chunk
     body = "".join(
-        f"<book id='{i}'><t>x</t></book><junk n='{i}'><pad>y</pad></junk>"
+        f"<book id='{i}'><t>x</t></book><junk n='{i}'><pad>{pad}</pad></junk>"
         for i in range(500))
     doc = f"<catalog>{body}</catalog>".encode()
     recs = []
+    stats = {}
     for chunk in iter_xml_query(io.BytesIO(doc),
-                                XmlOptions(query="/catalog/book"), 100):
+                                XmlOptions(query="/catalog/book"), 100,
+                                stats=stats):
         recs.extend(chunk)
     assert len(recs) == 500
     # and the matches themselves are intact
     assert recs[7] == {"id": 7, "t": "x"}
+    # the memory pin: finished elements (matching AND not) detach as their
+    # end events drain, so the root's high-water is O(one iterparse read
+    # chunk), never O(document) — 1000 children pre-fix
+    assert stats["max_root_children"] < 100
+
+
+def test_hash_join_right_right_collision_and_overflow_keys(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    # two RIGHT columns collapsing onto one output name must raise
+    l = ray.data.from_arrow(pa.table({"k": [1], "v": ["a"]}))
+    r = ray.data.from_arrow(pa.table({"k": [1], "v": ["R"], "v_r": ["R2"]}))
+    with pytest.raises(ValueError):
+        hash_join(l, r, key="k")
+
+    # right keys unrepresentable in the left key type can never match:
+    # they are filtered, not a pipeline crash
+    l2 = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2], type=pa.int32()), "v": ["a", "b"]}))
+    r2 = ray.data.from_arrow(pa.table(
+        {"rk": pa.array([2, 2**40], type=pa.int64()), "w": ["R", "BIG"]}))
+    rows = hash_join(l2, r2, key="k", right_key="rk").take_all()
+    assert [(r["k"], r["v"], r["w"]) for r in rows] == [(2, "b", "R")]

@@ -80,15 +80,11 @@ def main() -> int:
             vals_ok = False
             if rows_ok and schema_ok:
                 try:
-                    from plugin_serdes_ray.testing import arrays_equal
+                    # NaN-tolerant compare (CLAUDE.md: Table.equals treats
+                    # NaN != NaN)
+                    from plugin_serdes_ray.testing import tables_equal
 
-                    w = want.cast(got.schema)
-                    # NaN-tolerant per-column compare (CLAUDE.md: Table.equals
-                    # treats NaN != NaN)
-                    vals_ok = all(
-                        arrays_equal(got.column(c).combine_chunks(),
-                                     w.column(c).combine_chunks())
-                        for c in got.column_names)
+                    vals_ok = tables_equal(got, want.cast(got.schema))
                 except Exception:
                     vals_ok = False
             status = "PASS" if (rows_ok and schema_ok and vals_ok) else "FAIL"
