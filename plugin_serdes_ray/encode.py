@@ -62,18 +62,27 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
         mean_rg = max(total_rows // len(rg_index), 1)
         need = max(sample_rows // mean_rg, 1)
         stride = max(len(rg_index) // need, 1)
-        picked = rg_index[::stride]
-        remaining = sample_rows
-        open_files: dict[str, pq.ParquetFile] = {}
-        for path, i, _ in picked:
-            pf = open_files.setdefault(path, pq.ParquetFile(path))
-            t = pf.read_row_group(i, columns=columns)
-            batches.append(t)
-            remaining -= t.num_rows
-            if remaining <= 0:
+        picked = []
+        budget = sample_rows
+        for path, i, nrows in rg_index[::stride]:
+            if budget <= 0:
                 break
-        for pf in open_files.values():
-            pf.close()
+            picked.append((path, i))
+            budget -= nrows
+        # parquet decode releases the GIL: read the scattered groups with a
+        # thread pool (the sample read dominated plan wall when serial)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _read(job):
+            path, i = job
+            pf = pq.ParquetFile(path)
+            try:
+                return pf.read_row_group(i, columns=columns)
+            finally:
+                pf.close()
+
+        with ThreadPoolExecutor(max_workers=min(len(picked), 8) or 1) as pool:
+            batches = list(pool.map(_read, picked))
     if batches:
         # heterogeneous inputs: plan from the first schema; columns absent
         # from the plan fall back to measured plain/guard per partition

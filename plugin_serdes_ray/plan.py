@@ -208,35 +208,57 @@ def measure_and_pick(arr: pa.Array, candidates: list[str],
     return best, sizes
 
 
-def build_plan(sample: pa.Table, outer_level: int = 3,
-               fsst_train_bytes: int = 1 << 18) -> EncodePlan:
-    """Driver-side plan construction from a sample table."""
-    plan = EncodePlan(outer_level=outer_level)
+def _plan_column(name: str, col: pa.Array, typ: pa.DataType,
+                 outer_level: int, fsst_train_bytes: int) -> tuple:
+    """Stats + shortlist + optional FSST train + measured pick for ONE
+    column, with a private EncodeContext (thread-safe)."""
     ctx = EncodeContext(outer_level=outer_level)
-    for name in sample.column_names:
-        col = sample.column(name).combine_chunks()
-        typ = sample.schema.field(name).type
+    n = len(col)
+    if n:
         # bound the stats slice: planning must stay O(MB) per column no
         # matter how large the provided sample is
-        n = len(col)
-        if n:
-            rows = min(n, 8192)
-            bpr = max(col.nbytes / n, 1e-9)
-            rows = max(min(rows, int((16 << 20) / bpr)), min(n, 256))
-            if rows < n:
-                col = col.slice(0, rows)
-        stats = column_stats(col)
-        cands = shortlist(stats, typ)
-        # pre-train a shared FSST table if any candidate uses it
-        if any(c in ("fsst", "dict_fsst") for c in cands) and is_var_binary(typ):
-            from .codecs.base import varbin_parts
-            _, data, _ = varbin_parts(col)
-            table = fsst_mod.train_table(data[:fsst_train_bytes])
-            plan.fsst_tables[name] = fsst_mod.serialize_table(table)
-            ctx.fsst_tables[name] = plan.fsst_tables[name]
-        ctx.column = name
-        choice, sizes = measure_and_pick(col, cands, ctx)
+        rows = min(n, 8192)
+        bpr = max(col.nbytes / n, 1e-9)
+        rows = max(min(rows, int((16 << 20) / bpr)), min(n, 256))
+        if rows < n:
+            col = col.slice(0, rows)
+    stats = column_stats(col)
+    cands = shortlist(stats, typ)
+    fsst_table = None
+    if any(c in ("fsst", "dict_fsst") for c in cands) and is_var_binary(typ):
+        from .codecs.base import varbin_parts
+        _, data, _ = varbin_parts(col)
+        table = fsst_mod.train_table(data[:fsst_train_bytes])
+        fsst_table = fsst_mod.serialize_table(table)
+        ctx.fsst_tables[name] = fsst_table
+    ctx.column = name
+    choice, sizes = measure_and_pick(col, cands, ctx)
+    stats["candidate_sizes"] = sizes
+    return name, choice, stats, fsst_table
+
+
+def build_plan(sample: pa.Table, outer_level: int = 3,
+               fsst_train_bytes: int = 1 << 18) -> EncodePlan:
+    """Driver-side plan construction from a sample table. Columns plan in a
+    thread pool — the trial encodes spend their time in zstd/numpy/C-FSST
+    kernels that release the GIL, so wide tables plan ~n_cores faster."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    plan = EncodePlan(outer_level=outer_level)
+    jobs = [(name, sample.column(name).combine_chunks(),
+             sample.schema.field(name).type)
+            for name in sample.column_names]
+    if len(jobs) <= 1:
+        results = [_plan_column(n, c, t, outer_level, fsst_train_bytes)
+                   for n, c, t in jobs]
+    else:
+        with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as pool:
+            results = list(pool.map(
+                lambda j: _plan_column(*j, outer_level, fsst_train_bytes),
+                jobs))
+    for name, choice, stats, fsst_table in results:
         plan.codecs[name] = choice
-        stats["candidate_sizes"] = sizes
         plan.stats[name] = stats
+        if fsst_table is not None:
+            plan.fsst_tables[name] = fsst_table
     return plan
