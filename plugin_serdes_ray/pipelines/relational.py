@@ -44,24 +44,32 @@ def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
             names[f"{keys[0]}_count"] = "__cnt"
         return g.rename_columns([names.get(n, n) for n in g.column_names])
 
-    def final(group: pa.Table) -> pa.Table:
-        out = {k: [group.column(k)[0].as_py()] for k in keys}
-        cnt = int(pc.sum(group.column("__cnt")).as_py() or 0) if count_name else None
+    from ray.data.aggregate import Sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in keys}
+        cnt = batch.column("sum(__cnt)") if count_name else None
         for c in sum_all:
-            s = pc.sum(group.column(f"__s_{c}")).as_py()
+            s = batch.column(f"sum(__s_{c})")
             if c in sum_cols:
-                out[f"sum_{c}"] = [s]
+                cols[f"sum_{c}"] = s
             if c in mean_cols:
-                out[f"mean_{c}"] = [None if not cnt else s / cnt]
+                cols[f"mean_{c}"] = pc.divide(
+                    s.cast(pa.float64()), cnt.cast(pa.float64()))
         if count_name:
-            out[count_name] = [cnt]
-        return pa.table(out)
+            cols[count_name] = cnt.cast(pa.int64())
+        return pa.table(cols)
 
     env = package_runtime_env()
+    aggs = [Sum(f"__s_{c}") for c in sum_all]
+    if count_name:
+        aggs.append(Sum("__cnt"))
+    # native reduce: no per-group python call, so a million-key aggregate
+    # costs one shuffle + vectorized sums, not a million UDF invocations
     return (ds.map_batches(partial, batch_format="pyarrow", runtime_env=env)
               .groupby(keys if len(keys) > 1 else keys[0])
-              .map_groups(final, batch_format="pyarrow",
-                          runtime_env=package_runtime_env()))
+              .aggregate(*aggs)
+              .map_batches(rename, batch_format="pyarrow", runtime_env=env))
 
 
 def broadcast_join(ds, small: pa.Table, key: str,
