@@ -20,6 +20,7 @@ import hashlib
 import os
 import subprocess
 import tempfile
+import threading
 
 import numpy as np
 
@@ -134,6 +135,7 @@ long fsst_decode(const unsigned char *e, long n,
 """
 
 _LIB: "ctypes.CDLL | bool | None" = None
+_BUILD_LOCK = threading.Lock()
 
 
 def _build_lib():
@@ -152,8 +154,11 @@ def _build_lib():
                 continue
         if cc is None:
             return None
-        src = so_path + f".{os.getpid()}.c"
-        tmp = so_path + f".{os.getpid()}.so"
+        # pid+thread-unique scratch names: concurrent builders (threaded
+        # plan pass) must not delete each other's in-flight output
+        tag = f"{os.getpid()}.{threading.get_ident()}"
+        src = so_path + f".{tag}.c"
+        tmp = so_path + f".{tag}.so"
         try:
             with open(src, "w") as f:
                 f.write(_C_SRC)
@@ -188,7 +193,9 @@ def _build_lib():
 def get_lib():
     global _LIB
     if _LIB is None:
-        _LIB = _build_lib() or False
+        with _BUILD_LOCK:       # one build per process; threads wait
+            if _LIB is None:
+                _LIB = _build_lib() or False
     return _LIB or None
 
 

@@ -70,19 +70,25 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
             picked.append((path, i))
             budget -= nrows
         # parquet decode releases the GIL: read the scattered groups with a
-        # thread pool (the sample read dominated plan wall when serial)
+        # thread pool (the sample read dominated plan wall when serial),
+        # one file handle per path so a 100-group file parses its footer
+        # once, not per group
         from concurrent.futures import ThreadPoolExecutor
 
+        by_path: dict[str, list[int]] = {}
+        for path, i in picked:
+            by_path.setdefault(path, []).append(i)
+
         def _read(job):
-            path, i = job
+            path, groups = job
             pf = pq.ParquetFile(path)
             try:
-                return pf.read_row_group(i, columns=columns)
+                return pf.read_row_groups(groups, columns=columns)
             finally:
                 pf.close()
 
-        with ThreadPoolExecutor(max_workers=min(len(picked), 8) or 1) as pool:
-            batches = list(pool.map(_read, picked))
+        with ThreadPoolExecutor(max_workers=min(len(by_path), 8) or 1) as pool:
+            batches = list(pool.map(_read, sorted(by_path.items())))
     if batches:
         # heterogeneous inputs: plan from the first schema; columns absent
         # from the plan fall back to measured plain/guard per partition

@@ -350,8 +350,8 @@ def hamming64(a: int, b: int) -> int:
 def _effective_bands(bands: int, max_hamming: int) -> int:
     """Smallest valid band count >= requested that preserves the pigeonhole
     guarantee (bands > max_hamming). 64-bit simhash caps at 32 bands."""
-    if bands < 1:
-        raise ValueError("bands must be >= 1")
+    if not 1 <= bands <= 32:
+        raise ValueError("bands must be in [1, 32] for a 64-bit simhash")
     if max_hamming >= 32:
         raise ValueError(
             f"max_hamming={max_hamming}: a 64-bit simhash banded into at "
@@ -359,7 +359,7 @@ def _effective_bands(bands: int, max_hamming: int) -> int:
     b = 1
     while b < bands or b <= max_hamming:   # power-of-two divisor of 64
         b *= 2
-    return min(b, 32)
+    return b        # <= 32 by the guards above
 
 
 def simhash_duplicates(ds, column: str, id_column: str,

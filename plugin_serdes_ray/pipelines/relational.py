@@ -36,10 +36,14 @@ def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
 
     def partial(batch: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in sum_all]
+        # per-column NON-NULL counts for means (SQL AVG semantics: a null
+        # x contributes to neither sum nor denominator)
+        aggs += [(c, "count") for c in mean_cols]
         if count_name:
             aggs.append((keys[0], "count"))
         g = batch.group_by(keys).aggregate(aggs)
         names = {f"{c}_sum": f"__s_{c}" for c in sum_all}
+        names.update({f"{c}_count": f"__n_{c}" for c in mean_cols})
         if count_name:
             names[f"{keys[0]}_count"] = "__cnt"
         return g.rename_columns([names.get(n, n) for n in g.column_names])
@@ -48,20 +52,22 @@ def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
 
     def rename(batch: pa.Table) -> pa.Table:
         cols = {k: batch.column(k) for k in keys}
-        cnt = batch.column("sum(__cnt)") if count_name else None
         for c in sum_all:
             s = batch.column(f"sum(__s_{c})")
             if c in sum_cols:
                 cols[f"sum_{c}"] = s
             if c in mean_cols:
-                cols[f"mean_{c}"] = pc.divide(
-                    s.cast(pa.float64()), cnt.cast(pa.float64()))
+                n_c = batch.column(f"sum(__n_{c})").cast(pa.float64())
+                mean = pc.divide(s.cast(pa.float64()), n_c)
+                cols[f"mean_{c}"] = pc.if_else(
+                    pc.equal(n_c, 0.0), pa.scalar(None, pa.float64()), mean)
         if count_name:
-            cols[count_name] = cnt.cast(pa.int64())
+            cols[count_name] = batch.column("sum(__cnt)").cast(pa.int64())
         return pa.table(cols)
 
     env = package_runtime_env()
     aggs = [Sum(f"__s_{c}") for c in sum_all]
+    aggs += [Sum(f"__n_{c}") for c in mean_cols]
     if count_name:
         aggs.append(Sum("__cnt"))
     # native reduce: no per-group python call, so a million-key aggregate
@@ -86,6 +92,14 @@ def broadcast_join(ds, small: pa.Table, key: str,
 
     return ds.map_batches(join_batch, batch_format="pyarrow",
                           runtime_env=package_runtime_env())
+
+
+def _int_bounds(t: pa.DataType):
+    if pa.types.is_signed_integer(t):
+        return -(1 << (t.bit_width - 1)), (1 << (t.bit_width - 1)) - 1
+    if pa.types.is_unsigned_integer(t):
+        return 0, (1 << t.bit_width) - 1
+    return None
 
 
 def hash_join(left, right, key: str, right_key: Optional[str] = None,
@@ -169,12 +183,20 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
             try:
                 rk_cast = rk.cast(out_types[key])
             except pa.ArrowInvalid:
-                back = rk.cast(out_types[key], safe=False).cast(rk.type,
-                                                                safe=False)
-                keep = pc.fill_null(pc.equal(back, rk), False)
-                batch = batch.filter(keep)
+                # keep only keys inside the INTERSECTION of both integer
+                # types' ranges, compared in the right key's own type (a
+                # cast-roundtrip filter would pass same-width sign flips:
+                # uint64 2^64-1 <-> int64 -1 roundtrips "equal")
+                rb, tb = _int_bounds(rk.type), _int_bounds(out_types[key])
+                if rb is None or tb is None:
+                    raise
+                lo, hi = max(rb[0], tb[0]), min(rb[1], tb[1])
+                keep = pc.and_(
+                    pc.greater_equal(rk, pa.scalar(lo, rk.type)),
+                    pc.less_equal(rk, pa.scalar(hi, rk.type)))
+                batch = batch.filter(pc.fill_null(keep, False))
                 rk_cast = batch.column(right_key).combine_chunks().cast(
-                    out_types[key], safe=False)
+                    out_types[key])
         else:
             rk_cast = rk
         cols = {}

@@ -675,3 +675,39 @@ def test_hash_join_right_right_collision_and_overflow_keys(ray_session):
         {"rk": pa.array([2, 2**40], type=pa.int64()), "w": ["R", "BIG"]}))
     rows = hash_join(l2, r2, key="k", right_key="rk").take_all()
     assert [(r["k"], r["v"], r["w"]) for r in rows] == [(2, "b", "R")]
+
+
+def test_hash_join_sign_flip_keys_filtered(ray_session):
+    """Same-width signed/unsigned keys: 2^64-1 must NOT join -1 (a cast
+    roundtrip would call them equal); in-range keys still match."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    l = ray.data.from_arrow(pa.table(
+        {"k": pa.array([-1, 5], type=pa.int64()), "v": ["neg", "five"]}))
+    r = ray.data.from_arrow(pa.table(
+        {"rk": pa.array([2**64 - 1, 5], type=pa.uint64()), "w": ["wrap", "R5"]}))
+    rows = hash_join(l, r, key="k", right_key="rk").take_all()
+    assert [(x["k"], x["v"], x["w"]) for x in rows] == [(5, "five", "R5")]
+
+
+def test_grouped_aggregate_mean_null_semantics(ray_session):
+    """mean_<c> divides by the NON-NULL count of c (SQL AVG), and
+    mean without a count column does not crash."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": ["a", "a", "b"],
+        "x": pa.array([10.0, None, None], type=pa.float64())}))
+    rows = {r["k"]: r for r in
+            grouped_aggregate(ds, ["k"], mean_cols=["x"]).take_all()}
+    assert rows["a"]["mean_x"] == 10.0      # not 5.0 (null excluded)
+    assert rows["b"]["mean_x"] is None      # all-null group -> null, not nan
+    rows2 = {r["k"]: r for r in
+             grouped_aggregate(ds, ["k"], mean_cols=["x"],
+                               count_name=None).take_all()}
+    assert rows2["a"]["mean_x"] == 10.0
+    assert "n" not in rows2["a"]
