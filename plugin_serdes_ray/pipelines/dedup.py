@@ -57,12 +57,47 @@ def _content_hash64(arr: pa.Array) -> np.ndarray:
 
 def exact_dedup(ds, column: str, id_column: str):
     """Keep, per distinct ``column`` value, the row with the smallest
-    ``id_column``. hash-partition + per-group-first: the shuffle key is the
-    64-bit content hash, not the (potentially megabytes) value itself."""
+    ``id_column``.
+
+    Scale shape: the ONLY full-width shuffle is avoided entirely. A count
+    pass over just the 64-bit content hashes (per-block pre-agg -> native
+    grouped sum) finds the hashes that occur more than once; rows with a
+    unique hash pass through map-only, and only the duplicated-hash rows
+    (O(duplicates), tiny by assumption) are grouped for per-value
+    verification — so neither the documents nor most rows ever shuffle."""
+    import ray
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = _content_hash64(batch.column(column).combine_chunks())
-        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+        return batch.replace_schema_metadata(None).append_column(
+            "__h", pa.array(h.astype(np.int64)))
+
+    env = package_runtime_env()
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", runtime_env=env)
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        return pa.table({"__h": batch.column("__h")}).group_by(
+            ["__h"]).aggregate([("__h", "count")]).rename_columns(
+            ["__h", "__c"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (hashed.map_batches(local_counts, batch_format="pyarrow",
+                                 runtime_env=env)
+              .groupby("__h").aggregate(Sum("__c")))
+    dup_hashes = pa.array(
+        sorted(r["__h"] for r in counts.take_all() if r["sum(__c)"] > 1),
+        type=pa.int64())
+    dup_ref = ray.put(dup_hashes)
+
+    def pass_unique(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        m = pc.is_in(batch.column("__h"), value_set=dups)
+        return batch.filter(pc.invert(m)).drop_columns(["__h"])
+
+    def keep_suspect(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        return batch.filter(pc.is_in(batch.column("__h"), value_set=dups))
 
     def first_per_group(group: pa.Table) -> pa.Table:
         # hash collisions: keep first row per distinct actual value
@@ -77,13 +112,14 @@ def exact_dedup(ds, column: str, id_column: str):
                 keep.append(i)
         return group.take(sorted(keep)).drop_columns(["__h"])
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow",
-                       runtime_env=package_runtime_env())
-        .groupby("__h")
-        .map_groups(first_per_group, batch_format="pyarrow",
-                    runtime_env=package_runtime_env())
-    )
+    unique_rows = hashed.map_batches(pass_unique, batch_format="pyarrow",
+                                     runtime_env=env)
+    deduped = (hashed.map_batches(keep_suspect, batch_format="pyarrow",
+                                  runtime_env=env)
+               .groupby("__h")
+               .map_groups(first_per_group, batch_format="pyarrow",
+                           runtime_env=package_runtime_env()))
+    return unique_rows.union(deduped)
 
 
 # ---------------------------------------------------------------------------
