@@ -90,6 +90,50 @@ long fsst_encode(const unsigned char *d, long n,
     return o;
 }
 
+/* MinHash signature batch (pipelines/dedup.py): per doc, rolling
+   polynomial char-k-gram hashes -> min over (A[p]*h + B[p]) mod (2^61-1)
+   per permutation. Arithmetic wraps mod 2^64 exactly like the numpy
+   fallback, so signatures are bit-identical across paths. */
+void minhash_batch(const unsigned char *data, const long *offs, long ndocs,
+                   int k, const unsigned long long *A,
+                   const unsigned long long *B, int nperm,
+                   unsigned long long *out)
+{
+    const unsigned long long P = (1ULL << 61) - 1;
+    unsigned long long pw[16];
+    pw[0] = 1ULL;
+    for (int i = 1; i < k && i < 16; ++i) pw[i] = pw[i - 1] * 1000003ULL;
+    for (long d = 0; d < ndocs; ++d) {
+        long s = offs[d], e = offs[d + 1], len = e - s;
+        unsigned long long *o = out + (long) d * nperm;
+        for (int p = 0; p < nperm; ++p) o[p] = ~0ULL;
+        unsigned char pad[16];
+        const unsigned char *buf;
+        long n;
+        if (len < k) {          /* short docs pad with spaces, like numpy */
+            for (int i = 0; i < k; ++i)
+                pad[i] = (i < len) ? data[s + i] : 32;
+            buf = pad;
+            n = k;
+        } else {
+            buf = data + s;
+            n = len;
+        }
+        for (long w = 0; w + k <= n; ++w) {
+            unsigned long long h = 0;
+            for (int i = 0; i < k; ++i)
+                h += (unsigned long long) buf[w + i] * pw[i];
+            unsigned long long hm = h % P;
+            for (int p = 0; p < nperm; ++p) {
+                unsigned long long v = A[p] * hm + B[p];  /* wraps 2^64 */
+                v = (v >> 61) + (v & P);                  /* mod 2^61-1 */
+                if (v >= P) v -= P;
+                if (v < o[p]) o[p] = v;
+            }
+        }
+    }
+}
+
 /* Exact decoded length of a code/escape stream (first pass of decode). */
 long fsst_decoded_len(const unsigned char *e, long n,
                       const unsigned char *slen, int nsym)
@@ -185,6 +229,11 @@ def _build_lib():
         lib.fsst_decoded_len.restype = ctypes.c_long
         lib.fsst_decoded_len.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                          ctypes.c_char_p, ctypes.c_int]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.minhash_batch.restype = None
+        lib.minhash_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+            ctypes.c_int, u64p, u64p, ctypes.c_int, u64p]
         return lib
     except (OSError, AttributeError):
         return None
@@ -223,6 +272,27 @@ def native_compress(data: bytes, symbols: list[bytes]):
         data, len(data), flat, offs, lens, len(symbols),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     return out[:n_out].tobytes()
+
+
+def native_minhash(data: bytes, offsets: np.ndarray, k: int,
+                   a: np.ndarray, b: np.ndarray):
+    """Batched MinHash signatures: (n_docs, num_perm) uint64, or None when
+    no compiler exists. offsets is int64 (n_docs+1); a/b uint64 coeffs."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_docs = len(offsets) - 1
+    nperm = len(a)
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty((n_docs, nperm), dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.minhash_batch(
+        data, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n_docs, k, a.ctypes.data_as(u64p), b.ctypes.data_as(u64p), nperm,
+        out.ctypes.data_as(u64p))
+    return out
 
 
 def native_decompress(enc: bytes, symbols: list[bytes]):

@@ -164,6 +164,26 @@ def minhash_signature(text: str, num_perm: int = 64, k: int = 5,
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(texts: list, num_perm: int = 64, k: int = 5,
+                             seed: int = 1) -> np.ndarray:
+    """Signatures for a whole batch: one C call over the concatenated
+    utf-8 buffer when the native kernel is available (bit-identical to the
+    per-doc numpy path, ~20x faster), else the numpy loop. None texts get
+    an all-max signature row (callers filter them out beforehand)."""
+    from ..codecs import fsst_native
+
+    a, bb = _permutations(num_perm, seed)
+    enc = [(t or "").encode() for t in texts]
+    offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in enc], out=offsets[1:])
+    out = fsst_native.native_minhash(b"".join(enc), offsets, k, a, bb)
+    if out is not None:
+        return out
+    return np.stack([minhash_signature(t or "", num_perm, k, seed)
+                     for t in texts]) if texts else \
+        np.empty((0, num_perm), dtype=np.uint64)
+
+
 def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     """Unbiased MinHash Jaccard estimate: fraction of equal components
     (std ~= sqrt(J(1-J)/num_perm), ~0.03 at J=0.95 with 64 perms)."""
@@ -187,11 +207,14 @@ def minhash_band_rows(ds, column: str, id_column: str, num_perm: int = 64,
     def sigs(batch: pa.Table):
         ids = batch.column(id_column).to_pylist()
         texts = batch.column(column).to_pylist()
+        pairs = [(i, t) for i, t in zip(ids, texts) if t is not None]
+        if not pairs:
+            return pa.table({"band_key": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "sig": pa.array([], type=pa.large_binary())})
+        sig_mat = minhash_signatures_batch([t for _, t in pairs], num_perm, k)
         out_key, out_id, out_sig = [], [], []
-        for i, t in zip(ids, texts):
-            if t is None:
-                continue
-            sig = minhash_signature(t, num_perm, k)
+        for (i, _), sig in zip(pairs, sig_mat):
             sig_b = sig.tobytes()
             for b in range(bands):
                 chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]

@@ -711,3 +711,17 @@ def test_grouped_aggregate_mean_null_semantics(ray_session):
                                count_name=None).take_all()}
     assert rows2["a"]["mean_x"] == 10.0
     assert "n" not in rows2["a"]
+
+
+def test_minhash_native_batch_bit_identical():
+    """The C minhash kernel must produce byte-for-byte the numpy
+    signatures (mixed worker paths in one run must agree)."""
+    from plugin_serdes_ray.fixtures import dedup_corpus_text
+    from plugin_serdes_ray.pipelines.dedup import (
+        minhash_signature, minhash_signatures_batch,
+    )
+
+    texts = [dedup_corpus_text(i) for i in range(20)] + ["hi", "", "ab\xffcd"]
+    mat = minhash_signatures_batch(texts)
+    ref = np.stack([minhash_signature(t or "") for t in texts])
+    assert np.array_equal(mat, ref)
