@@ -277,9 +277,10 @@ def native_compress(data: bytes, symbols: list[bytes]):
 def native_minhash(data: bytes, offsets: np.ndarray, k: int,
                    a: np.ndarray, b: np.ndarray):
     """Batched MinHash signatures: (n_docs, num_perm) uint64, or None when
-    no compiler exists. offsets is int64 (n_docs+1); a/b uint64 coeffs."""
+    no compiler exists or k exceeds the kernel's fixed 16-byte window
+    buffers (callers fall back to numpy, which handles any k)."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or not 1 <= k <= 16:
         return None
     n_docs = len(offsets) - 1
     nperm = len(a)

@@ -23,31 +23,37 @@ from ..util import package_runtime_env
 
 MERSENNE = (1 << 61) - 1
 
+try:
+    import polars as _pl  # noqa: F401 — availability probe only
+    _HAVE_POLARS = True
+except ImportError:  # pragma: no cover - polars is baked into this env
+    _HAVE_POLARS = False
+
 
 def _content_hash64(arr: pa.Array) -> np.ndarray:
     """64-bit content hash of each value. Fast path: polars' vectorized
-    xxhash with a fixed seed (deterministic across worker processes of one
-    run — all that a shuffle key needs; in-group verification compares the
-    actual values, so even a cross-version hash change cannot corrupt
-    results). Fallback: per-row truncated sha1."""
-    try:
+    xxhash with a fixed seed; fallback: per-row truncated sha1. The path is
+    chosen ONCE at import (module flag), so every scan of one run hashes
+    identically — exact_dedup's unverified map-only route depends on it;
+    duplicated-hash groups additionally verify actual values (collision
+    safety)."""
+    if _HAVE_POLARS:
         import polars as pl
 
         s = pl.from_arrow(arr if isinstance(arr, pa.Array)
                           else arr.combine_chunks())
         return s.hash(seed=0).to_numpy().astype(np.uint64)
-    except Exception:
-        out = np.empty(len(arr), dtype=np.uint64)
-        for i, v in enumerate(arr):
-            b = v.as_py()
-            if b is None:
-                out[i] = 0
-            else:
-                if isinstance(b, str):
-                    b = b.encode()
-                out[i] = np.frombuffer(hashlib.sha1(b).digest()[:8],
-                                       dtype=np.uint64)[0]
-        return out
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, v in enumerate(arr):
+        b = v.as_py()
+        if b is None:
+            out[i] = 0
+        else:
+            if isinstance(b, str):
+                b = b.encode()
+            out[i] = np.frombuffer(hashlib.sha1(b).digest()[:8],
+                                   dtype=np.uint64)[0]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -61,10 +67,18 @@ def exact_dedup(ds, column: str, id_column: str):
 
     Scale shape: the ONLY full-width shuffle is avoided entirely. A count
     pass over just the 64-bit content hashes (per-block pre-agg -> native
-    grouped sum) finds the hashes that occur more than once; rows with a
-    unique hash pass through map-only, and only the duplicated-hash rows
-    (O(duplicates), tiny by assumption) are grouped for per-value
-    verification — so neither the documents nor most rows ever shuffle."""
+    grouped sum, filtered to count>1 BEFORE reaching the driver) finds the
+    hashes that occur more than once; rows with a unique hash pass through
+    map-only, and only the duplicated-hash rows (O(duplicates), tiny by
+    assumption) are grouped for per-value verification — so neither the
+    documents nor most rows ever shuffle.
+
+    The lazy ``hashed`` dataset is consumed three times (counts, unique
+    route, suspect route) — three streaming scans instead of one all-to-all
+    exchange, the cheaper trade on a multi-node cluster. Correctness of the
+    unverified map-only route requires every scan to hash identically: the
+    hash path (polars xxhash vs sha1 fallback) is fixed per worker image at
+    import, so a single cluster never mixes them."""
     import ray
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -76,18 +90,24 @@ def exact_dedup(ds, column: str, id_column: str):
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", runtime_env=env)
 
     def local_counts(batch: pa.Table) -> pa.Table:
-        return pa.table({"__h": batch.column("__h")}).group_by(
-            ["__h"]).aggregate([("__h", "count")]).rename_columns(
-            ["__h", "__c"])
+        g = pa.table({"__h": batch.column("__h")}).group_by(
+            ["__h"]).aggregate([("__h", "count")])
+        # by-name select: TableGroupBy column order is version-dependent
+        return pa.table({"__h": g.column("__h"), "__c": g.column("__h_count")})
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        # count>1 filter INSIDE the dataset: the driver receives O(dups)
+        # rows, never the O(distinct) count table
+        return batch.filter(pc.greater(batch.column("sum(__c)"), 1))
 
     from ray.data.aggregate import Sum
 
     counts = (hashed.map_batches(local_counts, batch_format="pyarrow",
                                  runtime_env=env)
-              .groupby("__h").aggregate(Sum("__c")))
-    dup_hashes = pa.array(
-        sorted(r["__h"] for r in counts.take_all() if r["sum(__c)"] > 1),
-        type=pa.int64())
+              .groupby("__h").aggregate(Sum("__c"))
+              .map_batches(only_dups, batch_format="pyarrow", runtime_env=env))
+    dup_hashes = pa.array(sorted(r["__h"] for r in counts.take_all()),
+                          type=pa.int64())
     dup_ref = ray.put(dup_hashes)
 
     def pass_unique(batch: pa.Table) -> pa.Table:
@@ -168,8 +188,9 @@ def minhash_signatures_batch(texts: list, num_perm: int = 64, k: int = 5,
                              seed: int = 1) -> np.ndarray:
     """Signatures for a whole batch: one C call over the concatenated
     utf-8 buffer when the native kernel is available (bit-identical to the
-    per-doc numpy path, ~20x faster), else the numpy loop. None texts get
-    an all-max signature row (callers filter them out beforehand)."""
+    per-doc numpy path, ~7x faster measured), else the numpy loop. None
+    texts hash like the empty string (one all-spaces shingle) — callers
+    filter None rows out beforehand."""
     from ..codecs import fsst_native
 
     a, bb = _permutations(num_perm, seed)

@@ -721,7 +721,19 @@ def test_minhash_native_batch_bit_identical():
         minhash_signature, minhash_signatures_batch,
     )
 
+    from plugin_serdes_ray.codecs.fsst_native import get_lib, native_minhash
+
+    if get_lib() is None:
+        pytest.skip("no system compiler: native path not exercisable")
     texts = [dedup_corpus_text(i) for i in range(20)] + ["hi", "", "ab\xffcd"]
     mat = minhash_signatures_batch(texts)
     ref = np.stack([minhash_signature(t or "") for t in texts])
     assert np.array_equal(mat, ref)
+    # k beyond the kernel's fixed window buffers must fall back, not
+    # silently corrupt (pw[16]/pad[16] in the C source)
+    offs = np.array([0, 2], dtype=np.int64)
+    assert native_minhash(b"hi", offs, 17,
+                          np.ones(4, np.uint64), np.ones(4, np.uint64)) is None
+    big_k = minhash_signatures_batch(["hello world " * 10], k=20)
+    ref_k = minhash_signature("hello world " * 10, k=20)
+    assert np.array_equal(big_k[0], ref_k)
