@@ -23,11 +23,21 @@ from ..util import package_runtime_env
 
 MERSENNE = (1 << 61) - 1
 
-try:
-    import polars as _pl  # noqa: F401 — availability probe only
-    _HAVE_POLARS = True
-except ImportError:  # pragma: no cover - polars is baked into this env
-    _HAVE_POLARS = False
+_HAVE_POLARS: bool | None = None    # first-call latch, fixed per process
+
+
+def _polars_available() -> bool:
+    """Probed lazily (module import must stay cheap for the minhash/simhash
+    pipelines that never hash content), but latched: once a process picks a
+    hash path it never switches."""
+    global _HAVE_POLARS
+    if _HAVE_POLARS is None:
+        try:
+            import polars  # noqa: F401
+            _HAVE_POLARS = True
+        except ImportError:  # pragma: no cover - polars baked into this env
+            _HAVE_POLARS = False
+    return _HAVE_POLARS
 
 
 def _content_hash64(arr: pa.Array) -> np.ndarray:
@@ -37,7 +47,7 @@ def _content_hash64(arr: pa.Array) -> np.ndarray:
     identically — exact_dedup's unverified map-only route depends on it;
     duplicated-hash groups additionally verify actual values (collision
     safety)."""
-    if _HAVE_POLARS:
+    if _polars_available():
         import polars as pl
 
         s = pl.from_arrow(arr if isinstance(arr, pa.Array)
@@ -194,12 +204,15 @@ def minhash_signatures_batch(texts: list, num_perm: int = 64, k: int = 5,
     from ..codecs import fsst_native
 
     a, bb = _permutations(num_perm, seed)
-    enc = [(t or "").encode() for t in texts]
-    offsets = np.zeros(len(enc) + 1, dtype=np.int64)
-    np.cumsum([len(e) for e in enc], out=offsets[1:])
-    out = fsst_native.native_minhash(b"".join(enc), offsets, k, a, bb)
-    if out is not None:
-        return out
+    # gate BEFORE building the O(total bytes) concat buffer: when the numpy
+    # fallback will run anyway the join would be dead memcpy
+    if fsst_native.get_lib() is not None and 1 <= k <= 16 and texts:
+        enc = [(t or "").encode() for t in texts]
+        offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in enc], out=offsets[1:])
+        out = fsst_native.native_minhash(b"".join(enc), offsets, k, a, bb)
+        if out is not None:
+            return out
     return np.stack([minhash_signature(t or "", num_perm, k, seed)
                      for t in texts]) if texts else \
         np.empty((0, num_perm), dtype=np.uint64)

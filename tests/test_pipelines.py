@@ -737,3 +737,8 @@ def test_minhash_native_batch_bit_identical():
     big_k = minhash_signatures_batch(["hello world " * 10], k=20)
     ref_k = minhash_signature("hello world " * 10, k=20)
     assert np.array_equal(big_k[0], ref_k)
+    # k=16 is the LARGEST accepted k (pw[16]/pad[16]): the boundary itself
+    # must be native AND bit-identical, not just the rejection side
+    b16 = minhash_signatures_batch(["hello world " * 10, "x"], k=16)
+    assert np.array_equal(b16[0], minhash_signature("hello world " * 10, k=16))
+    assert np.array_equal(b16[1], minhash_signature("x", k=16))
