@@ -484,6 +484,36 @@ def _events_props_extract(sf_dir: str):
     })
 
 
+def _asof_last_error(sf_dir: str):
+    """AS-OF join: each click event picks the user's most recent prior (or
+    simultaneous) error's value — one groupby(user) shuffle, vectorized
+    searchsorted merge in-group, checked against DuckDB's native ASOF JOIN."""
+    from plugin_serdes_ray.pipelines.relational import asof_join
+
+    ev = _read(sf_dir, "events")
+
+    def pick(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+        return f
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow",
+                            runtime_env=_env()).select_columns(
+        ["event_id", "user_id", "ts"])
+    errors = ev.map_batches(pick("error"), batch_format="pyarrow",
+                            runtime_env=_env()).select_columns(
+        ["user_id", "ts", "value"])
+    out = asof_join(clicks, errors, on="ts", by="user_id",
+                    right_cols=["value"])
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], type=pa.int64()),
+        "value": pa.array([r["value"] for r in rows], type=pa.float64()),
+    })
+
+
 def _distinct_counts(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import count_distinct
 
@@ -715,6 +745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _lang_counts,
         "join_orders_mktsegment": _join_orders_mktsegment,
         "hash_join_orders_customer": _hash_join_orders,
+        "asof_join_last_error": _asof_last_error,
         "events_hourly": _events_hourly,
         "events_sliding_30m": _events_sliding,
         "user_sessions_30m": _sessions,
@@ -835,6 +866,12 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_orders_customer": """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "asof_join_last_error": """
+            SELECT l.event_id, r.value AS value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # 1h windows hopping every 30m: each event is in exactly 2 windows
         "events_sliding_30m": """

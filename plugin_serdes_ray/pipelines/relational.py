@@ -334,6 +334,84 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
                         runtime_env=package_runtime_env()))
 
 
+def asof_join(left, right, on: str, by: str,
+              right_cols: Optional[list[str]] = None, suffix: str = "_r"):
+    """AS-OF join: for each left row, the most recent right row of the same
+    ``by`` key with ``right.on <= left.on`` (inner semantics: left rows with
+    no prior right row are dropped).
+
+    Ray shape: both sides pad to a union schema, tag, union, ONE
+    groupby(by) shuffle, then a vectorized in-group merge (sort + one
+    searchsorted — never a cross product). The per-group state is one key's
+    rows, the natural partitioning for as-of semantics."""
+    r_schema = right.schema()
+    right_cols = list(right_cols or
+                      [n for n in r_schema.names if n not in (on, by)])
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    out_r = {}
+    for nm in right_cols:
+        out_nm = nm + suffix if nm in l_names else nm
+        if out_nm in l_names or out_nm in out_r.values():
+            raise ValueError(f"asof_join output column {out_nm!r} collides")
+        out_r[nm] = out_nm
+    out_types = {nm: t for nm, t in zip(l_schema.names, l_schema.types)}
+    for nm, t in zip(r_schema.names, r_schema.types):
+        if nm in out_r:
+            out_types[out_r[nm]] = t
+    out_names = l_names + [out_r[nm] for nm in right_cols]
+    on_type = l_schema.types[l_names.index(on)]
+
+    def pad(batch: pa.Table, side: int) -> pa.Table:
+        cols = {}
+        for nm in out_names:
+            if side == 1 and nm in out_r.values():
+                src = next(s for s, d in out_r.items() if d == nm)
+                cols[nm] = batch.column(src)
+            elif side == 0 and nm in batch.column_names:
+                cols[nm] = batch.column(nm)
+            elif side == 1 and nm in (on, by):
+                cols[nm] = batch.column(nm).cast(out_types[nm])
+            else:
+                cols[nm] = pa.nulls(batch.num_rows, out_types[nm])
+        cols["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+        t = pa.table(cols)
+        mask = pc.and_(pc.is_valid(t.column(by)), pc.is_valid(t.column(on)))
+        return t.filter(mask)
+
+    env = package_runtime_env()
+    tagged = left.map_batches(lambda b: pad(b, 0), batch_format="pyarrow",
+                              runtime_env=env).union(
+        right.map_batches(lambda b: pad(b, 1), batch_format="pyarrow",
+                          runtime_env=env))
+
+    empty = {nm: pa.array([], type=out_types[nm]) for nm in out_names}
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        onv = group.column(on).combine_chunks().cast(
+            pa.timestamp("us") if pa.types.is_timestamp(on_type) else on_type
+        ).cast(pa.int64() if pa.types.is_timestamp(on_type) else on_type) \
+            .to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return pa.table(empty)
+        r_order = ri[np.argsort(onv[ri], kind="stable")]
+        # most recent right row at-or-before each left timestamp
+        pos = np.searchsorted(onv[r_order], onv[li], side="right") - 1
+        has = pos >= 0
+        lt = group.take(li[has])
+        rt = group.take(r_order[pos[has]])
+        cols = {nm: (lt if nm in l_names else rt).column(nm)
+                for nm in out_names}
+        return pa.table(cols)
+
+    return (tagged.groupby(by)
+            .map_groups(merge, batch_format="pyarrow",
+                        runtime_env=package_runtime_env()))
+
+
 def count_distinct(ds, column: str) -> int:
     """Exact distinct count: per-block ``unique`` pre-shrink, then ONE keyed
     shuffle of the already-distinct values (the all-to-all moves at most

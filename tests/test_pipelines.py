@@ -742,3 +742,29 @@ def test_minhash_native_batch_bit_identical():
     b16 = minhash_signatures_batch(["hello world " * 10, "x"], k=16)
     assert np.array_equal(b16[0], minhash_signature("hello world " * 10, k=16))
     assert np.array_equal(b16[1], minhash_signature("x", k=16))
+
+
+def test_asof_join_semantics(ray_session):
+    """Most recent right row at-or-before each left ts, per key; left rows
+    with no prior right row drop (inner as-of)."""
+    import datetime
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    m = lambda x: t0 + datetime.timedelta(minutes=x)
+    left = ray.data.from_items([
+        {"lid": 1, "u": 1, "ts": m(10)},
+        {"lid": 2, "u": 1, "ts": m(5)},    # equal to a right ts -> matches it
+        {"lid": 3, "u": 1, "ts": m(1)},    # before any right row -> dropped
+        {"lid": 4, "u": 2, "ts": m(10)},   # other key, no right rows -> dropped
+    ])
+    right = ray.data.from_items([
+        {"u": 1, "ts": m(5), "v": 50.0},
+        {"u": 1, "ts": m(8), "v": 80.0},
+    ])
+    rows = sorted(asof_join(left, right, on="ts", by="u").take_all(),
+                  key=lambda r: r["lid"])
+    assert [(r["lid"], r["v"]) for r in rows] == [(1, 80.0), (2, 50.0)]
