@@ -514,6 +514,26 @@ def _asof_last_error(sf_dir: str):
     })
 
 
+def _events_in_sessions(sf_dir: str):
+    """Range join against non-overlapping intervals: label every event with
+    its 30m-gap session's start (sessionize -> interval_join composition)."""
+    from plugin_serdes_ray.pipelines.relational import interval_join, sessionize
+
+    ev = _read(sf_dir, "events")
+    sessions = sessionize(ev, "user_id", "ts", gap="30m")
+    left = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    out = interval_join(left, sessions, on="ts", by="user_id",
+                        lo_col="session_start", hi_col="session_end",
+                        right_cols=[])
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], type=pa.int64()),
+        "session_start": pa.array([r["session_start"] for r in rows],
+                                  type=pa.timestamp("us")),
+    })
+
+
 def _distinct_counts(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import count_distinct
 
@@ -746,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_mktsegment": _join_orders_mktsegment,
         "hash_join_orders_customer": _hash_join_orders,
         "asof_join_last_error": _asof_last_error,
+        "events_in_sessions": _events_in_sessions,
         "events_hourly": _events_hourly,
         "events_sliding_30m": _events_sliding,
         "user_sessions_30m": _sessions,
@@ -872,6 +893,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_in_sessions": """
+            WITH sessions AS (
+              SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+              FROM (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess
+                FROM (
+                  SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts)
+                                   > INTERVAL '30 minutes'
+                              THEN 1 ELSE 0 END AS is_new
+                  FROM events)
+              ) GROUP BY user_id, sess
+            )
+            SELECT e.event_id, s.session_start
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND e.ts BETWEEN s.session_start AND s.session_end
         """,
         # 1h windows hopping every 30m: each event is in exactly 2 windows
         "events_sliding_30m": """

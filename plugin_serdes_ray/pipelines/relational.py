@@ -412,6 +412,90 @@ def asof_join(left, right, on: str, by: str,
                         runtime_env=package_runtime_env()))
 
 
+def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
+                  right_cols: Optional[list[str]] = None, suffix: str = "_r"):
+    """Range join: each left row matches the right interval of the same
+    ``by`` key with ``lo <= left.on <= hi`` (inner semantics).
+
+    PARTITIONING ASSUMPTION (documented per the custom-operator contract):
+    right intervals are NON-OVERLAPPING within a key (sessions, windows,
+    validity ranges) — then one sorted searchsorted per group resolves every
+    match exactly. Overlapping intervals would need an interval tree or
+    candidate expansion; this operator targets the non-overlapping case and
+    a left value inside two overlapping intervals matches only the one with
+    the greatest lo."""
+    r_schema = right.schema()
+    right_cols = list(right_cols or
+                      [n for n in r_schema.names if n not in (lo_col, hi_col, by)])
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    out_r = {}
+    for nm in [lo_col, hi_col, *right_cols]:
+        out_nm = nm + suffix if nm in l_names else nm
+        if out_nm in l_names or out_nm in out_r.values():
+            raise ValueError(f"interval_join output column {out_nm!r} collides")
+        out_r[nm] = out_nm
+    out_types = {nm: t for nm, t in zip(l_schema.names, l_schema.types)}
+    for nm, t in zip(r_schema.names, r_schema.types):
+        if nm in out_r:
+            out_types[out_r[nm]] = t
+    out_names = l_names + [out_r[nm] for nm in [lo_col, hi_col, *right_cols]]
+
+    def pad(batch: pa.Table, side: int) -> pa.Table:
+        cols = {}
+        for nm in out_names:
+            if side == 1 and nm in out_r.values():
+                src = next(s for s, d in out_r.items() if d == nm)
+                cols[nm] = batch.column(src)
+            elif side == 0 and nm in batch.column_names:
+                cols[nm] = batch.column(nm)
+            elif side == 1 and nm == by:
+                cols[nm] = batch.column(by).cast(out_types[by])
+            else:
+                cols[nm] = pa.nulls(batch.num_rows, out_types[nm])
+        cols["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+        t = pa.table(cols)
+        need = t.column(by) if side == 0 else t.column(by)
+        return t.filter(pc.is_valid(need))
+
+    env = package_runtime_env()
+    tagged = left.map_batches(lambda b: pad(b, 0), batch_format="pyarrow",
+                              runtime_env=env).union(
+        right.map_batches(lambda b: pad(b, 1), batch_format="pyarrow",
+                          runtime_env=env))
+    empty = {nm: pa.array([], type=out_types[nm]) for nm in out_names}
+    lo_out, hi_out = out_r[lo_col], out_r[hi_col]
+
+    def as_i64(chunked):
+        c = chunked.combine_chunks()
+        if pa.types.is_timestamp(c.type):
+            c = c.cast(pa.timestamp("us")).cast(pa.int64())
+        return c.to_numpy(zero_copy_only=False)
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return pa.table(empty)
+        v = as_i64(group.column(on))[li]
+        lo = as_i64(group.column(lo_out))[ri]
+        hi = as_i64(group.column(hi_out))[ri]
+        order = np.argsort(lo, kind="stable")
+        pos = np.searchsorted(lo[order], v, side="right") - 1
+        ok = pos >= 0
+        ok[ok] &= v[ok] <= hi[order][pos[ok]]
+        lt = group.take(li[ok])
+        rt = group.take(ri[order][pos[ok]])
+        cols = {nm: (lt if nm in l_names else rt).column(nm)
+                for nm in out_names}
+        return pa.table(cols)
+
+    return (tagged.groupby(by)
+            .map_groups(merge, batch_format="pyarrow",
+                        runtime_env=package_runtime_env()))
+
+
 def count_distinct(ds, column: str) -> int:
     """Exact distinct count: per-block ``unique`` pre-shrink, then ONE keyed
     shuffle of the already-distinct values (the all-to-all moves at most

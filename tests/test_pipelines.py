@@ -768,3 +768,31 @@ def test_asof_join_semantics(ray_session):
     rows = sorted(asof_join(left, right, on="ts", by="u").take_all(),
                   key=lambda r: r["lid"])
     assert [(r["lid"], r["v"]) for r in rows] == [(1, 80.0), (2, 50.0)]
+
+
+def test_interval_join_nonoverlapping(ray_session):
+    """Range join against non-overlapping per-key intervals: inside matches,
+    boundary-inclusive, gaps and foreign keys drop."""
+    import datetime
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    m = lambda x: t0 + datetime.timedelta(minutes=x)
+    left = ray.data.from_items([
+        {"lid": 1, "u": 1, "ts": m(5)},    # inside [0, 10]
+        {"lid": 2, "u": 1, "ts": m(10)},   # hi boundary inclusive
+        {"lid": 3, "u": 1, "ts": m(15)},   # gap -> dropped
+        {"lid": 4, "u": 1, "ts": m(20)},   # lo boundary of second interval
+        {"lid": 5, "u": 2, "ts": m(5)},    # no intervals for key 2 -> dropped
+    ])
+    right = ray.data.from_items([
+        {"u": 1, "lo": m(0), "hi": m(10), "tag": "a"},
+        {"u": 1, "lo": m(20), "hi": m(30), "tag": "b"},
+    ])
+    rows = sorted(interval_join(left, right, on="ts", by="u",
+                                lo_col="lo", hi_col="hi").take_all(),
+                  key=lambda r: r["lid"])
+    assert [(r["lid"], r["tag"]) for r in rows] == [(1, "a"), (2, "a"), (4, "b")]
