@@ -78,17 +78,20 @@ def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
               .map_batches(rename, batch_format="pyarrow", runtime_env=env))
 
 
-def broadcast_join(ds, small: pa.Table, key: str,
+def broadcast_join(ds, small: pa.Table, key,
                    join_type: str = "inner"):
     """Join a Dataset against a small in-memory table without shuffling the
-    large side: the table ships through the object store once."""
+    large side: the table ships through the object store once. ``key`` may
+    be a single column name or a list (composite keys); ``join_type``
+    passes through to ``pa.Table.join`` (inner / left outer / ...)."""
     import ray
 
     ref = ray.put(small)
+    keys = key if isinstance(key, str) else list(key)
 
     def join_batch(batch: pa.Table) -> pa.Table:
         right = ray.get(ref)
-        return batch.join(right, keys=key, join_type=join_type)
+        return batch.join(right, keys=keys, join_type=join_type)
 
     return ds.map_batches(join_batch, batch_format="pyarrow",
                           runtime_env=package_runtime_env())
@@ -102,30 +105,54 @@ def _int_bounds(t: pa.DataType):
     return None
 
 
-def hash_join(left, right, key: str, right_key: Optional[str] = None,
-              suffix: str = "_r", skew_salts: Optional[dict] = None):
+def hash_join(left, right, key, right_key=None,
+              suffix: str = "_r", skew_salts: Optional[dict] = None,
+              join_type: str = "inner"):
     """Big-big equi-join with ONE keyed shuffle and no broadcast: both sides
     are padded to the union schema, tagged, unioned, hash-partitioned by the
     join key, and joined inside each key group (cross product of the key's
     left x right rows). Use :func:`broadcast_join` when one side fits in the
     object store; use this when BOTH sides are large.
 
-    Skewed join keys: pass ``skew_salts`` ({hot_key: n}, e.g. from
-    :func:`salt_counts_for_target` on the LEFT side). Left rows of a hot key
-    spread over n subkeys; RIGHT rows of that key are REPLICATED into all n
-    subkeys so every (l, r) pair still meets exactly once. (Salting both
-    sides independently would silently drop pairs — left k#3 never meets
-    right k#5.) Replication costs n x |R_k| rows for hot keys only; choose
-    the smaller/dimension side as ``right``. Inner join semantics; null
-    keys never match."""
-    right_key = right_key or key
+    ``key`` / ``right_key`` accept a single column name or a list of names
+    (composite keys). ``join_type`` is one of ``inner | left | right |
+    full`` with SQL semantics: null keys never match; unmatched rows pad the
+    other side's columns with nulls. The output key columns carry
+    ``COALESCE(l.key, r.key)`` (the ``JOIN USING`` convention), so unmatched
+    RIGHT rows still show their key values in the left-named key columns.
+
+    Skewed join keys (single-key inner/left joins only): pass ``skew_salts``
+    ({hot_key: n}, e.g. from :func:`salt_counts_for_target` on the LEFT
+    side). Left rows of a hot key spread over n subkeys; RIGHT rows of that
+    key are REPLICATED into all n subkeys so every (l, r) pair still meets
+    exactly once. (Salting both sides independently would silently drop
+    pairs — left k#3 never meets right k#5.) Replication costs n x |R_k|
+    rows for hot keys only; choose the smaller/dimension side as ``right``.
+    Right/full joins refuse skew_salts: an unmatched replicated right row
+    would be emitted once per subkey — swap the sides and use
+    ``join_type="left"`` instead."""
+    keys = [key] if isinstance(key, str) else list(key)
+    right_keys = keys if right_key is None else (
+        [right_key] if isinstance(right_key, str) else list(right_key))
+    if not keys or len(right_keys) != len(keys):
+        raise ValueError("key and right_key must name the same number of columns")
+    if join_type not in ("inner", "left", "right", "full"):
+        raise ValueError(f"join_type {join_type!r}: want inner|left|right|full")
+    salts = dict(skew_salts or {})
+    if salts and (len(keys) > 1 or join_type in ("right", "full")):
+        raise ValueError(
+            "skew_salts supports single-key inner/left joins only (a hot "
+            "key's right rows replicate across the left salt subkeys, so an "
+            "unmatched right row would be emitted once per subkey)")
+    keep_null_left = join_type in ("left", "full")
+    keep_null_right = join_type in ("right", "full")
 
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = list(l_schema.names)
     r_out = {}      # right column -> output name
     for nm in r_schema.names:
-        if nm == right_key:
+        if nm in right_keys:
             continue
         out_nm = nm + suffix if nm in l_names else nm
         if out_nm in l_names or out_nm in r_out.values():
@@ -144,15 +171,27 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
     out_names = [nm for nm, _ in out_fields]
     out_types = {nm: t for nm, t in out_fields}
 
-    salts = dict(skew_salts or {})
     hot_keys = list(salts.keys())
     hot_counts = np.asarray([int(salts[k]) for k in hot_keys], dtype=np.int64)
 
-    def _jk(key_col: pa.Array, salt: np.ndarray) -> pa.Array:
-        s = key_col.cast(pa.string()) if not pa.types.is_string(key_col.type) \
-            else key_col
+    def _as_str(col) -> pa.Array:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        s = col.cast(pa.string()) if not pa.types.is_string(col.type) else col
+        return pc.fill_null(s, "null")
+
+    def _jk(t: pa.Table, salt: np.ndarray) -> pa.Array:
+        parts = [_as_str(t.column(k)) for k in keys]
         return pc.binary_join_element_wise(
-            pc.fill_null(s, "null"), pa.array(salt.astype(str)), "#")
+            *parts, pa.array(salt.astype(str)), "#")
+
+    def _null_route(n: int, prefix: str) -> pa.Array:
+        # null-key rows never match anything; spread them over 64 routing
+        # groups so no single reducer drowns. The \x00 prefix keeps them out
+        # of the printable key space; even a colliding real key stays
+        # correct because join_group re-groups by the ACTUAL key values.
+        salt = (np.arange(n, dtype=np.int64) % 64).astype(str)
+        return pc.binary_join_element_wise(
+            pa.array(np.full(n, "\x00" + prefix)), pa.array(salt), "#")
 
     def _salt_for(key_col: pa.Array) -> np.ndarray:
         per_row = np.ones(len(key_col), dtype=np.int64)
@@ -164,30 +203,57 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
             per_row[valid] = hot_counts[ov[valid].astype(np.int64)]
         return np.arange(len(key_col), dtype=np.int64) % per_row
 
+    def _valid_mask(batch: pa.Table, names: list) -> pa.Array:
+        m = pc.is_valid(batch.column(names[0]))
+        for k in names[1:]:
+            m = pc.and_(m, pc.is_valid(batch.column(k)))
+        return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+
     def pad_left(batch: pa.Table) -> pa.Table:
         cols = {nm: (batch.column(nm) if nm in batch.column_names
                      else pa.nulls(batch.num_rows, out_types[nm]))
                 for nm in out_names}
         cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
-        t = pa.table(cols).filter(pc.is_valid(batch.column(key)))
-        kc = t.column(key).combine_chunks()
-        return t.append_column("__jk", _jk(kc, _salt_for(kc)))
+        t = pa.table(cols)
+        valid = _valid_mask(batch, keys)
+        if not keep_null_left:
+            t = t.filter(valid)
+            kc = t.column(keys[0]).combine_chunks()
+            return t.append_column("__jk", _jk(t, _salt_for(kc)))
+        kc = t.column(keys[0]).combine_chunks()
+        jk = _jk(t, _salt_for(kc))
+        return t.append_column(
+            "__jk", pc.if_else(valid, jk, _null_route(t.num_rows, "L")))
 
     def pad_right(batch: pa.Table) -> pa.Table:
-        # cast the join key to the LEFT key's type: mixed-width keys (int32
+        valid = _valid_mask(batch, right_keys)
+        if not keep_null_right:
+            batch = batch.filter(valid)
+            valid = None
+        # cast each join key to the LEFT key's type: mixed-width keys (int32
         # vs int64) must not put two block schemas into one group. Keys the
         # left type cannot represent can never match a left row — filter
-        # them instead of letting a safe-cast overflow kill the join.
-        rk = batch.column(right_key).combine_chunks()
-        if rk.type != out_types[key]:
+        # them instead of letting a safe-cast overflow kill the join (but a
+        # right/full join must KEEP unmatched right rows, so there the
+        # unrepresentable-key case fails loudly instead of dropping rows).
+        for lk, rk_name in zip(keys, right_keys):
+            rk = batch.column(rk_name).combine_chunks()
+            if rk.type == out_types[lk]:
+                continue
             try:
-                rk_cast = rk.cast(out_types[key])
+                rk.cast(out_types[lk])
             except pa.ArrowInvalid:
+                if keep_null_right:
+                    raise ValueError(
+                        f"hash_join: right key {rk_name!r} has values the "
+                        f"left key type {out_types[lk]} cannot represent and "
+                        f"join_type={join_type!r} must keep unmatched right "
+                        "rows — align the key types before joining")
                 # keep only keys inside the INTERSECTION of both integer
                 # types' ranges, compared in the right key's own type (a
                 # cast-roundtrip filter would pass same-width sign flips:
                 # uint64 2^64-1 <-> int64 -1 roundtrips "equal")
-                rb, tb = _int_bounds(rk.type), _int_bounds(out_types[key])
+                rb, tb = _int_bounds(rk.type), _int_bounds(out_types[lk])
                 if rb is None or tb is None:
                     raise
                 lo, hi = max(rb[0], tb[0]), min(rb[1], tb[1])
@@ -195,34 +261,37 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
                     pc.greater_equal(rk, pa.scalar(lo, rk.type)),
                     pc.less_equal(rk, pa.scalar(hi, rk.type)))
                 batch = batch.filter(pc.fill_null(keep, False))
-                rk_cast = batch.column(right_key).combine_chunks().cast(
-                    out_types[key])
-        else:
-            rk_cast = rk
+        cast_keys = {}
+        for lk, rk_name in zip(keys, right_keys):
+            c = batch.column(rk_name).combine_chunks()
+            cast_keys[lk] = c if c.type == out_types[lk] \
+                else c.cast(out_types[lk])
         cols = {}
         for nm in out_names:
-            if nm == key:
-                cols[nm] = rk_cast
+            if nm in cast_keys:
+                cols[nm] = cast_keys[nm]
             elif nm in r_out.values():
                 src = next(s for s, d in r_out.items() if d == nm)
                 cols[nm] = batch.column(src)
             else:
                 cols[nm] = pa.nulls(batch.num_rows, out_types[nm])
         cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
-        t = pa.table(cols).filter(pc.is_valid(batch.column(right_key)))
-        kc = t.column(key).combine_chunks()
-        pieces = [t.append_column("__jk", _jk(kc, np.zeros(len(kc), np.int64)))]
+        t = pa.table(cols)
+        jk = _jk(t, np.zeros(t.num_rows, np.int64))
+        if keep_null_right:
+            jk = pc.if_else(valid, jk, _null_route(t.num_rows, "R"))
+        pieces = [t.append_column("__jk", jk)]
         # hot keys: replicate this side's rows into every left salt subkey
+        kc = t.column(keys[0]).combine_chunks()
         for hk, n in salts.items():
             if n <= 1:
                 continue
             sub = t.filter(pc.equal(kc, hk))
             if sub.num_rows == 0:
                 continue
-            skc = sub.column(key).combine_chunks()
             for sval in range(1, int(n)):
                 pieces.append(sub.append_column(
-                    "__jk", _jk(skc, np.full(len(skc), sval, np.int64))))
+                    "__jk", _jk(sub, np.full(sub.num_rows, sval, np.int64))))
         return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
     env = package_runtime_env()
@@ -234,28 +303,58 @@ def hash_join(left, right, key: str, right_key: Optional[str] = None,
 
     def join_group(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
-        # sub-group by the ACTUAL key: a "#"-containing string key could
-        # collide with another (key, salt) in the __jk string space
-        codes = pc.dictionary_encode(
-            group.column(key).combine_chunks()).indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        n = group.num_rows
+        # validity + sub-group by the ACTUAL key tuple: a "#"-containing
+        # string key (or a \x00 null route) could put several true keys into
+        # one __jk group, so correctness never depends on the jk routing
+        valid = np.ones(n, dtype=bool)
+        code_cols = []
+        for knm in keys:
+            col = group.column(knm).combine_chunks()
+            valid &= pc.is_valid(col).to_numpy(zero_copy_only=False)
+            iv = pc.dictionary_encode(col).indices.to_numpy(
+                zero_copy_only=False)
+            if iv.dtype.kind == "f":
+                iv = np.where(np.isnan(iv), -1, iv)
+            code_cols.append(iv.astype(np.int64))
+        codes = code_cols[0] if len(code_cols) == 1 else np.unique(
+            np.stack(code_cols, axis=1), axis=0,
+            return_inverse=True)[1].reshape(-1)
+        l_matched = np.zeros(n, dtype=bool)
+        r_matched = np.zeros(n, dtype=bool)
         lrep_parts, rrep_parts = [], []
-        for c in np.unique(codes):
-            m = codes == c
+        for c in np.unique(codes[valid]) if valid.any() else ():
+            m = valid & (codes == c)
             li = np.flatnonzero(m & (side == 0))
             ri = np.flatnonzero(m & (side == 1))
             if len(li) and len(ri):
+                l_matched[li] = True
+                r_matched[ri] = True
                 lrep_parts.append(np.repeat(li, len(ri)))
                 rrep_parts.append(np.tile(ri, len(li)))
-        if not lrep_parts:
+        parts = []
+        if lrep_parts:
+            lt = group.take(np.concatenate(lrep_parts))
+            rt = group.take(np.concatenate(rrep_parts))
+            # out_names = left names + right output names, disjoint by
+            # construction (right collisions carry the suffix)
+            cols = {nm: (lt if nm in l_names else rt).column(nm)
+                    for nm in out_names}
+            parts.append(pa.table(cols))
+        # unmatched rows already carry the other side's columns as nulls
+        # from padding (right rows additionally carry their key values in
+        # the left-named key columns = the COALESCE convention)
+        if keep_null_left:
+            um = np.flatnonzero((side == 0) & ~l_matched)
+            if len(um):
+                parts.append(group.take(um).select(out_names))
+        if keep_null_right:
+            um = np.flatnonzero((side == 1) & ~r_matched)
+            if len(um):
+                parts.append(group.take(um).select(out_names))
+        if not parts:
             return pa.table(empty)
-        lt = group.take(np.concatenate(lrep_parts))
-        rt = group.take(np.concatenate(rrep_parts))
-        # out_names = left names + right output names, disjoint by
-        # construction (right collisions carry the suffix)
-        cols = {nm: (lt if nm in l_names else rt).column(nm)
-                for nm in out_names}
-        return pa.table(cols)
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     return (tagged.groupby("__jk")
             .map_groups(join_group, batch_format="pyarrow",
@@ -335,15 +434,21 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
 
 
 def asof_join(left, right, on: str, by: str,
-              right_cols: Optional[list[str]] = None, suffix: str = "_r"):
+              right_cols: Optional[list[str]] = None, suffix: str = "_r",
+              join_type: str = "inner"):
     """AS-OF join: for each left row, the most recent right row of the same
-    ``by`` key with ``right.on <= left.on`` (inner semantics: left rows with
-    no prior right row are dropped).
+    ``by`` key with ``right.on <= left.on``. ``join_type="inner"`` drops
+    left rows with no prior right row; ``join_type="left"`` keeps them with
+    null right columns (DuckDB ``ASOF LEFT JOIN`` semantics — including
+    left rows whose ``by``/``on`` is null, which match nothing but are
+    kept, at the cost of one extra streaming scan of the left side).
 
     Ray shape: both sides pad to a union schema, tag, union, ONE
     groupby(by) shuffle, then a vectorized in-group merge (sort + one
     searchsorted — never a cross product). The per-group state is one key's
     rows, the natural partitioning for as-of semantics."""
+    if join_type not in ("inner", "left"):
+        raise ValueError(f"asof_join join_type {join_type!r}: want inner|left")
     r_schema = right.schema()
     right_cols = list(right_cols or
                       [n for n in r_schema.names if n not in (on, by)])
@@ -395,8 +500,12 @@ def asof_join(left, right, on: str, by: str,
             .to_numpy(zero_copy_only=False)
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
-        if len(li) == 0 or len(ri) == 0:
+        if len(li) == 0:
             return pa.table(empty)
+        if len(ri) == 0:
+            # padding already filled the right columns with nulls
+            return group.take(li).select(out_names) if join_type == "left" \
+                else pa.table(empty)
         r_order = ri[np.argsort(onv[ri], kind="stable")]
         # most recent right row at-or-before each left timestamp
         pos = np.searchsorted(onv[r_order], onv[li], side="right") - 1
@@ -405,11 +514,31 @@ def asof_join(left, right, on: str, by: str,
         rt = group.take(r_order[pos[has]])
         cols = {nm: (lt if nm in l_names else rt).column(nm)
                 for nm in out_names}
+        matched = pa.table(cols)
+        if join_type == "left" and not has.all():
+            unmatched = group.take(li[~has]).select(out_names)
+            return pa.concat_tables([matched, unmatched])
+        return matched
+
+    joined = (tagged.groupby(by)
+              .map_groups(merge, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()))
+    if join_type != "left":
+        return joined
+
+    def null_key_left(batch: pa.Table) -> pa.Table:
+        # left rows with a null by/on never match but a LEFT join keeps
+        # them; they were filtered before the shuffle, so this second
+        # streaming scan of the left side re-emits exactly those rows
+        bad = pc.or_(pc.is_null(batch.column(by)), pc.is_null(batch.column(on)))
+        t = batch.filter(pc.fill_null(bad, True))
+        cols = {nm: (t.column(nm) if nm in t.column_names
+                     else pa.nulls(t.num_rows, out_types[nm]))
+                for nm in out_names}
         return pa.table(cols)
 
-    return (tagged.groupby(by)
-            .map_groups(merge, batch_format="pyarrow",
-                        runtime_env=package_runtime_env()))
+    return joined.union(left.map_batches(null_key_left, batch_format="pyarrow",
+                                         runtime_env=env))
 
 
 def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
@@ -422,8 +551,9 @@ def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
     validity ranges) — then one sorted searchsorted per group resolves every
     match exactly. Overlapping intervals would need an interval tree or
     candidate expansion; this operator targets the non-overlapping case and
-    a left value inside two overlapping intervals matches only the one with
-    the greatest lo."""
+    VERIFIES it per group (an input violating the assumption raises a
+    ValueError naming the key and the two clashing intervals, instead of
+    silently matching only the greatest-lo interval)."""
     r_schema = right.schema()
     right_cols = list(right_cols or
                       [n for n in r_schema.names if n not in (lo_col, hi_col, by)])
@@ -455,8 +585,14 @@ def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
                 cols[nm] = pa.nulls(batch.num_rows, out_types[nm])
         cols["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
         t = pa.table(cols)
-        need = t.column(by) if side == 0 else t.column(by)
-        return t.filter(pc.is_valid(need))
+        mask = pc.is_valid(t.column(by))
+        if side == 1:
+            # right rows with a null bound define no interval: drop them
+            # here instead of relying on NaN comparisons downstream
+            mask = pc.and_(mask, pc.and_(
+                pc.is_valid(t.column(out_r[lo_col])),
+                pc.is_valid(t.column(out_r[hi_col]))))
+        return t.filter(mask)
 
     env = package_runtime_env()
     tagged = left.map_batches(lambda b: pad(b, 0), batch_format="pyarrow",
@@ -482,7 +618,21 @@ def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
         lo = as_i64(group.column(lo_out))[ri]
         hi = as_i64(group.column(hi_out))[ri]
         order = np.argsort(lo, kind="stable")
-        pos = np.searchsorted(lo[order], v, side="right") - 1
+        lo_s, hi_s = lo[order], hi[order]
+        # verify the documented non-overlap assumption: silent wrong answers
+        # (a value inside two intervals matching only the greatest-lo one)
+        # become loud errors naming the offending key + intervals
+        if len(lo_s) > 1:
+            bad = np.flatnonzero(lo_s[1:] <= hi_s[:-1])
+            if len(bad):
+                j = int(bad[0])
+                raise ValueError(
+                    f"interval_join: overlapping right intervals for "
+                    f"{by}={group.column(by)[0].as_py()!r}: "
+                    f"[{lo_s[j]}, {hi_s[j]}] and [{lo_s[j + 1]}, "
+                    f"{hi_s[j + 1]}] — this operator requires "
+                    "non-overlapping intervals per key")
+        pos = np.searchsorted(lo_s, v, side="right") - 1
         ok = pos >= 0
         ok[ok] &= v[ok] <= hi[order][pos[ok]]
         lt = group.take(li[ok])
