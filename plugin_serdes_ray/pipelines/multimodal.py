@@ -2,16 +2,19 @@
 with typed metadata, processed by ACTOR-POOL map_batches stages (decoder
 state built once per actor in __init__ — the stateful-stage pattern).
 
-The actual media libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decode kernels are deterministic fakes gated behind
-try-imports (clearly marked); the Ray-side plumbing — schemas, byte-bounded
-batch sizing, actor signatures, output layout — is real and tested, so
-swapping in a real decoder is a one-function change.
+Image decode is REAL for uncompressed container formats whose parsing is
+pure stdlib/numpy: BMP (24/32-bpp BI_RGB) and binary PPM (P6). Compressed
+formats (JPEG/PNG/...) need PIL, which is NOT in this container — those
+payloads fall back to a clearly-marked deterministic fake feature vector
+(audio/video kernels are likewise fakes, pending ffmpeg/torchaudio). The
+Ray-side plumbing — schemas, byte-bounded batch sizing, actor signatures,
+output layout — is real and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Optional
 
 import numpy as np
@@ -28,29 +31,177 @@ def _seed_from(data: bytes) -> int:
     return int.from_bytes(hashlib.sha1(data).digest()[:4], "little")
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Minimal stdlib decoder for uncompressed 24/32-bpp BI_RGB BMP ->
+    (height, width, 3) uint8 RGB array. Raises ValueError on anything else
+    (compressed, paletted, other bit depths)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0          # positive height = bottom-up row order
+    h = abs(h)
+    bypp = bpp // 8
+    stride = ((w * bypp + 3) // 4) * 4
+    need = pix_off + stride * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} < {need} bytes")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=pix_off).reshape(h, stride)
+    px = rows[:, : w * bypp].reshape(h, w, bypp)
+    if flip:
+        px = px[::-1]
+    # BMP stores BGR(A); return RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bpp bottom-up BI_RGB BMP bytes (fixture /
+    test helper for the decoder above; stdlib+numpy only)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("want (h, w, 3) uint8 RGB")
+    h, w, _ = px.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)   # bottom-up BGR
+    data = body.tobytes()
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                         2835, 2835, 0, 0))
+    return hdr + data
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> (height, width, 3) uint8 RGB."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace/comment-separated
+    # tokens, then ONE whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1          # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (maxval={maxval})")
+    need = w * h * 3
+    if len(data) - pos < need:
+        raise ValueError(f"truncated PPM: {len(data) - pos} < {need} bytes")
+    return np.frombuffer(data, dtype=np.uint8, count=need,
+                         offset=pos).reshape(h, w, 3).copy()
+
+
+def decode_image(data: bytes) -> Optional[np.ndarray]:
+    """Dispatch on magic bytes -> (h, w, 3) uint8 RGB, or None when the
+    payload is not a format the stdlib decoders cover."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    return None
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 -> (sample_rate, (n_samples, n_channels) int16).
+    Stdlib struct parse of the fmt/data chunks; anything non-PCM16 raises."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, frames = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={fmt_tag}, bits={bits}): "
+                    "only PCM16 parses without an audio library")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            avail = min(size, len(data) - body)
+            n = avail // (2 * channels)
+            frames = np.frombuffer(data, dtype="<i2", count=n * channels,
+                                   offset=body).reshape(n, channels)
+            return rate, frames
+        pos = body + size + (size & 1)   # chunks are 2-byte aligned
+    raise ValueError("WAV has no data chunk")
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n, channels) int16 -> PCM16 WAV bytes (fixture/test helper)."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    body = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
 class ImageDecoder:
     """Actor-pool stage: binary image column -> fixed-size float features.
 
-    Real path would do PIL decode + resize in __call__; here the fake
-    'decode' derives a deterministic (size, channels-mean) feature vector
-    from the payload bytes so the pipeline is testable end to end.
-    """
+    BMP/P6-PPM payloads decode for REAL (stdlib parsers above) into a
+    deterministic feature vector: [width, height, mean_r, mean_g, mean_b,
+    then a coarse 2x2-block luminance grid] padded/truncated to ``size``.
+    Other formats (JPEG/PNG need PIL, absent here) fall back to a
+    clearly-marked deterministic fake so the pipeline stays runnable on
+    arbitrary payloads."""
 
     def __init__(self, column: str = "image", size: int = 32):
         self.column = column
         self.size = size
-        try:  # real decoder, if ever available in the image
+        try:  # compressed formats, if PIL ever lands in the image
             from PIL import Image  # noqa: F401
             self._pil = True
         except ImportError:
             self._pil = False
 
+    def _features(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        f = np.zeros(self.size, dtype=np.float32)
+        head = [float(w), float(h), *px.reshape(-1, 3).mean(axis=0)]
+        lum = px.mean(axis=2)
+        # 2x2 block-mean luminance grid, row-major, as texture features
+        gh, gw = max(h // 2, 1), max(w // 2, 1)
+        grid = [lum[i * gh:(i + 1) * gh, j * gw:(j + 1) * gw].mean()
+                for i in range(min(2, h)) for j in range(min(2, w))]
+        vals = np.asarray(head + grid, dtype=np.float32)[: self.size]
+        f[: len(vals)] = vals
+        return f
+
     def _decode(self, data: Optional[bytes]) -> np.ndarray:
         if data is None:
             return np.zeros(self.size, dtype=np.float32)
+        px = decode_image(data)
+        if px is not None:
+            return self._features(px)
         if self._pil:  # pragma: no cover - library absent in this container
             raise NotImplementedError(
-                "real PIL decode path: wire Image.open(BytesIO(data)) here")
+                "compressed-format path: wire Image.open(BytesIO(data)) here")
+        # DETERMINISTIC FAKE for formats we cannot decode in this container
         rng = np.random.default_rng(_seed_from(data))
         return rng.random(self.size, dtype=np.float32)
 
@@ -61,25 +212,113 @@ class ImageDecoder:
                                    type=pa.list_(pa.float32())))
 
 
+class ImageStats:
+    """Actor-pool stage: REAL decode (BMP/PPM) -> per-image width/height and
+    channel means. Payloads the stdlib decoders cannot parse yield null
+    stats (never fake numbers — this stage is the oracle-checkable one)."""
+
+    def __init__(self, column: str = "image"):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w_out, h_out, means = [], [], ([], [], [])
+        for v in batch.column(self.column).to_pylist():
+            px = decode_image(v) if v is not None else None
+            if px is None:
+                w_out.append(None)
+                h_out.append(None)
+                for m in means:
+                    m.append(None)
+            else:
+                h, w, _ = px.shape
+                w_out.append(w)
+                h_out.append(h)
+                cm = px.reshape(-1, 3).mean(axis=0)
+                for m, val in zip(means, cm):
+                    m.append(float(val))
+        return (batch.append_column("width", pa.array(w_out, type=pa.int64()))
+                .append_column("height", pa.array(h_out, type=pa.int64()))
+                .append_column("mean_r", pa.array(means[0], type=pa.float64()))
+                .append_column("mean_g", pa.array(means[1], type=pa.float64()))
+                .append_column("mean_b", pa.array(means[2], type=pa.float64())))
+
+
 class AudioFeaturizer:
     """Actor-pool stage: binary audio column -> frame-level features
-    (n_frames x n_mels flattened). Deterministic fake kernel."""
+    (``frames`` x ``n_mels`` flattened).
+
+    PCM16 WAV payloads featurize for REAL: channel-0 samples split into
+    ``frames`` equal windows, numpy-FFT power spectrum per window folded
+    into ``n_mels`` linear bands (log1p-compressed) — a filterbank-style
+    front end without any audio library. Non-WAV payloads (mp3/ogg need
+    ffmpeg, absent here) fall back to the deterministic fake."""
 
     def __init__(self, column: str = "audio", n_mels: int = 16, frames: int = 8):
         self.column = column
         self.n_mels = n_mels
         self.frames = frames
 
+    def _wav_features(self, data: bytes) -> np.ndarray:
+        _, samples = decode_wav(data)
+        x = samples[:, 0].astype(np.float64) / 32768.0
+        if len(x) < self.frames:
+            x = np.pad(x, (0, self.frames - len(x)))
+        step = len(x) // self.frames
+        out = np.empty((self.frames, self.n_mels), dtype=np.float32)
+        for f in range(self.frames):
+            win = x[f * step:(f + 1) * step]
+            spec = np.abs(np.fft.rfft(win)) ** 2
+            bands = np.array_split(spec, self.n_mels)
+            out[f] = [np.log1p(b.sum()) for b in bands]
+        return out.reshape(-1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for v in batch.column(self.column).to_pylist():
             if v is None:
-                out.append(np.zeros(self.frames * self.n_mels, dtype=np.float32).tolist())
+                out.append(np.zeros(self.frames * self.n_mels,
+                                    dtype=np.float32).tolist())
                 continue
+            if v[:4] == b"RIFF":
+                out.append(self._wav_features(v).tolist())
+                continue
+            # DETERMINISTIC FAKE for formats needing absent codecs
             rng = np.random.default_rng(_seed_from(v))
-            out.append(rng.random(self.frames * self.n_mels, dtype=np.float32).tolist())
+            out.append(rng.random(self.frames * self.n_mels,
+                                  dtype=np.float32).tolist())
         return batch.append_column(
             "audio_feat", pa.array(out, type=pa.list_(pa.float32())))
+
+
+class AudioStats:
+    """Actor-pool stage: REAL PCM16-WAV decode -> per-clip sample count,
+    rate, duration and RMS (int16 units). Undecodable payloads yield nulls
+    (never fake numbers — this stage is the oracle-checkable one)."""
+
+    def __init__(self, column: str = "audio"):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, rates, durs, rms = [], [], [], []
+        for v in batch.column(self.column).to_pylist():
+            try:
+                rate, samples = decode_wav(v) if v is not None else (None, None)
+            except ValueError:
+                rate, samples = None, None
+            if samples is None:
+                ns.append(None), rates.append(None)
+                durs.append(None), rms.append(None)
+            else:
+                n = len(samples)
+                ns.append(n)
+                rates.append(rate)
+                durs.append(n / rate)
+                x = samples.astype(np.float64)
+                rms.append(float(np.sqrt((x * x).mean())) if n else 0.0)
+        return (batch.append_column("n_samples", pa.array(ns, type=pa.int64()))
+                .append_column("sample_rate", pa.array(rates, type=pa.int64()))
+                .append_column("duration_s", pa.array(durs, type=pa.float64()))
+                .append_column("rms", pa.array(rms, type=pa.float64())))
 
 
 class FrameSampler:
@@ -113,10 +352,30 @@ def decode_images(ds, column: str = "image", size: int = 32,
         runtime_env=package_runtime_env())
 
 
+def image_stats(ds, column: str = "image", concurrency: int = 4,
+                batch_size: int = 64):
+    """Real-decode stats stage (width/height/channel means per image)."""
+    return ds.map_batches(
+        ImageStats, fn_constructor_kwargs={"column": column},
+        batch_size=batch_size, batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1,
+        runtime_env=package_runtime_env())
+
+
 def featurize_audio(ds, column: str = "audio", concurrency: int = 4,
                     batch_size: int = 64):
     return ds.map_batches(
         AudioFeaturizer, fn_constructor_kwargs={"column": column},
+        batch_size=batch_size, batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1,
+        runtime_env=package_runtime_env())
+
+
+def audio_stats(ds, column: str = "audio", concurrency: int = 4,
+                batch_size: int = 64):
+    """Real-decode WAV stats stage (n_samples/rate/duration/rms per clip)."""
+    return ds.map_batches(
+        AudioStats, fn_constructor_kwargs={"column": column},
         batch_size=batch_size, batch_format="pyarrow",
         concurrency=concurrency, num_cpus=1,
         runtime_env=package_runtime_env())
