@@ -17,7 +17,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-from ..util import package_runtime_env
+from ..util import package_runtime_env, vectors_to_numpy
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -60,8 +60,11 @@ def knn_brute(ds, queries: np.ndarray, query_ids: Optional[list[int]] = None,
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, qi = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_column).to_pylist())
-        vecs = np.asarray(batch.column(vector_column).to_pylist(), dtype=np.float32)
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # zero-copy (n, d) view of the embedding buffer — this stage is
+        # matmul-bound; boxing every float through to_pylist() dominated
+        vecs = vectors_to_numpy(batch.column(vector_column), np.float32)
         if len(vecs) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),
@@ -135,12 +138,12 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
 
     def assign(batch: pa.Table) -> pa.Table:
         cen = ray.get(centers_ref)
-        vecs = np.asarray(batch.column(vector_column).to_pylist(),
-                          dtype=np.float32)
+        vecs = vectors_to_numpy(batch.column(vector_column), np.float32)
         if len(vecs) == 0:
             return batch.append_column("__ivf", pa.array([], type=pa.int64()))
         cluster = np.argmax(_unit(vecs) @ cen.T, axis=1).astype(np.int64)
-        salt = (np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        salt = (batch.column(id_column).combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
                 % sub_splits)
         return batch.append_column("__ivf", pa.array(cluster * sub_splits + salt))
 

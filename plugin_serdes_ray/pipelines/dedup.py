@@ -12,7 +12,6 @@ variants bucket by MinHash bands / SimHash bands / hyperplane signs.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import Optional
 
 import numpy as np
@@ -71,9 +70,19 @@ def _content_hash64(arr: pa.Array) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, column: str, id_column: str):
+def exact_dedup(ds, column: str, id_column: str, *,
+                materialize: bool = False):
     """Keep, per distinct ``column`` value, the row with the smallest
     ``id_column``.
+
+    DETERMINISM CONTRACT (ADVICE r2): the input dataset's lineage is
+    re-executed for each of the three streaming scans below, so upstream
+    stages must be deterministic (no unseeded random_sample / stateful
+    actor maps) or the scans see different rows and output silently drifts.
+    Pass ``materialize=True`` to pin a nondeterministic input: the hashed
+    dataset is materialized once into the object store and all scans read
+    that snapshot (costs a full-corpus materialization — prefer fixing the
+    upstream determinism at 100 TB).
 
     Scale shape: the ONLY full-width shuffle is avoided entirely. A count
     pass over just the 64-bit content hashes (per-block pre-agg -> native
@@ -98,6 +107,8 @@ def exact_dedup(ds, column: str, id_column: str):
 
     env = package_runtime_env()
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", runtime_env=env)
+    if materialize:
+        hashed = hashed.materialize()
 
     def local_counts(batch: pa.Table) -> pa.Table:
         g = pa.table({"__h": batch.column("__h")}).group_by(
@@ -239,25 +250,39 @@ def minhash_band_rows(ds, column: str, id_column: str, num_perm: int = 64,
     rows_per_band = num_perm // bands
 
     def sigs(batch: pa.Table):
-        ids = batch.column(id_column).to_pylist()
         texts = batch.column(column).to_pylist()
-        pairs = [(i, t) for i, t in zip(ids, texts) if t is not None]
-        if not pairs:
+        valid = [j for j, t in enumerate(texts) if t is not None]
+        if not valid:
             return pa.table({"band_key": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64()),
                              "sig": pa.array([], type=pa.large_binary())})
-        sig_mat = minhash_signatures_batch([t for _, t in pairs], num_perm, k)
-        out_key, out_id, out_sig = [], [], []
-        for (i, _), sig in zip(pairs, sig_mat):
-            sig_b = sig.tobytes()
-            for b in range(bands):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                out_key.append(zlib.crc32(chunk.tobytes()) | (b << 32))
-                out_id.append(i)
-                out_sig.append(sig_b)
-        return pa.table({"band_key": pa.array(out_key, type=pa.int64()),
-                         "doc_id": pa.array(out_id, type=pa.int64()),
-                         "sig": pa.array(out_sig, type=pa.large_binary())})
+        sig_mat = np.ascontiguousarray(
+            minhash_signatures_batch([texts[j] for j in valid], num_perm, k))
+        n = len(valid)
+        ids = (batch.column(id_column).combine_chunks()
+               .take(pa.array(valid, type=pa.int64())).cast(pa.int64())
+               .to_numpy(zero_copy_only=False))
+        # band keys VECTORIZED (VERDICT r2 #8, measured 29% of this stage
+        # as a per-(row, band) python loop): splitmix-fold each band's
+        # chunk columns — any deterministic chunk->key function buckets
+        # correctly, equal chunks still collide
+        keys = np.empty((bands, n), dtype=np.uint64)
+        for b in range(bands):
+            chunk = sig_mat[:, b * rows_per_band:(b + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(chunk.shape[1]):     # rows_per_band folds (~4)
+                h = _mix64(h ^ chunk[:, j])
+            keys[b] = (h & np.uint64(0xFFFFFFFF)) | (np.uint64(b) << np.uint64(32))
+        # one fixed-size-binary column over the signature matrix buffer,
+        # repeated per band via take — no per-row .tobytes()
+        sig_fsb = pa.Array.from_buffers(
+            pa.binary(num_perm * 8), n, [None, pa.py_buffer(sig_mat)])
+        rep = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
+        return pa.table({
+            "band_key": pa.array(keys.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.tile(ids, bands)),
+            "sig": sig_fsb.take(rep).cast(pa.large_binary()),
+        })
 
     return ds.map_batches(sigs, batch_format="pyarrow",
                           runtime_env=package_runtime_env())
@@ -284,7 +309,8 @@ def minhash_lsh_duplicates(ds, column: str, id_column: str,
     def verify(group: pa.Table) -> pa.Table:
         if group.num_rows < 2:
             return empty
-        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        ids = group.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
         raw = group.column("sig").to_pylist()
         # collapse identical signatures first (the giant-bucket case: a
         # million byte-identical docs must cost O(n), not O(n^2) pairs)
@@ -306,11 +332,21 @@ def minhash_lsh_duplicates(ds, column: str, id_column: str,
         reps.sort(key=lambda r: r[0])   # never compare the ndarray payloads
         if len(reps) > 1:
             mat = np.stack([r[1] for r in reps])
-            eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-            ii, jj = np.nonzero(np.triu(eq >= threshold, 1))
-            for a, b in zip(ii, jj):
-                keep.append(reps[a][0])
-                dup.append(reps[b][0])
+            d, npairs = mat.shape
+            # BLOCKED pairwise compare (ADVICE r2): a bucket with many
+            # DISTINCT near-identical signatures must not allocate the full
+            # d x d x num_perm boolean tensor at once — bound each block's
+            # temp to ~64 MB and sweep
+            blk_rows = max(1, int(64_000_000 // max(d * npairs, 1)))
+            for i0 in range(0, d, blk_rows):
+                blk = mat[i0:i0 + blk_rows]
+                eq = (blk[:, None, :] == mat[None, :, :]).mean(axis=2)
+                ii, jj = np.nonzero(eq >= threshold)
+                for a, b in zip(ii, jj):
+                    ga = i0 + int(a)
+                    if ga < b:          # upper triangle only
+                        keep.append(reps[ga][0])
+                        dup.append(reps[int(b)][0])
         return pa.table({"keep_id": pa.array(keep, type=pa.int64()),
                          "dup_id": pa.array(dup, type=pa.int64())})
 
@@ -549,8 +585,11 @@ def embedding_duplicates(ds, vector_column: str, id_column: str,
     """
 
     def sigs(batch: pa.Table):
-        ids = np.asarray(batch.column(id_column).to_pylist())
-        vecs = np.asarray(batch.column(vector_column).to_pylist(), dtype=np.float32)
+        from ..util import vectors_to_numpy
+
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        vecs = vectors_to_numpy(batch.column(vector_column), np.float32)
         if vecs.ndim != 2 or len(vecs) == 0:
             return pa.table({"bucket": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64()),
@@ -559,7 +598,10 @@ def embedding_duplicates(ds, vector_column: str, id_column: str,
         signs = (vecs @ planes_m) > 0  # (n, bands*r)
         weights = (1 << np.arange(planes_per_band, dtype=np.int64))
         out_bucket, out_id, out_vec = [], [], []
-        vlist = pa.array(list(vecs), type=pa.list_(pa.float32()))
+        # zero-copy list column from the (n, d) matrix — no per-row boxing
+        vlist = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), vecs.shape[1]).cast(
+            pa.list_(pa.float32()))
         for b in range(bands):
             bits = signs[:, b * planes_per_band:(b + 1) * planes_per_band]
             buckets = (bits * weights).sum(axis=1).astype(np.int64)
@@ -571,10 +613,13 @@ def embedding_duplicates(ds, vector_column: str, id_column: str,
                          "vec": pa.concat_arrays(out_vec)})
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column("doc_id").to_pylist())
+        from ..util import vectors_to_numpy
+
+        ids = group.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
         keep, dup = [], []
         if len(ids) >= 2:
-            vecs = np.asarray(group.column("vec").to_pylist(), dtype=np.float32)
+            vecs = vectors_to_numpy(group.column("vec"), np.float32)
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1
             unit = vecs / norms
