@@ -182,10 +182,26 @@ _LIB: "ctypes.CDLL | bool | None" = None
 _BUILD_LOCK = threading.Lock()
 
 
+def _kernel_dir() -> str:
+    """Per-user 0700 cache dir for the compiled kernel (ADVICE r2: a
+    world-writable /tmp path lets another local user pre-plant a malicious
+    .so at the predictable name; an attacker cannot write inside a 0700
+    directory they don't own)."""
+    d = os.path.join(tempfile.gettempdir(), f"fsst-{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise OSError(f"{d} is not a private directory owned by this user")
+    return d
+
+
 def _build_lib():
     """Compile (or reuse) the kernel; returns a CDLL or None."""
     digest = hashlib.sha1(_C_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"fsst_kernel_{digest}.so")
+    try:
+        so_path = os.path.join(_kernel_dir(), f"fsst_kernel_{digest}.so")
+    except OSError:
+        return None
     if not os.path.exists(so_path):
         cc = None
         for cand in ("cc", "gcc", "clang"):

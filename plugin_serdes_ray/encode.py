@@ -23,6 +23,7 @@ import os
 import time
 from typing import Any, Iterable, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -62,13 +63,12 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
         mean_rg = max(total_rows // len(rg_index), 1)
         need = max(sample_rows // mean_rg, 1)
         stride = max(len(rg_index) // need, 1)
-        picked = []
-        budget = sample_rows
-        for path, i, nrows in rg_index[::stride]:
-            if budget <= 0:
-                break
-            picked.append((path, i))
-            budget -= nrows
+        # keep EVERY strided pick (ADVICE r2: consuming a row budget in
+        # path order starved the tail files whenever early groups ran
+        # larger than the mean, partially reintroducing the head bias);
+        # the row budget is enforced afterwards by an evenly-strided row
+        # subsample over the concatenated picks, so each pick contributes
+        picked = [(path, i) for path, i, _ in rg_index[::stride]]
         # parquet decode releases the GIL: read the scattered groups with a
         # thread pool (the sample read dominated plan wall when serial),
         # one file handle per path so a 100-group file parses its footer
@@ -95,7 +95,10 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
         batches = [t for t in batches if t.schema == batches[0].schema]
     sample = pa.concat_tables(batches) if batches else pq.read_table(files[0], columns=columns)
     if sample.num_rows > sample_rows:
-        sample = sample.slice(0, sample_rows)
+        # evenly-strided row subsample (NOT a head slice): every picked row
+        # group keeps proportional representation in the plan sample
+        idx = np.linspace(0, sample.num_rows - 1, sample_rows).astype(np.int64)
+        sample = sample.take(np.unique(idx))
     return build_plan(sample.combine_chunks(), outer_level=outer_level)
 
 

@@ -104,11 +104,21 @@ def to_int(arr: pa.Array, typ: pa.DataType = None,
     if pa.types.is_integer(arr.type):
         return arr.cast(typ)
     if pa.types.is_floating(arr.type):
-        # mirror the string path: fractional values (and NaN) are coercion
-        # failures, not silent truncations; safe cast range-checks overflow
+        # mirror the string path: fractional values (NaN, +-inf) and values
+        # outside the target type's range are coercion failures routed
+        # through the on_bad_lines policy — NOT a pa.ArrowInvalid aborting
+        # the pipeline before the policy applies (ADVICE r2). Range bounds
+        # are exact powers of two (representable in float), half-open so
+        # e.g. 2^63 itself fails for int64.
         whole = pc.equal(arr, pc.floor(arr))
-        out = pc.if_else(pc.fill_null(whole, False), arr,
-                         pa.nulls(len(arr), arr.type)).cast(typ)
+        bits = typ.bit_width
+        if pa.types.is_signed_integer(typ):
+            lo, hi = -(2.0 ** (bits - 1)), 2.0 ** (bits - 1)
+        else:
+            lo, hi = 0.0, 2.0 ** bits
+        in_range = pc.and_(pc.greater_equal(arr, lo), pc.less(arr, hi))
+        ok = pc.and_(pc.fill_null(whole, False), pc.fill_null(in_range, False))
+        out = pc.if_else(ok, arr, pa.nulls(len(arr), arr.type)).cast(typ)
         return _fail_mask(arr, out, opts, str(typ))
     s = pc.utf8_trim_whitespace(nullify(arr, opts))
     s = _replace_decimal_sep(s, opts)

@@ -30,6 +30,16 @@ from ..util import package_runtime_env
 from .relational import salt_counts_for_target, salted_key, sample_key_stats
 
 
+def scattered_sample_rows(ds, sample_rows: int, seed: int = 11) -> list:
+    """Plan-sample rows drawn ACROSS the input, not from its head: a plain
+    ``limit()`` reads only the first blocks, and on a sorted/clustered
+    corpus the head of the data is not the data (VERDICT r2 #6 — the same
+    defect encode.py's scattered row-group sampler fixed in r2). Permuting
+    the block order deterministically first makes the limit() draw from
+    blocks spread over the whole input."""
+    return ds.randomize_block_order(seed=seed).limit(sample_rows).take_all()
+
+
 def reencode_grouped(ds, out_dir: str, group_key: str = "lang", *,
                      sort_keys: Optional[list[str]] = None,
                      plan: Optional[EncodePlan] = None,
@@ -49,7 +59,7 @@ def reencode_grouped(ds, out_dir: str, group_key: str = "lang", *,
     os.makedirs(out_dir, exist_ok=True)
     checkpoint.ensure_dirs(out_dir)
     if plan is None:
-        rows = ds.limit(sample_rows).take_all()
+        rows = scattered_sample_rows(ds, sample_rows)
         plan = build_plan(pa.Table.from_pylist(rows).combine_chunks())
     # per-group plans re-measure cheaply via the per-chunk guard; the shared
     # plan still carries FSST tables etc.

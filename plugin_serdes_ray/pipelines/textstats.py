@@ -73,11 +73,18 @@ def quality_scores(batch: pa.Table, column: str = "text") -> pa.Table:
     length = pc.fill_null(pc.utf8_length(col), 0).to_numpy(
         zero_copy_only=False).astype(np.int64)
 
-    # byte-level classes over the column's own flattened values buffer
-    sarr = filled.cast(pa.string())
+    # byte-level classes over the column's own flattened values buffer.
+    # Keep the column's own offset width: casting a large_string corpus
+    # (the north-rule text column type) down to string would overflow past
+    # 2 GiB of batch text, and int32-reading an int64 offsets buffer would
+    # silently misparse (VERDICT r2 #5)
+    sarr = filled
+    if not (pa.types.is_string(sarr.type) or pa.types.is_large_string(sarr.type)):
+        sarr = sarr.cast(pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(sarr.type) else np.int32
     buf = np.frombuffer(sarr.buffers()[2] or b"", dtype=np.uint8) \
         if sarr.buffers()[2] is not None else np.empty(0, np.uint8)
-    offs = np.frombuffer(sarr.buffers()[1], dtype=np.int32)[
+    offs = np.frombuffer(sarr.buffers()[1], dtype=off_dtype)[
         sarr.offset:sarr.offset + n + 1].astype(np.int64)
     nbytes = np.diff(offs)
     starts = offs[:-1]
