@@ -348,14 +348,72 @@ def _textstats_len(sf_dir: str):
 
 
 def _fingerprints(sf_dir: str):
+    """Hard check for the winnowing fingerprint (VERDICT r2 #3): the hash
+    itself is not SQL-expressible, but its CONTRACT is — equal texts MUST
+    fingerprint equal (winnowing is edit-robust by design, so similar
+    distinct texts MAY share a fingerprint; those are candidates, not
+    answers). Inject exact copies of the 5 smallest doc_ids' texts at
+    id+1e6, group by fingerprint to get candidate pairs, then a bounded
+    semi-join fetches ONLY the candidate ids' texts and keeps the
+    byte-equal pairs: exactly the injected (base, base+1e6) pairs. A
+    missed injected pair (recall break: equal texts fingerprinting
+    unequal) or a surviving false pair shows up as an oracle mismatch."""
+    import ray.data
+
     from plugin_serdes_ray.pipelines.textstats import fingerprint
 
-    ds = _read(sf_dir, "documents")
-    out = ds.map_batches(lambda b: fingerprint(b), batch_format="pyarrow", runtime_env=_env())
-    rows = out.take_all()
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).sort_by("doc_id")
+    dup = docs.slice(0, 5)
+    inject = pa.table({
+        "doc_id": pa.array([i + 1_000_000 for i in
+                            dup.column("doc_id").to_pylist()], type=pa.int64()),
+        "text": dup.column("text"),
+    })
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"]).union(
+        ray.data.from_arrow(inject))
+    # shuffle ships (doc_id, fingerprint) only — never the text
+    fps = ds.map_batches(lambda b: fingerprint(b).select(["doc_id",
+                                                          "fingerprint"]),
+                         batch_format="pyarrow", runtime_env=_env())
+
+    def members(group: pa.Table) -> pa.Table:
+        # multi-member fingerprint groups only: candidate set, O(collisions)
+        if group.num_rows < 2:
+            return pa.table({"fingerprint": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        return group.select(["fingerprint", "doc_id"])
+
+    import pyarrow.compute as pc
+
+    cand = fps.groupby("fingerprint").map_groups(
+        members, batch_format="pyarrow", runtime_env=_env()).take_all()
+    wanted = pa.array(sorted({r["doc_id"] for r in cand}), type=pa.int64())
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("doc_id"), value_set=wanted)
+        return batch.filter(pc.fill_null(m, False))
+
+    # O(candidates) text fetch — the corpus itself never collects
+    texts = {r["doc_id"]: r["text"] for r in
+             ds.map_batches(fetch, batch_format="pyarrow",
+                            runtime_env=_env()).take_all()}
+    # within each fingerprint group, cluster by EXACT text (the fingerprint
+    # was only the candidate generator) and emit (min_id, other) pairs
+    by_fp: dict = {}
+    for r in cand:
+        by_fp.setdefault(r["fingerprint"], []).append(r["doc_id"])
+    out = []
+    for ids in by_fp.values():
+        by_text: dict = {}
+        for i in sorted(ids):
+            by_text.setdefault(texts[i], []).append(i)
+        for group_ids in by_text.values():
+            out.extend((group_ids[0], d) for d in group_ids[1:])
+    out.sort()
     return pa.table({
-        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
-        "fingerprint": pa.array([r["fingerprint"] for r in rows], type=pa.int64()),
+        "keep_id": pa.array([p[0] for p in out], type=pa.int64()),
+        "dup_id": pa.array([p[1] for p in out], type=pa.int64()),
     })
 
 
@@ -439,6 +497,97 @@ def _hash_join_orders(sf_dir: str):
     return pa.table({
         "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=pa.int64()),
         "c_mktsegment": pa.array([r["c_mktsegment"] for r in rows]),
+    })
+
+
+def _left_join_customer_orders(sf_dir: str):
+    """LEFT outer hash join: every customer keeps a row even with no orders
+    (TPC-H: ~1/3 of custkeys place none) — null-padded right columns,
+    checked row-level against DuckDB LEFT JOIN."""
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    out = hash_join(cust, orders, key="c_custkey", right_key="o_custkey",
+                    join_type="left")
+    rows = out.take_all()
+    return pa.table({
+        "c_custkey": pa.array([r["c_custkey"] for r in rows], type=pa.int64()),
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=pa.int64()),
+    })
+
+
+def _full_join_customer_orders(sf_dir: str):
+    """FULL outer hash join with unmatched rows on BOTH sides: positive-
+    balance customers vs per-custkey order counts; the merged key column
+    carries COALESCE(l.key, r.key) exactly like SQL ``FULL JOIN USING``."""
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate, hash_join
+
+    def pos_bal(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater(batch.column("c_acctbal"), 0.0))
+
+    cust = (_read(sf_dir, "customer").select_columns(["c_custkey", "c_acctbal"])
+            .map_batches(pos_bal, batch_format="pyarrow", runtime_env=_env())
+            .select_columns(["c_custkey"]))
+    per_cust = grouped_aggregate(_read(sf_dir, "orders"), ["o_custkey"],
+                                 count_name="n_orders")
+    out = hash_join(cust, per_cust, key="c_custkey", right_key="o_custkey",
+                    join_type="full")
+    rows = out.take_all()
+    return pa.table({
+        "c_custkey": pa.array([r["c_custkey"] for r in rows], type=pa.int64()),
+        "n_orders": pa.array([r["n_orders"] for r in rows], type=pa.int64()),
+    })
+
+
+def _multikey_join_lineitem(sf_dir: str):
+    """Composite-key hash join: lineitem rows joined back to per-(orderkey,
+    returnflag) counts on BOTH key columns at once."""
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate, hash_join
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_returnflag"])
+    per_flag = grouped_aggregate(_read(sf_dir, "lineitem"),
+                                 ["l_orderkey", "l_returnflag"],
+                                 count_name="cnt")
+    out = hash_join(li, per_flag, key=["l_orderkey", "l_returnflag"],
+                    join_type="inner")
+    rows = out.take_all()
+    return pa.table({
+        "l_orderkey": pa.array([r["l_orderkey"] for r in rows], type=pa.int64()),
+        "l_linenumber": pa.array([r["l_linenumber"] for r in rows],
+                                 type=pa.int64()),
+        "cnt": pa.array([r["cnt"] for r in rows], type=pa.int64()),
+    })
+
+
+def _asof_left_join_last_error(sf_dir: str):
+    """ASOF LEFT JOIN variant: clicks with NO prior error keep their row
+    with a null value (vs the inner variant dropping them)."""
+    from plugin_serdes_ray.pipelines.relational import asof_join
+
+    ev = _read(sf_dir, "events")
+
+    def pick(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+        return f
+
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow",
+                            runtime_env=_env()).select_columns(
+        ["event_id", "user_id", "ts"])
+    errors = ev.map_batches(pick("error"), batch_format="pyarrow",
+                            runtime_env=_env()).select_columns(
+        ["user_id", "ts", "value"])
+    out = asof_join(clicks, errors, on="ts", by="user_id",
+                    right_cols=["value"], join_type="left")
+    rows = out.take_all()
+    rows.sort(key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], type=pa.int64()),
+        "value": pa.array([r["value"] for r in rows], type=pa.float64()),
     })
 
 
@@ -686,26 +835,60 @@ def _grouped_reencode_documents(sf_dir: str):
 
 
 def _multimodal_features(sf_dir: str):
-    """Actor-pool media plumbing over a deterministic synthetic binary table
-    (media libs absent in this container -> deterministic fake kernels; the
-    Ray-side schema/batching/actor plumbing is the real artifact)."""
+    """REAL image decode through the actor-pool stage: each doc_id gets a
+    deterministic 24-bpp BMP (width = 1 + doc_id % 16, height = 1 + doc_id
+    % 8, every pixel = doc_id % 256 on all channels) built by the stdlib
+    encoder; ImageStats actors parse the actual BMP bytes back. The oracle
+    recomputes width/height/mean_r from doc_id arithmetic in SQL — a wrong
+    stride/flip/channel-order in the decoder breaks the hash match."""
     import ray.data
 
-    from plugin_serdes_ray.pipelines.multimodal import decode_images
+    from plugin_serdes_ray.pipelines.multimodal import encode_bmp, image_stats
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    t = pa.table({
-        "doc_id": docs.column("doc_id"),
-        "image": pa.array([s.encode()[:256] if s else None
-                           for s in docs.column("text").to_pylist()],
-                          type=pa.large_binary()),
-    })
+                         columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+    imgs = []
+    for i in ids:
+        w, h, v = 1 + i % 16, 1 + i % 8, i % 256
+        imgs.append(encode_bmp(np.full((h, w, 3), v, dtype=np.uint8)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "image": pa.array(imgs, type=pa.large_binary())})
     ds = ray.data.from_arrow(t)
-    rows = decode_images(ds, concurrency=2).take_all()
+    rows = image_stats(ds, concurrency=2).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
     return pa.table({
         "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
-        "feat_dim": pa.array([len(r["image_feat"]) for r in rows], type=pa.int64()),
+        "width": pa.array([r["width"] for r in rows], type=pa.int64()),
+        "height": pa.array([r["height"] for r in rows], type=pa.int64()),
+        "mean_r": pa.array([r["mean_r"] for r in rows], type=pa.float64()),
+    })
+
+
+def _multimodal_audio_stats(sf_dir: str):
+    """REAL WAV decode through the actor-pool stage: each doc_id gets a
+    deterministic PCM16 mono WAV (n = 100 + doc_id % 50 samples at 8000 Hz,
+    every sample = doc_id % 1000) from the stdlib encoder; AudioStats
+    parses the actual RIFF bytes back. Constant samples make the RMS
+    exactly the amplitude, so SQL recomputes every output from doc_id."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import audio_stats, encode_wav
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+    clips = [encode_wav(np.full(100 + i % 50, i % 1000, dtype=np.int16),
+                        rate=8000) for i in ids]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "audio": pa.array(clips, type=pa.large_binary())}))
+    rows = audio_stats(ds, concurrency=2).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_samples": pa.array([r["n_samples"] for r in rows], type=pa.int64()),
+        "rms": pa.array([r["rms"] for r in rows], type=pa.float64()),
     })
 
 
@@ -765,7 +948,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _lang_counts,
         "join_orders_mktsegment": _join_orders_mktsegment,
         "hash_join_orders_customer": _hash_join_orders,
+        "left_join_customer_orders": _left_join_customer_orders,
+        "full_join_customer_orders": _full_join_customer_orders,
+        "multikey_join_lineitem": _multikey_join_lineitem,
         "asof_join_last_error": _asof_last_error,
+        "asof_left_join_last_error": _asof_left_join_last_error,
         "events_in_sessions": _events_in_sessions,
         "events_hourly": _events_hourly,
         "events_sliding_30m": _events_sliding,
@@ -777,8 +964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # document transforms (html/markdown chains over documents.text)
         "html_extract_text": _html_to_text,
         "markdown_roundtrip_documents": _markdown_roundtrip,
-        # multimodal actor-pool plumbing
+        # multimodal actor-pool stages (REAL stdlib BMP/PPM/WAV kernels)
         "multimodal_image_features": _multimodal_features,
+        "multimodal_audio_stats": _multimodal_audio_stats,
         # north-rule grouped re-encode (salted groupby-lang -> container)
         "grouped_reencode_documents": _grouped_reencode_documents,
     }
@@ -893,6 +1081,46 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_left_join_last_error": """
+            SELECT l.event_id, r.value AS value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "left_join_customer_orders": """
+            SELECT c.c_custkey, o.o_orderkey
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        """,
+        "full_join_customer_orders": """
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey, o.n_orders
+            FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
+            FULL JOIN (SELECT o_custkey, count(*) AS n_orders
+                       FROM orders GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+        """,
+        "multikey_join_lineitem": """
+            SELECT l.l_orderkey, l.l_linenumber, r.cnt
+            FROM lineitem l
+            JOIN (SELECT l_orderkey, l_returnflag, count(*) AS cnt
+                  FROM lineitem GROUP BY l_orderkey, l_returnflag) r
+              ON l.l_orderkey = r.l_orderkey
+             AND l.l_returnflag = r.l_returnflag
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id AS keep_id, doc_id + 1000000 AS dup_id
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+        """,
+        "multimodal_image_features": """
+            SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS width,
+                   CAST(1 + doc_id % 8 AS BIGINT) AS height,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_r
+            FROM documents
+        """,
+        "multimodal_audio_stats": """
+            SELECT doc_id, CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+                   CAST(doc_id % 1000 AS DOUBLE) AS rms
+            FROM documents
         """,
         "events_in_sessions": """
             WITH sessions AS (

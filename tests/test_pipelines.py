@@ -796,3 +796,274 @@ def test_interval_join_nonoverlapping(ray_session):
                                 lo_col="lo", hi_col="hi").take_all(),
                   key=lambda r: r["lid"])
     assert [(r["lid"], r["tag"]) for r in rows] == [(1, "a"), (2, "a"), (4, "b")]
+
+
+def test_hash_join_left_outer(ray_session):
+    """LEFT join: unmatched left rows keep null right columns; null-key
+    left rows are kept too (SQL: null never matches, LEFT keeps the row)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_items([
+        {"k": 1, "v": "a"}, {"k": 2, "v": "b"},
+        {"k": None, "v": "n"}, {"k": 9, "v": "z"}])
+    right = ray.data.from_items([
+        {"rk": 1, "w": "R1"}, {"rk": 1, "w": "R1b"}, {"rk": None, "w": "RN"}])
+    rows = hash_join(left, right, key="k", right_key="rk",
+                     join_type="left").take_all()
+    got = sorted(((-1 if r["k"] is None else r["k"]), r["v"], r["w"])
+                 for r in rows)
+    assert got == [(-1, "n", None), (1, "a", "R1"), (1, "a", "R1b"),
+                   (2, "b", None), (9, "z", None)]
+
+
+def test_hash_join_right_and_full_outer(ray_session):
+    """RIGHT/FULL join: unmatched right rows appear once with their key in
+    the left-named key column (COALESCE convention) and null left columns."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_items([
+        {"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": None, "v": "n"}])
+    right = ray.data.from_items([
+        {"rk": 1, "w": "R1"}, {"rk": 7, "w": "R7"}, {"rk": None, "w": "RN"}])
+
+    rows = hash_join(left, right, key="k", right_key="rk",
+                     join_type="right").take_all()
+    got = sorted(((-1 if r["k"] is None else r["k"]), r["v"], r["w"])
+                 for r in rows)
+    assert got == [(-1, None, "RN"), (1, "a", "R1"), (7, None, "R7")]
+
+    rows = hash_join(left, right, key="k", right_key="rk",
+                     join_type="full").take_all()
+    got = sorted(((-1 if r["k"] is None else r["k"]), r["v"] or "", r["w"] or "")
+                 for r in rows)
+    assert got == [(-1, "", "RN"), (-1, "n", ""), (1, "a", "R1"),
+                   (2, "b", ""), (7, "", "R7")]
+
+
+def test_hash_join_multikey(ray_session):
+    """Composite join keys: rows match only when EVERY key column matches;
+    a null in any key component never matches (but LEFT keeps the row)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_items([
+        {"a": 1, "b": "x", "v": "l1"}, {"a": 1, "b": "y", "v": "l2"},
+        {"a": 2, "b": "x", "v": "l3"}, {"a": 1, "b": None, "v": "l4"}])
+    right = ray.data.from_items([
+        {"ra": 1, "rb": "x", "w": "r1"}, {"ra": 2, "rb": "x", "w": "r2"},
+        {"ra": 2, "rb": "y", "w": "r3"}])
+    rows = hash_join(left, right, key=["a", "b"], right_key=["ra", "rb"],
+                     join_type="inner").take_all()
+    assert sorted((r["v"], r["w"]) for r in rows) == [("l1", "r1"), ("l3", "r2")]
+
+    rows = hash_join(left, right, key=["a", "b"], right_key=["ra", "rb"],
+                     join_type="left").take_all()
+    assert sorted((r["v"], r["w"] or "") for r in rows) == [
+        ("l1", "r1"), ("l2", ""), ("l3", "r2"), ("l4", "")]
+
+
+def test_hash_join_guards(ray_session):
+    """skew_salts is limited to single-key inner/left joins; bad join_type
+    and mismatched key lists fail loudly."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import hash_join
+
+    l = ray.data.from_items([{"k": 1, "v": "a"}])
+    r = ray.data.from_items([{"rk": 1, "w": "R"}])
+    with pytest.raises(ValueError):
+        hash_join(l, r, key="k", right_key="rk", join_type="cross")
+    with pytest.raises(ValueError):
+        hash_join(l, r, key=["k"], right_key=["rk", "rk"])
+    with pytest.raises(ValueError):
+        hash_join(l, r, key="k", right_key="rk", join_type="full",
+                  skew_salts={1: 4})
+    # left join + salting stays supported: replicated right rows match in
+    # every subkey, unmatched left rows are locally (= globally) unmatched
+    left = ray.data.from_items(
+        [{"k": "hot", "lv": i} for i in range(20)] + [{"k": "lone", "lv": 99}])
+    right = ray.data.from_items([{"k": "hot", "rv": j} for j in range(2)])
+    rows = hash_join(left, right, key="k", skew_salts={"hot": 4},
+                     join_type="left").take_all()
+    hot = {(r["lv"], r["rv"]) for r in rows if r["k"] == "hot"}
+    assert hot == {(i, j) for i in range(20) for j in range(2)}
+    assert [(r["lv"], r["rv"]) for r in rows if r["k"] == "lone"] == [(99, None)]
+
+
+def test_asof_left_join(ray_session):
+    """ASOF LEFT JOIN: left rows with no prior right row (or a null key)
+    are kept with null right columns."""
+    import datetime
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    m = lambda x: t0 + datetime.timedelta(minutes=x)
+    left = ray.data.from_items([
+        {"lid": 1, "u": 1, "ts": m(10)},
+        {"lid": 2, "u": 1, "ts": m(1)},     # before any right row -> null v
+        {"lid": 3, "u": 2, "ts": m(10)},    # key without right rows -> null v
+        {"lid": 4, "u": None, "ts": m(10)},  # null key -> kept, null v
+    ])
+    right = ray.data.from_items([{"u": 1, "ts": m(5), "v": 50.0}])
+    rows = sorted(asof_join(left, right, on="ts", by="u",
+                            join_type="left").take_all(),
+                  key=lambda r: r["lid"])
+    assert [(r["lid"], r["v"]) for r in rows] == [
+        (1, 50.0), (2, None), (3, None), (4, None)]
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="ts", by="u", join_type="full")
+
+
+def test_interval_join_overlap_raises(ray_session):
+    """Inputs violating the documented non-overlap assumption raise a
+    ValueError naming the key instead of silently matching one interval."""
+    import datetime
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import interval_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    m = lambda x: t0 + datetime.timedelta(minutes=x)
+    left = ray.data.from_items([{"lid": 1, "u": 1, "ts": m(5)}])
+    right = ray.data.from_items([
+        {"u": 1, "lo": m(0), "hi": m(10), "tag": "a"},
+        {"u": 1, "lo": m(8), "hi": m(20), "tag": "b"},   # overlaps [0, 10]
+    ])
+    with pytest.raises(Exception) as ei:
+        interval_join(left, right, on="ts", by="u",
+                      lo_col="lo", hi_col="hi").take_all()
+    assert "overlapping" in str(ei.value)
+    # null-bound right rows define no interval and are dropped, not matched
+    right2 = ray.data.from_items([
+        {"u": 1, "lo": m(0), "hi": m(10), "tag": "a"},
+        {"u": 1, "lo": m(20), "hi": None, "tag": "bad"},
+    ])
+    rows = interval_join(left, right2, on="ts", by="u",
+                         lo_col="lo", hi_col="hi").take_all()
+    assert [(r["lid"], r["tag"]) for r in rows] == [(1, "a")]
+
+
+def test_bmp_ppm_decode_real():
+    """Stdlib image decoders: encode->decode round trip, stride padding,
+    bottom-up flip, BGR->RGB order, P6 comments, and loud failures."""
+    from plugin_serdes_ray.pipelines.multimodal import (
+        decode_bmp, decode_image, decode_ppm, encode_bmp,
+    )
+
+    rng = np.random.default_rng(5)
+    for h, w in ((1, 1), (3, 5), (7, 2), (8, 16)):   # odd widths hit padding
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    # channel order: a pure-red image must come back red, not blue
+    red = np.zeros((2, 2, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    back = decode_bmp(encode_bmp(red))
+    assert back[0, 0, 0] == 200 and back[0, 0, 2] == 0
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ppm = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(ppm), px)
+    assert decode_image(b"\x89PNG....") is None      # unknown format -> None
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 10)             # truncated header
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)   # 16-bit maxval
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(px)[:-4])              # truncated raster
+
+
+def test_image_stats_actor_stage(ray_session):
+    """ImageStats actors parse real BMP bytes; undecodable payloads yield
+    nulls (never fake numbers)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import encode_bmp, image_stats
+
+    px = np.full((4, 6, 3), 37, dtype=np.uint8)
+    px[:, :, 0] = 200                                 # R channel distinct
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "image": pa.array([encode_bmp(px), b"not an image"],
+                          type=pa.large_binary()),
+    }))
+    rows = sorted(image_stats(ds, concurrency=1).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert (rows[0]["width"], rows[0]["height"]) == (6, 4)
+    assert rows[0]["mean_r"] == 200.0 and rows[0]["mean_b"] == 37.0
+    assert rows[1]["width"] is None and rows[1]["mean_r"] is None
+
+
+def test_quality_scores_string_layouts():
+    """quality_scores must read the offsets buffer at the column's own
+    width: large_string (int64 offsets, the north-rule corpus type) and a
+    sliced array with a nonzero offset must match the plain-string result."""
+    from plugin_serdes_ray.pipelines.textstats import quality_scores
+
+    texts = ["Hello, world! This is fine.", "", None,
+             "punct!!!???...", "the and of to in plain words here",
+             "xyz " * 50]
+
+    def scores(arr):
+        t = quality_scores(pa.table({"text": arr}))
+        return [t.column(c).to_pylist() for c in
+                ("q_length", "q_alpha", "q_punct", "q_stop", "q_score")]
+
+    base = scores(pa.array(texts, type=pa.string()))
+    assert scores(pa.array(texts, type=pa.large_string())) == base
+    # sliced window of a larger array: offsets start past buffer position 0
+    big = pa.array(["PAD-A-LONG-PREFIX", *texts, "PAD-SUFFIX"],
+                   type=pa.string())
+    assert scores(big.slice(1, len(texts))) == base
+    big_l = pa.array(["PAD-A-LONG-PREFIX", *texts, "PAD-SUFFIX"],
+                     type=pa.large_string())
+    assert scores(big_l.slice(1, len(texts))) == base
+
+
+def test_wav_decode_real(ray_session):
+    """Stdlib PCM16 WAV codec: encode->decode round trip (mono + stereo),
+    real FFT features for WAV payloads, AudioStats nulls for non-WAV."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        AudioFeaturizer, audio_stats, decode_wav, encode_wav,
+    )
+
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-32768, 32767, 300, dtype=np.int16)
+    rate, back = decode_wav(encode_wav(mono, rate=16000))
+    assert rate == 16000 and np.array_equal(back[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, (200, 2), dtype=np.int16)
+    _, back2 = decode_wav(encode_wav(stereo, rate=8000))
+    assert np.array_equal(back2, stereo)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")                 # no chunks
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 60)          # not RIFF
+
+    # real path: identical WAV payloads -> identical features; distinct
+    # payloads -> distinct features (the FFT actually ran over the samples)
+    feat = AudioFeaturizer()
+    t = pa.table({"audio": pa.array(
+        [encode_wav(mono), encode_wav(mono), encode_wav(stereo)],
+        type=pa.large_binary())})
+    f = feat(t).column("audio_feat").to_pylist()
+    assert f[0] == f[1] != f[2] and len(f[0]) == 8 * 16
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "audio": pa.array([encode_wav(np.full(80, 25, dtype=np.int16), 8000),
+                           b"not audio"], type=pa.large_binary())}))
+    rows = sorted(audio_stats(ds, concurrency=1).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert rows[0]["n_samples"] == 80 and rows[0]["rms"] == 25.0
+    assert rows[0]["duration_s"] == 80 / 8000
+    assert rows[1]["n_samples"] is None and rows[1]["rms"] is None

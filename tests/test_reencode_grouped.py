@@ -89,3 +89,22 @@ def test_salt_counts_scale_with_key_mass():
     hot = salt_counts_for_target(stats, target_bytes=100 << 20,
                                  hot_frac=0.05, min_hot_salt=8)
     assert hot["en"] == 8 and hot["fi"] == 8  # fixed floor for hot keys
+
+
+def test_scattered_plan_sample_spans_blocks(ray_session):
+    """The plan sample must draw from blocks across the input, not just the
+    head (a clustered corpus' first block is unrepresentative)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.reencode import scattered_sample_rows
+
+    blocks = [pa.table({"marker": pa.array([b] * 100, type=pa.int64())})
+              for b in range(16)]
+    ds = ray.data.from_arrow(blocks)
+    rows = scattered_sample_rows(ds, 200)
+    assert len(rows) == 200
+    markers = {r["marker"] for r in rows}
+    assert len(markers) >= 2              # head-only would see {0, 1}
+    assert markers != {0, 1}
+    # deterministic: same seed -> same sample
+    assert scattered_sample_rows(ds, 200) == rows

@@ -426,8 +426,18 @@ def test_coerce_int_from_float_mirrors_string_semantics():
         to_int(pa.array([float("nan")]))
     out = to_int(pa.array([1.5, 2.0, None]), opts=CoerceOptions(on_bad_lines="SKIP"))
     assert out.to_pylist() == [None, 2, None]
-    with pytest.raises(pa.ArrowInvalid):  # overflow range-checked, not wrapped
+    # out-of-range whole floats route through the on_bad_lines policy like
+    # the string path (ADVICE r2) — ERROR raises, SKIP nulls, the pipeline
+    # never dies on a raw pa.ArrowInvalid before the policy applies
+    with pytest.raises(BadLineError):
         to_int(pa.array([300.0]), pa.int8())
+    out = to_int(pa.array([300.0, 5.0, float("inf")]), pa.int8(),
+                 opts=CoerceOptions(on_bad_lines="SKIP"))
+    assert out.to_pylist() == [None, 5, None]
+    # boundary: 2^63 overflows int64, 2^63-512 (largest float below) fits
+    with pytest.raises(BadLineError):
+        to_int(pa.array([2.0 ** 63]))
+    assert to_int(pa.array([2.0 ** 63 - 1024])).to_pylist() == [2 ** 63 - 1024]
     assert to_int(pa.array([42.0, -7.0])).to_pylist() == [42, -7]
 
 
