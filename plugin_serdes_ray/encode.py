@@ -83,7 +83,12 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
             path, groups = job
             pf = pq.ParquetFile(path)
             try:
-                return pf.read_row_groups(groups, columns=columns)
+                # use_threads=False: the outer pool IS the parallelism; the
+                # threaded arrow read path measures 30x SLOWER than the
+                # single-threaded one on this VM (cross-thread handoffs under
+                # a contended scheduler), so never let a read fan out
+                return pf.read_row_groups(groups, columns=columns,
+                                          use_threads=False)
             finally:
                 pf.close()
 
@@ -93,7 +98,8 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
         # heterogeneous inputs: plan from the first schema; columns absent
         # from the plan fall back to measured plain/guard per partition
         batches = [t for t in batches if t.schema == batches[0].schema]
-    sample = pa.concat_tables(batches) if batches else pq.read_table(files[0], columns=columns)
+    sample = pa.concat_tables(batches) if batches else pq.read_table(
+        files[0], columns=columns, use_threads=False)
     if sample.num_rows > sample_rows:
         # evenly-strided row subsample (NOT a head slice): every picked row
         # group keeps proportional representation in the plan sample
@@ -163,11 +169,16 @@ def encode_shard_batch(batch: dict, *, plan: EncodePlan, out_dir: str,
             pf.close()
             with open(str(path), "rb") as f:
                 data = f.read()
-            table = pq.read_table(pa.BufferReader(data), columns=columns)
+            # use_threads=False: this task owns ONE cpu (num_cpus=1) and the
+            # threaded arrow read path is 30x slower than single-threaded on
+            # this VM even with a 1-thread pool (measured r3; parallelism
+            # lives in the task fan-out, not inside the read)
+            table = pq.read_table(pa.BufferReader(data), columns=columns,
+                                  use_threads=False)
             del data
         else:
             table = pf.read_row_groups(list(range(rg_start, rg_end)),
-                                       columns=columns)
+                                       columns=columns, use_threads=False)
             pf.close()
         out_name = f"part-{part_id:05d}.grck"
         metrics = write_partition(

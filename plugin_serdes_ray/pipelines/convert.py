@@ -44,7 +44,9 @@ def _parse(fmt: str, data: bytes) -> pa.Table:
         return pa.Table.from_pylist(records)
     if fmt == "parquet":
         import pyarrow.parquet as pq
-        return pq.read_table(pa.BufferReader(data))
+        # single-cpu worker task: the threaded arrow read path is 30x slower
+        # than single-threaded on this VM (measured r3)
+        return pq.read_table(pa.BufferReader(data), use_threads=False)
     if fmt == "xlsx":
         from ..sources.excel_ import read_xlsx_bytes
         return next(iter(read_xlsx_bytes(data).values()))

@@ -25,19 +25,28 @@ def _warm_task(batch: dict) -> dict:
     from plugin_serdes_ray.container import read_partition, write_partition
 
     rng = np.random.default_rng(0)
-    # realistic part size (~12MB) so worker allocator arenas + codec
-    # contexts are sized for real traffic, not toy buffers
+    # realistic part shape (~16MB, templated-html-like text) so worker
+    # allocator arenas, zstd contexts and page pools are sized for real
+    # traffic, not toy buffers: measured r3, undersized warm leaves the
+    # first REAL task per worker paying ~1s of heap first-touch at this
+    # host's ~0.3 GB/s page-fault bandwidth
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+    # distinct per-row suffix: identical rows would hit the constant-chunk
+    # shortcut and skip the codec/zstd work the warm exists to exercise
+    body = " ".join(rng.choice(words, 600))
+    pages = [f"<html><head><title>warm {i}</title></head><body><p>{body}"
+             f"</p></body></html>" for i in range(3500)]
     t = pa.table({
-        "s": pa.array(["warmup words " * 40] * 4000),
-        "b": pa.array([rng.integers(0, 255, 1024, dtype=np.uint8).tobytes() * 2] * 4000,
-                      type=pa.large_binary()),
-        "i": pa.array(np.arange(4000), type=pa.int64()),
+        "s": pa.array(pages),                  # ~12MB templated text
+        "b": pa.array([rng.integers(0, 255, 512, dtype=np.uint8).tobytes() * 2] * 3500,
+                      type=pa.large_binary()),  # ~3.5MB binary
+        "i": pa.array(np.arange(3500), type=pa.int64()),
     })
     pid = os.getpid()
     pq_path = f"/dev/shm/_graft_warm_{pid}.parquet"
     gk_path = f"/dev/shm/_graft_warm_{pid}.grck"
     pq.write_table(t, pq_path)
-    t2 = pq.read_table(pq_path)
+    t2 = pq.read_table(pq_path, use_threads=False)
     # "s": fsst loads the native kernel (ctypes CDLL, one-time per process)
     write_partition(t2, gk_path, {"s": "fsst", "b": "plain", "i": "delta"})
     read_partition(gk_path)
