@@ -892,6 +892,128 @@ def _multimodal_audio_stats(sf_dir: str):
     })
 
 
+def _semi_join_orders(sf_dir: str, anti: bool = False):
+    """LEFT SEMI / ANTI join: orders whose customer is (not) in the
+    AUTOMOBILE segment. The right side ships only distinct key tuples
+    through the one keyed shuffle (plugin_serdes_ray/pipelines/
+    relational.py::semi_join)."""
+    from plugin_serdes_ray.pipelines.relational import semi_join
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+
+    def auto(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.equal(batch.column("c_mktsegment"),
+                                     "AUTOMOBILE"))
+
+    cust = _read(sf_dir, "customer").map_batches(
+        auto, batch_format="pyarrow", runtime_env=_env()).select_columns(
+        ["c_custkey"])
+    out = semi_join(orders, cust, key="o_custkey", right_key="c_custkey",
+                    anti=anti)
+    rows = out.take_all()
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=pa.int64()),
+        "o_custkey": pa.array([r["o_custkey"] for r in rows], type=pa.int64()),
+    })
+
+
+def _window_orders(sf_dir: str):
+    """SQL window functions per customer: row_number / rank / lag / running
+    sum in one groupby(o_custkey) shuffle, vectorized in-group."""
+    from plugin_serdes_ray.pipelines.relational import window_functions
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = window_functions(
+        orders, by="o_custkey", order_by="o_orderkey",
+        specs={"rn": ("row_number",),
+               "rnk": ("rank", "o_totalprice"),
+               "prev_price": ("lag", "o_totalprice", 1),
+               "cum_price": ("cumsum", "o_totalprice")})
+    rows = out.take_all()
+    # cum_price rounds to cents on BOTH sides: numpy's sequential cumsum and
+    # DuckDB's window aggregation order differ in the last ulp (~1e-9 on
+    # multi-million sums); the true sum is an exact multiple of 0.01, so a
+    # 2-decimal round is boundary-safe
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=pa.int64()),
+        "rn": pa.array([r["rn"] for r in rows], type=pa.int64()),
+        "rnk": pa.array([r["rnk"] for r in rows], type=pa.int64()),
+        "prev_price": pa.array([r["prev_price"] for r in rows], type=pa.float64()),
+        "cum_price": pa.array([None if r["cum_price"] is None
+                               else round(r["cum_price"], 2) for r in rows],
+                              type=pa.float64()),
+    })
+
+
+def _rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP: per-(flag,status), per-flag subtotals, grand total —
+    each level reduces combiner output, never reshuffled raw rows."""
+    from plugin_serdes_ray.pipelines.relational import rollup_aggregate
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity"])
+    rows = rollup_aggregate(li, ["l_returnflag", "l_linestatus"],
+                            sum_cols=["l_quantity"]).take_all()
+    return pa.table({
+        "l_returnflag": [r["l_returnflag"] for r in rows],
+        "l_linestatus": [r["l_linestatus"] for r in rows],
+        "sum_qty": pa.array([r["sum_l_quantity"] for r in rows], type=pa.float64()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
+def _pivot_lineitem(sf_dir: str):
+    """Known-value pivot: SUM(l_quantity) per returnflag split by
+    linestatus columns, pre-aggregated per block before one shuffle."""
+    from plugin_serdes_ray.pipelines.relational import pivot_aggregate
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity"])
+    rows = pivot_aggregate(li, "l_returnflag", "l_linestatus", ["O", "F"],
+                           "l_quantity").take_all()
+    return pa.table({
+        "l_returnflag": [r["l_returnflag"] for r in rows],
+        "l_quantity_O": pa.array([r["l_quantity_O"] for r in rows], type=pa.float64()),
+        "l_quantity_F": pa.array([r["l_quantity_F"] for r in rows], type=pa.float64()),
+    })
+
+
+def _approx_distinct(sf_dir: str):
+    """HLL sketch contract: the estimate must land within 5% of the exact
+    distinct count (p=14 => ~0.8% stddev). The emitted row carries the
+    EXACT count (distributed count_distinct) plus the pass/fail bool, so
+    the oracle can recompute both; a broken sketch flips the bool and
+    fails the value hash."""
+    from plugin_serdes_ray.pipelines import sketch
+    from plugin_serdes_ray.pipelines.relational import count_distinct
+
+    docs = _read(sf_dir, "documents")
+    out_cols, out_exact, out_ok = [], [], []
+    for col in ["doc_id", "lang"]:
+        est = sketch.approx_count_distinct(docs, col, p=14)
+        exact = count_distinct(docs, col)
+        out_cols.append(col)
+        out_exact.append(exact)
+        out_ok.append(abs(est - exact) <= 0.05 * exact)
+    return pa.table({
+        "col": pa.array(out_cols),
+        "exact_n": pa.array(out_exact, type=pa.int64()),
+        "hll_ok": pa.array(out_ok, type=pa.bool_()),
+    })
+
+
+def _heavy_hitter_langs(sf_dir: str):
+    """Heavy hitters ≥5% of rows with EXACT counts (detect-with-sketch,
+    verify-exactly — zero false negatives by pigeonhole)."""
+    from plugin_serdes_ray.pipelines.sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents").select_columns(["lang"])
+    return heavy_hitters(docs, "lang", 0.05)
+
+
 def entry() -> Any:
     """Flagship: generate the sf0.001 webpages corpus, run the two-pass
     codec-auto-selected re-encode, return the decoded Dataset."""
@@ -951,6 +1073,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_orders": _left_join_customer_orders,
         "full_join_customer_orders": _full_join_customer_orders,
         "multikey_join_lineitem": _multikey_join_lineitem,
+        "semi_join_orders_automobile": lambda sf: _semi_join_orders(sf),
+        "anti_join_orders_automobile": lambda sf: _semi_join_orders(sf, anti=True),
+        "window_orders_per_customer": _window_orders,
+        "rollup_lineitem": _rollup_lineitem,
+        "pivot_lineitem_status": _pivot_lineitem,
+        "approx_distinct_documents": _approx_distinct,
+        "heavy_hitter_langs": _heavy_hitter_langs,
         "asof_join_last_error": _asof_last_error,
         "asof_left_join_last_error": _asof_left_join_last_error,
         "events_in_sessions": _events_in_sessions,
@@ -1075,6 +1204,54 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_orders_customer": """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "semi_join_orders_automobile": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'AUTOMOBILE')
+        """,
+        "anti_join_orders_automobile": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_mktsegment = 'AUTOMOBILE')
+        """,
+        "window_orders_per_customer": """
+            SELECT o_orderkey,
+                   row_number() OVER w_ord AS rn,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice) AS rnk,
+                   lag(o_totalprice, 1) OVER w_ord AS prev_price,
+                   ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderkey
+                                                 ROWS UNBOUNDED PRECEDING), 2)
+                     AS cum_price
+            FROM orders
+            WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pivot_lineitem_status": """
+            SELECT l_returnflag,
+                   COALESCE(sum(l_quantity) FILTER (l_linestatus = 'O'), 0)
+                     AS l_quantity_O,
+                   COALESCE(sum(l_quantity) FILTER (l_linestatus = 'F'), 0)
+                     AS l_quantity_F
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "approx_distinct_documents": """
+            SELECT 'doc_id' AS col, count(DISTINCT doc_id) AS exact_n,
+                   TRUE AS hll_ok FROM documents
+            UNION ALL
+            SELECT 'lang', count(DISTINCT lang), TRUE FROM documents
+        """,
+        "heavy_hitter_langs": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            HAVING count(*) >= CEIL(0.05 * (SELECT count(*) FROM documents))
         """,
         "asof_join_last_error": """
             SELECT l.event_id, r.value AS value

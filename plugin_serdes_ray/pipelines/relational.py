@@ -361,6 +361,330 @@ def hash_join(left, right, key, right_key=None,
                         runtime_env=package_runtime_env()))
 
 
+def semi_join(left, right, key, right_key=None, anti: bool = False):
+    """Distributed LEFT SEMI (``EXISTS``) / LEFT ANTI (``NOT EXISTS``) join
+    with ONE keyed shuffle where the right side ships ONLY its distinct key
+    tuples (per-block pre-deduped), never its payload columns — the cheapest
+    possible existence check for two large sides. Output schema == left
+    schema; left rows are emitted at most once regardless of how many right
+    rows match.
+
+    SQL null semantics: a null key never matches, so null-key left rows are
+    dropped by semi and KEPT by anti (``NOT EXISTS`` over an always-false
+    predicate is true). ``key``/``right_key`` accept a column name or a list
+    (composite keys). Use :func:`broadcast_join`-style ``is_in`` filtering
+    instead when the right side's distinct keys fit in the object store."""
+    keys = [key] if isinstance(key, str) else list(key)
+    right_keys = keys if right_key is None else (
+        [right_key] if isinstance(right_key, str) else list(right_key))
+    if not keys or len(right_keys) != len(keys):
+        raise ValueError("key and right_key must name the same number of columns")
+
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    l_types = {nm: t for nm, t in zip(l_schema.names, l_schema.types)}
+
+    def _as_str(col) -> pa.Array:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        s = col.cast(pa.string()) if not pa.types.is_string(col.type) else col
+        return pc.fill_null(s, "null")
+
+    def _jk(t: pa.Table, names: list) -> pa.Array:
+        parts = [_as_str(t.column(k)) for k in names]
+        if len(parts) == 1:
+            return parts[0]
+        return pc.binary_join_element_wise(*parts, "#")
+
+    def _valid(t: pa.Table, names: list) -> pa.Array:
+        m = pc.is_valid(t.column(names[0]))
+        for k in names[1:]:
+            m = pc.and_(m, pc.is_valid(t.column(k)))
+        return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        valid = _valid(batch, keys)
+        if anti:
+            # null-key left rows pass NOT EXISTS unconditionally: route each
+            # over 64 reducers so no single group drowns (they can't match,
+            # so the group emits them as-is)
+            jk = pc.if_else(valid, _jk(batch, keys),
+                            _null_route_64(batch.num_rows))
+        else:
+            batch = batch.filter(valid)
+            jk = _jk(batch, keys)
+        t = batch.append_column("__side", pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8)))
+        return t.append_column("__jk", jk)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        # existence only: distinct key tuples, renamed to the LEFT key names
+        # and cast to the left key types so both sides group identically
+        batch = batch.filter(_valid(batch, right_keys))
+        kt = batch.select(right_keys).rename_columns(keys)
+        for lk in keys:
+            c = kt.column(lk).combine_chunks()
+            if c.type != l_types[lk]:
+                try:
+                    c = c.cast(l_types[lk])
+                except pa.ArrowInvalid:
+                    # keys the left type cannot represent can never match
+                    rb, tb = _int_bounds(c.type), _int_bounds(l_types[lk])
+                    if rb is None or tb is None:
+                        raise
+                    lo, hi = max(rb[0], tb[0]), min(rb[1], tb[1])
+                    keep = pc.and_(
+                        pc.greater_equal(c, pa.scalar(lo, c.type)),
+                        pc.less_equal(c, pa.scalar(hi, c.type)))
+                    kt = kt.filter(pc.fill_null(keep, False))
+                    c = kt.column(lk).combine_chunks().cast(l_types[lk])
+            kt = kt.set_column(kt.schema.get_field_index(lk), lk, c)
+        kt = kt.group_by(keys).aggregate([])     # per-block distinct
+        cols = {nm: (kt.column(nm) if nm in keys
+                     else pa.nulls(kt.num_rows, l_types[nm]))
+                for nm in l_names}
+        t = pa.table(cols)
+        t = t.append_column("__side", pa.array(
+            np.ones(t.num_rows, dtype=np.int8)))
+        return t.append_column("__jk", _jk(t, keys))
+
+    empty = pa.table({nm: pa.array([], type=l_types[nm]) for nm in l_names})
+
+    def emit_group(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        n = group.num_rows
+        valid = np.ones(n, dtype=bool)
+        code_cols = []
+        for knm in keys:
+            col = group.column(knm).combine_chunks()
+            valid &= pc.is_valid(col).to_numpy(zero_copy_only=False)
+            iv = pc.dictionary_encode(col).indices.to_numpy(
+                zero_copy_only=False)
+            if iv.dtype.kind == "f":
+                iv = np.where(np.isnan(iv), -1, iv)
+            code_cols.append(iv.astype(np.int64))
+        codes = code_cols[0] if len(code_cols) == 1 else np.unique(
+            np.stack(code_cols, axis=1), axis=0,
+            return_inverse=True)[1].reshape(-1)
+        right_codes = np.unique(codes[valid & (side == 1)])
+        has_match = valid & np.isin(codes, right_codes)
+        if anti:
+            keep = (side == 0) & (~has_match)   # incl. null-key left rows
+        else:
+            keep = (side == 0) & has_match
+        idx = np.flatnonzero(keep)
+        if not len(idx):
+            return empty
+        return group.take(idx).select(l_names)
+
+    env = package_runtime_env()
+    tagged = left.map_batches(pad_left, batch_format="pyarrow",
+                              runtime_env=env).union(
+        right.map_batches(pad_right, batch_format="pyarrow", runtime_env=env))
+    return (tagged.groupby("__jk")
+            .map_groups(emit_group, batch_format="pyarrow",
+                        runtime_env=package_runtime_env()))
+
+
+def anti_join(left, right, key, right_key=None):
+    """``NOT EXISTS`` counterpart of :func:`semi_join` (see null semantics
+    there)."""
+    return semi_join(left, right, key, right_key=right_key, anti=True)
+
+
+def _null_route_64(n: int) -> pa.Array:
+    """Routing keys for rows that can never match: spread over 64 groups,
+    \\x00-prefixed to stay out of the printable key space (correctness never
+    depends on routing — groups re-check the actual key values)."""
+    salt = (np.arange(n, dtype=np.int64) % 64).astype(str)
+    return pc.binary_join_element_wise(
+        pa.array(np.full(n, "\x00N")), pa.array(salt), "#")
+
+
+def window_functions(ds, by, order_by: str, specs: dict):
+    """SQL window functions partitioned by ``by``, ordered by ``order_by``:
+    ONE ``groupby(by)`` shuffle, fully vectorized inside each partition
+    (sort once, numpy kernels per spec — no per-row Python).
+
+    ``specs`` maps output column name -> spec tuple:
+
+    - ``("row_number",)``       — 1-based position in ``order_by`` order
+      (deterministic when ``order_by`` is unique per key, as in SQL)
+    - ``("rank", col)``         — competition rank of ``col`` (ties share,
+      next rank skips), i.e. ``RANK() OVER (PARTITION BY by ORDER BY col)``
+    - ``("dense_rank", col)``   — like rank but gapless
+    - ``("lag", col, n)`` / ``("lead", col, n)`` — ``col`` shifted by ``n``
+      rows in ``order_by`` order, null-padded at the partition edge
+    - ``("cumsum", col)``       — running ``SUM(col)`` over
+      ``ROWS UNBOUNDED PRECEDING`` (nulls skipped; null until the first
+      non-null, like SQL)
+
+    Output: the input columns plus the spec columns; row order within each
+    partition is ``order_by`` ascending (the Dataset as a whole stays
+    unordered, as after any shuffle). Skewed partition keys hurt here like
+    in any keyed shuffle — a single giant key lands on one worker."""
+    by_keys = [by] if isinstance(by, str) else list(by)
+
+    def apply(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(order_by, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        cols = {nm: g.column(nm) for nm in g.column_names}
+        for out_name, spec in specs.items():
+            if out_name in cols:
+                raise ValueError(f"window output column {out_name!r} "
+                                 "collides with an input column")
+            op = spec[0]
+            if op == "row_number":
+                cols[out_name] = pa.array(np.arange(1, n + 1, dtype=np.int64))
+            elif op in ("rank", "dense_rank"):
+                col = g.column(spec[1]).combine_chunks()
+                # rank in the column's OWN order (nulls last, like SQL
+                # NULLS LAST): positions of sorted values, ties collapsed
+                sidx = pc.sort_indices(col).to_numpy(zero_copy_only=False)
+                sv = col.take(pa.array(sidx))
+                # tie starts: first element, or value != previous value
+                neq = np.ones(n, dtype=bool)
+                if n > 1:
+                    eq = pc.equal(sv.slice(1), sv.slice(0, n - 1))
+                    prev_eq = pc.fill_null(eq, False).to_numpy(
+                        zero_copy_only=False)
+                    # two nulls tie with each other
+                    both_null = (pc.is_null(sv.slice(1)).to_numpy(
+                        zero_copy_only=False)
+                        & pc.is_null(sv.slice(0, n - 1)).to_numpy(
+                            zero_copy_only=False))
+                    neq[1:] = ~(prev_eq | both_null)
+                if op == "rank":
+                    r_sorted = np.maximum.accumulate(
+                        np.where(neq, np.arange(1, n + 1, dtype=np.int64), 0))
+                else:
+                    r_sorted = np.cumsum(neq).astype(np.int64)
+                r = np.empty(n, dtype=np.int64)
+                r[sidx] = r_sorted
+                cols[out_name] = pa.array(r)
+            elif op in ("lag", "lead"):
+                col = g.column(spec[1]).combine_chunks()
+                k = int(spec[2]) if len(spec) > 2 else 1
+                if op == "lead":
+                    shifted = pa.concat_arrays(
+                        [col.slice(min(k, n)), pa.nulls(min(k, n), col.type)])
+                else:
+                    shifted = pa.concat_arrays(
+                        [pa.nulls(min(k, n), col.type),
+                         col.slice(0, max(n - k, 0))])
+                cols[out_name] = shifted
+            elif op == "cumsum":
+                col = g.column(spec[1]).combine_chunks()
+                v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+                cs = np.cumsum(v)
+                seen = np.cumsum(pc.is_valid(col).to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+                out = pa.array(cs)
+                cols[out_name] = pc.if_else(
+                    pa.array(seen > 0), out,
+                    pa.scalar(None, out.type))
+            else:
+                raise ValueError(f"unknown window spec {spec!r}")
+        return pa.table(cols)
+
+    return (ds.groupby(by_keys if len(by_keys) > 1 else by_keys[0])
+            .map_groups(apply, batch_format="pyarrow",
+                        runtime_env=package_runtime_env()))
+
+
+def rollup_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
+                     count_name: Optional[str] = "n"):
+    """``GROUP BY ROLLUP(keys...)``: one :func:`grouped_aggregate` per prefix
+    level (keys, keys[:-1], ..., grand total), rolled-up key columns padded
+    with nulls, unioned into one Dataset. Each level shuffles only combiner
+    output (one row per key per block), so P levels cost P cheap shuffles —
+    never P passes over raw rows reshuffled whole."""
+    import ray.data
+
+    keys = list(keys)
+    env = package_runtime_env()
+    # capture key TYPES, not the Dataset, in the pad closures below
+    schema = ds.schema()
+    key_types = {k: schema.types[list(schema.names).index(k)] for k in keys}
+    out_levels = []
+    for lvl in range(len(keys), -1, -1):
+        lvl_keys = keys[:lvl]
+        if lvl_keys:
+            agg = grouped_aggregate(ds, lvl_keys, sum_cols=sum_cols,
+                                    count_name=count_name)
+        else:
+            # grand total: single constant key, dropped after the reduce
+            tagged = ds.map_batches(
+                lambda t: t.append_column("__all", pa.array(
+                    np.zeros(t.num_rows, dtype=np.int8))),
+                batch_format="pyarrow", runtime_env=env)
+            agg = grouped_aggregate(tagged, ["__all"], sum_cols=sum_cols,
+                                    count_name=count_name)
+
+        def pad(batch: pa.Table, lvl_keys=tuple(lvl_keys)) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (batch.column(k) if k in lvl_keys
+                           else pa.nulls(batch.num_rows, key_types[k]))
+            for c in sum_cols:
+                cols[f"sum_{c}"] = batch.column(f"sum_{c}")
+            if count_name:
+                cols[count_name] = batch.column(count_name)
+            return pa.table(cols)
+
+        out_levels.append(agg.map_batches(pad, batch_format="pyarrow",
+                                          runtime_env=env))
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def pivot_aggregate(ds, key, pivot_col: str, pivot_values: Sequence,
+                    value_col: str, prefix: Optional[str] = None):
+    """Wide pivot: ``SUM(value_col) FILTER (pivot_col = v)`` per listed
+    value, grouped by ``key``. The pivot set must be KNOWN and small (the
+    output schema is fixed up front — at 100 TB you never want a schema
+    discovered by a full scan); per-block conditional sums pre-aggregate
+    before one combiner-sized shuffle. Cells with no contributing rows are
+    0 (matching ``COALESCE(SUM(...) FILTER ..., 0)``)."""
+    from ray.data.aggregate import Sum
+
+    keys = [key] if isinstance(key, str) else list(key)
+    prefix = prefix if prefix is not None else f"{value_col}_"
+    pv_names = {v: f"{prefix}{v}" for v in pivot_values}
+    env = package_runtime_env()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pcol = batch.column(pivot_col)
+        vcol = batch.column(value_col)
+        add = {}
+        for v, nm in pv_names.items():
+            mask = pc.equal(pcol, v)
+            add[f"__p_{nm}"] = pc.if_else(
+                pc.fill_null(mask, False), pc.fill_null(vcol, 0),
+                pa.scalar(0, vcol.type))
+        t = batch.select(keys)
+        for nm, c in add.items():
+            t = t.append_column(nm, c)
+        g = t.group_by(keys).aggregate([(f"__p_{nm}", "sum")
+                                        for nm in pv_names.values()])
+        return g.rename_columns(
+            [n[:-4] if n.endswith("_sum") else n for n in g.column_names])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in keys}
+        for nm in pv_names.values():
+            cols[nm] = batch.column(f"sum(__p_{nm})")
+        return pa.table(cols)
+
+    aggs = [Sum(f"__p_{nm}") for nm in pv_names.values()]
+    return (ds.map_batches(partial, batch_format="pyarrow", runtime_env=env)
+              .groupby(keys if len(keys) > 1 else keys[0])
+              .aggregate(*aggs)
+              .map_batches(rename, batch_format="pyarrow", runtime_env=env))
+
+
 def sliding_window_aggregate(ds, ts_column: str, window: str = "1h",
                              hop: str = "30m", keys: Sequence[str] = (),
                              count_name: str = "n"):

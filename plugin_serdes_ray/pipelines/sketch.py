@@ -1,0 +1,161 @@
+"""Mergeable sketches for 100 TB-scale profiling: HyperLogLog distinct
+counts and guaranteed-recall heavy hitters.
+
+Design rules (same as the dedup family):
+
+- the shuffle (or driver merge) moves FIXED-WIDTH sketch state, never rows:
+  an HLL register bank is 2^p bytes per block regardless of block size;
+- anything approximate that feeds a decision is verified exactly on the
+  (small) candidate set — "detect with a sketch, decide with the data"
+  (the moral of minhash_lsh_duplicates_exact, pipelines/dedup.py).
+
+The reference has no sketches (it is a serde fleet); these are the
+engine-side additions a training-data pipeline needs for corpus profiling
+(SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import package_runtime_env
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Standard bias-corrected HLL estimate with the small-range
+    (linear-counting) correction (Flajolet et al. 2007)."""
+    m = len(registers)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int(np.count_nonzero(registers == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_count_distinct(ds, column: str, p: int = 14) -> float:
+    """HyperLogLog distinct count of ``column`` (relative error ~1.04/sqrt(2^p),
+    ~0.8% at the default p=14).
+
+    Per-block: hash values (the same vectorized 64-bit content hash the
+    exact-dedup path uses), scatter max leading-zero ranks into 2^p uint8
+    registers. Driver merge: elementwise max over one 2^p-byte row per
+    block — O(blocks x 16 KiB), never rows. The registers are mergeable, so
+    on a multi-node cluster this IS the tree-reduce payload."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    from .dedup import _content_hash64
+
+    def block_registers(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        regs = np.zeros(m, dtype=np.uint8)
+        if batch.num_rows:
+            valid = pc.is_valid(col)
+            if not pc.all(valid).as_py():
+                col = col.filter(valid)
+            if len(col):
+                h = _content_hash64(col)
+                idx = (h >> np.uint64(64 - p)).astype(np.int64)
+                rest = h << np.uint64(p)  # top p bits consumed by the index
+                # rank = leading zeros of the remaining 64-p bits, + 1
+                lz = np.full(len(h), 64 - p, dtype=np.uint8)
+                nz = rest != 0
+                if nz.any():
+                    # bit_length via float64 log2 is unsafe near 2^53; use
+                    # successive halving on the uint64 view instead
+                    r = rest[nz]
+                    lead = np.zeros(len(r), dtype=np.uint8)
+                    width = np.uint64(32)
+                    while width:
+                        top = r >> np.uint64(64) - width
+                        zero_top = top == 0
+                        lead[zero_top] += np.uint8(width)
+                        r = np.where(zero_top, r << width, r)
+                        width >>= np.uint64(1)
+                    lz[nz] = lead
+                rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+                np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    rows = ds.map_batches(block_registers, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()).take_all()
+    merged = np.zeros(m, dtype=np.uint8)
+    for r in rows:
+        merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    return hll_estimate(merged)
+
+
+def heavy_hitters(ds, column: str, fraction: float,
+                  count_name: str = "n") -> pa.Table:
+    """All values of ``column`` occurring in at least ``fraction`` of rows,
+    with their EXACT counts — sorted by count descending, then value.
+
+    Two passes, neither shuffles raw rows:
+
+    1. *Detect*: per block, keep values with local frequency >= fraction of
+       the block (vectorized ``value_counts``). Pigeonhole guarantees zero
+       false negatives: a value below the threshold in EVERY block is below
+       it globally. Candidate volume is bounded by blocks/fraction.
+    2. *Verify*: exact counts for the candidate set only (broadcast
+       ``is_in`` filter -> per-block partial counts -> tiny driver merge),
+       then apply the exact global threshold.
+
+    The output is exact (sketch only prunes), so it is directly
+    SQL-checkable against GROUP BY ... HAVING count >= ceil(fraction * N).
+    """
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    import ray
+
+    env = package_runtime_env()
+
+    def local_heavy(batch: pa.Table) -> pa.Table:
+        vc = batch.column(column).combine_chunks().value_counts()
+        thresh = max(int(np.ceil(fraction * batch.num_rows)), 1)
+        keep = pc.greater_equal(vc.field(1), thresh)
+        return pa.table({"v": vc.field(0).filter(keep)})
+
+    cand_rows = ds.map_batches(local_heavy, batch_format="pyarrow",
+                               runtime_env=env).take_all()
+    # candidate set: O(blocks / fraction) values — small by construction
+    cand = sorted({r["v"] for r in cand_rows if r["v"] is not None})
+    if not cand:
+        return pa.table({column: pa.array([]),
+                         count_name: pa.array([], type=pa.int64())})
+    cand_ref = ray.put(cand)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        cands = ray.get(cand_ref)
+        mask = pc.is_in(col, value_set=pa.array(cands, type=col.type))
+        sub = col.filter(pc.fill_null(mask, False))
+        vc = sub.value_counts()
+        return pa.table({"v": vc.field(0),
+                         "c": vc.field(1).cast(pa.int64())})
+
+    parts = ds.map_batches(exact_counts, batch_format="pyarrow",
+                           runtime_env=env).take_all()
+    totals: dict = {}
+    for r in parts:
+        totals[r["v"]] = totals.get(r["v"], 0) + int(r["c"])
+    n_rows = ds.count()   # exact total rows (metadata pass, no data scan)
+    thresh = max(int(np.ceil(fraction * n_rows)), 1)
+    hits = [(v, c) for v, c in totals.items() if c >= thresh]
+    hits.sort(key=lambda vc: (-vc[1], vc[0]))
+    col_type = ds.schema().types[list(ds.schema().names).index(column)]
+    return pa.table({
+        column: pa.array([v for v, _ in hits], type=col_type),
+        count_name: pa.array([c for _, c in hits], type=pa.int64()),
+    })

@@ -1,0 +1,259 @@
+"""Round-3 wide-op additions: semi/anti joins, window functions, rollup,
+pivot, and the sketch module (HLL, heavy hitters)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def orders_ds(ray_session, sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_semi_and_anti_join_match_exists(orders_ds, sf_dir, ray_session):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import anti_join, semi_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet").filter(
+        lambda r: r["c_mktsegment"] == "BUILDING")
+    semi = sorted(r["o_orderkey"] for r in semi_join(
+        orders_ds, cust, "o_custkey", "c_custkey").take_all())
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet') o "
+        f"WHERE EXISTS (SELECT 1 FROM read_parquet('{sf_dir}/customer.parquet') c "
+        f"WHERE c.c_custkey=o.o_custkey AND c.c_mktsegment='BUILDING') "
+        f"ORDER BY 1").fetchall()]
+    assert semi == want
+    anti = anti_join(orders_ds, cust, "o_custkey", "c_custkey").count()
+    assert anti == orders_ds.count() - len(semi)
+
+
+def test_semi_join_emits_left_rows_once_per_match_set(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import semi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "x": pa.array(["a", "b", "c", "d"])}))
+    # right has DUPLICATE keys: semi must still emit each left row once
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], type=pa.int64())}))
+    got = sorted(r["x"] for r in semi_join(left, right, "k").take_all())
+    assert got == ["a", "b", "c"]
+
+
+def test_anti_join_keeps_null_key_left_rows(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import anti_join, semi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, None], type=pa.int64()),
+        "x": pa.array(["a", "b", "c", "d"])}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None], type=pa.int64())}))
+    # SQL: NULL = NULL is not true -> null-key rows never match
+    assert sorted(r["x"] for r in anti_join(left, right, "k").take_all()) \
+        == ["b", "c", "d"]
+    assert sorted(r["x"] for r in semi_join(left, right, "k").take_all()) \
+        == ["a"]
+
+
+def test_semi_join_composite_keys(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import semi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2], type=pa.int64()),
+        "b": pa.array(["x", "y", "x"]),
+        "v": pa.array([10, 20, 30], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2], type=pa.int64()),
+        "b": pa.array(["y", "z"])}))
+    got = sorted(r["v"] for r in semi_join(left, right, ["a", "b"]).take_all())
+    assert got == [20]
+
+
+def test_window_functions_vs_sql(orders_ds, sf_dir, ray_session):
+    import duckdb
+
+    from plugin_serdes_ray.pipelines.relational import window_functions
+
+    out = window_functions(
+        orders_ds.select_columns(["o_custkey", "o_orderkey", "o_totalprice"]),
+        by="o_custkey", order_by="o_orderkey",
+        specs={"rn": ("row_number",),
+               "rnk": ("rank", "o_totalprice"),
+               "drk": ("dense_rank", "o_totalprice"),
+               "nxt": ("lead", "o_orderkey", 1)})
+    got = pa.Table.from_pylist(out.take_all()).sort_by(
+        [("o_custkey", "ascending"), ("o_orderkey", "ascending")])
+    want = duckdb.sql(f"""
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) rnk,
+               dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) drk,
+               lead(o_orderkey, 1) OVER w AS nxt
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey""").arrow()
+    for c in ["rn", "rnk", "drk", "nxt"]:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_window_lag_lead_partition_edges(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import window_functions
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2], type=pa.int64()),
+                  "o": pa.array([3, 1, 2, 5], type=pa.int64()),
+                  "v": pa.array([30.0, 10.0, None, 50.0])})
+    out = window_functions(
+        ray.data.from_arrow(t), by="k", order_by="o",
+        specs={"lag2": ("lag", "v", 2), "lead5": ("lead", "v", 5),
+               "cs": ("cumsum", "v")})
+    rows = sorted(out.take_all(), key=lambda r: (r["k"], r["o"]))
+    assert [r["lag2"] for r in rows] == [None, None, 10.0, None]
+    assert [r["lead5"] for r in rows] == [None] * 4
+    # cumsum skips nulls; rows before the first non-null stay null
+    assert [r["cs"] for r in rows] == [10.0, 10.0, 40.0, 50.0]
+
+
+def test_window_cumsum_null_prefix(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import window_functions
+
+    t = pa.table({"k": pa.array([1, 1, 1], type=pa.int64()),
+                  "o": pa.array([1, 2, 3], type=pa.int64()),
+                  "v": pa.array([None, None, 7.0])})
+    out = window_functions(ray.data.from_arrow(t), by="k", order_by="o",
+                           specs={"cs": ("cumsum", "v")})
+    rows = sorted(out.take_all(), key=lambda r: r["o"])
+    assert [r["cs"] for r in rows] == [None, None, 7.0]
+
+
+def test_rollup_matches_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import rollup_aggregate
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    got = pa.Table.from_pylist(
+        rollup_aggregate(li, ["l_returnflag", "l_linestatus"],
+                         sum_cols=["l_quantity"]).take_all())
+    want = duckdb.sql(f"""
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) s, count(*) n
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)""").arrow()
+    assert got.num_rows == want.num_rows
+
+    def key(rf, ls, s, n):
+        return (rf or "", ls or "", round(float(s), 6), int(n))
+
+    gset = {key(*r) for r in zip(got["l_returnflag"].to_pylist(),
+                                 got["l_linestatus"].to_pylist(),
+                                 got["sum_l_quantity"].to_pylist(),
+                                 got["n"].to_pylist())}
+    wset = {key(*r) for r in zip(want["l_returnflag"].to_pylist(),
+                                 want["l_linestatus"].to_pylist(),
+                                 want["s"].to_pylist(),
+                                 want["n"].to_pylist())}
+    assert gset == wset
+
+
+def test_pivot_matches_filtered_sums(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import pivot_aggregate
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    got = pa.Table.from_pylist(
+        pivot_aggregate(li, "l_returnflag", "l_linestatus", ["O", "F", "Z"],
+                        "l_quantity").take_all()).sort_by("l_returnflag")
+    want = duckdb.sql(f"""
+        SELECT l_returnflag,
+               COALESCE(sum(l_quantity) FILTER (l_linestatus='O'), 0) qo,
+               COALESCE(sum(l_quantity) FILTER (l_linestatus='F'), 0) qf
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY 1 ORDER BY 1""").arrow()
+    assert got.column("l_quantity_O").to_pylist() == want.column("qo").to_pylist()
+    assert got.column("l_quantity_F").to_pylist() == want.column("qf").to_pylist()
+    # a pivot value absent from the data must yield all-zero cells, not fail
+    assert set(got.column("l_quantity_Z").to_pylist()) == {0.0}
+
+
+def test_hll_within_tolerance(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import approx_count_distinct
+
+    for col, p in [("o_orderkey", 14), ("o_custkey", 12)]:
+        ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=[col])
+        est = approx_count_distinct(ds, col, p=p)
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT {col}) FROM "
+            f"read_parquet('{sf_dir}/orders.parquet')").fetchone()[0]
+        assert abs(est - exact) <= 0.05 * exact, (col, est, exact)
+
+
+def test_hll_registers_merge_like_one_pass(ray_session):
+    """Block-split invariance: HLL over 1 block == HLL over many blocks
+    (the registers are a true mergeable sketch)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import approx_count_distinct
+
+    vals = pa.array([f"v{i}" for i in range(20_000)])
+    one = ray.data.from_arrow(pa.table({"x": vals}))
+    many = ray.data.from_arrow(pa.table({"x": vals})).repartition(13)
+    assert approx_count_distinct(one, "x") == approx_count_distinct(many, "x")
+
+
+def test_heavy_hitters_exact_counts(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang"])
+    got = heavy_hitters(docs, "lang", 0.05)
+    want = duckdb.sql(f"""
+        SELECT lang, count(*) c FROM read_parquet('{sf_dir}/documents.parquet')
+        GROUP BY 1 HAVING c >= CEIL(0.05 * (SELECT count(*) FROM
+            read_parquet('{sf_dir}/documents.parquet')))
+        ORDER BY c DESC, lang""").arrow()
+    assert got.column("lang").to_pylist() == want.column("lang").to_pylist()
+    assert got.column("n").to_pylist() == want.column("c").to_pylist()
+
+
+def test_heavy_hitters_no_false_negatives_across_blocks(ray_session):
+    """A value heavy globally but below threshold in MOST blocks must still
+    be found (pigeonhole: it crosses the local threshold somewhere)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import heavy_hitters
+
+    # "hot" is 15% globally but concentrated in the first blocks; the
+    # other blocks are all-distinct values
+    rows = ["hot"] * 150 + [f"c{i}" for i in range(850)]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(rows)})).repartition(10)
+    got = heavy_hitters(ds, "v", 0.1)
+    assert got.column("v").to_pylist() == ["hot"]
+    assert got.column("n").to_pylist() == [150]
