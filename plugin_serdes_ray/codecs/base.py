@@ -25,7 +25,7 @@ from .bitpack import pack_bools, unpack_bools
 # ---------------------------------------------------------------------------
 
 
-def pack_sections(sections: list[bytes]) -> bytes:
+def pack_sections(sections: list) -> bytes:
     out = [struct.pack("<I", len(sections))]
     for s in sections:
         out.append(struct.pack("<Q", len(s)))
@@ -33,14 +33,18 @@ def pack_sections(sections: list[bytes]) -> bytes:
     return b"".join(out)
 
 
-def unpack_sections(data: bytes) -> list[bytes]:
-    (k,) = struct.unpack_from("<I", data, 0)
+def unpack_sections(data) -> list:
+    """Split framed sections back out as ZERO-COPY memoryviews over ``data``
+    (every consumer — np.frombuffer, pa.py_buffer, struct, zstd — speaks the
+    buffer protocol; the decode path never duplicates the payload)."""
+    mv = data if isinstance(data, memoryview) else memoryview(data)
+    (k,) = struct.unpack_from("<I", mv, 0)
     pos = 4
     out = []
     for _ in range(k):
-        (ln,) = struct.unpack_from("<Q", data, pos)
+        (ln,) = struct.unpack_from("<Q", mv, pos)
         pos += 8
-        out.append(data[pos : pos + ln])
+        out.append(mv[pos : pos + ln])
         pos += ln
     return out
 
@@ -50,15 +54,26 @@ def unpack_sections(data: bytes) -> list[bytes]:
 # ---------------------------------------------------------------------------
 
 
-def pack_chunk(codec_name: str, meta: dict, payload: bytes) -> bytes:
+def pack_chunk(codec_name: str, meta: dict, payload) -> bytes:
     header = json.dumps({"c": codec_name, "m": meta}, separators=(",", ":")).encode()
+    if isinstance(payload, list):
+        # fused pack_chunk(pack_sections(...)): ONE join instead of two full
+        # passes over the payload bytes — the encode hot path is memory-
+        # bandwidth-bound, so every avoided copy is wall time
+        parts = [struct.pack("<I", len(header)), header,
+                 struct.pack("<I", len(payload))]
+        for s in payload:
+            parts.append(struct.pack("<Q", len(s)))
+            parts.append(s)
+        return b"".join(parts)
     return struct.pack("<I", len(header)) + header + payload
 
 
-def unpack_chunk(data: bytes) -> tuple[str, dict, bytes]:
-    (hlen,) = struct.unpack_from("<I", data, 0)
-    header = json.loads(data[4 : 4 + hlen])
-    return header["c"], header["m"], data[4 + hlen :]
+def unpack_chunk(data) -> tuple[str, dict, memoryview]:
+    mv = data if isinstance(data, memoryview) else memoryview(data)
+    (hlen,) = struct.unpack_from("<I", mv, 0)
+    header = json.loads(bytes(mv[4 : 4 + hlen]))
+    return header["c"], header["m"], mv[4 + hlen :]
 
 
 # ---------------------------------------------------------------------------

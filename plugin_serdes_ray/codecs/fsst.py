@@ -254,14 +254,12 @@ class FsstCodec(Codec):
             symbols = train_table(sample)
             table_bytes = serialize_table(symbols)
         enc = compress(data, symbols)
+        # section LISTS (not pack_sections) so pack_chunk joins once —
+        # the raw/encoded stream bytes are the bulk of the payload
         if len(enc) + len(table_bytes) >= len(data):
-            payload = pack_sections(
-                [validity_to_bytes(validity), lengths_packed, b"", data]
-            )
+            payload = [validity_to_bytes(validity), lengths_packed, b"", data]
             return payload, {"n": n, "lw": lw, "raw": True}
-        payload = pack_sections(
-            [validity_to_bytes(validity), lengths_packed, table_bytes, enc]
-        )
+        payload = [validity_to_bytes(validity), lengths_packed, table_bytes, enc]
         return payload, {"n": n, "lw": lw, "raw": False}
 
     def decode(self, payload: bytes, meta: dict, typ: pa.DataType) -> pa.Array:

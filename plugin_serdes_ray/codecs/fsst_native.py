@@ -235,7 +235,10 @@ def _build_lib():
                     pass
     try:
         lib = ctypes.CDLL(so_path)
-        common = [ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+        # data arg is c_void_p (raw address), NOT c_char_p: the callers pass
+        # zero-copy numpy views over Arrow buffers/memoryviews instead of
+        # forcing a bytes() copy of every chunk through the ctypes marshal
+        common = [ctypes.c_void_p, ctypes.c_long, ctypes.c_char_p,
                   ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
                   ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
         lib.fsst_encode.restype = ctypes.c_long
@@ -243,12 +246,12 @@ def _build_lib():
         lib.fsst_decode.restype = ctypes.c_long
         lib.fsst_decode.argtypes = common
         lib.fsst_decoded_len.restype = ctypes.c_long
-        lib.fsst_decoded_len.argtypes = [ctypes.c_char_p, ctypes.c_long,
+        lib.fsst_decoded_len.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                          ctypes.c_char_p, ctypes.c_int]
         u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.minhash_batch.restype = None
         lib.minhash_batch.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
             ctypes.c_int, u64p, u64p, ctypes.c_int, u64p]
         return lib
     except (OSError, AttributeError):
@@ -275,19 +278,26 @@ def _sym_args(symbols: list[bytes]):
     return flat, offs, lens
 
 
-def native_compress(data: bytes, symbols: list[bytes]):
-    """C greedy encode -> stream bytes, or None when no compiler exists."""
+def _in_ptr(data) -> tuple[np.ndarray, int]:
+    """bytes/memoryview -> (keep-alive view, raw address) without copying."""
+    view = np.frombuffer(data, dtype=np.uint8)
+    return view, view.ctypes.data
+
+
+def native_compress(data, symbols: list[bytes]):
+    """C greedy encode -> stream bytes (as a zero-copy memoryview over the
+    output array), or None when no compiler exists."""
     lib = get_lib()
     if lib is None:
         return None
-    if not isinstance(data, bytes):
-        data = bytes(data)      # c_char_p rejects memoryview/ndarray
+    view, addr = _in_ptr(data)
     flat, offs, lens = _sym_args(symbols)
-    out = np.empty(2 * len(data) + 16, dtype=np.uint8)
+    out = np.empty(2 * len(view) + 16, dtype=np.uint8)
     n_out = lib.fsst_encode(
-        data, len(data), flat, offs, lens, len(symbols),
+        addr, len(view), flat, offs, lens, len(symbols),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
-    return out[:n_out].tobytes()
+    del view
+    return out[:n_out].data
 
 
 def native_minhash(data: bytes, offsets: np.ndarray, k: int,
@@ -300,29 +310,32 @@ def native_minhash(data: bytes, offsets: np.ndarray, k: int,
         return None
     n_docs = len(offsets) - 1
     nperm = len(a)
+    view, addr = _in_ptr(data)
     offs = np.ascontiguousarray(offsets, dtype=np.int64)
     a = np.ascontiguousarray(a, dtype=np.uint64)
     b = np.ascontiguousarray(b, dtype=np.uint64)
     out = np.empty((n_docs, nperm), dtype=np.uint64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.minhash_batch(
-        data, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        addr, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         n_docs, k, a.ctypes.data_as(u64p), b.ctypes.data_as(u64p), nperm,
         out.ctypes.data_as(u64p))
+    del view
     return out
 
 
-def native_decompress(enc: bytes, symbols: list[bytes]):
-    """Two C passes (exact length, then decode); None without a compiler."""
+def native_decompress(enc, symbols: list[bytes]):
+    """Two C passes (exact length, then decode); None without a compiler.
+    Returns a zero-copy memoryview over the output array."""
     lib = get_lib()
     if lib is None:
         return None
-    if not isinstance(enc, bytes):
-        enc = bytes(enc)
+    view, addr = _in_ptr(enc)
     flat, offs, lens = _sym_args(symbols)
-    total = lib.fsst_decoded_len(enc, len(enc), lens, len(symbols))
+    total = lib.fsst_decoded_len(addr, len(view), lens, len(symbols))
     out = np.empty(max(int(total), 1), dtype=np.uint8)
     n_out = lib.fsst_decode(
-        enc, len(enc), flat, offs, lens, len(symbols),
+        addr, len(view), flat, offs, lens, len(symbols),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
-    return out[:n_out].tobytes()
+    del view
+    return out[:n_out].data

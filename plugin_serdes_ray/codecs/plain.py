@@ -31,7 +31,13 @@ class PlainCodec(Codec):
             from .base import varbin_parts
             offsets, data, validity = varbin_parts(arr)
             lengths = np.diff(offsets).astype(np.uint32)
-            payload = pack_sections([validity_to_bytes(validity), lengths.tobytes(), data])
+            # section LIST: pack_chunk assembles chunk framing + sections in
+            # ONE join, so the (dominant) data bytes are copied once, not
+            # twice — this path carries the whole html/text payload
+            # .cast("B"): section lengths are in BYTES (len() of a uint32
+            # memoryview counts elements)
+            payload = [validity_to_bytes(validity), lengths.data.cast("B"),
+                       data]
             return payload, {"n": n, "k": "v"}
         if pa.types.is_boolean(typ):
             vals, validity = fixed_to_numpy(arr)

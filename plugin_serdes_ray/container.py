@@ -63,7 +63,8 @@ def _outer_compress(blob: bytes, level: int) -> tuple[bytes, Optional[dict]]:
         if len(z) < len(blob):
             return z, {"a": "zstd", "raw": len(blob)}
         return blob, None
-    frames = [bytes(codec.compress(blob[i:i + OUTER_FRAME]))
+    mv = memoryview(blob)   # zero-copy frame slices (bytes slicing copies)
+    frames = [bytes(codec.compress(mv[i:i + OUTER_FRAME]))
               for i in range(0, len(blob), OUTER_FRAME)]
     z = b"".join(frames)
     if len(z) < len(blob):
