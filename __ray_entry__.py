@@ -892,6 +892,91 @@ def _multimodal_audio_stats(sf_dir: str):
     })
 
 
+def _multimodal_video_stats(sf_dir: str):
+    """REAL Y4M video decode through the actor-pool stage: each doc_id gets
+    a deterministic C420 clip (n = 2 + doc_id % 4 frames of (2 + 2*(doc_id
+    % 2)) x (2 + 2*(doc_id % 3)), every luma sample = doc_id % 256, 25 fps)
+    from the stdlib encoder; VideoStats parses the actual YUV4MPEG2 bytes
+    back. Constant luma makes mean_luma exactly the fill value, so SQL
+    recomputes every output from doc_id arithmetic."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import encode_y4m, video_stats
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+    clips = []
+    for i in ids:
+        n, h, w, v = 2 + i % 4, 2 + 2 * (i % 2), 2 + 2 * (i % 3), i % 256
+        clips.append(encode_y4m(np.full((n, h, w), v, dtype=np.uint8)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "video": pa.array(clips, type=pa.large_binary())}))
+    rows = video_stats(ds, concurrency=2).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], type=pa.int64()),
+        "width": pa.array([r["width"] for r in rows], type=pa.int64()),
+        "height": pa.array([r["height"] for r in rows], type=pa.int64()),
+        "mean_luma": pa.array([r["mean_luma"] for r in rows], type=pa.float64()),
+    })
+
+
+def _video_frame_chain(sf_dir: str):
+    """Composed multimodal chain: Y4M clips -> FrameSampler (REAL evenly-
+    spaced luma frames re-encoded as BMPs) -> explode -> ImageStats (REAL
+    BMP decode). Every number SQL-derivable from doc_id arithmetic: a wrong
+    sampling index, BMP stride, or channel order breaks the hash."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        encode_y4m, image_stats, sample_frames,
+    )
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+    clips = []
+    for i in ids:
+        # 6 frames, frame f filled with (doc_id + 40*f) % 256: sampling 3 of
+        # 6 evenly picks frames 0, 2, 5 (np.linspace(0, 5, 3) rounds to int)
+        n, h, w = 6, 2 + 2 * (i % 2), 4
+        luma = np.empty((n, h, w), dtype=np.uint8)
+        for f in range(n):
+            luma[f] = (i + 40 * f) % 256
+        clips.append(encode_y4m(luma))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "video": pa.array(clips, type=pa.large_binary())}))
+    sampled = sample_frames(ds, n_frames=3, concurrency=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n_per = pc.list_value_length(batch.column("frames"))
+        reps = n_per.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
+        frame_no = np.concatenate([np.arange(k) for k in reps]) \
+            if len(reps) else np.array([], dtype=np.int64)
+        flat = batch.column("frames").combine_chunks().flatten()
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(idx)),
+            "frame_no": pa.array(frame_no, type=pa.int64()),
+            "image": flat})
+
+    frames = sampled.map_batches(explode, batch_format="pyarrow",
+                                 runtime_env=_env())
+    rows = image_stats(frames, concurrency=2).take_all()
+    rows.sort(key=lambda r: (r["doc_id"], r["frame_no"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "frame_no": pa.array([r["frame_no"] for r in rows], type=pa.int64()),
+        "height": pa.array([r["height"] for r in rows], type=pa.int64()),
+        "mean_r": pa.array([r["mean_r"] for r in rows], type=pa.float64()),
+    })
+
+
 def _semi_join_orders(sf_dir: str, anti: bool = False):
     """LEFT SEMI / ANTI join: orders whose customer is (not) in the
     AUTOMOBILE segment. The right side ships only distinct key tuples
@@ -1096,6 +1181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal actor-pool stages (REAL stdlib BMP/PPM/WAV kernels)
         "multimodal_image_features": _multimodal_features,
         "multimodal_audio_stats": _multimodal_audio_stats,
+        "multimodal_video_stats": _multimodal_video_stats,
+        "video_frame_chain": _video_frame_chain,
         # north-rule grouped re-encode (salted groupby-lang -> container)
         "grouped_reencode_documents": _grouped_reencode_documents,
     }
@@ -1298,6 +1385,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
                    CAST(doc_id % 1000 AS DOUBLE) AS rms
             FROM documents
+        """,
+        "multimodal_video_stats": """
+            SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+                   CAST(2 + 2 * (doc_id % 3) AS BIGINT) AS width,
+                   CAST(2 + 2 * (doc_id % 2) AS BIGINT) AS height,
+                   CAST(doc_id % 256 AS DOUBLE) AS mean_luma
+            FROM documents
+        """,
+        "video_frame_chain": """
+            SELECT d.doc_id, CAST(f.frame_no AS BIGINT) AS frame_no,
+                   CAST(2 + 2 * (d.doc_id % 2) AS BIGINT) AS height,
+                   CAST((d.doc_id + 40 * f.src) % 256 AS DOUBLE) AS mean_r
+            FROM documents d
+            CROSS JOIN (VALUES (0, 0), (1, 2), (2, 5)) AS f(frame_no, src)
         """,
         "events_in_sessions": """
             WITH sessions AS (

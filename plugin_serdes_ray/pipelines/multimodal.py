@@ -2,13 +2,14 @@
 with typed metadata, processed by ACTOR-POOL map_batches stages (decoder
 state built once per actor in __init__ — the stateful-stage pattern).
 
-Image decode is REAL for uncompressed container formats whose parsing is
-pure stdlib/numpy: BMP (24/32-bpp BI_RGB) and binary PPM (P6). Compressed
-formats (JPEG/PNG/...) need PIL, which is NOT in this container — those
-payloads fall back to a clearly-marked deterministic fake feature vector
-(audio/video kernels are likewise fakes, pending ffmpeg/torchaudio). The
-Ray-side plumbing — schemas, byte-bounded batch sizing, actor signatures,
-output layout — is real and tested either way.
+All three modalities decode for REAL on uncompressed container formats
+whose parsing is pure stdlib/numpy: images BMP (24/32-bpp BI_RGB) + binary
+PPM (P6), audio PCM16 RIFF/WAVE, video YUV4MPEG2 (mono/420/422/444).
+Compressed formats (JPEG/PNG/mp3/mp4/...) need PIL/ffmpeg, which are NOT
+in this container — those payloads fall back to clearly-marked
+deterministic fakes (feature stages) or nulls (stats stages). The Ray-side
+plumbing — schemas, byte-bounded batch sizing, actor signatures, output
+layout — is identical either way, and the real paths are oracle-checked.
 """
 
 from __future__ import annotations
@@ -321,13 +322,135 @@ class AudioStats:
                 .append_column("rms", pa.array(rms, type=pa.float64())))
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_PLANES = {           # colorspace tag prefix -> chroma bytes per luma px
+    "mono": 0.0, "420": 0.5, "422": 1.0, "444": 2.0,
+}
+
+
+def decode_y4m(data: bytes) -> tuple[dict, np.ndarray]:
+    """YUV4MPEG2 (uncompressed planar video; stdlib-parseable like BMP/WAV)
+    -> (info dict, (n_frames, height, width) uint8 LUMA array).
+
+    Supports mono / 4:2:0 (all sub-variants) / 4:2:2 / 4:4:4 colorspaces;
+    chroma planes are skipped (stats/sampling operate on luma). Raises
+    ValueError on anything else."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.index(b"\n")
+    w = h = None
+    fps_num, fps_den, cspace = 25, 1, "420"
+    for tok in data[len(_Y4M_MAGIC):nl].split():
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            fps_num, fps_den = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            cspace = val
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    key = next((k for k in ("mono", "420", "422", "444")
+                if cspace.startswith(k)), None)
+    if key is None:
+        raise ValueError(f"unsupported Y4M colorspace C{cspace}")
+    luma = w * h
+    frame_bytes = luma + int(luma * _Y4M_PLANES[key])
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        body = fnl + 1
+        if body + frame_bytes > len(data):
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(data, dtype=np.uint8, count=luma,
+                                    offset=body).reshape(h, w))
+        pos = body + frame_bytes
+    info = {"width": w, "height": h, "fps_num": fps_num, "fps_den": fps_den,
+            "colorspace": cspace, "n_frames": len(frames)}
+    stack = np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+    return info, stack
+
+
+def encode_y4m(luma_frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, h, w) uint8 luma -> C420 YUV4MPEG2 bytes with neutral chroma
+    (fixture/test helper for the decoder above; even dims required)."""
+    fr = np.asarray(luma_frames, dtype=np.uint8)
+    if fr.ndim != 3:
+        raise ValueError("want (n_frames, h, w) uint8 luma")
+    n, h, w = fr.shape
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even width/height")
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    parts = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420\n"
+             % (w, h, fps[0], fps[1])]
+    for f in fr:
+        parts.append(b"FRAME\n")
+        parts.append(f.tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+class VideoStats:
+    """Actor-pool stage: REAL Y4M decode -> per-clip frame count, geometry,
+    fps and mean luma. Undecodable payloads yield nulls (never fake numbers
+    — this stage is the oracle-checkable one)."""
+
+    def __init__(self, column: str = "video"):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf, ws, hs, fps, luma = [], [], [], [], []
+        for v in batch.column(self.column).to_pylist():
+            try:
+                info, frames = decode_y4m(v) if v is not None else (None, None)
+            except ValueError:
+                info, frames = None, None
+            if info is None:
+                for col in (nf, ws, hs, fps, luma):
+                    col.append(None)
+            else:
+                nf.append(info["n_frames"])
+                ws.append(info["width"])
+                hs.append(info["height"])
+                fps.append(info["fps_num"] / info["fps_den"])
+                luma.append(float(frames.mean()) if len(frames) else None)
+        return (batch.append_column("n_frames", pa.array(nf, type=pa.int64()))
+                .append_column("width", pa.array(ws, type=pa.int64()))
+                .append_column("height", pa.array(hs, type=pa.int64()))
+                .append_column("fps", pa.array(fps, type=pa.float64()))
+                .append_column("mean_luma", pa.array(luma, type=pa.float64())))
+
+
 class FrameSampler:
-    """Actor-pool stage: binary video column -> N sampled 'frames' (each a
-    binary blob). Fake kernel slices the payload deterministically."""
+    """Actor-pool stage: binary video column -> N sampled frames (each a
+    binary blob).
+
+    Y4M payloads sample REAL frames: N evenly-spaced luma frames, each
+    re-encoded as a 24-bpp BMP (gray replicated to RGB) so the sampled
+    frames feed straight into the image stages — video -> frames ->
+    ImageStats composes end to end with no media libraries. Other
+    container formats (mp4/webm need absent ffmpeg) fall back to the
+    clearly-marked deterministic byte-slice fake."""
 
     def __init__(self, column: str = "video", n_frames: int = 4):
         self.column = column
         self.n_frames = n_frames
+
+    def _sample_y4m(self, data: bytes) -> list[bytes]:
+        _, frames = decode_y4m(data)
+        if not len(frames):
+            return []
+        idx = np.unique(np.linspace(0, len(frames) - 1,
+                                    min(self.n_frames, len(frames)),
+                                    dtype=np.int64))
+        return [encode_bmp(np.repeat(frames[i][:, :, None], 3, axis=2))
+                for i in idx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -335,6 +458,10 @@ class FrameSampler:
             if not v:
                 out.append([])
                 continue
+            if v.startswith(_Y4M_MAGIC):
+                out.append(self._sample_y4m(v))
+                continue
+            # DETERMINISTIC FAKE for containers needing absent codecs
             step = max(len(v) // self.n_frames, 1)
             out.append([v[i * step:(i + 1) * step] for i in range(self.n_frames)])
         return batch.append_column(
@@ -386,6 +513,16 @@ def sample_frames(ds, column: str = "video", n_frames: int = 4,
     return ds.map_batches(
         FrameSampler, fn_constructor_kwargs={"column": column,
                                              "n_frames": n_frames},
+        batch_size=batch_size, batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1,
+        runtime_env=package_runtime_env())
+
+
+def video_stats(ds, column: str = "video", concurrency: int = 4,
+                batch_size: int = 16):
+    """Real-decode Y4M stats stage (n_frames/geometry/fps/mean luma)."""
+    return ds.map_batches(
+        VideoStats, fn_constructor_kwargs={"column": column},
         batch_size=batch_size, batch_format="pyarrow",
         concurrency=concurrency, num_cpus=1,
         runtime_env=package_runtime_env())
