@@ -361,15 +361,24 @@ def minhash_lsh_duplicates(ds, column: str, id_column: str,
 def minhash_lsh_duplicates_exact(ds, column: str, id_column: str,
                                  num_perm: int = 64, bands: int = 16,
                                  threshold: float = 0.7, k: int = 5,
-                                 candidate_slack: float = 0.1):
-    """MinHash LSH candidates verified by EXACT n-gram Jaccard via a
-    semi-join back to the text — the scale-correct exact path:
+                                 candidate_slack: float = 0.1,
+                                 distributed: Optional[bool] = None):
+    """MinHash LSH candidates verified by EXACT n-gram Jaccard — the
+    scale-correct exact path:
 
     1. the signature-only LSH emits candidate pairs at a slackened
        estimated threshold (catching estimator noise around the cut);
-    2. only the candidate ids' texts are fetched (``is_in`` filter —
-       a semi-join bounded by O(candidates), never a full-corpus move);
+    2. only the candidate ids' texts move (``is_in`` filter — bounded by
+       O(candidates), never a full-corpus move);
     3. exact shingle Jaccard decides at the true threshold.
+
+    Verification placement: with few pairs the texts are fetched to the
+    driver and checked inline; above ``_DRIVER_VERIFY_MAX_PAIRS`` (or with
+    ``distributed=True``) the driver holds ONLY the id->pair mapping and
+    verification runs as a distributed pair-join — each candidate text is
+    broadcast-expanded to its (pair, side) rows and ONE groupby(pair)
+    shuffle co-locates the two texts of each pair, so driver memory is
+    O(pairs), not O(pair texts), and the Jaccard compute parallelizes.
 
     Returns a pa.Table of (keep_id, dup_id) distinct pairs."""
     est_threshold = max(threshold - candidate_slack, 0.0)
@@ -379,6 +388,11 @@ def minhash_lsh_duplicates_exact(ds, column: str, id_column: str,
     if not pairs:
         return pa.table({"keep_id": pa.array([], type=pa.int64()),
                          "dup_id": pa.array([], type=pa.int64())})
+    if distributed is None:
+        distributed = len(pairs) > _DRIVER_VERIFY_MAX_PAIRS
+    if distributed:
+        return _verify_pairs_distributed(ds, column, id_column, pairs,
+                                         threshold, k)
     wanted = sorted({i for p in pairs for i in p})
     id_set = pa.array(wanted, type=pa.int64())
 
@@ -400,6 +414,70 @@ def minhash_lsh_duplicates_exact(ds, column: str, id_column: str,
             dup.append(b)
     return pa.table({"keep_id": pa.array(keep, type=pa.int64()),
                      "dup_id": pa.array(dup, type=pa.int64())})
+
+
+_DRIVER_VERIFY_MAX_PAIRS = 10_000
+
+
+def _verify_pairs_distributed(ds, column: str, id_column: str,
+                              pairs: list, threshold: float, k: int):
+    """Distributed exact-Jaccard pair verification (see
+    minhash_lsh_duplicates_exact). Driver state: the id -> [(pair, side)]
+    mapping only (O(pairs) ints; texts never land on the driver)."""
+    import ray
+
+    mapping: dict = {}
+    for i, (a, b) in enumerate(pairs):
+        mapping.setdefault(a, []).append((i, 0))
+        mapping.setdefault(b, []).append((i, 1))
+    map_ref = ray.put(mapping)
+    env = package_runtime_env()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        ids = batch.column(id_column).to_pylist()
+        txts = batch.column(column).to_pylist()
+        o_pair, o_side, o_id, o_txt = [], [], [], []
+        for id_, txt in zip(ids, txts):
+            for pi, side in m.get(id_, ()):
+                o_pair.append(pi)
+                o_side.append(side)
+                o_id.append(id_)
+                o_txt.append(txt)
+        return pa.table({
+            "__pair": pa.array(o_pair, type=pa.int64()),
+            "__side": pa.array(o_side, type=pa.int8()),
+            "__id": pa.array(o_id, type=pa.int64()),
+            "__text": pa.array(o_txt, type=pa.large_string()),
+        })
+
+    empty = pa.table({"keep_id": pa.array([], type=pa.int64()),
+                      "dup_id": pa.array([], type=pa.int64())})
+
+    def check(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:   # a missing/null text drops the pair
+            return empty
+        side = group.column("__side").to_pylist()
+        ids = group.column("__id").to_pylist()
+        txts = group.column("__text").to_pylist()
+        a = side.index(0)
+        b = 1 - a
+        if 0 not in side or 1 not in side or txts[a] is None or txts[b] is None:
+            return empty
+        if jaccard(txts[a], txts[b], k) >= threshold:
+            return pa.table({"keep_id": pa.array([ids[a]], type=pa.int64()),
+                             "dup_id": pa.array([ids[b]], type=pa.int64())})
+        return empty
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow", runtime_env=env)
+    out = (expanded.groupby("__pair")
+           .map_groups(check, batch_format="pyarrow", runtime_env=env)
+           .take_all())   # O(verified pairs), never the corpus
+    out.sort(key=lambda r: (r["keep_id"], r["dup_id"]))
+    return pa.table({
+        "keep_id": pa.array([r["keep_id"] for r in out], type=pa.int64()),
+        "dup_id": pa.array([r["dup_id"] for r in out], type=pa.int64()),
+    })
 
 
 def union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:

@@ -522,6 +522,15 @@ def test_minhash_exact_jaccard_verify(ray_session):
     assert (1, 3) not in pairs                # exact verify rejects it
     assert all(4 not in p for p in pairs)
 
+    # the DISTRIBUTED pair-join verify (driver holds only the id->pair
+    # mapping; texts co-locate via one groupby(pair) shuffle) must return
+    # exactly what the driver-side verify returned
+    out_d = minhash_lsh_duplicates_exact(ds, "text", "doc_id", threshold=thr,
+                                         distributed=True)
+    pairs_d = set(zip(out_d.column("keep_id").to_pylist(),
+                      out_d.column("dup_id").to_pylist()))
+    assert pairs_d == pairs
+
 
 def test_count_distinct_and_exact_quantiles(ray_session):
     import duckdb
