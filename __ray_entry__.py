@@ -977,6 +977,46 @@ def _video_frame_chain(sf_dir: str):
     })
 
 
+def _events_overlapping_windows(sf_dir: str):
+    """OVERLAPPING range join (interval_join(overlap=True)): four 60-minute
+    windows per user starting every 30 minutes from the user's first event —
+    consecutive windows overlap by construction, so each event can match
+    several; every (event, window) pair is emitted. The window table is
+    derived with a native Min aggregate (O(users) driver rows) and the SQL
+    oracle rebuilds it with interval arithmetic."""
+    import datetime
+
+    import ray.data
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    t0_rows = ev.groupby("user_id").min("ts").take_all()
+    users, ks, los, his = [], [], [], []
+    for r in t0_rows:
+        for k in range(4):
+            users.append(r["user_id"])
+            ks.append(k)
+            lo = r["min(ts)"] + datetime.timedelta(minutes=30 * k)
+            los.append(lo)
+            his.append(lo + datetime.timedelta(minutes=60))
+    windows = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "k": pa.array(ks, type=pa.int64()),
+        "lo": pa.array(los, type=pa.timestamp("us")),
+        "hi": pa.array(his, type=pa.timestamp("us")),
+    }))
+    from plugin_serdes_ray.pipelines.relational import interval_join
+
+    out = interval_join(ev, windows, on="ts", by="user_id",
+                        lo_col="lo", hi_col="hi", right_cols=["k"],
+                        overlap=True)
+    rows = out.take_all()
+    rows.sort(key=lambda r: (r["event_id"], r["k"]))
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], type=pa.int64()),
+        "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+    })
+
+
 def _semi_join_orders(sf_dir: str, anti: bool = False):
     """LEFT SEMI / ANTI join: orders whose customer is (not) in the
     AUTOMOBILE segment. The right side ships only distinct key tuples
@@ -1168,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_last_error": _asof_last_error,
         "asof_left_join_last_error": _asof_left_join_last_error,
         "events_in_sessions": _events_in_sessions,
+        "events_overlapping_windows": _events_overlapping_windows,
         "events_hourly": _events_hourly,
         "events_sliding_30m": _events_sliding,
         "user_sessions_30m": _sessions,
@@ -1291,6 +1332,17 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_orders_customer": """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "events_overlapping_windows": """
+            WITH m AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+            w AS (SELECT user_id, k,
+                         t0 + k * INTERVAL 30 MINUTE AS lo,
+                         t0 + k * INTERVAL 30 MINUTE + INTERVAL 60 MINUTE AS hi
+                  FROM m CROSS JOIN (VALUES (0), (1), (2), (3)) AS v(k))
+            SELECT e.event_id, CAST(w.k AS BIGINT) AS k
+            FROM events e
+            JOIN w ON e.user_id = w.user_id
+                  AND e.ts >= w.lo AND e.ts <= w.hi
         """,
         "semi_join_orders_automobile": """
             SELECT o_orderkey, o_custkey FROM orders o

@@ -866,18 +866,26 @@ def asof_join(left, right, on: str, by: str,
 
 
 def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
-                  right_cols: Optional[list[str]] = None, suffix: str = "_r"):
-    """Range join: each left row matches the right interval of the same
+                  right_cols: Optional[list[str]] = None, suffix: str = "_r",
+                  overlap: bool = False):
+    """Range join: each left row matches the right interval(s) of the same
     ``by`` key with ``lo <= left.on <= hi`` (inner semantics).
 
-    PARTITIONING ASSUMPTION (documented per the custom-operator contract):
-    right intervals are NON-OVERLAPPING within a key (sessions, windows,
-    validity ranges) — then one sorted searchsorted per group resolves every
-    match exactly. Overlapping intervals would need an interval tree or
-    candidate expansion; this operator targets the non-overlapping case and
-    VERIFIES it per group (an input violating the assumption raises a
-    ValueError naming the key and the two clashing intervals, instead of
-    silently matching only the greatest-lo interval)."""
+    Two modes:
+
+    - ``overlap=False`` (default): right intervals are NON-OVERLAPPING
+      within a key (sessions, validity ranges) — one sorted searchsorted
+      per group resolves every match, output is at most one row per left
+      row. The assumption is VERIFIED per group (a violating input raises
+      a ValueError naming the key and the two clashing intervals, instead
+      of silently matching only the greatest-lo interval).
+    - ``overlap=True``: intervals may overlap (sliding windows, ad
+      campaigns); every (left row, containing interval) pair is emitted.
+      Per group: sort left values once, two searchsorteds per interval
+      find each interval's member range, and a vectorized multi-range
+      take materializes the pairs — O((n+m) log n + output), no interval
+      tree, no per-row loop. Output size is inherently the match count;
+      partition keys whose match volume explodes should be pre-salted."""
     r_schema = right.schema()
     right_cols = list(right_cols or
                       [n for n in r_schema.names if n not in (lo_col, hi_col, by)])
@@ -941,6 +949,25 @@ def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
         v = as_i64(group.column(on))[li]
         lo = as_i64(group.column(lo_out))[ri]
         hi = as_i64(group.column(hi_out))[ri]
+        if overlap:
+            # all-matches mode: sort left values once; each interval's
+            # members are one contiguous range of the sorted values; emit
+            # every range with a vectorized concatenated-arange take
+            ts_order = np.argsort(v, kind="stable")
+            v_s = v[ts_order]
+            starts = np.searchsorted(v_s, lo, side="left")
+            ends = np.searchsorted(v_s, hi, side="right")
+            cnt = np.maximum(ends - starts, 0)
+            tot = int(cnt.sum())
+            if tot == 0:
+                return pa.table(empty)
+            shift = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            ev_idx = np.arange(tot, dtype=np.int64) + np.repeat(
+                starts - shift, cnt)
+            lt = group.take(li[ts_order][ev_idx])
+            rt = group.take(np.repeat(ri, cnt))
+            return pa.table({nm: (lt if nm in l_names else rt).column(nm)
+                             for nm in out_names})
         order = np.argsort(lo, kind="stable")
         lo_s, hi_s = lo[order], hi[order]
         # verify the documented non-overlap assumption: silent wrong answers

@@ -257,3 +257,37 @@ def test_heavy_hitters_no_false_negatives_across_blocks(ray_session):
     got = heavy_hitters(ds, "v", 0.1)
     assert got.column("v").to_pylist() == ["hot"]
     assert got.column("n").to_pylist() == [150]
+
+
+def test_interval_join_overlap_all_matches(ray_session):
+    """overlap=True emits EVERY (row, containing interval) pair — checked
+    against a brute-force python double loop."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import interval_join
+
+    rng = np.random.default_rng(21)
+    n_ev, n_iv = 300, 40
+    ev = pa.table({
+        "eid": pa.array(np.arange(n_ev), type=pa.int64()),
+        "key": pa.array(rng.integers(0, 3, n_ev), type=pa.int64()),
+        "t": pa.array(rng.integers(0, 1000, n_ev), type=pa.int64())})
+    lo = rng.integers(0, 900, n_iv)
+    iv = pa.table({
+        "iid": pa.array(np.arange(n_iv), type=pa.int64()),
+        "key": pa.array(rng.integers(0, 3, n_iv), type=pa.int64()),
+        "lo": pa.array(lo, type=pa.int64()),
+        "hi": pa.array(lo + rng.integers(10, 400, n_iv), type=pa.int64())})
+    out = interval_join(ray.data.from_arrow(ev), ray.data.from_arrow(iv),
+                        on="t", by="key", lo_col="lo", hi_col="hi",
+                        right_cols=["iid"], overlap=True)
+    got = sorted((r["eid"], r["iid"]) for r in out.take_all())
+    want = sorted(
+        (e, i)
+        for e, ke, t in zip(ev["eid"].to_pylist(), ev["key"].to_pylist(),
+                            ev["t"].to_pylist())
+        for i, ki, l, h in zip(iv["iid"].to_pylist(), iv["key"].to_pylist(),
+                               iv["lo"].to_pylist(), iv["hi"].to_pylist())
+        if ke == ki and l <= t <= h)
+    assert got == want
+    assert len(got) > n_ev  # the fixture really does overlap
