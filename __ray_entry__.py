@@ -116,6 +116,16 @@ def _serde_roundtrip(sf_dir: str, table: str, fmt: str) -> pa.Table:
         from plugin_serdes_ray.sources.excel_ import read_excel_tables
         open(path, "wb").write(tables_to_xlsx_bytes({"Sheet1": src}))
         back = read_excel_tables(path)["Sheet1"]
+    elif fmt == "orc":
+        from plugin_serdes_ray.sinks.orc_ import table_to_orc_bytes
+        from plugin_serdes_ray.sources.orc_ import read_orc_table
+        open(path, "wb").write(table_to_orc_bytes(src))
+        back = read_orc_table(path)
+    elif fmt == "feather":
+        from plugin_serdes_ray.sinks.feather_ import table_to_feather_bytes
+        from plugin_serdes_ray.sources.feather_ import read_feather_table
+        open(path, "wb").write(table_to_feather_bytes(src))
+        back = read_feather_table(path)
     elif fmt == "toon":
         from plugin_serdes_ray.functions import toon
         text = toon.encode({"rows": src.to_pylist()})
@@ -1171,6 +1181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xlsx_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "xlsx"),
         "toon_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "toon"),
         "protobuf_roundtrip_supplier": lambda sf: _protobuf_roundtrip(sf, "supplier"),
+        "orc_roundtrip_part": lambda sf: _serde_roundtrip(sf, "part", "orc"),
+        "feather_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "feather"),
         "jsonl_bridge_region": lambda sf: _jsonl_bridge(sf, "region"),
         "yaml_json_bridge_nation": lambda sf: _yaml_json_bridge(sf, "nation"),
         "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
@@ -1244,6 +1256,8 @@ def oracle_sql() -> dict[str, str]:
         "xlsx_roundtrip_nation": "SELECT * FROM nation",
         "toon_roundtrip_region": "SELECT * FROM region",
         "protobuf_roundtrip_supplier": "SELECT * FROM supplier",
+        "orc_roundtrip_part": "SELECT * FROM part",
+        "feather_roundtrip_supplier": "SELECT * FROM supplier",
         "jsonl_bridge_region": "SELECT * FROM region",
         "yaml_json_bridge_nation": "SELECT * FROM nation",
         "infer_roundtrip_nation": "SELECT * FROM nation",

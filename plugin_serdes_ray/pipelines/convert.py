@@ -47,6 +47,12 @@ def _parse(fmt: str, data: bytes) -> pa.Table:
         # single-cpu worker task: the threaded arrow read path is 30x slower
         # than single-threaded on this VM (measured r3)
         return pq.read_table(pa.BufferReader(data), use_threads=False)
+    if fmt == "orc":
+        from ..sources.orc_ import parse_orc_bytes
+        return parse_orc_bytes(data)
+    if fmt in ("feather", "arrow", "ipc"):
+        from ..sources.feather_ import parse_feather_bytes
+        return parse_feather_bytes(data)
     if fmt == "xlsx":
         from ..sources.excel_ import read_xlsx_bytes
         return next(iter(read_xlsx_bytes(data).values()))
@@ -81,6 +87,12 @@ def _serialize(fmt: str, table: pa.Table) -> bytes:
     if fmt == "parquet":
         from ..sinks.parquet_ import table_to_parquet_bytes
         return table_to_parquet_bytes(table)
+    if fmt == "orc":
+        from ..sinks.orc_ import table_to_orc_bytes
+        return table_to_orc_bytes(table)
+    if fmt in ("feather", "arrow", "ipc"):
+        from ..sinks.feather_ import table_to_feather_bytes
+        return table_to_feather_bytes(table)
     if fmt == "xlsx":
         from ..sinks.excel_ import tables_to_xlsx_bytes
         return tables_to_xlsx_bytes({"Sheet1": table})

@@ -77,3 +77,54 @@ def test_read_excel_distributed(ray_session, tmp_path):
     open(p, "wb").write(tables_to_xlsx_bytes({"S": t}))
     ds = read_excel(p, sheet="S")
     assert ds.count() == 3
+
+
+def test_orc_roundtrip_and_distributed_read(ray_session, tmp_path, sf_dir):
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.sinks.orc_ import table_to_orc_bytes, write_orc
+    from plugin_serdes_ray.sources.orc_ import parse_orc_bytes, read_orc
+    from plugin_serdes_ray.testing import arrays_equal
+
+    src = pq.read_table(f"{sf_dir}/supplier.parquet")
+    back = parse_orc_bytes(table_to_orc_bytes(src))
+    for c in src.column_names:
+        assert arrays_equal(back.column(c).combine_chunks(),
+                            src.column(c).combine_chunks()), c
+    p = str(tmp_path / "s.orc")
+    write_orc(src, p)
+    ds = read_orc([p], columns=["s_suppkey"])
+    assert sorted(r["s_suppkey"] for r in ds.take_all()) == \
+        sorted(src.column("s_suppkey").to_pylist())
+
+
+def test_feather_roundtrip_and_distributed_read(ray_session, tmp_path, sf_dir):
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.sinks.feather_ import (
+        table_to_feather_bytes, write_feather,
+    )
+    from plugin_serdes_ray.sources.feather_ import (
+        parse_feather_bytes, read_feather,
+    )
+    from plugin_serdes_ray.testing import arrays_equal
+
+    src = pq.read_table(f"{sf_dir}/nation.parquet")
+    back = parse_feather_bytes(table_to_feather_bytes(src))
+    for c in src.column_names:
+        assert arrays_equal(back.column(c).combine_chunks(),
+                            src.column(c).combine_chunks()), c
+    p = str(tmp_path / "n.feather")
+    write_feather(src, p)
+    assert read_feather([p]).count() == src.num_rows
+
+
+def test_convert_fleet_parquet_to_orc(ray_session, sf_dir, tmp_path):
+    from plugin_serdes_ray.pipelines.convert import convert_files
+    from plugin_serdes_ray.sources.orc_ import read_orc_table
+
+    out = convert_files([f"{sf_dir}/region.parquet"], str(tmp_path),
+                        "parquet", "orc", concurrency=1)
+    assert out["converted"] == 1 and out["rows"] == 5
+    t = read_orc_table(out["outputs"][0])
+    assert t.num_rows == 5 and "r_name" in t.column_names
