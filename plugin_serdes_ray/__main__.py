@@ -216,6 +216,58 @@ def cmd_textstats(args) -> int:
     return 0
 
 
+def cmd_sketch(args) -> int:
+    """Corpus profiling sketches: HLL distinct estimate / heavy hitters."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    _ray()
+    ds = ray.data.read_parquet(_input_files(args.input),
+                               columns=[args.column])
+    if args.method == "hll":
+        from .pipelines.sketch import approx_count_distinct
+
+        est = approx_count_distinct(ds, args.column, p=args.precision)
+        print(json.dumps({"column": args.column, "estimate": est}))
+        return 0
+    from .pipelines.sketch import heavy_hitters
+
+    out = heavy_hitters(ds, args.column, args.fraction)
+    if args.output:
+        pq.write_table(out, args.output)
+    print(json.dumps({"column": args.column, "hitters": out.num_rows,
+                      "top": out.slice(0, 5).to_pylist()}))
+    return 0
+
+
+def cmd_join(args) -> int:
+    """Distributed join of two parquet tables -> parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    _ray()
+    left = ray.data.read_parquet(_input_files(args.left))
+    right = ray.data.read_parquet(_input_files(args.right))
+    if args.type in ("semi", "anti"):
+        from .pipelines.relational import semi_join
+
+        out_ds = semi_join(left, right, args.key,
+                           right_key=args.right_key,
+                           anti=args.type == "anti")
+    else:
+        from .pipelines.relational import hash_join
+
+        out_ds = hash_join(left, right, args.key,
+                           right_key=args.right_key, join_type=args.type)
+    out = pa.Table.from_pylist(out_ds.take_all())
+    pq.write_table(out, args.output)
+    print(json.dumps({"rows": out.num_rows, "out": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="plugin_serdes_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -266,6 +318,25 @@ def main(argv=None) -> int:
                    metavar="KEY=FRAC", help="repeatable, e.g. --fraction en=0.1")
     p.add_argument("--default", type=float, default=1.0)
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("sketch", help="HLL distinct / heavy hitters")
+    p.add_argument("method", choices=["hll", "heavy"])
+    p.add_argument("input")
+    p.add_argument("--column", required=True)
+    p.add_argument("--precision", type=int, default=14)
+    p.add_argument("--fraction", type=float, default=0.01)
+    p.add_argument("--output")
+    p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser("join", help="distributed join of two parquet tables")
+    p.add_argument("left")
+    p.add_argument("right")
+    p.add_argument("--key", required=True)
+    p.add_argument("--right-key", dest="right_key")
+    p.add_argument("--type", default="inner",
+                   choices=["inner", "left", "right", "full", "semi", "anti"])
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_join)
 
     p = sub.add_parser("textstats", help="append text-analysis columns -> parquet")
     p.add_argument("input")

@@ -517,6 +517,12 @@ def window_functions(ds, by, order_by: str, specs: dict):
     - ``("cumsum", col)``       — running ``SUM(col)`` over
       ``ROWS UNBOUNDED PRECEDING`` (nulls skipped; null until the first
       non-null, like SQL)
+    - ``("ntile", n)``          — ``NTILE(n)`` buckets in ``order_by``
+      order (larger buckets first, SQL semantics)
+    - ``("first_value", col)`` / ``("last_value", col)`` — ``col`` at the
+      partition's first/last row in ``order_by`` order (full-frame
+      semantics, i.e. ``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+      FOLLOWING``)
 
     Output: the input columns plus the spec columns; row order within each
     partition is ``order_by`` ascending (the Dataset as a whole stays
@@ -583,6 +589,22 @@ def window_functions(ds, by, order_by: str, specs: dict):
                 cols[out_name] = pc.if_else(
                     pa.array(seen > 0), out,
                     pa.scalar(None, out.type))
+            elif op == "ntile":
+                buckets = int(spec[1])
+                # SQL NTILE: base size n//b, the first n%b buckets get one
+                # extra row
+                base, extra = divmod(n, buckets)
+                sizes = np.full(buckets, base, dtype=np.int64)
+                sizes[:extra] += 1
+                cols[out_name] = pa.array(
+                    np.repeat(np.arange(1, buckets + 1, dtype=np.int64),
+                              sizes)[:n])
+            elif op in ("first_value", "last_value"):
+                col = g.column(spec[1]).combine_chunks()
+                pick = col.slice(0, 1) if op == "first_value" \
+                    else col.slice(n - 1, 1)
+                idx = pa.array(np.zeros(n, dtype=np.int64))
+                cols[out_name] = pick.take(idx)
             else:
                 raise ValueError(f"unknown window spec {spec!r}")
         return pa.table(cols)

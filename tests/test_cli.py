@@ -53,3 +53,35 @@ def test_cli_dedup_sample_textstats(ray_session, tmp_path, capsys, sf_dir):
     for col in ("ws_tokens", "q_score", "lang_pred", "fingerprint"):
         assert col in t.column_names
     assert t.num_rows == n_src
+
+
+def test_cli_sketch_and_join(ray_session, tmp_path, capsys, sf_dir):
+    import duckdb
+
+    from plugin_serdes_ray.__main__ import main
+
+    rc = main(["sketch", "hll", f"{sf_dir}/documents.parquet",
+               "--column", "doc_id"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exact = duckdb.sql(f"SELECT count(DISTINCT doc_id) FROM "
+                       f"read_parquet('{sf_dir}/documents.parquet')").fetchone()[0]
+    assert abs(info["estimate"] - exact) <= 0.05 * exact
+
+    rc = main(["sketch", "heavy", f"{sf_dir}/documents.parquet",
+               "--column", "lang", "--fraction", "0.05"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["hitters"] >= 1 and info["top"][0]["n"] >= info["top"][-1]["n"]
+
+    out = str(tmp_path / "joined.parquet")
+    rc = main(["join", f"{sf_dir}/orders.parquet",
+               f"{sf_dir}/customer.parquet",
+               "--key", "o_custkey", "--right-key", "c_custkey",
+               "--type", "semi", "--output", out])
+    assert rc == 0
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet') o "
+        f"WHERE EXISTS (SELECT 1 FROM read_parquet('{sf_dir}/customer.parquet') c "
+        f"WHERE c.c_custkey = o.o_custkey)").fetchone()[0]
+    assert pq.read_metadata(out).num_rows == want

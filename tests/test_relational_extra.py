@@ -291,3 +291,34 @@ def test_interval_join_overlap_all_matches(ray_session):
         if ke == ki and l <= t <= h)
     assert got == want
     assert len(got) > n_ev  # the fixture really does overlap
+
+
+def test_window_ntile_first_last_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import window_functions
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = window_functions(
+        orders, by="o_custkey", order_by="o_orderkey",
+        specs={"q4": ("ntile", 4),
+               "first_p": ("first_value", "o_totalprice"),
+               "last_p": ("last_value", "o_totalprice")})
+    got = pa.Table.from_pylist(out.take_all()).sort_by(
+        [("o_custkey", "ascending"), ("o_orderkey", "ascending")])
+    want = duckdb.sql(f"""
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS q4,
+               first_value(o_totalprice) OVER w AS first_p,
+               last_value(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS last_p
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey""").arrow()
+    for c in ["q4", "first_p", "last_p"]:
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
