@@ -718,6 +718,56 @@ def _quantiles_lineitem(sf_dir: str):
     })
 
 
+def _grouped_quantiles_lineitem(sf_dir: str):
+    """Per-group EXACT quantiles (quantile_disc): one groupby shuffle, one
+    vectorized sort per group (plugin_serdes_ray.pipelines.relational
+    .grouped_quantiles)."""
+    from plugin_serdes_ray.pipelines.relational import grouped_quantiles
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity"])
+    out = grouped_quantiles(ds, "l_returnflag", "l_quantity",
+                            {"p50": 0.5, "p90": 0.9})
+    return pa.Table.from_pylist(out.take_all()).sort_by("l_returnflag")
+
+
+def _string_agg_nations(sf_dir: str):
+    """Ordered per-group string concatenation (SQL string_agg ... ORDER BY)
+    after a broadcast join of nation against the 5-row region table."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.relational import (broadcast_join,
+                                                        string_agg)
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"]) \
+        .rename_columns(["n_regionkey", "r_name"])
+    nation = _read(sf_dir, "nation").select_columns(
+        ["n_name", "n_regionkey"])
+    joined = broadcast_join(nation, region, key="n_regionkey")
+    out = string_agg(joined, "r_name", "n_name", sep=",",
+                     order_by="n_name", out="nations")
+    return pa.Table.from_pylist(out.take_all()).sort_by("r_name")
+
+
+def _setop_custkeys(sf_dir: str, op: str):
+    """Distinct set operation over whole rows: customers' keys vs the keys
+    of customers holding at least one >=300k order (one keyed shuffle of
+    per-block distinct partials; relational.set_op)."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.relational import set_op
+
+    left = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    right = (_read(sf_dir, "orders")
+             .select_columns(["o_custkey", "o_totalprice"])
+             .map_batches(lambda b: b.filter(
+                 pc.greater_equal(b.column("o_totalprice"), 300000.0))
+                 .select(["o_custkey"]), batch_format="pyarrow"))
+    out = set_op(left, right, op)
+    return pa.Table.from_pylist(out.take_all()).sort_by("c_custkey")
+
+
 def _topk_orders(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import top_k
 
@@ -1225,6 +1275,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_30m": _events_sliding,
         "user_sessions_30m": _sessions,
         "topk_orders": _topk_orders,
+        "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
+        "string_agg_nations": _string_agg_nations,
+        "setop_except_custkeys": lambda sf: _setop_custkeys(sf, "except"),
+        "setop_intersect_custkeys": lambda sf: _setop_custkeys(sf,
+                                                               "intersect"),
         "distinct_counts": _distinct_counts,
         "events_props_extract": _events_props_extract,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -1540,6 +1595,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(0.9 AS DOUBLE),
                    quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        """,
+        "grouped_quantiles_lineitem": """
+            SELECT l_returnflag,
+                   quantile_disc(l_quantity, 0.5) AS p50,
+                   quantile_disc(l_quantity, 0.9) AS p90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "string_agg_nations": """
+            SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "setop_except_custkeys": """
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0
+            ORDER BY 1
+        """,
+        "setop_intersect_custkeys": """
+            SELECT c_custkey FROM customer
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0
+            ORDER BY 1
         """,
     }
     return {**rt, **serde, **rest}

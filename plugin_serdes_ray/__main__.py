@@ -153,11 +153,35 @@ def cmd_infer(args) -> int:
     return 0
 
 
-def cmd_dedup(args) -> int:
-    """Near-dup/exact dedup of a parquet table -> deduped parquet."""
+def _stream_to_parquet(ds, path: str) -> int:
+    """Stream a Dataset to ONE parquet file without materializing it on the
+    driver: one batch in memory at a time through a ParquetWriter.  (Corpus-
+    sized CLI outputs must not pass through ``take_all()``.)"""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    writer, n = None, 0
+    try:
+        for batch in ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=32768):
+            t = pa.Table.from_batches([batch]) \
+                if isinstance(batch, pa.RecordBatch) else batch
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema)
+            elif t.schema != writer.schema:
+                t = t.select(writer.schema.names).cast(writer.schema)
+            writer.write_table(t)
+            n += t.num_rows
+        if writer is None:  # empty result: still emit a valid file
+            writer = pq.ParquetWriter(path, pa.schema(ds.schema().base_schema))
+    finally:
+        if writer is not None:
+            writer.close()
+    return n
+
+
+def cmd_dedup(args) -> int:
+    """Near-dup/exact dedup of a parquet table -> deduped parquet."""
     import ray.data
 
     _ray()
@@ -165,24 +189,19 @@ def cmd_dedup(args) -> int:
     if args.method == "exact":
         from .pipelines.dedup import exact_dedup
 
-        out = pa.Table.from_pylist(
-            exact_dedup(ds, args.column, args.id_column).take_all())
+        out = exact_dedup(ds, args.column, args.id_column)
     else:
         from .pipelines.dedup import minhash_lsh_dedup
 
-        out = pa.Table.from_pylist(
-            minhash_lsh_dedup(ds, args.column, args.id_column,
-                              threshold=args.threshold).take_all())
-    pq.write_table(out, args.output)
-    print(json.dumps({"rows": out.num_rows, "out": args.output}))
+        out = minhash_lsh_dedup(ds, args.column, args.id_column,
+                                threshold=args.threshold)
+    n = _stream_to_parquet(out, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
     return 0
 
 
 def cmd_sample(args) -> int:
     """Deterministic per-key mixing sample -> parquet."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     import ray.data
 
     _ray()
@@ -191,28 +210,23 @@ def cmd_sample(args) -> int:
     fractions = {k: float(v) for k, v in
                  (pair.split("=") for pair in args.fraction)}
     ds = ray.data.read_parquet(_input_files(args.input))
-    out = pa.Table.from_pylist(
+    n = _stream_to_parquet(
         stratified_sample(ds, args.key, fractions, args.id_column,
-                          default=args.default).take_all())
-    pq.write_table(out, args.output)
-    print(json.dumps({"rows": out.num_rows, "out": args.output}))
+                          default=args.default), args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
     return 0
 
 
 def cmd_textstats(args) -> int:
     """Tokens/quality/language/fingerprint columns appended -> parquet."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     import ray.data
 
     _ray()
     from .pipelines.textstats import analyze
 
     ds = ray.data.read_parquet(_input_files(args.input))
-    out = pa.Table.from_pylist(analyze(ds, args.column).take_all())
-    pq.write_table(out, args.output)
-    print(json.dumps({"rows": out.num_rows, "out": args.output}))
+    n = _stream_to_parquet(analyze(ds, args.column), args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
     return 0
 
 
@@ -243,9 +257,6 @@ def cmd_sketch(args) -> int:
 
 def cmd_join(args) -> int:
     """Distributed join of two parquet tables -> parquet."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     import ray.data
 
     _ray()
@@ -262,9 +273,8 @@ def cmd_join(args) -> int:
 
         out_ds = hash_join(left, right, args.key,
                            right_key=args.right_key, join_type=args.type)
-    out = pa.Table.from_pylist(out_ds.take_all())
-    pq.write_table(out, args.output)
-    print(json.dumps({"rows": out.num_rows, "out": args.output}))
+    n = _stream_to_parquet(out_ds, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
     return 0
 
 

@@ -1346,3 +1346,138 @@ def sort_within_partitions(ds, keys: Sequence[str]):
 
     return ds.map_batches(local_sort, batch_format="pyarrow",
                           runtime_env=package_runtime_env())
+
+
+def grouped_quantiles(ds, by, column: str, qs: dict[str, float]):
+    """EXACT per-group order statistics (SQL ``quantile_disc`` /
+    ``PERCENTILE_DISC`` semantics: the ceil(q*n)-th smallest non-null
+    element): ONE ``groupby(by)`` shuffle, one vectorized sort per group.
+
+    ``qs`` maps output column name -> quantile fraction, e.g.
+    ``{"p50": 0.5, "p90": 0.9}``; output is the ``by`` keys plus those
+    columns, typed like ``column``.
+
+    Scale note: each GROUP's values must fit one worker (the usual
+    map_groups contract). For a single giant key — or the global quantile —
+    use :func:`exact_quantiles`, whose two-pass histogram never collects
+    more than one bucket's values anywhere.
+    """
+    import math
+    from fractions import Fraction
+
+    by_keys = [by] if isinstance(by, str) else list(by)
+    # exact decimal rank arithmetic: float 0.9*10 = 9.000000000000002 would
+    # off-by-one the rank (same rule as exact_quantiles)
+    fracs = {name: Fraction(str(q)) for name, q in qs.items()}
+
+    def apply(group: pa.Table) -> pa.Table:
+        col = pc.drop_null(group.column(column).combine_chunks())
+        n = len(col)
+        cols = {k: group.column(k).slice(0, 1) for k in by_keys}
+        if n == 0:
+            for name in fracs:
+                cols[name] = pa.nulls(1, group.column(column).type)
+            return pa.table(cols)
+        sv = col.take(pc.sort_indices(col))
+        for name, f in fracs.items():
+            rank = max(int(math.ceil(f * n)), 1)
+            cols[name] = sv.slice(min(rank, n) - 1, 1)
+        return pa.table(cols)
+
+    return (ds.select_columns(list(dict.fromkeys(by_keys + [column])))
+              .groupby(by_keys if len(by_keys) > 1 else by_keys[0])
+              .map_groups(apply, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()))
+
+
+def string_agg(ds, by, column: str, sep: str = ",",
+               order_by: Optional[str] = None, out: str = "agg"):
+    """SQL ``string_agg(column, sep ORDER BY order_by)`` per group: ONE
+    ``groupby(by)`` shuffle; inside each group one vectorized sort plus a
+    single ``binary_join`` over a list view of the whole column (no per-row
+    Python). Nulls in ``column`` are skipped (SQL semantics); a group of
+    only nulls aggregates to null."""
+    by_keys = [by] if isinstance(by, str) else list(by)
+    need = list(dict.fromkeys(by_keys + [column]
+                              + ([order_by] if order_by else [])))
+
+    def apply(group: pa.Table) -> pa.Table:
+        g = group
+        if order_by:
+            g = g.take(pc.sort_indices(g, sort_keys=[(order_by,
+                                                      "ascending")]))
+        vals = pc.drop_null(g.column(column).combine_chunks())
+        if not pa.types.is_string(vals.type) and \
+                not pa.types.is_large_string(vals.type):
+            vals = vals.cast(pa.string())
+        cols = {k: group.column(k).slice(0, 1) for k in by_keys}
+        if len(vals) == 0:
+            cols[out] = pa.nulls(1, pa.string())
+        else:
+            lst = pa.ListArray.from_arrays(
+                pa.array([0, len(vals)], type=pa.int32()), vals)
+            cols[out] = pc.binary_join(lst, sep)
+        return pa.table(cols)
+
+    return (ds.select_columns(need)
+              .groupby(by_keys if len(by_keys) > 1 else by_keys[0])
+              .map_groups(apply, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()))
+
+
+def set_op(left, right, op: str):
+    """SQL set operations with DISTINCT semantics over whole rows:
+    ``op`` in ``{"union", "except", "intersect"}`` (bag semantics =
+    ``left.union(right)`` directly — no shuffle needed).
+
+    Right columns are matched to left POSITIONALLY and renamed (SQL rule);
+    both sides pre-aggregate per block to (row, side-count) partials, so
+    the single all-to-all shuffle ships one row per DISTINCT row per block,
+    never the raw corpus. The reduce is Ray-native Sum — no per-group
+    Python. NULLs compare equal, as in SQL set ops."""
+    if op not in ("union", "except", "intersect"):
+        raise ValueError(f"unknown set op {op!r}")
+    lnames = None
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch
+            if side == "r" and lnames is not None \
+                    and t.column_names != lnames:
+                t = t.rename_columns(lnames)
+            g = t.group_by(t.column_names).aggregate([([], "count_all")])
+            cnt = g.column("count_all")
+            g = g.drop_columns(["count_all"])
+            zero = pa.array(np.zeros(g.num_rows, dtype=np.int64))
+            return g.append_column("__l", cnt.combine_chunks().cast(
+                pa.int64()) if side == "l" else zero) \
+                    .append_column("__r", zero if side == "l"
+                                   else cnt.combine_chunks().cast(pa.int64()))
+        return fn
+
+    lschema = left.schema()
+    lnames = list(lschema.names)
+    if len(lnames) != len(right.schema().names):
+        raise ValueError("set_op sides must have the same column count")
+    env = package_runtime_env()
+    tagged = left.map_batches(tag("l"), batch_format="pyarrow",
+                              runtime_env=env).union(
+        right.map_batches(tag("r"), batch_format="pyarrow", runtime_env=env))
+
+    from ray.data.aggregate import Sum
+
+    merged = (tagged.groupby(lnames if len(lnames) > 1 else lnames[0])
+                    .aggregate(Sum("__l"), Sum("__r")))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        l = pc.fill_null(batch.column("sum(__l)"), 0)
+        r = pc.fill_null(batch.column("sum(__r)"), 0)
+        if op == "union":
+            keep = pc.or_(pc.greater(l, 0), pc.greater(r, 0))
+        elif op == "except":
+            keep = pc.and_(pc.greater(l, 0), pc.equal(r, 0))
+        else:
+            keep = pc.and_(pc.greater(l, 0), pc.greater(r, 0))
+        return batch.filter(keep).select(lnames)
+
+    return merged.map_batches(emit, batch_format="pyarrow", runtime_env=env)

@@ -322,3 +322,86 @@ def test_window_ntile_first_last_vs_sql(ray_session, sf_dir):
         ORDER BY o_custkey, o_orderkey""").arrow()
     for c in ["q4", "first_p", "last_p"]:
         assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_grouped_quantiles_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_quantiles
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+    got = pa.Table.from_pylist(
+        grouped_quantiles(li, "l_returnflag", "l_quantity",
+                          {"p50": 0.5, "p90": 0.9}).take_all()
+    ).sort_by("l_returnflag")
+    want = duckdb.sql(f"""
+        SELECT l_returnflag, quantile_disc(l_quantity, 0.5) p50,
+               quantile_disc(l_quantity, 0.9) p90
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY l_returnflag ORDER BY l_returnflag""").arrow()
+    assert got.to_pylist() == want.to_pylist()
+
+
+def test_grouped_quantiles_all_null_group(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_quantiles
+
+    t = pa.table({"k": ["a", "a", "b"],
+                  "v": pa.array([None, None, 7], type=pa.int64())})
+    rows = {r["k"]: r for r in grouped_quantiles(
+        ray.data.from_arrow(t), "k", "v", {"p50": 0.5}).take_all()}
+    assert rows["a"]["p50"] is None and rows["b"]["p50"] == 7
+
+
+def test_string_agg_nulls_and_order(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import string_agg
+
+    t = pa.table({"k": ["x", "x", "x", "y", "y"],
+                  "v": ["b", None, "a", None, None],
+                  "o": [2, 1, 3, 1, 2]})
+    # note order_by picks o: x gives b (o=2) then a (o=3), null skipped
+    rows = {r["k"]: r["agg"] for r in string_agg(
+        ray.data.from_arrow(t), "k", "v", sep="|",
+        order_by="o").take_all()}
+    assert rows["x"] == "b|a"
+    assert rows["y"] is None  # all-null group -> SQL string_agg null
+
+
+def test_set_op_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import set_op
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    for op, sql in [("except", "EXCEPT"), ("intersect", "INTERSECT"),
+                    ("union", "UNION")]:
+        got = sorted(r["c_custkey"]
+                     for r in set_op(cust, orders, op).take_all())
+        want = [r[0] for r in duckdb.sql(
+            f"SELECT c_custkey FROM read_parquet('{sf_dir}/customer.parquet') "
+            f"{sql} SELECT o_custkey FROM "
+            f"read_parquet('{sf_dir}/orders.parquet') ORDER BY 1").fetchall()]
+        assert got == want, op
+
+
+def test_set_op_nulls_compare_equal(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import set_op
+
+    lt = ray.data.from_arrow(pa.table({"a": [1, None, 2, None]}))
+    rt = ray.data.from_arrow(pa.table({"a": [None, 3]}))
+    inter = [r["a"] for r in set_op(lt, rt, "intersect").take_all()]
+    assert inter == [None]  # NULL INTERSECT NULL keeps one NULL row (SQL)
+    exc = sorted(r["a"] for r in set_op(lt, rt, "except").take_all()
+                 if r["a"] is not None)
+    assert exc == [1, 2]
