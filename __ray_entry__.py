@@ -768,6 +768,67 @@ def _setop_custkeys(sf_dir: str, op: str):
     return pa.Table.from_pylist(out.take_all()).sort_by("c_custkey")
 
 
+def _grouped_topk_orders(sf_dir: str):
+    """Top-3 orders per priority class: per-block k-row-per-key combiner ->
+    one keyed shuffle -> in-group final pick (relational.grouped_top_k);
+    deterministic ties via the o_orderkey tiebreak."""
+    from plugin_serdes_ray.pipelines.relational import grouped_top_k
+
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"])
+    out = grouped_top_k(ds, "o_orderpriority", "o_totalprice", k=3,
+                        tiebreak="o_orderkey")
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("o_orderpriority", "ascending"), ("o_orderkey", "ascending")])
+
+
+def _grouped_stats_lineitem(sf_dir: str):
+    """Distributed second moments by return flag via sufficient statistics
+    (relational.grouped_stats): mean/stddev of quantity + its correlation
+    with extended price — one combiner-shrunk shuffle, no raw values held."""
+    from plugin_serdes_ray.pipelines.relational import grouped_stats
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_stats(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    return pa.Table.from_pylist(out.take_all()).sort_by("l_returnflag")
+
+
+def _vocab_topk(sf_dir: str, document_frequency: bool):
+    """Corpus vocabulary top-20 (term frequency or document frequency):
+    per-block value_counts combiner, one (token,count) shuffle, native Sum
+    reduce, O(k·blocks) driver merge (textstats.vocab_top_k)."""
+    from plugin_serdes_ray.pipelines.textstats import vocab_top_k
+
+    ds = _read(sf_dir, "documents").select_columns(["text"])
+    return vocab_top_k(ds, "text", k=20,
+                       document_frequency=document_frequency)
+
+
+def _pii_redact_documents(sf_dir: str):
+    """PII scrub (emails / IPv4s / phones) over documents.text — RE2
+    kernels identical to the oracle's regexp_replace chain
+    (textstats.pii_redact)."""
+    from plugin_serdes_ray.pipelines.textstats import pii_redact
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = ds.map_batches(pii_redact, batch_format="pyarrow",
+                         runtime_env=_env())
+    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+
+
+def _repetition_ratio_documents(sf_dir: str):
+    """Gopher-style duplicate-line fraction per document
+    (textstats.repetition_ratio), SQL-recomputable via split/unnest."""
+    from plugin_serdes_ray.pipelines.textstats import repetition_ratio
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = ds.map_batches(repetition_ratio, batch_format="pyarrow",
+                         runtime_env=_env())
+    return pa.Table.from_pylist(out.take_all()) \
+        .select(["doc_id", "rep_line_ratio"]).sort_by("doc_id")
+
+
 def _topk_orders(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import top_k
 
@@ -1275,6 +1336,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_30m": _events_sliding,
         "user_sessions_30m": _sessions,
         "topk_orders": _topk_orders,
+        "grouped_topk_orders": _grouped_topk_orders,
+        "grouped_stats_lineitem": _grouped_stats_lineitem,
+        "vocab_topk_documents": lambda sf: _vocab_topk(sf, False),
+        "vocab_df_documents": lambda sf: _vocab_topk(sf, True),
+        "pii_redact_documents": _pii_redact_documents,
+        "repetition_ratio_documents": _repetition_ratio_documents,
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         "string_agg_nations": _string_agg_nations,
         "setop_except_custkeys": lambda sf: _setop_custkeys(sf, "except"),
@@ -1618,6 +1685,58 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0
             ORDER BY 1
+        """,
+        "grouped_topk_orders": """
+            SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3
+            ORDER BY o_orderpriority, o_orderkey
+        """,
+        "grouped_stats_lineitem": """
+            SELECT l_returnflag, count(l_quantity) AS n,
+                   avg(l_quantity) AS mean_l_quantity,
+                   stddev_samp(l_quantity) AS stddev_l_quantity,
+                   corr(l_quantity, l_extendedprice)
+                       AS corr_l_quantity_l_extendedprice
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "vocab_topk_documents": r"""
+            SELECT token, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+')) AS token
+                FROM documents)
+            WHERE token <> '' GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 20
+        """,
+        "vocab_df_documents": r"""
+            SELECT token, count(DISTINCT doc_id)::BIGINT AS cnt FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+')) AS token
+                FROM documents)
+            WHERE token <> '' GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 20
+        """,
+        # the pattern strings are IDENTICAL to textstats.PII_PATTERNS (both
+        # engines run RE2), applied in the same order
+        "pii_redact_documents": r"""
+            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                '\+\d[\d()\s.-]{6,}\d', '<PHONE>', 'g') AS text
+            FROM documents ORDER BY doc_id
+        """,
+        "repetition_ratio_documents": """
+            SELECT doc_id,
+                   1.0 - count(DISTINCT line)::DOUBLE / count(*)::DOUBLE
+                       AS rep_line_ratio
+            FROM (SELECT doc_id,
+                         unnest(string_split(coalesce(text, ''), chr(10)))
+                             AS line
+                  FROM documents)
+            GROUP BY doc_id ORDER BY doc_id
         """,
     }
     return {**rt, **serde, **rest}

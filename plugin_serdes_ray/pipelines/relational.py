@@ -1481,3 +1481,136 @@ def set_op(left, right, op: str):
         return batch.filter(keep).select(lnames)
 
     return merged.map_batches(emit, batch_format="pyarrow", runtime_env=env)
+
+
+def _group_ranks(t: pa.Table, by_keys: Sequence[str]) -> np.ndarray:
+    """0-based rank of each row within its key group, for a table ALREADY
+    sorted with ``by_keys`` as the leading sort keys. Vectorized: dictionary
+    ordinals per key column, consecutive-difference group starts, one
+    ``maximum.accumulate``."""
+    n = t.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    new = np.zeros(n, dtype=bool)
+    for c in by_keys:
+        # dictionary ordinals make any key type comparable; nulls get a
+        # sentinel ordinal so null==null stays one group (SQL PARTITION BY)
+        code = pc.dictionary_encode(t.column(c).combine_chunks()).indices
+        v = pc.fill_null(code, -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        new[1:] |= v[1:] != v[:-1]
+    pos = np.arange(n, dtype=np.int64)
+    starts = np.where(new, pos, 0)
+    starts[0] = 0
+    return pos - np.maximum.accumulate(starts)
+
+
+def grouped_top_k(ds, by, order_col: str, k: int = 3,
+                  descending: bool = True, tiebreak: Optional[str] = None):
+    """Top-k ROWS per group by ``order_col`` (SQL ``QUALIFY row_number()
+    OVER (PARTITION BY by ORDER BY order_col [DESC][, tiebreak]) <= k``).
+
+    Two-level selection, both vectorized: each block keeps at most k rows
+    per key it sees (sort + dictionary-ordinal group ranks — no per-group
+    Python), so the ONE keyed shuffle ships ≤ k·blocks rows per key, never
+    the group's full membership; the same selection inside ``map_groups``
+    then picks the global top k. Null ``order_col`` values sort last, as in
+    SQL defaults.
+
+    Pass a ``tiebreak`` column that makes (order_col, tiebreak) unique per
+    group for deterministic output — with ties ACROSS the k boundary and no
+    tiebreak, which tied row survives is unspecified (same as SQL)."""
+    by_keys = [by] if isinstance(by, str) else list(by)
+    order = "descending" if descending else "ascending"
+    sort_keys = [(c, "ascending") for c in by_keys] + [(order_col, order)] \
+        + ([(tiebreak, "ascending")] if tiebreak else [])
+
+    def select(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        s = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        return s.filter(pa.array(_group_ranks(s, by_keys) < k))
+
+    env = package_runtime_env()
+    return (ds.map_batches(select, batch_format="pyarrow", runtime_env=env)
+              .groupby(by_keys if len(by_keys) > 1 else by_keys[0])
+              .map_groups(select, batch_format="pyarrow", runtime_env=env))
+
+
+def grouped_stats(ds, by, x: str, y: Optional[str] = None):
+    """Distributed second-moment statistics per group via SUFFICIENT
+    STATISTICS: per-block ``group_by`` partials (n, Σx, Σx²[, pairwise n,
+    Σx, Σy, Σx², Σy², Σxy]) -> ONE keyed shuffle of combiner output ->
+    native Sum reduce -> closed-form finish. Nothing ever holds a group's
+    raw values; shuffle volume is O(keys·blocks).
+
+    Output columns: by + ``n`` (non-null x count), ``mean_<x>``,
+    ``stddev_<x>`` (sample, null for n<2), and with ``y``: ``corr_<x>_<y>``
+    (over pairwise-complete rows, null when either variance is 0 — SQL
+    corr semantics)."""
+    by_keys = [by] if isinstance(by, str) else list(by)
+    need = list(dict.fromkeys(by_keys + [x] + ([y] if y else [])))
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = t.column(x).combine_chunks().cast(pa.float64())
+        cols = {c: t.column(c) for c in by_keys}
+        cols["__n"] = pc.is_valid(xv).cast(pa.int64())
+        cols["__sx"] = pc.fill_null(xv, 0.0)
+        cols["__sxx"] = pc.fill_null(pc.multiply(xv, xv), 0.0)
+        if y:
+            yv = t.column(y).combine_chunks().cast(pa.float64())
+            both = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+            xp = pc.if_else(both, xv, 0.0)
+            yp = pc.if_else(both, yv, 0.0)
+            cols["__np"] = both.cast(pa.int64())
+            cols["__spx"] = xp
+            cols["__spy"] = yp
+            cols["__spxx"] = pc.multiply(xp, xp)
+            cols["__spyy"] = pc.multiply(yp, yp)
+            cols["__spxy"] = pc.multiply(xp, yp)
+        part = pa.table(cols)
+        aggs = [(c, "sum") for c in part.column_names if c.startswith("__")]
+        g = part.group_by(by_keys).aggregate(aggs)
+        return g.rename_columns(
+            [c[:-4] if c.endswith("_sum") else c for c in g.column_names])
+
+    from ray.data.aggregate import Sum
+
+    env = package_runtime_env()
+    part_ds = ds.select_columns(need).map_batches(
+        partial, batch_format="pyarrow", runtime_env=env)
+    sum_cols = ["__n", "__sx", "__sxx"] + \
+        (["__np", "__spx", "__spy", "__spxx", "__spyy", "__spxy"] if y else [])
+    merged = (part_ds.groupby(by_keys if len(by_keys) > 1 else by_keys[0])
+                     .aggregate(*[Sum(c) for c in sum_cols]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        def col(name):
+            return pc.fill_null(t.column(f"sum({name})"), 0) \
+                .combine_chunks().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+        n = col("__n")
+        sx, sxx = col("__sx"), col("__sxx")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n > 0, sx / np.maximum(n, 1), np.nan)
+            var = np.where(n > 1,
+                           (sxx - sx * sx / np.maximum(n, 1))
+                           / np.maximum(n - 1, 1), np.nan)
+            std = np.sqrt(np.maximum(var, 0.0))
+            std[~(n > 1)] = np.nan
+        out = {c: t.column(c) for c in by_keys}
+        out["n"] = pa.array(n.astype(np.int64))
+        out[f"mean_{x}"] = pa.array(mean, mask=~(n > 0))
+        out[f"stddev_{x}"] = pa.array(std, mask=~(n > 1))
+        if y:
+            np_, spx, spy = col("__np"), col("__spx"), col("__spy")
+            spxx, spyy, spxy = col("__spxx"), col("__spyy"), col("__spxy")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cov = np_ * spxy - spx * spy
+                den = (np_ * spxx - spx * spx) * (np_ * spyy - spy * spy)
+                corr = np.where(den > 0, cov / np.sqrt(np.maximum(den, 1e-300)),
+                                np.nan)
+            out[f"corr_{x}_{y}"] = pa.array(corr, mask=~((np_ > 1) & (den > 0)))
+        return pa.table(out)
+
+    return merged.map_batches(finish, batch_format="pyarrow", runtime_env=env)

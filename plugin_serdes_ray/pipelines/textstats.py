@@ -237,3 +237,106 @@ def analyze(ds, column: str = "text"):
               .map_batches(lambda b: quality_scores(b, column), batch_format="pyarrow", runtime_env=env)
               .map_batches(lambda b: detect_language(b, column), batch_format="pyarrow", runtime_env=env)
               .map_batches(lambda b: fingerprint(b, column), batch_format="pyarrow", runtime_env=env))
+
+
+# PII redaction patterns (email, IPv4, international phone). Both Arrow's
+# replace_substring_regex and DuckDB's regexp_replace run RE2, so the same
+# pattern string is the oracle's pattern — no semantic drift. Order matters
+# (phone last so it can't eat digits out of an IP) and is mirrored in the
+# oracle SQL.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d()\s.-]{6,}\d", "<PHONE>"),
+]
+
+
+def pii_redact(batch: pa.Table, column: str = "text",
+               out: str | None = None) -> pa.Table:
+    """Regex PII scrub (emails, IPv4s, +international phones) — the
+    standard pre-training hygiene pass. One RE2 kernel per pattern over the
+    whole column; nulls stay null."""
+    col = batch.column(column)
+    for pat, rep in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pat, rep)
+    if out is None or out == column:
+        return batch.set_column(batch.schema.get_field_index(column),
+                                column, col)
+    return batch.append_column(out, col)
+
+
+def repetition_ratio(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Gopher-style repetition signal: fraction of a document's lines that
+    are duplicates of an earlier line (``1 - distinct/total``). High values
+    mark boilerplate/template spam.
+
+    Vectorized: one split kernel, distinct (row, line) pairs via a C
+    ``group_by``, per-row counts via ``bincount`` — no Python loop."""
+    col = pc.fill_null(batch.column(column).combine_chunks(), "")
+    n = len(col)
+    lines = pc.split_pattern(col, "\n")
+    lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(lines)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pairs = pa.table({"r": pa.array(row_of), "line": flat})
+    distinct = pairs.group_by(["r", "line"]).aggregate([])
+    dcnt = np.bincount(distinct.column("r").combine_chunks()
+                       .to_numpy(zero_copy_only=False), minlength=n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rep = np.where(lens > 0, 1.0 - dcnt / np.maximum(lens, 1), 0.0)
+    return batch.append_column("rep_line_ratio",
+                               pa.array(rep, type=pa.float64()))
+
+
+def vocab_top_k(ds, column: str = "text", k: int = 20,
+                document_frequency: bool = False) -> pa.Table:
+    """Corpus vocabulary statistics: the k most frequent whitespace tokens
+    (term frequency, or per-document frequency with
+    ``document_frequency=True`` — each document counts a token once).
+
+    100 TB shape: tokenize + ``value_counts`` per block (combiner: one row
+    per distinct token per block), ONE keyed shuffle of (token, partial
+    count), native Sum reduce, then a per-block local top-k so the driver
+    merges O(k·blocks) rows — the full vocabulary never leaves the cluster
+    and no global sort runs. Ties break deterministically (count desc,
+    token asc)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import package_runtime_env
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t.column(column).combine_chunks(), "")
+        toks_l = pc.split_pattern_regex(col, r"\s+")
+        flat = pc.list_flatten(toks_l)
+        if document_frequency:
+            lens = pc.list_value_length(toks_l).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            row_of = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+            d = pa.table({"r": pa.array(row_of), "token": flat}) \
+                .group_by(["r", "token"]).aggregate([])
+            flat = d.column("token").combine_chunks()
+        vc = pc.value_counts(flat)
+        out = pa.table({"token": vc.field("values"),
+                        "cnt": vc.field("counts").cast(pa.int64())})
+        return out.filter(pc.not_equal(out.column("token"), ""))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["token", "cnt"])
+        idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx.slice(0, k))
+
+    env = package_runtime_env()
+    merged = (ds.select_columns([column])
+                .map_batches(partial, batch_format="pyarrow", runtime_env=env)
+                .groupby("token").aggregate(Sum("cnt"))
+                .map_batches(local_topk, batch_format="pyarrow",
+                             runtime_env=env))
+    cand = pa.Table.from_pylist(merged.take_all())   # O(k·blocks) rows
+    if cand.num_rows == 0:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    idx = pc.sort_indices(cand, sort_keys=[("cnt", "descending"),
+                                           ("token", "ascending")])
+    return cand.take(idx.slice(0, k))

@@ -405,3 +405,88 @@ def test_set_op_nulls_compare_equal(ray_session):
     exc = sorted(r["a"] for r in set_op(lt, rt, "except").take_all()
                  if r["a"] is not None)
     assert exc == [1, 2]
+
+
+def test_grouped_top_k_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_top_k
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    got = pa.Table.from_pylist(
+        grouped_top_k(orders, "o_orderpriority", "o_totalprice", k=3,
+                      tiebreak="o_orderkey").take_all()
+    ).sort_by([("o_orderpriority", "ascending"),
+               ("o_orderkey", "ascending")])
+    want = duckdb.sql(f"""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        ORDER BY o_orderpriority, o_orderkey""").arrow()
+    assert got.select(want.column_names).to_pylist() == want.to_pylist()
+
+
+def test_grouped_top_k_null_keys_one_group(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_top_k
+
+    t = pa.table({"k": [None, None, None, "a"],
+                  "v": [3, 1, 2, 9], "id": [0, 1, 2, 3]})
+    rows = grouped_top_k(ray.data.from_arrow(t), "k", "v", k=2,
+                         tiebreak="id").take_all()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r["k"], []).append(r["v"])
+    # SQL PARTITION BY groups nulls together; top-2 of {3,1,2} is {3,2}
+    assert sorted(by_k[None]) == [2, 3] and by_k["a"] == [9]
+
+
+def test_grouped_stats_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_stats
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    got = pa.Table.from_pylist(
+        grouped_stats(li, "l_returnflag", "l_quantity",
+                      "l_extendedprice").take_all()).sort_by("l_returnflag")
+    want = duckdb.sql(f"""
+        SELECT l_returnflag, count(l_quantity) n,
+               avg(l_quantity) mean_l_quantity,
+               stddev_samp(l_quantity) stddev_l_quantity,
+               corr(l_quantity, l_extendedprice)
+                   corr_l_quantity_l_extendedprice
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY 1 ORDER BY 1""").arrow()
+    assert got.num_rows == want.num_rows
+    for c in want.column_names:
+        for x, y in zip(got.column(c).to_pylist(),
+                        want.column(c).to_pylist()):
+            if isinstance(x, float):
+                assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), c
+            else:
+                assert x == y, c
+
+
+def test_grouped_stats_null_and_tiny_groups(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_stats
+
+    t = pa.table({"k": ["a", "a", "b", "c", "c"],
+                  "x": [1.0, None, 5.0, 2.0, 4.0],
+                  "y": [2.0, 9.9, None, 1.0, 3.0]})
+    rows = {r["k"]: r for r in grouped_stats(
+        ray.data.from_arrow(t), "k", "x", "y").take_all()}
+    # n=1 -> stddev null; no pairwise-complete rows in b -> corr null
+    assert rows["a"]["n"] == 1 and rows["a"]["stddev_x"] is None
+    assert rows["b"]["corr_x_y"] is None
+    assert abs(rows["c"]["corr_x_y"] - 1.0) < 1e-12  # perfectly linear

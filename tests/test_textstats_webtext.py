@@ -1,0 +1,67 @@
+"""Webtext-pipeline ops: vocabulary top-k, PII redaction, repetition ratio."""
+
+import pyarrow as pa
+
+
+def test_vocab_top_k_tf_and_df_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import vocab_top_k
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got_tf = vocab_top_k(docs, "text", k=15)
+    want_tf = duckdb.sql(rf"""
+        SELECT token, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(coalesce(text,''), '\s+'))
+                AS token
+            FROM read_parquet('{sf_dir}/documents.parquet'))
+        WHERE token <> '' GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 15""").arrow()
+    assert got_tf.to_pylist() == want_tf.to_pylist()
+
+    got_df = vocab_top_k(docs, "text", k=15, document_frequency=True)
+    want_df = duckdb.sql(rf"""
+        SELECT token, count(DISTINCT doc_id)::BIGINT AS cnt FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(coalesce(text,''), '\s+'))
+                AS token
+            FROM read_parquet('{sf_dir}/documents.parquet'))
+        WHERE token <> '' GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 15""").arrow()
+    assert got_df.to_pylist() == want_df.to_pylist()
+    # df never exceeds tf for the same token set
+    tf = dict(zip(got_tf.column("token").to_pylist(),
+                  got_tf.column("cnt").to_pylist()))
+    for tok, cnt in zip(got_df.column("token").to_pylist(),
+                        got_df.column("cnt").to_pylist()):
+        assert cnt <= tf.get(tok, 10**18)
+
+
+def test_pii_redact_real_patterns():
+    from plugin_serdes_ray.pipelines.textstats import pii_redact
+
+    t = pa.table({"text": [
+        "mail john.doe+x@exam-ple.org or alice@sub.domain.co",
+        "server 10.0.0.1 backup 192.168.1.100 port 8080",
+        "call +1 (415) 555-0199 or +44 20 7946 0958 now",
+        "no pii here 3.14 v2.0",
+        None]})
+    out = pii_redact(t, "text").column("text").to_pylist()
+    assert out[0] == "mail <EMAIL> or <EMAIL>"
+    assert out[1] == "server <IP> backup <IP> port 8080"
+    assert out[2] == "call <PHONE> or <PHONE> now"
+    assert out[3] == "no pii here 3.14 v2.0"   # versions/floats untouched
+    assert out[4] is None
+
+
+def test_repetition_ratio_cases():
+    from plugin_serdes_ray.pipelines.textstats import repetition_ratio
+
+    t = pa.table({"text": ["a\nb\na\na", "x\ny\nz", "", None, "q\nq"]})
+    out = repetition_ratio(t, "text").column("rep_line_ratio").to_pylist()
+    assert out[0] == 0.5        # 4 lines, 2 distinct
+    assert out[1] == 0.0
+    assert out[2] == 0.0 and out[3] == 0.0
+    assert out[4] == 0.5
