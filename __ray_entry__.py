@@ -718,6 +718,35 @@ def _quantiles_lineitem(sf_dir: str):
     })
 
 
+def _quantiles_cont_lineitem(sf_dir: str):
+    """Interpolated (PERCENTILE_CONT) exact quantiles with the same
+    two-pass histogram-locate machinery — both bracketing order statistics
+    come from one collect pass (relational.exact_quantiles_cont)."""
+    from plugin_serdes_ray.pipelines.relational import exact_quantiles_cont
+
+    ds = _read(sf_dir, "lineitem").select_columns(["l_extendedprice"])
+    out = exact_quantiles_cont(ds, "l_extendedprice", [0.25, 0.5, 0.9])
+    qs = sorted(out)
+    return pa.table({
+        "q": pa.array(qs, type=pa.float64()),
+        "value": pa.array([out[q] for q in qs], type=pa.float64()),
+    })
+
+
+def _cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus): all 4 key subsets, each
+    one combiner-shrunk shuffle (relational.cube_aggregate)."""
+    from plugin_serdes_ray.pipelines.relational import cube_aggregate
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = cube_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                         sum_cols=["l_quantity"])
+    t = pa.Table.from_pylist(out.take_all()).rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "n"])
+    return t.sort_by([(c, "ascending") for c in t.column_names])
+
+
 def _grouped_quantiles_lineitem(sf_dir: str):
     """Per-group EXACT quantiles (quantile_disc): one groupby shuffle, one
     vectorized sort per group (plugin_serdes_ray.pipelines.relational
@@ -1350,6 +1379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts": _distinct_counts,
         "events_props_extract": _events_props_extract,
         "quantiles_lineitem": _quantiles_lineitem,
+        "quantiles_cont_lineitem": _quantiles_cont_lineitem,
+        "cube_lineitem": _cube_lineitem,
         # document transforms (html/markdown chains over documents.text)
         "html_extract_text": _html_to_text,
         "markdown_roundtrip_documents": _markdown_roundtrip,
@@ -1662,6 +1693,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(0.9 AS DOUBLE),
                    quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        """,
+        "quantiles_cont_lineitem": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_cont(l_extendedprice, 0.25) AS value FROM lineitem
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE),
+                   quantile_cont(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   quantile_cont(l_extendedprice, 0.9) FROM lineitem
+        """,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus, sum_qty, n
         """,
         "grouped_quantiles_lineitem": """
             SELECT l_returnflag,

@@ -1045,7 +1045,58 @@ def exact_quantiles(ds, column: str, qs: Sequence[float],
     values inside located buckets (expected n/n_buckets of the data) and
     selects the rank within them. Two streaming passes, O(buckets + bucket
     contents) driver memory, deterministic."""
+    import math
+    from fractions import Fraction
+
     qs = list(qs)
+    n, ranks_of = _order_statistics(
+        ds, column,
+        lambda n: {q: max(int(math.ceil(Fraction(str(q)) * n)), 1)
+                   for q in qs},
+        n_buckets)
+    if ranks_of is None:
+        return {q: n for q in qs}   # degenerate: None (empty) or the
+        # constant value (hi == lo), propagated through `n`
+    return ranks_of
+
+
+def exact_quantiles_cont(ds, column: str, qs: Sequence[float],
+                         n_buckets: int = 4096) -> dict[float, float]:
+    """EXACT interpolated quantiles (SQL ``quantile_cont`` /
+    ``PERCENTILE_CONT``: linear interpolation at fractional rank
+    ``q*(n-1)`` over the sorted non-null values) with the same two-pass
+    histogram-locate machinery as :func:`exact_quantiles` — both bracketing
+    order statistics come from one collect pass, no global sort."""
+    from fractions import Fraction
+
+    qs = list(qs)
+
+    def make_ranks(n: int) -> dict:
+        ranks: dict = {}
+        for q in qs:
+            h = Fraction(str(q)) * (n - 1)       # 0-based fractional rank
+            r0 = int(h) + 1                      # 1-based lower bracket
+            ranks[(q, 0)] = min(max(r0, 1), n)
+            ranks[(q, 1)] = min(max(r0 + (1 if h != int(h) else 0), 1), n)
+        return ranks
+
+    n, ranks_of = _order_statistics(ds, column, make_ranks, n_buckets)
+    if ranks_of is None:
+        return {q: n for q in qs}
+    out = {}
+    for q in qs:
+        h = Fraction(str(q)) * (n - 1)
+        frac = float(h - int(h))
+        v0, v1 = ranks_of[(q, 0)], ranks_of[(q, 1)]
+        out[q] = v0 + frac * (v1 - v0)
+    return out
+
+
+def _order_statistics(ds, column: str, make_ranks, n_buckets: int):
+    """Shared two-pass exact rank selection: ``make_ranks(n)`` maps the
+    non-null count to ``{label: 1-based rank}``; returns ``(n, {label:
+    value})`` — or ``(None, None)`` when the column is empty and
+    ``(constant, None)`` when all values are equal (callers propagate)."""
     col = ds.select_columns([column])
     stats = col.map_batches(
         lambda b: pa.table({
@@ -1056,12 +1107,12 @@ def exact_quantiles(ds, column: str, qs: Sequence[float],
         batch_format="pyarrow", runtime_env=package_runtime_env()).take_all()
     stats = [s for s in stats if s["n"]]
     if not stats:
-        return {q: None for q in qs}
+        return None, None
     lo = min(s["lo"] for s in stats)
     hi = max(s["hi"] for s in stats)
     n = sum(s["n"] for s in stats)
     if hi == lo:
-        return {q: lo for q in qs}
+        return lo, None
     width = (hi - lo) / n_buckets
 
     def hist(batch: pa.Table) -> pa.Table:
@@ -1081,12 +1132,9 @@ def exact_quantiles(ds, column: str, qs: Sequence[float],
     for r in rows:
         counts[r["bucket"]] += r["cnt"]
     cum = np.cumsum(counts)
-    # rank = ceil(q*n) in EXACT decimal arithmetic (quantile_disc semantics;
-    # float 0.9*10 = 9.000000000000002 would off-by-one the rank)
-    import math
-    from fractions import Fraction
-
-    ranks = {q: max(int(math.ceil(Fraction(str(q)) * n)), 1) for q in qs}
+    # EXACT decimal rank arithmetic happens in make_ranks (quantile_disc's
+    # ceil(q*n): float 0.9*10 = 9.000000000000002 would off-by-one the rank)
+    ranks = make_ranks(n)
     target_buckets = {int(np.searchsorted(cum, r)) for r in ranks.values()}
     tb = sorted(target_buckets)
 
@@ -1117,14 +1165,14 @@ def exact_quantiles(ds, column: str, qs: Sequence[float],
     # collected buckets are exactly the target buckets, non-collected mass
     # below value x = cum[bucket(x)-1] - (collected mass in earlier buckets)
     out = {}
-    for q, r in ranks.items():
+    for label, r in ranks.items():
         bucket = int(np.searchsorted(cum, r))
         before_bucket = int(cum[bucket - 1]) if bucket else 0
         earlier_collected = sum(int(counts[x]) for x in tb if x < bucket)
         rank_in_collected = r - before_bucket + earlier_collected
         idx = int(np.searchsorted(vcum, rank_in_collected))
-        out[q] = float(vals[idx])
-    return out
+        out[label] = float(vals[idx])
+    return n, out
 
 
 def stratified_sample(ds, key: str, fractions: dict, id_column: str,
@@ -1614,3 +1662,62 @@ def grouped_stats(ds, by, x: str, y: Optional[str] = None):
         return pa.table(out)
 
     return merged.map_batches(finish, batch_format="pyarrow", runtime_env=env)
+
+
+def grouping_sets_aggregate(ds, keys: Sequence[str], sets: Sequence[Sequence[str]],
+                            sum_cols: Sequence[str] = (),
+                            count_name: Optional[str] = "n"):
+    """``GROUP BY GROUPING SETS(...)``: one :func:`grouped_aggregate` per
+    set (each shuffles only combiner output — one row per key per block),
+    absent key columns null-padded, unioned into one Dataset. The same
+    skeleton as :func:`rollup_aggregate`, for arbitrary sets."""
+    keys = list(keys)
+    env = package_runtime_env()
+    schema = ds.schema()
+    key_types = {k: schema.types[list(schema.names).index(k)] for k in keys}
+    out_levels = []
+    for s in sets:
+        s_keys = list(s)
+        if s_keys:
+            agg = grouped_aggregate(ds, s_keys, sum_cols=sum_cols,
+                                    count_name=count_name)
+        else:
+            tagged = ds.map_batches(
+                lambda t: t.append_column("__all", pa.array(
+                    np.zeros(t.num_rows, dtype=np.int8))),
+                batch_format="pyarrow", runtime_env=env)
+            agg = grouped_aggregate(tagged, ["__all"], sum_cols=sum_cols,
+                                    count_name=count_name)
+
+        def pad(batch: pa.Table, s_keys=tuple(s_keys)) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (batch.column(k) if k in s_keys
+                           else pa.nulls(batch.num_rows, key_types[k]))
+            for c in sum_cols:
+                cols[f"sum_{c}"] = batch.column(f"sum_{c}")
+            if count_name:
+                cols[count_name] = batch.column(count_name)
+            return pa.table(cols)
+
+        out_levels.append(agg.map_batches(pad, batch_format="pyarrow",
+                                          runtime_env=env))
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def cube_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
+                   count_name: Optional[str] = "n"):
+    """``GROUP BY CUBE(keys...)``: all 2^P key subsets via
+    :func:`grouping_sets_aggregate`. P is small (2-3) in practice; each
+    subset costs one combiner-shrunk shuffle, never a re-shuffle of raw
+    rows."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sets, sum_cols=sum_cols,
+                                   count_name=count_name)

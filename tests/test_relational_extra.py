@@ -490,3 +490,66 @@ def test_grouped_stats_null_and_tiny_groups(ray_session):
     assert rows["a"]["n"] == 1 and rows["a"]["stddev_x"] is None
     assert rows["b"]["corr_x_y"] is None
     assert abs(rows["c"]["corr_x_y"] - 1.0) < 1e-12  # perfectly linear
+
+
+def test_exact_quantiles_cont_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import exact_quantiles_cont
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    got = exact_quantiles_cont(li, "l_extendedprice", [0.0, 0.25, 0.5,
+                                                       0.9, 1.0])
+    want = duckdb.sql(
+        f"SELECT quantile_cont(l_extendedprice, [0.0,0.25,0.5,0.9,1.0]) "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')").fetchone()[0]
+    for q, w in zip([0.0, 0.25, 0.5, 0.9, 1.0], want):
+        assert abs(got[q] - w) <= 1e-9 * max(1.0, abs(w)), q
+
+
+def test_exact_quantiles_cont_edges(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import exact_quantiles_cont
+
+    # single value, constant column, empty column
+    one = ray.data.from_arrow(pa.table({"v": [42.0]}))
+    assert exact_quantiles_cont(one, "v", [0.5]) == {0.5: 42.0}
+    const = ray.data.from_arrow(pa.table({"v": [7.0] * 10}))
+    assert exact_quantiles_cont(const, "v", [0.1, 0.9]) == {0.1: 7.0,
+                                                            0.9: 7.0}
+    empty = ray.data.from_arrow(pa.table(
+        {"v": pa.array([None, None], type=pa.float64())}))
+    assert exact_quantiles_cont(empty, "v", [0.5]) == {0.5: None}
+
+
+def test_cube_aggregate_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import cube_aggregate
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    got = pa.Table.from_pylist(
+        cube_aggregate(li, ["l_returnflag", "l_linestatus"],
+                       sum_cols=["l_quantity"]).take_all()).rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "n"])
+    got = got.sort_by([(c, "ascending") for c in got.column_names])
+    want = duckdb.sql(f"""
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) sum_qty,
+               count(*) n
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY 1, 2, 3, 4""").arrow()
+    assert got.num_rows == want.num_rows
+    for a, b in zip(got.to_pylist(), want.to_pylist()):
+        for k, x in a.items():
+            y = b[k]
+            if isinstance(x, float):
+                assert abs(x - y) <= 1e-9 * max(1.0, abs(y))
+            else:
+                assert x == y
