@@ -858,6 +858,21 @@ def _repetition_ratio_documents(sf_dir: str):
         .select(["doc_id", "rep_line_ratio"]).sort_by("doc_id")
 
 
+def _keyword_search_documents(sf_dir: str):
+    """Boolean keyword search via a materialized inverted index
+    (pipelines/textindex.py): build hash-sharded (token, doc_id) posting
+    lists once, then open ONLY the query tokens' shards and evaluate AND
+    as a distributed groupby(doc_id) count."""
+    import tempfile
+
+    from plugin_serdes_ray.pipelines.textindex import keyword_search
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = keyword_search(ds, ["the", "data"], mode="and",
+                         index_dir=tempfile.mkdtemp(prefix="tix_entry_"))
+    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+
+
 def _topk_orders(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import top_k
 
@@ -1371,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_df_documents": lambda sf: _vocab_topk(sf, True),
         "pii_redact_documents": _pii_redact_documents,
         "repetition_ratio_documents": _repetition_ratio_documents,
+        "keyword_search_documents": _keyword_search_documents,
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         "string_agg_nations": _string_agg_nations,
         "setop_except_custkeys": lambda sf: _setop_custkeys(sf, "except"),
@@ -1775,6 +1791,14 @@ def oracle_sql() -> dict[str, str]:
                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
                 '\+\d[\d()\s.-]{6,}\d', '<PHONE>', 'g') AS text
             FROM documents ORDER BY doc_id
+        """,
+        "keyword_search_documents": r"""
+            SELECT doc_id FROM documents
+            WHERE list_contains(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), 'the')
+              AND list_contains(regexp_split_to_array(
+                      lower(coalesce(text, '')), '\s+'), 'data')
+            ORDER BY doc_id
         """,
         "repetition_ratio_documents": """
             SELECT doc_id,

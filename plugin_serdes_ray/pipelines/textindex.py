@@ -1,0 +1,164 @@
+"""Materialized inverted text index: the keyword-search analog of the IVF
+vector path (``ann.py``) — build once into hash-sharded parquet posting
+lists, then answer boolean keyword queries by opening ONLY the query
+tokens' shards, never the corpus.
+
+100 TB shape: postings rows are ``(token, doc_id)`` — fixed width, never
+text; the build is one tokenize pass with per-block distinct collapse
+feeding one keyed shuffle; a hot token ("the") is second-level-split by
+``doc_id`` hash across ``sub_splits`` files so no single worker writes an
+unbounded group. Search is fully distributed: the AND/OR evaluation is a
+``groupby(doc_id)`` count over the filtered postings, not a driver-side
+set intersection.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import package_runtime_env
+
+
+def _shard_of(token: str, num_shards: int) -> int:
+    return zlib.crc32(token.encode()) % num_shards
+
+
+def tokenize_distinct(batch: pa.Table, column: str,
+                      id_column: str) -> pa.Table:
+    """(doc_id, token) DISTINCT pairs per document: lower + whitespace
+    split + C ``group_by`` distinct — no Python loop over rows."""
+    col = pc.fill_null(batch.column(column).combine_chunks(), "")
+    toks_l = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    lens = pc.list_value_length(toks_l).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ids = batch.column(id_column).combine_chunks().take(
+        pa.array(np.repeat(np.arange(len(col), dtype=np.int64), lens)))
+    flat = pc.list_flatten(toks_l)
+    pairs = pa.table({id_column: ids, "token": flat})
+    pairs = pairs.filter(pc.not_equal(pairs.column("token"), ""))
+    return pairs.group_by([id_column, "token"]).aggregate([])
+
+
+def build_text_index(ds, index_dir: str, column: str = "text",
+                     id_column: str = "doc_id", num_shards: int = 64,
+                     sub_splits: int = 2) -> dict:
+    """One-time inverted-index build: tokenize + distinct per block, ONE
+    keyed shuffle on (token-hash shard × doc-hash sub-split), one parquet
+    posting file per occupied (shard, split) — atomic tmp+rename writes,
+    and an existing complete index (meta.json) is reused as-is (resume)."""
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        return json.load(open(meta_path))
+    os.makedirs(index_dir, exist_ok=True)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        pairs = tokenize_distinct(batch, column, id_column)
+        toks = pairs.column("token").combine_chunks()
+        # crc32 per DISTINCT token of the block (C call each; the distinct
+        # collapse above bounds the loop by block vocabulary, not text)
+        dct = pc.dictionary_encode(toks)
+        vocab = dct.dictionary.to_pylist()
+        shard_of_code = np.asarray([_shard_of(t, num_shards) for t in vocab],
+                                   dtype=np.int64)
+        codes = pc.fill_null(dct.indices, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        salt = pairs.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64) % sub_splits
+        return pairs.append_column(
+            "__shard", pa.array(shard_of_code[codes] * sub_splits + salt))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        key = int(group.column("__shard")[0].as_py())
+        shard, salt = divmod(key, sub_splits)
+        out = os.path.join(index_dir, f"shard-{shard:04d}-{salt}.parquet")
+        tmp = out + f".tmp-{os.getpid()}"
+        # sort by token so parquet row-group stats allow token pruning
+        body = group.drop_columns(["__shard"]).sort_by("token")
+        pq.write_table(body, tmp)
+        os.replace(tmp, out)
+        return pa.table({"shard": pa.array([shard], type=pa.int64()),
+                         "postings": pa.array([group.num_rows],
+                                              type=pa.int64())})
+
+    env = package_runtime_env()
+    parts = (ds.select_columns([id_column, column])
+               .map_batches(emit, batch_format="pyarrow", runtime_env=env)
+               .groupby("__shard")
+               .map_groups(write_shard, batch_format="pyarrow",
+                           runtime_env=env)
+               .take_all())                     # one row per (shard, split)
+    meta = {"num_shards": num_shards, "sub_splits": sub_splits,
+            "postings": int(sum(r["postings"] for r in parts)),
+            "column": column, "id_column": id_column}
+    tmp = meta_path + ".tmp"
+    json.dump(meta, open(tmp, "w"))
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def search_text_index(index_dir: str, tokens: list[str],
+                      mode: str = "and"):
+    """Boolean keyword search against a built index -> Dataset of
+    ``id_column`` values (distinct, one row per matching document).
+
+    Opens ONLY the shard files the query tokens hash to (a strict subset of
+    the index), filters postings to the query tokens, then evaluates AND as
+    a distributed ``groupby(doc).count == len(tokens)`` — the driver never
+    holds a posting list."""
+    import ray.data
+
+    if mode not in ("and", "or"):
+        raise ValueError(f"unknown mode {mode!r}")
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    id_column = meta["id_column"]
+    tokens = sorted(set(tokens))
+    shards = sorted({_shard_of(t, meta["num_shards"]) for t in tokens})
+    files: list[str] = []
+    for s in shards:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"shard-{s:04d}-*.parquet"))))
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({id_column: pa.array([], type=pa.int64())}))
+    need = len(tokens)
+    tok_arr = pa.array(tokens)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("token"),
+                                     value_set=tok_arr))
+
+    from ray.data.aggregate import Count
+
+    env = package_runtime_env()
+    hits = (ray.data.read_parquet(files)
+            .map_batches(filt, batch_format="pyarrow", runtime_env=env)
+            .groupby(id_column).aggregate(Count()))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("count()")
+        keep = pc.greater_equal(cnt, need) if mode == "and" \
+            else pc.greater_equal(cnt, 1)
+        return batch.filter(keep).select([id_column])
+
+    return hits.map_batches(emit, batch_format="pyarrow", runtime_env=env)
+
+
+def keyword_search(ds, tokens: list[str], mode: str = "and",
+                   column: str = "text", id_column: str = "doc_id",
+                   index_dir: str | None = None):
+    """Build (or reuse) the inverted index, then search it."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="text_index_")
+    build_text_index(ds, index_dir, column=column, id_column=id_column)
+    return search_text_index(index_dir, tokens, mode=mode)
