@@ -858,6 +858,20 @@ def _repetition_ratio_documents(sf_dir: str):
         .select(["doc_id", "rep_line_ratio"]).sort_by("doc_id")
 
 
+def _tfidf_top_terms_documents(sf_dir: str):
+    """Top-3 tf-idf terms per document, composed from the engine's own
+    wide ops: block-local tf counts, distinct+Sum df reduce, hash_join on
+    token (skew-salted), grouped_top_k per doc
+    (textstats.tfidf_top_terms)."""
+    from plugin_serdes_ray.pipelines.textstats import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = pa.Table.from_pylist(tfidf_top_terms(ds, k=3).take_all())
+    return out.select(["doc_id", "token", "score"]).sort_by(
+        [("doc_id", "ascending"), ("score", "descending"),
+         ("token", "ascending")])
+
+
 def _keyword_search_documents(sf_dir: str):
     """Boolean keyword search via a materialized inverted index
     (pipelines/textindex.py): build hash-sharded (token, doc_id) posting
@@ -1387,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_documents": _pii_redact_documents,
         "repetition_ratio_documents": _repetition_ratio_documents,
         "keyword_search_documents": _keyword_search_documents,
+        "tfidf_top_terms_documents": _tfidf_top_terms_documents,
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         "string_agg_nations": _string_agg_nations,
         "setop_except_custkeys": lambda sf: _setop_custkeys(sf, "except"),
@@ -1791,6 +1806,24 @@ def oracle_sql() -> dict[str, str]:
                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
                 '\+\d[\d()\s.-]{6,}\d', '<PHONE>', 'g') AS text
             FROM documents ORDER BY doc_id
+        """,
+        "tfidf_top_terms_documents": r"""
+            WITH toks AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\s+')) AS token
+                   FROM documents),
+                 t2 AS (SELECT * FROM toks WHERE token <> ''),
+                 tf AS (SELECT doc_id, token, count(*)::DOUBLE tf
+                        FROM t2 GROUP BY 1, 2),
+                 df AS (SELECT token AS dtoken,
+                               count(DISTINCT doc_id)::DOUBLE df
+                        FROM t2 GROUP BY 1),
+                 n AS (SELECT count(*)::DOUBLE n FROM documents)
+            SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / df.df) AS score
+            FROM tf, n JOIN df ON tf.token = df.dtoken
+            QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+                ORDER BY score DESC, tf.token) <= 3
+            ORDER BY doc_id, score DESC, token
         """,
         "keyword_search_documents": r"""
             SELECT doc_id FROM documents

@@ -340,3 +340,74 @@ def vocab_top_k(ds, column: str = "text", k: int = 20,
     idx = pc.sort_indices(cand, sort_keys=[("cnt", "descending"),
                                            ("token", "ascending")])
     return cand.take(idx.slice(0, k))
+
+
+def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
+                    k: int = 3):
+    """Top-k terms per document by tf-idf (``tf · ln(N/df)``), composed
+    from the engine's own wide ops — the canonical two-shuffle shape:
+
+    1. per-block (doc, token, tf) counts (one C ``group_by``; a document
+       lives in one row, so block-local tf IS document tf);
+    2. (token, df) via per-block distinct + native Sum reduce — one row
+       per vocabulary token, never raw postings;
+    3. postings ⋈ df on token through :func:`relational.hash_join` (skew
+       salting handles stopword-grade hot tokens);
+    4. :func:`relational.grouped_top_k` per document (score desc, token
+       asc tiebreak).
+
+    Output: (id_column, token, score) — deterministic."""
+    from ray.data.aggregate import Sum
+
+    from ..util import package_runtime_env
+    from .relational import grouped_top_k, hash_join
+
+    env = package_runtime_env()
+    n_docs = ds.count()
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t.column(column).combine_chunks(), "")
+        toks_l = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        lens = pc.list_value_length(toks_l).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_column).combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(col), dtype=np.int64), lens)))
+        pairs = pa.table({id_column: ids, "token": pc.list_flatten(toks_l)})
+        pairs = pairs.filter(pc.not_equal(pairs.column("token"), ""))
+        g = pairs.group_by([id_column, "token"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([id_column, "token", "tf"])
+
+    postings = ds.select_columns([id_column, column]).map_batches(
+        tf_pairs, batch_format="pyarrow", runtime_env=env)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # rows are already distinct (doc, token): per-block df = row count
+        g = t.select(["token"]).group_by("token").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["token", "df_part"])
+
+    df = (postings.map_batches(df_partial, batch_format="pyarrow",
+                               runtime_env=env)
+                  .groupby("token").aggregate(Sum("df_part")))
+
+    def df_finish(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t.column("token"),
+                         "df": t.column("sum(df_part)").cast(pa.float64())})
+
+    df = df.map_batches(df_finish, batch_format="pyarrow", runtime_env=env)
+    joined = hash_join(postings, df, key="token")
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dfv = t.column("df").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s = tf * np.log(float(n_docs) / dfv)
+        return pa.table({id_column: t.column(id_column),
+                         "token": t.column("token"),
+                         "score": pa.array(s)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                runtime_env=env)
+    return grouped_top_k(scored, id_column, "score", k=k, tiebreak="token")

@@ -65,3 +65,42 @@ def test_repetition_ratio_cases():
     assert out[1] == 0.0
     assert out[2] == 0.0 and out[3] == 0.0
     assert out[4] == 0.5
+
+
+def test_tfidf_top_terms_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import tfidf_top_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = pa.Table.from_pylist(tfidf_top_terms(docs, k=2).take_all())
+    got = got.select(["doc_id", "token", "score"]).sort_by(
+        [("doc_id", "ascending"), ("score", "descending"),
+         ("token", "ascending")])
+    want = duckdb.sql(rf"""
+        WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+                          lower(coalesce(text,'')), '\s+')) AS token
+                      FROM read_parquet('{sf_dir}/documents.parquet')),
+             t2 AS (SELECT * FROM toks WHERE token <> ''),
+             tf AS (SELECT doc_id, token, count(*)::DOUBLE tf
+                    FROM t2 GROUP BY 1, 2),
+             df AS (SELECT token AS dtoken,
+                           count(DISTINCT doc_id)::DOUBLE df
+                    FROM t2 GROUP BY 1),
+             n AS (SELECT count(*)::DOUBLE n
+                   FROM read_parquet('{sf_dir}/documents.parquet'))
+        SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / df.df) AS score
+        FROM tf, n JOIN df ON tf.token = df.dtoken
+        QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY score DESC, tf.token) <= 2
+        ORDER BY doc_id, score DESC, token""").arrow()
+    assert got.num_rows == want.num_rows
+    for a, b in zip(got.to_pylist(), want.to_pylist()):
+        for kk, x in a.items():
+            y = b[kk]
+            if isinstance(x, float):
+                assert abs(x - y) <= 1e-9 * max(1.0, abs(y))
+            else:
+                assert x == y
