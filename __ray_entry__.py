@@ -763,8 +763,6 @@ def _grouped_quantiles_lineitem(sf_dir: str):
 def _string_agg_nations(sf_dir: str):
     """Ordered per-group string concatenation (SQL string_agg ... ORDER BY)
     after a broadcast join of nation against the 5-row region table."""
-    import pyarrow.compute as pc
-
     from plugin_serdes_ray.pipelines.relational import (broadcast_join,
                                                         string_agg)
 
@@ -792,7 +790,8 @@ def _setop_custkeys(sf_dir: str, op: str):
              .select_columns(["o_custkey", "o_totalprice"])
              .map_batches(lambda b: b.filter(
                  pc.greater_equal(b.column("o_totalprice"), 300000.0))
-                 .select(["o_custkey"]), batch_format="pyarrow"))
+                 .select(["o_custkey"]), batch_format="pyarrow",
+                 runtime_env=_env()))
     out = set_op(left, right, op)
     return pa.Table.from_pylist(out.take_all()).sort_by("c_custkey")
 
@@ -820,7 +819,17 @@ def _grouped_stats_lineitem(sf_dir: str):
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_returnflag", "l_quantity", "l_extendedprice"])
     out = grouped_stats(ds, "l_returnflag", "l_quantity", "l_extendedprice")
-    return pa.Table.from_pylist(out.take_all()).sort_by("l_returnflag")
+    t = pa.Table.from_pylist(out.take_all()).sort_by("l_returnflag")
+    # distributed sufficient-statistic sums differ from the oracle's
+    # single-pass reduction in the last ulp; round on BOTH sides (9
+    # decimals — far from any boundary at these magnitudes)
+    for c in ("mean_l_quantity", "stddev_l_quantity",
+              "corr_l_quantity_l_extendedprice"):
+        i = t.column_names.index(c)
+        t = t.set_column(i, c, pa.array(
+            [None if v is None else round(v, 9)
+             for v in t.column(c).to_pylist()], type=pa.float64()))
+    return t
 
 
 def _vocab_topk(sf_dir: str, document_frequency: bool):
@@ -867,23 +876,41 @@ def _tfidf_top_terms_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     out = pa.Table.from_pylist(tfidf_top_terms(ds, k=3).take_all())
-    return out.select(["doc_id", "token", "score"]).sort_by(
+    out = out.select(["doc_id", "token", "score"]).sort_by(
         [("doc_id", "ascending"), ("score", "descending"),
          ("token", "ascending")])
+    # np.log and the oracle's ln differ in the last ulp for some arguments;
+    # the top-3 pick uses raw scores on both sides, the EMITTED score is
+    # rounded on both sides (9 decimals, boundary-safe at these magnitudes)
+    i = out.column_names.index("score")
+    return out.set_column(i, "score", pa.array(
+        [round(v, 9) for v in out.column("score").to_pylist()],
+        type=pa.float64()))
 
 
 def _keyword_search_documents(sf_dir: str):
     """Boolean keyword search via a materialized inverted index
     (pipelines/textindex.py): build hash-sharded (token, doc_id) posting
-    lists once, then open ONLY the query tokens' shards and evaluate AND
-    as a distributed groupby(doc_id) count."""
+    lists ONCE per corpus — the index dir is keyed by the documents file's
+    (path, size, mtime) fingerprint, so repeated query/oracle invocations
+    reuse the built index (build-once/probe-many) instead of re-tokenizing
+    and re-sharding the corpus and leaking a fresh /tmp dir per call —
+    then open ONLY the query tokens' shards and evaluate AND as a
+    distributed groupby(doc_id) count."""
+    import hashlib
     import tempfile
 
     from plugin_serdes_ray.pipelines.textindex import keyword_search
 
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"tix_entry_{fp}")
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     out = keyword_search(ds, ["the", "data"], mode="and",
-                         index_dir=tempfile.mkdtemp(prefix="tix_entry_"))
+                         index_dir=index_dir)
     return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
 
 
@@ -1774,9 +1801,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grouped_stats_lineitem": """
             SELECT l_returnflag, count(l_quantity) AS n,
-                   avg(l_quantity) AS mean_l_quantity,
-                   stddev_samp(l_quantity) AS stddev_l_quantity,
-                   corr(l_quantity, l_extendedprice)
+                   round(avg(l_quantity), 9) AS mean_l_quantity,
+                   round(stddev_samp(l_quantity), 9) AS stddev_l_quantity,
+                   round(corr(l_quantity, l_extendedprice), 9)
                        AS corr_l_quantity_l_extendedprice
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
@@ -1819,10 +1846,12 @@ def oracle_sql() -> dict[str, str]:
                                count(DISTINCT doc_id)::DOUBLE df
                         FROM t2 GROUP BY 1),
                  n AS (SELECT count(*)::DOUBLE n FROM documents)
-            SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / df.df) AS score
-            FROM tf, n JOIN df ON tf.token = df.dtoken
-            QUALIFY row_number() OVER (PARTITION BY tf.doc_id
-                ORDER BY score DESC, tf.token) <= 3
+            SELECT doc_id, token, round(score, 9) AS score FROM (
+                SELECT tf.doc_id, tf.token,
+                       tf.tf * ln(n.n / df.df) AS score
+                FROM tf, n JOIN df ON tf.token = df.dtoken
+                QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY score DESC, tf.token) <= 3)
             ORDER BY doc_id, score DESC, token
         """,
         "keyword_search_documents": r"""

@@ -228,7 +228,10 @@ def infer_schema_dataset(ds, number_of_rows_to_scan: int = 100,
             t = infer_rows(rows, infer_all_fields=True)
             return {"t": [json.dumps(t)]}
 
-        parts = ds.map_batches(partial, batch_format="pyarrow")
+        from ..util import package_runtime_env
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               runtime_env=package_runtime_env())
         merged = None
         for row in parts.take_all():  # one tiny row per input block
             t = json.loads(row["t"])

@@ -616,50 +616,14 @@ def window_functions(ds, by, order_by: str, specs: dict):
 
 def rollup_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
                      count_name: Optional[str] = "n"):
-    """``GROUP BY ROLLUP(keys...)``: one :func:`grouped_aggregate` per prefix
-    level (keys, keys[:-1], ..., grand total), rolled-up key columns padded
-    with nulls, unioned into one Dataset. Each level shuffles only combiner
-    output (one row per key per block), so P levels cost P cheap shuffles —
-    never P passes over raw rows reshuffled whole."""
-    import ray.data
-
+    """``GROUP BY ROLLUP(keys...)``: the prefix levels (keys, keys[:-1],
+    ..., grand total) of :func:`grouping_sets_aggregate` — ONE scan +
+    shuffle of the source at full key resolution, coarser levels derived by
+    re-aggregating that combiner-shrunk output."""
     keys = list(keys)
-    env = package_runtime_env()
-    # capture key TYPES, not the Dataset, in the pad closures below
-    schema = ds.schema()
-    key_types = {k: schema.types[list(schema.names).index(k)] for k in keys}
-    out_levels = []
-    for lvl in range(len(keys), -1, -1):
-        lvl_keys = keys[:lvl]
-        if lvl_keys:
-            agg = grouped_aggregate(ds, lvl_keys, sum_cols=sum_cols,
-                                    count_name=count_name)
-        else:
-            # grand total: single constant key, dropped after the reduce
-            tagged = ds.map_batches(
-                lambda t: t.append_column("__all", pa.array(
-                    np.zeros(t.num_rows, dtype=np.int8))),
-                batch_format="pyarrow", runtime_env=env)
-            agg = grouped_aggregate(tagged, ["__all"], sum_cols=sum_cols,
-                                    count_name=count_name)
-
-        def pad(batch: pa.Table, lvl_keys=tuple(lvl_keys)) -> pa.Table:
-            cols = {}
-            for k in keys:
-                cols[k] = (batch.column(k) if k in lvl_keys
-                           else pa.nulls(batch.num_rows, key_types[k]))
-            for c in sum_cols:
-                cols[f"sum_{c}"] = batch.column(f"sum_{c}")
-            if count_name:
-                cols[count_name] = batch.column(count_name)
-            return pa.table(cols)
-
-        out_levels.append(agg.map_batches(pad, batch_format="pyarrow",
-                                          runtime_env=env))
-    out = out_levels[0]
-    for lv in out_levels[1:]:
-        out = out.union(lv)
-    return out
+    sets = [keys[:lvl] for lvl in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, sum_cols=sum_cols,
+                                   count_name=count_name)
 
 
 def pivot_aggregate(ds, key, pivot_col: str, pivot_values: Sequence,
@@ -1619,8 +1583,11 @@ def grouped_stats(ds, by, x: str, y: Optional[str] = None):
         part = pa.table(cols)
         aggs = [(c, "sum") for c in part.column_names if c.startswith("__")]
         g = part.group_by(by_keys).aggregate(aggs)
+        # strip the "_sum" suffix ONLY from the partial columns ("__*_sum");
+        # a group KEY whose own name ends in "_sum" must stay untouched
         return g.rename_columns(
-            [c[:-4] if c.endswith("_sum") else c for c in g.column_names])
+            [c[:-4] if c.startswith("__") and c.endswith("_sum") else c
+             for c in g.column_names])
 
     from ray.data.aggregate import Sum
 
@@ -1667,29 +1634,53 @@ def grouped_stats(ds, by, x: str, y: Optional[str] = None):
 def grouping_sets_aggregate(ds, keys: Sequence[str], sets: Sequence[Sequence[str]],
                             sum_cols: Sequence[str] = (),
                             count_name: Optional[str] = "n"):
-    """``GROUP BY GROUPING SETS(...)``: one :func:`grouped_aggregate` per
-    set (each shuffles only combiner output — one row per key per block),
-    absent key columns null-padded, unioned into one Dataset. The same
-    skeleton as :func:`rollup_aggregate`, for arbitrary sets."""
+    """``GROUP BY GROUPING SETS(...)``: ONE full-resolution
+    :func:`grouped_aggregate` over all ``keys`` (the only scan + shuffle of
+    the source), then every requested set is derived by RE-aggregating that
+    finest output — O(distinct full-key combos) combiner-shrunk rows —
+    instead of rescanning and reshuffling the source once per set (2^P
+    source passes for CUBE). Sums and counts are decomposable, so
+    sum-of-sums / sum-of-counts equals the direct aggregation exactly.
+    Absent key columns are null-padded; all sets union into one Dataset."""
+    from ray.data.aggregate import Sum
+
     keys = list(keys)
     env = package_runtime_env()
     schema = ds.schema()
     key_types = {k: schema.types[list(schema.names).index(k)] for k in keys}
-    out_levels = []
-    for s in sets:
-        s_keys = list(s)
+    cnt = count_name or "__gs_cnt"      # always carry a count internally:
+    # it is needed to re-derive coarser sets even when the caller asked for
+    # no count column (dropped again in pad below)
+    finest = grouped_aggregate(ds, keys, sum_cols=sum_cols, count_name=cnt)
+    agg_src = [f"sum_{c}" for c in sum_cols] + [cnt]
+
+    def derive(s_keys: list):
+        if s_keys == keys:
+            return finest
         if s_keys:
-            agg = grouped_aggregate(ds, s_keys, sum_cols=sum_cols,
-                                    count_name=count_name)
+            g = finest.groupby(s_keys if len(s_keys) > 1 else s_keys[0])
         else:
-            tagged = ds.map_batches(
+            tagged = finest.map_batches(
                 lambda t: t.append_column("__all", pa.array(
                     np.zeros(t.num_rows, dtype=np.int8))),
                 batch_format="pyarrow", runtime_env=env)
-            agg = grouped_aggregate(tagged, ["__all"], sum_cols=sum_cols,
-                                    count_name=count_name)
+            g = tagged.groupby("__all")
+        out = g.aggregate(*[Sum(c) for c in agg_src])
 
-        def pad(batch: pa.Table, s_keys=tuple(s_keys)) -> pa.Table:
+        def unwrap(batch: pa.Table, s_keys=tuple(s_keys)) -> pa.Table:
+            cols = {k: batch.column(k) for k in s_keys}
+            for c in agg_src:
+                cols[c] = batch.column(f"sum({c})")
+            return pa.table(cols)
+
+        return out.map_batches(unwrap, batch_format="pyarrow",
+                               runtime_env=env)
+
+    out_levels = []
+    for s in sets:
+        agg = derive(list(s))
+
+        def pad(batch: pa.Table, s_keys=tuple(s)) -> pa.Table:
             cols = {}
             for k in keys:
                 cols[k] = (batch.column(k) if k in s_keys
@@ -1697,7 +1688,7 @@ def grouping_sets_aggregate(ds, keys: Sequence[str], sets: Sequence[Sequence[str
             for c in sum_cols:
                 cols[f"sum_{c}"] = batch.column(f"sum_{c}")
             if count_name:
-                cols[count_name] = batch.column(count_name)
+                cols[count_name] = batch.column(cnt)
             return pa.table(cols)
 
         out_levels.append(agg.map_batches(pad, batch_format="pyarrow",

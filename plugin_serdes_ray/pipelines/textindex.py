@@ -30,20 +30,49 @@ def _shard_of(token: str, num_shards: int) -> int:
     return zlib.crc32(token.encode()) % num_shards
 
 
-def tokenize_distinct(batch: pa.Table, column: str,
-                      id_column: str) -> pa.Table:
+def tokenize_distinct(batch: pa.Table, column: str, id_column: str,
+                      carry: dict | None = None) -> pa.Table:
     """(doc_id, token) DISTINCT pairs per document: lower + whitespace
-    split + C ``group_by`` distinct — no Python loop over rows."""
+    split + C ``group_by`` distinct — no Python loop over rows.
+
+    ``carry`` maps extra column names to per-DOCUMENT numpy arrays (aligned
+    with ``batch`` rows); each is expanded alongside the ids and kept as an
+    extra group key (functionally dependent on the id, so the distinct set
+    is unchanged)."""
     col = pc.fill_null(batch.column(column).combine_chunks(), "")
     toks_l = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
     lens = pc.list_value_length(toks_l).to_numpy(
         zero_copy_only=False).astype(np.int64)
-    ids = batch.column(id_column).combine_chunks().take(
-        pa.array(np.repeat(np.arange(len(col), dtype=np.int64), lens)))
+    rep = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+    ids = batch.column(id_column).combine_chunks().take(pa.array(rep))
     flat = pc.list_flatten(toks_l)
-    pairs = pa.table({id_column: ids, "token": flat})
+    data = {id_column: ids, "token": flat}
+    extra = []
+    for name, arr in (carry or {}).items():
+        data[name] = pa.array(np.asarray(arr)[rep])
+        extra.append(name)
+    pairs = pa.table(data)
     pairs = pairs.filter(pc.not_equal(pairs.column("token"), ""))
-    return pairs.group_by([id_column, "token"]).aggregate([])
+    return pairs.group_by([id_column, "token", *extra]).aggregate([])
+
+
+def _doc_salt(ids: pa.Array | pa.ChunkedArray, id_column: str,
+              sub_splits: int) -> np.ndarray:
+    """Per-document sub-split assignment for ANY id type. Integer ids hash
+    vectorized; other types crc32 per DOCUMENT (bounded by docs per block,
+    not postings). Null ids are rejected loudly — a null doc id would
+    corrupt the posting lists silently."""
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    if ids.null_count:
+        raise ValueError(
+            f"build_text_index: id column {id_column!r} contains "
+            f"{ids.null_count} null(s); doc ids must be non-null")
+    if pa.types.is_integer(ids.type):
+        return (ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                .astype(np.int64) % sub_splits)
+    s = ids.cast(pa.string())
+    return np.asarray([zlib.crc32(v.encode()) for v in s.to_pylist()],
+                      dtype=np.int64) % sub_splits
 
 
 def build_text_index(ds, index_dir: str, column: str = "text",
@@ -52,14 +81,24 @@ def build_text_index(ds, index_dir: str, column: str = "text",
     """One-time inverted-index build: tokenize + distinct per block, ONE
     keyed shuffle on (token-hash shard × doc-hash sub-split), one parquet
     posting file per occupied (shard, split) — atomic tmp+rename writes,
-    and an existing complete index (meta.json) is reused as-is (resume)."""
+    and an existing complete index (meta.json) is reused as-is (resume).
+
+    A missing meta.json means any shard files present are leftovers of an
+    INTERRUPTED build (possibly of a different corpus): completeness is
+    declared by meta.json alone, so stale shards are deleted up front —
+    otherwise a shard the new corpus never rewrites would survive and
+    searches would return doc ids that are not in the indexed data."""
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
         return json.load(open(meta_path))
     os.makedirs(index_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(index_dir, "shard-*.parquet*")):
+        os.remove(stale)
 
     def emit(batch: pa.Table) -> pa.Table:
-        pairs = tokenize_distinct(batch, column, id_column)
+        dsalt = _doc_salt(batch.column(id_column), id_column, sub_splits)
+        pairs = tokenize_distinct(batch, column, id_column,
+                                  carry={"__dsalt": dsalt})
         toks = pairs.column("token").combine_chunks()
         # crc32 per DISTINCT token of the block (C call each; the distinct
         # collapse above bounds the loop by block vocabulary, not text)
@@ -69,9 +108,9 @@ def build_text_index(ds, index_dir: str, column: str = "text",
                                    dtype=np.int64)
         codes = pc.fill_null(dct.indices, 0).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        salt = pairs.column(id_column).combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64) % sub_splits
-        return pairs.append_column(
+        salt = pairs.column("__dsalt").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pairs.drop_columns(["__dsalt"]).append_column(
             "__shard", pa.array(shard_of_code[codes] * sub_splits + salt))
 
     def write_shard(group: pa.Table) -> pa.Table:
@@ -96,9 +135,14 @@ def build_text_index(ds, index_dir: str, column: str = "text",
                .map_groups(write_shard, batch_format="pyarrow",
                            runtime_env=env)
                .take_all())                     # one row per (shard, split)
+    id_idx = list(ds.schema().names).index(id_column)
+    id_schema = pa.schema([pa.field(id_column, ds.schema().types[id_idx])])
     meta = {"num_shards": num_shards, "sub_splits": sub_splits,
             "postings": int(sum(r["postings"] for r in parts)),
-            "column": column, "id_column": id_column}
+            "column": column, "id_column": id_column,
+            # exact Arrow id type (hex-IPC) so empty search results carry
+            # the true schema, not a hardcoded int64
+            "id_schema_hex": id_schema.serialize().to_pybytes().hex()}
     tmp = meta_path + ".tmp"
     json.dump(meta, open(tmp, "w"))
     os.replace(tmp, meta_path)
@@ -127,8 +171,10 @@ def search_text_index(index_dir: str, tokens: list[str],
         files.extend(sorted(glob.glob(
             os.path.join(index_dir, f"shard-{s:04d}-*.parquet"))))
     if not files:
-        return ray.data.from_arrow(
-            pa.table({id_column: pa.array([], type=pa.int64())}))
+        hexs = meta.get("id_schema_hex")
+        sch = (pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(hexs)))
+               if hexs else pa.schema([pa.field(id_column, pa.int64())]))
+        return ray.data.from_arrow(sch.empty_table())
     need = len(tokens)
     tok_arr = pa.array(tokens)
 

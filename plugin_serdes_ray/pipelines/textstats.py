@@ -343,7 +343,7 @@ def vocab_top_k(ds, column: str = "text", k: int = 20,
 
 
 def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
-                    k: int = 3):
+                    k: int = 3, salt_target_bytes: int = 32 << 20):
     """Top-k terms per document by tf-idf (``tf · ln(N/df)``), composed
     from the engine's own wide ops — the canonical two-shuffle shape:
 
@@ -351,16 +351,22 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
        lives in one row, so block-local tf IS document tf);
     2. (token, df) via per-block distinct + native Sum reduce — one row
        per vocabulary token, never raw postings;
-    3. postings ⋈ df on token through :func:`relational.hash_join` (skew
-       salting handles stopword-grade hot tokens);
+    3. postings ⋈ df on token through :func:`relational.hash_join`, with
+       skew salts sized from the EXACT df counts (a stopword-grade token
+       appears in nearly every document, so its postings would otherwise
+       land on one reducer): salts = ceil(df · est_row_bytes /
+       salt_target_bytes) for the globally heaviest tokens — no sampling
+       pass, df is already the true per-token mass;
     4. :func:`relational.grouped_top_k` per document (score desc, token
        asc tiebreak).
 
     Output: (id_column, token, score) — deterministic."""
+    import math
+
     from ray.data.aggregate import Sum
 
     from ..util import package_runtime_env
-    from .relational import grouped_top_k, hash_join
+    from .relational import grouped_top_k, hash_join, top_k
 
     env = package_runtime_env()
     n_docs = ds.count()
@@ -395,8 +401,23 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
         return pa.table({"token": t.column("token"),
                          "df": t.column("sum(df_part)").cast(pa.float64())})
 
-    df = df.map_batches(df_finish, batch_format="pyarrow", runtime_env=env)
-    joined = hash_join(postings, df, key="token")
+    # materialize: df is vocabulary-sized (fixed-width rows) and consumed
+    # twice below (salt sizing + join); without this the whole tokenize
+    # lineage would re-execute per consumer
+    df = df.map_batches(df_finish, batch_format="pyarrow",
+                        runtime_env=env).materialize()
+    # hot tokens by exact document frequency; a posting row is ~48 B
+    # (doc id + token + tf), so a token with df·48 B over the target gets
+    # df·48/target salt subkeys (right side, one df row/token, replicates)
+    hot = top_k(df, "df", k=64)
+    salts = {}
+    for tok, dfv in zip(hot.column("token").to_pylist(),
+                        hot.column("df").to_pylist()) if hot.num_rows else []:
+        n = math.ceil(float(dfv) * 48.0 / max(salt_target_bytes, 1))
+        if n > 1:
+            salts[tok] = min(int(n), 4096)
+    joined = hash_join(postings, df, key="token",
+                       skew_salts=salts or None)
 
     def score(t: pa.Table) -> pa.Table:
         tf = t.column("tf").combine_chunks().to_numpy(

@@ -553,3 +553,17 @@ def test_cube_aggregate_vs_sql(ray_session, sf_dir):
                 assert abs(x - y) <= 1e-9 * max(1.0, abs(y))
             else:
                 assert x == y
+
+
+def test_grouped_stats_key_named_like_partial(ray_session):
+    """A group key whose own name ends in '_sum' must not be renamed away
+    by the partial-column suffix strip."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_stats
+
+    t = pa.table({"revenue_sum": ["a", "a", "b"], "x": [1.0, 3.0, 5.0]})
+    rows = {r["revenue_sum"]: r for r in grouped_stats(
+        ray.data.from_arrow(t), "revenue_sum", "x").take_all()}
+    assert rows["a"]["n"] == 2 and abs(rows["a"]["mean_x"] - 2.0) < 1e-12
+    assert rows["b"]["n"] == 1

@@ -42,10 +42,6 @@ def test_index_probe_reads_subset_and_resumes(ray_session, tmp_path):
                            "delta", "Alpha  beta", None]})
     idx = str(tmp_path / "tix")
     meta = build_text_index(ray.data.from_arrow(t), idx, num_shards=16)
-    n_files = len(glob.glob(os.path.join(idx, "shard-*.parquet")))
-    # probing one token must touch a strict subset of shards
-    probe = {_shard_of("alpha", meta["num_shards"])}
-    assert len(probe) < n_files
     got = sorted(r["doc_id"] for r in
                  search_text_index(idx, ["alpha", "beta"], "and").take_all())
     assert got == [0, 4]       # case-folded, multi-space, null-safe
@@ -54,7 +50,71 @@ def test_index_probe_reads_subset_and_resumes(ray_session, tmp_path):
     assert got_or == [0, 1, 2, 4]
     # unknown token -> empty AND
     assert search_text_index(idx, ["alpha", "zzz"], "and").count() == 0
+    # subset-probe proof: corrupt every shard file the query tokens do NOT
+    # hash to; the search can only succeed if it never opens them
+    probe = {_shard_of(tok, meta["num_shards"]) for tok in ("alpha", "beta")}
+    corrupted = 0
+    for f in glob.glob(os.path.join(idx, "shard-*.parquet")):
+        shard = int(os.path.basename(f).split("-")[1])
+        if shard not in probe:
+            open(f, "wb").write(b"not a parquet file")
+            corrupted += 1
+    assert corrupted > 0       # otherwise the proof below is vacuous
+    got2 = sorted(r["doc_id"] for r in
+                  search_text_index(idx, ["alpha", "beta"], "and").take_all())
+    assert got2 == [0, 4]
     # resume: rebuild over DIFFERENT data reuses the complete index as-is
     meta2 = build_text_index(
         ray.data.from_arrow(pa.table({"doc_id": [9], "text": ["x"]})), idx)
     assert meta2 == meta
+
+
+def test_stale_shards_cleared_when_meta_missing(ray_session, tmp_path):
+    """An interrupted earlier build (shard files present, no meta.json) must
+    not leak foreign postings into the new index."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textindex import (_shard_of,
+                                                       build_text_index,
+                                                       search_text_index)
+
+    idx = tmp_path / "tix"
+    idx.mkdir()
+    ghost_shard = _shard_of("ghost", 16)
+    stale = idx / f"shard-{ghost_shard:04d}-0.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array([123], type=pa.int64()),
+                             "token": ["ghost"]}), stale)
+    t = pa.table({"doc_id": [0, 1], "text": ["alpha beta", "beta"]})
+    build_text_index(ray.data.from_arrow(t), str(idx), num_shards=16)
+    # the stale posting must be gone: 'ghost' matches nothing
+    assert search_text_index(str(idx), ["ghost"], "or").count() == 0
+
+
+def test_string_ids_and_typed_empty_result(ray_session, tmp_path):
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textindex import (build_text_index,
+                                                       search_text_index)
+
+    t = pa.table({"url": ["u/a", "u/b", "u/c"],
+                  "text": ["alpha beta", "beta", "alpha"]})
+    idx = str(tmp_path / "tix_str")
+    build_text_index(ray.data.from_arrow(t), idx, column="text",
+                     id_column="url", num_shards=64, sub_splits=2)
+    got = sorted(r["url"] for r in
+                 search_text_index(idx, ["alpha", "beta"], "and").take_all())
+    assert got == ["u/a"]
+    # a token hashing to an unoccupied shard returns an EMPTY result whose
+    # id column carries the true (string) type, not a hardcoded int64
+    empty = search_text_index(idx, ["zzzz"], "and")
+    assert empty.count() == 0
+    sch = empty.schema()
+    assert sch.names == ["url"]
+    assert sch.types[0] in (pa.string(), pa.large_string())
+    # null doc ids fail loudly, never corrupt posting lists
+    bad = pa.table({"url": ["u/a", None], "text": ["alpha", "beta"]})
+    with pytest.raises(Exception, match="null"):
+        build_text_index(ray.data.from_arrow(bad),
+                         str(tmp_path / "tix_bad"), id_column="url")

@@ -104,3 +104,28 @@ def test_tfidf_top_terms_vs_sql(ray_session, sf_dir):
                 assert abs(x - y) <= 1e-9 * max(1.0, abs(y))
             else:
                 assert x == y
+
+
+def test_tfidf_salting_engages_and_matches(ray_session):
+    """With a tiny salt target the stopword-grade token actually gets salt
+    subkeys in the hash_join; results must be identical to the unsalted
+    run (replicated right side, every pair meets exactly once)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import tfidf_top_terms
+
+    texts = [f"the doc{i} unique{i} word" for i in range(40)]
+    t = pa.table({"doc_id": list(range(40)), "text": texts})
+    docs = ray.data.from_arrow(t)
+    base = pa.Table.from_pylist(
+        tfidf_top_terms(docs, k=2).take_all()).sort_by(
+        [("doc_id", "ascending"), ("token", "ascending")])
+    salted = pa.Table.from_pylist(
+        tfidf_top_terms(docs, k=2, salt_target_bytes=64).take_all()).sort_by(
+        [("doc_id", "ascending"), ("token", "ascending")])
+    assert base.num_rows == salted.num_rows == 80
+    assert base.column("token").to_pylist() == \
+        salted.column("token").to_pylist()
+    for a, b in zip(base.column("score").to_pylist(),
+                    salted.column("score").to_pylist()):
+        assert abs(a - b) < 1e-12
