@@ -888,6 +888,54 @@ def _tfidf_top_terms_documents(sf_dir: str):
         type=pa.float64()))
 
 
+def _normalize_nfc_documents(sf_dir: str):
+    """Unicode NFC canonicalization over documents.text — Arrow's C
+    utf8_normalize kernel per batch (textstats.normalize_text); the oracle
+    is DuckDB's nfc_normalize over the same rows."""
+    from plugin_serdes_ray.pipelines.textstats import normalize_text
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = ds.map_batches(lambda b: normalize_text(b, "text", form="NFC"),
+                         batch_format="pyarrow", runtime_env=_env())
+    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+
+
+def _round_vec_rows(rows, vec_key: str):
+    for r in rows:
+        r[vec_key] = [round(v, 9) for v in r[vec_key]]
+    return rows
+
+
+def _embedding_centroid_per_label(sf_dir: str):
+    """Per-label embedding centroid (the M-step of distributed k-means):
+    per-block numpy scatter-add partials, ONE shuffle of (label, sum, n)
+    rows — vectors never shuffle (pipelines/vectors.grouped_vector_mean).
+    Components rounded to 9 decimals on both sides (partial-sum order)."""
+    from plugin_serdes_ray.pipelines.vectors import grouped_vector_mean
+
+    ds = _read(sf_dir, "embeddings").select_columns(["label", "embedding"])
+    out = grouped_vector_mean(ds, "label", "embedding",
+                              out_column="centroid")
+    rows = _round_vec_rows(out.take_all(), "centroid")
+    return pa.Table.from_pylist(rows) \
+        .select(["label", "centroid", "n"]).sort_by("label")
+
+
+def _kmeans_one_iter_embeddings(sf_dir: str):
+    """One full Lloyd iteration over the embeddings table: deterministic
+    seed centroids (the 8 smallest vec_ids via shuffle-free top-k), E-step
+    as a broadcast-centroid map_batches (ray.put once, argmin per batch),
+    M-step as the partials-only grouped vector mean
+    (pipelines/vectors.kmeans_one_iter)."""
+    from plugin_serdes_ray.pipelines.vectors import kmeans_one_iter
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    out = kmeans_one_iter(ds, k=8)
+    rows = _round_vec_rows(out.take_all(), "centroid")
+    return pa.Table.from_pylist(rows) \
+        .select(["cluster", "centroid", "n"]).sort_by("cluster")
+
+
 def _keyword_search_documents(sf_dir: str):
     """Boolean keyword search via a materialized inverted index
     (pipelines/textindex.py): build hash-sharded (token, doc_id) posting
@@ -1429,6 +1477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio_documents": _repetition_ratio_documents,
         "keyword_search_documents": _keyword_search_documents,
         "tfidf_top_terms_documents": _tfidf_top_terms_documents,
+        "normalize_nfc_documents": _normalize_nfc_documents,
+        "embedding_centroid_per_label": _embedding_centroid_per_label,
+        "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         "string_agg_nations": _string_agg_nations,
         "setop_except_custkeys": lambda sf: _setop_custkeys(sf, "except"),
@@ -1833,6 +1884,48 @@ def oracle_sql() -> dict[str, str]:
                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
                 '\+\d[\d()\s.-]{6,}\d', '<PHONE>', 'g') AS text
             FROM documents ORDER BY doc_id
+        """,
+        "normalize_nfc_documents": """
+            SELECT doc_id, nfc_normalize(text) AS text
+            FROM documents ORDER BY doc_id
+        """,
+        "embedding_centroid_per_label": """
+            WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                                 unnest(embedding) AS v
+                          FROM embeddings WHERE label IS NOT NULL),
+                 means AS (SELECT label, i, avg(v) AS av
+                           FROM flat GROUP BY label, i),
+                 ns AS (SELECT label, count(*) AS n FROM embeddings
+                        WHERE embedding IS NOT NULL AND label IS NOT NULL
+                        GROUP BY label)
+            SELECT m.label::BIGINT AS label,
+                   list(round(m.av, 9) ORDER BY m.i) AS centroid, ns.n AS n
+            FROM means m JOIN ns USING (label)
+            GROUP BY m.label, ns.n ORDER BY label
+        """,
+        "kmeans_one_iter_embeddings": """
+            WITH init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                                     AS cluster,
+                                 embedding AS c
+                          FROM (SELECT * FROM embeddings
+                                ORDER BY vec_id LIMIT 8)),
+                 assign AS (SELECT e.vec_id, e.embedding, i.cluster
+                            FROM embeddings e CROSS JOIN init i
+                            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.embedding::DOUBLE[],
+                                                       i.c::DOUBLE[]),
+                                         i.cluster) = 1),
+                 flat AS (SELECT cluster, generate_subscripts(embedding, 1)
+                                     AS i,
+                                 unnest(embedding) AS v FROM assign),
+                 means AS (SELECT cluster, i, avg(v) AS av FROM flat
+                           GROUP BY cluster, i),
+                 ns AS (SELECT cluster, count(*) AS n
+                        FROM assign GROUP BY cluster)
+            SELECT m.cluster, list(round(m.av, 9) ORDER BY m.i) AS centroid,
+                   ns.n AS n
+            FROM means m JOIN ns USING (cluster)
+            GROUP BY m.cluster, ns.n ORDER BY cluster
         """,
         "tfidf_top_terms_documents": r"""
             WITH toks AS (SELECT doc_id,

@@ -265,6 +265,42 @@ def pii_redact(batch: pa.Table, column: str = "text",
     return batch.append_column(out, col)
 
 
+def normalize_text(batch: pa.Table, column: str = "text",
+                   form: str = "NFC", collapse_whitespace: bool = False,
+                   out: str | None = None) -> pa.Table:
+    """Unicode canonicalization — the first pass of any web-text pipeline
+    (mixed-provenance corpora carry both composed and decomposed
+    codepoints; dedup/tokenize must see ONE spelling).
+
+    NOT Arrow's ``utf8_normalize``: the bundled utf8proc build decomposes
+    but fails to COMPOSE (NFC of ``e + U+0301`` stays decomposed —
+    verified against CPython and DuckDB, which both compose). Instead:
+    ``unicodedata.is_normalized`` (a cheap C quick-check) gates a
+    ``unicodedata.normalize`` call per row — on real web corpora almost
+    every row is already NFC, so the hot path is the check, not the
+    rewrite. The whitespace collapse stays a vectorized RE2 kernel."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    col = batch.column(column)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vals = col.to_pylist()
+    if any(v is not None and not unicodedata.is_normalized(form, v)
+           for v in vals):
+        col = pa.array(
+            [v if v is None or unicodedata.is_normalized(form, v)
+             else unicodedata.normalize(form, v) for v in vals],
+            type=col.type)
+    if collapse_whitespace:
+        col = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(col, r"\s+", " "))
+    if out is None or out == column:
+        return batch.set_column(batch.schema.get_field_index(column),
+                                column, col)
+    return batch.append_column(out, col)
+
+
 def repetition_ratio(batch: pa.Table, column: str = "text") -> pa.Table:
     """Gopher-style repetition signal: fraction of a document's lines that
     are duplicates of an earlier line (``1 - distinct/total``). High values

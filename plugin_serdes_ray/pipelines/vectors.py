@@ -1,0 +1,171 @@
+"""Distributed dense-vector reductions over an embedding column:
+per-key centroids (the M-step of k-means) and broadcast-centroid
+assignment (the E-step), composed into one Lloyd iteration.
+
+100 TB shape: the E-step is a stateless ``map_batches`` against a
+``ray.put``-broadcast centroid matrix (shipped to each worker ONCE via the
+object store, never per batch over the wire); the M-step shuffles only
+per-block partial sums — one ``(key, d×8 B sum, count)`` row per key per
+block — never the vectors themselves. A 100 TB corpus with 1e4 blocks and
+k=1e3 clusters moves k·blocks·d·8 B ≈ d·80 GB of partials instead of
+100 TB of vectors, and the final reduce groups O(k·blocks) tiny rows.
+
+No counterpart in the reference (kestra-io/plugin-serdes is a format
+engine); these are engine-native wide ops like pipelines/ann.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import package_runtime_env, vectors_to_numpy
+
+
+def _dim_of(ds, vector_column: str) -> int:
+    sch = ds.schema()
+    t = sch.types[list(sch.names).index(vector_column)]
+    if pa.types.is_fixed_size_list(t):
+        return t.list_size
+    # list/large_list: peek one row (tiny driver read, schema-level info
+    # the lazy Dataset cannot provide for ragged list types)
+    row = ds.take(1)
+    if not row:
+        raise ValueError("cannot infer vector dim from an empty dataset")
+    return len(row[0][vector_column])
+
+
+def grouped_vector_mean(ds, by: str, vector_column: str = "embedding",
+                        out_column: str = "centroid",
+                        count_name: Optional[str] = "n"):
+    """Per-key mean vector (centroid): per-block partial (sum, count) via a
+    numpy scatter-add — no Python loop over rows, vectors never shuffle —
+    then ONE keyed shuffle of the tiny partials and an in-group reduce.
+
+    Rows with a null key or null vector are dropped (SQL AVG semantics).
+    Output: (by, out_column list<double>, count) — one row per key."""
+    dim = _dim_of(ds, vector_column)
+    env = package_runtime_env()
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(by).combine_chunks()
+        vec_col = t.column(vector_column)
+        vec_col = (vec_col.combine_chunks()
+                   if isinstance(vec_col, pa.ChunkedArray) else vec_col)
+        ok = pc.and_(pc.is_valid(keys), pc.is_valid(vec_col))
+        if not pc.all(ok).as_py():
+            t = t.filter(ok)
+            keys = t.column(by).combine_chunks()
+            vec_col = t.column(vector_column).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                by: pa.array([], type=keys.type),
+                "__vsum": pa.array([], type=pa.list_(pa.float64(), dim)),
+                "__vn": pa.array([], type=pa.int64())})
+        vecs = vectors_to_numpy(vec_col, np.float64)
+        dct = pc.dictionary_encode(keys)
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(dct.dictionary)
+        sums = np.zeros((m, dim), dtype=np.float64)
+        np.add.at(sums, codes, vecs)
+        counts = np.bincount(codes, minlength=m)
+        return pa.table({
+            by: dct.dictionary,
+            "__vsum": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.reshape(-1)), dim),
+            "__vn": pa.array(counts.astype(np.int64))})
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        sums = vectors_to_numpy(g.column("__vsum"), np.float64)
+        n = int(pc.sum(g.column("__vn")).as_py())
+        mean = sums.sum(axis=0) / n
+        cols = {by: g.column(by).slice(0, 1),
+                out_column: pa.FixedSizeListArray.from_arrays(
+                    pa.array(mean), dim)}
+        if count_name:
+            cols[count_name] = pa.array([n], type=pa.int64())
+        return pa.table(cols)
+
+    return (ds.select_columns([by, vector_column])
+              .map_batches(partial, batch_format="pyarrow", runtime_env=env)
+              .groupby(by)
+              .map_groups(reduce_group, batch_format="pyarrow",
+                          runtime_env=env))
+
+
+def kmeans_assign(ds, centroids: np.ndarray,
+                  vector_column: str = "embedding",
+                  out_column: str = "cluster"):
+    """Append the nearest-centroid index (squared-L2, lowest index wins
+    ties) to every row. The centroid matrix is ``ray.put`` ONCE and read
+    zero-copy inside each task — never re-shipped per batch. Null vectors
+    get a null assignment."""
+    import ray
+
+    c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    if c.ndim != 2:
+        raise ValueError("centroids must be a (k, d) matrix")
+    ref = ray.put(c)
+    cnorm_ref = ray.put((c * c).sum(axis=1))
+    env = package_runtime_env()
+
+    def assign(t: pa.Table) -> pa.Table:
+        cc = ray.get(ref)                   # zero-copy shared-memory read
+        cn = ray.get(cnorm_ref)
+        col = t.column(vector_column)
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            # assign valid rows; nulls keep a null cluster
+            vt = t.filter(valid)
+            vv = vectors_to_numpy(
+                vt.column(vector_column).combine_chunks(), np.float64)
+            d2 = -2.0 * (vv @ cc.T) + cn[None, :]
+            lab = np.argmin(d2, axis=1).astype(np.int64)
+            out = np.zeros(t.num_rows, dtype=np.int64)
+            vmask = valid.to_numpy(zero_copy_only=False)
+            out[vmask] = lab
+            arr = pa.array(out, mask=~vmask)
+            return t.append_column(out_column, arr)
+        vecs = vectors_to_numpy(col, np.float64)
+        # |v-c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is constant per row, so
+        # argmin needs only the last two terms
+        d2 = -2.0 * (vecs @ cc.T) + cn[None, :]
+        lab = np.argmin(d2, axis=1).astype(np.int64)
+        return t.append_column(out_column, pa.array(lab))
+
+    return ds.map_batches(assign, batch_format="pyarrow", runtime_env=env)
+
+
+def kmeans_init_first_k(ds, k: int, vector_column: str = "embedding",
+                        id_column: str = "vec_id") -> np.ndarray:
+    """Deterministic seed centroids: the k rows with the SMALLEST ids —
+    via the shuffle-free local-top-k + driver-merge path, not a global
+    sort. (Seeding quality is the caller's concern; determinism is what
+    makes the result oracle-checkable.)"""
+    from .relational import top_k
+
+    rows = top_k(ds.select_columns([id_column, vector_column]),
+                 id_column, k=k, descending=False)
+    order = pc.sort_indices(rows.column(id_column))
+    picked = rows.take(order)
+    return vectors_to_numpy(picked.column(vector_column), np.float64)
+
+
+def kmeans_one_iter(ds, k: int, vector_column: str = "embedding",
+                    id_column: str = "vec_id",
+                    centroids: Optional[np.ndarray] = None):
+    """One Lloyd iteration: broadcast-assign (E-step) + grouped vector
+    mean (M-step). Returns a Dataset of (cluster, centroid, n) — empty
+    clusters simply emit no row, like SQL GROUP BY. Run it in a driver
+    loop for full k-means; each iteration is one map pass plus one
+    partials-only shuffle."""
+    if centroids is None:
+        centroids = kmeans_init_first_k(ds, k, vector_column, id_column)
+    assigned = kmeans_assign(ds, centroids, vector_column, "cluster")
+    return grouped_vector_mean(assigned, "cluster", vector_column,
+                               out_column="centroid")

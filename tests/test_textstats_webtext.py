@@ -129,3 +129,24 @@ def test_tfidf_salting_engages_and_matches(ray_session):
     for a, b in zip(base.column("score").to_pylist(),
                     salted.column("score").to_pylist()):
         assert abs(a - b) < 1e-12
+
+
+def test_normalize_text_forms_and_whitespace():
+    from plugin_serdes_ray.pipelines.textstats import normalize_text
+
+    decomposed = "étude"            # e + combining acute
+    composed = "étude"               # é precomposed
+    t = pa.table({"text": [decomposed, composed, "  a \t b\n\nc ", None,
+                           "ﬁne"]})  # ﬁ ligature (NFKC-only)
+    nfc = normalize_text(t, "text", form="NFC").column("text").to_pylist()
+    assert nfc[0] == nfc[1] == composed
+    assert nfc[3] is None
+    assert nfc[4] == "ﬁne"           # NFC keeps the ligature
+    nfkc = normalize_text(t, "text", form="NFKC").column("text").to_pylist()
+    assert nfkc[4] == "fine"              # NFKC folds it
+    ws = normalize_text(t, "text", collapse_whitespace=True) \
+        .column("text").to_pylist()
+    assert ws[2] == "a b c"
+    import pytest
+    with pytest.raises(ValueError):
+        normalize_text(t, "text", form="XXX")

@@ -1,0 +1,86 @@
+"""Distributed vector reductions: grouped centroids, k-means E/M steps."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _mk(vals, labels, ids=None):
+    import ray.data
+
+    n = len(labels)
+    t = pa.table({
+        "vec_id": pa.array(ids if ids is not None else list(range(n)),
+                           type=pa.int64()),
+        "label": pa.array(labels),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.asarray(vals, dtype=np.float64).reshape(-1)),
+            len(vals[0]))})
+    return ray.data.from_arrow(t)
+
+
+def test_grouped_vector_mean_matches_numpy(ray_session):
+    from plugin_serdes_ray.pipelines.vectors import grouped_vector_mean
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=(50, 4))
+    labels = [i % 3 for i in range(50)]
+    ds = _mk(vals, labels).repartition(5)
+    rows = {r["label"]: r for r in
+            grouped_vector_mean(ds, "label", "embedding").take_all()}
+    for lb in range(3):
+        want = vals[np.asarray(labels) == lb].mean(axis=0)
+        got = np.asarray(rows[lb]["centroid"])
+        assert rows[lb]["n"] == sum(1 for x in labels if x == lb)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_grouped_vector_mean_drops_null_keys_and_vectors(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import grouped_vector_mean
+
+    t = pa.table({
+        "label": pa.array([0, 0, None, 1], type=pa.int64()),
+        "embedding": pa.array([[1.0, 1.0], [3.0, 3.0], [9.0, 9.0], None],
+                              type=pa.list_(pa.float64(), 2))})
+    rows = {r["label"]: r for r in grouped_vector_mean(
+        ray.data.from_arrow(t), "label", "embedding").take_all()}
+    assert set(rows) == {0}          # null key and null vector both dropped
+    assert rows[0]["n"] == 2
+    assert rows[0]["centroid"] == [2.0, 2.0]
+
+
+def test_kmeans_assign_ties_and_nulls(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import kmeans_assign
+
+    cents = np.array([[0.0, 0.0], [2.0, 0.0]])
+    t = pa.table({
+        "embedding": pa.array([[0.1, 0.0], [1.9, 0.0], [1.0, 0.0], None],
+                              type=pa.list_(pa.float64(), 2))})
+    out = kmeans_assign(ray.data.from_arrow(t), cents).take_all()
+    labs = [r["cluster"] for r in out]
+    assert labs[0] == 0 and labs[1] == 1
+    assert labs[2] == 0              # equidistant -> lowest index wins
+    assert labs[3] is None           # null vector -> null assignment
+
+
+def test_kmeans_one_iter_matches_numpy(ray_session):
+    from plugin_serdes_ray.pipelines.vectors import (kmeans_init_first_k,
+                                                     kmeans_one_iter)
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=(60, 5))
+    ds = _mk(vals, [0] * 60, ids=list(range(60))).repartition(4)
+    k = 4
+    init = kmeans_init_first_k(ds, k)
+    np.testing.assert_allclose(init, vals[:4])   # smallest ids, id order
+    rows = {r["cluster"]: r for r in kmeans_one_iter(ds, k=k).take_all()}
+    d2 = ((vals[:, None, :] - init[None, :, :]) ** 2).sum(axis=2)
+    lab = d2.argmin(axis=1)
+    for c in sorted(set(lab.tolist())):
+        want = vals[lab == c].mean(axis=0)
+        np.testing.assert_allclose(
+            np.asarray(rows[c]["centroid"]), want, rtol=1e-12)
+        assert rows[c]["n"] == int((lab == c).sum())
