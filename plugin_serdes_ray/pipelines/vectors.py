@@ -16,7 +16,7 @@ engine); these are engine-native wide ops like pipelines/ann.py.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -169,3 +169,34 @@ def kmeans_one_iter(ds, k: int, vector_column: str = "embedding",
     assigned = kmeans_assign(ds, centroids, vector_column, "cluster")
     return grouped_vector_mean(assigned, "cluster", vector_column,
                                out_column="centroid")
+
+
+def kmeans(ds, k: int, iters: int = 10, tol: float = 1e-6,
+           vector_column: str = "embedding", id_column: str = "vec_id",
+           centroids: Optional[np.ndarray] = None) -> dict:
+    """Full Lloyd k-means as a driver loop over :func:`kmeans_one_iter` —
+    per iteration: one broadcast-assign map pass over the corpus plus one
+    partials-only shuffle (O(k·blocks) rows). The driver holds only the
+    (k, d) centroid matrix; stops early when the max centroid movement
+    drops under ``tol``. An empty cluster keeps its previous centroid
+    (standard Lloyd practice; no resampling pass).
+
+    Returns {"centroids": (k, d) ndarray, "iters": int, "shift": float}.
+    Final assignments are one more :func:`kmeans_assign` away — kept out
+    of the return so callers who only need centroids never pay the pass."""
+    if centroids is None:
+        centroids = kmeans_init_first_k(ds, k, vector_column, id_column)
+    c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    shift = float("inf")
+    it = 0
+    for it in range(1, iters + 1):
+        rows = kmeans_one_iter(ds, k, vector_column, id_column,
+                               centroids=c).take_all()   # k tiny rows
+        new = c.copy()
+        for r in rows:
+            new[int(r["cluster"])] = np.asarray(r["centroid"])
+        shift = float(np.abs(new - c).max())
+        c = new
+        if shift < tol:
+            break
+    return {"centroids": c, "iters": it, "shift": shift}

@@ -84,3 +84,25 @@ def test_kmeans_one_iter_matches_numpy(ray_session):
         np.testing.assert_allclose(
             np.asarray(rows[c]["centroid"]), want, rtol=1e-12)
         assert rows[c]["n"] == int((lab == c).sum())
+
+
+def test_kmeans_loop_converges_to_separated_clusters(ray_session):
+    from plugin_serdes_ray.pipelines.vectors import kmeans, kmeans_assign
+
+    rng = np.random.default_rng(11)
+    true = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    vals = np.concatenate([true[i] + 0.1 * rng.normal(size=(30, 2))
+                           for i in range(3)])
+    # smallest-id seeds (0,1,2) all start inside the first true cluster;
+    # Lloyd must still pull two of them across to the far clusters
+    ids = list(range(90))
+    ds = _mk(vals, [0] * 90, ids=ids).repartition(4)
+    res = kmeans(ds, k=3, iters=20, tol=1e-9)
+    assert res["shift"] < 1e-9 and res["iters"] < 20   # converged early
+    # every learned centroid sits on one true center (order-free match)
+    got = res["centroids"]
+    for t in true:
+        assert np.min(np.linalg.norm(got - t, axis=1)) < 0.1
+    labs = [r["cluster"] for r in
+            kmeans_assign(ds, res["centroids"]).take_all()]
+    assert len(set(labs)) == 3
