@@ -867,6 +867,24 @@ def _repetition_ratio_documents(sf_dir: str):
         .select(["doc_id", "rep_line_ratio"]).sort_by("doc_id")
 
 
+def _unigram_logprob_documents(sf_dir: str):
+    """Per-document mean negative log-prob under the corpus-trained
+    unigram LM (textstats.unigram_logprob): postings via block-local tf,
+    global token counts via partial+Sum reduce, skew-salted hash_join,
+    per-doc weighted-mean reduce."""
+    from plugin_serdes_ray.pipelines.textstats import unigram_logprob
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = pa.Table.from_pylist(unigram_logprob(ds).take_all()) \
+        .select(["doc_id", "n_tokens", "avg_neg_logp"]).sort_by("doc_id")
+    # round the emitted float on both sides (np.log vs ln last-ulp +
+    # summation-order noise is ~1e-12 relative; 9 decimals is boundary-safe)
+    i = out.column_names.index("avg_neg_logp")
+    return out.set_column(i, "avg_neg_logp", pa.array(
+        [round(v, 9) for v in out.column("avg_neg_logp").to_pylist()],
+        type=pa.float64()))
+
+
 def _tfidf_top_terms_documents(sf_dir: str):
     """Top-3 tf-idf terms per document, composed from the engine's own
     wide ops: block-local tf counts, distinct+Sum df reduce, hash_join on
@@ -1477,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio_documents": _repetition_ratio_documents,
         "keyword_search_documents": _keyword_search_documents,
         "tfidf_top_terms_documents": _tfidf_top_terms_documents,
+        "unigram_logprob_documents": _unigram_logprob_documents,
         "normalize_nfc_documents": _normalize_nfc_documents,
         "embedding_centroid_per_label": _embedding_centroid_per_label,
         "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
@@ -1946,6 +1965,23 @@ def oracle_sql() -> dict[str, str]:
                 QUALIFY row_number() OVER (PARTITION BY tf.doc_id
                     ORDER BY score DESC, tf.token) <= 3)
             ORDER BY doc_id, score DESC, token
+        """,
+        "unigram_logprob_documents": r"""
+            WITH toks AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\s+')) AS token
+                   FROM documents),
+                 t2 AS (SELECT * FROM toks WHERE token <> ''),
+                 tf AS (SELECT doc_id, token, count(*)::DOUBLE tf
+                        FROM t2 GROUP BY 1, 2),
+                 cnt AS (SELECT token AS ctoken, count(*)::DOUBLE cnt
+                         FROM t2 GROUP BY 1),
+                 n AS (SELECT count(*)::DOUBLE n FROM t2)
+            SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+                   round(sum(tf.tf * (ln(n.n) - ln(cnt.cnt))) / sum(tf.tf),
+                         9) AS avg_neg_logp
+            FROM tf, n JOIN cnt ON tf.token = cnt.ctoken
+            GROUP BY tf.doc_id ORDER BY doc_id
         """,
         "keyword_search_documents": r"""
             SELECT doc_id FROM documents

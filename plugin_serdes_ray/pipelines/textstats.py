@@ -378,6 +378,123 @@ def vocab_top_k(ds, column: str = "text", k: int = 20,
     return cand.take(idx.slice(0, k))
 
 
+def _tf_pairs_fn(column: str, id_column: str):
+    """Batch fn: -> (id, token, tf) rows. A document lives in ONE row, so
+    block-local term frequency IS document term frequency; one C
+    ``group_by`` per block, no Python loop. Shared by tf-idf and the
+    unigram-LM scorer."""
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t.column(column).combine_chunks(), "")
+        toks_l = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        lens = pc.list_value_length(toks_l).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_column).combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(col), dtype=np.int64), lens)))
+        pairs = pa.table({id_column: ids, "token": pc.list_flatten(toks_l)})
+        pairs = pairs.filter(pc.not_equal(pairs.column("token"), ""))
+        g = pairs.group_by([id_column, "token"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([id_column, "token", "tf"])
+
+    return tf_pairs
+
+
+def _cnt_salts(counts, tokens, salt_target_bytes: int,
+               row_bytes: float = 48.0) -> dict:
+    """Skew salts from EXACT per-token posting masses (no sampling pass):
+    ceil(count · row_bytes / target) subkeys for any token over target."""
+    import math
+
+    salts = {}
+    for tok, c in zip(tokens, counts):
+        n = math.ceil(float(c) * row_bytes / max(salt_target_bytes, 1))
+        if n > 1:
+            salts[tok] = min(int(n), 4096)
+    return salts
+
+
+def unigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
+                    salt_target_bytes: int = 32 << 20):
+    """Per-document mean negative log-probability under the corpus's OWN
+    unigram language model — the classic model-based quality signal
+    (gibberish and boilerplate score far from the corpus mean; CCNet uses
+    a KenLM exactly this way, this is its unigram form trained on the fly).
+
+    Same two-shuffle shape as :func:`tfidf_top_terms`:
+
+    1. per-block (doc, token, tf) postings;
+    2. global (token, count) via per-block partials + native Sum reduce
+       (one row per vocabulary token), total N as a distributed sum;
+    3. postings ⋈ counts via :func:`relational.hash_join`, skew-salted
+       from the exact counts (count ≥ postings rows per token, so the
+       salt sizing never under-provisions a hot token);
+    4. per-doc reduce: avg_neg_logp = Σ tf·(ln N − ln cnt) / Σ tf.
+
+    Output: (id_column, n_tokens, avg_neg_logp); documents with no tokens
+    emit no row (SQL GROUP BY semantics)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import package_runtime_env
+    from .relational import hash_join, top_k
+
+    env = package_runtime_env()
+    postings = ds.select_columns([id_column, column]).map_batches(
+        _tf_pairs_fn(column, id_column), batch_format="pyarrow",
+        runtime_env=env)
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["token", "tf"]).group_by("token").aggregate(
+            [("tf", "sum")])
+        return g.rename_columns(["token", "cnt_part"])
+
+    cnt = (postings.map_batches(cnt_partial, batch_format="pyarrow",
+                                runtime_env=env)
+                   .groupby("token").aggregate(Sum("cnt_part")))
+
+    def cnt_finish(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t.column("token"),
+                         "cnt": t.column("sum(cnt_part)")
+                                 .cast(pa.float64())})
+
+    # vocabulary-sized; consumed three times (N, salts, join) — pin it
+    cnt = cnt.map_batches(cnt_finish, batch_format="pyarrow",
+                          runtime_env=env).materialize()
+    n_total = cnt.sum("cnt")
+    hot = top_k(cnt, "cnt", k=64)
+    salts = _cnt_salts(hot.column("cnt").to_pylist(),
+                       hot.column("token").to_pylist(),
+                       salt_target_bytes) if hot.num_rows else {}
+    joined = hash_join(postings, cnt, key="token",
+                       skew_salts=salts or None)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c = t.column("cnt").combine_chunks().to_numpy(zero_copy_only=False)
+        neg = tf * (np.log(float(n_total)) - np.log(c))
+        return pa.table({id_column: t.column(id_column),
+                         "__neg": pa.array(neg),
+                         "__tf": t.column("tf").cast(pa.int64())})
+
+    per_doc = (joined.map_batches(contrib, batch_format="pyarrow",
+                                  runtime_env=env)
+                     .groupby(id_column)
+                     .aggregate(Sum("__neg"), Sum("__tf")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        neg = t.column("sum(__neg)").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ntok = t.column("sum(__tf)").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({id_column: t.column(id_column),
+                         "n_tokens": pa.array(ntok.astype(np.int64)),
+                         "avg_neg_logp": pa.array(neg / ntok)})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               runtime_env=env)
+
+
 def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
                     k: int = 3, salt_target_bytes: int = 32 << 20):
     """Top-k terms per document by tf-idf (``tf · ln(N/df)``), composed
@@ -407,21 +524,9 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
     env = package_runtime_env()
     n_docs = ds.count()
 
-    def tf_pairs(t: pa.Table) -> pa.Table:
-        col = pc.fill_null(t.column(column).combine_chunks(), "")
-        toks_l = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
-        lens = pc.list_value_length(toks_l).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        ids = t.column(id_column).combine_chunks().take(
-            pa.array(np.repeat(np.arange(len(col), dtype=np.int64), lens)))
-        pairs = pa.table({id_column: ids, "token": pc.list_flatten(toks_l)})
-        pairs = pairs.filter(pc.not_equal(pairs.column("token"), ""))
-        g = pairs.group_by([id_column, "token"]).aggregate(
-            [([], "count_all")])
-        return g.rename_columns([id_column, "token", "tf"])
-
     postings = ds.select_columns([id_column, column]).map_batches(
-        tf_pairs, batch_format="pyarrow", runtime_env=env)
+        _tf_pairs_fn(column, id_column), batch_format="pyarrow",
+        runtime_env=env)
 
     def df_partial(t: pa.Table) -> pa.Table:
         # rows are already distinct (doc, token): per-block df = row count
@@ -446,12 +551,9 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
     # (doc id + token + tf), so a token with df·48 B over the target gets
     # df·48/target salt subkeys (right side, one df row/token, replicates)
     hot = top_k(df, "df", k=64)
-    salts = {}
-    for tok, dfv in zip(hot.column("token").to_pylist(),
-                        hot.column("df").to_pylist()) if hot.num_rows else []:
-        n = math.ceil(float(dfv) * 48.0 / max(salt_target_bytes, 1))
-        if n > 1:
-            salts[tok] = min(int(n), 4096)
+    salts = _cnt_salts(hot.column("df").to_pylist(),
+                       hot.column("token").to_pylist(),
+                       salt_target_bytes) if hot.num_rows else {}
     joined = hash_join(postings, df, key="token",
                        skew_salts=salts or None)
 

@@ -131,6 +131,64 @@ def test_tfidf_salting_engages_and_matches(ray_session):
         assert abs(a - b) < 1e-12
 
 
+def test_unigram_logprob_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import unigram_logprob
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = pa.Table.from_pylist(unigram_logprob(docs).take_all()) \
+        .select(["doc_id", "n_tokens", "avg_neg_logp"]).sort_by("doc_id")
+    want = duckdb.sql(rf"""
+        WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(
+                          lower(coalesce(text,'')), '\s+')) AS token
+                      FROM read_parquet('{sf_dir}/documents.parquet')),
+             t2 AS (SELECT * FROM toks WHERE token <> ''),
+             tf AS (SELECT doc_id, token, count(*)::DOUBLE tf
+                    FROM t2 GROUP BY 1, 2),
+             cnt AS (SELECT token AS ctoken, count(*)::DOUBLE cnt
+                     FROM t2 GROUP BY 1),
+             n AS (SELECT count(*)::DOUBLE n FROM t2)
+        SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+               sum(tf.tf * (ln(n.n) - ln(cnt.cnt))) / sum(tf.tf)
+                   AS avg_neg_logp
+        FROM tf, n JOIN cnt ON tf.token = cnt.ctoken
+        GROUP BY tf.doc_id ORDER BY doc_id""").arrow()
+    assert got.num_rows == want.num_rows
+    assert got.column("doc_id").to_pylist() == \
+        want.column("doc_id").to_pylist()
+    assert got.column("n_tokens").to_pylist() == \
+        want.column("n_tokens").to_pylist()
+    for x, y in zip(got.column("avg_neg_logp").to_pylist(),
+                    want.column("avg_neg_logp").to_pylist()):
+        assert abs(x - y) <= 1e-9 * max(1.0, abs(y))
+
+
+def test_unigram_logprob_salting_and_empty(ray_session):
+    """Tiny salt target forces skew salts on the hot token; scores must
+    match the unsalted run. Empty/None docs emit no row."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import unigram_logprob
+
+    texts = [f"the doc{i} word" for i in range(30)] + ["", None]
+    t = pa.table({"doc_id": list(range(32)), "text": texts})
+    docs = ray.data.from_arrow(t)
+    base = pa.Table.from_pylist(unigram_logprob(docs).take_all()) \
+        .sort_by("doc_id")
+    assert base.num_rows == 30          # empty/null docs drop
+    salted = pa.Table.from_pylist(
+        unigram_logprob(docs, salt_target_bytes=64).take_all()) \
+        .sort_by("doc_id")
+    assert base.column("doc_id").to_pylist() == \
+        salted.column("doc_id").to_pylist()
+    for a, b in zip(base.column("avg_neg_logp").to_pylist(),
+                    salted.column("avg_neg_logp").to_pylist()):
+        assert abs(a - b) < 1e-12
+
+
 def test_normalize_text_forms_and_whitespace():
     from plugin_serdes_ray.pipelines.textstats import normalize_text
 
