@@ -60,6 +60,11 @@ def _content_hash64(arr: pa.Array) -> np.ndarray:
         else:
             if isinstance(b, str):
                 b = b.encode()
+            elif not isinstance(b, (bytes, bytearray)):
+                # non-string columns (ints, floats, dates...): serialize
+                # deterministically so HLL over e.g. doc_id works without
+                # polars too
+                b = repr(b).encode()
             out[i] = np.frombuffer(hashlib.sha1(b).digest()[:8],
                                    dtype=np.uint64)[0]
     return out
@@ -460,9 +465,13 @@ def _verify_pairs_distributed(ds, column: str, id_column: str,
         side = group.column("__side").to_pylist()
         ids = group.column("__id").to_pylist()
         txts = group.column("__text").to_pylist()
+        # guard BEFORE side.index(0): a 2-row group with sides [1, 1]
+        # (duplicate doc id, missing counterpart) must drop, not raise
+        if 0 not in side or 1 not in side:
+            return empty
         a = side.index(0)
         b = 1 - a
-        if 0 not in side or 1 not in side or txts[a] is None or txts[b] is None:
+        if txts[a] is None or txts[b] is None:
             return empty
         if jaccard(txts[a], txts[b], k) >= threshold:
             return pa.table({"keep_id": pa.array([ids[a]], type=pa.int64()),

@@ -40,12 +40,14 @@ def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
         # x contributes to neither sum nor denominator)
         aggs += [(c, "count") for c in mean_cols]
         if count_name:
-            aggs.append((keys[0], "count"))
+            # count_all (not (keys[0], "count")): SQL count(*) must include
+            # rows whose first key value is NULL
+            aggs.append(([], "count_all"))
         g = batch.group_by(keys).aggregate(aggs)
         names = {f"{c}_sum": f"__s_{c}" for c in sum_all}
         names.update({f"{c}_count": f"__n_{c}" for c in mean_cols})
         if count_name:
-            names[f"{keys[0]}_count"] = "__cnt"
+            names["count_all"] = "__cnt"
         return g.rename_columns([names.get(n, n) for n in g.column_names])
 
     from ray.data.aggregate import Sum
@@ -655,8 +657,12 @@ def pivot_aggregate(ds, key, pivot_col: str, pivot_values: Sequence,
             t = t.append_column(nm, c)
         g = t.group_by(keys).aggregate([(f"__p_{nm}", "sum")
                                         for nm in pv_names.values()])
+        # strip "_sum" ONLY from the partial columns ("__p_*"); a group KEY
+        # whose own name ends in "_sum" must stay untouched (same guard as
+        # grouped_stats)
         return g.rename_columns(
-            [n[:-4] if n.endswith("_sum") else n for n in g.column_names])
+            [n[:-4] if n.startswith("__p_") and n.endswith("_sum") else n
+             for n in g.column_names])
 
     def rename(batch: pa.Table) -> pa.Table:
         cols = {k: batch.column(k) for k in keys}

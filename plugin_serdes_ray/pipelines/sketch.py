@@ -129,9 +129,12 @@ def heavy_hitters(ds, column: str, fraction: float,
 
     cand_rows = ds.map_batches(local_heavy, batch_format="pyarrow",
                                runtime_env=env).take_all()
-    # candidate set: O(blocks / fraction) values — small by construction
+    # candidate set: O(blocks / fraction) values — small by construction.
+    # NULL is a first-class candidate (SQL GROUP BY ... HAVING reports the
+    # NULL group); it is carried out-of-band because is_in can't match it.
+    null_cand = any(r["v"] is None for r in cand_rows)
     cand = sorted({r["v"] for r in cand_rows if r["v"] is not None})
-    if not cand:
+    if not cand and not null_cand:
         return pa.table({column: pa.array([]),
                          count_name: pa.array([], type=pa.int64())})
     cand_ref = ray.put(cand)
@@ -139,11 +142,20 @@ def heavy_hitters(ds, column: str, fraction: float,
     def exact_counts(batch: pa.Table) -> pa.Table:
         col = batch.column(column).combine_chunks()
         cands = ray.get(cand_ref)
-        mask = pc.is_in(col, value_set=pa.array(cands, type=col.type))
-        sub = col.filter(pc.fill_null(mask, False))
-        vc = sub.value_counts()
-        return pa.table({"v": vc.field(0),
-                         "c": vc.field(1).cast(pa.int64())})
+        if cands:
+            mask = pc.is_in(col, value_set=pa.array(cands, type=col.type))
+            sub = col.filter(pc.fill_null(mask, False))
+            vc = sub.value_counts()
+            vals, cnts = vc.field(0), vc.field(1).cast(pa.int64())
+        else:
+            vals = pa.array([], type=col.type)
+            cnts = pa.array([], type=pa.int64())
+        t = pa.table({"v": vals, "c": cnts})
+        if null_cand and col.null_count:
+            t = pa.concat_tables([t, pa.table({
+                "v": pa.array([None], type=col.type),
+                "c": pa.array([col.null_count], type=pa.int64())})])
+        return t
 
     parts = ds.map_batches(exact_counts, batch_format="pyarrow",
                            runtime_env=env).take_all()
@@ -153,7 +165,8 @@ def heavy_hitters(ds, column: str, fraction: float,
     n_rows = ds.count()   # exact total rows (metadata pass, no data scan)
     thresh = max(int(np.ceil(fraction * n_rows)), 1)
     hits = [(v, c) for v, c in totals.items() if c >= thresh]
-    hits.sort(key=lambda vc: (-vc[1], vc[0]))
+    # count desc, then value asc with NULL LAST (duckdb's default ordering)
+    hits.sort(key=lambda vc: (-vc[1], vc[0] is None, vc[0]))
     col_type = ds.schema().types[list(ds.schema().names).index(column)]
     return pa.table({
         column: pa.array([v for v, _ in hits], type=col_type),

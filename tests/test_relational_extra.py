@@ -567,3 +567,97 @@ def test_grouped_stats_key_named_like_partial(ray_session):
         ray.data.from_arrow(t), "revenue_sum", "x").take_all()}
     assert rows["a"]["n"] == 2 and abs(rows["a"]["mean_x"] - 2.0) < 1e-12
     assert rows["b"]["n"] == 1
+
+
+def test_rollup_counts_null_key_rows(ray_session):
+    """count(*) must include rows whose FIRST key value is NULL (ADVICE r3:
+    the partial used (keys[0], 'count') and undercounted null-key rows)."""
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import rollup_aggregate
+
+    t = pa.table({
+        "a": ["x", None, None, "x", None],
+        "b": ["p", "p", None, "q", "p"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    got = pa.Table.from_pylist(
+        rollup_aggregate(ray.data.from_arrow(t), ["a", "b"],
+                         sum_cols=["v"]).take_all())
+    want = duckdb.sql("""
+        SELECT a, b, sum(v) s, count(*) n FROM t
+        GROUP BY ROLLUP(a, b)""").arrow()
+    assert got.num_rows == want.num_rows
+
+    def key(a, b, s, n):
+        return (a or "", b or "", round(float(s), 9), int(n))
+
+    gset = {key(r["a"], r["b"], r["sum_v"], r["n"]) for r in got.to_pylist()}
+    wset = {key(r["a"], r["b"], r["s"], r["n"]) for r in want.to_pylist()}
+    assert gset == wset
+
+
+def test_pivot_key_named_like_partial(ray_session):
+    """A pivot group key whose own name ends in '_sum' must survive the
+    partial-column suffix strip (ADVICE r3)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import pivot_aggregate
+
+    t = pa.table({"revenue_sum": ["a", "a", "b"],
+                  "st": ["O", "F", "O"], "v": [1.0, 2.0, 4.0]})
+    got = pa.Table.from_pylist(
+        pivot_aggregate(ray.data.from_arrow(t), "revenue_sum", "st",
+                        ["O", "F"], "v").take_all()).sort_by("revenue_sum")
+    assert got.column("revenue_sum").to_pylist() == ["a", "b"]
+    assert got.column("v_O").to_pylist() == [1.0, 4.0]
+    assert got.column("v_F").to_pylist() == [2.0, 0.0]
+
+
+def test_heavy_hitters_null_group(ray_session):
+    """A NULL value above the threshold is reported as its own group, like
+    SQL GROUP BY ... HAVING (ADVICE r3: it was silently dropped)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import heavy_hitters
+
+    rows = ["hot"] * 40 + [None] * 30 + [f"c{i}" for i in range(30)]
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array(rows, type=pa.string())})).repartition(4)
+    got = heavy_hitters(ds, "v", 0.2)
+    assert got.column("v").to_pylist() == ["hot", None]
+    assert got.column("n").to_pylist() == [40, 30]
+
+
+def test_content_hash_fallback_non_string(monkeypatch):
+    """The no-polars sha1 fallback must hash ints/floats/dates, not raise
+    TypeError (ADVICE r3)."""
+    from plugin_serdes_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "_polars_available", lambda: False)
+    out = dedup._content_hash64(pa.array([1, 2, 2, None], type=pa.int64()))
+    assert out[1] == out[2] and out[0] != out[1] and out[3] == 0
+    out_f = dedup._content_hash64(pa.array([1.5, 2.5], type=pa.float64()))
+    assert out_f[0] != out_f[1]
+
+
+def test_jaccard_verify_malformed_group_drops(ray_session):
+    """Distributed pair-verify: a group with sides [1, 1] (duplicate doc id,
+    missing counterpart) must drop the pair, not raise (ADVICE r3)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import _verify_pairs_distributed
+
+    # doc 2 appears twice with id 2; doc 1 is absent entirely -> the (1, 2)
+    # pair group contains exactly two side-1 rows and no side-0 row, which
+    # used to crash side.index(0) before the guard reorder
+    t = pa.table({"doc_id": pa.array([2, 2, 3, 4], type=pa.int64()),
+                  "text": ["same text here", "same text here",
+                           "other text one", "other text two"]})
+    out = _verify_pairs_distributed(
+        ray.data.from_arrow(t), "text", "doc_id",
+        [(1, 2), (3, 4)], threshold=0.0, k=3)
+    # (1,2) dropped; (3,4) verified normally (threshold 0 accepts any pair)
+    assert list(zip(out.column("keep_id").to_pylist(),
+                    out.column("dup_id").to_pylist())) == [(3, 4)]
