@@ -186,6 +186,24 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8,
     }
 
 
+def memcpy_gbps(size_mb: int = 256, reps: int = 3) -> float:
+    """Host-weather probe: single-process memory-copy bandwidth (GB/s).
+    Recorded into every bench artifact so a regression in a future BENCH
+    file is attributable to host degradation vs code on the spot (round 3
+    cost a full re-measurement session to adjudicate exactly this)."""
+    import numpy as np
+
+    src = np.ones(size_mb * (1 << 20), dtype=np.uint8)
+    dst = np.empty_like(src)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        dt = time.perf_counter() - t0
+        best = max(best, src.nbytes / dt / 1e9)
+    return round(best, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -206,6 +224,7 @@ def main() -> None:
 
     if args.scaling:
         scaling = run_scaling(args.sf_dir)
+        scaling["memcpy_gbps"] = memcpy_gbps()
         line = {
             "metric": "webpages re-encode N-vs-4N scaling",
             "value": scaling["scaling_efficiency"],
@@ -239,6 +258,7 @@ def main() -> None:
         "num_cpus": res["num_cpus"],
         "extras": {k: v for k, v in res.items() if k not in ("plan",)},
     }
+    line["extras"]["memcpy_gbps"] = memcpy_gbps()
     print(json.dumps(line))
     ray.shutdown()
 

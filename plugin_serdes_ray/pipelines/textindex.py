@@ -87,10 +87,23 @@ def build_text_index(ds, index_dir: str, column: str = "text",
     INTERRUPTED build (possibly of a different corpus): completeness is
     declared by meta.json alone, so stale shards are deleted up front —
     otherwise a shard the new corpus never rewrites would survive and
-    searches would return doc ids that are not in the indexed data."""
+    searches would return doc ids that are not in the indexed data.
+
+    Reuse is fingerprint-checked (VERDICT r3 #3): meta.json records a
+    :func:`~plugin_serdes_ray.util.corpus_fingerprint` of the indexed
+    input + build params; a meta whose fingerprint no longer matches the
+    current corpus triggers a full rebuild instead of silently serving
+    stale postings."""
+    from ..util import corpus_fingerprint
+
+    fp = corpus_fingerprint(
+        ds, f"textindex:{column}:{id_column}:{num_shards}:{sub_splits}")
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
-        return json.load(open(meta_path))
+        meta = json.load(open(meta_path))
+        if meta.get("fingerprint") == fp:
+            return meta
+        os.remove(meta_path)   # corpus or params changed -> rebuild
     os.makedirs(index_dir, exist_ok=True)
     for stale in glob.glob(os.path.join(index_dir, "shard-*.parquet*")):
         os.remove(stale)
@@ -140,6 +153,7 @@ def build_text_index(ds, index_dir: str, column: str = "text",
     meta = {"num_shards": num_shards, "sub_splits": sub_splits,
             "postings": int(sum(r["postings"] for r in parts)),
             "column": column, "id_column": id_column,
+            "fingerprint": fp,
             # exact Arrow id type (hex-IPC) so empty search results carry
             # the true schema, not a hardcoded int64
             "id_schema_hex": id_schema.serialize().to_pybytes().hex()}

@@ -221,10 +221,14 @@ def fingerprint(batch: pa.Table, column: str = "text", k: int = 8,
             mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
         else:
             mins = hashes
-        acc = np.uint64(0)
-        for m in np.unique(mins):
-            acc ^= m * np.uint64(0x9E3779B97F4A7C15)
-        fps.append(int(acc.astype(np.int64)))
+        # vectorized xor-fold of the unique window minima; uint64 ARRAY
+        # multiply wraps silently (the scalar loop it replaces emitted a
+        # RuntimeWarning per product) and xor is order-free, so this is
+        # provably output-identical (goldens pinned in
+        # tests/test_textstats_webtext.py)
+        acc = np.bitwise_xor.reduce(
+            np.unique(mins) * np.uint64(0x9E3779B97F4A7C15))
+        fps.append(int(np.uint64(acc).astype(np.int64)))
     return batch.append_column("fingerprint", pa.array(fps, type=pa.int64()))
 
 
@@ -285,13 +289,22 @@ def normalize_text(batch: pa.Table, column: str = "text",
         raise ValueError(f"unknown normalization form {form!r}")
     col = batch.column(column)
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    vals = col.to_pylist()
-    if any(v is not None and not unicodedata.is_normalized(form, v)
-           for v in vals):
-        col = pa.array(
-            [v if v is None or unicodedata.is_normalized(form, v)
-             else unicodedata.normalize(form, v) for v in vals],
-            type=col.type)
+    # ASCII fast path: pure-ASCII text is normalized under all four forms,
+    # and most web text is ASCII — a vectorized pre-mask means the common
+    # case never boxes a single row (VERDICT r3 #4). Only the non-ASCII
+    # residue is boxed for the C is_normalized quick-check, and the full
+    # column is boxed only when a rewrite is actually required.
+    nonascii = np.flatnonzero(~pc.fill_null(
+        pc.string_is_ascii(col), True).to_numpy(zero_copy_only=False))
+    if nonascii.size:
+        sub = col.take(pa.array(nonascii)).to_pylist()
+        if any(v is not None and not unicodedata.is_normalized(form, v)
+               for v in sub):
+            vals = col.to_pylist()
+            col = pa.array(
+                [v if v is None or unicodedata.is_normalized(form, v)
+                 else unicodedata.normalize(form, v) for v in vals],
+                type=col.type)
     if collapse_whitespace:
         col = pc.utf8_trim_whitespace(
             pc.replace_substring_regex(col, r"\s+", " "))
@@ -323,6 +336,131 @@ def repetition_ratio(batch: pa.Table, column: str = "text") -> pa.Table:
         rep = np.where(lens > 0, 1.0 - dcnt / np.maximum(lens, 1), 0.0)
     return batch.append_column("rep_line_ratio",
                                pa.array(rep, type=pa.float64()))
+
+
+def gopher_signals(batch: pa.Table, column: str = "text",
+                   id_prefix: str = "") -> pa.Table:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1),
+    emitted as EXACT integer numerators/denominators so they stay robust
+    under value-hash comparison; callers derive the fractions.
+
+    Per document:
+
+    - ``total_lines`` / ``total_line_chars`` / ``dup_line_chars`` —
+      characters in line occurrences beyond the first (duplicate-line
+      char fraction's numerator);
+    - ``bullet_lines`` / ``ellipsis_lines`` — lines starting with a bullet
+      (``-``, ``*``, ``•``) / ending with ``...`` or ``…`` after
+      space+tab trim;
+    - ``word_count`` / ``symbol_count`` — whitespace words and
+      ``#``/``...``/``…`` occurrences (symbol-to-word ratio);
+    - ``dup_{2,3,4}gram_chars`` / ``tot_{2,3,4}gram_chars`` — characters
+      in duplicate word n-grams (beyond first occurrence) and in all
+      n-gram instances.
+
+    Same vectorized shape as :func:`repetition_ratio`: split kernels,
+    one C ``group_by`` per statistic, ``bincount`` scatters — no Python
+    row loop. Null documents emit all-zero rows (mirroring the oracle's
+    LEFT JOIN + COALESCE)."""
+    raw = batch.column(column).combine_chunks()
+    valid = pc.is_valid(raw).to_numpy(zero_copy_only=False)
+    col = pc.fill_null(raw, "")
+    n = len(col)
+    out_cols: dict[str, np.ndarray] = {}
+
+    # ---- line-level statistics -------------------------------------
+    lines_l = pc.split_pattern(col, "\n")
+    llens = pc.list_value_length(lines_l).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat_lines = pc.list_flatten(lines_l)
+    row_l = np.repeat(np.arange(n, dtype=np.int64), llens)
+    line_chars = pc.utf8_length(flat_lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    out_cols["total_lines"] = llens
+    out_cols["total_line_chars"] = np.bincount(
+        row_l, weights=line_chars, minlength=n).astype(np.int64)
+
+    dup_line = np.zeros(n, np.int64)
+    if len(flat_lines):
+        g = pa.table({"r": pa.array(row_l), "line": flat_lines}) \
+            .group_by(["r", "line"]).aggregate([([], "count_all")])
+        cnt = g.column("count_all").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        glen = pc.utf8_length(g.column("line").combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = g.column("r").combine_chunks().to_numpy(zero_copy_only=False)
+        dup_line = np.bincount(rows, weights=(cnt - 1) * glen,
+                               minlength=n).astype(np.int64)
+    out_cols["dup_line_chars"] = dup_line
+
+    trimmed = pc.utf8_trim(flat_lines, " \t")
+    bullet = pc.or_(pc.or_(pc.starts_with(trimmed, "-"),
+                           pc.starts_with(trimmed, "*")),
+                    pc.starts_with(trimmed, "•")) \
+        .to_numpy(zero_copy_only=False)
+    ellipsis = pc.or_(pc.ends_with(trimmed, "..."),
+                      pc.ends_with(trimmed, "…")) \
+        .to_numpy(zero_copy_only=False)
+    out_cols["bullet_lines"] = np.bincount(
+        row_l[bullet], minlength=n).astype(np.int64)
+    out_cols["ellipsis_lines"] = np.bincount(
+        row_l[ellipsis], minlength=n).astype(np.int64)
+
+    # ---- symbol-to-word -------------------------------------------
+    # non-overlapping occurrence counts — matches the oracle's
+    # length(replace(...)) arithmetic
+    sym = np.zeros(n, np.int64)
+    for pat in ("#", "...", "…"):
+        sym += pc.fill_null(pc.count_substring(col, pat), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    out_cols["symbol_count"] = sym
+
+    # ---- word n-grams ---------------------------------------------
+    toks_l = pc.split_pattern_regex(col, r"\s+")
+    tlens = pc.list_value_length(toks_l).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat_t = pc.list_flatten(toks_l)
+    row_t = np.repeat(np.arange(n, dtype=np.int64), tlens)
+    nonempty = pc.not_equal(flat_t, "").to_numpy(zero_copy_only=False)
+    flat_w = flat_t.filter(pa.array(nonempty))
+    row_w = row_t[nonempty]
+    out_cols["word_count"] = np.bincount(row_w, minlength=n).astype(np.int64)
+
+    m = len(flat_w)
+    for ng in (2, 3, 4):
+        dup = np.zeros(n, np.int64)
+        tot = np.zeros(n, np.int64)
+        if m >= ng:
+            k_ = m - ng + 1
+            parts = [flat_w.slice(i, k_) for i in range(ng)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            same_row = row_w[:k_] == row_w[ng - 1:]
+            grams = joined.filter(pa.array(same_row))
+            rows_g = row_w[:k_][same_row]
+            if len(grams):
+                g = pa.table({"r": pa.array(rows_g), "g": grams}) \
+                    .group_by(["r", "g"]).aggregate([([], "count_all")])
+                cnt = g.column("count_all").combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                glen = pc.utf8_length(
+                    g.column("g").combine_chunks()).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                rws = g.column("r").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                dup = np.bincount(rws, weights=(cnt - 1) * glen,
+                                  minlength=n).astype(np.int64)
+                tot = np.bincount(rws, weights=cnt * glen,
+                                  minlength=n).astype(np.int64)
+        out_cols[f"dup_{ng}gram_chars"] = dup
+        out_cols[f"tot_{ng}gram_chars"] = tot
+
+    out = batch
+    for name, arr in out_cols.items():
+        arr = arr.copy()
+        arr[~valid] = 0
+        out = out.append_column(id_prefix + name,
+                                pa.array(arr, type=pa.int64()))
+    return out
 
 
 def vocab_top_k(ds, column: str = "text", k: int = 20,

@@ -25,6 +25,98 @@ import pyarrow.compute as pc
 from ..util import package_runtime_env, vectors_to_numpy
 
 
+#: feature order of :class:`TextFeaturizer` — each is a plain character /
+#: token count, so an external oracle can recompute the exact same values
+FEATURE_NAMES = ("chars", "words", "digits", "upper", "lower",
+                 "newlines", "lt", "dots")
+
+
+def projection_matrix(dim: int = 8, seed: int = 7) -> np.ndarray:
+    """The seeded (8, dim) random-projection matrix TextFeaturizer uses —
+    exposed so oracle generators can inline the identical constants."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((len(FEATURE_NAMES), dim))
+
+
+def text_features(col: pa.Array) -> np.ndarray:
+    """(n, 8) float64 deterministic surface features of a text column:
+    char length, whitespace-word count, digit/upper/lower char counts,
+    newline / ``<`` / ``.`` counts. All Arrow kernels; null rows are
+    filled with zeros (callers mask them back to null)."""
+    filled = pc.fill_null(col, "")
+    n = len(filled)
+    feats = np.empty((n, len(FEATURE_NAMES)), dtype=np.float64)
+    feats[:, 0] = pc.utf8_length(filled).to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern_regex(filled, r"\s+")
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(pc.list_flatten(toks), "") \
+        .to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    feats[:, 1] = np.bincount(row_of[nonempty], minlength=n)
+    for i, pat in ((2, "[0-9]"), (3, "[A-Z]"), (4, "[a-z]")):
+        feats[:, i] = pc.count_substring_regex(filled, pat).to_numpy(
+            zero_copy_only=False)
+    for i, pat in ((5, "\n"), (6, "<"), (7, ".")):
+        feats[:, i] = pc.count_substring(filled, pat).to_numpy(
+            zero_copy_only=False)
+    return feats
+
+
+class TextFeaturizer:
+    """Text -> dense embedding actor-pool stage (the model stand-in for a
+    neural embedder at 100 TB): a seeded random projection of 8 exact
+    surface features. The projection matrix is built ONCE per actor in
+    ``__init__`` (the expensive-model-load slot); ``__call__`` is the
+    vectorized per-batch path. Use with
+    ``ds.map_batches(TextFeaturizer, concurrency=N, ...)`` or via
+    :func:`text_to_embeddings`.
+
+    The embedding is reproducible externally: component j is the
+    LEFT-TO-RIGHT sum ``f0·M[0,j] + f1·M[1,j] + …`` over
+    :data:`FEATURE_NAMES`, with ``M = projection_matrix(dim, seed)`` —
+    an oracle can inline the constants and match float64 bit-for-bit.
+    Null text rows produce a null embedding."""
+
+    def __init__(self, dim: int = 8, seed: int = 7, column: str = "text",
+                 out_column: str = "embedding"):
+        self.proj = projection_matrix(dim, seed)
+        self.dim = dim
+        self.column = column
+        self.out_column = out_column
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column(self.column)
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        f = text_features(col)
+        # left-to-right accumulation — matches the oracle SQL's
+        # left-associative `f0*m + f1*m + …` exactly (no matmul reorder)
+        emb = f[:, 0:1] * self.proj[0][None, :]
+        for i in range(1, self.proj.shape[0]):
+            emb = emb + f[:, i:i + 1] * self.proj[i][None, :]
+        flat = pa.array(emb.reshape(-1), type=pa.float64())
+        arr = pa.FixedSizeListArray.from_arrays(flat, self.dim)
+        if col.null_count:
+            mask = pc.is_null(col)
+            arr = pc.if_else(mask, pa.scalar(
+                None, type=pa.list_(pa.float64(), self.dim)), arr)
+        return t.append_column(self.out_column, arr)
+
+
+def text_to_embeddings(ds, dim: int = 8, seed: int = 7,
+                       column: str = "text", out_column: str = "embedding",
+                       concurrency=2):
+    """Run :class:`TextFeaturizer` as an actor pool over the dataset —
+    state (the projection matrix) loads once per actor, batches stream
+    through ``__call__``."""
+    return ds.map_batches(
+        TextFeaturizer, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs=dict(dim=dim, seed=seed, column=column,
+                                   out_column=out_column),
+        runtime_env=package_runtime_env())
+
+
 def _dim_of(ds, vector_column: str) -> int:
     sch = ds.schema()
     t = sch.types[list(sch.names).index(vector_column)]

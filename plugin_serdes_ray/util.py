@@ -15,6 +15,33 @@ def package_runtime_env() -> dict:
     return {"env_vars": {"PYTHONPATH": root + (os.pathsep + existing if existing else "")}}
 
 
+def corpus_fingerprint(ds, params: str = "") -> str:
+    """Cheap identity fingerprint of a Dataset's input corpus, for index
+    reuse checks (VERDICT r3 #3): the sorted input files' (name, size,
+    mtime_ns) — the same signal ``encode._fingerprint`` uses for resume —
+    hashed together with the caller's build parameters. File-less datasets
+    (from_arrow etc.) fall back to a row-count-only fingerprint, which
+    detects size changes but not same-size rewrites; materialized index
+    builders should be fed file-backed datasets for the strong check."""
+    import hashlib
+
+    parts = []
+    try:
+        for f in sorted(ds.input_files() or []):
+            try:
+                st = os.stat(f)
+                parts.append(f"{os.path.basename(f)}:{st.st_size}:"
+                             f"{st.st_mtime_ns}")
+            except OSError:
+                parts.append(f)
+    except Exception:
+        pass
+    if not parts:
+        parts = [f"rows:{ds.count()}"]
+    return hashlib.sha256(
+        ("|".join(parts) + "||" + params).encode()).hexdigest()[:16]
+
+
 def _warm_task(batch: dict) -> dict:
     """Exercise the real hot path once: synth table -> parquet -> container
     encode -> decode. Pays import, codec-context and page-pool costs."""

@@ -63,9 +63,9 @@ def test_index_probe_reads_subset_and_resumes(ray_session, tmp_path):
     got2 = sorted(r["doc_id"] for r in
                   search_text_index(idx, ["alpha", "beta"], "and").take_all())
     assert got2 == [0, 4]
-    # resume: rebuild over DIFFERENT data reuses the complete index as-is
-    meta2 = build_text_index(
-        ray.data.from_arrow(pa.table({"doc_id": [9], "text": ["x"]})), idx)
+    # resume: rebuild over the SAME corpus reuses the complete index as-is
+    # (the corrupted non-probed shards prove no rebuild touched them)
+    meta2 = build_text_index(ray.data.from_arrow(t), idx, num_shards=16)
     assert meta2 == meta
 
 
@@ -118,3 +118,77 @@ def test_string_ids_and_typed_empty_result(ray_session, tmp_path):
     with pytest.raises(Exception, match="null"):
         build_text_index(ray.data.from_arrow(bad),
                          str(tmp_path / "tix_bad"), id_column="url")
+
+
+def test_index_fingerprint_rebuild_on_corpus_change(ray_session, tmp_path):
+    """A changed corpus must trigger a full index rebuild instead of
+    silently serving stale postings (VERDICT r3 #3). File-backed datasets
+    get the strong (size+mtime) fingerprint path."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textindex import (build_text_index,
+                                                       search_text_index)
+
+    corpus = tmp_path / "docs.parquet"
+    idx = str(tmp_path / "tix")
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                             "text": ["alpha beta", "gamma"]}), corpus)
+    build_text_index(ray.data.read_parquet(str(corpus)), idx, num_shards=8)
+    assert sorted(r["doc_id"] for r in
+                  search_text_index(idx, ["alpha"], "or").take_all()) == [1]
+
+    # mutate the corpus in place: doc 1 no longer contains 'alpha'
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                             "text": ["zeta eta", "alpha theta"]}), corpus)
+    meta2 = build_text_index(ray.data.read_parquet(str(corpus)), idx,
+                             num_shards=8)
+    assert "fingerprint" in meta2
+    assert sorted(r["doc_id"] for r in
+                  search_text_index(idx, ["alpha"], "or").take_all()) == [2]
+    assert search_text_index(idx, ["beta"], "or").count() == 0
+
+
+def test_ivf_fingerprint_rebuild_and_distributed_quantizer(
+        ray_session, tmp_path):
+    """IVF meta: stale-corpus rebuild + the distributed (corpus-scale
+    Lloyd) quantizer path records its iterations and stays exact at
+    nprobe=all (VERDICT r3 #3)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.ann import (build_ivf_index, knn_brute,
+                                                 knn_ivf_index)
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((120, 8)).astype(np.float32)
+    corpus = tmp_path / "emb.parquet"
+    flat = pa.array(vecs.reshape(-1).astype(np.float64))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(120), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(flat, 8)}), corpus)
+    ds = ray.data.read_parquet(str(corpus))
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, n_clusters=4, quantizer="distributed",
+                           quantizer_iters=3)
+    assert meta["quantizer"] == "distributed"
+    assert meta["quantizer_iters"] >= 1      # the Lloyd loop really ran
+    q = vecs[:2]
+    exact = knn_brute(ds, q, k=5)
+    got = knn_ivf_index(idx, q, k=5, nprobe=4)   # nprobe=all -> exact
+    assert got.column("vec_id").to_pylist() == \
+        exact.column("vec_id").to_pylist()
+
+    # rewrite the corpus; a stale meta must NOT be reused
+    vecs2 = rng.standard_normal((60, 8)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(1000, 1060), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs2.reshape(-1).astype(np.float64)), 8)}), corpus)
+    ds2 = ray.data.read_parquet(str(corpus))
+    meta2 = build_ivf_index(ds2, idx, n_clusters=4,
+                            quantizer="distributed", quantizer_iters=3)
+    assert meta2["fingerprint"] != meta["fingerprint"]
+    got2 = knn_ivf_index(idx, vecs2[:1], k=3, nprobe=4)
+    assert all(v >= 1000 for v in got2.column("vec_id").to_pylist())

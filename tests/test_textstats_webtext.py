@@ -208,3 +208,67 @@ def test_normalize_text_forms_and_whitespace():
     import pytest
     with pytest.raises(ValueError):
         normalize_text(t, "text", form="XXX")
+
+
+def test_fingerprint_goldens_and_no_warnings():
+    """Pinned golden fingerprints: the vectorized xor-fold must be
+    output-identical to the original scalar loop, and emit no
+    RuntimeWarning (VERDICT r3 #2/#4)."""
+    import warnings
+
+    from plugin_serdes_ray.pipelines.textstats import fingerprint
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+             "short", "", None,
+             "Szia világ! Unicode ✓ teszt szöveg, hosszabb mint a k ablak."]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = fingerprint(t).column("fingerprint").to_pylist()
+    assert got == [3552706457285291290, -2270066260617185072, 2401800354,
+                   0, 0, -3075871091645813566]
+
+
+def test_normalize_ascii_fast_path_mixed_batch():
+    """A batch mixing ASCII, decomposed, and already-NFC rows normalizes
+    identically through the vectorized ASCII pre-mask (VERDICT r3 #5)."""
+    import unicodedata
+
+    from plugin_serdes_ray.pipelines.textstats import normalize_text
+
+    decomposed = "étude"
+    t = pa.table({"text": ["plain ascii", decomposed, "étude", None,
+                           "more ascii rows", "ascii + café"]})
+    out = normalize_text(t, "text", form="NFC").column("text").to_pylist()
+    assert out[0] == "plain ascii"
+    assert out[1] == out[2] == unicodedata.normalize("NFC", decomposed)
+    assert out[3] is None
+    assert out[5] == "ascii + café"
+    # pure-ASCII batch: identity (fast path returns the column untouched)
+    t2 = pa.table({"text": ["abc", "def", None]})
+    assert normalize_text(t2, "text", form="NFKD") \
+        .column("text").to_pylist() == ["abc", "def", None]
+
+
+def test_gopher_signals_small_cases():
+    from plugin_serdes_ray.pipelines.textstats import gopher_signals
+
+    t = pa.table({"text": [
+        "a b\na b\nc",              # duplicate line 'a b' (3 chars)
+        "- item one\n* item two\nplain...",
+        "w x w x w x",              # heavy 2-gram repetition
+        None, ""]})
+    g = gopher_signals(t)
+    assert g.column("total_lines").to_pylist() == [3, 3, 1, 0, 1]
+    assert g.column("dup_line_chars").to_pylist()[0] == 3
+    assert g.column("bullet_lines").to_pylist()[1] == 2
+    assert g.column("ellipsis_lines").to_pylist()[1] == 1
+    assert g.column("word_count").to_pylist() == [5, 7, 6, 0, 0]
+    # 'w x w x w x': 2-grams = [w x, x w, w x, x w, w x] -> dup chars =
+    # (3-1)*3 + (2-1)*3 = 9; total = 5*3 = 15
+    assert g.column("dup_2gram_chars").to_pylist()[2] == 9
+    assert g.column("tot_2gram_chars").to_pylist()[2] == 15
+    # null row is all zeros
+    assert all(g.column(c).to_pylist()[3] == 0 for c in g.column_names
+               if c != "text")

@@ -106,3 +106,43 @@ def test_kmeans_loop_converges_to_separated_clusters(ray_session):
     labs = [r["cluster"] for r in
             kmeans_assign(ds, res["centroids"]).take_all()]
     assert len(set(labs)) == 3
+
+
+def test_text_featurizer_deterministic_and_null_safe(ray_session):
+    """TextFeaturizer: seeded projection is reproducible across actors,
+    null text -> null embedding, and the chain into kmeans_assign runs
+    end-to-end (VERDICT r3 #8)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import (TextFeaturizer,
+                                                     kmeans_assign,
+                                                     projection_matrix,
+                                                     text_features,
+                                                     text_to_embeddings)
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["Hello World 123.", None,
+                           "<html>A page</html>", "hello world 123."]})
+    out1 = TextFeaturizer()(t)
+    out2 = TextFeaturizer()(t)          # fresh actor state, same seed
+    assert out1.column("embedding").to_pylist() == \
+        out2.column("embedding").to_pylist()
+    assert out1.column("embedding").to_pylist()[1] is None
+
+    # embedding == features @ projection (same left-to-right order)
+    f = text_features(t.column("text").combine_chunks())
+    M = projection_matrix()
+    emb = f[:, 0:1] * M[0][None, :]
+    for i in range(1, 8):
+        emb = emb + f[:, i:i + 1] * M[i][None, :]
+    got0 = np.asarray(out1.column("embedding").to_pylist()[0])
+    assert np.array_equal(got0, emb[0])
+
+    # end-to-end actor-pool chain: featurize -> assign
+    ds = ray.data.from_arrow(t)
+    emb_ds = text_to_embeddings(ds, concurrency=2)
+    cen = np.random.RandomState(11).standard_normal((3, 8)) * 50.0
+    rows = {r["doc_id"]: r["cluster"]
+            for r in kmeans_assign(emb_ds, cen).take_all()}
+    assert rows[2] is None              # null text -> null cluster
+    assert all(rows[i] in (0, 1, 2) for i in (1, 3, 4))
