@@ -337,7 +337,8 @@ def _textstats_tokens(sf_dir: str):
     from plugin_serdes_ray.pipelines.textstats import token_counts
 
     ds = _read(sf_dir, "documents")
-    out = ds.map_batches(lambda b: token_counts(b), batch_format="pyarrow", runtime_env=_env())
+    out = ds.map_batches(lambda b: token_counts(b, bpe=False),
+                         batch_format="pyarrow", runtime_env=_env())
     rows = out.take_all()
     return pa.table({
         "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
@@ -918,25 +919,36 @@ def _normalize_nfc_documents(sf_dir: str):
     return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
 
 
-def _round_vec_rows(rows, vec_key: str):
-    for r in rows:
-        r[vec_key] = [round(v, 9) for v in r[vec_key]]
-    return rows
+def _vec_rows_long(rows, key: str, vec_key: str):
+    """(key, vector, n) rows -> long-format (key, i, v, n) table. A LIST
+    column cannot survive a sort-all-columns compare (pyarrow refuses to
+    sort nested types), so vector-valued queries emit one row per
+    component — same information, driver-sortable schema."""
+    keys, idxs, vals, ns = [], [], [], []
+    for r in sorted(rows, key=lambda r: r[key]):
+        for i, v in enumerate(r[vec_key]):
+            keys.append(r[key])
+            idxs.append(i)
+            vals.append(round(v, 9))
+            ns.append(r["n"])
+    return pa.table({key: pa.array(keys, type=pa.int64()),
+                     "i": pa.array(idxs, type=pa.int64()),
+                     "v": pa.array(vals, type=pa.float64()),
+                     "n": pa.array(ns, type=pa.int64())})
 
 
 def _embedding_centroid_per_label(sf_dir: str):
     """Per-label embedding centroid (the M-step of distributed k-means):
     per-block numpy scatter-add partials, ONE shuffle of (label, sum, n)
     rows — vectors never shuffle (pipelines/vectors.grouped_vector_mean).
-    Components rounded to 9 decimals on both sides (partial-sum order)."""
+    Long format (label, i, v, n); components rounded to 9 decimals on
+    both sides (partial-sum order)."""
     from plugin_serdes_ray.pipelines.vectors import grouped_vector_mean
 
     ds = _read(sf_dir, "embeddings").select_columns(["label", "embedding"])
     out = grouped_vector_mean(ds, "label", "embedding",
                               out_column="centroid")
-    rows = _round_vec_rows(out.take_all(), "centroid")
-    return pa.Table.from_pylist(rows) \
-        .select(["label", "centroid", "n"]).sort_by("label")
+    return _vec_rows_long(out.take_all(), "label", "centroid")
 
 
 def _kmeans_one_iter_embeddings(sf_dir: str):
@@ -944,14 +956,12 @@ def _kmeans_one_iter_embeddings(sf_dir: str):
     seed centroids (the 8 smallest vec_ids via shuffle-free top-k), E-step
     as a broadcast-centroid map_batches (ray.put once, argmin per batch),
     M-step as the partials-only grouped vector mean
-    (pipelines/vectors.kmeans_one_iter)."""
+    (pipelines/vectors.kmeans_one_iter). Long format (cluster, i, v, n)."""
     from plugin_serdes_ray.pipelines.vectors import kmeans_one_iter
 
     ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
     out = kmeans_one_iter(ds, k=8)
-    rows = _round_vec_rows(out.take_all(), "centroid")
-    return pa.Table.from_pylist(rows) \
-        .select(["cluster", "centroid", "n"]).sort_by("cluster")
+    return _vec_rows_long(out.take_all(), "cluster", "centroid")
 
 
 def _keyword_search_documents(sf_dir: str):
@@ -1411,6 +1421,323 @@ def _heavy_hitter_langs(sf_dir: str):
     return heavy_hitters(docs, "lang", 0.05)
 
 
+# ---------------------------------------------------------------------------
+# round-4 consolidated queries. The driver records only the FIRST ~50
+# registry entries (r3 recorded 50 of 83, leaving the newest operators
+# without official rows — VERDICT r3 #1), so related operators are merged
+# into union-tagged / chained queries and the registry is capped at 50
+# entries covering every operator family; the legacy per-operator entries
+# follow after position 50 for transparency.
+# ---------------------------------------------------------------------------
+
+
+def _gopher_signals_documents(sf_dir: str):
+    """Gopher repetition/quality signals (textstats.gopher_signals): exact
+    integer numerators/denominators for dup-line chars, dup word-n-gram
+    chars (n=2..4), bullet/ellipsis lines, symbol-to-word — all derived
+    with split kernels + C group_by + bincount, SQL-recomputable via
+    unnest."""
+    from plugin_serdes_ray.pipelines.textstats import gopher_signals
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: gopher_signals(b).drop_columns(["text"]),
+        batch_format="pyarrow", runtime_env=_env())
+    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+
+
+def _text_embed_centroids() -> np.ndarray:
+    # fixed seeded centroids so the oracle can inline the same constants
+    return np.random.RandomState(11).standard_normal((3, 8)) * 50.0
+
+
+def _text_embed_cluster(sf_dir: str):
+    """Model-stand-in embedding chain (VERDICT r3 #8): TextFeaturizer
+    actor pool (seeded projection built once per actor in __init__) ->
+    kmeans_assign against broadcast fixed centroids -> (doc_id, cluster).
+    The projection + centroid constants are inlined into the oracle SQL,
+    which recomputes the same features/embedding/argmin."""
+    from plugin_serdes_ray.pipelines.vectors import (kmeans_assign,
+                                                     text_to_embeddings)
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    emb = text_to_embeddings(ds, concurrency=2)
+    out = kmeans_assign(emb, _text_embed_centroids(), out_column="cluster")
+    rows = out.select_columns(["doc_id", "cluster"]).take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "cluster": pa.array([r["cluster"] for r in rows], type=pa.int64()),
+    }).sort_by("doc_id")
+
+
+def _text_embed_cluster_oracle() -> str:
+    """Generate the chain oracle with the SAME seeded constants the Ray
+    stages use (float64 repr round-trips exactly)."""
+    from plugin_serdes_ray.pipelines.vectors import (FEATURE_NAMES,
+                                                     projection_matrix)
+
+    M = projection_matrix()
+    C = _text_embed_centroids()
+    feat_sql = {
+        "chars": "CAST(length(text) AS DOUBLE)",
+        "words": "CAST(len(list_filter(regexp_split_to_array(text, "
+                 r"'\s+'), x -> x <> '')) AS DOUBLE)",
+        "digits": "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) "
+                  "AS DOUBLE)",
+        "upper": "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) "
+                 "AS DOUBLE)",
+        "lower": "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) "
+                 "AS DOUBLE)",
+        "newlines": "CAST(length(text) - length(replace(text, chr(10), "
+                    "'')) AS DOUBLE)",
+        "lt": "CAST(length(text) - length(replace(text, '<', '')) "
+              "AS DOUBLE)",
+        "dots": "CAST(length(text) - length(replace(text, '.', '')) "
+                "AS DOUBLE)",
+    }
+    embs = ", ".join(
+        "(" + " + ".join(f"({feat_sql[f]}) * ({M[i][j]!r})"
+                         for i, f in enumerate(FEATURE_NAMES)) + f") AS e{j}"
+        for j in range(8))
+    dists = ", ".join(
+        "(" + " + ".join(f"(e{j} - ({C[c][j]!r})) * (e{j} - ({C[c][j]!r}))"
+                         for j in range(8)) + f") AS d{c}"
+        for c in range(3))
+    return f"""
+        WITH e AS (SELECT doc_id, {embs} FROM documents),
+             d AS (SELECT doc_id, {dists} FROM e)
+        SELECT doc_id,
+               CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+                    WHEN d1 <= d2 THEN 1 ELSE 2 END AS cluster
+        FROM d ORDER BY doc_id
+    """
+
+
+def _ann_top10(sf_dir: str):
+    """ANN family in one row: exact brute-force cosine top-10 ('brute')
+    UNION the materialized-inverted-list IVF at nprobe=n_clusters ('ivf',
+    exact by construction), the IVF coarse quantizer trained with the
+    DISTRIBUTED corpus-scale Lloyd loop (VERDICT r3 #3). Both engines
+    share the brute-force oracle SQL (tagged twice)."""
+    from plugin_serdes_ray.pipelines.ann import knn_ivf
+
+    brute = _ann_brute(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
+        .sort_by("vec_id")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = t.column("vec_id").to_pylist()
+    idx = _cache_dir(sf_dir, "ivf_index_dist")
+    ivf = knn_ivf(_read(sf_dir, "embeddings"), vecs[:3], query_ids=ids[:3],
+                  k=10, n_clusters=8, nprobe=8, index_dir=idx,
+                  quantizer="distributed").select(["query_id", "vec_id"])
+    brute = brute.add_column(0, "engine",
+                             pa.array(["brute"] * brute.num_rows))
+    ivf = ivf.add_column(0, "engine", pa.array(["ivf"] * ivf.num_rows))
+    return pa.concat_tables([brute, ivf])
+
+
+def _vocab_documents(sf_dir: str):
+    """Vocabulary top-20 by term frequency ('tf') and by document
+    frequency ('df') union-tagged into one row (textstats.vocab_top_k,
+    both modes)."""
+    tf = _vocab_topk(sf_dir, False)
+    df = _vocab_topk(sf_dir, True)
+    tf = tf.add_column(0, "which", pa.array(["tf"] * tf.num_rows))
+    df = df.add_column(0, "which", pa.array(["df"] * df.num_rows))
+    return pa.concat_tables([tf, df])
+
+
+def _textstats_scalars(sf_dir: str):
+    """Token counting + quality-length scalars in one pass chain
+    (textstats.token_counts -> textstats.quality_scores)."""
+    from plugin_serdes_ray.pipelines.textstats import (quality_scores,
+                                                       token_counts)
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = (ds.map_batches(lambda b: token_counts(b, bpe=False),
+                          batch_format="pyarrow", runtime_env=_env())
+             .map_batches(lambda b: quality_scores(b),
+                          batch_format="pyarrow", runtime_env=_env()))
+    rows = out.select_columns(["doc_id", "ws_tokens", "q_length"]).take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "ws_tokens": pa.array([r["ws_tokens"] for r in rows],
+                              type=pa.int64()),
+        "q_length": pa.array([r["q_length"] for r in rows],
+                             type=pa.int64()),
+    }).sort_by("doc_id")
+
+
+def _quantiles_lineitem_all(sf_dir: str):
+    """Exact quantiles, discrete (order statistic) AND interpolated
+    (PERCENTILE_CONT), union-tagged — both via the shared two-pass
+    histogram-locate machinery (relational.exact_quantiles[_cont])."""
+    from plugin_serdes_ray.pipelines.relational import (exact_quantiles,
+                                                        exact_quantiles_cont)
+
+    ds = _read(sf_dir, "lineitem").select_columns(["l_extendedprice"])
+    disc = exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.9])
+    cont = exact_quantiles_cont(ds, "l_extendedprice", [0.25, 0.5, 0.9])
+    kinds, qs, vals = [], [], []
+    for kind, res in (("disc", disc), ("cont", cont)):
+        for q in sorted(res):
+            kinds.append(kind)
+            qs.append(q)
+            vals.append(res[q])
+    return pa.table({"kind": pa.array(kinds, type=pa.string()),
+                     "q": pa.array(qs, type=pa.float64()),
+                     "value": pa.array(vals, type=pa.float64())})
+
+
+def _setops_custkeys(sf_dir: str):
+    """EXCEPT and INTERSECT union-tagged into one row (relational.set_op,
+    both ops over the same inputs)."""
+    ex = _setop_custkeys(sf_dir, "except")
+    it = _setop_custkeys(sf_dir, "intersect")
+    ex = ex.add_column(0, "op", pa.array(["except"] * ex.num_rows))
+    it = it.add_column(0, "op", pa.array(["intersect"] * it.num_rows))
+    return pa.concat_tables([ex, it])
+
+
+def _semi_anti_orders(sf_dir: str):
+    """LEFT SEMI and LEFT ANTI union-tagged into one row
+    (relational.semi_join, both modes)."""
+    s = _semi_join_orders(sf_dir)
+    a = _semi_join_orders(sf_dir, anti=True)
+    s = s.add_column(0, "side", pa.array(["semi"] * s.num_rows))
+    a = a.add_column(0, "side", pa.array(["anti"] * a.num_rows))
+    return pa.concat_tables([s, a])
+
+
+def _serde_step(tbl: pa.Table, d: str, fmt: str, schema) -> pa.Table:
+    """One write+read hop through a serde format, re-coerced to ``schema``
+    (the scalar-conversion layer every hop must survive)."""
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+
+    path = os.path.join(d, f"chain.{fmt}")
+    if fmt == "yaml":
+        from plugin_serdes_ray.sinks.yaml_ import table_to_yaml_bytes
+        from plugin_serdes_ray.sources.yaml_ import read_yaml_table
+        open(path, "wb").write(table_to_yaml_bytes(tbl))
+        back = read_yaml_table(path)
+    elif fmt == "xml":
+        from plugin_serdes_ray.sinks.xml_ import table_to_xml_bytes
+        from plugin_serdes_ray.sources.xml_ import read_xml_table
+        open(path, "wb").write(table_to_xml_bytes(tbl))
+        back = read_xml_table(path)
+    elif fmt == "toon":
+        from plugin_serdes_ray.functions import toon
+        text = toon.encode({"rows": tbl.to_pylist()})
+        open(path, "w").write(text)
+        back = pa.Table.from_pylist(toon.decode(text)["rows"])
+    elif fmt == "xlsx":
+        from plugin_serdes_ray.sinks.excel_ import tables_to_xlsx_bytes
+        from plugin_serdes_ray.sources.excel_ import read_excel_tables
+        open(path, "wb").write(tables_to_xlsx_bytes({"Sheet1": tbl}))
+        back = read_excel_tables(path)["Sheet1"]
+    elif fmt == "avro":
+        from plugin_serdes_ray.sinks.avro_ import table_to_avro_bytes
+        from plugin_serdes_ray.sources.avro_ import read_avro_table
+        open(path, "wb").write(table_to_avro_bytes(tbl))
+        back = read_avro_table(path)
+    elif fmt == "orc":
+        from plugin_serdes_ray.sinks.orc_ import table_to_orc_bytes
+        from plugin_serdes_ray.sources.orc_ import read_orc_table
+        open(path, "wb").write(table_to_orc_bytes(tbl))
+        back = read_orc_table(path)
+    elif fmt == "feather":
+        from plugin_serdes_ray.sinks.feather_ import table_to_feather_bytes
+        from plugin_serdes_ray.sources.feather_ import read_feather_table
+        open(path, "wb").write(table_to_feather_bytes(tbl))
+        back = read_feather_table(path)
+    else:
+        raise ValueError(fmt)
+    return coerce_table(back, schema, CoerceOptions(on_bad_lines="ERROR"))
+
+
+def _serde_chain_region(sf_dir: str) -> pa.Table:
+    """One chained row covering the YAML/JSON/JSONL/XML/TOON surface and
+    BOTH bridge directions: region ->(IonToYaml) yaml ->(YamlToJson) json
+    ->(JsonToJsonl) jsonl ->(JsonToIon) table ->(IonToXml/XmlToIon) table
+    ->(IonToJson) json ->(JsonToYaml/YamlToIon) table ->(JsonToToon/
+    ToonToJson) table. Any broken hop breaks the SELECT * hash."""
+    import json
+
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+    from plugin_serdes_ray.sinks.json_ import table_to_json_bytes
+    from plugin_serdes_ray.sinks.yaml_ import (json_to_yaml_bytes,
+                                               table_to_yaml_bytes)
+    from plugin_serdes_ray.sources.json_ import (json_to_jsonl_bytes,
+                                                 read_json_table)
+    from plugin_serdes_ray.sources.yaml_ import (parse_yaml_bytes,
+                                                 yaml_to_json_bytes)
+
+    src = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    d = _cache_dir(sf_dir, "serde_chain_region")
+    co = CoerceOptions(on_bad_lines="ERROR")
+    # yaml -> json (bridge) -> jsonl (bridge) -> table
+    y1 = table_to_yaml_bytes(src)
+    j1 = yaml_to_json_bytes(y1, newline_delimited=False)
+    jl = json_to_jsonl_bytes(j1)
+    p = os.path.join(d, "chain.jsonl")
+    open(p, "wb").write(jl)
+    t1 = coerce_table(read_json_table(p), src.schema, co)
+    # xml hop
+    t2 = _serde_step(t1, d, "xml", src.schema)
+    # json -> yaml (reverse bridge) -> table
+    j2 = table_to_json_bytes(t2)
+    y2 = json_to_yaml_bytes(j2)
+    t3 = coerce_table(pa.Table.from_pylist(parse_yaml_bytes(y2)),
+                      src.schema, co)
+    # toon hop
+    t4 = _serde_step(t3, d, "toon", src.schema)
+    # a plain yaml write+read hop (IonToYaml/YamlToIon without the bridge)
+    t5 = _serde_step(t4, d, "yaml", src.schema)
+    # JSON.dumps->array form of JsonToIon (whole-file array mode)
+    doc = json.dumps(t5.to_pylist()).encode()
+    p2 = os.path.join(d, "chain_arr.jsonl")
+    open(p2, "wb").write(json_to_jsonl_bytes(doc))
+    return coerce_table(read_json_table(p2), src.schema, co)
+
+
+def _serde_chain_nation(sf_dir: str) -> pa.Table:
+    """Excel + schema inference in one chained row: nation ->(IonToExcel)
+    xlsx ->(ExcelToIon) table -> untyped JSON rows -> DISTRIBUTED
+    partial/merge schema inference (InferAvroSchemaFromIon) -> the
+    inferred schema must exactly recover the source types -> coerce."""
+    import json
+
+    import ray.data
+
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
+    from plugin_serdes_ray.functions.infer import infer_schema_dataset
+    from plugin_serdes_ray.sinks.json_ import table_to_json_bytes
+
+    src = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    d = _cache_dir(sf_dir, "serde_chain_nation")
+    t1 = _serde_step(src, d, "xlsx", src.schema)
+    rows = [json.loads(line) for line in
+            table_to_json_bytes(t1).decode().splitlines() if line]
+    ds = ray.data.from_items(rows)
+    schema = infer_schema_dataset(ds, infer_all_fields=True)
+    if {f.name: str(f.type) for f in schema} != \
+            {f.name: str(f.type) for f in src.schema}:
+        raise ValueError(f"inferred {schema} != source {src.schema}")
+    raw = pa.Table.from_pylist(rows)
+    return coerce_table(raw, schema, CoerceOptions(on_bad_lines="ERROR"))
+
+
+def _serde_chain_supplier(sf_dir: str) -> pa.Table:
+    """Avro + ORC + Feather in one chained row: supplier ->(IonToAvro/
+    AvroToIon) ->(ORC write/read) ->(Feather write/read), each hop
+    re-coerced through the scalar layer."""
+    src = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+    d = _cache_dir(sf_dir, "serde_chain_supplier")
+    t1 = _serde_step(src, d, "avro", src.schema)
+    t2 = _serde_step(t1, d, "orc", src.schema)
+    return _serde_step(t2, d, "feather", src.schema)
+
+
 def entry() -> Any:
     """Flagship: generate the sf0.001 webpages corpus, run the two-pass
     codec-auto-selected re-encode, return the decoded Dataset."""
@@ -1424,102 +1751,128 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
-        # container engine round trips
-        "roundtrip_lineitem": lambda sf: _roundtrip(sf, "lineitem"),
-        "roundtrip_orders": lambda sf: _roundtrip(sf, "orders"),
-        "roundtrip_documents": lambda sf: _roundtrip(sf, "documents"),
-        "roundtrip_events": lambda sf: _roundtrip(sf, "events"),
-        "roundtrip_customer": lambda sf: _roundtrip(sf, "customer"),
-        "roundtrip_orders_filtered": lambda sf: _roundtrip_filtered(
-            sf, "orders", ("o_totalprice", ">=", 300000.0)),
-        # serde format round trips
-        "csv_roundtrip_customer": lambda sf: _serde_roundtrip(sf, "customer", "csv"),
-        "csv_roundtrip_orders": lambda sf: _serde_roundtrip(sf, "orders", "csv"),
-        "jsonl_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "jsonl"),
-        "yaml_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "yaml"),
-        "xml_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "xml"),
-        "avro_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "avro"),
-        "xlsx_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "xlsx"),
-        "toon_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "toon"),
-        "protobuf_roundtrip_supplier": lambda sf: _protobuf_roundtrip(sf, "supplier"),
-        "orc_roundtrip_part": lambda sf: _serde_roundtrip(sf, "part", "orc"),
-        "feather_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "feather"),
-        "jsonl_bridge_region": lambda sf: _jsonl_bridge(sf, "region"),
-        "yaml_json_bridge_nation": lambda sf: _yaml_json_bridge(sf, "nation"),
-        "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
-        "convert_fleet_orders": lambda sf: _convert_fleet(sf, "orders"),
-        # dedup family
+    """Registry order matters: the driver records only the FIRST ~50
+    entries into CORRECTNESS_r{N}.json (r3 cut off at 50 of 83). The
+    first block is exactly 50 entries — one per operator family, newest /
+    riskiest first, with related operators consolidated into union-tagged
+    or chained queries (VERDICT r3 #1). The legacy per-operator entries
+    follow for transparency; each is also covered by pytest."""
+    first_50 = {
+        # --- new this round ---
+        "gopher_signals_documents": _gopher_signals_documents,
+        "text_embed_cluster": _text_embed_cluster,
+        # --- LLM-pipeline wave (unrecorded in r3's driver file) ---
+        "ann_top10": _ann_top10,
+        "tfidf_top_terms_documents": _tfidf_top_terms_documents,
+        "unigram_logprob_documents": _unigram_logprob_documents,
+        "keyword_search_documents": _keyword_search_documents,
+        "normalize_nfc_documents": _normalize_nfc_documents,
+        "vocab_documents": _vocab_documents,
+        "pii_redact_documents": _pii_redact_documents,
+        "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
+        "textstats_scalars": _textstats_scalars,
+        "doc_fingerprints": _fingerprints,
+        # --- wide-op wave ---
+        "cube_lineitem": _cube_lineitem,
+        "quantiles_lineitem_all": _quantiles_lineitem_all,
+        "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
+        "grouped_stats_lineitem": _grouped_stats_lineitem,
+        "grouped_topk_orders": _grouped_topk_orders,
+        "string_agg_nations": _string_agg_nations,
+        "setops_custkeys": _setops_custkeys,
+        "events_props_extract": _events_props_extract,
+        "events_overlapping_windows": _events_overlapping_windows,
+        "user_sessions_30m": _sessions,
+        "window_orders_per_customer": _window_orders,
+        "pivot_lineitem_status": _pivot_lineitem,
+        "approx_distinct_documents": _approx_distinct,
+        "heavy_hitter_langs": _heavy_hitter_langs,
+        "agg_lineitem_q1": _agg_lineitem,
+        "full_join_customer_orders": _full_join_customer_orders,
+        "multikey_join_lineitem": _multikey_join_lineitem,
+        "semi_anti_join_orders": _semi_anti_orders,
+        "asof_left_join_last_error": _asof_left_join_last_error,
+        # --- document transforms + multimodal ---
+        "html_extract_text": _html_to_text,
+        "markdown_roundtrip_documents": _markdown_roundtrip,
+        "multimodal_audio_stats": _multimodal_audio_stats,
+        "video_frame_chain": _video_frame_chain,
+        "grouped_reencode_documents": _grouped_reencode_documents,
+        # --- dedup family + stratified sampling ---
         "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
         "dedup_simhash_documents": _dedup_simhash,
         "dedup_jaccard_exact": _dedup_jaccard_exact,
         "dedup_embedding": _dedup_embedding,
         "sample_documents_per_lang": _sample_documents,
+        # --- container engine + serde surface (chained) ---
+        "roundtrip_lineitem": lambda sf: _roundtrip(sf, "lineitem"),
+        "roundtrip_orders_filtered": lambda sf: _roundtrip_filtered(
+            sf, "orders", ("o_totalprice", ">=", 300000.0)),
+        "csv_roundtrip_orders": lambda sf: _serde_roundtrip(
+            sf, "orders", "csv"),
+        "serde_chain_region": _serde_chain_region,
+        "serde_chain_nation": _serde_chain_nation,
+        "serde_chain_supplier": _serde_chain_supplier,
+        "protobuf_roundtrip_supplier": lambda sf: _protobuf_roundtrip(
+            sf, "supplier"),
+        "convert_fleet_orders": lambda sf: _convert_fleet(sf, "orders"),
+    }
+    assert len(first_50) == 50, len(first_50)
+    legacy = {
+        # container engine round trips
+        "roundtrip_orders": lambda sf: _roundtrip(sf, "orders"),
+        "roundtrip_documents": lambda sf: _roundtrip(sf, "documents"),
+        "roundtrip_events": lambda sf: _roundtrip(sf, "events"),
+        "roundtrip_customer": lambda sf: _roundtrip(sf, "customer"),
+        # serde format round trips
+        "csv_roundtrip_customer": lambda sf: _serde_roundtrip(sf, "customer", "csv"),
+        "jsonl_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "jsonl"),
+        "yaml_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "yaml"),
+        "xml_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "xml"),
+        "avro_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "avro"),
+        "xlsx_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "xlsx"),
+        "toon_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "toon"),
+        "orc_roundtrip_part": lambda sf: _serde_roundtrip(sf, "part", "orc"),
+        "feather_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "feather"),
+        "jsonl_bridge_region": lambda sf: _jsonl_bridge(sf, "region"),
+        "yaml_json_bridge_nation": lambda sf: _yaml_json_bridge(sf, "nation"),
+        "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
         # similarity search
         "ann_brute_top10": _ann_brute,
         "ann_ivf_top10": _ann_ivf,
         # text analysis
         "textstats_tokens": _textstats_tokens,
         "textstats_len": _textstats_len,
-        "doc_fingerprints": _fingerprints,
         # wide ops
-        "agg_lineitem_q1": _agg_lineitem,
         "agg_events_by_type": _agg_events,
         "lang_counts": _lang_counts,
         "join_orders_mktsegment": _join_orders_mktsegment,
         "hash_join_orders_customer": _hash_join_orders,
         "left_join_customer_orders": _left_join_customer_orders,
-        "full_join_customer_orders": _full_join_customer_orders,
-        "multikey_join_lineitem": _multikey_join_lineitem,
         "semi_join_orders_automobile": lambda sf: _semi_join_orders(sf),
         "anti_join_orders_automobile": lambda sf: _semi_join_orders(sf, anti=True),
-        "window_orders_per_customer": _window_orders,
         "rollup_lineitem": _rollup_lineitem,
-        "pivot_lineitem_status": _pivot_lineitem,
-        "approx_distinct_documents": _approx_distinct,
-        "heavy_hitter_langs": _heavy_hitter_langs,
         "asof_join_last_error": _asof_last_error,
-        "asof_left_join_last_error": _asof_left_join_last_error,
         "events_in_sessions": _events_in_sessions,
-        "events_overlapping_windows": _events_overlapping_windows,
         "events_hourly": _events_hourly,
         "events_sliding_30m": _events_sliding,
-        "user_sessions_30m": _sessions,
         "topk_orders": _topk_orders,
-        "grouped_topk_orders": _grouped_topk_orders,
-        "grouped_stats_lineitem": _grouped_stats_lineitem,
-        "vocab_topk_documents": lambda sf: _vocab_topk(sf, False),
-        "vocab_df_documents": lambda sf: _vocab_topk(sf, True),
-        "pii_redact_documents": _pii_redact_documents,
-        "repetition_ratio_documents": _repetition_ratio_documents,
-        "keyword_search_documents": _keyword_search_documents,
-        "tfidf_top_terms_documents": _tfidf_top_terms_documents,
-        "unigram_logprob_documents": _unigram_logprob_documents,
-        "normalize_nfc_documents": _normalize_nfc_documents,
-        "embedding_centroid_per_label": _embedding_centroid_per_label,
-        "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
-        "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
-        "string_agg_nations": _string_agg_nations,
+        "distinct_counts": _distinct_counts,
+        "quantiles_lineitem": _quantiles_lineitem,
+        "quantiles_cont_lineitem": _quantiles_cont_lineitem,
         "setop_except_custkeys": lambda sf: _setop_custkeys(sf, "except"),
         "setop_intersect_custkeys": lambda sf: _setop_custkeys(sf,
                                                                "intersect"),
-        "distinct_counts": _distinct_counts,
-        "events_props_extract": _events_props_extract,
-        "quantiles_lineitem": _quantiles_lineitem,
-        "quantiles_cont_lineitem": _quantiles_cont_lineitem,
-        "cube_lineitem": _cube_lineitem,
-        # document transforms (html/markdown chains over documents.text)
-        "html_extract_text": _html_to_text,
-        "markdown_roundtrip_documents": _markdown_roundtrip,
+        "vocab_topk_documents": lambda sf: _vocab_topk(sf, False),
+        "vocab_df_documents": lambda sf: _vocab_topk(sf, True),
+        "repetition_ratio_documents": _repetition_ratio_documents,
+        "embedding_centroid_per_label": _embedding_centroid_per_label,
         # multimodal actor-pool stages (REAL stdlib BMP/PPM/WAV kernels)
         "multimodal_image_features": _multimodal_features,
-        "multimodal_audio_stats": _multimodal_audio_stats,
         "multimodal_video_stats": _multimodal_video_stats,
-        "video_frame_chain": _video_frame_chain,
-        # north-rule grouped re-encode (salted groupby-lang -> container)
-        "grouped_reencode_documents": _grouped_reencode_documents,
     }
+    return {**first_50, **legacy}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1908,6 +2261,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, nfc_normalize(text) AS text
             FROM documents ORDER BY doc_id
         """,
+        # long-format (key, i, v, n): a list column cannot survive a
+        # sort-all-columns value compare, so centroids emit per-component
         "embedding_centroid_per_label": """
             WITH flat AS (SELECT label, generate_subscripts(embedding, 1) AS i,
                                  unnest(embedding) AS v
@@ -1917,10 +2272,10 @@ def oracle_sql() -> dict[str, str]:
                  ns AS (SELECT label, count(*) AS n FROM embeddings
                         WHERE embedding IS NOT NULL AND label IS NOT NULL
                         GROUP BY label)
-            SELECT m.label::BIGINT AS label,
-                   list(round(m.av, 9) ORDER BY m.i) AS centroid, ns.n AS n
+            SELECT m.label::BIGINT AS label, CAST(m.i - 1 AS BIGINT) AS i,
+                   round(m.av, 9) AS v, ns.n AS n
             FROM means m JOIN ns USING (label)
-            GROUP BY m.label, ns.n ORDER BY label
+            ORDER BY label, i
         """,
         "kmeans_one_iter_embeddings": """
             WITH init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
@@ -1941,10 +2296,11 @@ def oracle_sql() -> dict[str, str]:
                            GROUP BY cluster, i),
                  ns AS (SELECT cluster, count(*) AS n
                         FROM assign GROUP BY cluster)
-            SELECT m.cluster, list(round(m.av, 9) ORDER BY m.i) AS centroid,
+            SELECT m.cluster::BIGINT AS cluster,
+                   CAST(m.i - 1 AS BIGINT) AS i, round(m.av, 9) AS v,
                    ns.n AS n
             FROM means m JOIN ns USING (cluster)
-            GROUP BY m.cluster, ns.n ORDER BY cluster
+            ORDER BY cluster, i
         """,
         "tfidf_top_terms_documents": r"""
             WITH toks AS (SELECT doc_id,
@@ -2000,6 +2356,183 @@ def oracle_sql() -> dict[str, str]:
                              AS line
                   FROM documents)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # --- round-4 consolidated queries ---
+        "serde_chain_region": "SELECT * FROM region",
+        "serde_chain_nation": "SELECT * FROM nation",
+        "serde_chain_supplier": "SELECT * FROM supplier",
+        "text_embed_cluster": _text_embed_cluster_oracle(),
+        "gopher_signals_documents": r"""
+            WITH d AS (SELECT doc_id, text FROM documents),
+            l AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS line
+                  FROM d),
+            lstat AS (
+              SELECT doc_id,
+                     count(*) AS total_lines,
+                     sum(length(line)) AS total_line_chars,
+                     sum(CASE WHEN trim(line, ' ' || chr(9)) LIKE '-%'
+                               OR trim(line, ' ' || chr(9)) LIKE '*%'
+                               OR trim(line, ' ' || chr(9)) LIKE '•%'
+                         THEN 1 ELSE 0 END) AS bullet_lines,
+                     sum(CASE WHEN trim(line, ' ' || chr(9)) LIKE '%...'
+                               OR trim(line, ' ' || chr(9)) LIKE '%…'
+                         THEN 1 ELSE 0 END) AS ellipsis_lines
+              FROM l GROUP BY doc_id),
+            ldup AS (
+              SELECT doc_id, sum((c - 1) * length(line)) AS dup_line_chars
+              FROM (SELECT doc_id, line, count(*) c FROM l
+                    GROUP BY doc_id, line)
+              WHERE c > 1 GROUP BY doc_id),
+            w AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '') AS ws FROM d),
+            sym AS (
+              SELECT doc_id,
+                     (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) / 3
+                     + (length(text) - length(replace(text, '…', '')))
+                         AS symbol_count
+              FROM d),
+            g2 AS (SELECT doc_id,
+                          array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                         FROM w)),
+            g3 AS (SELECT doc_id,
+                          array_to_string(list_slice(ws, i, i + 2), ' ') AS g
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1))
+                             AS i FROM w)),
+            g4 AS (SELECT doc_id,
+                          array_to_string(list_slice(ws, i, i + 3), ' ') AS g
+                   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 2))
+                             AS i FROM w)),
+            g2s AS (SELECT doc_id,
+                           sum(CASE WHEN c > 1 THEN (c - 1) * length(g)
+                               ELSE 0 END) AS dup_2gram_chars,
+                           sum(c * length(g)) AS tot_2gram_chars
+                    FROM (SELECT doc_id, g, count(*) c FROM g2
+                          GROUP BY doc_id, g) GROUP BY doc_id),
+            g3s AS (SELECT doc_id,
+                           sum(CASE WHEN c > 1 THEN (c - 1) * length(g)
+                               ELSE 0 END) AS dup_3gram_chars,
+                           sum(c * length(g)) AS tot_3gram_chars
+                    FROM (SELECT doc_id, g, count(*) c FROM g3
+                          GROUP BY doc_id, g) GROUP BY doc_id),
+            g4s AS (SELECT doc_id,
+                           sum(CASE WHEN c > 1 THEN (c - 1) * length(g)
+                               ELSE 0 END) AS dup_4gram_chars,
+                           sum(c * length(g)) AS tot_4gram_chars
+                    FROM (SELECT doc_id, g, count(*) c FROM g4
+                          GROUP BY doc_id, g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(lstat.total_lines, 0) AS BIGINT)
+                       AS total_lines,
+                   CAST(COALESCE(lstat.total_line_chars, 0) AS BIGINT)
+                       AS total_line_chars,
+                   CAST(COALESCE(ldup.dup_line_chars, 0) AS BIGINT)
+                       AS dup_line_chars,
+                   CAST(COALESCE(lstat.bullet_lines, 0) AS BIGINT)
+                       AS bullet_lines,
+                   CAST(COALESCE(lstat.ellipsis_lines, 0) AS BIGINT)
+                       AS ellipsis_lines,
+                   CAST(COALESCE(sym.symbol_count, 0) AS BIGINT)
+                       AS symbol_count,
+                   CAST(COALESCE(len(w.ws), 0) AS BIGINT) AS word_count,
+                   CAST(COALESCE(g2s.dup_2gram_chars, 0) AS BIGINT)
+                       AS dup_2gram_chars,
+                   CAST(COALESCE(g2s.tot_2gram_chars, 0) AS BIGINT)
+                       AS tot_2gram_chars,
+                   CAST(COALESCE(g3s.dup_3gram_chars, 0) AS BIGINT)
+                       AS dup_3gram_chars,
+                   CAST(COALESCE(g3s.tot_3gram_chars, 0) AS BIGINT)
+                       AS tot_3gram_chars,
+                   CAST(COALESCE(g4s.dup_4gram_chars, 0) AS BIGINT)
+                       AS dup_4gram_chars,
+                   CAST(COALESCE(g4s.tot_4gram_chars, 0) AS BIGINT)
+                       AS tot_4gram_chars
+            FROM d LEFT JOIN lstat USING (doc_id)
+                   LEFT JOIN ldup USING (doc_id)
+                   LEFT JOIN w USING (doc_id)
+                   LEFT JOIN sym USING (doc_id)
+                   LEFT JOIN g2s USING (doc_id)
+                   LEFT JOIN g3s USING (doc_id)
+                   LEFT JOIN g4s USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "ann_top10": """
+            WITH topk AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+              FROM embeddings q CROSS JOIN embeddings e
+              WHERE q.vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT 3)
+              QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                             DESC,
+                         e.vec_id) <= 10)
+            SELECT 'brute' AS engine, query_id, vec_id FROM topk
+            UNION ALL
+            SELECT 'ivf', query_id, vec_id FROM topk
+        """,
+        "vocab_documents": r"""
+            (SELECT 'tf' AS which, token, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+')) AS token
+                FROM documents)
+             WHERE token <> '' GROUP BY token
+             ORDER BY cnt DESC, token LIMIT 20)
+            UNION ALL
+            (SELECT 'df', token, count(DISTINCT doc_id)::BIGINT AS cnt FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+')) AS token
+                FROM documents)
+             WHERE token <> '' GROUP BY token
+             ORDER BY cnt DESC, token LIMIT 20)
+        """,
+        "textstats_scalars": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                     AS BIGINT) AS ws_tokens,
+                   CAST(length(text) AS BIGINT) AS q_length
+            FROM documents ORDER BY doc_id
+        """,
+        "quantiles_lineitem_all": """
+            SELECT 'disc' AS kind, CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(l_extendedprice, 0.25) AS value
+            FROM lineitem
+            UNION ALL SELECT 'disc', CAST(0.5 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL SELECT 'disc', CAST(0.9 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.9) FROM lineitem
+            UNION ALL SELECT 'cont', CAST(0.25 AS DOUBLE),
+                   quantile_cont(l_extendedprice, 0.25) FROM lineitem
+            UNION ALL SELECT 'cont', CAST(0.5 AS DOUBLE),
+                   quantile_cont(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL SELECT 'cont', CAST(0.9 AS DOUBLE),
+                   quantile_cont(l_extendedprice, 0.9) FROM lineitem
+        """,
+        "setops_custkeys": """
+            SELECT 'except' AS op, c_custkey FROM (
+                SELECT c_custkey FROM customer
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)
+            UNION ALL
+            SELECT 'intersect', c_custkey FROM (
+                SELECT c_custkey FROM customer
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)
+        """,
+        "semi_anti_join_orders": """
+            SELECT 'semi' AS side, o_orderkey, o_custkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'AUTOMOBILE')
+            UNION ALL
+            SELECT 'anti', o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_mktsegment = 'AUTOMOBILE')
         """,
     }
     return {**rt, **serde, **rest}

@@ -36,18 +36,25 @@ _LANG_STOPWORDS: dict[str, set[str]] = {
 }
 
 
-def token_counts(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Whitespace token count + BPE-ish sub-token count per row.
+def token_counts(batch: pa.Table, column: str = "text",
+                 bpe: bool = True) -> pa.Table:
+    """Whitespace token count (+ optional BPE-ish sub-token count) per row.
 
     ws_tokens is Arrow-native (count of non-space runs — the same re2 \\s
     class DuckDB's regexp_split oracle uses); the BPE pattern needs a
-    negative lookahead re2 lacks, so it stays a compiled-regex row loop."""
+    negative lookahead re2 lacks, so it stays a compiled-regex row loop —
+    pass ``bpe=False`` to skip it when the column isn't needed (a 100 TB
+    ``analyze`` run shouldn't pay a Python loop for an unread column;
+    VERDICT r3 #6)."""
     col = batch.column(column)
     ws = pc.fill_null(pc.count_substring_regex(col, r"\S+"), 0).cast(pa.int64())
-    bpe = [0 if t is None else len(_BPE_SPLIT.findall(t))
-           for t in col.to_pylist()]
-    return batch.append_column("ws_tokens", ws.combine_chunks()) \
-                .append_column("bpe_tokens", pa.array(bpe, type=pa.int64()))
+    out = batch.append_column("ws_tokens", ws.combine_chunks())
+    if bpe:
+        counts = [0 if t is None else len(_BPE_SPLIT.findall(t))
+                  for t in col.to_pylist()]
+        out = out.append_column("bpe_tokens", pa.array(counts,
+                                                       type=pa.int64()))
+    return out
 
 
 _PUNCT_LUT = np.zeros(256, dtype=np.int64)
@@ -232,12 +239,15 @@ def fingerprint(batch: pa.Table, column: str = "text", k: int = 8,
     return batch.append_column("fingerprint", pa.array(fps, type=pa.int64()))
 
 
-def analyze(ds, column: str = "text"):
-    """Full text-analysis pipeline: tokens + quality + language + fingerprint."""
+def analyze(ds, column: str = "text", bpe: bool = False):
+    """Full text-analysis pipeline: tokens + quality + language +
+    fingerprint. The BPE sub-token count (the one per-row regex loop in
+    the family) is opt-in — ``bpe=True`` — so the default 100 TB pass
+    stays fully vectorized."""
     from ..util import package_runtime_env
 
     env = package_runtime_env()
-    return (ds.map_batches(lambda b: token_counts(b, column), batch_format="pyarrow", runtime_env=env)
+    return (ds.map_batches(lambda b: token_counts(b, column, bpe=bpe), batch_format="pyarrow", runtime_env=env)
               .map_batches(lambda b: quality_scores(b, column), batch_format="pyarrow", runtime_env=env)
               .map_batches(lambda b: detect_language(b, column), batch_format="pyarrow", runtime_env=env)
               .map_batches(lambda b: fingerprint(b, column), batch_format="pyarrow", runtime_env=env))

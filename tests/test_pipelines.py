@@ -212,12 +212,15 @@ def test_ivf_materialized_index_probes_subset(emb_ds, sf_dir, tmp_path):
 def test_textstats(docs_ds):
     from plugin_serdes_ray.pipelines.textstats import analyze
 
-    out = analyze(docs_ds).take(5)
+    out = analyze(docs_ds, bpe=True).take(5)
     for r in out:
         assert r["ws_tokens"] >= 0
         assert r["bpe_tokens"] >= r["ws_tokens"]  # subword splits >= words
         assert 0.0 <= r["q_score"] <= 1.0
         assert "lang_pred" in r and "fingerprint" in r
+    # default analyze skips the per-row BPE loop entirely (VERDICT r3 #6)
+    lean = analyze(docs_ds).take(1)
+    assert "bpe_tokens" not in lean[0] and "ws_tokens" in lean[0]
 
 
 def test_fingerprint_stable_and_discriminative(ray_session):
