@@ -1299,12 +1299,14 @@ def _events_overlapping_windows(sf_dir: str):
     })
 
 
-def _semi_join_orders(sf_dir: str, anti: bool = False):
+def _semi_join_orders(sf_dir: str, anti: bool = False, bloom: bool = False):
     """LEFT SEMI / ANTI join: orders whose customer is (not) in the
     AUTOMOBILE segment. The right side ships only distinct key tuples
     through the one keyed shuffle (plugin_serdes_ray/pipelines/
-    relational.py::semi_join)."""
-    from plugin_serdes_ray.pipelines.relational import semi_join
+    relational.py::semi_join); ``bloom=True`` routes through the
+    Bloom-prefiltered variant (relational.py::bloom_semi_join)."""
+    from plugin_serdes_ray.pipelines.relational import (bloom_semi_join,
+                                                        semi_join)
 
     orders = _read(sf_dir, "orders").select_columns(
         ["o_orderkey", "o_custkey"])
@@ -1317,8 +1319,13 @@ def _semi_join_orders(sf_dir: str, anti: bool = False):
     cust = _read(sf_dir, "customer").map_batches(
         auto, batch_format="pyarrow", runtime_env=_env()).select_columns(
         ["c_custkey"])
-    out = semi_join(orders, cust, key="o_custkey", right_key="c_custkey",
-                    anti=anti)
+    if bloom:
+        out = bloom_semi_join(orders, cust, "o_custkey",
+                              right_key="c_custkey", anti=anti,
+                              bits=1 << 16)
+    else:
+        out = semi_join(orders, cust, key="o_custkey",
+                        right_key="c_custkey", anti=anti)
     rows = out.take_all()
     return pa.table({
         "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=pa.int64()),
@@ -1600,13 +1607,21 @@ def _setops_custkeys(sf_dir: str):
 
 
 def _semi_anti_orders(sf_dir: str):
-    """LEFT SEMI and LEFT ANTI union-tagged into one row
-    (relational.semi_join, both modes)."""
+    """LEFT SEMI and LEFT ANTI union-tagged, each computed twice: the exact
+    one-shuffle path (relational.semi_join) and the Bloom-prefiltered path
+    (relational.bloom_semi_join — right keys folded into a distributed
+    OR-reduced bitmap, broadcast once, misses resolved map-only so only
+    bloom hits reach the exact shuffle). Both must agree with the same SQL
+    EXISTS / NOT EXISTS oracle."""
     s = _semi_join_orders(sf_dir)
     a = _semi_join_orders(sf_dir, anti=True)
-    s = s.add_column(0, "side", pa.array(["semi"] * s.num_rows))
-    a = a.add_column(0, "side", pa.array(["anti"] * a.num_rows))
-    return pa.concat_tables([s, a])
+    bs = _semi_join_orders(sf_dir, bloom=True)
+    ba = _semi_join_orders(sf_dir, anti=True, bloom=True)
+    out = []
+    for tag, t in [("semi", s), ("anti", a),
+                   ("bloom_semi", bs), ("bloom_anti", ba)]:
+        out.append(t.add_column(0, "side", pa.array([tag] * t.num_rows)))
+    return pa.concat_tables(out)
 
 
 def _serde_step(tbl: pa.Table, d: str, fmt: str, schema) -> pa.Table:
@@ -2524,15 +2539,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)
         """,
         "semi_anti_join_orders": """
-            SELECT 'semi' AS side, o_orderkey, o_custkey FROM orders o
-            WHERE EXISTS (SELECT 1 FROM customer c
-                          WHERE c.c_custkey = o.o_custkey
-                            AND c.c_mktsegment = 'AUTOMOBILE')
-            UNION ALL
-            SELECT 'anti', o_orderkey, o_custkey FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM customer c
+            WITH s AS (
+                SELECT o_orderkey, o_custkey FROM orders o
+                WHERE EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey
-                                AND c.c_mktsegment = 'AUTOMOBILE')
+                                AND c.c_mktsegment = 'AUTOMOBILE')),
+            a AS (
+                SELECT o_orderkey, o_custkey FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey
+                                    AND c.c_mktsegment = 'AUTOMOBILE'))
+            SELECT 'semi' AS side, * FROM s
+            UNION ALL SELECT 'anti', * FROM a
+            UNION ALL SELECT 'bloom_semi', * FROM s
+            UNION ALL SELECT 'bloom_anti', * FROM a
         """,
     }
     return {**rt, **serde, **rest}

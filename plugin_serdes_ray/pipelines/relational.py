@@ -363,6 +363,52 @@ def hash_join(left, right, key, right_key=None,
                         runtime_env=package_runtime_env()))
 
 
+def _key_as_str(col) -> pa.Array:
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    s = col.cast(pa.string()) if not pa.types.is_string(col.type) else col
+    return pc.fill_null(s, "null")
+
+
+def _key_join(t: pa.Table, names: list) -> pa.Array:
+    """Composite key tuple -> one string per row (routing only — consumers
+    re-check actual values inside the group, so '#' in a string key can at
+    worst co-locate two distinct tuples, never merge them)."""
+    parts = [_key_as_str(t.column(k)) for k in names]
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "#")
+
+
+def _keys_valid(t: pa.Table, names: list) -> pa.Array:
+    m = pc.is_valid(t.column(names[0]))
+    for k in names[1:]:
+        m = pc.and_(m, pc.is_valid(t.column(k)))
+    return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+
+
+def _cast_key_table(kt: pa.Table, keys: list, l_types: dict) -> pa.Table:
+    """Cast right-side key columns to the left key types; values the left
+    type cannot represent can never match and are dropped (integer-range
+    filter, sign-flip safe via max/min of both bounds)."""
+    for lk in keys:
+        c = kt.column(lk).combine_chunks()
+        if c.type != l_types[lk]:
+            try:
+                c = c.cast(l_types[lk])
+            except pa.ArrowInvalid:
+                rb, tb = _int_bounds(c.type), _int_bounds(l_types[lk])
+                if rb is None or tb is None:
+                    raise
+                lo, hi = max(rb[0], tb[0]), min(rb[1], tb[1])
+                keep = pc.and_(
+                    pc.greater_equal(c, pa.scalar(lo, c.type)),
+                    pc.less_equal(c, pa.scalar(hi, c.type)))
+                kt = kt.filter(pc.fill_null(keep, False))
+                c = kt.column(lk).combine_chunks().cast(l_types[lk])
+        kt = kt.set_column(kt.schema.get_field_index(lk), lk, c)
+    return kt
+
+
 def semi_join(left, right, key, right_key=None, anti: bool = False):
     """Distributed LEFT SEMI (``EXISTS``) / LEFT ANTI (``NOT EXISTS``) join
     with ONE keyed shuffle where the right side ships ONLY its distinct key
@@ -385,23 +431,7 @@ def semi_join(left, right, key, right_key=None, anti: bool = False):
     l_schema = left.schema()
     l_names = list(l_schema.names)
     l_types = {nm: t for nm, t in zip(l_schema.names, l_schema.types)}
-
-    def _as_str(col) -> pa.Array:
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        s = col.cast(pa.string()) if not pa.types.is_string(col.type) else col
-        return pc.fill_null(s, "null")
-
-    def _jk(t: pa.Table, names: list) -> pa.Array:
-        parts = [_as_str(t.column(k)) for k in names]
-        if len(parts) == 1:
-            return parts[0]
-        return pc.binary_join_element_wise(*parts, "#")
-
-    def _valid(t: pa.Table, names: list) -> pa.Array:
-        m = pc.is_valid(t.column(names[0]))
-        for k in names[1:]:
-            m = pc.and_(m, pc.is_valid(t.column(k)))
-        return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+    _jk, _valid = _key_join, _keys_valid
 
     def pad_left(batch: pa.Table) -> pa.Table:
         valid = _valid(batch, keys)
@@ -423,23 +453,7 @@ def semi_join(left, right, key, right_key=None, anti: bool = False):
         # and cast to the left key types so both sides group identically
         batch = batch.filter(_valid(batch, right_keys))
         kt = batch.select(right_keys).rename_columns(keys)
-        for lk in keys:
-            c = kt.column(lk).combine_chunks()
-            if c.type != l_types[lk]:
-                try:
-                    c = c.cast(l_types[lk])
-                except pa.ArrowInvalid:
-                    # keys the left type cannot represent can never match
-                    rb, tb = _int_bounds(c.type), _int_bounds(l_types[lk])
-                    if rb is None or tb is None:
-                        raise
-                    lo, hi = max(rb[0], tb[0]), min(rb[1], tb[1])
-                    keep = pc.and_(
-                        pc.greater_equal(c, pa.scalar(lo, c.type)),
-                        pc.less_equal(c, pa.scalar(hi, c.type)))
-                    kt = kt.filter(pc.fill_null(keep, False))
-                    c = kt.column(lk).combine_chunks().cast(l_types[lk])
-            kt = kt.set_column(kt.schema.get_field_index(lk), lk, c)
+        kt = _cast_key_table(kt, keys, l_types)
         kt = kt.group_by(keys).aggregate([])     # per-block distinct
         cols = {nm: (kt.column(nm) if nm in keys
                      else pa.nulls(kt.num_rows, l_types[nm]))
@@ -491,6 +505,112 @@ def anti_join(left, right, key, right_key=None):
     """``NOT EXISTS`` counterpart of :func:`semi_join` (see null semantics
     there)."""
     return semi_join(left, right, key, right_key=right_key, anti=True)
+
+
+_BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_indices(base: np.ndarray, num_hashes: int, mask: int):
+    """Double-hashing index family over a base 64-bit hash: idx_i =
+    (h1 + i*h2) & mask, h2 forced odd so the probe sequence never
+    degenerates (mask is 2^b - 1)."""
+    with np.errstate(over="ignore"):
+        h2 = ((base * _BLOOM_C1) >> np.uint64(1)) | np.uint64(1)
+        for i in range(num_hashes):
+            yield ((base + np.uint64(i) * h2) & np.uint64(mask))
+
+
+def bloom_semi_join(left, right, key, right_key=None, *, anti: bool = False,
+                    bits: int = 1 << 23, num_hashes: int = 4):
+    """Bloom-prefiltered LEFT SEMI / LEFT ANTI join — exact results, but the
+    keyed shuffle only ever sees left rows whose key HITS a Bloom filter of
+    the right side's keys.
+
+    Scale shape (the point of the operator): on a 100 TB left side where
+    only a sliver matches, :func:`semi_join` still shuffles every left row
+    once. Here the right side is folded map-side into per-block bitmap
+    partials (``bits/8`` bytes each, fixed width — never the keys
+    themselves), OR-reduced in a 64-ary distributed tree (log64(blocks)
+    map-only levels, no node ever holds more than 64 partials), and the
+    final bitmap is ``ray.put`` once. The left probe is then a map-only
+    vectorized bit test:
+
+    - SEMI: bloom misses are *definitely* non-matching -> dropped map-only;
+      only the hits (matches + false positives) continue into the exact
+      :func:`semi_join` shuffle.
+    - ANTI: bloom misses (and null-key rows, which never match) are
+      *definite keeps* emitted map-only; only the hits go through the exact
+      :func:`anti_join`, and the two streams union.
+
+    The false-positive rate (~(1-e^(-kn/m))^k) only affects how much work
+    the exact stage sees, never the result. Default 2^23 bits = 1 MiB
+    handles ~1M distinct right keys at <2% fp; size ``bits`` (a power of
+    two) to the right side's distinct-key count. The right dataset's
+    lineage executes twice (bitmap build + exact residual) — at 100 TB
+    that trade beats shuffling the non-matching bulk of the left side.
+    """
+    import ray
+
+    from .dedup import _content_hash64
+
+    if bits & (bits - 1):
+        raise ValueError("bits must be a power of two")
+    keys = [key] if isinstance(key, str) else list(key)
+    right_keys = keys if right_key is None else (
+        [right_key] if isinstance(right_key, str) else list(right_key))
+    l_schema = left.schema()
+    l_types = {nm: t for nm, t in zip(l_schema.names, l_schema.types)}
+    nwords, mask = bits >> 6, bits - 1
+    env = package_runtime_env()
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        kt = batch.filter(_keys_valid(batch, right_keys))
+        kt = kt.select(right_keys).rename_columns(keys)
+        kt = _cast_key_table(kt, keys, l_types)
+        base = _content_hash64(_key_join(kt, keys))
+        words = np.zeros(nwords, dtype=np.uint64)
+        for idx in _bloom_indices(base, num_hashes, mask):
+            np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bm": pa.array([words.tobytes()],
+                                        type=pa.large_binary())})
+
+    def or_batch(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nwords, dtype=np.uint64)
+        for v in batch.column("bm"):
+            acc |= np.frombuffer(v.as_py(), dtype=np.uint64)
+        return pa.table({"bm": pa.array([acc.tobytes()],
+                                        type=pa.large_binary())})
+
+    bm = right.map_batches(build_partial, batch_format="pyarrow",
+                           runtime_env=env).materialize()
+    while bm.count() > 1:
+        bm = bm.map_batches(or_batch, batch_size=64, batch_format="pyarrow",
+                            runtime_env=env).materialize()
+    rows = bm.take_all()
+    words = (np.frombuffer(rows[0]["bm"], dtype=np.uint64) if rows
+             else np.zeros(nwords, dtype=np.uint64))
+    ref = ray.put(words)
+
+    def probe(batch: pa.Table, want_hits: bool) -> pa.Table:
+        w = ray.get(ref)
+        valid = _keys_valid(batch, keys).to_numpy(zero_copy_only=False)
+        base = _content_hash64(_key_join(batch, keys))
+        hits = valid.copy()
+        for idx in _bloom_indices(base, num_hashes, mask):
+            bit = (w[(idx >> np.uint64(6)).astype(np.int64)]
+                   >> (idx & np.uint64(63))) & np.uint64(1)
+            hits &= bit.astype(bool)
+        return batch.filter(pa.array(hits if want_hits else ~hits))
+
+    maybe = left.map_batches(lambda b: probe(b, True),
+                             batch_format="pyarrow", runtime_env=env)
+    if not anti:
+        return semi_join(maybe, right, keys, right_key=right_keys)
+    definite = left.map_batches(lambda b: probe(b, False),
+                                batch_format="pyarrow", runtime_env=env)
+    residual = semi_join(maybe, right, keys, right_key=right_keys, anti=True)
+    return definite.union(residual)
 
 
 def _null_route_64(n: int) -> pa.Array:

@@ -661,3 +661,73 @@ def test_jaccard_verify_malformed_group_drops(ray_session):
     # (1,2) dropped; (3,4) verified normally (threshold 0 accepts any pair)
     assert list(zip(out.column("keep_id").to_pylist(),
                     out.column("dup_id").to_pylist())) == [(3, 4)]
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_join (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_matches_exact(orders_ds, sf_dir, ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import (bloom_semi_join,
+                                                        semi_join)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet").filter(
+        lambda r: r["c_mktsegment"] == "BUILDING")
+    for anti in (False, True):
+        got = sorted(r["o_orderkey"] for r in bloom_semi_join(
+            orders_ds, cust, "o_custkey", right_key="c_custkey",
+            anti=anti, bits=1 << 16).take_all())
+        want = sorted(r["o_orderkey"] for r in semi_join(
+            orders_ds, cust, "o_custkey", right_key="c_custkey",
+            anti=anti).take_all())
+        assert got == want and len(got) > 0
+
+
+def test_bloom_anti_keeps_null_key_left_rows(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import bloom_semi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, None, 3], type=pa.int64()),
+        "x": pa.array(["a", "b", "c", "d", "e"])}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None], type=pa.int64())}))
+    semi = sorted(r["x"] for r in bloom_semi_join(
+        left, right, "k", bits=1 << 12).take_all())
+    anti = sorted(r["x"] for r in bloom_semi_join(
+        left, right, "k", anti=True, bits=1 << 12).take_all())
+    assert semi == ["a"]                      # null keys never match
+    assert anti == ["b", "c", "d", "e"]       # null-key rows kept by anti
+
+
+def test_bloom_bitmap_prunes_nonmember_keys(ray_session):
+    """The prefilter must actually prune: probe 1000 keys disjoint from the
+    built set and require <5% false positives at the default sizing."""
+    import numpy as np
+
+    from plugin_serdes_ray.pipelines.dedup import _content_hash64
+    from plugin_serdes_ray.pipelines.relational import _bloom_indices
+
+    bits, k = 1 << 20, 4
+    nwords, mask = bits >> 6, bits - 1
+    words = np.zeros(nwords, dtype=np.uint64)
+    member = _content_hash64(pa.array([str(i) for i in range(1000)]))
+    for idx in _bloom_indices(member, k, mask):
+        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    # members always hit
+    hit = np.ones(1000, dtype=bool)
+    for idx in _bloom_indices(member, k, mask):
+        hit &= ((words[(idx >> np.uint64(6)).astype(np.int64)]
+                 >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+    assert hit.all()
+    probe = _content_hash64(pa.array([str(i) for i in range(10_000, 11_000)]))
+    fp = np.ones(1000, dtype=bool)
+    for idx in _bloom_indices(probe, k, mask):
+        fp &= ((words[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+    assert fp.sum() < 50
