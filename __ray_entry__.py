@@ -201,6 +201,27 @@ def _dedup_exact(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def _dup_ngram_spans(sf_dir: str):
+    """Per-document duplicate-span fractions: character 20-grams sampled
+    every 10 positions, a gram is duplicated if it appears in >= 2 docs
+    (dedup.dup_span_stats — map-side gram hashing, combiner-shrunk dup
+    detection, bloom-prefiltered attribution). Oracle recomputes the same
+    grams with substr over generate_series."""
+    from plugin_serdes_ray.pipelines.dedup import dup_span_stats
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    rows = dup_span_stats(ds, "text", "doc_id").take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_grams": pa.array([r["n_grams"] for r in rows], type=pa.int64()),
+        "n_dup_grams": pa.array([r["n_dup_grams"] for r in rows],
+                                type=pa.int64()),
+        "dup_frac": pa.array([r["dup_frac"] for r in rows],
+                             type=pa.float64()),
+    })
+
+
 def _dedup_oracle_corpus(sf_dir: str, n_injected: int = 5,
                          perturb_tokens: int = 6):
     """Deterministic near-dup oracle corpus over the documents table's ids:
@@ -1665,6 +1686,17 @@ def _serde_step(tbl: pa.Table, d: str, fmt: str, schema) -> pa.Table:
         from plugin_serdes_ray.sources.feather_ import read_feather_table
         open(path, "wb").write(table_to_feather_bytes(tbl))
         back = read_feather_table(path)
+    elif fmt == "protobuf":
+        from plugin_serdes_ray.sources.protobuf_ import (
+            descriptor_set_for_schema, read_protobuf, serialize_protobuf,
+        )
+        desc = descriptor_set_for_schema(tbl.schema, message="Chain")
+        desc_path = path + ".desc"
+        open(desc_path, "wb").write(desc)
+        open(path, "wb").write(
+            serialize_protobuf(tbl.to_pylist(), desc, "t.Chain"))
+        back = pa.Table.from_pylist(
+            read_protobuf(path, desc_path, "t.Chain").take_all())
     else:
         raise ValueError(fmt)
     return coerce_table(back, schema, CoerceOptions(on_bad_lines="ERROR"))
@@ -1743,14 +1775,17 @@ def _serde_chain_nation(sf_dir: str) -> pa.Table:
 
 
 def _serde_chain_supplier(sf_dir: str) -> pa.Table:
-    """Avro + ORC + Feather in one chained row: supplier ->(IonToAvro/
-    AvroToIon) ->(ORC write/read) ->(Feather write/read), each hop
-    re-coerced through the scalar layer."""
+    """Avro + ORC + Protobuf + Feather in one chained row: supplier
+    ->(IonToAvro/AvroToIon) ->(ORC write/read) ->(length-delimited
+    protobuf via a schema-derived descriptor set, distributed
+    read_protobuf) ->(Feather write/read), each hop re-coerced through
+    the scalar layer."""
     src = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
     d = _cache_dir(sf_dir, "serde_chain_supplier")
     t1 = _serde_step(src, d, "avro", src.schema)
     t2 = _serde_step(t1, d, "orc", src.schema)
-    return _serde_step(t2, d, "feather", src.schema)
+    t3 = _serde_step(t2, d, "protobuf", src.schema)
+    return _serde_step(t3, d, "feather", src.schema)
 
 
 def entry() -> Any:
@@ -1774,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     follow for transparency; each is also covered by pytest."""
     first_50 = {
         # --- new this round ---
+        "dup_ngram_spans_documents": _dup_ngram_spans,
         "gopher_signals_documents": _gopher_signals_documents,
         "text_embed_cluster": _text_embed_cluster,
         # --- LLM-pipeline wave (unrecorded in r3's driver file) ---
@@ -1829,8 +1865,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serde_chain_region": _serde_chain_region,
         "serde_chain_nation": _serde_chain_nation,
         "serde_chain_supplier": _serde_chain_supplier,
-        "protobuf_roundtrip_supplier": lambda sf: _protobuf_roundtrip(
-            sf, "supplier"),
         "convert_fleet_orders": lambda sf: _convert_fleet(sf, "orders"),
     }
     assert len(first_50) == 50, len(first_50)
@@ -1848,6 +1882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "avro"),
         "xlsx_roundtrip_nation": lambda sf: _serde_roundtrip(sf, "nation", "xlsx"),
         "toon_roundtrip_region": lambda sf: _serde_roundtrip(sf, "region", "toon"),
+        "protobuf_roundtrip_supplier": lambda sf: _protobuf_roundtrip(
+            sf, "supplier"),
         "orc_roundtrip_part": lambda sf: _serde_roundtrip(sf, "part", "orc"),
         "feather_roundtrip_supplier": lambda sf: _serde_roundtrip(sf, "supplier", "feather"),
         "jsonl_bridge_region": lambda sf: _jsonl_bridge(sf, "region"),
@@ -1911,6 +1947,26 @@ def oracle_sql() -> dict[str, str]:
         "yaml_json_bridge_nation": "SELECT * FROM nation",
         "infer_roundtrip_nation": "SELECT * FROM nation",
         "convert_fleet_orders": "SELECT * FROM orders",
+        "dup_ngram_spans_documents": """
+            WITH grams AS (
+                SELECT d.doc_id,
+                       substr(d.text, CAST(i AS BIGINT), 20) AS gram
+                FROM documents d,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, length(d.text) - 19, 10)) AS i)
+                WHERE length(d.text) >= 20),
+            dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+            dup AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) > 1)
+            SELECT doc_id,
+                   count(*) AS n_grams,
+                   CAST(coalesce(sum(CASE WHEN gram IN
+                       (SELECT gram FROM dup) THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS n_dup_grams,
+                   CAST(coalesce(sum(CASE WHEN gram IN
+                       (SELECT gram FROM dup) THEN 1 ELSE 0 END), 0)
+                       AS DOUBLE) / count(*) AS dup_frac
+            FROM dg GROUP BY doc_id
+        """,
     }
     rest = {
         "dedup_exact_documents":

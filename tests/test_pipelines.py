@@ -1141,3 +1141,74 @@ def test_frame_sampler_real_y4m(ray_session):
     # byte-slice fallback intact: 3 deterministic slices of the payload
     assert len(fake) == 3
     assert b"".join(fake) == (b"rawbytes" * 4)[:30]
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats (round 4: cross-doc duplicate n-gram spans)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_stats_injected_duplicates(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import dup_span_stats
+
+    shared = "S" * 7 + "hared boilerplate span " + "x" * 17   # >= 2 grams
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([
+            shared + " unique tail one " + "a" * 40,
+            shared + " unique tail two " + "b" * 40,
+            "completely different content with no overlap " + "c" * 40,
+            "tiny",                      # < 20 chars: no grams, absent
+            None,                        # null text: absent
+        ]),
+    })
+    out = {r["doc_id"]: r for r in dup_span_stats(
+        ray.data.from_arrow(t), "text", "doc_id",
+        gram=20, stride=10).take_all()}
+    assert set(out) == {1, 2, 3}
+    # docs 1 and 2 share the leading grams of `shared`; doc 3 shares none
+    assert out[1]["n_dup_grams"] >= 2 and out[2]["n_dup_grams"] >= 2
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+    for d in (1, 2):
+        assert 0 < out[d]["dup_frac"] <= 1.0
+        assert out[d]["n_dup_grams"] <= out[d]["n_grams"]
+
+
+def test_dup_span_stats_character_semantics(ray_session):
+    """Multi-byte characters count one position each (SQL substr parity):
+    two docs sharing a 20-CHAR gram full of multibyte chars must collide."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import dup_span_stats
+
+    core = "é世界" * 7                     # 21 chars, multibyte
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([core + " alpha tail here", core + " beta tails"]),
+    })
+    out = {r["doc_id"]: r for r in dup_span_stats(
+        ray.data.from_arrow(t), "text", "doc_id").take_all()}
+    assert out[1]["n_dup_grams"] >= 1 and out[2]["n_dup_grams"] >= 1
+
+
+def test_span_gram_hashes_match_python_slices(ray_session):
+    """The vectorized rolling hash must hash exactly the substrings SQL
+    sees: same count as the substr/generate_series enumeration and
+    position-independent values (same gram elsewhere -> same hash)."""
+    from plugin_serdes_ray.pipelines.dedup import _span_gram_hashes
+
+    text = "abcdefghij" * 8
+    h = _span_gram_hashes(text, 20, 10)
+    starts = range(0, len(text) - 19, 10)
+    grams = {text[i:i + 20] for i in starts}
+    assert len(h) == len(grams)       # distinct hashes == distinct grams
+    # every 10-aligned gram of this periodic text is the same string
+    assert len(grams) == 1 and len(h) == 1
+    # position independence: the same gram string embedded at another
+    # 10-aligned offset hashes identically
+    gram = "qwertyuiopasdfghjkl;"
+    alone = _span_gram_hashes(gram, 20, 10)
+    embedded = _span_gram_hashes("0123456789" + gram + "aftermath!", 20, 10)
+    assert alone[0] in set(embedded.tolist())
