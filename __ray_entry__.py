@@ -260,6 +260,73 @@ def _dedup_simhash(sf_dir: str):
     return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
 
+def _dedup_near_sim(sf_dir: str):
+    """SimHash and embedding-cosine near-dup union-tagged into one row:
+    both controlled-positive corpora, both must find exactly their 5
+    injected pairs and nothing else."""
+    from plugin_serdes_ray.pipelines.dedup import simhash_duplicates
+
+    pairs = simhash_duplicates(
+        _dedup_oracle_corpus(sf_dir, perturb_tokens=1), "text", "doc_id",
+        max_hamming=4).take_all()
+    sh = sorted({(r["keep_id"], r["dup_id"]) for r in pairs})
+    emb = _dedup_embedding(sf_dir)
+    return pa.table({
+        "method": pa.array(["simhash"] * len(sh)
+                           + ["embedding"] * emb.num_rows),
+        "keep_id": pa.concat_arrays([
+            pa.array([p[0] for p in sh], type=pa.int64()),
+            emb.column("keep_id").combine_chunks()]),
+        "dup_id": pa.concat_arrays([
+            pa.array([p[1] for p in sh], type=pa.int64()),
+            emb.column("dup_id").combine_chunks()]),
+    })
+
+
+def _dedup_clusters(sf_dir: str):
+    """Distributed connected components (graph.connected_components,
+    hash-min label propagation) over a two-relation document graph:
+    same 16-char text prefix OR same (lang, length//64) bucket — the
+    bucket relation bridges prefix groups, so components are genuinely
+    multi-hop. Oracle: recursive-CTE transitive closure over the same
+    edges."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.graph import (connected_components,
+                                                   star_edges)
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang"])
+
+    def k1(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.is_valid(batch.column("text")),
+            pc.greater_equal(pc.utf8_length(
+                pc.fill_null(batch.column("text"), "")), 16)))
+        return pa.table({
+            "key": pc.utf8_slice_codeunits(t.column("text"), 0, 16),
+            "id": t.column("doc_id")})
+
+    def k2(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        bucket = pc.divide(pc.utf8_length(t.column("text")),
+                           pa.scalar(64, pa.int32()))
+        key = pc.binary_join_element_wise(
+            pc.fill_null(t.column("lang"), "null"),
+            bucket.cast(pa.string()), "#")
+        return pa.table({"key": key, "id": t.column("doc_id")})
+
+    keys = docs.map_batches(k1, batch_format="pyarrow",
+                            runtime_env=_env()).union(
+        docs.map_batches(k2, batch_format="pyarrow", runtime_env=_env()))
+    comp = connected_components(star_edges(keys, "key", "id"))
+    rows = sorted((r["v"], r["component"]) for r in comp.take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "component": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 def _dedup_jaccard_exact(sf_dir: str):
     """Exact n-gram-Jaccard near-dup path (LSH candidates -> semi-join back
     to text -> exact Jaccard): must find exactly the injected pairs."""
@@ -1810,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first_50 = {
         # --- new this round ---
         "dup_ngram_spans_documents": _dup_ngram_spans,
+        "dedup_clusters_documents": _dedup_clusters,
         "gopher_signals_documents": _gopher_signals_documents,
         "text_embed_cluster": _text_embed_cluster,
         # --- LLM-pipeline wave (unrecorded in r3's driver file) ---
@@ -1852,9 +1920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family + stratified sampling ---
         "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
-        "dedup_simhash_documents": _dedup_simhash,
+        "dedup_near_sim": _dedup_near_sim,
         "dedup_jaccard_exact": _dedup_jaccard_exact,
-        "dedup_embedding": _dedup_embedding,
         "sample_documents_per_lang": _sample_documents,
         # --- container engine + serde surface (chained) ---
         "roundtrip_lineitem": lambda sf: _roundtrip(sf, "lineitem"),
@@ -1889,9 +1956,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_bridge_region": lambda sf: _jsonl_bridge(sf, "region"),
         "yaml_json_bridge_nation": lambda sf: _yaml_json_bridge(sf, "nation"),
         "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
-        # similarity search
+        # similarity search + near-dup singles (consolidated into
+        # dedup_near_sim in the first block)
         "ann_brute_top10": _ann_brute,
         "ann_ivf_top10": _ann_ivf,
+        "dedup_simhash_documents": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
         # text analysis
         "textstats_tokens": _textstats_tokens,
         "textstats_len": _textstats_len,
@@ -1980,6 +2050,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_documents": """
             SELECT doc_id + 1000000 AS dup_id
             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+        """,
+        # simhash + embedding pairs union-tagged; both corpora inject the
+        # dup under base_id + 1e6 (documents) / 999999 + row_number
+        # (embeddings), so SQL derives the exact expected pairs
+        "dedup_near_sim": """
+            SELECT 'simhash' AS method, doc_id AS keep_id,
+                   doc_id + 1000000 AS dup_id
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+            UNION ALL
+            SELECT 'embedding', vec_id,
+                   CAST(999999 + row_number() OVER (ORDER BY vec_id)
+                        AS BIGINT)
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+        """,
+        # recursive-CTE transitive closure over the same two edge
+        # relations the Ray side builds (star edges have the same
+        # components as the full cliques)
+        "dedup_clusters_documents": """
+            WITH RECURSIVE
+            e1 AS (SELECT min(doc_id) OVER (
+                       PARTITION BY substr(text, 1, 16)) AS a, doc_id AS b
+                   FROM documents
+                   WHERE text IS NOT NULL AND length(text) >= 16),
+            e2 AS (SELECT min(doc_id) OVER (
+                       PARTITION BY lang, length(text) // 64) AS a,
+                       doc_id AS b
+                   FROM documents WHERE text IS NOT NULL),
+            edges AS (SELECT a, b FROM e1 WHERE a <> b
+                      UNION SELECT a, b FROM e2 WHERE a <> b),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            verts AS (SELECT DISTINCT a AS v FROM sym),
+            reach(v, u) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT r.v, s.b FROM reach r JOIN sym s ON s.a = r.u)
+            SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v
         """,
         # exact-Jaccard verify finds exactly the 5 injected (keep, dup) pairs
         "dedup_jaccard_exact": """

@@ -1,0 +1,80 @@
+"""graph.py: distributed connected components + star-edge construction."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _cc(ray_session, a, b, **kw):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import connected_components
+
+    edges = pa.table({"a": pa.array(a, type=pa.int64()),
+                      "b": pa.array(b, type=pa.int64())})
+    out = connected_components(ray.data.from_arrow(edges), **kw).take_all()
+    return sorted((r["v"], r["component"]) for r in out)
+
+
+def test_components_paths_rings_and_isolates(ray_session):
+    got = _cc(ray_session,
+              a=[1, 2, 3, 4, 10, 20, 21, 22],
+              b=[2, 3, 4, 5, 11, 21, 22, 20])
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]
+
+
+def test_components_long_path_converges(ray_session):
+    # diameter 12: hash-min needs ~12 rounds; the sum-based convergence
+    # check must keep iterating until the min reaches the far end
+    n = 13
+    got = _cc(ray_session, a=list(range(100, 100 + n - 1)),
+              b=list(range(101, 100 + n)))
+    assert got == [(100 + i, 100) for i in range(n)]
+
+
+def test_components_duplicate_and_self_edges(ray_session):
+    got = _cc(ray_session, a=[5, 5, 5, 7], b=[6, 6, 5, 7])
+    assert got == [(5, 5), (6, 5), (7, 7)]
+
+
+def test_components_empty_edges(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import connected_components
+
+    edges = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    out = connected_components(ray.data.from_arrow(edges))
+    assert out.count() == 0
+
+
+def test_star_edges_groups(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import star_edges
+
+    kt = pa.table({"key": pa.array(["x", "x", "x", "y", "y", "z"]),
+                   "id": pa.array([7, 3, 9, 1, 2, 5], type=pa.int64())})
+    got = sorted((r["a"], r["b"]) for r in star_edges(
+        ray.data.from_arrow(kt), "key", "id").take_all())
+    # per-key star from the min id; singleton key 'z' emits nothing
+    assert got == [(1, 2), (3, 7), (3, 9)]
+
+
+def test_star_edges_compose_with_components(ray_session):
+    """Two key relations bridge into one component through a shared id —
+    the dedup_clusters_documents query shape in miniature."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import (connected_components,
+                                                   star_edges)
+
+    # relation 1 groups {1,2}, {3,4}; relation 2 groups {2,3}: all one
+    # component, labeled 1
+    kt = pa.table({
+        "key": pa.array(["p1", "p1", "p2", "p2", "b1", "b1"]),
+        "id": pa.array([1, 2, 3, 4, 2, 3], type=pa.int64())})
+    comp = connected_components(
+        star_edges(ray.data.from_arrow(kt), "key", "id"))
+    got = sorted((r["v"], r["component"]) for r in comp.take_all())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1)]
