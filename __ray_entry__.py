@@ -239,13 +239,24 @@ def _dedup_oracle_corpus(sf_dir: str, n_injected: int = 5,
 
 
 def _dedup_minhash(sf_dir: str):
-    """The operator must drop exactly the injected near-dups (ids >= 1e6)
-    and keep every base id -> oracle: SELECT doc_id FROM documents."""
-    from plugin_serdes_ray.pipelines.dedup import minhash_lsh_dedup
+    """Both dedup-filter paths must drop exactly the injected near-dups
+    (ids >= 1e6) and keep every base id: the driver-side union-find
+    filter AND the fully distributed one (pairs -> connected components
+    -> bloom-prefiltered anti join). Oracle: documents doc_ids, tagged
+    once per path."""
+    from plugin_serdes_ray.pipelines.dedup import (
+        minhash_lsh_dedup, minhash_lsh_dedup_distributed)
 
-    out = minhash_lsh_dedup(_dedup_oracle_corpus(sf_dir), "text", "doc_id")
-    ids = sorted(r["doc_id"] for r in out.take_all())
-    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    corpus = _dedup_oracle_corpus(sf_dir)
+    rows = []
+    for method, fn in (("driver", minhash_lsh_dedup),
+                       ("distributed", minhash_lsh_dedup_distributed)):
+        out = fn(corpus, "text", "doc_id")
+        rows += [(method, r["doc_id"]) for r in out.take_all()]
+    rows.sort()
+    return pa.table({
+        "method": pa.array([r[0] for r in rows]),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64())})
 
 
 def _dedup_simhash(sf_dir: str):
@@ -2043,7 +2054,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         # controlled-corpus near-dup oracles: the operator must drop exactly
         # the injected ids (>= 1e6) and keep every base documents id
-        "dedup_minhash_documents": "SELECT doc_id FROM documents",
+        "dedup_minhash_documents": """
+            SELECT 'driver' AS method, doc_id FROM documents
+            UNION ALL
+            SELECT 'distributed' AS method, doc_id FROM documents
+        """,
         # injected ids are DEDUP_INJECT_BASE + base_id by construction, so
         # the oracle derives them from the ids themselves (robust to any
         # fixture id numbering, unlike row_number arithmetic)

@@ -533,6 +533,37 @@ def minhash_lsh_dedup(ds, column: str, id_column: str, **kw):
                           runtime_env=package_runtime_env())
 
 
+def minhash_lsh_dedup_distributed(ds, column: str, id_column: str, *,
+                                  bloom_bits: int = 1 << 23, **kw):
+    """Scale path of :func:`minhash_lsh_dedup`: the duplicate-pair graph
+    never touches the driver. Pairs stream into distributed connected
+    components (``graph.connected_components`` — hash-min label
+    propagation, one keyed shuffle of fixed-width messages per round), the
+    non-canonical members (``v != component``) become the drop set, and
+    the corpus is filtered with a Bloom-prefiltered distributed ANTI join
+    (``relational.bloom_semi_join``) so the keyed shuffle only ever sees
+    rows whose id *hits* the drop-set bitmap — on a mostly-unique corpus
+    that is a sliver. Driver state: convergence scalars only. Same result
+    as the driver-side path (asserted in tests); pick this one when the
+    pair set itself is too big for one machine. Size ``bloom_bits`` (a
+    power of two) to the expected duplicate count."""
+    from .graph import connected_components
+    from .relational import bloom_semi_join
+
+    pairs = minhash_lsh_duplicates(ds, column, id_column, **kw)
+    comp = connected_components(pairs, "keep_id", "dup_id")
+
+    def non_canonical(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch.column("v"),
+                                      batch.column("component")))
+        return pa.table({id_column: t.column("v")})
+
+    drops = comp.map_batches(non_canonical, batch_format="pyarrow",
+                             runtime_env=package_runtime_env())
+    return bloom_semi_join(ds, drops, id_column, anti=True,
+                           bits=bloom_bits)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
