@@ -1537,6 +1537,23 @@ def _heavy_hitter_langs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _pack_sequences_documents(sf_dir: str):
+    """Concat-and-chop packing layout (relational.pack_sequences over the
+    distributed prefix scan): each doc labeled with the fixed-size window
+    it starts in and its offset there, costs from n_chars so the oracle is
+    a pure SQL window cumsum."""
+    from plugin_serdes_ray.pipelines.relational import pack_sequences
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    out = pack_sequences(docs, "n_chars", "doc_id", 2048)
+    rows = sorted((r["doc_id"], r["bin_id"], r["bin_offset"])
+                  for r in out.take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "bin_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "bin_offset": pa.array([r[2] for r in rows], type=pa.int64())})
+
+
 def _gopher_signals_documents(sf_dir: str):
     """Gopher repetition/quality signals (textstats.gopher_signals): exact
     integer numerators/denominators for dup-line chars, dup word-n-gram
@@ -1888,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first_50 = {
         # --- new this round ---
         "dup_ngram_spans_documents": _dup_ngram_spans,
+        "pack_sequences_documents": _pack_sequences_documents,
         "dedup_clusters_documents": _dedup_clusters,
         "gopher_signals_documents": _gopher_signals_documents,
         "text_embed_cluster": _text_embed_cluster,
@@ -1942,11 +1960,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "orders", "csv"),
         "serde_chain_region": _serde_chain_region,
         "serde_chain_nation": _serde_chain_nation,
-        "serde_chain_supplier": _serde_chain_supplier,
         "convert_fleet_orders": lambda sf: _convert_fleet(sf, "orders"),
     }
     assert len(first_50) == 50, len(first_50)
     legacy = {
+        # third table case of the serde-chain family (region+nation cover
+        # the family in the 50 block)
+        "serde_chain_supplier": _serde_chain_supplier,
         # container engine round trips
         "roundtrip_orders": lambda sf: _roundtrip(sf, "orders"),
         "roundtrip_documents": lambda sf: _roundtrip(sf, "documents"),
@@ -2058,6 +2078,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'driver' AS method, doc_id FROM documents
             UNION ALL
             SELECT 'distributed' AS method, doc_id FROM documents
+        """,
+        # concat-and-chop packing layout == a SQL window cumsum: start of
+        # each doc is the exclusive running n_chars total in doc_id order
+        "pack_sequences_documents": """
+            WITH c AS (
+                SELECT doc_id, coalesce(sum(n_chars) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS s
+                FROM documents)
+            SELECT doc_id, CAST(s // 2048 AS BIGINT) AS bin_id,
+                   CAST(s % 2048 AS BIGINT) AS bin_offset
+            FROM c
         """,
         # injected ids are DEDUP_INJECT_BASE + base_id by construction, so
         # the oracle derives them from the ids themselves (robust to any

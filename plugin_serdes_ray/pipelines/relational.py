@@ -1486,6 +1486,107 @@ def sort_within_partitions(ds, keys: Sequence[str]):
                           runtime_env=package_runtime_env())
 
 
+def prefix_sum(ds, order_by: str, value_col: str, out_col: str = "cumsum",
+               *, exclusive: bool = False, presorted: bool = False):
+    """Global running sum of ``value_col`` in ``order_by`` order — the
+    distributed prefix scan (SQL ``sum(v) OVER (ORDER BY k)``; with
+    ``exclusive=True`` the ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING`` variant, 0 for the first row). NULL values count as 0,
+    matching SQL ``sum``'s null-skipping.
+
+    Scale shape: one global sort (the unavoidable all-to-all; skipped with
+    ``presorted=True``), then ONE map-only partials pass whose output is a
+    single fixed-width row per block (block min key + block total) —
+    O(blocks), collected to the driver — and ONE map-only pass that adds
+    the broadcast block offset to a vectorized within-block cumsum. Both
+    passes run with ``batch_size=None`` over the SAME materialized sorted
+    dataset, so batches are exactly the sorted blocks and the offset
+    lookup (keyed by the block's first key) is exact. Duplicate keys
+    *within* a block are fine; a run of equal keys straddling a block
+    boundary would make two blocks share a min key and is rejected — pass
+    a unique (tiebroken) ``order_by`` key.
+    """
+    import ray
+
+    env = package_runtime_env()
+    sorted_ds = (ds if presorted else ds.sort(order_by)).materialize()
+    sch = sorted_ds.schema()
+    is_int = pa.types.is_integer(
+        dict(zip(sch.names, sch.types))[value_col])
+    np_t = np.int64 if is_int else np.float64
+
+    def block_stat(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": batch.column(order_by).combine_chunks(),
+                             "total": pa.array([], type=(
+                                 pa.int64() if is_int else pa.float64()))})
+        v = pc.fill_null(batch.column(value_col), 0).combine_chunks(
+        ).to_numpy(zero_copy_only=False).astype(np_t)
+        return pa.table({"k": batch.column(order_by).slice(0, 1),
+                         "total": pa.array([v.sum()], type=(
+                             pa.int64() if is_int else pa.float64()))})
+
+    parts = sorted(
+        ((r["k"], r["total"]) for r in
+         sorted_ds.map_batches(block_stat, batch_size=None,
+                               batch_format="pyarrow",
+                               runtime_env=env).take_all()),
+        key=lambda kv: (kv[0] is None, kv[0]))
+    if len({k for k, _ in parts}) != len(parts):
+        raise ValueError(
+            "prefix_sum: two sorted blocks share a min key (an equal-key "
+            f"run straddles a block boundary in {order_by!r}); use a "
+            "unique tiebroken order key")
+    offsets, acc = {}, np_t(0)
+    for k, total in parts:
+        offsets[k] = acc
+        acc += np_t(total)
+    ref = ray.put(offsets)
+
+    def add_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array(
+                [], type=pa.int64() if is_int else pa.float64()))
+        off = ray.get(ref)[batch.column(order_by)[0].as_py()]
+        v = pc.fill_null(batch.column(value_col), 0).combine_chunks(
+        ).to_numpy(zero_copy_only=False).astype(np_t)
+        c = np.cumsum(v) + off
+        if exclusive:
+            c -= v
+        return batch.append_column(out_col, pa.array(c))
+
+    return sorted_ds.map_batches(add_scan, batch_size=None,
+                                 batch_format="pyarrow", runtime_env=env)
+
+
+def pack_sequences(ds, cost_col: str, id_col: str, seq_len: int, *,
+                   bin_col: str = "bin_id", offset_col: str = "bin_offset"):
+    """Concat-and-chop sequence-packing layout for LLM training batches:
+    documents are (logically) concatenated in ``id_col`` order and chopped
+    into fixed ``seq_len``-token windows; each document is labeled with
+    the window it STARTS in and its offset there. ``start`` is the
+    exclusive :func:`prefix_sum` of ``cost_col`` (a token/char count
+    column), so ``bin_id = start // seq_len``, ``offset = start %
+    seq_len`` — the exact layout a pack-then-chunk dataloader materializes,
+    computed without moving any text. One sort + two map-only passes."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    env = package_runtime_env()
+    with_start = prefix_sum(ds, id_col, cost_col, out_col="__start",
+                            exclusive=True)
+
+    def to_bins(batch: pa.Table) -> pa.Table:
+        s = batch.column("__start").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        batch = batch.drop_columns(["__start"])
+        return batch.append_column(
+            bin_col, pa.array(s // seq_len)).append_column(
+            offset_col, pa.array(s % seq_len))
+
+    return with_start.map_batches(to_bins, batch_format="pyarrow",
+                                  runtime_env=env)
+
+
 def grouped_quantiles(ds, by, column: str, qs: dict[str, float]):
     """EXACT per-group order statistics (SQL ``quantile_disc`` /
     ``PERCENTILE_DISC`` semantics: the ceil(q*n)-th smallest non-null

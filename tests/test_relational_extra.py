@@ -731,3 +731,61 @@ def test_bloom_bitmap_prunes_nonmember_keys(ray_session):
         fp &= ((words[(idx >> np.uint64(6)).astype(np.int64)]
                 >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
     assert fp.sum() < 50
+
+
+def test_prefix_sum_matches_window_cumsum(ray_session):
+    """Distributed prefix scan over many blocks == SQL sum() OVER (ORDER
+    BY k), inclusive and exclusive, ints and floats, nulls counted as 0."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import prefix_sum
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    t = pa.table({
+        "k": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array([None if i % 97 == 0 else int(rng.integers(0, 50))
+                       for i in range(n)], type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(16)
+    for exclusive, frame in [
+            (False, "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"),
+            (True, "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")]:
+        got = prefix_sum(ds, "k", "v", "c", exclusive=exclusive).take_all()
+        got = {r["k"]: r["c"] for r in got}
+        want = duckdb.sql(
+            f"SELECT k, coalesce(sum(coalesce(v,0)) OVER (ORDER BY k "
+            f"{frame}), 0) AS c FROM t").fetchall()
+        assert got == {k: c for k, c in want}
+
+
+def test_prefix_sum_rejects_boundary_duplicate_keys(ray_session):
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import prefix_sum
+
+    t = pa.table({"k": pa.array([1] * 400, type=pa.int64()),
+                  "v": pa.array([1] * 400, type=pa.int64())})
+    # presorted=True keeps the 4 equal-min-key blocks as-is (a global
+    # sort may coalesce them), so the guard must fire
+    ds = ray.data.from_arrow(t).repartition(4)
+    with pytest.raises(ValueError, match="unique"):
+        prefix_sum(ds, "k", "v", presorted=True).take_all()
+
+
+def test_pack_sequences_concat_and_chop(ray_session):
+    """Bins are the concat-then-chunk layout: doc starts at the exclusive
+    running total; bin = start // L, offset = start % L."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import pack_sequences
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "tok": pa.array([60, 50, 10, 100, 1], type=pa.int64())})
+    out = pack_sequences(ray.data.from_arrow(t).repartition(3),
+                         "tok", "doc_id", 64).take_all()
+    got = {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in out}
+    # starts: 0, 60, 110, 120, 220
+    assert got == {1: (0, 0), 2: (0, 60), 3: (1, 46), 4: (1, 56), 5: (3, 28)}
