@@ -1537,6 +1537,35 @@ def _heavy_hitter_langs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _contamination_documents(sf_dir: str):
+    """Benchmark-contamination scan (textstats.contamination_overlap):
+    every 50th document plays the eval benchmark; per-doc distinct word
+    8-gram count + how many hit the benchmark set. Benchmark docs
+    themselves are the controlled positives (full overlap)."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.textstats import contamination_overlap
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def pick_bench(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        # doc_id % 50 == 0 (pyarrow has no modulo kernel)
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 50),
+                                           pa.scalar(50, pa.int64())))
+        return b.filter(pc.equal(mod, pa.scalar(0, pa.int64())))
+
+    bench = docs.map_batches(pick_bench, batch_format="pyarrow",
+                             runtime_env=_env())
+    out = contamination_overlap(docs, bench, n=8)
+    rows = sorted((r["doc_id"], r["n_grams"], r["n_overlap"])
+                  for r in out.take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_grams": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_overlap": pa.array([r[2] for r in rows], type=pa.int64())})
+
+
 def _pack_sequences_documents(sf_dir: str):
     """Concat-and-chop packing layout (relational.pack_sequences over the
     distributed prefix scan): each doc labeled with the fixed-size window
@@ -1905,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first_50 = {
         # --- new this round ---
         "dup_ngram_spans_documents": _dup_ngram_spans,
+        "contamination_documents": _contamination_documents,
         "pack_sequences_documents": _pack_sequences_documents,
         "dedup_clusters_documents": _dedup_clusters,
         "gopher_signals_documents": _gopher_signals_documents,
@@ -1959,13 +1989,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_orders": lambda sf: _serde_roundtrip(
             sf, "orders", "csv"),
         "serde_chain_region": _serde_chain_region,
-        "serde_chain_nation": _serde_chain_nation,
         "convert_fleet_orders": lambda sf: _convert_fleet(sf, "orders"),
     }
     assert len(first_50) == 50, len(first_50)
     legacy = {
-        # third table case of the serde-chain family (region+nation cover
+        # further table cases of the serde-chain family (region covers
         # the family in the 50 block)
+        "serde_chain_nation": _serde_chain_nation,
         "serde_chain_supplier": _serde_chain_supplier,
         # container engine round trips
         "roundtrip_orders": lambda sf: _roundtrip(sf, "orders"),
@@ -2078,6 +2108,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'driver' AS method, doc_id FROM documents
             UNION ALL
             SELECT 'distributed' AS method, doc_id FROM documents
+        """,
+        # per-doc distinct word-8-gram counts + benchmark-set hits, the
+        # benchmark being every 50th doc; same regexp tokenization
+        "contamination_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+              FROM toks, unnest(generate_series(1, len(w) - 7)) AS u(i)),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            cnt AS (
+              SELECT dg.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                         AS n_overlap
+              FROM dg LEFT JOIN bench b USING (g) GROUP BY dg.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(c.n_overlap, 0) AS BIGINT) AS n_overlap
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
         """,
         # concat-and-chop packing layout == a SQL window cumsum: start of
         # each doc is the exclusive running n_chars total in doc_id order

@@ -473,6 +473,101 @@ def gopher_signals(batch: pa.Table, column: str = "text",
     return out
 
 
+def _word_ngram_rows(batch: pa.Table, column: str, n: int):
+    """Vectorized word n-grams for a batch: whitespace-split (``\\s+``,
+    empty tokens dropped), grams joined with a single space — the exact
+    tokenization ``regexp_split_to_array(text, '\\s+')`` + ``list_filter``
+    reproduces in SQL. Returns ``(row_idx int64 ndarray, grams
+    StringArray)``; grams never straddle documents (same-row mask, the
+    gopher_signals construction)."""
+    col = pc.fill_null(batch.column(column).combine_chunks(), "")
+    toks_l = pc.split_pattern_regex(col, r"\s+")
+    tlens = pc.list_value_length(toks_l).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat_t = pc.list_flatten(toks_l)
+    row_t = np.repeat(np.arange(len(col), dtype=np.int64), tlens)
+    nonempty = pc.not_equal(flat_t, "").to_numpy(zero_copy_only=False)
+    flat_w = flat_t.filter(pa.array(nonempty))
+    row_w = row_t[nonempty]
+    m = len(flat_w)
+    if m < n:
+        return (np.empty(0, np.int64),
+                pa.array([], type=pa.string()))
+    k_ = m - n + 1
+    parts = [flat_w.slice(i, k_) for i in range(n)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    same_row = row_w[:k_] == row_w[n - 1:]
+    return row_w[:k_][same_row], joined.filter(pa.array(same_row))
+
+
+def _distinct_per_row(rows: np.ndarray, grams: pa.Array):
+    """First occurrence of each (row, gram) pair: sort by (row, gram
+    hash) so identical grams of a row are adjacent, keep entries whose
+    (row, gram-string) differs from the previous one. Exact — the final
+    equality is on the strings, the hash only orders."""
+    from .dedup import _content_hash64
+
+    if len(grams) == 0:
+        return rows, grams
+    h = _content_hash64(grams)
+    order = np.lexsort((h, rows))
+    rows_s = rows[order]
+    grams_s = grams.take(pa.array(order))
+    first = np.empty(len(order), dtype=bool)
+    first[0] = True
+    first[1:] = (rows_s[1:] != rows_s[:-1]) | pc.not_equal(
+        grams_s.slice(1), grams_s.slice(0, len(order) - 1)).to_numpy(
+        zero_copy_only=False)
+    return rows_s[first], grams_s.filter(pa.array(first))
+
+
+def contamination_overlap(corpus, bench, column: str = "text",
+                          id_column: str = "doc_id", n: int = 8):
+    """Benchmark-contamination scan (the n-gram-overlap decontamination
+    check LLM pipelines run before training, cf. the n-gram collision
+    method of GPT-3 appendix C / PaLM — public papers): for every corpus
+    document, how many of its DISTINCT word ``n``-grams also occur in the
+    benchmark set. Returns ``(id_column, n_grams, n_overlap)`` — exact
+    integers; callers threshold ``n_overlap / n_grams``.
+
+    Scale shape: the benchmark's distinct grams are collected driver-side
+    (documented O(benchmark grams) — eval suites are tiny next to a
+    training corpus) and broadcast ONCE via ``ray.put``; the corpus then
+    streams MAP-ONLY — vectorized gram construction, per-row distinct via
+    one lexsort, membership via one ``pc.is_in`` against the broadcast
+    value set. No shuffle anywhere, the corpus text never moves."""
+    import ray
+
+    from ..util import package_runtime_env
+
+    env = package_runtime_env()
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        _, grams = _word_ngram_rows(batch, column, n)
+        return pa.table({"g": pc.unique(grams)})
+
+    parts = bench.map_batches(bench_grams, batch_format="pyarrow",
+                              runtime_env=env).take_all()
+    bench_set = pa.array(sorted({r["g"] for r in parts}), type=pa.string())
+    ref = ray.put(bench_set)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).combine_chunks()
+        rows, grams = _word_ngram_rows(batch, column, n)
+        rows, grams = _distinct_per_row(rows, grams)
+        nb = batch.num_rows
+        n_grams = np.bincount(rows, minlength=nb).astype(np.int64)
+        hit = pc.is_in(grams, value_set=ray.get(ref)).to_numpy(
+            zero_copy_only=False)
+        n_overlap = np.bincount(rows[hit], minlength=nb).astype(np.int64)
+        return pa.table({id_column: ids,
+                         "n_grams": pa.array(n_grams),
+                         "n_overlap": pa.array(n_overlap)})
+
+    return corpus.map_batches(scan, batch_format="pyarrow",
+                               runtime_env=env)
+
+
 def vocab_top_k(ds, column: str = "text", k: int = 20,
                 document_frequency: bool = False) -> pa.Table:
     """Corpus vocabulary statistics: the k most frequent whitespace tokens

@@ -272,3 +272,58 @@ def test_gopher_signals_small_cases():
     # null row is all zeros
     assert all(g.column(c).to_pylist()[3] == 0 for c in g.column_names
                if c != "text")
+
+
+def test_contamination_overlap_matches_sql(ray_session):
+    """Per-doc distinct n-gram overlap vs a benchmark set == the SQL
+    formulation (regexp_split tokenization, distinct grams, left-join
+    membership), including repeated grams, short docs, and nulls."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import contamination_overlap
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(1, 8)), type=pa.int64()),
+        "text": pa.array([
+            "a b c d e f",                  # bench doc
+            "x y z a b c d",                # partial overlap
+            "a b c a b c a b c",            # repeated grams
+            "completely different words here now",
+            "a  b\tc   d e f",              # messy whitespace, same grams
+            None,                           # null text
+            "tiny",                         # shorter than n
+        ])})
+    ds = ray.data.from_arrow(docs).repartition(3)
+    bench = ray.data.from_arrow(docs.filter(
+        pa.compute.equal(docs.column("doc_id"), 1)))
+    out = contamination_overlap(ds, bench, n=3)
+    got = sorted((r["doc_id"], r["n_grams"], r["n_overlap"])
+                 for r in out.take_all())
+    want = duckdb.sql(r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                   '\s+'),
+                             x -> x <> '') AS w
+          FROM docs),
+        grams AS (
+          SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+          FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(i)),
+        dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id = 1),
+        cnt AS (
+          SELECT dg.doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_overlap
+          FROM dg LEFT JOIN bench b USING (g) GROUP BY dg.doc_id)
+        SELECT d.doc_id, CAST(coalesce(c.n_grams, 0) AS BIGINT),
+               CAST(coalesce(c.n_overlap, 0) AS BIGINT)
+        FROM docs d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
+    """).fetchall()
+    assert got == [tuple(r) for r in want]
+    # doc 5's messy whitespace normalizes to doc 1's grams -> full overlap
+    by_id = {d: (g, o) for d, g, o in got}
+    assert by_id[5] == (4, 4)
+    assert by_id[6] == (0, 0) and by_id[7] == (0, 0)
