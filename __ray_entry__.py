@@ -239,13 +239,14 @@ def _dedup_oracle_corpus(sf_dir: str, n_injected: int = 5,
 
 
 def _dedup_minhash(sf_dir: str):
-    """Both dedup-filter paths must drop exactly the injected near-dups
-    (ids >= 1e6) and keep every base id: the driver-side union-find
-    filter AND the fully distributed one (pairs -> connected components
-    -> bloom-prefiltered anti join). Oracle: documents doc_ids, tagged
-    once per path."""
+    """All three dedup-filter paths in one union-tagged row set: exact
+    dedup keeps min(doc_id) per text group on the raw table; both
+    near-dup filter paths — the driver-side union-find AND the fully
+    distributed one (pairs -> connected components -> bloom-prefiltered
+    anti join) — must drop exactly the injected near-dups (ids >= 1e6)
+    and keep every base id of the controlled corpus."""
     from plugin_serdes_ray.pipelines.dedup import (
-        minhash_lsh_dedup, minhash_lsh_dedup_distributed)
+        exact_dedup, minhash_lsh_dedup, minhash_lsh_dedup_distributed)
 
     corpus = _dedup_oracle_corpus(sf_dir)
     rows = []
@@ -253,6 +254,8 @@ def _dedup_minhash(sf_dir: str):
                        ("distributed", minhash_lsh_dedup_distributed)):
         out = fn(corpus, "text", "doc_id")
         rows += [(method, r["doc_id"]) for r in out.take_all()]
+    exact = exact_dedup(_read(sf_dir, "documents"), "text", "doc_id")
+    rows += [("exact", r["doc_id"]) for r in exact.take_all()]
     rows.sort()
     return pa.table({
         "method": pa.array([r[0] for r in rows]),
@@ -1537,6 +1540,50 @@ def _heavy_hitter_langs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _url_host_stats_documents(sf_dir: str):
+    """Webtext host extraction + per-host aggregate chain
+    (relational.add_url_host -> grouped_aggregate): urls synthesized
+    deterministically from (source, doc_id) so the oracle recomputes the
+    same strings; host parsing must match regexp_extract."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.relational import (add_url_host,
+                                                        grouped_aggregate)
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "source", "n_chars"])
+
+    def make_url(b: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://", pc.fill_null(b.column("source"), "none"),
+            ".example.com/", b.column("doc_id").cast(pa.string()), "")
+        return pa.table({"url": url, "n_chars": b.column("n_chars")})
+
+    ds = add_url_host(docs.map_batches(make_url, batch_format="pyarrow",
+                                       runtime_env=_env()))
+    out = grouped_aggregate(ds, ["host"], sum_cols=["n_chars"])
+    rows = sorted((r["host"], r["sum_n_chars"], r["n"])
+                  for r in out.take_all())
+    return pa.table({
+        "host": pa.array([r[0] for r in rows], type=pa.string()),
+        "sum_n_chars": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n": pa.array([r[2] for r in rows], type=pa.int64())})
+
+
+def _global_shuffle_documents(sf_dir: str):
+    """Deterministic training-data shuffle (relational.global_shuffle):
+    rank == row_number under splitmix64(doc_id ^ 7) order; the oracle
+    reimplements splitmix64 in SQL via 32-bit-half multiplication."""
+    from plugin_serdes_ray.pipelines.relational import global_shuffle
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    out = global_shuffle(docs, "doc_id", seed=7)
+    rows = sorted((r["doc_id"], r["rank"]) for r in out.take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64())})
+
+
 def _contamination_documents(sf_dir: str):
     """Benchmark-contamination scan (textstats.contamination_overlap):
     every 50th document plays the eval benchmark; per-doc distinct word
@@ -1722,21 +1769,36 @@ def _textstats_scalars(sf_dir: str):
 
 def _quantiles_lineitem_all(sf_dir: str):
     """Exact quantiles, discrete (order statistic) AND interpolated
-    (PERCENTILE_CONT), union-tagged — both via the shared two-pass
-    histogram-locate machinery (relational.exact_quantiles[_cont])."""
+    (PERCENTILE_CONT) AND per-group discrete, union-tagged into one long
+    row set — global paths via the shared two-pass histogram-locate
+    machinery (relational.exact_quantiles[_cont]), grouped via one
+    groupby shuffle (relational.grouped_quantiles)."""
     from plugin_serdes_ray.pipelines.relational import (exact_quantiles,
-                                                        exact_quantiles_cont)
+                                                        exact_quantiles_cont,
+                                                        grouped_quantiles)
 
     ds = _read(sf_dir, "lineitem").select_columns(["l_extendedprice"])
     disc = exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.9])
     cont = exact_quantiles_cont(ds, "l_extendedprice", [0.25, 0.5, 0.9])
-    kinds, qs, vals = [], [], []
+    kinds, keys, qs, vals = [], [], [], []
     for kind, res in (("disc", disc), ("cont", cont)):
         for q in sorted(res):
             kinds.append(kind)
+            keys.append("")
             qs.append(q)
             vals.append(res[q])
+    grp = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity"])
+    for r in sorted(grouped_quantiles(grp, "l_returnflag", "l_quantity",
+                                      {"p50": 0.5, "p90": 0.9}).take_all(),
+                    key=lambda r: r["l_returnflag"]):
+        for q, name in ((0.5, "p50"), (0.9, "p90")):
+            kinds.append("grouped_disc")
+            keys.append(r["l_returnflag"])
+            qs.append(q)
+            vals.append(float(r[name]))
     return pa.table({"kind": pa.array(kinds, type=pa.string()),
+                     "key": pa.array(keys, type=pa.string()),
                      "q": pa.array(qs, type=pa.float64()),
                      "value": pa.array(vals, type=pa.float64())})
 
@@ -1936,6 +1998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans_documents": _dup_ngram_spans,
         "contamination_documents": _contamination_documents,
         "pack_sequences_documents": _pack_sequences_documents,
+        "global_shuffle_documents": _global_shuffle_documents,
+        "url_host_stats_documents": _url_host_stats_documents,
         "dedup_clusters_documents": _dedup_clusters,
         "gopher_signals_documents": _gopher_signals_documents,
         "text_embed_cluster": _text_embed_cluster,
@@ -1953,7 +2017,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- wide-op wave ---
         "cube_lineitem": _cube_lineitem,
         "quantiles_lineitem_all": _quantiles_lineitem_all,
-        "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         "grouped_stats_lineitem": _grouped_stats_lineitem,
         "grouped_topk_orders": _grouped_topk_orders,
         "string_agg_nations": _string_agg_nations,
@@ -1977,7 +2040,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_chain": _video_frame_chain,
         "grouped_reencode_documents": _grouped_reencode_documents,
         # --- dedup family + stratified sampling ---
-        "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
         "dedup_near_sim": _dedup_near_sim,
         "dedup_jaccard_exact": _dedup_jaccard_exact,
@@ -1997,6 +2059,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the family in the 50 block)
         "serde_chain_nation": _serde_chain_nation,
         "serde_chain_supplier": _serde_chain_supplier,
+        # standalone exact-dedup row (merged into dedup_minhash_documents
+        # in the 50 block)
+        "dedup_exact_documents": _dedup_exact,
+        # standalone grouped-quantiles row (merged into
+        # quantiles_lineitem_all in the 50 block)
+        "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
         # container engine round trips
         "roundtrip_orders": lambda sf: _roundtrip(sf, "orders"),
         "roundtrip_documents": lambda sf: _roundtrip(sf, "documents"),
@@ -2108,6 +2176,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'driver' AS method, doc_id FROM documents
             UNION ALL
             SELECT 'distributed' AS method, doc_id FROM documents
+            UNION ALL
+            SELECT 'exact' AS method, min(doc_id) AS doc_id
+            FROM documents GROUP BY text
+        """,
+        # same synthesized urls, host via regexp_extract
+        "url_host_stats_documents": """
+            SELECT regexp_extract(
+                       'https://' || coalesce(source, 'none')
+                       || '.example.com/' || CAST(doc_id AS VARCHAR),
+                       '^[a-z]+://([^/]+)', 1) AS host,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        # splitmix64 reimplemented in SQL: xor/shift on HUGEINT, the two
+        # 64x64-bit wrapping multiplies via 32-bit halves
+        "global_shuffle_documents": """
+            WITH s0 AS (SELECT doc_id,
+                   (CAST(xor(doc_id, 7) AS HUGEINT)
+                    + 11400714819323198485) % 18446744073709551616 AS z
+                 FROM documents),
+            s1 AS (SELECT doc_id,
+                   ((xor(z, z // 1073741824) % 4294967296)
+                     * (13787848793156543929 % 4294967296)
+                    + (((xor(z, z // 1073741824) % 4294967296)
+                        * (13787848793156543929 // 4294967296)
+                       + (xor(z, z // 1073741824) // 4294967296)
+                        * (13787848793156543929 % 4294967296))
+                       % 4294967296) * 4294967296)
+                   % 18446744073709551616 AS z FROM s0),
+            s2 AS (SELECT doc_id,
+                   ((xor(z, z // 134217728) % 4294967296)
+                     * (10723151780598845931 % 4294967296)
+                    + (((xor(z, z // 134217728) % 4294967296)
+                        * (10723151780598845931 // 4294967296)
+                       + (xor(z, z // 134217728) // 4294967296)
+                        * (10723151780598845931 % 4294967296))
+                       % 4294967296) * 4294967296)
+                   % 18446744073709551616 AS z FROM s1),
+            s3 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s2)
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY z, doc_id) - 1 AS rank
+            FROM s3
         """,
         # per-doc distinct word-8-gram counts + benchmark-set hits, the
         # benchmark being every 50th doc; same regexp tokenization
@@ -2777,19 +2888,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "quantiles_lineitem_all": """
-            SELECT 'disc' AS kind, CAST(0.25 AS DOUBLE) AS q,
+            SELECT 'disc' AS kind, '' AS key, CAST(0.25 AS DOUBLE) AS q,
                    quantile_disc(l_extendedprice, 0.25) AS value
             FROM lineitem
-            UNION ALL SELECT 'disc', CAST(0.5 AS DOUBLE),
+            UNION ALL SELECT 'disc', '', CAST(0.5 AS DOUBLE),
                    quantile_disc(l_extendedprice, 0.5) FROM lineitem
-            UNION ALL SELECT 'disc', CAST(0.9 AS DOUBLE),
+            UNION ALL SELECT 'disc', '', CAST(0.9 AS DOUBLE),
                    quantile_disc(l_extendedprice, 0.9) FROM lineitem
-            UNION ALL SELECT 'cont', CAST(0.25 AS DOUBLE),
+            UNION ALL SELECT 'cont', '', CAST(0.25 AS DOUBLE),
                    quantile_cont(l_extendedprice, 0.25) FROM lineitem
-            UNION ALL SELECT 'cont', CAST(0.5 AS DOUBLE),
+            UNION ALL SELECT 'cont', '', CAST(0.5 AS DOUBLE),
                    quantile_cont(l_extendedprice, 0.5) FROM lineitem
-            UNION ALL SELECT 'cont', CAST(0.9 AS DOUBLE),
+            UNION ALL SELECT 'cont', '', CAST(0.9 AS DOUBLE),
                    quantile_cont(l_extendedprice, 0.9) FROM lineitem
+            UNION ALL SELECT 'grouped_disc', l_returnflag,
+                   CAST(0.5 AS DOUBLE),
+                   CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE)
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL SELECT 'grouped_disc', l_returnflag,
+                   CAST(0.9 AS DOUBLE),
+                   CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE)
+            FROM lineitem GROUP BY l_returnflag
         """,
         "setops_custkeys": """
             SELECT 'except' AS op, c_custkey FROM (

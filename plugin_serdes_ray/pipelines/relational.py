@@ -1559,6 +1559,51 @@ def prefix_sum(ds, order_by: str, value_col: str, out_col: str = "cumsum",
                                  batch_format="pyarrow", runtime_env=env)
 
 
+def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 of ``x ^ seed`` (uint64 in/out) — the
+    public-domain Steele et al. generator; used as the deterministic
+    shuffle key. Wraparound is intended."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(np.uint64) ^ np.uint64(seed)) \
+            + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def global_shuffle(ds, id_column: str, seed: int = 0, *,
+                   rank_col: str = "rank"):
+    """Deterministic global shuffle for training-data ordering: every row
+    gets ``rank_col`` = its position under the pseudo-random permutation
+    ``splitmix64(id ^ seed)``, and the output is sorted in that order.
+    Reshuffling between epochs is just a new ``seed``; the permutation is
+    reproducible across runs/cluster sizes (unlike ``random_shuffle``,
+    which is neither seeded-stable across executions nor rank-labeled).
+
+    Scale shape: one map-only pass adds the 8-byte key, one range-sort
+    moves the rows (the unavoidable all-to-all any true shuffle pays),
+    and the rank comes from :func:`prefix_sum`'s O(blocks) offset pass —
+    no second shuffle. Key collisions are ~n^2/2^65 and would only
+    trip the prefix-scan's boundary guard, never silently misorder."""
+    env = package_runtime_env()
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)  # negatives wrap
+        k = splitmix64(ids, seed)
+        one = np.ones(len(k), dtype=np.int64)
+        return batch.append_column("__shufkey", pa.array(k)) \
+                    .append_column("__one", pa.array(one))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           runtime_env=env)
+    ranked = prefix_sum(keyed, "__shufkey", "__one", out_col=rank_col,
+                        exclusive=True)
+    return ranked.map_batches(
+        lambda b: b.drop_columns(["__shufkey", "__one"]),
+        batch_format="pyarrow", runtime_env=env)
+
+
 def pack_sequences(ds, cost_col: str, id_col: str, seq_len: int, *,
                    bin_col: str = "bin_id", offset_col: str = "bin_offset"):
     """Concat-and-chop sequence-packing layout for LLM training batches:

@@ -789,3 +789,47 @@ def test_pack_sequences_concat_and_chop(ray_session):
     got = {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in out}
     # starts: 0, 60, 110, 120, 220
     assert got == {1: (0, 0), 2: (0, 60), 3: (1, 46), 4: (1, 56), 5: (3, 28)}
+
+
+def test_global_shuffle_deterministic_ranked_permutation(ray_session):
+    """Rank == row_number under splitmix64(id ^ seed) order (checked
+    against an independent SQL reimplementation of splitmix64 via
+    32-bit-half multiplication); different seeds give different orders,
+    same seed is reproducible."""
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import global_shuffle
+
+    t = pa.table({"doc_id": pa.array(list(range(200)), type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = {r["doc_id"]: r["rank"]
+           for r in global_shuffle(ds, "doc_id", seed=7).take_all()}
+    mul = (lambda a, b:
+           f"((({a}) % 4294967296) * (({b}) % 4294967296) + "
+           f"(((({a}) % 4294967296) * (({b}) // 4294967296) + "
+           f"(({a}) // 4294967296) * (({b}) % 4294967296)) % 4294967296)"
+           f" * 4294967296) % 18446744073709551616")
+    want = duckdb.sql(f"""
+        WITH ids AS (SELECT unnest(generate_series(0, 199)) AS doc_id),
+        s0 AS (SELECT doc_id, (CAST(xor(doc_id, 7) AS HUGEINT)
+               + 11400714819323198485) % 18446744073709551616 AS z
+               FROM ids),
+        s1 AS (SELECT doc_id,
+               {mul("xor(z, z // 1073741824)", "13787848793156543929")}
+               AS z FROM s0),
+        s2 AS (SELECT doc_id,
+               {mul("xor(z, z // 134217728)", "10723151780598845931")}
+               AS z FROM s1),
+        s3 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s2)
+        SELECT doc_id,
+               row_number() OVER (ORDER BY z, doc_id) - 1 AS rank
+        FROM s3
+    """).fetchall()
+    assert got == {d: r for d, r in want}
+    again = {r["doc_id"]: r["rank"]
+             for r in global_shuffle(ds, "doc_id", seed=7).take_all()}
+    assert again == got
+    other = {r["doc_id"]: r["rank"]
+             for r in global_shuffle(ds, "doc_id", seed=8).take_all()}
+    assert other != got
