@@ -239,14 +239,21 @@ def _dedup_oracle_corpus(sf_dir: str, n_injected: int = 5,
 
 
 def _dedup_minhash(sf_dir: str):
-    """All three dedup-filter paths in one union-tagged row set: exact
+    """All four dedup-filter paths in one union-tagged row set: exact
     dedup keeps min(doc_id) per text group on the raw table; both
     near-dup filter paths — the driver-side union-find AND the fully
     distributed one (pairs -> connected components -> bloom-prefiltered
     anti join) — must drop exactly the injected near-dups (ids >= 1e6)
-    and keep every base id of the controlled corpus."""
+    and keep every base id of the controlled corpus; 'incremental' splits
+    the table by doc_id parity (even = already-ingested corpus, odd = the
+    new shard) and keeps the odd rows that are first-per-text within the
+    shard AND unseen on the even side (dedup.exact_dedup_incremental —
+    seen side reduces map-only to hashes, bloom + exact anti join)."""
+    import pyarrow.compute as pc
+
     from plugin_serdes_ray.pipelines.dedup import (
-        exact_dedup, minhash_lsh_dedup, minhash_lsh_dedup_distributed)
+        exact_dedup, exact_dedup_incremental, minhash_lsh_dedup,
+        minhash_lsh_dedup_distributed)
 
     corpus = _dedup_oracle_corpus(sf_dir)
     rows = []
@@ -254,8 +261,24 @@ def _dedup_minhash(sf_dir: str):
                        ("distributed", minhash_lsh_dedup_distributed)):
         out = fn(corpus, "text", "doc_id")
         rows += [(method, r["doc_id"]) for r in out.take_all()]
-    exact = exact_dedup(_read(sf_dir, "documents"), "text", "doc_id")
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    exact = exact_dedup(docs, "text", "doc_id")
     rows += [("exact", r["doc_id"]) for r in exact.take_all()]
+
+    def parity(p):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(
+                pc.bit_wise_and(b.column("doc_id"),
+                                pa.scalar(1, pa.int64())), p))
+        return f
+
+    inc = exact_dedup_incremental(
+        docs.map_batches(parity(1), batch_format="pyarrow",
+                         runtime_env=_env()),
+        docs.map_batches(parity(0), batch_format="pyarrow",
+                         runtime_env=_env()),
+        "text", "doc_id")
+    rows += [("incremental", r["doc_id"]) for r in inc.take_all()]
     rows.sort()
     return pa.table({
         "method": pa.array([r[0] for r in rows]),
@@ -275,25 +298,34 @@ def _dedup_simhash(sf_dir: str):
 
 
 def _dedup_near_sim(sf_dir: str):
-    """SimHash and embedding-cosine near-dup union-tagged into one row:
-    both controlled-positive corpora, both must find exactly their 5
-    injected pairs and nothing else."""
-    from plugin_serdes_ray.pipelines.dedup import simhash_duplicates
+    """SimHash, embedding-cosine, and exact-n-gram-Jaccard near-dup paths
+    union-tagged into one row set: each controlled-positive corpus must
+    yield exactly its 5 injected pairs and nothing else (the jaccard arm
+    is LSH candidates -> semi-join back to text -> exact Jaccard,
+    dedup.minhash_lsh_duplicates_exact)."""
+    from plugin_serdes_ray.pipelines.dedup import (
+        minhash_lsh_duplicates_exact, simhash_duplicates)
 
     pairs = simhash_duplicates(
         _dedup_oracle_corpus(sf_dir, perturb_tokens=1), "text", "doc_id",
         max_hamming=4).take_all()
     sh = sorted({(r["keep_id"], r["dup_id"]) for r in pairs})
     emb = _dedup_embedding(sf_dir)
+    jx = minhash_lsh_duplicates_exact(_dedup_oracle_corpus(sf_dir),
+                                      "text", "doc_id") \
+        .sort_by([("keep_id", "ascending"), ("dup_id", "ascending")])
     return pa.table({
         "method": pa.array(["simhash"] * len(sh)
-                           + ["embedding"] * emb.num_rows),
+                           + ["embedding"] * emb.num_rows
+                           + ["jaccard"] * jx.num_rows),
         "keep_id": pa.concat_arrays([
             pa.array([p[0] for p in sh], type=pa.int64()),
-            emb.column("keep_id").combine_chunks()]),
+            emb.column("keep_id").combine_chunks(),
+            jx.column("keep_id").combine_chunks().cast(pa.int64())]),
         "dup_id": pa.concat_arrays([
             pa.array([p[1] for p in sh], type=pa.int64()),
-            emb.column("dup_id").combine_chunks()]),
+            emb.column("dup_id").combine_chunks(),
+            jx.column("dup_id").combine_chunks().cast(pa.int64())]),
     })
 
 
@@ -364,6 +396,36 @@ def _sample_documents(sf_dir: str):
         "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
         "lang": pa.array([r["lang"] for r in rows]),
     })
+
+
+def _samples_documents(sf_dir: str):
+    """The three sampling strategies union-tagged into one row set:
+    'stratified' = per-key rate cap (en at 10%, rest kept,
+    relational.stratified_sample — shuffle-free knuth-hash row function);
+    'mixture' = domain-mixing draw toward target weights en/zh/es =
+    .5/.2/.3 of n_target=100 with exact per-key counts setting the rates
+    (relational.mixture_sample); 'uniform_k' = exact-k uniform sample, the
+    25 rows with smallest splitmix64(doc_id ^ 7)
+    (relational.uniform_sample_k — map-only top-k, no shuffle). All three
+    are pure functions of the row ids so the oracle re-evaluates them
+    exactly (the splitmix chain is inlined in SQL via 32-bit-half
+    multiplies)."""
+    from plugin_serdes_ray.pipelines.relational import (mixture_sample,
+                                                        stratified_sample,
+                                                        uniform_sample_k)
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    rows = [("stratified", r["doc_id"]) for r in
+            stratified_sample(ds, "lang", {"en": 0.1}, "doc_id").take_all()]
+    mixed, _ = mixture_sample(ds, "lang", {"en": 0.5, "zh": 0.2, "es": 0.3},
+                              n_target=100, id_column="doc_id")
+    rows += [("mixture", r["doc_id"]) for r in mixed.take_all()]
+    uk = uniform_sample_k(ds, "doc_id", k=25, seed=7)
+    rows += [("uniform_k", i) for i in uk.column("doc_id").to_pylist()]
+    rows.sort()
+    return pa.table({
+        "method": pa.array([r[0] for r in rows]),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64())})
 
 
 def _dedup_embedding(sf_dir: str):
@@ -1142,6 +1204,25 @@ def _markdown_roundtrip(sf_dir: str):
     return ds.map_batches(xf, batch_format="pyarrow", runtime_env=_env())
 
 
+def _doc_transforms_text(sf_dir: str):
+    """The two markdown-transform chains union-tagged into one row set:
+    'html' = synthetic page -> HtmlToMarkdown -> MarkdownToText (must
+    strip boilerplate and reproduce the stored text byte-for-byte);
+    'markdown' = MarkdownToHtml -> HtmlToMarkdown -> MarkdownToText
+    identity chain over plain text."""
+    def tag(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column("method",
+                                   pa.array([name] * b.num_rows))
+        return f
+
+    h = _html_to_text(sf_dir).map_batches(
+        tag("html"), batch_format="pyarrow", runtime_env=_env())
+    m = _markdown_roundtrip(sf_dir).map_batches(
+        tag("markdown"), batch_format="pyarrow", runtime_env=_env())
+    return h.union(m)
+
+
 def _jsonl_bridge(sf_dir: str, table: str) -> pa.Table:
     """JSON document array -> JSONL (JsonToJsonl) -> table -> coerce."""
     import json
@@ -1635,12 +1716,15 @@ def _gopher_signals_documents(sf_dir: str):
     integer numerators/denominators for dup-line chars, dup word-n-gram
     chars (n=2..4), bullet/ellipsis lines, symbol-to-word — all derived
     with split kernels + C group_by + bincount, SQL-recomputable via
-    unnest."""
-    from plugin_serdes_ray.pipelines.textstats import gopher_signals
+    unnest — chained into the FILTER decision (textstats.gopher_filter,
+    Rae et al. 2021 table A1 thresholds) as a boolean ``keep`` column the
+    oracle recomputes as a CASE over the same signals."""
+    from plugin_serdes_ray.pipelines.textstats import (gopher_filter,
+                                                       gopher_signals)
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     out = ds.map_batches(
-        lambda b: gopher_signals(b).drop_columns(["text"]),
+        lambda b: gopher_filter(gopher_signals(b)).drop_columns(["text"]),
         batch_format="pyarrow", runtime_env=_env())
     return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
 
@@ -1801,6 +1885,30 @@ def _quantiles_lineitem_all(sf_dir: str):
                      "key": pa.array(keys, type=pa.string()),
                      "q": pa.array(qs, type=pa.float64()),
                      "value": pa.array(vals, type=pa.float64())})
+
+
+def _quantile_band_lineitem(sf_dir: str):
+    """Middle-quality band selection (relational.quantile_band_filter):
+    keep the lineitem rows whose l_extendedprice lies within the exact
+    corpus [p25, p75] — the exact distributed quantile locate pins the two
+    boundary values, then a map-only vectorized BETWEEN filter streams the
+    rows (the CCNet perplexity-bucket trick)."""
+    from plugin_serdes_ray.pipelines.relational import quantile_band_filter
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice"])
+    return quantile_band_filter(ds, "l_extendedprice", 0.25, 0.75)
+
+
+def _chunk_text_documents(sf_dir: str):
+    """RAG/embedding chunk prep (textstats.chunk_text): 200-codepoint
+    windows every 160 (overlap 40) per document — map-only, one
+    utf8_slice_codeunits kernel launch per chunk index, SQL-recomputable
+    via substr over generate_series."""
+    from plugin_serdes_ray.pipelines.textstats import chunk_text
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return chunk_text(docs, size=200, overlap=40)
 
 
 def _setops_custkeys(sf_dir: str):
@@ -1995,6 +2103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     follow for transparency; each is also covered by pytest."""
     first_50 = {
         # --- new this round ---
+        "samples_documents": _samples_documents,
+        "quantile_band_lineitem": _quantile_band_lineitem,
+        "chunk_text_documents": _chunk_text_documents,
         "dup_ngram_spans_documents": _dup_ngram_spans,
         "contamination_documents": _contamination_documents,
         "pack_sequences_documents": _pack_sequences_documents,
@@ -2034,16 +2145,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_anti_join_orders": _semi_anti_orders,
         "asof_left_join_last_error": _asof_left_join_last_error,
         # --- document transforms + multimodal ---
-        "html_extract_text": _html_to_text,
-        "markdown_roundtrip_documents": _markdown_roundtrip,
+        "doc_transforms_text": _doc_transforms_text,
         "multimodal_audio_stats": _multimodal_audio_stats,
         "video_frame_chain": _video_frame_chain,
         "grouped_reencode_documents": _grouped_reencode_documents,
-        # --- dedup family + stratified sampling ---
+        # --- dedup family ---
         "dedup_minhash_documents": _dedup_minhash,
         "dedup_near_sim": _dedup_near_sim,
-        "dedup_jaccard_exact": _dedup_jaccard_exact,
-        "sample_documents_per_lang": _sample_documents,
         # --- container engine + serde surface (chained) ---
         "roundtrip_lineitem": lambda sf: _roundtrip(sf, "lineitem"),
         "roundtrip_orders_filtered": lambda sf: _roundtrip_filtered(
@@ -2062,6 +2170,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # standalone exact-dedup row (merged into dedup_minhash_documents
         # in the 50 block)
         "dedup_exact_documents": _dedup_exact,
+        # standalone jaccard row (merged into dedup_near_sim)
+        "dedup_jaccard_exact": _dedup_jaccard_exact,
+        # standalone stratified-sampling row (merged into
+        # samples_documents)
+        "sample_documents_per_lang": _sample_documents,
+        # standalone markdown-chain rows (merged into doc_transforms_text)
+        "html_extract_text": _html_to_text,
+        "markdown_roundtrip_documents": _markdown_roundtrip,
         # standalone grouped-quantiles row (merged into
         # quantiles_lineitem_all in the 50 block)
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
@@ -2125,6 +2241,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {**first_50, **legacy}
 
 
+def _splitmix_z_sql(seed: int) -> str:
+    """CTE chain computing z = splitmix64(doc_id ^ seed) in SQL (HUGEINT
+    arithmetic, the two 64x64-bit wrapping multiplies via 32-bit halves) —
+    matches relational.splitmix64 bit-for-bit; yields (doc_id, z) in s3."""
+    M, H = 18446744073709551616, 4294967296
+    c1, c2 = 13787848793156543929, 10723151780598845931
+
+    def mul(c: int, shift: int) -> str:
+        x = f"xor(z, z // {shift})"
+        return (f"(({x} % {H}) * ({c} % {H})"
+                f" + ((({x} % {H}) * ({c} // {H})"
+                f" + ({x} // {H}) * ({c} % {H})) % {H}) * {H}) % {M}")
+
+    return f"""
+        s0 AS (SELECT doc_id,
+               (CAST(xor(doc_id, {seed}) AS HUGEINT)
+                + 11400714819323198485) % {M} AS z FROM documents),
+        s1 AS (SELECT doc_id, {mul(c1, 1073741824)} AS z FROM s0),
+        s2 AS (SELECT doc_id, {mul(c2, 134217728)} AS z FROM s1),
+        s3 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s2)"""
+
+
 def oracle_sql() -> dict[str, str]:
     rt = {f"roundtrip_{t}": f"SELECT * FROM {t}"
           for t in ["lineitem", "orders", "documents", "events", "customer"]}
@@ -2179,6 +2317,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'exact' AS method, min(doc_id) AS doc_id
             FROM documents GROUP BY text
+            UNION ALL
+            SELECT 'incremental' AS method, min(doc_id) AS doc_id
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 2 = 0)
+            GROUP BY text
         """,
         # same synthesized urls, host via regexp_extract
         "url_host_stats_documents": """
@@ -2276,6 +2421,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(999999 + row_number() OVER (ORDER BY vec_id)
                         AS BIGINT)
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+            UNION ALL
+            SELECT 'jaccard', doc_id, doc_id + 1000000
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
         """,
         # recursive-CTE transitive closure over the same two edge
         # relations the Ray side builds (star edges have the same
@@ -2310,6 +2458,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
                   (CASE lang WHEN 'en' THEN 0.1 ELSE 1.0 END)
+        """,
+        # three samplers union-tagged; mixture rates re-derived from the
+        # same exact per-lang counts, uniform_k via the inlined splitmix
+        "samples_documents": f"""
+            WITH {_splitmix_z_sql(7)},
+            cnt AS (SELECT lang, count(*) AS c FROM documents
+                    GROUP BY lang)
+            SELECT 'stratified' AS method, doc_id FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
+                  (CASE lang WHEN 'en' THEN 0.1 ELSE 1.0 END)
+            UNION ALL
+            SELECT 'mixture', doc_id FROM (
+                SELECT d.doc_id,
+                       least(1.0, (100.0 * CASE d.lang
+                                   WHEN 'en' THEN 0.5
+                                   WHEN 'zh' THEN 0.2
+                                   WHEN 'es' THEN 0.3
+                                   ELSE 0.0 END) / c.c) AS rate
+                FROM documents d JOIN cnt c USING (lang))
+            WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+                  < rate
+            UNION ALL
+            SELECT 'uniform_k', doc_id FROM (
+                SELECT doc_id FROM s3 ORDER BY z LIMIT 25)
+        """,
+        "doc_transforms_text": """
+            SELECT 'html' AS method, doc_id, text AS extracted_text
+            FROM documents
+            UNION ALL
+            SELECT 'markdown', doc_id, text FROM documents
+        """,
+        "quantile_band_lineitem": """
+            WITH q AS (SELECT quantile_disc(l_extendedprice, 0.25) AS lo,
+                              quantile_disc(l_extendedprice, 0.75) AS hi
+                       FROM lineitem)
+            SELECT l_orderkey, l_extendedprice
+            FROM lineitem, q
+            WHERE l_extendedprice BETWEEN q.lo AND q.hi
+        """,
+        "chunk_text_documents": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       greatest(1, (length(text) - 200 + 159) // 160 + 1)
+                           AS n
+                FROM documents WHERE text IS NOT NULL),
+            expanded AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, n - 1)) AS j FROM base)
+            SELECT doc_id, j AS chunk_id,
+                   substr(text, CAST(j * 160 + 1 AS BIGINT), 200) AS chunk
+            FROM expanded
         """,
         "dedup_embedding": """
             SELECT vec_id AS keep_id,
@@ -2812,7 +3011,8 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0 END) AS dup_4gram_chars,
                            sum(c * length(g)) AS tot_4gram_chars
                     FROM (SELECT doc_id, g, count(*) c FROM g4
-                          GROUP BY doc_id, g) GROUP BY doc_id)
+                          GROUP BY doc_id, g) GROUP BY doc_id),
+            sig AS (
             SELECT d.doc_id,
                    CAST(COALESCE(lstat.total_lines, 0) AS BIGINT)
                        AS total_lines,
@@ -2845,8 +3045,25 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN sym USING (doc_id)
                    LEFT JOIN g2s USING (doc_id)
                    LEFT JOIN g3s USING (doc_id)
-                   LEFT JOIN g4s USING (doc_id)
-            ORDER BY doc_id
+                   LEFT JOIN g4s USING (doc_id))
+            SELECT *,
+                   (CASE WHEN total_line_chars > 0
+                         THEN CAST(dup_line_chars AS DOUBLE)
+                              / total_line_chars ELSE 0 END) <= 0.30
+               AND (CASE WHEN tot_3gram_chars > 0
+                         THEN CAST(dup_3gram_chars AS DOUBLE)
+                              / tot_3gram_chars ELSE 0 END) <= 0.18
+               AND (CASE WHEN word_count > 0
+                         THEN CAST(symbol_count AS DOUBLE)
+                              / word_count ELSE 0 END) <= 0.10
+               AND (CASE WHEN total_lines > 0
+                         THEN CAST(bullet_lines AS DOUBLE)
+                              / total_lines ELSE 0 END) <= 0.90
+               AND (CASE WHEN total_lines > 0
+                         THEN CAST(ellipsis_lines AS DOUBLE)
+                              / total_lines ELSE 0 END) <= 0.30
+               AND word_count >= 50 AND word_count <= 100000 AS keep
+            FROM sig ORDER BY doc_id
         """,
         "ann_top10": """
             WITH topk AS (

@@ -789,6 +789,47 @@ def _span_gram_hashes(text: str, gram: int, stride: int) -> np.ndarray:
     return np.unique(_mix64(h))
 
 
+def exact_dedup_incremental(new_ds, seen_ds, column: str, id_column: str, *,
+                            bits: int = 1 << 23):
+    """Delta/incremental exact dedup for corpus growth: keep the rows of
+    the NEW shard that are first-per-value within the shard
+    (:func:`exact_dedup`: min-id per distinct ``column``) AND whose value
+    does not already occur in the SEEN corpus — without re-shuffling or
+    re-reading the seen corpus's payload. The daily-ingest shape: the
+    seen side reduces map-only to 64-bit content hashes that feed a Bloom
+    bitmap + exact anti-join residual
+    (:func:`~.relational.bloom_semi_join` ``anti=True``), so seen text
+    never moves and the typical all-new row is kept map-only by the
+    broadcast bitmap test.
+
+    Hash-collision caveat (the same contract every hash-keyed dedup in
+    this module documents): a new value whose 64-bit hash collides with a
+    DIFFERENT seen value (~n_new·n_seen/2^64) is wrongly dropped; within
+    the new shard itself collisions are verified exactly by
+    exact_dedup's per-value check. Null values hash like any other and
+    dedup against seen nulls."""
+    env = package_runtime_env()
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = _content_hash64(batch.column(column).combine_chunks())
+        return batch.replace_schema_metadata(None).append_column(
+            "__h", pa.array(h.astype(np.int64)))
+
+    def hash_only(batch: pa.Table) -> pa.Table:
+        h = _content_hash64(batch.column(column).combine_chunks())
+        return pa.table({"__h": pa.array(h.astype(np.int64))})
+
+    from .relational import bloom_semi_join
+
+    deduped = exact_dedup(new_ds, column, id_column).map_batches(
+        add_hash, batch_format="pyarrow", runtime_env=env)
+    seen = seen_ds.map_batches(hash_only, batch_format="pyarrow",
+                               runtime_env=env)
+    out = bloom_semi_join(deduped, seen, "__h", anti=True, bits=bits)
+    return out.map_batches(lambda b: b.drop_columns(["__h"]),
+                           batch_format="pyarrow", runtime_env=env)
+
+
 def dup_span_stats(ds, column: str, id_column: str, *, gram: int = 20,
                    stride: int = 10, bloom_bits: int = 1 << 23):
     """Per-document duplicate-span statistics: how much of each document's

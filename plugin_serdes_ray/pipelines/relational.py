@@ -1604,6 +1604,86 @@ def global_shuffle(ds, id_column: str, seed: int = 0, *,
         batch_format="pyarrow", runtime_env=env)
 
 
+def uniform_sample_k(ds, id_column: str, k: int, seed: int = 0) -> pa.Table:
+    """Exact-k deterministic uniform sample: the ``k`` rows whose
+    ``splitmix64(id ^ seed)`` is smallest. splitmix64 is a bijection on
+    uint64, so for distinct ids the order is total (no ties) and the draw
+    is uniform over the corpus; a new ``seed`` is a fresh independent
+    sample, reproducible across runs and cluster sizes (unlike
+    ``Dataset.random_sample``, which is per-execution and fraction-based,
+    never exactly k).
+
+    Scale shape: one map-only key pass + per-block local top-k +
+    O(k·blocks) driver merge (the :func:`top_k` machinery) — no shuffle,
+    no global sort. Null ids are dropped (the SQL-equivalent hash
+    arithmetic yields NULL)."""
+    env = package_runtime_env()
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(id_column)))
+        ids = batch.column(id_column).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        # sign-bit flip: unsigned order as int64 (top_k's driver merge
+        # round-trips rows through Python ints, which can't hold uint64)
+        key = (splitmix64(ids, seed) ^ np.uint64(1 << 63)).astype(np.int64)
+        return batch.append_column("__uk", pa.array(key))
+
+    t = top_k(ds.map_batches(add_key, batch_format="pyarrow",
+                             runtime_env=env),
+              "__uk", k=k, descending=False)
+    return t.drop_columns(["__uk"]) if t.num_rows else t
+
+
+def mixture_sample(ds, key: str, weights: dict, n_target: int,
+                   id_column: str, *, default_weight: float = 0.0):
+    """Deterministic domain-mixing sampler: draw ~``n_target`` rows whose
+    ``key`` composition approaches the target ``weights`` (the data-mixing
+    step of training-corpus assembly: e.g. 60% web, 30% code, 10% books).
+    Exact per-key counts come from one combiner-shrunk
+    :func:`grouped_aggregate`; each key then gets the Bernoulli rate
+    ``min(1, n_target·w_key / count_key)`` applied by the shuffle-free
+    :func:`stratified_sample` hash — a pure function of the row, so the
+    sample is reproducible and SQL-recomputable. Keys absent from
+    ``weights`` get ``default_weight``. A key with fewer rows than its
+    target allocation saturates at rate 1 (take everything); no other key
+    compensates — by design, so rates stay independent per key. Null-key
+    rows are dropped (no weight can name them).
+
+    Returns ``(sampled_dataset, fractions_dict)``. Scale shape: one keyed
+    count shuffle over (key, count) partials + one map-only filter pass;
+    the rows themselves never shuffle."""
+    counts = {r[key]: r["n"]
+              for r in grouped_aggregate(ds, [key],
+                                         count_name="n").take_all()}
+    fracs = {kk: min(1.0, float(n_target) * weights.get(kk, default_weight)
+                     / c)
+             for kk, c in counts.items() if kk is not None and c}
+    return stratified_sample(ds, key, fracs, id_column, default=0.0), fracs
+
+
+def quantile_band_filter(ds, column: str, lo: float = 0.25,
+                         hi: float = 0.75, *, interpolated: bool = False):
+    """Keep the rows whose ``column`` lies within the corpus's exact
+    [``lo``, ``hi``] quantile band — middle-quality selection (drop the
+    spam tail AND the boilerplate head of a quality score, the CCNet
+    perplexity-bucket trick). Two streaming passes: the exact distributed
+    quantile locate (:func:`exact_quantiles` — histogram + bucket read,
+    no global sort) pins the two boundary values, then a map-only
+    vectorized BETWEEN filter. Null values never pass (SQL BETWEEN
+    semantics)."""
+    f = exact_quantiles_cont if interpolated else exact_quantiles
+    qs = f(ds, column, sorted({lo, hi}))
+    vlo, vhi = qs[lo], qs[hi]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = batch.column(column)
+        return batch.filter(pc.and_(pc.greater_equal(c, pa.scalar(vlo)),
+                                    pc.less_equal(c, pa.scalar(vhi))))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
 def pack_sequences(ds, cost_col: str, id_col: str, seq_len: int, *,
                    bin_col: str = "bin_id", offset_col: str = "bin_offset"):
     """Concat-and-chop sequence-packing layout for LLM training batches:

@@ -473,6 +473,104 @@ def gopher_signals(batch: pa.Table, column: str = "text",
     return out
 
 
+def gopher_filter(batch: pa.Table, *, max_dup_line_frac: float = 0.30,
+                  max_dup_3gram_frac: float = 0.18,
+                  max_symbol_word_ratio: float = 0.10,
+                  max_bullet_frac: float = 0.90,
+                  max_ellipsis_frac: float = 0.30,
+                  min_words: int = 50, max_words: int = 100_000,
+                  out: str = "keep", id_prefix: str = "") -> pa.Table:
+    """Gopher quality FILTER decision (Rae et al. 2021 table A1 defaults)
+    over a batch that already carries :func:`gopher_signals` columns:
+    appends boolean ``out`` = True iff the document passes every
+    threshold. Pure column arithmetic on the exact integer signals — no
+    re-tokenization, map-only, and SQL-recomputable as a CASE over the
+    same emitted numerators/denominators.
+
+    Fractions with a zero denominator are treated as 0 (a document with
+    no lines/3-grams cannot be *repetitious*); the word-count bounds then
+    reject degenerate documents on their own."""
+    def col(name: str) -> np.ndarray:
+        return batch.column(id_prefix + name).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+
+    def frac(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = num / den
+        return np.where(den > 0, f, 0.0)
+
+    words = col("word_count")
+    keep = (
+        (frac(col("dup_line_chars"), col("total_line_chars"))
+         <= max_dup_line_frac)
+        & (frac(col("dup_3gram_chars"), col("tot_3gram_chars"))
+           <= max_dup_3gram_frac)
+        & (frac(col("symbol_count"), words) <= max_symbol_word_ratio)
+        & (frac(col("bullet_lines"), col("total_lines")) <= max_bullet_frac)
+        & (frac(col("ellipsis_lines"), col("total_lines"))
+           <= max_ellipsis_frac)
+        & (words >= min_words) & (words <= max_words)
+    )
+    return batch.append_column(out, pa.array(keep))
+
+
+def chunk_text(ds, column: str = "text", id_column: str = "doc_id", *,
+               size: int = 512, overlap: int = 64,
+               chunk_col: str = "chunk", idx_col: str = "chunk_id"):
+    """Fixed-size character chunking with overlap — the standard RAG /
+    embedding prep layout: each document yields windows starting at
+    ``0, stride, 2*stride, ...`` with ``stride = size - overlap``;
+    ``n_chunks = max(1, ceil((len - size) / stride) + 1)`` so the final
+    window is the last one that starts before the tail would otherwise be
+    orphaned, clipped at the end of the text. Null texts yield no chunks
+    (mirroring SQL's NULL propagation); empty texts yield one empty chunk.
+
+    Scale shape: map-only (no shuffle; the chunk table streams out at
+    ~``size/stride``× the input bytes). Vectorization is ONE
+    ``utf8_slice_codeunits`` kernel launch PER CHUNK INDEX, not per row:
+    launch ``j`` takes the rows with ``n_chunks > j`` and slices them all
+    at ``[j*stride, j*stride + size)`` — O(max_chunks_in_batch) kernel
+    calls. Offsets are codepoints, matching SQL ``substr`` semantics."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+
+    from ..util import package_runtime_env
+
+    def chop(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(column)))
+        col = batch.column(column).combine_chunks()
+        ids = batch.column(id_column).combine_chunks()
+        lens = pc.utf8_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chunks = np.maximum(1, (lens - size + stride - 1) // stride + 1)
+        out_ids, out_idx, out_chunks = [], [], []
+        for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            sel = np.flatnonzero(n_chunks > j)
+            if sel.size == len(n_chunks):
+                sub_ids, sub_txt = ids, col
+            else:
+                take = pa.array(sel)
+                sub_ids, sub_txt = ids.take(take), col.take(take)
+            out_ids.append(sub_ids)
+            out_idx.append(np.full(sel.size, j, dtype=np.int64))
+            out_chunks.append(pc.utf8_slice_codeunits(
+                sub_txt, j * stride, j * stride + size))
+        if not out_ids:
+            return pa.table({id_column: ids,
+                             idx_col: pa.array([], type=pa.int64()),
+                             chunk_col: pa.array([], type=col.type)})
+        return pa.table({
+            id_column: pa.concat_arrays([a.combine_chunks()
+                                         if isinstance(a, pa.ChunkedArray)
+                                         else a for a in out_ids]),
+            idx_col: pa.array(np.concatenate(out_idx)),
+            chunk_col: pa.concat_arrays([c for c in out_chunks])})
+
+    return ds.map_batches(chop, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
 def _word_ngram_rows(batch: pa.Table, column: str, n: int):
     """Vectorized word n-grams for a batch: whitespace-split (``\\s+``,
     empty tokens dropped), grams joined with a single space — the exact

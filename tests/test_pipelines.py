@@ -1240,3 +1240,24 @@ def test_span_gram_hashes_match_python_slices(ray_session):
     alone = _span_gram_hashes(gram, 20, 10)
     embedded = _span_gram_hashes("0123456789" + gram + "aftermath!", 20, 10)
     assert alone[0] in set(embedded.tolist())
+
+
+def test_exact_dedup_incremental(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import exact_dedup_incremental
+
+    seen = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha", "beta", "gamma"])})
+    # new shard: one internal dup pair (keep min id), one text already
+    # seen ('beta'), the rest genuinely new
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        "text": pa.array(["delta", "delta", "beta", "epsilon", "zeta"])})
+    out = exact_dedup_incremental(
+        ray.data.from_arrow(new).repartition(3),
+        ray.data.from_arrow(seen).repartition(2), "text", "doc_id")
+    rows = sorted((r["doc_id"], r["text"]) for r in out.take_all())
+    assert rows == [(10, "delta"), (13, "epsilon"), (14, "zeta")]
+    assert {c for r in out.take_all() for c in r} == {"doc_id", "text"}

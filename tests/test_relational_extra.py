@@ -833,3 +833,84 @@ def test_global_shuffle_deterministic_ranked_permutation(ray_session):
     other = {r["doc_id"]: r["rank"]
              for r in global_shuffle(ds, "doc_id", seed=8).take_all()}
     assert other != got
+
+
+def test_uniform_sample_k_exact_and_seeded(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import (splitmix64,
+                                                        uniform_sample_k)
+
+    ids = list(range(300))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "v": pa.array([i * 2 for i in ids], type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = uniform_sample_k(ds, "doc_id", k=20, seed=5)
+    assert got.num_rows == 20
+    assert set(got.column_names) == {"doc_id", "v"}
+    # exactly the 20 smallest splitmix64(id ^ 5), independently computed
+    import numpy as np
+    keys = splitmix64(np.asarray(ids, dtype=np.uint64), 5)
+    want = {ids[i] for i in np.argsort(keys)[:20]}
+    assert set(got.column("doc_id").to_pylist()) == want
+    # reproducible; different seed differs
+    again = uniform_sample_k(ds, "doc_id", k=20, seed=5)
+    assert sorted(again.column("doc_id").to_pylist()) == \
+        sorted(got.column("doc_id").to_pylist())
+    other = uniform_sample_k(ds, "doc_id", k=20, seed=6)
+    assert set(other.column("doc_id").to_pylist()) != want
+
+
+def test_mixture_sample_rates_and_composition(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import mixture_sample
+
+    rows = []
+    for i in range(1000):
+        rows.append({"doc_id": i,
+                     "src": "web" if i % 10 < 8 else
+                            ("code" if i % 10 < 9 else "books")})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    out, fracs = mixture_sample(ds, "src", {"web": 0.5, "code": 0.3,
+                                            "books": 0.2},
+                                n_target=200, id_column="doc_id")
+    # counts: web 800, code 100, books 100 -> rates 100/800, 60/100, 40/100
+    assert fracs == {"web": 0.125, "code": 0.6, "books": 0.4}
+    got = out.take_all()
+    by = {}
+    for r in got:
+        by.setdefault(r["src"], []).append(r["doc_id"])
+    # deterministic knuth-hash selection: recompute expected per key
+    for src, rate in (("web", 0.125), ("code", 0.6), ("books", 0.4)):
+        want = [r["doc_id"] for r in rows if r["src"] == src
+                and ((r["doc_id"] * 2654435761) % 2**32) / 2**32 < rate]
+        assert sorted(by.get(src, [])) == sorted(want)
+    # a key with fewer rows than its allocation saturates at rate 1
+    _, f2 = mixture_sample(ds, "src", {"books": 0.9, "web": 0.1},
+                           n_target=500, id_column="doc_id")
+    assert f2["books"] == 1.0 and f2["web"] == 0.0625
+    # unlisted keys get default_weight (0 -> dropped)
+    assert f2["code"] == 0.0
+
+
+def test_quantile_band_filter_matches_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import quantile_band_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice"])
+    out = quantile_band_filter(ds, "l_extendedprice", 0.25, 0.75)
+    got = sorted((r["l_orderkey"], r["l_extendedprice"])
+                 for r in out.take_all())
+    want = duckdb.sql(f"""
+        WITH q AS (SELECT quantile_disc(l_extendedprice, 0.25) AS lo,
+                          quantile_disc(l_extendedprice, 0.75) AS hi
+                   FROM read_parquet('{sf_dir}/lineitem.parquet'))
+        SELECT l_orderkey, l_extendedprice
+        FROM read_parquet('{sf_dir}/lineitem.parquet'), q
+        WHERE l_extendedprice BETWEEN q.lo AND q.hi
+        ORDER BY l_orderkey, l_extendedprice""").fetchall()
+    assert got == [tuple(r) for r in want]

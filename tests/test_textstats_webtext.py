@@ -327,3 +327,91 @@ def test_contamination_overlap_matches_sql(ray_session):
     by_id = {d: (g, o) for d, g, o in got}
     assert by_id[5] == (4, 4)
     assert by_id[6] == (0, 0) and by_id[7] == (0, 0)
+
+
+def test_chunk_text_matches_python_reference(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import chunk_text
+
+    size, overlap = 7, 3
+    stride = size - overlap
+    texts = ["", "a", "héllo wörld açcénts", "x" * 20, None, "abcdefg",
+             "abcdefgh", "yz" * 50]
+    want = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        n = max(1, -(-(len(t) - size) // stride) + 1)
+        for j in range(n):
+            want.append((i, j, t[j * stride:j * stride + size]))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = chunk_text(ds, size=size, overlap=overlap)
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk"])
+                 for r in out.take_all())
+    assert got == sorted(want)
+    # overlap reconstruction: dropping the first `overlap` chars of every
+    # chunk after the first re-concatenates to the original text
+    by_doc = {}
+    for d, j, c in got:
+        by_doc.setdefault(d, []).append((j, c))
+    for i, t_ in enumerate(texts):
+        if t_ is None:
+            continue
+        parts = [c if j == 0 else c[overlap:]
+                 for j, c in sorted(by_doc[i])]
+        assert "".join(parts) == t_
+
+
+def test_chunk_text_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import chunk_text
+
+    size, overlap, stride = 200, 40, 160
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk"])
+                 for r in chunk_text(docs, size=size,
+                                     overlap=overlap).take_all())
+    want = duckdb.sql(f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   greatest(1, (length(text) - {size} + {stride} - 1)
+                               // {stride} + 1) AS n
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE text IS NOT NULL),
+        expanded AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, n - 1)) AS j FROM base)
+        SELECT doc_id, j AS chunk_id,
+               substr(text, CAST(j * {stride} + 1 AS BIGINT), {size})
+                 AS chunk
+        FROM expanded ORDER BY doc_id, chunk_id""").fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_gopher_filter_thresholds():
+    from plugin_serdes_ray.pipelines.textstats import (gopher_filter,
+                                                       gopher_signals)
+
+    clean = " ".join(f"word{i}" for i in range(80))
+    too_short = "just a few words"
+    bullets = "\n".join(f"- item {i}" for i in range(60))
+    repeated = ("same line of text here\n" * 40
+                + " ".join(f"w{i}" for i in range(60)))
+    symbols = " ".join(["word", "#", "#", "#"] * 30)
+    batch = pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "text": pa.array([clean, too_short, bullets, repeated, symbols])})
+    out = gopher_filter(gopher_signals(batch))
+    assert out.column("keep").to_pylist() == [True, False, False, False,
+                                              False]
+    # zero denominators (empty text) fail only the word-count bound
+    empty = gopher_filter(gopher_signals(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array([""])})), min_words=0)
+    assert empty.column("keep").to_pylist() == [True]
