@@ -406,11 +406,14 @@ def _samples_documents(sf_dir: str):
     .5/.2/.3 of n_target=100 with exact per-key counts setting the rates
     (relational.mixture_sample); 'uniform_k' = exact-k uniform sample, the
     25 rows with smallest splitmix64(doc_id ^ 7)
-    (relational.uniform_sample_k — map-only top-k, no shuffle). All three
-    are pure functions of the row ids so the oracle re-evaluates them
-    exactly (the splitmix chain is inlined in SQL via 32-bit-half
-    multiplies)."""
-    from plugin_serdes_ray.pipelines.relational import (mixture_sample,
+    (relational.uniform_sample_k — map-only top-k, no shuffle);
+    'grouped_k' = exact-5-per-lang draw under the same splitmix key
+    (relational.grouped_sample_k — per-block k-per-key pre-selection, one
+    <= k·blocks-rows shuffle). All four are pure functions of the row ids
+    so the oracle re-evaluates them exactly (the splitmix chain is inlined
+    in SQL via 32-bit-half multiplies)."""
+    from plugin_serdes_ray.pipelines.relational import (grouped_sample_k,
+                                                        mixture_sample,
                                                         stratified_sample,
                                                         uniform_sample_k)
 
@@ -422,6 +425,8 @@ def _samples_documents(sf_dir: str):
     rows += [("mixture", r["doc_id"]) for r in mixed.take_all()]
     uk = uniform_sample_k(ds, "doc_id", k=25, seed=7)
     rows += [("uniform_k", i) for i in uk.column("doc_id").to_pylist()]
+    gk = grouped_sample_k(ds, "lang", k=5, id_column="doc_id", seed=7)
+    rows += [("grouped_k", r["doc_id"]) for r in gk.take_all()]
     rows.sort()
     return pa.table({
         "method": pa.array([r[0] for r in rows]),
@@ -1579,13 +1584,19 @@ def _pivot_lineitem(sf_dir: str):
 
 
 def _approx_distinct(sf_dir: str):
-    """HLL sketch contract: the estimate must land within 5% of the exact
-    distinct count (p=14 => ~0.8% stddev). The emitted row carries the
-    EXACT count (distributed count_distinct) plus the pass/fail bool, so
-    the oracle can recompute both; a broken sketch flips the bool and
-    fails the value hash."""
+    """Sketch contracts, both mergeable-sketch families in one row set.
+    HLL: the estimate must land within 5% of the exact distinct count
+    (p=14 => ~0.8% stddev). Count-min ('cms_<lang>' rows): the frequency
+    estimate of every lang must be >= its exact count (CMS never
+    underestimates) and <= exact + ceil(e·n/width) (the collision-mass
+    bound). Every row carries the EXACT count (distributed) plus the
+    pass/fail bool, so the oracle recomputes both; a broken sketch flips
+    the bool and fails the value hash."""
+    import numpy as np
+
     from plugin_serdes_ray.pipelines import sketch
-    from plugin_serdes_ray.pipelines.relational import count_distinct
+    from plugin_serdes_ray.pipelines.relational import (count_distinct,
+                                                        grouped_aggregate)
 
     docs = _read(sf_dir, "documents")
     out_cols, out_exact, out_ok = [], [], []
@@ -1595,6 +1606,19 @@ def _approx_distinct(sf_dir: str):
         out_cols.append(col)
         out_exact.append(exact)
         out_ok.append(abs(est - exact) <= 0.05 * exact)
+    langs = docs.select_columns(["lang"])
+    cms = sketch.count_min_sketch(langs, "lang", width=2048, depth=4)
+    counts = {r["lang"]: r["n"]
+              for r in grouped_aggregate(langs, ["lang"],
+                                         count_name="n").take_all()
+              if r["lang"] is not None}
+    bound = int(np.ceil(np.e * cms.n / cms.width))
+    vals = sorted(counts)
+    ests = cms.estimate(pa.array(vals))
+    for lang, est in zip(vals, ests.tolist()):
+        out_cols.append(f"cms_{lang}")
+        out_exact.append(int(counts[lang]))
+        out_ok.append(counts[lang] <= est <= counts[lang] + bound)
     return pa.table({
         "col": pa.array(out_cols),
         "exact_n": pa.array(out_exact, type=pa.int64()),
@@ -1881,6 +1905,27 @@ def _quantiles_lineitem_all(sf_dir: str):
             keys.append(r["l_returnflag"])
             qs.append(q)
             vals.append(float(r[name]))
+    # one-pass mergeable sketch contract: the sketch estimate's EXACT rank
+    # (verified by a distributed searchsorted pass) must be within the
+    # deterministic ~N/k rank-error bound of the target — emitted as a
+    # 1.0/0.0 flag the oracle pins to 1.0
+    import numpy as np
+
+    from plugin_serdes_ray.pipelines.sketch import (approx_quantiles_sketch,
+                                                    exact_ranks)
+    k = 256
+    probe_qs = [0.25, 0.5, 0.9]
+    aq = approx_quantiles_sketch(ds, "l_extendedprice", probe_qs, k=k)
+    n = ds.count()
+    ranks = exact_ranks(ds, "l_extendedprice", [aq[q] for q in probe_qs])
+    slack = -(-n // k) + 1
+    for q, (lo, hi) in zip(probe_qs, ranks):
+        target = max(1, int(np.ceil(q * n)))
+        ok = lo + 1 <= target + slack and hi >= target - slack
+        kinds.append("approx_ok")
+        keys.append("")
+        qs.append(q)
+        vals.append(1.0 if ok else 0.0)
     return pa.table({"kind": pa.array(kinds, type=pa.string()),
                      "key": pa.array(keys, type=pa.string()),
                      "q": pa.array(qs, type=pa.float64()),
@@ -2482,6 +2527,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'uniform_k', doc_id FROM (
                 SELECT doc_id FROM s3 ORDER BY z LIMIT 25)
+            UNION ALL
+            SELECT 'grouped_k', doc_id FROM (
+                SELECT d.doc_id,
+                       row_number() OVER (PARTITION BY d.lang
+                                          ORDER BY s.z) AS rn
+                FROM documents d JOIN s3 s USING (doc_id))
+            WHERE rn <= 5
         """,
         "doc_transforms_text": """
             SELECT 'html' AS method, doc_id, text AS extracted_text
@@ -2624,6 +2676,9 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok FROM documents
             UNION ALL
             SELECT 'lang', count(DISTINCT lang), TRUE FROM documents
+            UNION ALL
+            SELECT 'cms_' || lang, count(*), TRUE FROM documents
+            WHERE lang IS NOT NULL GROUP BY lang
         """,
         "heavy_hitter_langs": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
@@ -3126,6 +3181,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0.9 AS DOUBLE),
                    CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE)
             FROM lineitem GROUP BY l_returnflag
+            UNION ALL SELECT 'approx_ok', '', CAST(0.25 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'approx_ok', '', CAST(0.5 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'approx_ok', '', CAST(0.9 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE)
         """,
         "setops_custkeys": """
             SELECT 'except' AS op, c_custkey FROM (

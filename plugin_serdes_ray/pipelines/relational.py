@@ -1634,6 +1634,35 @@ def uniform_sample_k(ds, id_column: str, k: int, seed: int = 0) -> pa.Table:
     return t.drop_columns(["__uk"]) if t.num_rows else t
 
 
+def grouped_sample_k(ds, key, k: int, id_column: str, seed: int = 0):
+    """Exact-k-per-group deterministic uniform sample: within each ``key``
+    group, the ``k`` rows with smallest ``splitmix64(id ^ seed)`` (a
+    bijection on uint64, so the per-group draw is uniform, tie-free for
+    distinct ids, and reproducible across runs / cluster sizes) — the
+    balanced-eval-set / per-domain-inspection draw.
+
+    Scale shape: one map-only key pass, then :func:`grouped_top_k`'s
+    two-level selection — each block pre-selects at most k rows per key it
+    sees, so the ONE keyed shuffle ships <= k·blocks rows per key, never a
+    group's full membership. Null ids are dropped (the SQL-equivalent hash
+    arithmetic yields NULL); null group keys form their own group, as in
+    SQL GROUP BY."""
+    env = package_runtime_env()
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(id_column)))
+        ids = batch.column(id_column).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        kv = (splitmix64(ids, seed) ^ np.uint64(1 << 63)).astype(np.int64)
+        return batch.append_column("__gk", pa.array(kv))
+
+    out = grouped_top_k(ds.map_batches(add_key, batch_format="pyarrow",
+                                       runtime_env=env),
+                        key, "__gk", k=k, descending=False)
+    return out.map_batches(lambda b: b.drop_columns(["__gk"]),
+                           batch_format="pyarrow", runtime_env=env)
+
+
 def mixture_sample(ds, key: str, weights: dict, n_target: int,
                    id_column: str, *, default_weight: float = 0.0):
     """Deterministic domain-mixing sampler: draw ~``n_target`` rows whose

@@ -97,6 +97,185 @@ def approx_count_distinct(ds, column: str, p: int = 14) -> float:
     return hll_estimate(merged)
 
 
+class CountMinSketch:
+    """Mergeable count-min frequency sketch (Cormode & Muthukrishnan 2005):
+    ``depth`` hash rows of ``width`` counters. Point estimates are the min
+    over rows — NEVER an underestimate (every row counts every occurrence),
+    overestimate bounded by collision mass ~ e·n/width per row with
+    probability 1 - e^-depth. Merging is elementwise addition, so the
+    counters are a fixed depth·width·8-byte tree-reduce payload on a
+    multi-node cluster, independent of row count."""
+
+    def __init__(self, counts: np.ndarray, n: int, seed: int):
+        self.counts = counts          # (depth, width) int64
+        self.n = int(n)               # total non-null rows counted
+        self.seed = seed
+
+    @property
+    def depth(self) -> int:
+        return self.counts.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.counts.shape[1]
+
+    def _indices(self, values: pa.Array) -> np.ndarray:
+        from .dedup import _content_hash64
+        from .relational import splitmix64
+
+        h = _content_hash64(values.combine_chunks()
+                            if isinstance(values, pa.ChunkedArray)
+                            else values)
+        return np.stack([
+            (splitmix64(h, self.seed + i) % np.uint64(self.width))
+            .astype(np.int64)
+            for i in range(self.depth)])
+
+    def add(self, values: pa.Array) -> None:
+        idx = self._indices(values)
+        for i in range(self.depth):
+            np.add.at(self.counts[i], idx[i], 1)
+        self.n += idx.shape[1]
+
+    def estimate(self, values: pa.Array) -> np.ndarray:
+        """Estimated occurrence count per value (int64, >= truth)."""
+        idx = self._indices(values)
+        return np.min(
+            np.stack([self.counts[i][idx[i]] for i in range(self.depth)]),
+            axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if other.counts.shape != self.counts.shape or other.seed != self.seed:
+            raise ValueError("incompatible sketches")
+        return CountMinSketch(self.counts + other.counts,
+                              self.n + other.n, self.seed)
+
+
+def count_min_sketch(ds, column: str, *, width: int = 2048, depth: int = 4,
+                     seed: int = 0) -> CountMinSketch:
+    """Build a :class:`CountMinSketch` over ``column`` in ONE streaming
+    pass: per block, scatter-add the block's hashed values into a local
+    (depth, width) counter bank; the driver sums one fixed-size bank per
+    block (depth·width·8 bytes — 64 KiB at the defaults — regardless of
+    block size). Null values are not counted (SQL count(column)
+    semantics)."""
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2 and depth >= 1")
+    env = package_runtime_env()
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            col = col.filter(valid)
+        cms = CountMinSketch(np.zeros((depth, width), dtype=np.int64),
+                             0, seed)
+        if len(col):
+            cms.add(col)
+        return pa.table({
+            "counts": pa.array([cms.counts.tobytes()], type=pa.binary()),
+            "n": pa.array([cms.n], type=pa.int64())})
+
+    rows = ds.map_batches(block_counts, batch_format="pyarrow",
+                          runtime_env=env).take_all()
+    out = CountMinSketch(np.zeros((depth, width), dtype=np.int64), 0, seed)
+    for r in rows:
+        out.counts += np.frombuffer(r["counts"], dtype=np.int64) \
+            .reshape(depth, width)
+        out.n += int(r["n"])
+    return out
+
+
+def approx_quantiles_sketch(ds, column: str, qs, k: int = 256) -> dict:
+    """ONE-PASS mergeable approximate quantiles: each block reduces its
+    sorted non-null values to <= ``k`` evenly-spaced order statistics
+    weighted by their rank spacing (blocks smaller than k are kept exactly,
+    weight 1), the driver merges the weighted points (O(blocks·k), a
+    fixed-size payload per block) and reads the target cumulative weights.
+    Deterministic rank error: each block contributes at most
+    ``ceil(n_block/k)/2`` rank slack, so the merged estimate's rank is
+    within ~``N/k`` of the target — at k=256 that is <0.4% rank error,
+    verified exactly by the ``approx_ok`` oracle arm via
+    :func:`exact_ranks`. The per-block summaries are what a multi-node
+    tree-reduce would ship (with re-compression at each fan-in level; the
+    driver here does one merge level).
+
+    Contrast with ``relational.exact_quantiles``: that is TWO streaming
+    passes and exact; this is ONE pass and ~1/k rank error — the profiling
+    / filter-threshold tool when a second pass over 100 TB is not worth
+    it. Returns ``{q: value}`` where each value is a real data value."""
+    qs = sorted(set(qs))
+    if not all(0 <= q <= 1 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    env = package_runtime_env()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(v)
+        if n == 0:
+            return pa.table({"v": pa.array([], type=pa.float64()),
+                             "w": pa.array([], type=pa.int64())})
+        v.sort()
+        if n <= k:
+            return pa.table({"v": pa.array(v),
+                             "w": pa.array(np.ones(n, dtype=np.int64))})
+        step = -(-n // k)                     # ceil(n / k)
+        # the last order statistic of each stride represents the stride
+        pos = np.minimum(np.arange(1, k + 1) * step, n) - 1
+        pos = np.unique(pos)
+        w = np.diff(np.concatenate([[-1], pos])).astype(np.int64)
+        return pa.table({"v": pa.array(v[pos]), "w": pa.array(w)})
+
+    rows = ds.map_batches(block_summary, batch_format="pyarrow",
+                          runtime_env=env).take_all()
+    vals = np.array([r["v"] for r in rows], dtype=np.float64)
+    wts = np.array([r["w"] for r in rows], dtype=np.int64)
+    if len(vals) == 0:
+        return {q: None for q in qs}
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = int(cum[-1])
+    out = {}
+    for q in qs:
+        target = max(1, int(np.ceil(q * total)))
+        out[q] = float(vals[np.searchsorted(cum, target)])
+    return out
+
+
+def exact_ranks(ds, column: str, values) -> list:
+    """Exact global rank interval of each probe value in ONE map-only pass:
+    returns ``[(below, at_or_below), ...]`` = counts of non-null rows
+    strictly below / less-or-equal each value. Per-block partials are two
+    searchsorted lookups on the sorted block (O(n log n) local, fixed
+    2·len(values) ints shipped per block); the driver sums. Used to verify
+    sketch rank-error contracts against the data itself."""
+    probe = np.asarray(list(values), dtype=np.float64)
+    env = package_runtime_env()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v.sort()
+        lo = np.searchsorted(v, probe, side="left").astype(np.int64)
+        hi = np.searchsorted(v, probe, side="right").astype(np.int64)
+        return pa.table({"i": pa.array(np.arange(len(probe)),
+                                       type=pa.int64()),
+                         "lo": pa.array(lo), "hi": pa.array(hi)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          runtime_env=env).take_all()
+    lo = np.zeros(len(probe), dtype=np.int64)
+    hi = np.zeros(len(probe), dtype=np.int64)
+    for r in rows:
+        lo[r["i"]] += r["lo"]
+        hi[r["i"]] += r["hi"]
+    return list(zip(lo.tolist(), hi.tolist()))
+
+
 def heavy_hitters(ds, column: str, fraction: float,
                   count_name: str = "n") -> pa.Table:
     """All values of ``column`` occurring in at least ``fraction`` of rows,

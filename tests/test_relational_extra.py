@@ -914,3 +914,105 @@ def test_quantile_band_filter_matches_sql(ray_session, sf_dir):
         WHERE l_extendedprice BETWEEN q.lo AND q.hi
         ORDER BY l_orderkey, l_extendedprice""").fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_grouped_sample_k_exact_per_group(ray_session):
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import (grouped_sample_k,
+                                                        splitmix64)
+
+    rows = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3]}
+            for i in range(90)]
+    # a tiny group (2 rows < k) must be kept whole
+    rows += [{"doc_id": 1000 + i, "lang": "zh"} for i in range(2)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+    got = grouped_sample_k(ds, "lang", k=5, id_column="doc_id", seed=3)
+    by = {}
+    for r in got.take_all():
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    # independently recompute: the 5 smallest splitmix64(id ^ 3) per lang
+    for lang in ("en", "de", "fr"):
+        ids = np.array([r["doc_id"] for r in rows if r["lang"] == lang],
+                       dtype=np.uint64)
+        keys = splitmix64(ids, 3)
+        want = set(ids[np.argsort(keys)][:5].tolist())
+        assert by[lang] == want, lang
+    assert by["zh"] == {1000, 1001}
+    # reproducible; a different seed gives a different draw somewhere
+    again = grouped_sample_k(ds, "lang", k=5, id_column="doc_id", seed=3)
+    assert {(r["lang"], r["doc_id"]) for r in again.take_all()} == \
+        {(lang, d) for lang, s in by.items() for d in s}
+    other = grouped_sample_k(ds, "lang", k=5, id_column="doc_id", seed=4)
+    assert {(r["lang"], r["doc_id"]) for r in other.take_all()} != \
+        {(lang, d) for lang, s in by.items() for d in s}
+
+
+def test_count_min_sketch_bounds_and_merge(ray_session):
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import (CountMinSketch,
+                                                    count_min_sketch)
+
+    # zipf-ish corpus: value i appears 200 // (i + 1) times
+    vals = [f"v{i}" for i in range(40) for _ in range(200 // (i + 1))]
+    truth = {f"v{i}": 200 // (i + 1) for i in range(40)}
+    t = pa.table({"x": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    cms = count_min_sketch(ds, "x", width=1024, depth=4, seed=1)
+    assert cms.n == len(vals)
+    probe = pa.array(list(truth))
+    est = cms.estimate(probe)
+    exact = np.array([truth[v] for v in truth])
+    # never an underestimate; overestimate within the e*n/width bound
+    assert (est >= exact).all()
+    assert (est <= exact + int(np.ceil(np.e * cms.n / cms.width))).all()
+    # merge invariance: one-block sketch == many-block sketch
+    one = count_min_sketch(ray.data.from_arrow(t).repartition(1), "x",
+                           width=1024, depth=4, seed=1)
+    assert (one.counts == cms.counts).all()
+    # absent value estimates are bounded by collision mass too
+    ghost = cms.estimate(pa.array(["nope"]))[0]
+    assert 0 <= ghost <= int(np.ceil(np.e * cms.n / cms.width))
+    # nulls are not counted
+    with_null = ray.data.from_arrow(
+        pa.table({"x": pa.array(["a", None, "a"])}))
+    c2 = count_min_sketch(with_null, "x", width=64, depth=2)
+    assert c2.n == 2
+    # incompatible merge refuses
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cms.merge(CountMinSketch(np.zeros((2, 64), dtype=np.int64), 0, 1))
+
+
+def test_approx_quantiles_sketch_rank_error(ray_session, sf_dir):
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import (approx_quantiles_sketch,
+                                                    exact_ranks)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    n = ds.count()
+    k = 256
+    qs = [0.1, 0.25, 0.5, 0.9, 0.99]
+    est = approx_quantiles_sketch(ds, "l_extendedprice", qs, k=k)
+    ranks = exact_ranks(ds, "l_extendedprice", [est[q] for q in qs])
+    slack = -(-n // k) + 1
+    for q, (lo, hi) in zip(qs, ranks):
+        target = max(1, int(np.ceil(q * n)))
+        # the estimate's true rank interval must overlap target +- slack
+        assert lo + 1 <= target + slack and hi >= target - slack, \
+            (q, lo, hi, target, slack)
+    # tiny inputs are exact (every value kept at weight 1)
+    small = ray.data.from_arrow(
+        pa.table({"x": pa.array([5.0, 1.0, 3.0, 2.0, 4.0])})).repartition(2)
+    got = approx_quantiles_sketch(small, "x", [0.2, 0.6, 1.0], k=16)
+    assert got == {0.2: 1.0, 0.6: 3.0, 1.0: 5.0}
+    # all-null column yields None
+    nul = ray.data.from_arrow(
+        pa.table({"x": pa.array([None, None], type=pa.float64())}))
+    assert approx_quantiles_sketch(nul, "x", [0.5]) == {0.5: None}
