@@ -1055,6 +1055,33 @@ def _unigram_logprob_documents(sf_dir: str):
         type=pa.float64()))
 
 
+def _lm_logprob_documents(sf_dir: str):
+    """Unigram AND bigram corpus-trained LM quality scores union-tagged
+    into one row set (textstats.unigram_logprob / bigram_logprob): per-doc
+    mean negative log-prob, the CCNet-style model-based quality signal and
+    its conditional-fluency refinement. Column ``n`` = n_tokens (unigram) /
+    n_bigrams (bigram)."""
+    from plugin_serdes_ray.pipelines.textstats import (bigram_logprob,
+                                                       unigram_logprob)
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    rows = []
+    for model, fn, ncol in (("unigram", unigram_logprob, "n_tokens"),
+                            ("bigram", bigram_logprob, "n_bigrams")):
+        for r in fn(ds).take_all():
+            # round the emitted float on both sides (np.log vs ln last-ulp
+            # + summation-order noise ~1e-12 relative; 9 decimals is safe)
+            rows.append((model, r["doc_id"], r[ncol],
+                         round(r["avg_neg_logp"], 9)))
+    rows.sort()
+    return pa.table({
+        "model": pa.array([r[0] for r in rows]),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n": pa.array([r[2] for r in rows], type=pa.int64()),
+        "avg_neg_logp": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
 def _tfidf_top_terms_documents(sf_dir: str):
     """Top-3 tf-idf terms per document, composed from the engine's own
     wide ops: block-local tf counts, distinct+Sum df reduce, hash_join on
@@ -1932,6 +1959,30 @@ def _quantiles_lineitem_all(sf_dir: str):
                      "value": pa.array(vals, type=pa.float64())})
 
 
+def _normalize_lineitem(sf_dir: str):
+    """Feature scaling (relational.normalize_column): z-score and min-max
+    over l_quantity union-tagged, exact global moments from ONE
+    fixed-payload streaming pass then a map-only transform. Values rounded
+    to 6 decimals on both sides (summation-order noise in mean/std is
+    ~1e-12 relative)."""
+    from plugin_serdes_ray.pipelines.relational import normalize_column
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity"])
+    rows = []
+    for method in ("zscore", "minmax"):
+        for r in normalize_column(ds, "l_quantity",
+                                  method=method).take_all():
+            rows.append((method, r["l_orderkey"], r["l_linenumber"],
+                         round(r["l_quantity_norm"], 6)))
+    rows.sort()
+    return pa.table({
+        "method": pa.array([r[0] for r in rows]),
+        "l_orderkey": pa.array([r[1] for r in rows], type=pa.int64()),
+        "l_linenumber": pa.array([r[2] for r in rows], type=pa.int64()),
+        "v": pa.array([r[3] for r in rows], type=pa.float64())})
+
+
 def _quantile_band_lineitem(sf_dir: str):
     """Middle-quality band selection (relational.quantile_band_filter):
     keep the lineitem rows whose l_extendedprice lies within the exact
@@ -2162,7 +2213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- LLM-pipeline wave (unrecorded in r3's driver file) ---
         "ann_top10": _ann_top10,
         "tfidf_top_terms_documents": _tfidf_top_terms_documents,
-        "unigram_logprob_documents": _unigram_logprob_documents,
+        "lm_logprob_documents": _lm_logprob_documents,
         "keyword_search_documents": _keyword_search_documents,
         "normalize_nfc_documents": _normalize_nfc_documents,
         "vocab_documents": _vocab_documents,
@@ -2223,6 +2274,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # standalone markdown-chain rows (merged into doc_transforms_text)
         "html_extract_text": _html_to_text,
         "markdown_roundtrip_documents": _markdown_roundtrip,
+        # standalone unigram row (merged into lm_logprob_documents)
+        "unigram_logprob_documents": _unigram_logprob_documents,
+        # feature scaling (family row in the 50 block:
+        # grouped_stats_lineitem shares the sufficient-statistics machinery)
+        "normalize_lineitem": _normalize_lineitem,
         # standalone grouped-quantiles row (merged into
         # quantiles_lineitem_all in the 50 block)
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
@@ -2540,6 +2596,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             UNION ALL
             SELECT 'markdown', doc_id, text FROM documents
+        """,
+        "normalize_lineitem": """
+            SELECT 'zscore' AS method, l_orderkey, l_linenumber,
+                   round((l_quantity - avg(l_quantity) OVER ())
+                         / stddev_samp(l_quantity) OVER (), 6) AS v
+            FROM lineitem
+            UNION ALL
+            SELECT 'minmax', l_orderkey, l_linenumber,
+                   round((l_quantity - min(l_quantity) OVER ())
+                         / (max(l_quantity) OVER ()
+                            - min(l_quantity) OVER ()), 6)
+            FROM lineitem
         """,
         "quantile_band_lineitem": """
             WITH q AS (SELECT quantile_disc(l_extendedprice, 0.25) AS lo,
@@ -2965,6 +3033,43 @@ def oracle_sql() -> dict[str, str]:
                 QUALIFY row_number() OVER (PARTITION BY tf.doc_id
                     ORDER BY score DESC, tf.token) <= 3)
             ORDER BY doc_id, score DESC, token
+        """,
+        "lm_logprob_documents": r"""
+            WITH toks AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\s+')) AS token
+                   FROM documents),
+                 t2 AS (SELECT * FROM toks WHERE token <> ''),
+                 utf AS (SELECT doc_id, token, count(*)::DOUBLE tf
+                         FROM t2 GROUP BY 1, 2),
+                 cnt AS (SELECT token AS ctoken, count(*)::DOUBLE cnt
+                         FROM t2 GROUP BY 1),
+                 n AS (SELECT count(*)::DOUBLE n FROM t2),
+                 wl AS (SELECT doc_id,
+                        list_filter(regexp_split_to_array(
+                            lower(coalesce(text, '')), '\s+'),
+                            x -> x <> '') AS w
+                        FROM documents),
+                 grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g,
+                                  w[i] AS p
+                           FROM wl, unnest(generate_series(1, len(w) - 1))
+                               AS u(i)),
+                 btf AS (SELECT doc_id, g, p, count(*)::DOUBLE tf
+                         FROM grams GROUP BY 1, 2, 3),
+                 cg AS (SELECT g AS gg, sum(tf) cg FROM btf GROUP BY 1),
+                 cp AS (SELECT p AS pp, sum(tf) cp FROM btf GROUP BY 1)
+            SELECT 'unigram' AS model, utf.doc_id,
+                   sum(utf.tf)::BIGINT AS n,
+                   round(sum(utf.tf * (ln(n.n) - ln(cnt.cnt)))
+                         / sum(utf.tf), 9) AS avg_neg_logp
+            FROM utf, n JOIN cnt ON utf.token = cnt.ctoken
+            GROUP BY utf.doc_id
+            UNION ALL
+            SELECT 'bigram', btf.doc_id, sum(btf.tf)::BIGINT,
+                   round(sum(btf.tf * (ln(cp.cp) - ln(cg.cg)))
+                         / sum(btf.tf), 9)
+            FROM btf JOIN cg ON btf.g = cg.gg JOIN cp ON btf.p = cp.pp
+            GROUP BY btf.doc_id
         """,
         "unigram_logprob_documents": r"""
             WITH toks AS (SELECT doc_id,

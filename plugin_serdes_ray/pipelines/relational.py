@@ -1713,6 +1713,77 @@ def quantile_band_filter(ds, column: str, lo: float = 0.25,
                           runtime_env=package_runtime_env())
 
 
+def column_moments(ds, column: str) -> dict:
+    """ONE streaming pass over ``column``: exact n (non-null), sum, sum of
+    squares, min, max — fixed 5-number partials per block, driver sum/min/
+    max merge (the tree-reduce payload on a real cluster). The basis for
+    :func:`normalize_column` and any threshold that needs global moments
+    without a shuffle."""
+    env = package_runtime_env()
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(column).combine_chunks().cast(pa.float64())
+        v = v.drop_null()
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], type=pa.int64()),
+                             "sx": pa.array([0.0]), "sxx": pa.array([0.0]),
+                             "mn": pa.array([None], type=pa.float64()),
+                             "mx": pa.array([None], type=pa.float64())})
+        a = v.to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(a)], type=pa.int64()),
+                         "sx": pa.array([float(a.sum())]),
+                         "sxx": pa.array([float((a * a).sum())]),
+                         "mn": pa.array([float(a.min())]),
+                         "mx": pa.array([float(a.max())])})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          runtime_env=env).take_all()
+    n = sum(r["n"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    mns = [r["mn"] for r in rows if r["mn"] is not None]
+    mxs = [r["mx"] for r in rows if r["mx"] is not None]
+    mean = sx / n if n else None
+    var = (sxx - sx * sx / n) / (n - 1) if n > 1 else None
+    return {"n": n, "mean": mean,
+            "std": float(np.sqrt(max(var, 0.0))) if var is not None
+            else None,
+            "min": min(mns) if mns else None,
+            "max": max(mxs) if mxs else None}
+
+
+def normalize_column(ds, column: str, *, method: str = "zscore",
+                     out_column: Optional[str] = None):
+    """Feature scaling for model inputs: append ``out_column`` (default
+    ``<column>_norm``) = z-score ``(x - mean) / stddev_samp`` or min-max
+    ``(x - min) / (max - min)`` using EXACT global statistics from
+    :func:`column_moments` (one streaming pass, fixed-size partials), then
+    a map-only vectorized transform — no shuffle anywhere. Nulls
+    propagate; a constant column (std or range 0) yields null scores (SQL
+    x/0 = NULL semantics)."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown method {method!r}")
+    m = column_moments(ds, column)
+    out = out_column or f"{column}_norm"
+    if method == "zscore":
+        base, scale = m["mean"], m["std"]
+    else:
+        base = m["min"]
+        scale = (m["max"] - m["min"]) if m["max"] is not None else None
+    env = package_runtime_env()
+
+    def xf(t: pa.Table) -> pa.Table:
+        v = t.column(column).combine_chunks().cast(pa.float64())
+        if base is None or not scale:
+            z = pa.array([None] * len(v), type=pa.float64())
+        else:
+            z = pc.divide(pc.subtract(v, pa.scalar(float(base))),
+                          pa.scalar(float(scale)))
+        return t.append_column(out, z)
+
+    return ds.map_batches(xf, batch_format="pyarrow", runtime_env=env)
+
+
 def pack_sequences(ds, cost_col: str, id_col: str, seq_len: int, *,
                    bin_col: str = "bin_id", offset_col: str = "bin_offset"):
     """Concat-and-chop sequence-packing layout for LLM training batches:

@@ -836,6 +836,134 @@ def unigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
                                runtime_env=env)
 
 
+def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
+                   salt_target_bytes: int = 32 << 20):
+    """Per-document mean negative log-probability under the corpus's OWN
+    bigram language model — the next step up from :func:`unigram_logprob`
+    as a fluency/quality signal (word-salad scores far worse under a
+    bigram LM than a unigram one). MLE conditionals with no smoothing:
+    ``p(w2|w1) = count(w1 w2) / count(w1 ·)`` where the denominator is
+    occurrences of ``w1`` as a bigram START — never zero for a bigram the
+    document itself contributes.
+
+    Same scale shape as the unigram scorer: block-local (doc, bigram,
+    prefix, tf) postings (one C group_by per block), corpus bigram and
+    prefix counts via partial+Sum reduces, two skew-salted
+    :func:`~.relational.hash_join` passes (bigram then prefix — raw text
+    never shuffles), one per-doc weighted-mean reduce. Output:
+    (id_column, n_bigrams, avg_neg_logp); documents with < 2 tokens emit
+    no row (SQL GROUP BY semantics)."""
+    from ray.data.aggregate import Sum
+
+    from ..util import package_runtime_env
+    from .relational import hash_join, top_k
+
+    env = package_runtime_env()
+
+    def bigram_tf(t: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(pc.fill_null(
+            t.column(column).combine_chunks(), ""))
+        toks_l = pc.split_pattern_regex(col, r"\s+")
+        tlens = pc.list_value_length(toks_l).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat_t = pc.list_flatten(toks_l)
+        row_t = np.repeat(np.arange(len(col), dtype=np.int64), tlens)
+        nonempty = pc.not_equal(flat_t, "").to_numpy(zero_copy_only=False)
+        flat_w = flat_t.filter(pa.array(nonempty))
+        row_w = row_t[nonempty]
+        empty = pa.table({id_column: pa.array([], t.column(id_column).type),
+                          "gram": pa.array([], type=pa.string()),
+                          "prefix": pa.array([], type=pa.string()),
+                          "tf": pa.array([], type=pa.int64())})
+        m = len(flat_w)
+        if m < 2:
+            return empty
+        k_ = m - 1
+        first = flat_w.slice(0, k_)
+        grams = pc.binary_join_element_wise(first, flat_w.slice(1, k_), " ")
+        same_row = row_w[:k_] == row_w[1:]
+        if not same_row.any():
+            return empty
+        sel = pa.array(same_row)
+        ids = t.column(id_column).combine_chunks().take(
+            pa.array(row_w[:k_][same_row]))
+        pairs = pa.table({id_column: ids, "gram": grams.filter(sel),
+                          "prefix": first.filter(sel)})
+        g = pairs.group_by([id_column, "gram", "prefix"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([id_column, "gram", "prefix", "tf"])
+
+    postings = ds.select_columns([id_column, column]).map_batches(
+        bigram_tf, batch_format="pyarrow", runtime_env=env)
+
+    def count_reduce(key: str):
+        def part(t: pa.Table) -> pa.Table:
+            g = t.select([key, "tf"]).group_by(key).aggregate(
+                [("tf", "sum")])
+            return g.rename_columns([key, "cnt_part"])
+        return part
+
+    def cnt_finish(key: str, out: str):
+        def fin(t: pa.Table) -> pa.Table:
+            return pa.table({key: t.column(key),
+                             out: t.column("sum(cnt_part)")
+                                   .cast(pa.float64())})
+        return fin
+
+    cnt_g = (postings.map_batches(count_reduce("gram"),
+                                  batch_format="pyarrow", runtime_env=env)
+             .groupby("gram").aggregate(Sum("cnt_part"))
+             .map_batches(cnt_finish("gram", "cnt_g"),
+                          batch_format="pyarrow", runtime_env=env)
+             .materialize())
+    cnt_p = (postings.map_batches(count_reduce("prefix"),
+                                  batch_format="pyarrow", runtime_env=env)
+             .groupby("prefix").aggregate(Sum("cnt_part"))
+             .map_batches(cnt_finish("prefix", "cnt_p"),
+                          batch_format="pyarrow", runtime_env=env)
+             .materialize())
+
+    def salts_for(cnt, key):
+        hot = top_k(cnt, f"cnt_{key[0]}", k=64)
+        return _cnt_salts(hot.column(f"cnt_{key[0]}").to_pylist(),
+                          hot.column(key).to_pylist(),
+                          salt_target_bytes) if hot.num_rows else {}
+
+    joined = hash_join(postings, cnt_g, key="gram",
+                       skew_salts=salts_for(cnt_g, "gram") or None)
+    joined = hash_join(joined, cnt_p, key="prefix",
+                       skew_salts=salts_for(cnt_p, "prefix") or None)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        cg = t.column("cnt_g").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cp = t.column("cnt_p").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        neg = tf * (np.log(cp) - np.log(cg))
+        return pa.table({id_column: t.column(id_column),
+                         "__neg": pa.array(neg),
+                         "__tf": t.column("tf").cast(pa.int64())})
+
+    per_doc = (joined.map_batches(contrib, batch_format="pyarrow",
+                                  runtime_env=env)
+                     .groupby(id_column)
+                     .aggregate(Sum("__neg"), Sum("__tf")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        neg = t.column("sum(__neg)").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ntok = t.column("sum(__tf)").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({id_column: t.column(id_column),
+                         "n_bigrams": pa.array(ntok.astype(np.int64)),
+                         "avg_neg_logp": pa.array(neg / ntok)})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               runtime_env=env)
+
+
 def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
                     k: int = 3, salt_target_bytes: int = 32 << 20):
     """Top-k terms per document by tf-idf (``tf · ln(N/df)``), composed

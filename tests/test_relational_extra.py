@@ -1016,3 +1016,56 @@ def test_approx_quantiles_sketch_rank_error(ray_session, sf_dir):
     nul = ray.data.from_arrow(
         pa.table({"x": pa.array([None, None], type=pa.float64())}))
     assert approx_quantiles_sketch(nul, "x", [0.5]) == {0.5: None}
+
+
+def test_normalize_column_matches_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import normalize_column
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber",
+                                        "l_quantity"])
+    for method, expr in (
+            ("zscore", "(l_quantity - avg(l_quantity) OVER ()) / "
+                       "stddev_samp(l_quantity) OVER ()"),
+            ("minmax", "(l_quantity - min(l_quantity) OVER ()) / "
+                       "(max(l_quantity) OVER () - "
+                       "min(l_quantity) OVER ())")):
+        out = normalize_column(ds, "l_quantity", method=method)
+        got = {(r["l_orderkey"], r["l_linenumber"]):
+               round(r["l_quantity_norm"], 6) for r in out.take_all()}
+        want = {(o, ln): round(v, 6) for o, ln, v in duckdb.sql(f"""
+            SELECT l_orderkey, l_linenumber, {expr}
+            FROM read_parquet('{sf_dir}/lineitem.parquet')""").fetchall()}
+        assert got == want, method
+
+
+def test_normalize_column_edges(ray_session):
+    import math
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import (column_moments,
+                                                        normalize_column)
+
+    t = pa.table({"x": pa.array([2.0, None, 2.0], type=pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    m = column_moments(ds, "x")
+    assert m == {"n": 2, "mean": 2.0, "std": 0.0, "min": 2.0, "max": 2.0}
+    # constant column -> null scores (x/0 SQL semantics); nulls propagate
+    for method in ("zscore", "minmax"):
+        vals = [r["x_norm"] for r in
+                normalize_column(ds, "x", method=method).take_all()]
+        assert vals == [None, None, None], method
+    t2 = pa.table({"x": pa.array([1.0, None, 3.0], type=pa.float64())})
+    ds2 = ray.data.from_arrow(t2)
+    z = [r["x_norm"] for r in normalize_column(ds2, "x").take_all()]
+    assert z[1] is None and math.isclose(z[0], -math.sqrt(0.5))
+    mm = [r["x_norm"] for r in
+          normalize_column(ds2, "x", method="minmax").take_all()]
+    assert mm == [0.0, None, 1.0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_column(ds2, "x", method="robust")

@@ -415,3 +415,53 @@ def test_gopher_filter_thresholds():
         "doc_id": pa.array([0], type=pa.int64()),
         "text": pa.array([""])})), min_words=0)
     assert empty.column("keep").to_pylist() == [True]
+
+
+def test_bigram_logprob_matches_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import bigram_logprob
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], round(r["avg_neg_logp"], 9))
+           for r in bigram_logprob(docs).take_all()}
+    want = duckdb.sql(rf"""
+        WITH toks AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                     lower(coalesce(text, '')), '\s+'), x -> x <> '') AS w
+               FROM read_parquet('{sf_dir}/documents.parquet')),
+        grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g, w[i] AS p
+                  FROM toks, unnest(generate_series(1, len(w) - 1))
+                      AS u(i)),
+        tf AS (SELECT doc_id, g, p, count(*)::DOUBLE tf
+               FROM grams GROUP BY 1, 2, 3),
+        cg AS (SELECT g AS gg, sum(tf) cg FROM tf GROUP BY 1),
+        cp AS (SELECT p AS pp, sum(tf) cp FROM tf GROUP BY 1)
+        SELECT tf.doc_id, sum(tf.tf)::BIGINT,
+               round(sum(tf.tf * (ln(cp.cp) - ln(cg.cg))) / sum(tf.tf), 9)
+        FROM tf JOIN cg ON tf.g = cg.gg JOIN cp ON tf.p = cp.pp
+        GROUP BY tf.doc_id""").fetchall()
+    assert got == {d: (n, v) for d, n, v in want}
+
+
+def test_bigram_logprob_edge_docs(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import bigram_logprob
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["one", "", None, "a b a b a b",
+                          "a b"])})
+    out = {r["doc_id"]: r for r in
+           bigram_logprob(ray.data.from_arrow(t).repartition(3))
+           .take_all()}
+    # <2 tokens -> no row
+    assert set(out) == {3, 4}
+    assert out[3]["n_bigrams"] == 5   # 'a b' x3 + 'b a' x2
+    # repeated 'a b' in doc3 + doc4: cnt('a b')=4, cnt(prefix 'a')=4;
+    # 'b a': cnt=2, prefix 'b' starts 2 bigrams -> all conditionals = 1
+    assert abs(out[3]["avg_neg_logp"]) < 1e-12
+    assert abs(out[4]["avg_neg_logp"]) < 1e-12
