@@ -1970,7 +1970,7 @@ def _normalize_lineitem(sf_dir: str):
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_linenumber", "l_quantity"])
     rows = []
-    for method in ("zscore", "minmax"):
+    for method in ("zscore", "minmax", "robust"):
         for r in normalize_column(ds, "l_quantity",
                                   method=method).take_all():
             rows.append((method, r["l_orderkey"], r["l_linenumber"],
@@ -1981,6 +1981,49 @@ def _normalize_lineitem(sf_dir: str):
         "l_orderkey": pa.array([r[1] for r in rows], type=pa.int64()),
         "l_linenumber": pa.array([r[2] for r in rows], type=pa.int64()),
         "v": pa.array([r[3] for r in rows], type=pa.float64())})
+
+
+def _corpus_diff_documents(sf_dir: str):
+    """Snapshot diff (dedup.corpus_diff): documents split into overlapping
+    'old' (doc_id % 3 in {0,1}) and 'new' (% 3 in {1,2}) corpora; the op
+    must tag exactly the texts private to each side — content-hash
+    reduces + two bloom-prefiltered anti joins, payload never shuffles."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.dedup import corpus_diff
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def third(keep):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.cast(pc.subtract(
+                b.column("doc_id"),
+                pc.multiply(pc.divide(b.column("doc_id"),
+                                      pa.scalar(3, pa.int64())),
+                            pa.scalar(3, pa.int64()))), pa.int64())
+            return b.filter(pc.is_in(m, value_set=pa.array(
+                keep, type=pa.int64())))
+        return f
+
+    old = docs.map_batches(third([0, 1]), batch_format="pyarrow",
+                           runtime_env=_env())
+    new = docs.map_batches(third([1, 2]), batch_format="pyarrow",
+                           runtime_env=_env())
+    out = corpus_diff(old, new, "text", "doc_id")
+    rows = sorted((r["side"], r["doc_id"]) for r in out.take_all())
+    return pa.table({
+        "side": pa.array([r[0] for r in rows]),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64())})
+
+
+def _histogram_lineitem(sf_dir: str):
+    """Fixed-bin distribution profile (relational.value_histogram): 24
+    bins of width 5000 over l_extendedprice, one fixed-vector pass per
+    block, no shuffle."""
+    from plugin_serdes_ray.pipelines.relational import value_histogram
+
+    ds = _read(sf_dir, "lineitem").select_columns(["l_extendedprice"])
+    return value_histogram(ds, "l_extendedprice", 0.0, 120000.0, 24)
 
 
 def _quantile_band_lineitem(sf_dir: str):
@@ -2279,6 +2322,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # feature scaling (family row in the 50 block:
         # grouped_stats_lineitem shares the sufficient-statistics machinery)
         "normalize_lineitem": _normalize_lineitem,
+        # snapshot diff (family row: dedup_minhash_documents' incremental
+        # arm shares the hash-reduce + bloom anti-join machinery)
+        "corpus_diff_documents": _corpus_diff_documents,
+        # distribution profile (family row: quantiles_lineitem_all shares
+        # the fixed-payload histogram machinery)
+        "histogram_lineitem": _histogram_lineitem,
         # standalone grouped-quantiles row (merged into
         # quantiles_lineitem_all in the 50 block)
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
@@ -2608,6 +2657,36 @@ def oracle_sql() -> dict[str, str]:
                          / (max(l_quantity) OVER ()
                             - min(l_quantity) OVER ()), 6)
             FROM lineitem
+            UNION ALL
+            SELECT 'robust', l_orderkey, l_linenumber,
+                   round((l_quantity
+                          - quantile_disc(l_quantity, 0.5) OVER ())
+                         / (quantile_disc(l_quantity, 0.75) OVER ()
+                            - quantile_disc(l_quantity, 0.25) OVER ()), 6)
+            FROM lineitem
+        """,
+        "corpus_diff_documents": """
+            SELECT 'added' AS side, doc_id FROM documents
+            WHERE doc_id % 3 <> 0
+              AND text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 3 <> 2)
+            UNION ALL
+            SELECT 'removed', doc_id FROM documents
+            WHERE doc_id % 3 <> 2
+              AND text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 3 <> 0)
+        """,
+        "histogram_lineitem": """
+            WITH c AS (SELECT CAST(floor(l_extendedprice / 5000.0)
+                                   AS BIGINT) AS bin,
+                              count(*) AS n
+                       FROM lineitem
+                       WHERE l_extendedprice >= 0
+                         AND l_extendedprice < 120000
+                       GROUP BY bin),
+            bins AS (SELECT unnest(generate_series(0, 23)) AS bin)
+            SELECT b.bin, b.bin * 5000.0 AS lo, COALESCE(c.n, 0) AS n
+            FROM bins b LEFT JOIN c USING (bin)
         """,
         "quantile_band_lineitem": """
             WITH q AS (SELECT quantile_disc(l_extendedprice, 0.25) AS lo,

@@ -809,25 +809,68 @@ def exact_dedup_incremental(new_ds, seen_ds, column: str, id_column: str, *,
     exact_dedup's per-value check. Null values hash like any other and
     dedup against seen nulls."""
     env = package_runtime_env()
+    from .relational import bloom_semi_join
 
+    deduped = exact_dedup(new_ds, column, id_column).map_batches(
+        _add_hash_fn(column), batch_format="pyarrow", runtime_env=env)
+    seen = seen_ds.map_batches(_hash_only_fn(column),
+                               batch_format="pyarrow", runtime_env=env)
+    out = bloom_semi_join(deduped, seen, "__h", anti=True, bits=bits)
+    return out.map_batches(lambda b: b.drop_columns(["__h"]),
+                           batch_format="pyarrow", runtime_env=env)
+
+
+def _add_hash_fn(column: str):
     def add_hash(batch: pa.Table) -> pa.Table:
         h = _content_hash64(batch.column(column).combine_chunks())
         return batch.replace_schema_metadata(None).append_column(
             "__h", pa.array(h.astype(np.int64)))
+    return add_hash
 
+
+def _hash_only_fn(column: str):
     def hash_only(batch: pa.Table) -> pa.Table:
         h = _content_hash64(batch.column(column).combine_chunks())
         return pa.table({"__h": pa.array(h.astype(np.int64))})
+    return hash_only
 
+
+def corpus_diff(old_ds, new_ds, column: str, id_column: str, *,
+                side_col: str = "side", bits: int = 1 << 23):
+    """Content-level diff of two corpus snapshots: the rows of NEW whose
+    ``column`` value appears nowhere in OLD (tagged ``'added'``) plus the
+    rows of OLD whose value appears nowhere in NEW (``'removed'``) — the
+    release-note / regression-audit view of a corpus refresh. Both
+    directions are the :func:`exact_dedup_incremental` shape without the
+    within-shard dedup: each side reduces map-only to 64-bit content
+    hashes, and two Bloom-prefiltered exact anti joins
+    (:func:`~.relational.bloom_semi_join`) keep only true absentees —
+    neither side's payload columns ever shuffle, and unchanged rows (the
+    overwhelming majority of a refresh) are dropped map-only by the
+    broadcast bitmap. Same 64-bit hash-collision caveat as every
+    hash-keyed op in this module (~n_old·n_new/2^64 false drops).
+
+    Returns ONE dataset: the input columns plus ``side_col``. Rows whose
+    value occurs in both snapshots are absent from the output."""
+    env = package_runtime_env()
     from .relational import bloom_semi_join
 
-    deduped = exact_dedup(new_ds, column, id_column).map_batches(
-        add_hash, batch_format="pyarrow", runtime_env=env)
-    seen = seen_ds.map_batches(hash_only, batch_format="pyarrow",
+    def one_way(src, other, tag):
+        hashed = src.map_batches(_add_hash_fn(column),
+                                 batch_format="pyarrow", runtime_env=env)
+        other_h = other.map_batches(_hash_only_fn(column),
+                                    batch_format="pyarrow", runtime_env=env)
+        out = bloom_semi_join(hashed, other_h, "__h", anti=True, bits=bits)
+
+        def finish(b: pa.Table) -> pa.Table:
+            return b.drop_columns(["__h"]).append_column(
+                side_col, pa.array([tag] * b.num_rows))
+
+        return out.map_batches(finish, batch_format="pyarrow",
                                runtime_env=env)
-    out = bloom_semi_join(deduped, seen, "__h", anti=True, bits=bits)
-    return out.map_batches(lambda b: b.drop_columns(["__h"]),
-                           batch_format="pyarrow", runtime_env=env)
+
+    return one_way(new_ds, old_ds, "added").union(
+        one_way(old_ds, new_ds, "removed"))
 
 
 def dup_span_stats(ds, column: str, id_column: str, *, gram: int = 20,

@@ -1713,6 +1713,45 @@ def quantile_band_filter(ds, column: str, lo: float = 0.25,
                           runtime_env=package_runtime_env())
 
 
+def value_histogram(ds, column: str, lo: float, hi: float,
+                    bins: int) -> pa.Table:
+    """Fixed-bin corpus profile of ``column``: counts per half-open bin
+    ``[lo + i*w, lo + (i+1)*w)`` with ``w = (hi - lo) / bins``; values
+    outside ``[lo, hi)`` and nulls are dropped (mirror the SQL WHERE).
+    ONE map pass producing a fixed ``bins``-long count vector per block,
+    driver (or tree) sum — no shuffle, no sort; the length/token/score
+    distribution snapshot every corpus report needs. Empty bins are
+    emitted with n=0 so the output shape is always ``bins`` rows.
+
+    Bin assignment is ``floor((x - lo) / w)`` in float64, bit-identical to
+    the SQL recompute."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("need bins >= 1 and hi > lo")
+    w = (hi - lo) / bins
+    env = package_runtime_env()
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(column).combine_chunks().cast(pa.float64()) \
+            .drop_null().to_numpy(zero_copy_only=False)
+        v = v[(v >= lo) & (v < hi)]
+        idx = np.floor((v - lo) / w).astype(np.int64)
+        # float roundoff at the top edge can yield bins; clip (x < hi held)
+        counts = np.bincount(np.minimum(idx, bins - 1), minlength=bins)
+        return pa.table({"counts": pa.array([counts.astype(np.int64)
+                                             .tobytes()],
+                                            type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          runtime_env=env).take_all()
+    total = np.zeros(bins, dtype=np.int64)
+    for r in rows:
+        total += np.frombuffer(r["counts"], dtype=np.int64)
+    return pa.table({
+        "bin": pa.array(np.arange(bins, dtype=np.int64)),
+        "lo": pa.array(lo + np.arange(bins, dtype=np.float64) * w),
+        "n": pa.array(total)})
+
+
 def column_moments(ds, column: str) -> dict:
     """ONE streaming pass over ``column``: exact n (non-null), sum, sum of
     squares, min, max — fixed 5-number partials per block, driver sum/min/
@@ -1755,21 +1794,27 @@ def column_moments(ds, column: str) -> dict:
 def normalize_column(ds, column: str, *, method: str = "zscore",
                      out_column: Optional[str] = None):
     """Feature scaling for model inputs: append ``out_column`` (default
-    ``<column>_norm``) = z-score ``(x - mean) / stddev_samp`` or min-max
-    ``(x - min) / (max - min)`` using EXACT global statistics from
-    :func:`column_moments` (one streaming pass, fixed-size partials), then
-    a map-only vectorized transform — no shuffle anywhere. Nulls
-    propagate; a constant column (std or range 0) yields null scores (SQL
+    ``<column>_norm``) = z-score ``(x - mean) / stddev_samp``, min-max
+    ``(x - min) / (max - min)``, or robust ``(x - median) / IQR`` using
+    EXACT global statistics (one streaming :func:`column_moments` pass, or
+    the two-pass :func:`exact_quantiles` locate for robust), then a
+    map-only vectorized transform — no shuffle anywhere. Nulls propagate;
+    a constant column (zero std / range / IQR) yields null scores (SQL
     x/0 = NULL semantics)."""
-    if method not in ("zscore", "minmax"):
+    if method not in ("zscore", "minmax", "robust"):
         raise ValueError(f"unknown method {method!r}")
-    m = column_moments(ds, column)
     out = out_column or f"{column}_norm"
-    if method == "zscore":
-        base, scale = m["mean"], m["std"]
+    if method == "robust":
+        q = exact_quantiles(ds, column, [0.25, 0.5, 0.75])
+        base = q[0.5]
+        scale = (q[0.75] - q[0.25]) if q[0.75] is not None else None
     else:
-        base = m["min"]
-        scale = (m["max"] - m["min"]) if m["max"] is not None else None
+        m = column_moments(ds, column)
+        if method == "zscore":
+            base, scale = m["mean"], m["std"]
+        else:
+            base = m["min"]
+            scale = (m["max"] - m["min"]) if m["max"] is not None else None
     env = package_runtime_env()
 
     def xf(t: pa.Table) -> pa.Table:

@@ -1261,3 +1261,24 @@ def test_exact_dedup_incremental(ray_session):
     rows = sorted((r["doc_id"], r["text"]) for r in out.take_all())
     assert rows == [(10, "delta"), (13, "epsilon"), (14, "zeta")]
     assert {c for r in out.take_all() for c in r} == {"doc_id", "text"}
+
+
+def test_corpus_diff(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import corpus_diff
+
+    old = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["keep", "gone", "stays", "gone"])})
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12], type=pa.int64()),
+        "text": pa.array(["keep", "fresh", "stays"])})
+    out = corpus_diff(ray.data.from_arrow(old).repartition(2),
+                      ray.data.from_arrow(new).repartition(2),
+                      "text", "doc_id")
+    rows = sorted((r["side"], r["doc_id"], r["text"])
+                  for r in out.take_all())
+    # 'gone' (both old copies) removed; 'fresh' added; shared text silent
+    assert rows == [("added", 11, "fresh"), ("removed", 2, "gone"),
+                    ("removed", 4, "gone")]

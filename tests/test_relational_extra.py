@@ -1069,3 +1069,71 @@ def test_normalize_column_edges(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         normalize_column(ds2, "x", method="robust")
+
+
+def test_value_histogram_matches_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import value_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    got = value_histogram(ds, "l_extendedprice", 0.0, 120000.0, 24)
+    assert got.num_rows == 24
+    want = {int(b): n for b, n in duckdb.sql(f"""
+        SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        WHERE l_extendedprice >= 0 AND l_extendedprice < 120000
+        GROUP BY bin""").fetchall()}
+    for b, lo, n in zip(got.column("bin").to_pylist(),
+                        got.column("lo").to_pylist(),
+                        got.column("n").to_pylist()):
+        assert n == want.get(b, 0), b
+        assert lo == b * 5000.0
+    # total preserved for in-range rows
+    assert sum(got.column("n").to_pylist()) == sum(want.values())
+
+
+def test_value_histogram_edges(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import value_histogram
+
+    t = pa.table({"x": pa.array([0.0, 0.999, 1.0, 2.5, 3.0, None, -1.0],
+                                type=pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = value_histogram(ds, "x", 0.0, 3.0, 3)
+    # 3.0 (== hi), None and -1.0 dropped; [0,1): 2, [1,2): 1, [2,3): 1
+    assert got.column("n").to_pylist() == [2, 1, 1]
+    with _pytest.raises(ValueError):
+        value_histogram(ds, "x", 3.0, 0.0, 3)
+
+
+def test_normalize_column_robust(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import normalize_column
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber",
+                                        "l_quantity"])
+    out = normalize_column(ds, "l_quantity", method="robust")
+    got = {(r["l_orderkey"], r["l_linenumber"]):
+           round(r["l_quantity_norm"], 9) for r in out.take_all()}
+    want = {(o, ln): round(v, 9) for o, ln, v in duckdb.sql(f"""
+        SELECT l_orderkey, l_linenumber,
+               (l_quantity - quantile_disc(l_quantity, 0.5) OVER ())
+               / (quantile_disc(l_quantity, 0.75) OVER ()
+                  - quantile_disc(l_quantity, 0.25) OVER ())
+        FROM read_parquet('{sf_dir}/lineitem.parquet')""").fetchall()}
+    assert got == want
+    # constant column -> IQR 0 -> nulls
+    const = ray.data.from_arrow(
+        pa.table({"x": pa.array([5.0, 5.0, 5.0])}))
+    vals = [r["x_norm"] for r in
+            normalize_column(const, "x", method="robust").take_all()]
+    assert vals == [None, None, None]
