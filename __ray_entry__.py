@@ -2016,6 +2016,32 @@ def _corpus_diff_documents(sf_dir: str):
         "doc_id": pa.array([r[1] for r in rows], type=pa.int64())})
 
 
+def _quantize_embeddings(sf_dir: str):
+    """Int8 scalar quantization (vectors.quantize_embeddings): exact
+    per-dimension ranges from one fixed-payload pass, map-only affine
+    coding, emitted long-format (vec_id, i, q) so the value compare never
+    sees a list column."""
+    import numpy as np
+
+    from plugin_serdes_ray.pipelines.vectors import quantize_embeddings
+    from plugin_serdes_ray.util import vectors_to_numpy
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    out, _ = quantize_embeddings(ds)
+    ids, dims, codes = [], [], []
+    for b in out.iter_batches(batch_format="pyarrow"):
+        q = vectors_to_numpy(b.column("embedding_q"), dtype=np.int64)
+        n, d = q.shape
+        ids.append(np.repeat(np.asarray(b.column("vec_id")), d))
+        dims.append(np.tile(np.arange(d, dtype=np.int64), n))
+        codes.append(q.reshape(-1))
+    return pa.table({
+        "vec_id": pa.array(np.concatenate(ids)),
+        "i": pa.array(np.concatenate(dims)),
+        "q": pa.array(np.concatenate(codes)),
+    }).sort_by([("vec_id", "ascending"), ("i", "ascending")])
+
+
 def _histogram_lineitem(sf_dir: str):
     """Fixed-bin distribution profile (relational.value_histogram): 24
     bins of width 5000 over l_extendedprice, one fixed-vector pass per
@@ -2328,6 +2354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distribution profile (family row: quantiles_lineitem_all shares
         # the fixed-payload histogram machinery)
         "histogram_lineitem": _histogram_lineitem,
+        # embedding storage quantization (family row: the vector ops of
+        # kmeans_one_iter_embeddings share the zero-copy matrix machinery)
+        "quantize_embeddings": _quantize_embeddings,
         # standalone grouped-quantiles row (merged into
         # quantiles_lineitem_all in the 50 block)
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
@@ -2675,6 +2704,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 2
               AND text NOT IN (SELECT text FROM documents
                                WHERE doc_id % 3 <> 0)
+        """,
+        "quantize_embeddings": """
+            WITH flat AS (SELECT vec_id,
+                                 generate_subscripts(embedding, 1) AS i,
+                                 unnest(embedding)::DOUBLE AS v
+                          FROM embeddings),
+            mm AS (SELECT i, min(v) mn, max(v) mx FROM flat GROUP BY i)
+            SELECT f.vec_id, CAST(f.i - 1 AS BIGINT) AS i,
+                   CAST(CASE WHEN mm.mx > mm.mn
+                        THEN floor((f.v - mm.mn) / (mm.mx - mm.mn) * 255
+                                   + 0.5) - 128
+                        ELSE 0 END AS BIGINT) AS q
+            FROM flat f JOIN mm USING (i)
         """,
         "histogram_lineitem": """
             WITH c AS (SELECT CAST(floor(l_extendedprice / 5000.0)

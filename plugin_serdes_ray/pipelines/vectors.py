@@ -292,3 +292,83 @@ def kmeans(ds, k: int, iters: int = 10, tol: float = 1e-6,
         if shift < tol:
             break
     return {"centroids": c, "iters": it, "shift": shift}
+
+
+def embedding_dim_minmax(ds, vector_column: str = "embedding"):
+    """Per-dimension exact min/max over an embedding column in ONE
+    streaming pass: each block reduces to a fixed (2, d) float64 payload
+    (zero-copy matrix view via util.vectors_to_numpy), the driver (or a
+    tree) takes elementwise min/max. Null vectors are skipped. Returns
+    ``(mn, mx)`` float64 arrays of length d."""
+    from ..util import package_runtime_env, vectors_to_numpy
+
+    env = package_runtime_env()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(vector_column).combine_chunks().drop_null()
+        if len(col) == 0:
+            return pa.table({"mn": pa.array([], type=pa.binary()),
+                             "mx": pa.array([], type=pa.binary())})
+        m = vectors_to_numpy(col, dtype=np.float64)
+        return pa.table({
+            "mn": pa.array([m.min(axis=0).tobytes()], type=pa.binary()),
+            "mx": pa.array([m.max(axis=0).tobytes()], type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          runtime_env=env).take_all()
+    if not rows:
+        raise ValueError("no vectors to quantize")
+    mn = np.minimum.reduce([np.frombuffer(r["mn"], dtype=np.float64)
+                            for r in rows])
+    mx = np.maximum.reduce([np.frombuffer(r["mx"], dtype=np.float64)
+                            for r in rows])
+    return mn, mx
+
+
+def quantize_embeddings(ds, vector_column: str = "embedding",
+                        out_column: str = "embedding_q", *,
+                        minmax=None):
+    """Int8 scalar quantization of an embedding column — the standard 4x
+    storage/bandwidth shrink before shipping a 100 TB embedding corpus to
+    an ANN index. Per-dimension affine code: ``q = floor((v - mn_d) /
+    (mx_d - mn_d) * 255 + 0.5) - 128`` (half-up rounding, bit-identical
+    to the SQL floor(x + 0.5) recompute; a constant dimension codes to
+    0). Exact global per-dim ranges come from ONE
+    :func:`embedding_dim_minmax` pass (or pass ``minmax`` from a prior
+    profile); the quantize itself is map-only on zero-copy matrix views.
+    Max reconstruction error is half a step: ``(mx_d - mn_d) / 510``.
+
+    Appends ``out_column`` (fixed_size_list<int8>) plus nothing else —
+    ranges are returned to the caller for the dequantize side. Returns
+    ``(dataset, (mn, mx))``."""
+    from ..util import package_runtime_env, vectors_to_numpy
+
+    mn, mx = minmax if minmax is not None \
+        else embedding_dim_minmax(ds, vector_column)
+    span = mx - mn
+    safe = np.where(span > 0, span, 1.0)
+    env = package_runtime_env()
+
+    def quant(t: pa.Table) -> pa.Table:
+        col = t.column(vector_column).combine_chunks()
+        if col.null_count:
+            raise ValueError(
+                f"{vector_column} contains null vectors; filter them "
+                "before quantize_embeddings (codes must align row-wise)")
+        m = vectors_to_numpy(col, dtype=np.float64)
+        q = np.floor((m - mn) / safe * 255.0 + 0.5) - 128.0
+        q = np.where(span > 0, q, 0.0).astype(np.int8)
+        d = q.shape[1]
+        out = pa.FixedSizeListArray.from_arrays(
+            pa.array(q.reshape(-1), type=pa.int8()), d)
+        return t.append_column(out_column, out)
+
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          runtime_env=env), (mn, mx)
+
+
+def dequantize(q: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`quantize_embeddings` codes: midpoint
+    reconstruction ``mn + (q + 128) / 255 * (mx - mn)`` (float64)."""
+    span = mx - mn
+    return mn + (np.asarray(q, dtype=np.float64) + 128.0) / 255.0 * span

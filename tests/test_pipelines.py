@@ -1282,3 +1282,76 @@ def test_corpus_diff(ray_session):
     # 'gone' (both old copies) removed; 'fresh' added; shared text silent
     assert rows == [("added", 11, "fresh"), ("removed", 2, "gone"),
                     ("removed", 4, "gone")]
+
+
+def test_quantize_embeddings_matches_sql_and_roundtrips(ray_session,
+                                                        sf_dir):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import (dequantize,
+                                                     quantize_embeddings)
+    from plugin_serdes_ray.util import vectors_to_numpy
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out, (mn, mx) = quantize_embeddings(ds)
+    got = {}
+    orig = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        q = vectors_to_numpy(b.column("embedding_q"), dtype=np.int64)
+        v = vectors_to_numpy(b.column("embedding"), dtype=np.float64)
+        for vid, row, vr in zip(b.column("vec_id").to_pylist(), q, v):
+            got[vid] = row.tolist()
+            orig[vid] = vr
+    want = {}
+    for vid, i, qv in duckdb.sql(f"""
+        WITH flat AS (SELECT vec_id,
+                             generate_subscripts(embedding, 1) AS i,
+                             unnest(embedding)::DOUBLE AS v
+                      FROM read_parquet('{sf_dir}/embeddings.parquet')),
+        mm AS (SELECT i, min(v) mn, max(v) mx FROM flat GROUP BY i)
+        SELECT f.vec_id, f.i - 1,
+               CAST(CASE WHEN mm.mx > mm.mn
+                    THEN floor((f.v - mm.mn) / (mm.mx - mm.mn) * 255
+                               + 0.5) - 128
+                    ELSE 0 END AS BIGINT)
+        FROM flat f JOIN mm USING (i)""").fetchall():
+        want.setdefault(vid, {})[i] = qv
+    assert set(got) == set(want)
+    for vid in got:
+        assert got[vid] == [want[vid][i] for i in range(len(got[vid]))]
+    # reconstruction error bounded by half a quantization step per dim
+    step = (mx - mn) / 255.0
+    for vid, row in got.items():
+        err = np.abs(dequantize(np.array(row), mn, mx) - orig[vid])
+        assert (err <= step / 2 + 1e-12).all()
+
+
+def test_quantize_embeddings_constant_dim_and_nulls(ray_session):
+    import numpy as np
+    import pytest as _pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import quantize_embeddings
+    from plugin_serdes_ray.util import vectors_to_numpy
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[1.0, 7.0], [1.0, -3.0]],
+                              type=pa.list_(pa.float32()))})
+    out, (mn, mx) = quantize_embeddings(ray.data.from_arrow(t))
+    rows = pa.Table.from_pylist(out.take_all()).sort_by("vec_id")
+    q = vectors_to_numpy(rows.column("embedding_q"), dtype=np.int64)
+    # constant dim 0 codes to 0; varying dim hits the extremes
+    assert q[:, 0].tolist() == [0, 0]
+    assert sorted(q[:, 1].tolist()) == [-128, 127]
+    withnull = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], None],
+                              type=pa.list_(pa.float32()))})
+    ds2, _ = quantize_embeddings(ray.data.from_arrow(withnull),
+                                 minmax=(mn, mx))
+    with _pytest.raises(Exception):
+        ds2.take_all()
