@@ -846,13 +846,17 @@ def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
     occurrences of ``w1`` as a bigram START — never zero for a bigram the
     document itself contributes.
 
-    Same scale shape as the unigram scorer: block-local (doc, bigram,
-    prefix, tf) postings (one C group_by per block), corpus bigram and
-    prefix counts via partial+Sum reduces, two skew-salted
-    :func:`~.relational.hash_join` passes (bigram then prefix — raw text
-    never shuffles), one per-doc weighted-mean reduce. Output:
-    (id_column, n_bigrams, avg_neg_logp); documents with < 2 tokens emit
-    no row (SQL GROUP BY semantics)."""
+    Scale shape — the corpus-sized postings are touched exactly TWICE and
+    joined ONCE: block-local (doc, bigram, prefix, tf) postings (one C
+    group_by per block); corpus bigram counts via a partial+Sum reduce
+    (vocabulary-sized, materialized); prefix counts DERIVED from the gram
+    counts (a bigram's prefix count is the sum of its prefix's gram
+    counts — no second postings scan); the two vocabulary-sized tables
+    joined small-small on prefix; then one skew-salted
+    :func:`~.relational.hash_join` of postings against the combined
+    (gram, cnt_g, cnt_p) table and one per-doc weighted-mean reduce. Raw
+    text never shuffles. Output: (id_column, n_bigrams, avg_neg_logp);
+    documents with < 2 tokens emit no row (SQL GROUP BY semantics)."""
     from ray.data.aggregate import Sum
 
     from ..util import package_runtime_env
@@ -896,43 +900,56 @@ def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
     postings = ds.select_columns([id_column, column]).map_batches(
         bigram_tf, batch_format="pyarrow", runtime_env=env)
 
-    def count_reduce(key: str):
-        def part(t: pa.Table) -> pa.Table:
-            g = t.select([key, "tf"]).group_by(key).aggregate(
-                [("tf", "sum")])
-            return g.rename_columns([key, "cnt_part"])
-        return part
+    def gram_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["gram", "prefix", "tf"]) \
+            .group_by(["gram", "prefix"]).aggregate([("tf", "sum")])
+        return g.rename_columns(["gram", "prefix", "cnt_part"])
 
-    def cnt_finish(key: str, out: str):
-        def fin(t: pa.Table) -> pa.Table:
-            return pa.table({key: t.column(key),
-                             out: t.column("sum(cnt_part)")
+    def gram_finish(t: pa.Table) -> pa.Table:
+        return pa.table({"gram": t.column("gram"),
+                         "prefix": t.column("prefix"),
+                         "cnt_g": t.column("sum(cnt_part)")
                                    .cast(pa.float64())})
-        return fin
 
-    cnt_g = (postings.map_batches(count_reduce("gram"),
-                                  batch_format="pyarrow", runtime_env=env)
-             .groupby("gram").aggregate(Sum("cnt_part"))
-             .map_batches(cnt_finish("gram", "cnt_g"),
-                          batch_format="pyarrow", runtime_env=env)
+    # vocabulary-sized; the ONLY reduce that reads the corpus postings
+    # (prefix is functionally dependent on gram, so grouping by both keeps
+    # gram cardinality and carries the prefix along for free)
+    cnt_g = (postings.map_batches(gram_partial, batch_format="pyarrow",
+                                  runtime_env=env)
+             .groupby(["gram", "prefix"]).aggregate(Sum("cnt_part"))
+             .map_batches(gram_finish, batch_format="pyarrow",
+                          runtime_env=env)
              .materialize())
-    cnt_p = (postings.map_batches(count_reduce("prefix"),
-                                  batch_format="pyarrow", runtime_env=env)
+
+    def prefix_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["prefix", "cnt_g"]).group_by("prefix").aggregate(
+            [("cnt_g", "sum")])
+        return g.rename_columns(["prefix", "cnt_part"])
+
+    def prefix_finish(t: pa.Table) -> pa.Table:
+        return pa.table({"prefix": t.column("prefix"),
+                         "cnt_p": t.column("sum(cnt_part)")
+                                   .cast(pa.float64())})
+
+    # derived from cnt_g — no second corpus scan
+    cnt_p = (cnt_g.map_batches(prefix_partial, batch_format="pyarrow",
+                               runtime_env=env)
              .groupby("prefix").aggregate(Sum("cnt_part"))
-             .map_batches(cnt_finish("prefix", "cnt_p"),
-                          batch_format="pyarrow", runtime_env=env)
-             .materialize())
+             .map_batches(prefix_finish, batch_format="pyarrow",
+                          runtime_env=env))
 
-    def salts_for(cnt, key):
-        hot = top_k(cnt, f"cnt_{key[0]}", k=64)
-        return _cnt_salts(hot.column(f"cnt_{key[0]}").to_pylist(),
-                          hot.column(key).to_pylist(),
-                          salt_target_bytes) if hot.num_rows else {}
+    # small-small join: both sides vocabulary-sized, output one row per
+    # distinct gram carrying BOTH denominators -> the single corpus join
+    # below ships each posting row through exactly one shuffle
+    cnt_gp = hash_join(cnt_g, cnt_p, key="prefix").materialize()
 
-    joined = hash_join(postings, cnt_g, key="gram",
-                       skew_salts=salts_for(cnt_g, "gram") or None)
-    joined = hash_join(joined, cnt_p, key="prefix",
-                       skew_salts=salts_for(cnt_p, "prefix") or None)
+    hot = top_k(cnt_g, "cnt_g", k=64)
+    salts = _cnt_salts(hot.column("cnt_g").to_pylist(),
+                       hot.column("gram").to_pylist(),
+                       salt_target_bytes) if hot.num_rows else {}
+    joined = hash_join(postings,
+                       cnt_gp.select_columns(["gram", "cnt_g", "cnt_p"]),
+                       key="gram", skew_salts=salts or None)
 
     def contrib(t: pa.Table) -> pa.Table:
         tf = t.column("tf").combine_chunks().to_numpy(
