@@ -1068,7 +1068,7 @@ def test_normalize_column_edges(ray_session):
     assert mm == [0.0, None, 1.0]
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        normalize_column(ds2, "x", method="robust")
+        normalize_column(ds2, "x", method="rank")
 
 
 def test_value_histogram_matches_sql(ray_session, sf_dir):
