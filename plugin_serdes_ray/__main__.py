@@ -201,18 +201,35 @@ def cmd_dedup(args) -> int:
 
 
 def cmd_sample(args) -> int:
-    """Deterministic per-key mixing sample -> parquet."""
+    """Deterministic sampling -> parquet: per-key rate mixing
+    (stratified), exact-k uniform, or exact-k per group."""
+    import pyarrow.parquet as pq
+
     import ray.data
 
     _ray()
-    from .pipelines.relational import stratified_sample
-
-    fractions = {k: float(v) for k, v in
-                 (pair.split("=") for pair in args.fraction)}
     ds = ray.data.read_parquet(_input_files(args.input))
-    n = _stream_to_parquet(
-        stratified_sample(ds, args.key, fractions, args.id_column,
-                          default=args.default), args.output)
+    if args.method == "uniform_k":
+        from .pipelines.relational import uniform_sample_k
+
+        t = uniform_sample_k(ds, args.id_column, k=args.k, seed=args.seed)
+        pq.write_table(t, args.output)
+        n = t.num_rows
+    elif args.method == "grouped_k":
+        from .pipelines.relational import grouped_sample_k
+
+        n = _stream_to_parquet(
+            grouped_sample_k(ds, args.key, k=args.k,
+                             id_column=args.id_column, seed=args.seed),
+            args.output)
+    else:
+        from .pipelines.relational import stratified_sample
+
+        fractions = {k: float(v) for k, v in
+                     (pair.split("=") for pair in args.fraction)}
+        n = _stream_to_parquet(
+            stratified_sample(ds, args.key, fractions, args.id_column,
+                              default=args.default), args.output)
     print(json.dumps({"rows": n, "out": args.output}))
     return 0
 
@@ -244,6 +261,23 @@ def cmd_sketch(args) -> int:
 
         est = approx_count_distinct(ds, args.column, p=args.precision)
         print(json.dumps({"column": args.column, "estimate": est}))
+        return 0
+    if args.method == "quantiles":
+        from .pipelines.sketch import approx_quantiles_sketch
+
+        qs = [float(q) for q in (args.q or "0.25,0.5,0.9").split(",")]
+        est = approx_quantiles_sketch(ds, args.column, qs)
+        print(json.dumps({"column": args.column,
+                          "quantiles": {str(q): est[q] for q in qs}}))
+        return 0
+    if args.method == "histogram":
+        from .pipelines.relational import value_histogram
+
+        out = value_histogram(ds, args.column, args.lo, args.hi, args.bins)
+        if args.output:
+            pq.write_table(out, args.output)
+        print(json.dumps({"column": args.column,
+                          "bins": out.column("n").to_pylist()}))
         return 0
     from .pipelines.sketch import heavy_hitters
 
@@ -319,22 +353,33 @@ def main(argv=None) -> int:
     p.add_argument("--threshold", type=float, default=0.7)
     p.set_defaults(fn=cmd_dedup)
 
-    p = sub.add_parser("sample", help="per-key deterministic sample -> parquet")
+    p = sub.add_parser("sample", help="deterministic sampling -> parquet")
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("--key", required=True)
+    p.add_argument("--method",
+                   choices=["stratified", "uniform_k", "grouped_k"],
+                   default="stratified")
+    p.add_argument("--key", help="group key (stratified / grouped_k)")
     p.add_argument("--id-column", required=True)
     p.add_argument("--fraction", action="append", default=[],
                    metavar="KEY=FRAC", help="repeatable, e.g. --fraction en=0.1")
     p.add_argument("--default", type=float, default=1.0)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_sample)
 
-    p = sub.add_parser("sketch", help="HLL distinct / heavy hitters")
-    p.add_argument("method", choices=["hll", "heavy"])
+    p = sub.add_parser("sketch",
+                       help="HLL / heavy hitters / quantiles / histogram")
+    p.add_argument("method",
+                   choices=["hll", "heavy", "quantiles", "histogram"])
     p.add_argument("input")
     p.add_argument("--column", required=True)
     p.add_argument("--precision", type=int, default=14)
     p.add_argument("--fraction", type=float, default=0.01)
+    p.add_argument("--q", help="comma-separated quantiles")
+    p.add_argument("--lo", type=float, default=0.0)
+    p.add_argument("--hi", type=float, default=1.0)
+    p.add_argument("--bins", type=int, default=10)
     p.add_argument("--output")
     p.set_defaults(fn=cmd_sketch)
 

@@ -85,3 +85,40 @@ def test_cli_sketch_and_join(ray_session, tmp_path, capsys, sf_dir):
         f"WHERE EXISTS (SELECT 1 FROM read_parquet('{sf_dir}/customer.parquet') c "
         f"WHERE c.c_custkey = o.o_custkey)").fetchone()[0]
     assert pq.read_metadata(out).num_rows == want
+
+
+def test_cli_sample_methods_and_profile_sketches(ray_session, tmp_path,
+                                                 capsys, sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    src = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "uk.parquet")
+    assert main(["sample", src, out, "--method", "uniform_k",
+                 "--id-column", "doc_id", "--k", "7", "--seed", "3"]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 7
+    assert pq.read_table(out).num_rows == 7
+
+    out2 = str(tmp_path / "gk.parquet")
+    assert main(["sample", src, out2, "--method", "grouped_k",
+                 "--key", "lang", "--id-column", "doc_id", "--k", "2"]) == 0
+    t = pq.read_table(out2)
+    assert json.loads(capsys.readouterr().out)["rows"] == t.num_rows
+    counts = {}
+    for lang in t.column("lang").to_pylist():
+        counts[lang] = counts.get(lang, 0) + 1
+    assert counts and all(v <= 2 for v in counts.values())
+
+    li = f"{sf_dir}/lineitem.parquet"
+    assert main(["sketch", "quantiles", li, "--column", "l_quantity",
+                 "--q", "0.5"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert 1 <= got["quantiles"]["0.5"] <= 50
+
+    assert main(["sketch", "histogram", li, "--column", "l_quantity",
+                 "--lo", "0", "--hi", "60", "--bins", "6"]) == 0
+    hist = json.loads(capsys.readouterr().out)["bins"]
+    assert len(hist) == 6 and sum(hist) > 0
