@@ -1983,6 +1983,22 @@ def _normalize_lineitem(sf_dir: str):
         "v": pa.array([r[3] for r in rows], type=pa.float64())})
 
 
+def _assign_splits_documents(sf_dir: str):
+    """Deterministic train/val/test assignment
+    (relational.assign_splits): split = the cumulative range containing
+    splitmix64(doc_id ^ 5) / 2^64 — map-only, stable across runs and
+    cluster sizes; oracle recomputes via the inlined splitmix chain."""
+    from plugin_serdes_ray.pipelines.relational import assign_splits
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    out = assign_splits(ds, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    rows = sorted((r["doc_id"], r["split"]) for r in out.take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "split": pa.array([r[1] for r in rows])})
+
+
 def _corpus_diff_documents(sf_dir: str):
     """Snapshot diff (dedup.corpus_diff): documents split into overlapping
     'old' (doc_id % 3 in {0,1}) and 'new' (% 3 in {1,2}) corpora; the op
@@ -2351,6 +2367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # snapshot diff (family row: dedup_minhash_documents' incremental
         # arm shares the hash-reduce + bloom anti-join machinery)
         "corpus_diff_documents": _corpus_diff_documents,
+        # train/val/test assignment (family row: samples_documents shares
+        # the splitmix row-hash machinery)
+        "assign_splits_documents": _assign_splits_documents,
         # distribution profile (family row: quantiles_lineitem_all shares
         # the fixed-payload histogram machinery)
         "histogram_lineitem": _histogram_lineitem,
@@ -2693,6 +2712,16 @@ def oracle_sql() -> dict[str, str]:
                          / (quantile_disc(l_quantity, 0.75) OVER ()
                             - quantile_disc(l_quantity, 0.25) OVER ()), 6)
             FROM lineitem
+        """,
+        "assign_splits_documents": f"""
+            WITH {_splitmix_z_sql(5)}
+            SELECT doc_id,
+                   CASE WHEN z / 18446744073709551616.0 < {0.8!r}
+                            THEN 'train'
+                        WHEN z / 18446744073709551616.0 < {0.8 + 0.1!r}
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM s3
         """,
         "corpus_diff_documents": """
             SELECT 'added' AS side, doc_id FROM documents

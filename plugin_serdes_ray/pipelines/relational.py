@@ -1663,6 +1663,43 @@ def grouped_sample_k(ds, key, k: int, id_column: str, seed: int = 0):
                            batch_format="pyarrow", runtime_env=env)
 
 
+def assign_splits(ds, id_column: str, fractions: dict, *, seed: int = 0,
+                  out_column: str = "split"):
+    """Deterministic train/val/test assignment: append ``out_column`` =
+    the split whose cumulative [lo, hi) range contains
+    ``u = splitmix64(id ^ seed) / 2^64`` — a pure map-only function of the
+    row id, so the same document lands in the same split on every run,
+    every cluster size, and every corpus refresh (the property random
+    splits lose on re-shuffles; leakage-free as long as ids are stable).
+    ``fractions`` maps split name -> mass in insertion order; they must
+    sum to ~1 (±1e-9). Null ids get a null split.
+
+    Scale shape: no shuffle, no stats pass — one vectorized np.searchsorted
+    per batch against the cumulative thresholds."""
+    names = list(fractions)
+    fracs = np.asarray([float(fractions[n]) for n in names])
+    if (fracs < 0).any() or abs(fracs.sum() - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-negative and sum to 1")
+    cum = np.cumsum(fracs)
+    cum[-1] = 1.0 + 1e-12     # u < 1 always lands in the last split
+    env = package_runtime_env()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_column).combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        ids = pc.fill_null(col.cast(pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = splitmix64(ids, seed).astype(np.float64) / 18446744073709551616.0
+        idx = np.searchsorted(cum, u, side="right")
+        tags = pa.array(names, type=pa.string()).take(
+            pa.array(idx, type=pa.int64()))
+        out = pc.if_else(pa.array(valid), tags,
+                         pa.scalar(None, pa.string()))
+        return batch.append_column(out_column, out)
+
+    return ds.map_batches(tag, batch_format="pyarrow", runtime_env=env)
+
+
 def mixture_sample(ds, key: str, weights: dict, n_target: int,
                    id_column: str, *, default_weight: float = 0.0):
     """Deterministic domain-mixing sampler: draw ~``n_target`` rows whose

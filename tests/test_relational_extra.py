@@ -1137,3 +1137,38 @@ def test_normalize_column_robust(ray_session, sf_dir):
     vals = [r["x_norm"] for r in
             normalize_column(const, "x", method="robust").take_all()]
     assert vals == [None, None, None]
+
+
+def test_assign_splits_deterministic_and_proportional(ray_session):
+    import numpy as np
+    import pytest as _pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import (assign_splits,
+                                                        splitmix64)
+
+    ids = list(range(5000))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"]
+           for r in assign_splits(ds, "doc_id", fr, seed=5).take_all()}
+    # independently recompute the ranges
+    u = splitmix64(np.asarray(ids, dtype=np.uint64), 5).astype(np.float64) \
+        / 2.0**64
+    want = np.where(u < 0.8, "train", np.where(u < 0.9, "val", "test"))
+    assert got == {i: w for i, w in zip(ids, want.tolist())}
+    # proportions land near the targets
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 0.77 * len(ids) < n_train < 0.83 * len(ids)
+    # stable across runs / partitionings; disjoint and exhaustive
+    again = {r["doc_id"]: r["split"]
+             for r in assign_splits(ds.repartition(3), "doc_id", fr,
+                                    seed=5).take_all()}
+    assert again == got
+    # null ids -> null split
+    t2 = pa.table({"doc_id": pa.array([1, None], type=pa.int64())})
+    out = assign_splits(ray.data.from_arrow(t2), "doc_id", fr).take_all()
+    assert [r["split"] for r in out] == [out[0]["split"], None]
+    with _pytest.raises(ValueError):
+        assign_splits(ds, "doc_id", {"a": 0.5, "b": 0.6})
