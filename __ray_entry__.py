@@ -80,6 +80,28 @@ def _roundtrip_filtered(sf_dir: str, table: str, predicate) -> pa.Table:
     return pa.Table.from_pylist(ds.take_all())
 
 
+def _roundtrip_lineitem_both(sf_dir: str) -> pa.Table:
+    """Container-engine flagship, both decode paths from ONE encode of the
+    largest table: 'full' = whole-table decode (bit-identity), 'filtered'
+    = manifest zone-map-pruned predicate decode (only qualifying chunks
+    are opened) — union-tagged so one driver row covers the encode, the
+    plain decode, and the pruned decode."""
+    from plugin_serdes_ray.encode import (decode_dataset, decode_table,
+                                          encode_files)
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    out = _cache_dir(sf_dir, "rt_lineitem")
+    encode_files([src], out, resume=True)
+    full = decode_table(out)
+    filt = pa.Table.from_pylist(decode_dataset(
+        out, predicate=("l_extendedprice", ">=", 80000.0)).take_all())
+    filt = filt.select(full.column_names).cast(full.schema)
+    full = full.append_column("which", pa.array(["full"] * full.num_rows))
+    filt = filt.append_column("which",
+                              pa.array(["filtered"] * filt.num_rows))
+    return pa.concat_tables([full, filt])
+
+
 def _serde_roundtrip(sf_dir: str, table: str, fmt: str) -> pa.Table:
     from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
 
@@ -298,11 +320,13 @@ def _dedup_simhash(sf_dir: str):
 
 
 def _dedup_near_sim(sf_dir: str):
-    """SimHash, embedding-cosine, and exact-n-gram-Jaccard near-dup paths
-    union-tagged into one row set: each controlled-positive corpus must
-    yield exactly its 5 injected pairs and nothing else (the jaccard arm
-    is LSH candidates -> semi-join back to text -> exact Jaccard,
-    dedup.minhash_lsh_duplicates_exact)."""
+    """SimHash, embedding-cosine, exact-n-gram-Jaccard, and winnowing-
+    fingerprint near-dup paths union-tagged into one row set: each
+    controlled-positive corpus must yield exactly its 5 injected pairs and
+    nothing else (the jaccard arm is LSH candidates -> semi-join back to
+    text -> exact Jaccard, dedup.minhash_lsh_duplicates_exact; the
+    fingerprint arm is the _fingerprints contract — equal texts MUST
+    fingerprint equal, candidates verified by a bounded text semi-join)."""
     from plugin_serdes_ray.pipelines.dedup import (
         minhash_lsh_duplicates_exact, simhash_duplicates)
 
@@ -314,18 +338,22 @@ def _dedup_near_sim(sf_dir: str):
     jx = minhash_lsh_duplicates_exact(_dedup_oracle_corpus(sf_dir),
                                       "text", "doc_id") \
         .sort_by([("keep_id", "ascending"), ("dup_id", "ascending")])
+    fp = _fingerprints(sf_dir)
     return pa.table({
         "method": pa.array(["simhash"] * len(sh)
                            + ["embedding"] * emb.num_rows
-                           + ["jaccard"] * jx.num_rows),
+                           + ["jaccard"] * jx.num_rows
+                           + ["fingerprint"] * fp.num_rows),
         "keep_id": pa.concat_arrays([
             pa.array([p[0] for p in sh], type=pa.int64()),
             emb.column("keep_id").combine_chunks(),
-            jx.column("keep_id").combine_chunks().cast(pa.int64())]),
+            jx.column("keep_id").combine_chunks().cast(pa.int64()),
+            fp.column("keep_id").combine_chunks().cast(pa.int64())]),
         "dup_id": pa.concat_arrays([
             pa.array([p[1] for p in sh], type=pa.int64()),
             emb.column("dup_id").combine_chunks(),
-            jx.column("dup_id").combine_chunks().cast(pa.int64())]),
+            jx.column("dup_id").combine_chunks().cast(pa.int64()),
+            fp.column("dup_id").combine_chunks().cast(pa.int64())]),
     })
 
 
@@ -2287,6 +2315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samples_documents": _samples_documents,
         "quantile_band_lineitem": _quantile_band_lineitem,
         "chunk_text_documents": _chunk_text_documents,
+        "normalize_lineitem": _normalize_lineitem,
+        "quantize_embeddings": _quantize_embeddings,
         "dup_ngram_spans_documents": _dup_ngram_spans,
         "contamination_documents": _contamination_documents,
         "pack_sequences_documents": _pack_sequences_documents,
@@ -2305,7 +2335,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_documents": _pii_redact_documents,
         "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
         "textstats_scalars": _textstats_scalars,
-        "doc_fingerprints": _fingerprints,
         # --- wide-op wave ---
         "cube_lineitem": _cube_lineitem,
         "quantiles_lineitem_all": _quantiles_lineitem_all,
@@ -2334,9 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _dedup_minhash,
         "dedup_near_sim": _dedup_near_sim,
         # --- container engine + serde surface (chained) ---
-        "roundtrip_lineitem": lambda sf: _roundtrip(sf, "lineitem"),
-        "roundtrip_orders_filtered": lambda sf: _roundtrip_filtered(
-            sf, "orders", ("o_totalprice", ">=", 300000.0)),
+        "roundtrip_lineitem_both": _roundtrip_lineitem_both,
         "csv_roundtrip_orders": lambda sf: _serde_roundtrip(
             sf, "orders", "csv"),
         "serde_chain_region": _serde_chain_region,
@@ -2361,9 +2388,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_roundtrip_documents": _markdown_roundtrip,
         # standalone unigram row (merged into lm_logprob_documents)
         "unigram_logprob_documents": _unigram_logprob_documents,
-        # feature scaling (family row in the 50 block:
-        # grouped_stats_lineitem shares the sufficient-statistics machinery)
-        "normalize_lineitem": _normalize_lineitem,
         # snapshot diff (family row: dedup_minhash_documents' incremental
         # arm shares the hash-reduce + bloom anti-join machinery)
         "corpus_diff_documents": _corpus_diff_documents,
@@ -2373,13 +2397,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distribution profile (family row: quantiles_lineitem_all shares
         # the fixed-payload histogram machinery)
         "histogram_lineitem": _histogram_lineitem,
-        # embedding storage quantization (family row: the vector ops of
-        # kmeans_one_iter_embeddings share the zero-copy matrix machinery)
-        "quantize_embeddings": _quantize_embeddings,
         # standalone grouped-quantiles row (merged into
         # quantiles_lineitem_all in the 50 block)
         "grouped_quantiles_lineitem": _grouped_quantiles_lineitem,
-        # container engine round trips
+        # container engine round trips (lineitem full+filtered consolidated
+        # into roundtrip_lineitem_both in the 50 block)
+        "roundtrip_lineitem": lambda sf: _roundtrip(sf, "lineitem"),
+        "roundtrip_orders_filtered": lambda sf: _roundtrip_filtered(
+            sf, "orders", ("o_totalprice", ">=", 300000.0)),
+        # standalone fingerprint row (merged into dedup_near_sim)
+        "doc_fingerprints": _fingerprints,
         "roundtrip_orders": lambda sf: _roundtrip(sf, "orders"),
         "roundtrip_documents": lambda sf: _roundtrip(sf, "documents"),
         "roundtrip_events": lambda sf: _roundtrip(sf, "events"),
@@ -2466,6 +2493,11 @@ def oracle_sql() -> dict[str, str]:
           for t in ["lineitem", "orders", "documents", "events", "customer"]}
     rt["roundtrip_orders_filtered"] = \
         "SELECT * FROM orders WHERE o_totalprice >= 300000.0"
+    rt["roundtrip_lineitem_both"] = """
+        SELECT 'full' AS which, * FROM lineitem
+        UNION ALL
+        SELECT 'filtered', * FROM lineitem WHERE l_extendedprice >= 80000.0
+    """
     serde = {
         "csv_roundtrip_customer": "SELECT * FROM customer",
         "csv_roundtrip_orders": "SELECT * FROM orders",
@@ -2621,6 +2653,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
             UNION ALL
             SELECT 'jaccard', doc_id, doc_id + 1000000
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+            UNION ALL
+            SELECT 'fingerprint', doc_id, doc_id + 1000000
             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
         """,
         # recursive-CTE transitive closure over the same two edge
