@@ -1832,9 +1832,11 @@ def _text_embed_cluster(sf_dir: str):
     }).sort_by("doc_id")
 
 
-def _text_embed_cluster_oracle() -> str:
-    """Generate the chain oracle with the SAME seeded constants the Ray
-    stages use (float64 repr round-trips exactly)."""
+def _embed_cluster_sql(id_cols: str, source: str) -> str:
+    """Generate a featurize->project->argmin chain oracle over any source
+    CTE exposing ``(id_cols..., text)``, with the SAME seeded constants
+    the Ray stages use (float64 repr round-trips exactly; left-to-right
+    sums match TextFeaturizer's accumulation order)."""
     from plugin_serdes_ray.pipelines.vectors import (FEATURE_NAMES,
                                                      projection_matrix)
 
@@ -1866,13 +1868,55 @@ def _text_embed_cluster_oracle() -> str:
                          for j in range(8)) + f") AS d{c}"
         for c in range(3))
     return f"""
-        WITH e AS (SELECT doc_id, {embs} FROM documents),
-             d AS (SELECT doc_id, {dists} FROM e)
-        SELECT doc_id,
+        WITH src AS ({source}),
+             e AS (SELECT {id_cols}, {embs} FROM src),
+             d AS (SELECT {id_cols}, {dists} FROM e)
+        SELECT {id_cols},
                CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
                     WHEN d1 <= d2 THEN 1 ELSE 2 END AS cluster
-        FROM d ORDER BY doc_id
+        FROM d ORDER BY {id_cols}
     """
+
+
+def _text_embed_cluster_oracle() -> str:
+    return _embed_cluster_sql("doc_id",
+                              "SELECT doc_id, text FROM documents")
+
+
+_CHUNK_SRC_SQL = """
+    SELECT doc_id, j AS chunk_id,
+           substr(text, CAST(j * 160 + 1 AS BIGINT), 200) AS text
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, n - 1)) AS j
+          FROM (SELECT doc_id, text,
+                       greatest(1, (length(text) - 200 + 159) // 160 + 1)
+                           AS n
+                FROM documents WHERE text IS NOT NULL))
+"""
+
+
+def _rag_chunk_cluster(sf_dir: str):
+    """RAG-prep composition chain over three engine stages: chunk_text
+    (200-codepoint windows, stride 160) -> TextFeaturizer actor pool on
+    the CHUNK column -> kmeans_assign against broadcast fixed centroids ->
+    (doc_id, chunk_id, cluster). All three stages stream map-only; the
+    oracle recomputes chunking + features + projection + argmin entirely
+    in SQL (float64 parity end to end)."""
+    from plugin_serdes_ray.pipelines.textstats import chunk_text
+    from plugin_serdes_ray.pipelines.vectors import (kmeans_assign,
+                                                     text_to_embeddings)
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    chunks = chunk_text(docs, size=200, overlap=40)
+    emb = text_to_embeddings(chunks, column="chunk")
+    out = kmeans_assign(emb, _text_embed_centroids(), out_column="cluster")
+    rows = sorted((r["doc_id"], r["chunk_id"], r["cluster"])
+                  for r in out.select_columns(
+                      ["doc_id", "chunk_id", "cluster"]).take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "chunk_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "cluster": pa.array([r[2] for r in rows], type=pa.int64())})
 
 
 def _ann_top10(sf_dir: str):
@@ -2324,7 +2368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_stats_documents": _url_host_stats_documents,
         "dedup_clusters_documents": _dedup_clusters,
         "gopher_signals_documents": _gopher_signals_documents,
-        "text_embed_cluster": _text_embed_cluster,
+        "rag_chunk_cluster": _rag_chunk_cluster,
         # --- LLM-pipeline wave (unrecorded in r3's driver file) ---
         "ann_top10": _ann_top10,
         "tfidf_top_terms_documents": _tfidf_top_terms_documents,
@@ -2407,6 +2451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "orders", ("o_totalprice", ">=", 300000.0)),
         # standalone fingerprint row (merged into dedup_near_sim)
         "doc_fingerprints": _fingerprints,
+        # whole-doc featurize->assign chain (superseded in the 50 block by
+        # rag_chunk_cluster, which also exercises chunking)
+        "text_embed_cluster": _text_embed_cluster,
         "roundtrip_orders": lambda sf: _roundtrip(sf, "orders"),
         "roundtrip_documents": lambda sf: _roundtrip(sf, "documents"),
         "roundtrip_events": lambda sf: _roundtrip(sf, "events"),
@@ -3296,6 +3343,8 @@ def oracle_sql() -> dict[str, str]:
         "serde_chain_nation": "SELECT * FROM nation",
         "serde_chain_supplier": "SELECT * FROM supplier",
         "text_embed_cluster": _text_embed_cluster_oracle(),
+        "rag_chunk_cluster": _embed_cluster_sql("doc_id, chunk_id",
+                                                _CHUNK_SRC_SQL),
         "gopher_signals_documents": r"""
             WITH d AS (SELECT doc_id, text FROM documents),
             l AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS line
