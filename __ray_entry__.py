@@ -2071,6 +2071,60 @@ def _assign_splits_documents(sf_dir: str):
         "split": pa.array([r[1] for r in rows])})
 
 
+def _pagerank_documents(sf_dir: str):
+    """PageRank power iteration (graph.pagerank) over a deterministic
+    synthetic link graph on the documents ids: each doc links to
+    (id*7+3) % N and (id*13+5) % N (every vertex has out-degree 2, so the
+    dangling term is zero and the oracle unrolls cleanly). 3 iterations;
+    ranks rounded to 9 on both sides (summation-order noise ~1e-16)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import pagerank
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([(ids * 7 + 3) % n, (ids * 13 + 5) % n])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow",
+                             runtime_env=_env())
+    rows = sorted((r["v"], round(r["rank"], 9))
+                  for r in pagerank(edges, iters=3).take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "rank": pa.array([r[1] for r in rows], type=pa.float64())})
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled power-iteration oracle over the same synthetic graph (no
+    dangling vertices by construction, so the dangling term is absent)."""
+    nn = "(SELECT count(*) FROM documents)"
+    ctes = [f"""e AS (
+        SELECT doc_id AS src, (doc_id * 7 + 3) % {nn} AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 5) % {nn} FROM documents)""",
+        "od AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        f"p0 AS (SELECT doc_id AS v, 1.0 / {nn} AS p FROM documents)"]
+    for t in range(1, iters + 1):
+        ctes.append(f"""p{t} AS (
+        SELECT s.doc_id AS v,
+               {(1 - d)!r} / {nn}
+                 + coalesce(sum({d!r} * q.p / od.od), 0.0) AS p
+        FROM documents s
+        LEFT JOIN e ON e.dst = s.doc_id
+        LEFT JOIN p{t - 1} q ON q.v = e.src
+        LEFT JOIN od ON od.src = e.src
+        GROUP BY s.doc_id)""")
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT v AS doc_id, round(p, 9) AS rank FROM p{iters}")
+
+
 def _corpus_diff_documents(sf_dir: str):
     """Snapshot diff (dedup.corpus_diff): documents split into overlapping
     'old' (doc_id % 3 in {0,1}) and 'new' (% 3 in {1,2}) corpora; the op
@@ -2438,6 +2492,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # train/val/test assignment (family row: samples_documents shares
         # the splitmix row-hash machinery)
         "assign_splits_documents": _assign_splits_documents,
+        # iterative graph analytics (family row: dedup_clusters_documents
+        # covers the graph module's shuffle shape)
+        "pagerank_documents": _pagerank_documents,
         # distribution profile (family row: quantiles_lineitem_all shares
         # the fixed-payload histogram machinery)
         "histogram_lineitem": _histogram_lineitem,
@@ -2795,6 +2852,7 @@ def oracle_sql() -> dict[str, str]:
                             - quantile_disc(l_quantity, 0.25) OVER ()), 6)
             FROM lineitem
         """,
+        "pagerank_documents": _pagerank_sql(),
         "assign_splits_documents": f"""
             WITH {_splitmix_z_sql(5)}
             SELECT doc_id,

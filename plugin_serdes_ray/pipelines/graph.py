@@ -154,3 +154,131 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
     return labels.map_batches(
         lambda b: b.rename_columns(["v", "component"]),
         batch_format="pyarrow", runtime_env=env)
+
+
+def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
+             damping: float = 0.85, iters: int = 10):
+    """PageRank by power iteration over a directed edge-list Dataset.
+    Returns ``(v, rank)`` for every vertex appearing as src or dst.
+
+    Scale shape per iteration — the connected_components recipe, ONE
+    keyed shuffle, no join: the edge list (tagged ``(k=src, dst)``) is
+    unioned with the O(|V|) state ``(k=v, p, od)``; ``groupby(k)`` groups
+    each vertex with its out-edges, and the group emits one contribution
+    row ``(dst, d·p/od)`` per out-edge plus a self row ``(v, 0, od)``
+    that keeps in-edge-less vertices alive AND carries the out-degree
+    into the next state (so no per-iteration degree join). A per-block
+    combiner pre-sums before the Sum/Max reduce; the finish map adds the
+    teleport term ``(1-d)/N`` and the dangling mass ``d·Σ_{od=0} p / N``
+    (a driver scalar computed from the O(|V|) state each round, as the
+    convergence sum in :func:`connected_components`). Edges re-execute
+    per iteration (streamed); state (three fixed-width columns per
+    vertex) is materialized as the working set."""
+    from ray.data.aggregate import Max, Sum
+
+    env = package_runtime_env()
+    d = float(damping)
+
+    def deg_parts(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = batch.column(dst_col).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(s, return_counts=True)
+        dv = np.unique(t)
+        return pa.table({
+            "v": pa.array(np.concatenate([vals, dv])),
+            "od": pa.array(np.concatenate(
+                [cnts.astype(np.int64), np.zeros(len(dv), np.int64)]))})
+
+    deg = (edges.map_batches(deg_parts, batch_format="pyarrow",
+                             runtime_env=env)
+           .groupby("v").aggregate(Sum("od")))
+    n = deg.count()
+    if n == 0:
+        return deg.map_batches(
+            lambda b: pa.table({"v": pa.array([], type=pa.int64()),
+                                "rank": pa.array([], type=pa.float64())}),
+            batch_format="pyarrow", runtime_env=env)
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": batch.column("v").cast(pa.int64()),
+            "p": pa.array(np.full(batch.num_rows, 1.0 / n)),
+            "od": batch.column("sum(od)").cast(pa.int64())})
+
+    state = deg.map_batches(init_state, batch_format="pyarrow",
+                            runtime_env=env).materialize()
+
+    def edge_msgs(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "k": batch.column(src_col).cast(pa.int64()),
+            "dst": batch.column(dst_col).cast(pa.int64()),
+            "p": pa.nulls(m, pa.float64()),
+            "od": pa.nulls(m, pa.int64())})
+
+    def state_msgs(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch.column("v"),
+                         "dst": pa.nulls(batch.num_rows, pa.int64()),
+                         "p": batch.column("p"),
+                         "od": batch.column("od")})
+
+    def spread(group: pa.Table) -> pa.Table:
+        p = pc.max(group.column("p")).as_py()     # the one state row
+        od = pc.max(group.column("od")).as_py()
+        k = group.column("k")[0].as_py()
+        dst = group.column("dst").combine_chunks().drop_null().to_numpy(
+            zero_copy_only=False)
+        out_v = np.concatenate([dst, np.array([k], dtype=np.int64)])
+        c = np.concatenate([
+            np.full(len(dst), d * p / od if od else 0.0),
+            np.zeros(1)])
+        out_od = np.concatenate([np.full(len(dst), -1, dtype=np.int64),
+                                 np.array([od], dtype=np.int64)])
+        return pa.table({"v": pa.array(out_v), "c": pa.array(c),
+                         "od": pa.array(out_od)})
+
+    def pre_sum(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["v"]).aggregate([("c", "sum"), ("od", "max")])
+        return g.rename_columns(["v", "c", "od"])
+
+    for _ in range(iters):
+        # dangling mass: one cheap pass over the O(|V|) state
+        def dang(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.equal(batch.column("od"),
+                                         pa.scalar(0, pa.int64())))
+            return pa.table({"m": pa.array(
+                [pc.sum(keep.column("p")).as_py() or 0.0],
+                type=pa.float64())})
+
+        dangling = sum(r["m"] for r in state.map_batches(
+            dang, batch_format="pyarrow", runtime_env=env).take_all())
+        base = (1.0 - d) / n + d * dangling / n
+
+        def finish(batch: pa.Table, base=base) -> pa.Table:
+            c = batch.column("sum(c)").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "v": batch.column("v").cast(pa.int64()),
+                "p": pa.array(base + c),
+                "od": batch.column("max(od)").cast(pa.int64())})
+
+        tagged = edges.map_batches(edge_msgs, batch_format="pyarrow",
+                                   runtime_env=env).union(
+            state.map_batches(state_msgs, batch_format="pyarrow",
+                              runtime_env=env))
+        state = (tagged.groupby("k")
+                 .map_groups(spread, batch_format="pyarrow",
+                             runtime_env=env)
+                 .map_batches(pre_sum, batch_format="pyarrow",
+                              runtime_env=env)
+                 .groupby("v").aggregate(Sum("c"), Max("od"))
+                 .map_batches(finish, batch_format="pyarrow",
+                              runtime_env=env)
+                 .materialize())
+
+    return state.map_batches(
+        lambda b: pa.table({"v": b.column("v"),
+                            "rank": b.column("p")}),
+        batch_format="pyarrow", runtime_env=env)

@@ -1355,3 +1355,35 @@ def test_quantize_embeddings_constant_dim_and_nulls(ray_session):
                                  minmax=(mn, mx))
     with _pytest.raises(Exception):
         ds2.take_all()
+
+
+def test_pagerank_matches_reference_power_iteration(ray_session):
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import pagerank
+
+    # 6 vertices; vertex 5 is dangling (dst only), vertex 4 self-loops
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 5), (4, 4), (2, 5)]
+    t = pa.table({"src": pa.array([a for a, _ in E], type=pa.int64()),
+                  "dst": pa.array([b for _, b in E], type=pa.int64())})
+    got = {r["v"]: r["rank"]
+           for r in pagerank(ray.data.from_arrow(t).repartition(3),
+                             iters=10).take_all()}
+    # dense numpy reference with identical semantics
+    n, d = 6, 0.85
+    od = np.zeros(n)
+    for a, _ in E:
+        od[a] += 1
+    p = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dangling = p[od == 0].sum()
+        new = np.full(n, (1 - d) / n + d * dangling / n)
+        for a, b in E:
+            new[b] += d * p[a] / od[a]
+        p = new
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert abs(got[v] - p[v]) < 1e-12, v
+    # ranks form a probability distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-9
