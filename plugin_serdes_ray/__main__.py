@@ -289,6 +289,27 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Graph analytics over an edge-list parquet -> parquet."""
+    import ray.data
+
+    _ray()
+    ds = ray.data.read_parquet(_input_files(args.input),
+                               columns=[args.src, args.dst])
+    if args.algo == "components":
+        from .pipelines.graph import connected_components
+
+        out = connected_components(ds, args.src, args.dst)
+    else:
+        from .pipelines.graph import pagerank
+
+        out = pagerank(ds, args.src, args.dst, damping=args.damping,
+                       iters=args.iters)
+    n = _stream_to_parquet(out, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
+    return 0
+
+
 def cmd_join(args) -> int:
     """Distributed join of two parquet tables -> parquet."""
     import ray.data
@@ -382,6 +403,17 @@ def main(argv=None) -> int:
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--output")
     p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser("graph",
+                       help="connected components / pagerank over edges")
+    p.add_argument("algo", choices=["components", "pagerank"])
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--src", default="src")
+    p.add_argument("--dst", default="dst")
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_graph)
 
     p = sub.add_parser("join", help="distributed join of two parquet tables")
     p.add_argument("left")

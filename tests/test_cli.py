@@ -122,3 +122,31 @@ def test_cli_sample_methods_and_profile_sketches(ray_session, tmp_path,
                  "--lo", "0", "--hi", "60", "--bins", "6"]) == 0
     hist = json.loads(capsys.readouterr().out)["bins"]
     assert len(hist) == 6 and sum(hist) > 0
+
+
+def test_cli_graph(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    edges = pa.table({"src": pa.array([0, 1, 2, 5], type=pa.int64()),
+                      "dst": pa.array([1, 2, 0, 6], type=pa.int64())})
+    src = str(tmp_path / "edges.parquet")
+    pq.write_table(edges, src)
+
+    out = str(tmp_path / "cc.parquet")
+    assert main(["graph", "components", src, out]) == 0
+    capsys.readouterr()
+    comp = {r["v"]: r["component"]
+            for r in pq.read_table(out).to_pylist()}
+    assert comp[0] == comp[1] == comp[2] == 0 and comp[5] == comp[6] == 5
+
+    out2 = str(tmp_path / "pr.parquet")
+    assert main(["graph", "pagerank", src, out2, "--iters", "5"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    ranks = pq.read_table(out2)
+    assert got["rows"] == ranks.num_rows == 5
+    assert abs(sum(ranks.column("rank").to_pylist()) - 1.0) < 1e-9
