@@ -1132,15 +1132,29 @@ def _tfidf_top_terms_documents(sf_dir: str):
 
 
 def _normalize_nfc_documents(sf_dir: str):
-    """Unicode NFC canonicalization over documents.text — Arrow's C
-    utf8_normalize kernel per batch (textstats.normalize_text); the oracle
-    is DuckDB's nfc_normalize over the same rows."""
-    from plugin_serdes_ray.pipelines.textstats import normalize_text
+    """Both text-canonicalization kernels union-tagged: 'nfc' = Unicode
+    NFC (textstats.normalize_text, oracle nfc_normalize); 'canonical' =
+    the dedup canonicalizer (textstats.canonicalize_text — lowercase,
+    punctuation/digits -> space, whitespace collapse, trim; oracle mirrors
+    the exact RE2 chain)."""
+    from plugin_serdes_ray.pipelines.textstats import (canonicalize_text,
+                                                       normalize_text)
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    out = ds.map_batches(lambda b: normalize_text(b, "text", form="NFC"),
+    nfc = ds.map_batches(lambda b: normalize_text(b, "text", form="NFC"),
                          batch_format="pyarrow", runtime_env=_env())
-    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    can = ds.map_batches(
+        lambda b: canonicalize_text(b, "text").drop_columns(["text"])
+        .rename_columns(["doc_id", "text"]),
+        batch_format="pyarrow", runtime_env=_env())
+    rows = sorted([("nfc", r["doc_id"], r["text"])
+                   for r in nfc.take_all()]
+                  + [("canonical", r["doc_id"], r["text"])
+                     for r in can.take_all()])
+    return pa.table({
+        "method": pa.array([r[0] for r in rows]),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "text": pa.array([r[2] for r in rows], type=pa.string())})
 
 
 def _vec_rows_long(rows, key: str, vec_key: str):
@@ -3259,9 +3273,15 @@ def oracle_sql() -> dict[str, str]:
                 '\+\d[\d()\s.-]{6,}\d', '<PHONE>', 'g') AS text
             FROM documents ORDER BY doc_id
         """,
-        "normalize_nfc_documents": """
-            SELECT doc_id, nfc_normalize(text) AS text
-            FROM documents ORDER BY doc_id
+        "normalize_nfc_documents": r"""
+            SELECT 'nfc' AS method, doc_id, nfc_normalize(text) AS text
+            FROM documents
+            UNION ALL
+            SELECT 'canonical', doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[!-/:-@\[-`{-~0-9]', ' ', 'g'),
+                        '\s+', ' ', 'g'), ' ') AS text
+            FROM documents
         """,
         # long-format (key, i, v, n): a list column cannot survive a
         # sort-all-columns value compare, so centroids emit per-component

@@ -279,6 +279,27 @@ def pii_redact(batch: pa.Table, column: str = "text",
     return batch.append_column(out, col)
 
 
+def canonicalize_text(batch: pa.Table, column: str = "text",
+                      out: str | None = None) -> pa.Table:
+    """Dedup canonicalization — the key function of near-duplicate
+    detection (CCNet/RefinedWeb-style): lowercase, strip punctuation and
+    digits down to ``[a-z\\s]`` plus non-ASCII letters, collapse
+    whitespace runs to one space, trim. Two texts that differ only in
+    case/punctuation/spacing canonicalize equal, so ``exact_dedup`` over
+    the canonical column catches trivially-reformatted copies without any
+    LSH. All RE2 kernels (map-only, no Python rows); the exact regex
+    chain is SQL-recomputable (the oracle mirrors it). Nulls propagate."""
+    col = batch.column(column).combine_chunks()
+    c = pc.utf8_lower(col)
+    c = pc.replace_substring_regex(c, r"[!-/:-@\[-`{-~0-9]", " ")
+    c = pc.replace_substring_regex(c, r"\s+", " ")
+    # RE2 \s is ASCII-only, so edges can only be ' ' now; trim exactly
+    # that (utf8_trim_whitespace would also eat U+00A0 etc., diverging
+    # from SQL trim)
+    c = pc.utf8_trim(c, " ")
+    return batch.append_column(out or f"{column}_canonical", c)
+
+
 def normalize_text(batch: pa.Table, column: str = "text",
                    form: str = "NFC", collapse_whitespace: bool = False,
                    out: str | None = None) -> pa.Table:

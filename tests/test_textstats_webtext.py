@@ -465,3 +465,29 @@ def test_bigram_logprob_edge_docs(ray_session):
     # 'b a': cnt=2, prefix 'b' starts 2 bigrams -> all conditionals = 1
     assert abs(out[3]["avg_neg_logp"]) < 1e-12
     assert abs(out[4]["avg_neg_logp"]) < 1e-12
+
+
+def test_canonicalize_text_dedup_key():
+    from plugin_serdes_ray.pipelines.textstats import canonicalize_text
+
+    batch = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array([
+            "Hello,   World!",
+            "hello world",
+            "HELLO - WORLD???",
+            "  hello\tworld 42 ",
+            None,
+            "héllo wörld",
+        ])})
+    out = canonicalize_text(batch)
+    got = out.column("text_canonical").to_pylist()
+    # reformatted copies canonicalize EQUAL (the dedup-key property)
+    assert got[0] == got[1] == got[2] == got[3] == "hello world"
+    assert got[4] is None
+    # non-ASCII letters survive, case folds
+    assert got[5] == "héllo wörld"
+    # punctuation-only text canonicalizes to empty
+    only = canonicalize_text(pa.table({
+        "text": pa.array(["!!! ... ???", ""])}))
+    assert only.column("text_canonical").to_pylist() == ["", ""]
