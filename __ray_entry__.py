@@ -2031,7 +2031,8 @@ def _quantiles_lineitem_all(sf_dir: str):
     aq = approx_quantiles_sketch(ds, "l_extendedprice", probe_qs, k=k)
     n = ds.count()
     ranks = exact_ranks(ds, "l_extendedprice", [aq[q] for q in probe_qs])
-    slack = -(-n // k) + 1
+    # ~2N/k bound: block thinning + the tree-combine re-compression level
+    slack = 2 * (-(-n // k)) + 2
     for q, (lo, hi) in zip(probe_qs, ranks):
         target = max(1, int(np.ceil(q * n)))
         ok = lo + 1 <= target + slack and hi >= target - slack

@@ -193,12 +193,15 @@ def approx_quantiles_sketch(ds, column: str, qs, k: int = 256) -> dict:
     weight 1), the driver merges the weighted points (O(blocks·k), a
     fixed-size payload per block) and reads the target cumulative weights.
     Deterministic rank error: each block contributes at most
-    ``ceil(n_block/k)/2`` rank slack, so the merged estimate's rank is
-    within ~``N/k`` of the target — at k=256 that is <0.4% rank error,
-    verified exactly by the ``approx_ok`` oracle arm via
-    :func:`exact_ranks`. The per-block summaries are what a multi-node
-    tree-reduce would ship (with re-compression at each fan-in level; the
-    driver here does one merge level).
+    ``ceil(n_block/k)/2`` rank slack, and the tree-combine level below
+    adds at most another ``W_bucket/k`` per bucket, so the merged
+    estimate's rank is within ~``2N/k`` of the target — at k=256 that is
+    <0.8% rank error, verified exactly by the ``approx_ok`` oracle arm
+    via :func:`exact_ranks`. Before the driver merge, the per-block
+    summaries are shuffled into ``fanin`` buckets and each bucket is
+    RE-COMPRESSED to <= k weighted points (the tree-reduce fan-in a
+    multi-node run needs), so the driver reads O(fanin·k) rows no matter
+    how many blocks the corpus has — never blocks×k.
 
     Contrast with ``relational.exact_quantiles``: that is TWO streaming
     passes and exact; this is ONE pass and ~1/k rank error — the profiling
@@ -228,8 +231,28 @@ def approx_quantiles_sketch(ds, column: str, qs, k: int = 256) -> dict:
         w = np.diff(np.concatenate([[-1], pos])).astype(np.int64)
         return pa.table({"v": pa.array(v[pos]), "w": pa.array(w)})
 
-    rows = ds.map_batches(block_summary, batch_format="pyarrow",
-                          runtime_env=env).take_all()
+    def recompress(t: pa.Table) -> pa.Table:
+        v = t.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        w = t.column("w").combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(v) <= k:
+            return t
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total_w = int(cum[-1])
+        targets = np.ceil(total_w * np.arange(1, k + 1) / k).astype(
+            np.int64)
+        pos = np.unique(np.searchsorted(cum, targets, side="left"))
+        neww = np.diff(np.concatenate([[0], cum[pos]])).astype(np.int64)
+        return pa.table({"v": pa.array(v[pos]), "w": pa.array(neww)})
+
+    rows = (ds.map_batches(block_summary, batch_format="pyarrow",
+                           runtime_env=env)
+            .repartition(64)      # the tree fan-in: tiny summary rows
+            .map_batches(recompress, batch_format="pyarrow",
+                         batch_size=None, runtime_env=env)
+            .take_all())          # O(64·k) rows, independent of blocks
     vals = np.array([r["v"] for r in rows], dtype=np.float64)
     wts = np.array([r["w"] for r in rows], dtype=np.int64)
     if len(vals) == 0:

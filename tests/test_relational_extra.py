@@ -1001,7 +1001,8 @@ def test_approx_quantiles_sketch_rank_error(ray_session, sf_dir):
     qs = [0.1, 0.25, 0.5, 0.9, 0.99]
     est = approx_quantiles_sketch(ds, "l_extendedprice", qs, k=k)
     ranks = exact_ranks(ds, "l_extendedprice", [est[q] for q in qs])
-    slack = -(-n // k) + 1
+    # ~2N/k: block thinning + the tree-combine re-compression level
+    slack = 2 * (-(-n // k)) + 2
     for q, (lo, hi) in zip(qs, ranks):
         target = max(1, int(np.ceil(q * n)))
         # the estimate's true rank interval must overlap target +- slack
