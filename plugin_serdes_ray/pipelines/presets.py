@@ -1,0 +1,58 @@
+"""Turnkey pipeline presets composing the engine's stages end to end —
+the one-call entry points a corpus owner actually runs, built ONLY from
+the individually oracle-checked operators in this package.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import package_runtime_env
+
+
+def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                     min_words: int = 50, max_words: int = 100_000,
+                     splits: dict | None = None, seed: int = 0):
+    """The standard web-corpus cleaning chain in one call:
+
+    1. Gopher quality FILTER (textstats.gopher_signals + gopher_filter,
+       Rae et al. 2021 thresholds) — drops repetitious/degenerate pages
+       map-only;
+    2. case/punctuation/whitespace-insensitive EXACT DEDUP — the
+       canonical key (textstats.canonicalize_text) feeds dedup.exact_dedup
+       (min-id per canonical value, one hash-count pass + narrow group),
+       catching trivially-reformatted copies without LSH;
+    3. deterministic train/val/test SPLIT assignment
+       (relational.assign_splits — splitmix64 row hash, stable across
+       runs and cluster sizes; default 98/1/1).
+
+    Returns the cleaned Dataset: surviving rows with the original columns
+    plus ``split``. Every stage streams (the only shuffle is exact_dedup's
+    duplicated-hash group); near-dup removal (minhash_lsh_dedup*) is left
+    to the caller — it needs corpus-specific thresholds.
+    """
+    from .dedup import exact_dedup
+    from .relational import assign_splits
+    from .textstats import canonicalize_text, gopher_filter, gopher_signals
+
+    env = package_runtime_env()
+    canon = "__canonical"
+
+    def quality_pass(b: pa.Table) -> pa.Table:
+        scored = gopher_filter(gopher_signals(b, column=text_col),
+                               min_words=min_words, max_words=max_words,
+                               out="__keep")
+        kept = scored.filter(pc.fill_null(scored.column("__keep"), False))
+        kept = kept.select(b.column_names)          # drop signal columns
+        return canonicalize_text(kept, text_col, out=canon)
+
+    scored = ds.map_batches(quality_pass, batch_format="pyarrow",
+                            runtime_env=env)
+    deduped = exact_dedup(scored, canon, id_col)
+    deduped = deduped.map_batches(
+        lambda b: b.drop_columns([canon]), batch_format="pyarrow",
+        runtime_env=env)
+    return assign_splits(deduped, id_col,
+                         splits or {"train": 0.98, "val": 0.01,
+                                    "test": 0.01}, seed=seed)

@@ -1387,3 +1387,34 @@ def test_pagerank_matches_reference_power_iteration(ray_session):
         assert abs(got[v] - p[v]) < 1e-12, v
     # ranks form a probability distribution
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_clean_web_corpus_preset(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.presets import clean_web_corpus
+
+    good_a = " ".join(f"alpha{i} beta{i}" for i in range(15))  # 30 words
+    # a reformatted copy of good_a: different case/punct/spacing only
+    good_a_copy = "  " + good_a.upper().replace(" ", "   ") + " !!! "
+    good_b = " ".join(f"gamma{i}" for i in range(25))
+    too_short = "tiny doc"
+    spam = "same line\n" * 40 + " ".join(f"w{i}" for i in range(30))
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([good_a, good_a_copy, good_b, too_short, spam])})
+    out = clean_web_corpus(ray.data.from_arrow(t).repartition(3),
+                           min_words=10,
+                           splits={"train": 0.5, "val": 0.5})
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    # quality filter drops the short and spammy docs; dedup keeps the
+    # min-id member of the reformatted pair; originals survive intact
+    assert set(rows) == {0, 2}
+    assert rows[0]["text"] == good_a and rows[2]["text"] == good_b
+    assert all(r["split"] in ("train", "val") for r in rows.values())
+    # deterministic end to end
+    again = clean_web_corpus(ray.data.from_arrow(t).repartition(2),
+                             min_words=10,
+                             splits={"train": 0.5, "val": 0.5})
+    assert {(r["doc_id"], r["split"]) for r in again.take_all()} == \
+        {(d, r["split"]) for d, r in rows.items()}
