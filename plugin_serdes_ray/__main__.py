@@ -289,6 +289,23 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Turnkey web-corpus cleaning (gopher filter -> canonical exact
+    dedup -> split assignment) -> parquet."""
+    import ray.data
+
+    _ray()
+    from .pipelines.presets import clean_web_corpus
+
+    ds = ray.data.read_parquet(_input_files(args.input))
+    out = clean_web_corpus(ds, text_col=args.column,
+                           id_col=args.id_column,
+                           min_words=args.min_words, seed=args.seed)
+    n = _stream_to_parquet(out, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
+    return 0
+
+
 def cmd_graph(args) -> int:
     """Graph analytics over an edge-list parquet -> parquet."""
     import ray.data
@@ -403,6 +420,16 @@ def main(argv=None) -> int:
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--output")
     p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser("clean",
+                       help="gopher filter + canonical dedup + splits")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("graph",
                        help="connected components / pagerank over edges")

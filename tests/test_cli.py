@@ -150,3 +150,20 @@ def test_cli_graph(ray_session, tmp_path, capsys):
     ranks = pq.read_table(out2)
     assert got["rows"] == ranks.num_rows == 5
     assert abs(sum(ranks.column("rank").to_pylist()) - 1.0) < 1e-9
+
+
+def test_cli_clean(ray_session, tmp_path, capsys, sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    src = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "clean.parquet")
+    assert main(["clean", src, out, "--min-words", "10"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    t = pq.read_table(out)
+    assert got["rows"] == t.num_rows > 0
+    assert "split" in t.column_names and "text" in t.column_names
+    assert set(t.column("split").to_pylist()) <= {"train", "val", "test"}
