@@ -2086,6 +2086,23 @@ def _assign_splits_documents(sf_dir: str):
         "split": pa.array([r[1] for r in rows])})
 
 
+def _curriculum_order_documents(sf_dir: str):
+    """Curriculum ordering layout (relational.curriculum_order): exact
+    quartile tier of n_chars + splitmix in-tier shuffle key; the oracle
+    recomputes the tier via quantile_disc comparisons and the key via the
+    inlined splitmix chain."""
+    from plugin_serdes_ray.pipelines.relational import curriculum_order
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    out = curriculum_order(ds, "n_chars", "doc_id", n_buckets=4, seed=9)
+    rows = sorted((r["doc_id"], r["bucket"], r["order_key"])
+                  for r in out.take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "bucket": pa.array([r[1] for r in rows], type=pa.int64()),
+        "order_key": pa.array([r[2] for r in rows], type=pa.int64())})
+
+
 def _pagerank_documents(sf_dir: str):
     """PageRank power iteration (graph.pagerank) over a deterministic
     synthetic link graph on the documents ids: each doc links to
@@ -2510,6 +2527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analytics (family row: dedup_clusters_documents
         # covers the graph module's shuffle shape)
         "pagerank_documents": _pagerank_documents,
+        # curriculum ordering (family rows: quantiles + global shuffle
+        # cover the two building blocks)
+        "curriculum_order_documents": _curriculum_order_documents,
         # distribution profile (family row: quantiles_lineitem_all shares
         # the fixed-payload histogram machinery)
         "histogram_lineitem": _histogram_lineitem,
@@ -2868,6 +2888,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "pagerank_documents": _pagerank_sql(),
+        "curriculum_order_documents": f"""
+            WITH {_splitmix_z_sql(9)},
+            q AS (SELECT quantile_disc(n_chars, 0.25) AS b1,
+                         quantile_disc(n_chars, 0.50) AS b2,
+                         quantile_disc(n_chars, 0.75) AS b3
+                  FROM documents)
+            SELECT d.doc_id,
+                   CAST((d.n_chars > q.b1)::int + (d.n_chars > q.b2)::int
+                        + (d.n_chars > q.b3)::int AS BIGINT) AS bucket,
+                   CAST(CASE WHEN s.z >= 9223372036854775808
+                        THEN s.z - 18446744073709551616
+                        ELSE s.z END AS BIGINT) AS order_key
+            FROM documents d, q
+            JOIN s3 s ON s.doc_id = d.doc_id
+        """,
         "assign_splits_documents": f"""
             WITH {_splitmix_z_sql(5)}
             SELECT doc_id,

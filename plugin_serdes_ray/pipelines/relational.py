@@ -1663,6 +1663,47 @@ def grouped_sample_k(ds, key, k: int, id_column: str, seed: int = 0):
                            batch_format="pyarrow", runtime_env=env)
 
 
+def curriculum_order(ds, score_col: str, id_column: str, *,
+                     n_buckets: int = 4, seed: int = 0,
+                     bucket_col: str = "bucket",
+                     key_col: str = "order_key"):
+    """Curriculum data-ordering layout: append a difficulty tier
+    (``bucket_col`` = how many exact score-quantile boundaries lie
+    strictly below the row's score — easy tiers first when streamed in
+    bucket order) and a deterministic in-tier shuffle key (``key_col`` =
+    splitmix64(id ^ seed) as signed int64). Consumers stream the corpus
+    ordered by ``(bucket, key)``: coarsely easiest-to-hardest, uniformly
+    shuffled within each tier — the standard curriculum schedule, fully
+    reproducible across runs and cluster sizes.
+
+    Scale shape: the exact-quantile locate (two streaming passes, no
+    global sort) pins the n_buckets-1 boundary values, then ONE map-only
+    tag pass; the actual ordering is the consumer's range sort (or
+    :func:`global_shuffle`'s rank machinery applied per tier). Rows with
+    null score or id are dropped (SQL comparison/hash semantics)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = exact_quantiles(ds, score_col, qs) if qs else {}
+    b = np.asarray([bnds[q] for q in qs], dtype=np.float64)
+    env = package_runtime_env()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch.column(score_col)),
+            pc.is_valid(batch.column(id_column))))
+        s = batch.column(score_col).combine_chunks().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = batch.column(id_column).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = np.searchsorted(b, s, side="left").astype(np.int64)
+        key = splitmix64(ids, seed).astype(np.int64)
+        return batch.append_column(bucket_col, pa.array(bucket)) \
+                    .append_column(key_col, pa.array(key))
+
+    return ds.map_batches(tag, batch_format="pyarrow", runtime_env=env)
+
+
 def assign_splits(ds, id_column: str, fractions: dict, *, seed: int = 0,
                   out_column: str = "split"):
     """Deterministic train/val/test assignment: append ``out_column`` =

@@ -1173,3 +1173,51 @@ def test_assign_splits_deterministic_and_proportional(ray_session):
     assert [r["split"] for r in out] == [out[0]["split"], None]
     with _pytest.raises(ValueError):
         assign_splits(ds, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_curriculum_order_matches_sql(ray_session, sf_dir):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import (curriculum_order,
+                                                        splitmix64)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    out = curriculum_order(ds, "n_chars", "doc_id", n_buckets=4, seed=9)
+    got = {r["doc_id"]: (r["bucket"], r["order_key"])
+           for r in out.take_all()}
+    want = duckdb.sql(f"""
+        WITH q AS (SELECT quantile_disc(n_chars, 0.25) AS b1,
+                          quantile_disc(n_chars, 0.50) AS b2,
+                          quantile_disc(n_chars, 0.75) AS b3
+                   FROM read_parquet('{sf_dir}/documents.parquet'))
+        SELECT doc_id,
+               CAST((n_chars > q.b1)::int + (n_chars > q.b2)::int
+                    + (n_chars > q.b3)::int AS BIGINT) AS bucket
+        FROM read_parquet('{sf_dir}/documents.parquet'), q""").fetchall()
+    ids = np.asarray([d for d, _ in want], dtype=np.uint64)
+    keys = splitmix64(ids, 9).astype(np.int64)
+    assert got == {d: (b, k) for (d, b), k in zip(want, keys.tolist())}
+    # every tier non-empty at 4 buckets over a spread column
+    assert {b for b, _ in got.values()} == {0, 1, 2, 3}
+
+
+def test_curriculum_order_edges(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import curriculum_order
+
+    t = pa.table({"doc_id": pa.array([1, 2, None, 4], type=pa.int64()),
+                  "score": pa.array([1.0, None, 3.0, 4.0])})
+    out = curriculum_order(ray.data.from_arrow(t), "score", "doc_id",
+                           n_buckets=1)
+    rows = out.take_all()
+    # null score / null id rows dropped; one bucket -> all zero
+    assert sorted(r["doc_id"] for r in rows) == [1, 4]
+    assert all(r["bucket"] == 0 for r in rows)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curriculum_order(ray.data.from_arrow(t), "score", "doc_id",
+                         n_buckets=0)
