@@ -13,6 +13,7 @@ from ..util import package_runtime_env
 
 def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
                      min_words: int = 50, max_words: int = 100_000,
+                     near_dedup: bool = False,
                      splits: dict | None = None, seed: int = 0):
     """The standard web-corpus cleaning chain in one call:
 
@@ -23,16 +24,20 @@ def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
        canonical key (textstats.canonicalize_text) feeds dedup.exact_dedup
        (min-id per canonical value, one hash-count pass + narrow group),
        catching trivially-reformatted copies without LSH;
-    3. deterministic train/val/test SPLIT assignment
+    3. optional NEAR-DUP removal (``near_dedup=True`` — the fully
+       distributed MinHash-LSH filter, dedup.minhash_lsh_dedup_distributed
+       at its default thresholds; off by default because LSH thresholds
+       are corpus-specific);
+    4. deterministic train/val/test SPLIT assignment
        (relational.assign_splits — splitmix64 row hash, stable across
        runs and cluster sizes; default 98/1/1).
 
     Returns the cleaned Dataset: surviving rows with the original columns
-    plus ``split``. Every stage streams (the only shuffle is exact_dedup's
-    duplicated-hash group); near-dup removal (minhash_lsh_dedup*) is left
-    to the caller — it needs corpus-specific thresholds.
+    plus ``split``. Every stage streams; the only shuffles are
+    exact_dedup's duplicated-hash group and (when enabled) the LSH band
+    buckets.
     """
-    from .dedup import exact_dedup
+    from .dedup import exact_dedup, minhash_lsh_dedup_distributed
     from .relational import assign_splits
     from .textstats import canonicalize_text, gopher_filter, gopher_signals
 
@@ -53,6 +58,8 @@ def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
     deduped = deduped.map_batches(
         lambda b: b.drop_columns([canon]), batch_format="pyarrow",
         runtime_env=env)
+    if near_dedup:
+        deduped = minhash_lsh_dedup_distributed(deduped, text_col, id_col)
     return assign_splits(deduped, id_col,
                          splits or {"train": 0.98, "val": 0.01,
                                     "test": 0.01}, seed=seed)

@@ -464,7 +464,8 @@ def gopher_signals(batch: pa.Table, column: str = "text",
         if m >= ng:
             k_ = m - ng + 1
             parts = [flat_w.slice(i, k_) for i in range(ng)]
-            joined = pc.binary_join_element_wise(*parts, " ")
+            joined = pc.binary_join_element_wise(
+                *parts, pa.scalar(" ", type=parts[0].type))
             same_row = row_w[:k_] == row_w[ng - 1:]
             grams = joined.filter(pa.array(same_row))
             rows_g = row_w[:k_][same_row]
@@ -614,7 +615,8 @@ def _word_ngram_rows(batch: pa.Table, column: str, n: int):
                 pa.array([], type=pa.string()))
     k_ = m - n + 1
     parts = [flat_w.slice(i, k_) for i in range(n)]
-    joined = pc.binary_join_element_wise(*parts, " ")
+    joined = pc.binary_join_element_wise(
+                *parts, pa.scalar(" ", type=parts[0].type))
     same_row = row_w[:k_] == row_w[n - 1:]
     return row_w[:k_][same_row], joined.filter(pa.array(same_row))
 
@@ -905,7 +907,9 @@ def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
             return empty
         k_ = m - 1
         first = flat_w.slice(0, k_)
-        grams = pc.binary_join_element_wise(first, flat_w.slice(1, k_), " ")
+        grams = pc.binary_join_element_wise(
+            first, flat_w.slice(1, k_),
+            pa.scalar(" ", type=first.type))
         same_row = row_w[:k_] == row_w[1:]
         if not same_row.any():
             return empty

@@ -1418,3 +1418,24 @@ def test_clean_web_corpus_preset(ray_session):
                              splits={"train": 0.5, "val": 0.5})
     assert {(r["doc_id"], r["split"]) for r in again.take_all()} == \
         {(d, r["split"]) for d, r in rows.items()}
+
+
+def test_clean_web_corpus_near_dedup(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.fixtures import dedup_corpus_table
+    from plugin_serdes_ray.pipelines.presets import clean_web_corpus
+
+    # the controlled near-dup corpus: unique bases + 3 injected near-dups
+    # (>= 1e6). Near-dup texts differ by several tokens, so canonical
+    # EXACT dedup keeps them; the LSH stage must drop exactly them.
+    t = dedup_corpus_table(list(range(30)), 3)
+    ds = ray.data.from_arrow(t).repartition(4)
+    kept_exact = {r["doc_id"] for r in
+                  clean_web_corpus(ds, min_words=5).take_all()}
+    kept_near = {r["doc_id"] for r in
+                 clean_web_corpus(ds, min_words=5,
+                                  near_dedup=True).take_all()}
+    injected = {i for i in kept_exact if i >= 1_000_000}
+    assert len(injected) == 3            # exact dedup alone keeps them
+    assert kept_near == kept_exact - injected
