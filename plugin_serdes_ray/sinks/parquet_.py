@@ -51,3 +51,70 @@ def table_to_parquet_bytes(table: pa.Table, compression: str = "gzip") -> bytes:
                    use_dictionary=True, data_page_size=1 << 20,
                    data_page_version="2.0")
     return sink.getvalue().to_pybytes()
+
+
+def write_partitioned(ds, out_dir: str, key: str, *, resume: bool = True,
+                      compression: str = "zstd") -> dict:
+    """Resumable KEY-PARTITIONED parquet output: one hive-style
+    ``<out_dir>/<key>=<value>/part-0.parquet`` per distinct key value,
+    published atomically (tmp + rename — a part file existing means its
+    partition is COMPLETE). On rerun with ``resume=True`` the done-set is
+    read from the directory BEFORE any data moves and broadcast into a
+    map-only filter, so completed partitions are skipped without
+    re-shuffling their rows — a failed run pays only the remainder.
+
+    One keyed shuffle (groupby(key).map_groups) writes each partition from
+    the worker that owns it; a hot key makes one large file (pre-split
+    upstream with relational.salted_key if that matters). Key values are
+    stringified then percent-encoded for the directory name; int/string
+    keys round-trip exactly, NULL keys land in ``<key>=__NULL__``.
+    Returns ``{"written": n, "skipped": n, "rows": n}``."""
+    import os
+    from urllib.parse import quote, unquote
+
+    import pyarrow.compute as pc
+
+    from ..util import package_runtime_env
+
+    os.makedirs(out_dir, exist_ok=True)
+    env = package_runtime_env()
+
+    def part_dir(vstr: str) -> str:
+        return os.path.join(out_dir, f"{key}={quote(vstr, safe='')}")
+
+    done: set = set()
+    if resume:
+        for d in os.listdir(out_dir):
+            if d.startswith(f"{key}=") and os.path.exists(
+                    os.path.join(out_dir, d, "part-0.parquet")):
+                done.add(unquote(d.split("=", 1)[1]))
+
+    def keystr(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return pc.fill_null(arr.cast(pa.string()), "__NULL__")
+
+    def drop_done(batch: pa.Table) -> pa.Table:
+        if not done:
+            return batch
+        ks = keystr(batch.column(key))
+        return batch.filter(pc.invert(pc.is_in(
+            ks, value_set=pa.array(sorted(done), type=pa.string()))))
+
+    def write_group(group: pa.Table) -> pa.Table:
+        vstr = keystr(group.column(key))[0].as_py()
+        d = part_dir(vstr)
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, "part-0.parquet")
+        pq.write_table(group, dst + ".tmp", compression=compression)
+        os.replace(dst + ".tmp", dst)
+        return pa.table({"k": pa.array([vstr]),
+                         "rows": pa.array([group.num_rows],
+                                          type=pa.int64())})
+
+    todo = ds.map_batches(drop_done, batch_format="pyarrow",
+                          runtime_env=env)
+    stats = todo.groupby(key).map_groups(
+        write_group, batch_format="pyarrow", runtime_env=env).take_all()
+    return {"written": len(stats), "skipped": len(done),
+            "rows": sum(r["rows"] for r in stats)}

@@ -1439,3 +1439,45 @@ def test_clean_web_corpus_near_dedup(ray_session):
     injected = {i for i in kept_exact if i >= 1_000_000}
     assert len(injected) == 3            # exact dedup alone keeps them
     assert kept_near == kept_exact - injected
+
+
+def test_write_partitioned_resume(ray_session, tmp_path, sf_dir):
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plugin_serdes_ray.sinks.parquet_ import write_partitioned
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    out = str(tmp_path / "by_lang")
+    res = write_partitioned(docs, out, "lang")
+    assert res["skipped"] == 0 and res["written"] >= 2
+    total = res["rows"]
+    dirs = sorted(os.listdir(out))
+    assert all(d.startswith("lang=") for d in dirs)
+    back = pq.read_table(out + "/" + dirs[0] + "/part-0.parquet")
+    assert set(back.column("lang").to_pylist()) == {
+        dirs[0].split("=", 1)[1]}
+    # resume: delete one partition, stamp the others, rerun
+    victim = out + "/" + dirs[0]
+    shutil.rmtree(victim)
+    stamps = {d: os.path.getmtime(f"{out}/{d}/part-0.parquet")
+              for d in dirs[1:]}
+    res2 = write_partitioned(docs, out, "lang")
+    assert res2["written"] == 1 and res2["skipped"] == len(dirs) - 1
+    assert os.path.exists(victim + "/part-0.parquet")
+    for d, m in stamps.items():
+        assert os.path.getmtime(f"{out}/{d}/part-0.parquet") == m, d
+    # all rows land exactly once across partitions
+    n = sum(pq.read_metadata(f"{out}/{d}/part-0.parquet").num_rows
+            for d in sorted(os.listdir(out)))
+    assert n == total == docs.count()
+    # null keys round-trip into their own partition
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "lang": pa.array(["en", None])})
+    out2 = str(tmp_path / "withnull")
+    write_partitioned(ray.data.from_arrow(t), out2, "lang")
+    assert sorted(os.listdir(out2)) == ["lang=__NULL__", "lang=en"]
