@@ -28,14 +28,39 @@ _HAVE_POLARS: bool | None = None    # first-call latch, fixed per process
 def _polars_available() -> bool:
     """Probed lazily (module import must stay cheap for the minhash/simhash
     pipelines that never hash content), but latched: once a process picks a
-    hash path it never switches."""
+    hash path it never switches.
+
+    The probe exercises the full from_arrow -> Series.hash path, retrying
+    on AttributeError: polars populates its lazy submodule graph
+    (polars._reexport.Series etc.) on first touch, and a concurrent import
+    from another thread in the same Ray worker can observe the module
+    half-initialized (seen in the wild as ``module 'polars._reexport' has
+    no attribute 'Series'``). Retrying until the import settles keeps the
+    hash PATH identical across every process of a run — exact_dedup's
+    map-only route requires that — so a worker whose polars never settles
+    raises loudly instead of silently switching to the sha1 fallback."""
     global _HAVE_POLARS
     if _HAVE_POLARS is None:
         try:
-            import polars  # noqa: F401
-            _HAVE_POLARS = True
+            import polars as pl
         except ImportError:  # pragma: no cover - polars baked into this env
             _HAVE_POLARS = False
+            return _HAVE_POLARS
+        import time
+        last_err: Exception | None = None
+        for _ in range(100):
+            try:
+                pl.from_arrow(pa.array(["probe"])).hash(seed=0).to_numpy()
+                last_err = None
+                break
+            except AttributeError as e:  # pragma: no cover - import race
+                last_err = e
+                time.sleep(0.05)
+        if last_err is not None:  # pragma: no cover
+            raise RuntimeError(
+                "polars import never settled in this worker; refusing to "
+                "switch hash paths mid-run") from last_err
+        _HAVE_POLARS = True
     return _HAVE_POLARS
 
 
