@@ -2688,10 +2688,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
             UNION ALL
             SELECT 'incremental' AS method, min(doc_id) AS doc_id
-            FROM documents
+            FROM documents d
             WHERE doc_id % 2 = 1
-              AND text NOT IN (SELECT text FROM documents
-                               WHERE doc_id % 2 = 0)
+              AND NOT EXISTS (SELECT 1 FROM documents s
+                              WHERE s.doc_id % 2 = 0
+                                AND s.text IS NOT DISTINCT FROM d.text)
             GROUP BY text
         """,
         # same synthesized urls, host via regexp_extract
@@ -2704,32 +2705,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM documents GROUP BY 1
         """,
-        # splitmix64 reimplemented in SQL: xor/shift on HUGEINT, the two
-        # 64x64-bit wrapping multiplies via 32-bit halves
-        "global_shuffle_documents": """
-            WITH s0 AS (SELECT doc_id,
-                   (CAST(xor(doc_id, 7) AS HUGEINT)
-                    + 11400714819323198485) % 18446744073709551616 AS z
-                 FROM documents),
-            s1 AS (SELECT doc_id,
-                   ((xor(z, z // 1073741824) % 4294967296)
-                     * (13787848793156543929 % 4294967296)
-                    + (((xor(z, z // 1073741824) % 4294967296)
-                        * (13787848793156543929 // 4294967296)
-                       + (xor(z, z // 1073741824) // 4294967296)
-                        * (13787848793156543929 % 4294967296))
-                       % 4294967296) * 4294967296)
-                   % 18446744073709551616 AS z FROM s0),
-            s2 AS (SELECT doc_id,
-                   ((xor(z, z // 134217728) % 4294967296)
-                     * (10723151780598845931 % 4294967296)
-                    + (((xor(z, z // 134217728) % 4294967296)
-                        * (10723151780598845931 // 4294967296)
-                       + (xor(z, z // 134217728) // 4294967296)
-                        * (10723151780598845931 % 4294967296))
-                       % 4294967296) * 4294967296)
-                   % 18446744073709551616 AS z FROM s1),
-            s3 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s2)
+        # splitmix64 reimplemented in SQL via the shared CTE helper (one
+        # source of truth for the constants; samplers/curriculum use it too)
+        "global_shuffle_documents": f"""
+            WITH {_splitmix_z_sql(7)}
             SELECT doc_id,
                    row_number() OVER (ORDER BY z, doc_id) - 1 AS rank
             FROM s3
@@ -2914,15 +2893,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s3
         """,
         "corpus_diff_documents": """
-            SELECT 'added' AS side, doc_id FROM documents
-            WHERE doc_id % 3 <> 0
-              AND text NOT IN (SELECT text FROM documents
-                               WHERE doc_id % 3 <> 2)
+            SELECT 'added' AS side, doc_id FROM documents n
+            WHERE n.doc_id % 3 <> 0
+              AND NOT EXISTS (SELECT 1 FROM documents o
+                              WHERE o.doc_id % 3 <> 2
+                                AND o.text IS NOT DISTINCT FROM n.text)
             UNION ALL
-            SELECT 'removed', doc_id FROM documents
-            WHERE doc_id % 3 <> 2
-              AND text NOT IN (SELECT text FROM documents
-                               WHERE doc_id % 3 <> 0)
+            SELECT 'removed', doc_id FROM documents o
+            WHERE o.doc_id % 3 <> 2
+              AND NOT EXISTS (SELECT 1 FROM documents n
+                              WHERE n.doc_id % 3 <> 0
+                                AND n.text IS NOT DISTINCT FROM o.text)
         """,
         "quantize_embeddings": """
             WITH flat AS (SELECT vec_id,

@@ -153,7 +153,7 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
 
     fp = corpus_fingerprint(
         ds, f"ivf:{vector_column}:{id_column}:{n_clusters}:{sub_splits}:"
-            f"{seed}:{quantizer}")
+            f"{seed}:{quantizer}:{sample_size}:{quantizer_iters}")
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
         meta = json.load(open(meta_path))
@@ -169,8 +169,21 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
     if quantizer == "distributed":
         from .vectors import kmeans as distributed_kmeans
 
+        # pin the vector width driver-side so an EMPTY block still emits
+        # fixed_size_list<double, d> (a (0, 0) matrix would otherwise
+        # produce list_size=0 and break block-schema unification)
+        sch = ds.schema()
+        vt = dict(zip(sch.names, sch.types))[vector_column]
+        if pa.types.is_fixed_size_list(vt):
+            corpus_dim = vt.list_size
+        else:
+            first = ds.limit(1).take(1)
+            corpus_dim = len(first[0][vector_column]) if first else 0
+
         def unit_rows(t: pa.Table) -> pa.Table:
             v = vectors_to_numpy(t.column(vector_column), np.float64)
+            if len(v) == 0:
+                v = v.reshape(0, corpus_dim)
             dim = v.shape[1] if v.ndim == 2 else 0
             u = _unit(v) if len(v) else v
             arr = pa.FixedSizeListArray.from_arrays(

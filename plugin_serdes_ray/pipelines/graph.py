@@ -35,6 +35,17 @@ import pyarrow.compute as pc
 from ..util import package_runtime_env
 
 
+def _valid_edges(batch: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Drop edges with a NULL endpoint. Without this, the int64 cast
+    routes the column through float64 + NaN and ``astype(np.int64)``
+    mints a garbage INT64_MIN vertex that (being the global minimum)
+    would poison min-label propagation for its whole component."""
+    a, b = batch.column(a_col), batch.column(b_col)
+    if a.null_count or b.null_count:
+        batch = batch.filter(pc.and_(pc.is_valid(a), pc.is_valid(b)))
+    return batch
+
+
 def star_edges(ds, key_col: str, id_col: str):
     """Edges connecting all ids that share a ``key_col`` value: one STAR
     per key (min id -> every other id), not the O(k^2) clique — same
@@ -45,8 +56,8 @@ def star_edges(ds, key_col: str, id_col: str):
     env = package_runtime_env()
 
     def star(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column(id_col).combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64))
+        ids = np.unique(group.column(id_col).combine_chunks().drop_null()
+                        .to_numpy(zero_copy_only=False).astype(np.int64))
         if len(ids) < 2:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
@@ -62,6 +73,7 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
     """Label every vertex of the undirected edge list with the smallest
     vertex id in its connected component. Returns a Dataset with columns
     ``(v, component)`` covering every vertex that appears in ``edges``.
+    Edges with a NULL endpoint are dropped (they assert no connectivity).
 
     Convergence is detected by the (monotonically decreasing) sum of all
     labels: hash-min labels only ever shrink, so an unchanged sum means a
@@ -76,6 +88,7 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
     env = package_runtime_env()
 
     def verts(batch: pa.Table) -> pa.Table:
+        batch = _valid_edges(batch, a_col, b_col)
         a = batch.column(a_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         b = batch.column(b_col).combine_chunks().cast(pa.int64()).to_numpy(
@@ -99,6 +112,7 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
             batch_format="pyarrow", runtime_env=env)
 
     def edge_msgs(batch: pa.Table) -> pa.Table:
+        batch = _valid_edges(batch, a_col, b_col)
         a = batch.column(a_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         b = batch.column(b_col).combine_chunks().cast(pa.int64()).to_numpy(
@@ -160,6 +174,7 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
              damping: float = 0.85, iters: int = 10):
     """PageRank by power iteration over a directed edge-list Dataset.
     Returns ``(v, rank)`` for every vertex appearing as src or dst.
+    Edges with a NULL endpoint are dropped.
 
     Scale shape per iteration — the connected_components recipe, ONE
     keyed shuffle, no join: the edge list (tagged ``(k=src, dst)``) is
@@ -180,6 +195,7 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
     d = float(damping)
 
     def deg_parts(batch: pa.Table) -> pa.Table:
+        batch = _valid_edges(batch, src_col, dst_col)
         s = batch.column(src_col).combine_chunks().cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         t = batch.column(dst_col).combine_chunks().cast(pa.int64()) \
@@ -211,6 +227,7 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
                             runtime_env=env).materialize()
 
     def edge_msgs(batch: pa.Table) -> pa.Table:
+        batch = _valid_edges(batch, src_col, dst_col)
         m = batch.num_rows
         return pa.table({
             "k": batch.column(src_col).cast(pa.int64()),

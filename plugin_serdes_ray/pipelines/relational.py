@@ -1298,7 +1298,11 @@ def stratified_sample(ds, key: str, fractions: dict, id_column: str,
 
 def top_k(ds, column: str, k: int = 10, descending: bool = True) -> pa.Table:
     """Global top-k rows by a column: local top-k per block, driver merge.
-    No global sort / shuffle."""
+    No global sort / shuffle. The merge collects per-block ARROW tables
+    (<= k rows each, O(k·blocks) driver memory) rather than boxed Python
+    rows, so column types — and the schema of an EMPTY result — survive
+    exactly."""
+    import ray
 
     def local(batch: pa.Table) -> pa.Table:
         order = "descending" if descending else "ascending"
@@ -1306,11 +1310,24 @@ def top_k(ds, column: str, k: int = 10, descending: bool = True) -> pa.Table:
                                     order=order)
         return batch.take(idx[: min(k, batch.num_rows)])
 
-    parts = ds.map_batches(local, batch_format="pyarrow",
-                           runtime_env=package_runtime_env()).take_all()
-    if not parts:
+    refs = ds.map_batches(local, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()).to_arrow_refs()
+    tables = [tb for tb in ray.get(refs) if tb.num_columns]
+    if not tables:
+        # blocks that went empty mid-chain come back zero-column (Ray
+        # emits a schema-less canonical empty block between fused maps);
+        # recover the schema from the dataset when it is statically known
+        try:
+            sch = ds.schema(fetch_if_missing=False)
+            if sch is not None:
+                return pa.schema(list(zip(sch.names, sch.types))) \
+                    .empty_table()
+        except Exception:
+            pass
         return pa.table({})
-    t = pa.Table.from_pylist(parts)
+    t = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    if t.num_rows == 0:
+        return t
     idx = pc.array_sort_indices(
         t.column(column).combine_chunks(),
         order="descending" if descending else "ascending")
@@ -1631,7 +1648,15 @@ def uniform_sample_k(ds, id_column: str, k: int, seed: int = 0) -> pa.Table:
     t = top_k(ds.map_batches(add_key, batch_format="pyarrow",
                              runtime_env=env),
               "__uk", k=k, descending=False)
-    return t.drop_columns(["__uk"]) if t.num_rows else t
+    if "__uk" in t.column_names:
+        return t.drop_columns(["__uk"])
+    if t.num_columns == 0:
+        # every block went empty (all ids null): Ray's fused-map empty
+        # blocks are schema-less — rebuild from the INPUT's known schema
+        sch = ds.schema()
+        if sch is not None:
+            return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    return t
 
 
 def grouped_sample_k(ds, key, k: int, id_column: str, seed: int = 0):

@@ -446,29 +446,15 @@ def gopher_signals(batch: pa.Table, column: str = "text",
             zero_copy_only=False).astype(np.int64)
     out_cols["symbol_count"] = sym
 
-    # ---- word n-grams ---------------------------------------------
-    toks_l = pc.split_pattern_regex(col, r"\s+")
-    tlens = pc.list_value_length(toks_l).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    flat_t = pc.list_flatten(toks_l)
-    row_t = np.repeat(np.arange(n, dtype=np.int64), tlens)
-    nonempty = pc.not_equal(flat_t, "").to_numpy(zero_copy_only=False)
-    flat_w = flat_t.filter(pa.array(nonempty))
-    row_w = row_t[nonempty]
+    # ---- word n-grams (shared tokenize/join kernels) ----------------
+    row_w, flat_w = _word_rows(col)
     out_cols["word_count"] = np.bincount(row_w, minlength=n).astype(np.int64)
 
-    m = len(flat_w)
     for ng in (2, 3, 4):
         dup = np.zeros(n, np.int64)
         tot = np.zeros(n, np.int64)
-        if m >= ng:
-            k_ = m - ng + 1
-            parts = [flat_w.slice(i, k_) for i in range(ng)]
-            joined = pc.binary_join_element_wise(
-                *parts, pa.scalar(" ", type=parts[0].type))
-            same_row = row_w[:k_] == row_w[ng - 1:]
-            grams = joined.filter(pa.array(same_row))
-            rows_g = row_w[:k_][same_row]
+        if len(flat_w) >= ng:
+            rows_g, grams = _word_ngrams(row_w, flat_w, ng)
             if len(grams):
                 g = pa.table({"r": pa.array(rows_g), "g": grams}) \
                     .group_by(["r", "g"]).aggregate([([], "count_all")])
@@ -593,32 +579,51 @@ def chunk_text(ds, column: str = "text", id_column: str = "doc_id", *,
                           runtime_env=package_runtime_env())
 
 
-def _word_ngram_rows(batch: pa.Table, column: str, n: int):
-    """Vectorized word n-grams for a batch: whitespace-split (``\\s+``,
-    empty tokens dropped), grams joined with a single space — the exact
-    tokenization ``regexp_split_to_array(text, '\\s+')`` + ``list_filter``
-    reproduces in SQL. Returns ``(row_idx int64 ndarray, grams
-    StringArray)``; grams never straddle documents (same-row mask, the
-    gopher_signals construction)."""
-    col = pc.fill_null(batch.column(column).combine_chunks(), "")
+def _word_rows(col: pa.Array):
+    """Shared tokenization for every word-n-gram consumer (gopher
+    signals, contamination scan, bigram LM): whitespace split (``\\s+``)
+    with empty tokens dropped — exactly what
+    ``regexp_split_to_array(text, '\\s+')`` + ``list_filter`` reproduces
+    in SQL. ``col`` must be null-filled. Returns ``(row_idx int64
+    ndarray, words StringArray)``, one entry per surviving token."""
     toks_l = pc.split_pattern_regex(col, r"\s+")
     tlens = pc.list_value_length(toks_l).to_numpy(
         zero_copy_only=False).astype(np.int64)
     flat_t = pc.list_flatten(toks_l)
     row_t = np.repeat(np.arange(len(col), dtype=np.int64), tlens)
     nonempty = pc.not_equal(flat_t, "").to_numpy(zero_copy_only=False)
-    flat_w = flat_t.filter(pa.array(nonempty))
-    row_w = row_t[nonempty]
+    return row_t[nonempty], flat_t.filter(pa.array(nonempty))
+
+
+def _word_ngrams(row_w: np.ndarray, flat_w: pa.Array, n: int, *,
+                 with_prefix: bool = False):
+    """Space-joined word ``n``-grams over :func:`_word_rows` output;
+    grams never straddle documents (same-row mask). Returns ``(row_idx,
+    grams)`` — plus the gram's FIRST word when ``with_prefix`` (the
+    bigram LM's conditional denominator key). The join separator is
+    typed like the parts (binary_join_element_wise refuses a plain
+    string separator on large_string input)."""
     m = len(flat_w)
     if m < n:
-        return (np.empty(0, np.int64),
-                pa.array([], type=pa.string()))
+        empty = pa.array([], type=pa.string())
+        return ((np.empty(0, np.int64), empty, empty) if with_prefix
+                else (np.empty(0, np.int64), empty))
     k_ = m - n + 1
     parts = [flat_w.slice(i, k_) for i in range(n)]
     joined = pc.binary_join_element_wise(
                 *parts, pa.scalar(" ", type=parts[0].type))
     same_row = row_w[:k_] == row_w[n - 1:]
-    return row_w[:k_][same_row], joined.filter(pa.array(same_row))
+    sel = pa.array(same_row)
+    rows_g = row_w[:k_][same_row]
+    if with_prefix:
+        return rows_g, joined.filter(sel), parts[0].filter(sel)
+    return rows_g, joined.filter(sel)
+
+
+def _word_ngram_rows(batch: pa.Table, column: str, n: int):
+    """:func:`_word_rows` + :func:`_word_ngrams` over a batch column."""
+    col = pc.fill_null(batch.column(column).combine_chunks(), "")
+    return _word_ngrams(*_word_rows(col), n)
 
 
 def _distinct_per_row(rows: np.ndarray, grams: pa.Array):
@@ -890,34 +895,16 @@ def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
     def bigram_tf(t: pa.Table) -> pa.Table:
         col = pc.utf8_lower(pc.fill_null(
             t.column(column).combine_chunks(), ""))
-        toks_l = pc.split_pattern_regex(col, r"\s+")
-        tlens = pc.list_value_length(toks_l).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat_t = pc.list_flatten(toks_l)
-        row_t = np.repeat(np.arange(len(col), dtype=np.int64), tlens)
-        nonempty = pc.not_equal(flat_t, "").to_numpy(zero_copy_only=False)
-        flat_w = flat_t.filter(pa.array(nonempty))
-        row_w = row_t[nonempty]
-        empty = pa.table({id_column: pa.array([], t.column(id_column).type),
-                          "gram": pa.array([], type=pa.string()),
-                          "prefix": pa.array([], type=pa.string()),
-                          "tf": pa.array([], type=pa.int64())})
-        m = len(flat_w)
-        if m < 2:
-            return empty
-        k_ = m - 1
-        first = flat_w.slice(0, k_)
-        grams = pc.binary_join_element_wise(
-            first, flat_w.slice(1, k_),
-            pa.scalar(" ", type=first.type))
-        same_row = row_w[:k_] == row_w[1:]
-        if not same_row.any():
-            return empty
-        sel = pa.array(same_row)
-        ids = t.column(id_column).combine_chunks().take(
-            pa.array(row_w[:k_][same_row]))
-        pairs = pa.table({id_column: ids, "gram": grams.filter(sel),
-                          "prefix": first.filter(sel)})
+        rows_g, grams, prefix = _word_ngrams(*_word_rows(col), 2,
+                                             with_prefix=True)
+        if len(grams) == 0:
+            return pa.table(
+                {id_column: pa.array([], t.column(id_column).type),
+                 "gram": pa.array([], type=pa.string()),
+                 "prefix": pa.array([], type=pa.string()),
+                 "tf": pa.array([], type=pa.int64())})
+        ids = t.column(id_column).combine_chunks().take(pa.array(rows_g))
+        pairs = pa.table({id_column: ids, "gram": grams, "prefix": prefix})
         g = pairs.group_by([id_column, "gram", "prefix"]).aggregate(
             [([], "count_all")])
         return g.rename_columns([id_column, "gram", "prefix", "tf"])

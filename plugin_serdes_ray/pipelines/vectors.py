@@ -356,6 +356,8 @@ def quantize_embeddings(ds, vector_column: str = "embedding",
                 f"{vector_column} contains null vectors; filter them "
                 "before quantize_embeddings (codes must align row-wise)")
         m = vectors_to_numpy(col, dtype=np.float64)
+        if m.shape[0] == 0:     # empty block: pin width to the profile's d
+            m = m.reshape(0, len(mn))
         q = np.floor((m - mn) / safe * 255.0 + 0.5) - 128.0
         q = np.where(span > 0, q, 0.0).astype(np.int8)
         d = q.shape[1]

@@ -67,48 +67,68 @@ def write_partitioned(ds, out_dir: str, key: str, *, resume: bool = True,
     the worker that owns it; a hot key makes one large file (pre-split
     upstream with relational.salted_key if that matters). Key values are
     stringified then percent-encoded for the directory name; int/string
-    keys round-trip exactly, NULL keys land in ``<key>=__NULL__``.
+    keys round-trip exactly, NULL keys land in ``<key>=__NULL__`` (a
+    LITERAL string key ``"__NULL__"`` is escaped to ``%5F_NULL__`` so the
+    two never share a partition).
     Returns ``{"written": n, "skipped": n, "rows": n}``."""
     import os
     from urllib.parse import quote, unquote
 
+    import numpy as np
     import pyarrow.compute as pc
 
     from ..util import package_runtime_env
 
+    NULL_TOKEN = "__NULL__"
     os.makedirs(out_dir, exist_ok=True)
     env = package_runtime_env()
 
-    def part_dir(vstr: str) -> str:
-        return os.path.join(out_dir, f"{key}={quote(vstr, safe='')}")
+    def part_dir(vstr: str | None) -> str:
+        if vstr is None:
+            token = NULL_TOKEN
+        else:
+            token = quote(vstr, safe="")
+            if token == NULL_TOKEN:   # literal "__NULL__" key value:
+                token = "%5F" + token[1:]   # escape its first underscore
+        return os.path.join(out_dir, f"{key}={token}")
 
+    # done-set: real (decoded) key values + a separate null flag, so a
+    # completed NULL partition never shadows a literal-"__NULL__" one
     done: set = set()
+    done_null = False
     if resume:
         for d in os.listdir(out_dir):
             if d.startswith(f"{key}=") and os.path.exists(
                     os.path.join(out_dir, d, "part-0.parquet")):
-                done.add(unquote(d.split("=", 1)[1]))
-
-    def keystr(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-            else col
-        return pc.fill_null(arr.cast(pa.string()), "__NULL__")
+                token = d.split("=", 1)[1]
+                if token == NULL_TOKEN:
+                    done_null = True
+                else:
+                    done.add(unquote(token))
 
     def drop_done(batch: pa.Table) -> pa.Table:
-        if not done:
+        if not done and not done_null:
             return batch
-        ks = keystr(batch.column(key))
-        return batch.filter(pc.invert(pc.is_in(
-            ks, value_set=pa.array(sorted(done), type=pa.string()))))
+        ks = batch.column(key).combine_chunks().cast(pa.string())
+        if done:
+            hit = pc.is_in(ks, value_set=pa.array(sorted(done),
+                                                  type=pa.string()))
+        else:
+            hit = pa.array(np.zeros(len(ks), dtype=bool))
+        if done_null:      # is_in yields False (not null) for null input
+            hit = pc.or_(hit, pc.is_null(ks))
+        return batch.filter(pc.invert(pc.fill_null(hit, False)))
 
     def write_group(group: pa.Table) -> pa.Table:
-        vstr = keystr(group.column(key))[0].as_py()
+        vstr = group.column(key).combine_chunks().cast(
+            pa.string())[0].as_py()          # None when the key is NULL
         d = part_dir(vstr)
         os.makedirs(d, exist_ok=True)
         dst = os.path.join(d, "part-0.parquet")
         pq.write_table(group, dst + ".tmp", compression=compression)
         os.replace(dst + ".tmp", dst)
-        return pa.table({"k": pa.array([vstr]),
+        return pa.table({"k": pa.array([NULL_TOKEN if vstr is None
+                                        else vstr]),
                          "rows": pa.array([group.num_rows],
                                           type=pa.int64())})
 
@@ -116,5 +136,5 @@ def write_partitioned(ds, out_dir: str, key: str, *, resume: bool = True,
                           runtime_env=env)
     stats = todo.groupby(key).map_groups(
         write_group, batch_format="pyarrow", runtime_env=env).take_all()
-    return {"written": len(stats), "skipped": len(done),
+    return {"written": len(stats), "skipped": len(done) + int(done_null),
             "rows": sum(r["rows"] for r in stats)}

@@ -135,4 +135,9 @@ def vectors_to_numpy(col, dtype=None):
                     m = flat.to_numpy(zero_copy_only=False).reshape(n, d)
                     return m if dtype is None else m.astype(dtype, copy=False)
     out = np.asarray(arr.to_pylist(), dtype=dtype)
-    return out.reshape(n, -1) if n else out.reshape(0, 0)
+    if n:
+        return out.reshape(n, -1)
+    # empty blocks: keep the width when the type carries it so downstream
+    # broadcasts against (d,) stats vectors don't see a (0, 0) matrix
+    d = t.list_size if pa.types.is_fixed_size_list(t) else 0
+    return out.reshape(0, d)

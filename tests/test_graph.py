@@ -78,3 +78,30 @@ def test_star_edges_compose_with_components(ray_session):
         star_edges(ray.data.from_arrow(kt), "key", "id"))
     got = sorted((r["v"], r["component"]) for r in comp.take_all())
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1)]
+
+
+def test_null_endpoints_are_dropped(ray_session):
+    """A NULL endpoint must not mint a garbage INT64_MIN vertex (the
+    int64 cast would otherwise route through float64 NaN) nor poison
+    min-label propagation as the global minimum."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import (connected_components,
+                                                   pagerank, star_edges)
+
+    edges = pa.table({"a": pa.array([1, 2, None, 4], type=pa.int64()),
+                      "b": pa.array([2, None, 3, 5], type=pa.int64())})
+    got = sorted((r["v"], r["component"]) for r in
+                 connected_components(ray.data.from_arrow(edges)).take_all())
+    assert got == [(1, 1), (2, 1), (4, 4), (5, 4)]
+
+    pr = pagerank(ray.data.from_arrow(
+        edges.rename_columns(["src", "dst"])), iters=3).take_all()
+    assert sorted(r["v"] for r in pr) == [1, 2, 4, 5]
+    assert all(np.isfinite(r["rank"]) and r["rank"] > 0 for r in pr)
+
+    kt = pa.table({"key": pa.array(["x", "x", "x"]),
+                   "id": pa.array([7, None, 3], type=pa.int64())})
+    star = sorted((r["a"], r["b"]) for r in star_edges(
+        ray.data.from_arrow(kt), "key", "id").take_all())
+    assert star == [(3, 7)]

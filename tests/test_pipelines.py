@@ -1481,3 +1481,64 @@ def test_write_partitioned_resume(ray_session, tmp_path, sf_dir):
     out2 = str(tmp_path / "withnull")
     write_partitioned(ray.data.from_arrow(t), out2, "lang")
     assert sorted(os.listdir(out2)) == ["lang=__NULL__", "lang=en"]
+
+
+def test_quantize_embeddings_empty_block(ray_session):
+    """An empty block (e.g. an upstream filter emptied it) must not break
+    the (0, d)-vs-(d,) broadcast, and must keep the fixed_size_list<int8,
+    d> schema identical to non-empty blocks."""
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import quantize_embeddings
+    from plugin_serdes_ray.util import vectors_to_numpy
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array([[1.0, 7.0], [1.0, -3.0], [0.5, 2.0]],
+                              type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).filter(
+        lambda r: r["vec_id"] < 2)           # leaves blocks, empties none
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    out, _ = quantize_embeddings(ds.union(empty))
+    rows = pa.Table.from_pylist(out.take_all()).sort_by("vec_id")
+    q = vectors_to_numpy(rows.column("embedding_q"), dtype=np.int64)
+    assert q.shape == (2, 2)
+
+
+def test_write_partitioned_null_vs_literal_null_token(ray_session,
+                                                      tmp_path):
+    """A NULL key and a LITERAL '__NULL__' string key must land in
+    DIFFERENT partitions, and resume must keep them distinct."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plugin_serdes_ray.sinks.parquet_ import write_partitioned
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "k": pa.array([None, "__NULL__", "en"])})
+    out = str(tmp_path / "collide")
+    res = write_partitioned(ray.data.from_arrow(t), out, "k")
+    assert res["written"] == 3 and res["rows"] == 3
+    dirs = sorted(os.listdir(out))
+    assert len(dirs) == 3 and "k=__NULL__" in dirs
+    by_val = {}
+    for d in dirs:
+        part = pq.read_table(f"{out}/{d}/part-0.parquet")
+        assert part.num_rows == 1
+        by_val[d] = part.column("doc_id")[0].as_py()
+    assert by_val["k=__NULL__"] == 1          # the genuinely-null row
+    assert set(by_val.values()) == {1, 2, 3}
+    # resume: everything complete -> nothing rewritten, both stay distinct
+    res2 = write_partitioned(ray.data.from_arrow(t), out, "k")
+    assert res2["written"] == 0 and res2["skipped"] == 3
+    # resume with only the NULL partition done: the literal-key row must
+    # still be (re)written, not dropped by the done-set
+    out3 = str(tmp_path / "partial")
+    os.makedirs(f"{out3}/k=__NULL__", exist_ok=True)
+    pq.write_table(t.slice(0, 1), f"{out3}/k=__NULL__/part-0.parquet")
+    res3 = write_partitioned(ray.data.from_arrow(t), out3, "k")
+    assert res3["written"] == 2 and res3["skipped"] == 1
+    assert sorted(os.listdir(out3)) == dirs

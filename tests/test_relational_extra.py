@@ -1221,3 +1221,26 @@ def test_curriculum_order_edges(ray_session):
     with _pytest.raises(ValueError):
         curriculum_order(ray.data.from_arrow(t), "score", "doc_id",
                          n_buckets=0)
+
+
+def test_uniform_sample_k_empty_input_keeps_schema(ray_session):
+    """An empty (or all-null-id) input must return an empty table WITH
+    the input schema, not a zero-column table (callers index columns)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import uniform_sample_k
+
+    allnull = pa.table({"doc_id": pa.array([None, None], type=pa.int64()),
+                        "text": pa.array(["a", "b"])})
+    got = uniform_sample_k(ray.data.from_arrow(allnull), "doc_id", k=5)
+    assert got.num_rows == 0
+    assert set(got.column_names) == {"doc_id", "text"}
+    assert got.schema.field("doc_id").type == pa.int64()
+
+    # a dataset that is empty AT INGESTION loses its schema inside Ray
+    # (from_arrow(empty) normalizes to a zero-column block before any
+    # UDF runs) — the call must still return cleanly
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    got2 = uniform_sample_k(ray.data.from_arrow(t), "doc_id", k=5)
+    assert got2.num_rows == 0

@@ -192,3 +192,34 @@ def test_ivf_fingerprint_rebuild_and_distributed_quantizer(
     assert meta2["fingerprint"] != meta["fingerprint"]
     got2 = knn_ivf_index(idx, vecs2[:1], k=3, nprobe=4)
     assert all(v >= 1000 for v in got2.column("vec_id").to_pylist())
+
+
+def test_ivf_param_change_triggers_rebuild(ray_session, tmp_path):
+    """Changing sample_size or quantizer_iters must invalidate the
+    fingerprint — a stale index otherwise silently survives a rerun with
+    different build parameters."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.ann import build_ivf_index
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((60, 4)).astype(np.float64)
+    corpus = tmp_path / "emb.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(60), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), 4)}), corpus)
+    ds = ray.data.read_parquet(str(corpus))
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, n_clusters=2, sample_size=32)
+    meta2 = build_ivf_index(ds, idx, n_clusters=2, sample_size=16)
+    assert meta2["fingerprint"] != meta["fingerprint"]
+    meta3 = build_ivf_index(ds, idx, n_clusters=2, sample_size=16,
+                            quantizer="distributed", quantizer_iters=2)
+    assert meta3["fingerprint"] != meta2["fingerprint"]
+    # unchanged params -> reuse (same fingerprint, no rebuild)
+    meta4 = build_ivf_index(ds, idx, n_clusters=2, sample_size=16,
+                            quantizer="distributed", quantizer_iters=2)
+    assert meta4["fingerprint"] == meta3["fingerprint"]

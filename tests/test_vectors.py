@@ -146,3 +146,20 @@ def test_text_featurizer_deterministic_and_null_safe(ray_session):
             for r in kmeans_assign(emb_ds, cen).take_all()}
     assert rows[2] is None              # null text -> null cluster
     assert all(rows[i] in (0, 1, 2) for i in (1, 3, 4))
+
+
+def test_vectors_to_numpy_empty_keeps_fixed_width():
+    """(0, d) — not (0, 0) — for an empty fixed_size_list column, so
+    empty batches broadcast cleanly against (d,) stats vectors."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plugin_serdes_ray.util import vectors_to_numpy
+
+    empty = pa.FixedSizeListArray.from_arrays(
+        pa.array([], type=pa.float64()), 3)
+    m = vectors_to_numpy(empty, dtype=np.float64)
+    assert m.shape == (0, 3)
+    # variable-width list stays (0, 0) — width genuinely unknown
+    var = pa.array([], type=pa.list_(pa.float64()))
+    assert vectors_to_numpy(var).shape == (0, 0)
