@@ -44,7 +44,8 @@ class ConstantCodec(Codec):
         one = decode_array(payload, typ)
         if n == 1:
             return one
-        return pa.concat_arrays([one] * n)
+        # one vectorized take, not an n-way concat of 1-row Array objects
+        return one.take(pa.array(np.zeros(n, dtype=np.int64)))
 
 
 class ForCodec(Codec):

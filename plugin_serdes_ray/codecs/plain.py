@@ -18,6 +18,11 @@ from .base import (
 from .bitpack import pack_bools, unpack_bools
 
 
+# lengths at or above this store as uint64 ("v8" chunks); module-level so
+# tests can exercise the wide path without allocating a real 4 GiB cell
+_U32_LEN_LIMIT = 1 << 32
+
+
 class PlainCodec(Codec):
     """Raw value buffers + validity bitmap; no compression (outer wrap only)."""
 
@@ -30,7 +35,15 @@ class PlainCodec(Codec):
         if is_var_binary(typ):
             from .base import varbin_parts
             offsets, data, validity = varbin_parts(arr)
-            lengths = np.diff(offsets).astype(np.uint32)
+            lengths64 = np.diff(offsets)
+            if lengths64.size and int(lengths64.max()) >= _U32_LEN_LIMIT:
+                # a single cell can legally exceed 4 GiB in large_binary /
+                # large_string; uint32 would wrap the length silently and
+                # corrupt every subsequent offset on decode
+                payload = [validity_to_bytes(validity),
+                           lengths64.astype(np.uint64).data.cast("B"), data]
+                return payload, {"n": n, "k": "v8"}
+            lengths = lengths64.astype(np.uint32)
             # section LIST: pack_chunk assembles chunk framing + sections in
             # ONE join, so the (dominant) data bytes are copied once, not
             # twice — this path carries the whole html/text payload
@@ -64,9 +77,10 @@ class PlainCodec(Codec):
         kind = meta["k"]
         sections = unpack_sections(payload)
         validity = validity_from_bytes(sections[0], n)
-        if kind == "v":
+        if kind in ("v", "v8"):
             from .base import varbin_build
-            lengths = np.frombuffer(sections[1], dtype=np.uint32, count=n)
+            ldt = np.uint32 if kind == "v" else np.uint64
+            lengths = np.frombuffer(sections[1], dtype=ldt, count=n)
             offsets = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lengths, out=offsets[1:])
             return varbin_build(offsets, sections[2], validity, typ)

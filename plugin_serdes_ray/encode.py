@@ -52,6 +52,9 @@ def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,
     plan built from it picks codecs the tail regrets (VERDICT r1). The
     per-chunk plain-fallback guard still caps damage; scattering fixes the
     missed wins too."""
+    if not files:
+        raise ValueError("sample_plan_from_files: empty input file list "
+                         "(did a glob match nothing?)")
     rg_index: list[tuple[str, int, int]] = []   # (path, rg, rows)
     for path in sorted(files):
         meta = pq.read_metadata(path)
@@ -223,6 +226,9 @@ def encode_files(files: list[str], out_dir: str, *,
     import ray.data
 
     files = sorted(str(f) for f in files)
+    if not files:
+        raise ValueError("encode_files: empty input file list "
+                         "(did a glob match nothing?)")
     checkpoint.ensure_dirs(out_dir)
     if plan is None and resume:
         plan = checkpoint.read_plan(out_dir)
@@ -231,6 +237,9 @@ def encode_files(files: list[str], out_dir: str, *,
     checkpoint.write_plan(out_dir, plan)
 
     partitions = plan_partitions(files, target_part_bytes)
+    # drop part files/entries left over from a previous run with a different
+    # partition plan — decode reads every *.grck, so orphans are data bugs
+    checkpoint.prune_stale_parts(out_dir, partitions)
     fingerprints = {p["part_id"]: p["fingerprint"] for p in partitions}
     done = checkpoint.completed_parts(out_dir, fingerprints) if resume else set()
     todo = [p for p in partitions if p["part_id"] not in done]
@@ -261,10 +270,16 @@ class EncodeBlock:
     def __init__(self, plan_ref, out_dir: str):
         import ray
 
+        import uuid
+
         self.plan: EncodePlan = ray.get(plan_ref) if not isinstance(plan_ref, EncodePlan) else plan_ref
         self.out_dir = out_dir
         self.counter = 0
-        self.actor_id = os.getpid()
+        # a pid is only unique per node (and can be recycled across runs
+        # writing into the same dir) — a random token makes block names
+        # collision-proof on a multi-node cluster; this path is explicitly
+        # non-resumable so the names need not be stable across runs
+        self.actor_id = uuid.uuid4().hex[:12]
 
     def __call__(self, table: pa.Table) -> pa.Table:
         import numpy as np

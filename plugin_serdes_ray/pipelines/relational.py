@@ -32,6 +32,9 @@ def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
     Returns a Dataset with columns: keys + ``sum_<c>`` + count + ``mean_<c>``.
     """
     keys = list(keys)
+    if any(k.startswith("__") for k in keys):
+        raise ValueError("grouped_aggregate: key names starting with '__' "
+                         "collide with internal partial columns")
     sum_all = list(dict.fromkeys(list(sum_cols) + list(mean_cols)))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -44,11 +47,14 @@ def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
             # rows whose first key value is NULL
             aggs.append(([], "count_all"))
         g = batch.group_by(keys).aggregate(aggs)
-        names = {f"{c}_sum": f"__s_{c}" for c in sum_all}
-        names.update({f"{c}_count": f"__n_{c}" for c in mean_cols})
+        # POSITIONAL rename (keys first, then aggregates in request order):
+        # a name-keyed rename would clobber a group key literally named
+        # '<c>_sum' (same hazard pivot/grouped_stats guard against)
+        agg_names = [f"__s_{c}" for c in sum_all]
+        agg_names += [f"__n_{c}" for c in mean_cols]
         if count_name:
-            names["count_all"] = "__cnt"
-        return g.rename_columns([names.get(n, n) for n in g.column_names])
+            agg_names.append("__cnt")
+        return g.rename_columns(list(keys) + agg_names)
 
     from ray.data.aggregate import Sum
 
@@ -176,24 +182,13 @@ def hash_join(left, right, key, right_key=None,
     hot_keys = list(salts.keys())
     hot_counts = np.asarray([int(salts[k]) for k in hot_keys], dtype=np.int64)
 
-    def _as_str(col) -> pa.Array:
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        s = col.cast(pa.string()) if not pa.types.is_string(col.type) else col
-        return pc.fill_null(s, "null")
-
     def _jk(t: pa.Table, salt: np.ndarray) -> pa.Array:
-        parts = [_as_str(t.column(k)) for k in keys]
+        # shared stringify/validity/null-routing helpers live at module
+        # level (_key_as_str/_keys_valid/_null_route_64) so null-semantics
+        # or dtype fixes land once, not per join variant
+        parts = [_key_as_str(t.column(k)) for k in keys]
         return pc.binary_join_element_wise(
             *parts, pa.array(salt.astype(str)), "#")
-
-    def _null_route(n: int, prefix: str) -> pa.Array:
-        # null-key rows never match anything; spread them over 64 routing
-        # groups so no single reducer drowns. The \x00 prefix keeps them out
-        # of the printable key space; even a colliding real key stays
-        # correct because join_group re-groups by the ACTUAL key values.
-        salt = (np.arange(n, dtype=np.int64) % 64).astype(str)
-        return pc.binary_join_element_wise(
-            pa.array(np.full(n, "\x00" + prefix)), pa.array(salt), "#")
 
     def _salt_for(key_col: pa.Array) -> np.ndarray:
         per_row = np.ones(len(key_col), dtype=np.int64)
@@ -205,19 +200,13 @@ def hash_join(left, right, key, right_key=None,
             per_row[valid] = hot_counts[ov[valid].astype(np.int64)]
         return np.arange(len(key_col), dtype=np.int64) % per_row
 
-    def _valid_mask(batch: pa.Table, names: list) -> pa.Array:
-        m = pc.is_valid(batch.column(names[0]))
-        for k in names[1:]:
-            m = pc.and_(m, pc.is_valid(batch.column(k)))
-        return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
-
     def pad_left(batch: pa.Table) -> pa.Table:
         cols = {nm: (batch.column(nm) if nm in batch.column_names
                      else pa.nulls(batch.num_rows, out_types[nm]))
                 for nm in out_names}
         cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
         t = pa.table(cols)
-        valid = _valid_mask(batch, keys)
+        valid = _keys_valid(batch, keys)
         if not keep_null_left:
             t = t.filter(valid)
             kc = t.column(keys[0]).combine_chunks()
@@ -225,10 +214,10 @@ def hash_join(left, right, key, right_key=None,
         kc = t.column(keys[0]).combine_chunks()
         jk = _jk(t, _salt_for(kc))
         return t.append_column(
-            "__jk", pc.if_else(valid, jk, _null_route(t.num_rows, "L")))
+            "__jk", pc.if_else(valid, jk, _null_route_64(t.num_rows, "L")))
 
     def pad_right(batch: pa.Table) -> pa.Table:
-        valid = _valid_mask(batch, right_keys)
+        valid = _keys_valid(batch, right_keys)
         if not keep_null_right:
             batch = batch.filter(valid)
             valid = None
@@ -281,7 +270,7 @@ def hash_join(left, right, key, right_key=None,
         t = pa.table(cols)
         jk = _jk(t, np.zeros(t.num_rows, np.int64))
         if keep_null_right:
-            jk = pc.if_else(valid, jk, _null_route(t.num_rows, "R"))
+            jk = pc.if_else(valid, jk, _null_route_64(t.num_rows, "R"))
         pieces = [t.append_column("__jk", jk)]
         # hot keys: replicate this side's rows into every left salt subkey
         kc = t.column(keys[0]).combine_chunks()
@@ -613,13 +602,13 @@ def bloom_semi_join(left, right, key, right_key=None, *, anti: bool = False,
     return definite.union(residual)
 
 
-def _null_route_64(n: int) -> pa.Array:
+def _null_route_64(n: int, prefix: str = "N") -> pa.Array:
     """Routing keys for rows that can never match: spread over 64 groups,
     \\x00-prefixed to stay out of the printable key space (correctness never
     depends on routing — groups re-check the actual key values)."""
     salt = (np.arange(n, dtype=np.int64) % 64).astype(str)
     return pc.binary_join_element_wise(
-        pa.array(np.full(n, "\x00N")), pa.array(salt), "#")
+        pa.array(np.full(n, "\x00" + prefix)), pa.array(salt), "#")
 
 
 def window_functions(ds, by, order_by: str, specs: dict):
@@ -1036,6 +1025,12 @@ def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
             mask = pc.and_(mask, pc.and_(
                 pc.is_valid(t.column(out_r[lo_col])),
                 pc.is_valid(t.column(out_r[hi_col]))))
+        else:
+            # left rows with a null `on` never match (inner semantics); more
+            # importantly a single null would force the whole group's int64
+            # `on` column through float64 in to_numpy, rounding values
+            # > 2^53 across interval boundaries
+            mask = pc.and_(mask, pc.is_valid(t.column(on)))
         return t.filter(mask)
 
     env = package_runtime_env()

@@ -67,6 +67,36 @@ def completed_parts(out_dir: str, fingerprints: dict[int, str]) -> set[int]:
     return done
 
 
+def prune_stale_parts(out_dir: str, partitions: list[dict]) -> int:
+    """Remove part files and manifest entries that are not in the current
+    partition plan.
+
+    Re-running ``encode_files`` with a shorter file list or a larger
+    ``target_part_bytes`` shrinks the partition count; without pruning, the
+    surviving ``part-NNNNN.grck`` files from the previous (longer) plan are
+    concatenated by ``decode_table``/``decode_dataset`` as live data and the
+    manifest double-counts them. In-plan partitions whose fingerprint changed
+    need no removal here: they re-encode to the SAME file name and their
+    manifest entry is atomically replaced. Returns the number of stale part
+    files removed."""
+    live = {f"part-{p['part_id']:05d}.grck" for p in partitions}
+    live_json = {f"part-{p['part_id']:05d}.json" for p in partitions}
+    removed = 0
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if (name.startswith("part-") and name.endswith(".grck")
+                    and name not in live):
+                os.remove(os.path.join(out_dir, name))
+                removed += 1
+    mdir = _mdir(out_dir)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if (name.startswith("part-") and name.endswith(".json")
+                    and name not in live_json):
+                os.remove(os.path.join(mdir, name))
+    return removed
+
+
 def write_plan(out_dir: str, plan) -> None:
     ensure_dirs(out_dir)
     blob = base64.b64encode(pickle.dumps(plan)).decode()

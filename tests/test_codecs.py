@@ -184,3 +184,25 @@ def test_fsst_outer_frame_size_travels_in_metadata():
         assert container._outer_decompress(z1, o1) == blob
     finally:
         container.OUTER_FRAME = old
+
+
+def test_plain_varbin_wide_lengths_v8(monkeypatch):
+    """A single cell >= 4 GiB must not wrap its uint32 length (silent offset
+    corruption of every later cell). Exercised by lowering the v8 threshold;
+    the real-threshold path was verified once with a 4 GiB+7 cell (same
+    stream, meta k='v8')."""
+    import plugin_serdes_ray.codecs.plain as plain_mod
+    from plugin_serdes_ray.codecs import decode_array, encode_array
+
+    monkeypatch.setattr(plain_mod, "_U32_LEN_LIMIT", 16)
+    for typ in (pa.large_binary(), pa.large_string(), pa.string()):
+        mk = (lambda b: b) if typ == pa.large_binary() else (
+            lambda b: b.decode())
+        arr = pa.array([mk(b"ab"), mk(b"x" * 20), None, mk(b""), mk(b"tail")],
+                       type=typ)
+        blob = encode_array(arr, "plain")
+        assert b'"k":"v8"' in bytes(blob[:64])
+        assert arrays_equal(decode_array(blob, typ), arr)
+    # under the limit stays on the compact uint32 path
+    arr = pa.array([b"ab", b"c" * 10], type=pa.large_binary())
+    assert b'"k":"v"' in bytes(encode_array(arr, "plain")[:64])

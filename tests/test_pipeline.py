@@ -318,3 +318,23 @@ def test_html_extraction_byte_identical_text(ray_session, corpus):
         assert got == want or got == " ".join([want] * 40)
         n_checked += 1
     assert n_checked > 1000
+
+
+def test_rerun_prunes_stale_parts(ray_session, corpus, tmp_path):
+    """Re-running into the same out_dir with a SHORTER file list must not
+    leave the previous run's extra part files on disk — decode reads every
+    *.grck, so orphans are duplicated/stale rows."""
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2)          # 4 parts
+    s = encode_files(corpus[:2], out, concurrency=2)  # plan shrinks to 2
+    assert s["parts"] == 2
+    assert tables_equal(_orig(sorted(corpus[:2])), decode_table(out))
+    names = sorted(f for f in os.listdir(out) if f.endswith(".grck"))
+    assert names == ["part-00000.grck", "part-00001.grck"]
+
+
+def test_encode_files_empty_list_raises(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="empty input file list"):
+        encode_files([], str(tmp_path / "enc"))
+    with pytest.raises(ValueError, match="empty input file list"):
+        sample_plan_from_files([])

@@ -1244,3 +1244,50 @@ def test_uniform_sample_k_empty_input_keeps_schema(ray_session):
                   "text": pa.array([], type=pa.string())})
     got2 = uniform_sample_k(ray.data.from_arrow(t), "doc_id", k=5)
     assert got2.num_rows == 0
+
+
+def test_grouped_aggregate_key_named_sum_suffix(ray_session):
+    """A group KEY literally named '<c>_sum' must not be clobbered by the
+    partial's aggregate rename (positional rename; same hazard pivot and
+    grouped_stats guard against)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate
+
+    t = pa.table({"revenue_sum": ["a", "a", "b", None],
+                  "revenue": [10, 20, 5, 7]})
+    out = grouped_aggregate(ray.data.from_arrow(t), ["revenue_sum"],
+                            sum_cols=["revenue"]).take_all()
+    got = {r["revenue_sum"]: (r["sum_revenue"], r["n"]) for r in out}
+    assert got == {"a": (30, 2), "b": (5, 1), None: (7, 1)}
+
+    with pytest.raises(ValueError, match="__"):
+        grouped_aggregate(ray.data.from_arrow(
+            pa.table({"__s_x": [1], "x": [1]})), ["__s_x"], sum_cols=["x"])
+
+
+def test_interval_join_null_on_keeps_int64_precision(ray_session):
+    """A left row with null `on` must be dropped in pad (inner semantics) —
+    keeping it forces the whole group's int64 `on` through float64 in
+    to_numpy, rounding values > 2^53 across interval boundaries."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import interval_join
+
+    base = (1 << 60) + 1  # not representable in float64 (rounds to 2^60)
+    left = pa.table({
+        "k": ["a", "a", "a"],
+        "on": pa.array([base, base + 256, None], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": ["a", "a"],
+        "lo": pa.array([base, base + 200], type=pa.int64()),
+        "hi": pa.array([base + 100, base + 300], type=pa.int64()),
+        "tag": ["first", "second"],
+    })
+    out = interval_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                        on="on", by="k", lo_col="lo", hi_col="hi").take_all()
+    got = {r["on"]: r["tag"] for r in out}
+    # float64 would round base -> 2^60 (< lo) and base+256 toward a wrong
+    # boundary; exact int64 matches both rows, null-on row is dropped
+    assert got == {base: "first", base + 256: "second"}
