@@ -888,8 +888,11 @@ def corpus_diff(old_ds, new_ds, column: str, id_column: str, *,
         out = bloom_semi_join(hashed, other_h, "__h", anti=True, bits=bits)
 
         def finish(b: pa.Table) -> pa.Table:
+            # pin the type: pa.array([]) is null-typed, and an empty block
+            # (everything matched the other snapshot — the common case of a
+            # mostly-unchanged refresh) must not drift the block schema
             return b.drop_columns(["__h"]).append_column(
-                side_col, pa.array([tag] * b.num_rows))
+                side_col, pa.array([tag] * b.num_rows, type=pa.string()))
 
         return out.map_batches(finish, batch_format="pyarrow",
                                runtime_env=env)

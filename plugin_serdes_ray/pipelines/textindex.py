@@ -178,7 +178,10 @@ def search_text_index(index_dir: str, tokens: list[str],
         raise ValueError(f"unknown mode {mode!r}")
     meta = json.load(open(os.path.join(index_dir, "meta.json")))
     id_column = meta["id_column"]
-    tokens = sorted(set(tokens))
+    # the index stores LOWERCASED tokens (tokenize_distinct applies
+    # utf8_lower) — normalize the query the same way or any uppercase
+    # query letter silently matches nothing
+    tokens = sorted({t.lower() for t in tokens})
     shards = sorted({_shard_of(t, meta["num_shards"]) for t in tokens})
     files: list[str] = []
     for s in shards:

@@ -73,20 +73,33 @@ def write_avro(ds, path: str, avsc: Optional[str | dict] = None,
     """Dataset -> one Avro container file. Without an explicit schema the
     rows are scanned (first N or all) exactly like AbstractAvroConverter
     (:50, :159-165)."""
-    rows: list[Any] = []
-    count = 0
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        t = pa.Table.from_batches([batch]) if isinstance(batch, pa.RecordBatch) else batch
-        rows.extend(t.to_pylist())
-        count += t.num_rows
+    def row_iter():
+        # rows are boxed ONE batch at a time, never the whole dataset (the
+        # reference's own XML writer documents whole-stream materialization
+        # as an OOM hazard; a single-file avro sink need not repeat it)
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            t = pa.Table.from_batches([batch]) if isinstance(batch, pa.RecordBatch) else batch
+            yield from t.to_pylist()
+
     if avsc is None:
-        root = infer_rows(rows, number_of_rows_to_scan, infer_all_fields)
+        # inference pass: infer_rows stops after number_of_rows_to_scan
+        # unless infer_all_fields, so the default scans a bounded prefix;
+        # the write below re-iterates the (re-executable) Dataset
+        root = infer_rows(row_iter(), number_of_rows_to_scan, infer_all_fields)
         schema = to_avro(root, "root")
         if isinstance(schema, list):  # nullable root union -> use record branch
             schema = next(s for s in schema if s != "null")
     else:
         schema = json.loads(avsc) if isinstance(avsc, str) else avsc
-    blob = avroio.write_container(rows, schema, codec=codec)
+    count = 0
+
+    def counting():
+        nonlocal count
+        for r in row_iter():
+            count += 1
+            yield r
+
+    blob = avroio.write_container(counting(), schema, codec=codec)
     with open(path, "wb") as f:
         f.write(blob)
     return count

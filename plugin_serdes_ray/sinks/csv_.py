@@ -96,6 +96,26 @@ def table_to_csv_bytes(table: pa.Table, opts: Optional[CsvWriteOptions] = None) 
             out.write(d.join(cells))
             out.write(opts.line_terminator)
         return out.getvalue().encode()
+    if opts.text_delimiter != '"' or opts.line_terminator != "\n":
+        # pyarrow's WriteOptions has no quote-char / eol parameter; a custom
+        # dialect must not be silently ignored — fall back to the stdlib
+        # writer (slower, but only taken when explicitly requested)
+        import csv
+
+        out = io.StringIO()
+        w = csv.writer(
+            out, delimiter=opts.field_separator,
+            quotechar=opts.text_delimiter,
+            lineterminator=opts.line_terminator,
+            quoting=(csv.QUOTE_ALL if opts.quote_mode == "ALWAYS"
+                     else csv.QUOTE_MINIMAL))
+        names = table.column_names
+        if opts.header:
+            w.writerow(names)
+        cols = [table.column(n).to_pylist() for n in names]
+        for i in range(table.num_rows):
+            w.writerow(["" if c[i] is None else str(c[i]) for c in cols])
+        return out.getvalue().encode()
     sink = pa.BufferOutputStream()
     pacsv.write_csv(
         table, sink,

@@ -94,7 +94,10 @@ def tables_to_xlsx_bytes(sheets: dict[str, pa.Table], header: bool = True) -> by
                     _CONTENT_TYPES.format(sheet_overrides=overrides))
         zf.writestr("_rels/.rels", _ROOT_RELS)
         sheet_tags = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            # escape() alone leaves '"' intact — inside a double-quoted
+            # attribute that breaks workbook.xml well-formedness
+            f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+            f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names))
         zf.writestr("xl/workbook.xml",
                     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

@@ -65,7 +65,11 @@ def write_json(ds, path: str, opts: Optional[JsonWriteOptions] = None) -> int:
             if opts.newline_delimited:
                 f.write(payload)
             else:
-                items = payload.decode(opts.charset).splitlines()
+                # split on '\n' ONLY — str.splitlines() also splits on
+                # U+2028/U+2029/U+0085, which ensure_ascii=False leaves
+                # unescaped inside JSON strings, corrupting records
+                items = payload.decode(opts.charset).split("\n")
+                items = [it for it in items if it]
                 for it in items:
                     if not first:
                         f.write(b",")

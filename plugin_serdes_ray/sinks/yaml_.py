@@ -42,14 +42,33 @@ def table_to_yaml_bytes(table: pa.Table, charset: str = "utf-8") -> bytes:
 
 
 def write_yaml(ds, path: str, charset: str = "utf-8") -> int:
+    """Dataset -> YAML file, streamed batch-by-batch (never the whole
+    dataset in driver memory). Multi-doc docs concatenate identically to
+    ``safe_dump_all(explicit_start=True)``; only the single-record
+    plain-doc special case needs a one-record lookahead buffer."""
+    def dump(r: Any) -> bytes:
+        return yaml.safe_dump_all(
+            [_plain(r)], sort_keys=False, allow_unicode=True,
+            explicit_start=True).encode(charset)
+
     rows = 0
-    records: list[Any] = []
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        t = pa.Table.from_batches([batch]) if isinstance(batch, pa.RecordBatch) else batch
-        records.extend(t.to_pylist())
-        rows += t.num_rows
+    pending: Any = None
     with open(path, "wb") as f:
-        f.write(records_to_yaml(records).encode(charset))
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            t = pa.Table.from_batches([batch]) if isinstance(batch, pa.RecordBatch) else batch
+            for r in t.to_pylist():
+                if rows == 0:
+                    pending = r
+                elif rows == 1:
+                    f.write(dump(pending))
+                    f.write(dump(r))
+                    pending = None
+                else:
+                    f.write(dump(r))
+                rows += 1
+        if rows == 1:
+            f.write(yaml.safe_dump(_plain(pending), sort_keys=False,
+                                   allow_unicode=True).encode(charset))
     return rows
 
 

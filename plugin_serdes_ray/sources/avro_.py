@@ -31,19 +31,28 @@ def validate_datum(schema: Any, v: Any, path: str = "$") -> Optional[str]:
         return None if v is None else f"{path}: expected null, got {v!r}"
     if v is None:
         return f"{path}: null for non-nullable {t}"
+    # shape checks BEFORE iteration: a structurally mismatched datum must
+    # return a validation message (so a union's other branches get tried and
+    # on_bad_lines can contain it), never raise AttributeError/TypeError
     if t == "record":
+        if not isinstance(v, dict):
+            return f"{path}: expected record, got {type(v).__name__}"
         for f in schema["fields"]:
             err = validate_datum(f["type"], v.get(f["name"]), f"{path}.{f['name']}")
             if err:
                 return err
         return None
     if t == "array":
+        if not isinstance(v, (list, tuple)):
+            return f"{path}: expected array, got {type(v).__name__}"
         for i, item in enumerate(v):
             err = validate_datum(schema["items"], item, f"{path}[{i}]")
             if err:
                 return err
         return None
     if t == "map":
+        if not isinstance(v, dict):
+            return f"{path}: expected map, got {type(v).__name__}"
         for k, x in v.items():
             err = validate_datum(schema["values"], x, f"{path}[{k!r}]")
             if err:

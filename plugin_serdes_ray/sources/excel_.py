@@ -304,6 +304,23 @@ def _rows_to_table(rows: list[list[Any]], opts: ExcelOptions) -> pa.Table:
     else:
         names = [f"Column{i + 1}" for i in range(width)]
         body = rows
+    if len(set(names)) != len(names):
+        # duplicate header cells would collapse into ONE dict key while
+        # still appending one value per positional column (length-mismatch
+        # crash, or silently interleaved rows); suffix duplicates instead
+        # (reference warns on header collisions, CsvToIon.java:343-349)
+        import warnings
+
+        seen: dict[str, int] = {}
+        uniq = []
+        for n in names:
+            k = seen.get(n, 0)
+            seen[n] = k + 1
+            uniq.append(n if k == 0 else f"{n}_{k + 1}")
+        dups = sorted(n for n, c in seen.items() if c > 1)
+        warnings.warn(f"duplicate header names {dups!r} suffixed to stay "
+                      "positional")
+        names = uniq
     cols: dict[str, list[Any]] = {n: [] for n in names}
     for r in body:
         for i, n in enumerate(names):

@@ -34,7 +34,11 @@ def parse_json_bytes(data: bytes, opts: Optional[JsonOptions] = None) -> list[An
     opts = opts or JsonOptions()
     text = data.decode(opts.charset)
     if opts.newline_delimited:
-        return [json.loads(line) for line in text.splitlines() if line.strip()]
+        # split on '\n' ONLY (json.dumps escapes all C0 controls, so '\n'
+        # can't occur inside a record) — str.splitlines() also splits on
+        # U+2028/U+2029/U+0085, which are legal UNESCAPED inside JSON
+        # strings and exactly what our own sink emits with ensure_ascii=False
+        return [json.loads(line) for line in text.split("\n") if line.strip()]
     parsed = json.loads(text)
     if isinstance(parsed, list):
         return parsed

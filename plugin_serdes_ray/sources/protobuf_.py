@@ -74,6 +74,8 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     acc = 0
     shift = 0
     while True:
+        if pos >= len(data):
+            raise ValueError("truncated varint (stream ends mid-length)")
         b = data[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -92,7 +94,19 @@ def parse_protobuf_bytes(data: bytes, descriptor_set: bytes, type_name: str,
     if length_delimited:
         pos = 0
         while pos < len(data):
-            size, pos = _read_varint(data, pos)
+            # framing errors honor the on_bad_lines containment policy like
+            # message-level parse errors do; a mis-framed tail cannot be
+            # re-synchronized, so the remainder of the file is dropped
+            # (WARN/SKIP) or raises (ERROR)
+            try:
+                size, pos = _read_varint(data, pos)
+                if size > len(data) - pos:
+                    raise ValueError(
+                        f"declared size {size} exceeds remaining "
+                        f"{len(data) - pos} bytes (truncated message)")
+            except ValueError as e:
+                handle_bad(on_bad_lines, f"protobuf framing at byte {pos}: {e}")
+                break
             chunk = data[pos:pos + size]
             pos += size
             messages.append(chunk)

@@ -1542,3 +1542,20 @@ def test_write_partitioned_null_vs_literal_null_token(ray_session,
     res3 = write_partitioned(ray.data.from_arrow(t), out3, "k")
     assert res3["written"] == 2 and res3["skipped"] == 1
     assert sorted(os.listdir(out3)) == dirs
+
+
+def test_corpus_diff_mostly_unchanged_refresh(ray_session):
+    """A block whose rows ALL occur in the other snapshot yields an empty
+    anti-join block; the appended side column must stay string-typed so the
+    union's block schemas agree."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import corpus_diff
+
+    old = pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]})
+    new = pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "e"]})
+    out = corpus_diff(ray.data.from_arrow(old).repartition(4),
+                      ray.data.from_arrow(new).repartition(4),
+                      "text", "doc_id").take_all()
+    got = sorted((r["side"], r["text"]) for r in out)
+    assert got == [("added", "e"), ("removed", "d")]

@@ -554,3 +554,89 @@ def test_json_column_extraction_policies():
     with pytest.raises(BadLineError):
         extract_json_fields(pa.table({"p": ['{"k": "xyz"}']}), "p",
                             {"k": pa.int64()})
+
+
+# ------------------------------------------------- round-4 review regressions
+
+def test_json_unicode_line_separators_roundtrip():
+    """U+2028/U+2029/U+0085 are legal UNESCAPED inside JSON strings (and
+    ensure_ascii=False emits them literally); neither the JSONL parser nor
+    the array-mode writer may treat them as record separators."""
+    t = pa.table({"a": ["x\u2028y", "p\u2029q", "n\u0085m"]})
+    blob = table_to_json_bytes(t, JsonWriteOptions(newline_delimited=True))
+    recs = parse_json_bytes(blob, None)
+    assert [r["a"] for r in recs] == ["x\u2028y", "p\u2029q", "n\u0085m"]
+
+
+def test_json_write_array_mode_unicode_separators(ray_session, tmp_path):
+    import ray.data
+
+    from plugin_serdes_ray.sinks.json_ import write_json
+
+    t = pa.table({"a": ["x\u2028y", "z"]})
+    p = str(tmp_path / "arr.json")
+    n = write_json(ray.data.from_arrow(t), p,
+                   JsonWriteOptions(newline_delimited=False))
+    assert n == 2
+    parsed = json.loads(open(p, encoding="utf-8").read())
+    assert parsed == [{"a": "x\u2028y"}, {"a": "z"}]
+
+
+def test_excel_duplicate_header_names_suffixed():
+    """Duplicate header cells must stay positional (suffixed), not collapse
+    into one dict key with interleaved/mismatched column lengths."""
+    from plugin_serdes_ray.sources.excel_ import _rows_to_table
+
+    rows = [["id", "name", "name"], [1, "a", "x"], [2, "b", "y"]]
+    with pytest.warns(UserWarning, match="duplicate header"):
+        got = _rows_to_table(rows, ExcelOptions())
+    assert got.column_names == ["id", "name", "name_2"]
+    assert got.column("name").to_pylist() == ["a", "b"]
+    assert got.column("name_2").to_pylist() == ["x", "y"]
+
+
+def test_excel_sheet_name_with_quotes():
+    t = pa.table({"a": [1]})
+    blob = tables_to_xlsx_bytes({'Q3 "final"': t})
+    got = read_xlsx_bytes(blob)
+    assert list(got) == ['Q3 "final"']
+    assert got['Q3 "final"'].column("a").to_pylist() == [1]
+
+
+def test_csv_custom_quote_char_and_eol():
+    t = pa.table({"a": ["x", "it's"], "b": [1, 2]})
+    out = table_to_csv_bytes(t, CsvWriteOptions(
+        text_delimiter="'", line_terminator="\r\n",
+        quote_mode="ALWAYS")).decode()
+    lines = out.split("\r\n")
+    assert lines[0] == "'a','b'"
+    assert lines[1] == "'x','1'"
+    assert lines[2] == "'it''s','2'"
+
+
+def test_avro_union_structural_mismatch_validates_not_crashes():
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": ["null",
+                               {"type": "map", "values": "int"},
+                               {"type": "array", "items": "int"}]}]}
+    # list datum: map branch must REPORT mismatch so the array branch wins
+    assert validate_datum(schema, {"v": [1, 2]}) is None
+    assert validate_datum(schema, {"v": {"k": 1}}) is None
+    err = validate_datum(schema, {"v": 3.5})
+    assert err is not None and "union" in err
+
+
+def test_protobuf_truncated_stream_honors_policy():
+    from plugin_serdes_ray.sources.protobuf_ import (
+        descriptor_set_for_schema, parse_protobuf_bytes, serialize_protobuf,
+    )
+
+    schema = pa.schema([pa.field("x", pa.int64())])
+    dset = descriptor_set_for_schema(schema, message="M", package="t")
+    good = serialize_protobuf([{"x": 1}, {"x": 2}], dset, "t.M")
+    # truncate mid-message AND end with a continuation byte (mid-varint)
+    for bad in (good[:-1], good + b"\x80"):
+        out = parse_protobuf_bytes(bad, dset, "t.M", on_bad_lines="SKIP")
+        assert [int(r["x"]) for r in out[:1]] == [1]
+        with pytest.raises(Exception):
+            parse_protobuf_bytes(bad, dset, "t.M", on_bad_lines="ERROR")

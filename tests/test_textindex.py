@@ -223,3 +223,19 @@ def test_ivf_param_change_triggers_rebuild(ray_session, tmp_path):
     meta4 = build_ivf_index(ds, idx, n_clusters=2, sample_size=16,
                             quantizer="distributed", quantizer_iters=2)
     assert meta4["fingerprint"] == meta3["fingerprint"]
+
+
+def test_search_query_tokens_case_folded(ray_session, tmp_path):
+    """The index stores LOWERCASED tokens; an uppercase query letter must
+    fold to match, not silently return nothing."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textindex import (build_text_index,
+                                                       search_text_index)
+
+    t = pa.table({"doc_id": [0, 1], "text": ["The Data engine", "other"]})
+    idx = str(tmp_path / "tix")
+    build_text_index(ray.data.from_arrow(t), idx, num_shards=8)
+    got = sorted(r["doc_id"] for r in
+                 search_text_index(idx, ["The", "DATA"], "and").take_all())
+    assert got == [0]
