@@ -123,7 +123,13 @@ def run_bench(sf_dir: str, num_cpus: int, outer_level: int = 3, repeat: int = 1,
         decode_times.append(time.perf_counter() - t0)
     t_decode = min(decode_times)
 
-    baseline = _parquet_gzip_baseline(files)
+    # baseline over the UNIQUE corpus, scaled by repeat once: passing the
+    # already-repeated list would both re-gzip duplicates (wasted minutes)
+    # and double-count repeat in the ratio below (enc is repeat x E while
+    # bytes would be repeat x B, so dividing by bytes*repeat overstated the
+    # size win by exactly repeat); deduping also keeps ONE cache fingerprint
+    # across plain and --repeat runs instead of clobbering alternately
+    baseline = _parquet_gzip_baseline(sorted(set(files)))
     raw = summary["raw_bytes"]
     enc = summary["enc_bytes"]
     result = {
@@ -135,8 +141,8 @@ def run_bench(sf_dir: str, num_cpus: int, outer_level: int = 3, repeat: int = 1,
         "raw_arrow_bytes": raw,
         "encoded_bytes": enc,
         "compression_ratio": raw / enc if enc else 0.0,
-        "parquet_gzip_bytes": baseline["bytes"],
-        "parquet_gzip_secs": baseline["secs"],
+        "parquet_gzip_bytes": baseline["bytes"] * repeat,
+        "parquet_gzip_secs": baseline["secs"] * repeat,
         "size_vs_parquet_gzip": enc / (baseline["bytes"] * repeat) if baseline["bytes"] else 0.0,
         "outer_level": outer_level,
         "plan_secs": t_plan,
@@ -170,6 +176,10 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8,
              "--repeat", str(repeat), "--reps", "3", "--child"],
             capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) failed rc={out.returncode}; "
+                f"stderr tail:\n{out.stderr[-2000:]}")
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
     lo, hi = results[cpus_lo], results[cpus_hi]
@@ -211,7 +221,9 @@ def main() -> None:
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--outer-level", type=int, default=3)
-    ap.add_argument("--repeat", type=int, default=1)
+    # None = mode default (1 plain, 3 scaling children) so --scaling keeps
+    # its long-walls methodology unless the user explicitly overrides
+    ap.add_argument("--repeat", type=int, default=None)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -223,7 +235,8 @@ def main() -> None:
         sf_val = sf
 
     if args.scaling:
-        scaling = run_scaling(args.sf_dir)
+        scaling = run_scaling(args.sf_dir, outer_level=args.outer_level,
+                              repeat=3 if args.repeat is None else args.repeat)
         scaling["memcpy_gbps"] = memcpy_gbps()
         line = {
             "metric": "webpages re-encode N-vs-4N scaling",
@@ -242,7 +255,8 @@ def main() -> None:
 
     import ray
 
-    res = run_bench(args.sf_dir, args.cpus, outer_level=args.outer_level, repeat=args.repeat,
+    res = run_bench(args.sf_dir, args.cpus, outer_level=args.outer_level,
+                    repeat=1 if args.repeat is None else args.repeat,
                     reps=args.reps if args.child else max(args.reps, 3))
     total = res["plan_secs"] + res["encode_secs"] + res["decode_secs"]
     line = {

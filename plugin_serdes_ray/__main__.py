@@ -96,6 +96,9 @@ def _read_any(path: str):
             value = next(iter(value.values()))  # {"rows": [...]} wrapper
         rows = value if isinstance(value, list) else [value]
         return pa.Table.from_pylist(rows)
+    if ext not in _READERS:
+        raise SystemExit(f"unsupported input format: {ext or path!r} "
+                         f"(supported: {', '.join(sorted(_READERS))}, .toon)")
     mod_name, fn_name = _READERS[ext]
     fn = getattr(importlib.import_module(mod_name), fn_name)
     out = fn(path)
@@ -173,7 +176,10 @@ def _stream_to_parquet(ds, path: str) -> int:
             writer.write_table(t)
             n += t.num_rows
         if writer is None:  # empty result: still emit a valid file
-            writer = pq.ParquetWriter(path, pa.schema(ds.schema().base_schema))
+            sch = ds.schema()   # None when Ray cannot determine one
+            writer = pq.ParquetWriter(
+                path, pa.schema(sch.base_schema) if sch is not None
+                else pa.schema([]))
     finally:
         if writer is not None:
             writer.close()
@@ -207,6 +213,9 @@ def cmd_sample(args) -> int:
 
     import ray.data
 
+    if args.method in ("stratified", "grouped_k") and not args.key:
+        raise SystemExit(f"sample --method {args.method} requires --key "
+                         "(the group column)")
     _ray()
     ds = ray.data.read_parquet(_input_files(args.input))
     if args.method == "uniform_k":
@@ -256,10 +265,15 @@ def cmd_sketch(args) -> int:
     _ray()
     ds = ray.data.read_parquet(_input_files(args.input),
                                columns=[args.column])
+    import pyarrow as pa
+
     if args.method == "hll":
         from .pipelines.sketch import approx_count_distinct
 
         est = approx_count_distinct(ds, args.column, p=args.precision)
+        if args.output:   # --output must never be silently dropped
+            pq.write_table(pa.table({"column": [args.column],
+                                     "estimate": [est]}), args.output)
         print(json.dumps({"column": args.column, "estimate": est}))
         return 0
     if args.method == "quantiles":
@@ -267,6 +281,9 @@ def cmd_sketch(args) -> int:
 
         qs = [float(q) for q in (args.q or "0.25,0.5,0.9").split(",")]
         est = approx_quantiles_sketch(ds, args.column, qs)
+        if args.output:
+            pq.write_table(pa.table({"q": qs, "value": [est[q] for q in qs]}),
+                           args.output)
         print(json.dumps({"column": args.column,
                           "quantiles": {str(q): est[q] for q in qs}}))
         return 0

@@ -137,6 +137,14 @@ def generate_webpages(out_dir: str, n_rows: int, n_shards: int,
                 return sorted(
                     os.path.join(out_dir, f) for f in os.listdir(out_dir)
                     if f.endswith(".parquet"))
+    # regenerating: drop shards from a previous generation FIRST, or a
+    # shard-count decrease leaves stale webpages-*.parquet files that every
+    # later cached call returns as part of the corpus
+    for name in os.listdir(out_dir):
+        if name.endswith(".parquet") or name.endswith(".parquet.tmp"):
+            os.remove(os.path.join(out_dir, name))
+    if os.path.exists(marker):
+        os.remove(marker)   # a crash mid-regenerate must not look cached
     per = [n_rows // n_shards + (1 if i < n_rows % n_shards else 0)
            for i in range(n_shards)]
 

@@ -129,11 +129,13 @@ def write_datum(out: io.BytesIO, schema: Any, v: Any, named: dict) -> None:
             v = unscaled.to_bytes(length, "big", signed=True)
         _write_bytes(out, bytes(v))
     elif t == "fixed":
+        named[schema["name"]] = schema  # later by-name references (spec-legal)
         b = bytes(v)
         if len(b) != schema["size"]:
             raise ValueError(f"fixed size mismatch: {len(b)} != {schema['size']}")
         out.write(b)
     elif t == "enum":
+        named[schema["name"]] = schema
         out.write(b"")
         _write_long(out, schema["symbols"].index(v))
     elif t == "record":

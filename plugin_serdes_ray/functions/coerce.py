@@ -124,9 +124,34 @@ def to_int(arr: pa.Array, typ: pa.DataType = None,
     s = _replace_decimal_sep(s, opts)
     pd_s = pd.to_numeric(s.to_pandas(), errors="coerce")
     # integer coercion rejects fractional values (PrimitiveIntTest analog);
-    # the final safe cast rejects overflow for narrower target types
+    # out-of-range values are policy-routed failures like the float path
+    # above, never a TypeError/ArrowInvalid aborting the batch before the
+    # policy applies
     pd_s = pd_s.where(pd_s % 1 == 0)
-    out = pa.array(pd.array(pd_s, dtype="Int64"), type=pa.int64()).cast(typ)
+    if pd_s.dtype.kind == "u":
+        # to_numeric went uint64: >= one value above int64 max. Mask those
+        # via exact integer comparison (a float roundtrip would corrupt
+        # legal values in (2^53, 2^63))
+        import numpy as np
+
+        vals = pd_s.to_numpy()
+        masked = pd.array(vals.astype(np.int64), dtype="Int64")
+        masked[vals > np.uint64(np.iinfo(np.int64).max)] = pd.NA
+        pd_s = pd.Series(masked, index=pd_s.index)
+    elif pd_s.dtype.kind == "f":
+        # floats beyond int64's range (exact power-of-two bounds) fail
+        pd_s = pd_s.where((pd_s >= -(2.0 ** 63)) & (pd_s < 2.0 ** 63))
+    i64 = pa.array(pd.array(pd_s, dtype="Int64"), type=pa.int64())
+    if typ != pa.int64():
+        bits = typ.bit_width
+        if pa.types.is_signed_integer(typ):
+            lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        else:
+            lo, hi = 0, (1 << bits) - 1
+        ok = pc.and_(pc.greater_equal(i64, lo), pc.less_equal(i64, hi))
+        i64 = pc.if_else(pc.fill_null(ok, False), i64,
+                         pa.nulls(len(i64), pa.int64()))
+    out = i64.cast(typ)
     return _fail_mask(s, out, opts, str(typ))
 
 
@@ -154,9 +179,14 @@ def to_decimal(arr: pa.Array, precision: int, scale: int,
         if v is None:
             return None
         try:
-            return Decimal(str(v)).quantize(quant, rounding=ROUND_HALF_EVEN)
+            d = Decimal(str(v)).quantize(quant, rounding=ROUND_HALF_EVEN)
         except Exception:
             return None
+        # a coefficient wider than the declared precision is a coercion
+        # failure for the policy, not an ArrowInvalid aborting the batch
+        if len(d.as_tuple().digits) > precision:
+            return None
+        return d
 
     out = pa.array([conv(v) for v in s.to_pylist()], type=typ)
     return _fail_mask(s, out, opts, f"decimal({precision},{scale})")
@@ -197,8 +227,12 @@ def to_timestamp(arr: pa.Array, unit: str = "ms", tz: Optional[str] = None,
     if pa.types.is_timestamp(arr.type):
         return arr.cast(typ)
     if pa.types.is_integer(arr.type):
-        scale = {"s": 1_000, "ms": 1, "us": 1, "ns": 1}[unit]
-        return arr.cast(pa.int64()).cast(pa.timestamp(unit)).cast(typ)
+        # integers are epoch MILLIS, same semantics as the all-digit string
+        # fast path below (AvroConverter.java:379-383) — a bare cast to
+        # timestamp(unit) would reinterpret them as counts of the TARGET
+        # unit, silently shifting every value for unit != "ms"
+        ms = arr.cast(pa.int64()).cast(pa.timestamp("ms"))
+        return ms.cast(pa.timestamp(unit), safe=False).cast(typ)
     s = pc.utf8_trim_whitespace(nullify(arr, opts))
     pd_str = s.to_pandas()
     numeric = pd_str.str.fullmatch(r"-?\d+", na=False)

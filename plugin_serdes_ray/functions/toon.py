@@ -147,9 +147,16 @@ _ARRAY_HEAD = re.compile(
     r"(?:\{(?P<fields>[^}]*)\})?:(?P<rest>.*)$")
 
 
+_UNESCAPE = re.compile(r"\\(.)")
+_ESC_MAP = {"n": "\n", '"': '"', "\\": "\\"}
+
+
 def _unquote(s: str) -> str:
-    body = s[1:-1]
-    return body.replace("\\n", "\n").replace('\\"', '"').replace("\\\\", "\\")
+    # left-to-right escape scan: sequential str.replace corrupts strings
+    # like 'a\\nb' (backslash + 'n'), whose encoding '\\\\n' had its tail
+    # matched by the '\\n'->newline replace
+    return _UNESCAPE.sub(lambda m: _ESC_MAP.get(m.group(1), m.group(0)),
+                         s[1:-1])
 
 
 def _scalar(tok: str) -> Any:

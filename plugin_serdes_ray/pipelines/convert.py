@@ -110,11 +110,22 @@ def convert_files(files: list[str], out_dir: str, in_fmt: str, out_fmt: str,
     import ray
     import ray.data
 
+    import hashlib
+
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(str(f) for f in files)
+    stems = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    dup_stems = {s for s in stems if stems.count(s) > 1}
 
     def out_path(src: str) -> str:
         stem = os.path.splitext(os.path.basename(src))[0]
+        if stem in dup_stems:
+            # same basename in different input dirs: a stem-only name would
+            # make the conversions clobber each other's output (and resume
+            # then skips the loser forever) — disambiguate with a stable
+            # hash of the full source path
+            tag = hashlib.sha1(src.encode()).hexdigest()[:8]
+            stem = f"{stem}-{tag}"
         return os.path.join(out_dir, f"{stem}.{out_fmt}")
 
     todo = [f for f in files

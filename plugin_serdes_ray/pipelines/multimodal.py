@@ -130,12 +130,19 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = pos + 8
         if cid == b"fmt ":
+            if body + 16 > len(data):
+                raise ValueError("truncated WAV fmt chunk")
             fmt_tag, channels, rate = struct.unpack_from("<HHI", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
             if fmt_tag != 1 or bits != 16:
                 raise ValueError(
                     f"unsupported WAV (format={fmt_tag}, bits={bits}): "
                     "only PCM16 parses without an audio library")
+            if channels == 0 or rate == 0:
+                # must be ValueError: callers' undecodable-payload handlers
+                # catch exactly that (a ZeroDivisionError at the data chunk
+                # would escape them)
+                raise ValueError("corrupt WAV fmt chunk (channels/rate = 0)")
         elif cid == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
@@ -196,7 +203,12 @@ class ImageDecoder:
     def _decode(self, data: Optional[bytes]) -> np.ndarray:
         if data is None:
             return np.zeros(self.size, dtype=np.float32)
-        px = decode_image(data)
+        try:
+            px = decode_image(data)
+        except ValueError:
+            # right magic, unsupported body (e.g. paletted BMP): treat like
+            # any other format we cannot decode here
+            px = None
         if px is not None:
             return self._features(px)
         if self._pil:  # pragma: no cover - library absent in this container
@@ -224,7 +236,12 @@ class ImageStats:
     def __call__(self, batch: pa.Table) -> pa.Table:
         w_out, h_out, means = [], [], ([], [], [])
         for v in batch.column(self.column).to_pylist():
-            px = decode_image(v) if v is not None else None
+            try:
+                px = decode_image(v) if v is not None else None
+            except ValueError:
+                # undecodable body behind a known magic -> null stats, as
+                # the docstring promises (never a crashed stage)
+                px = None
             if px is None:
                 w_out.append(None)
                 h_out.append(None)
@@ -281,8 +298,11 @@ class AudioFeaturizer:
                                     dtype=np.float32).tolist())
                 continue
             if v[:4] == b"RIFF":
-                out.append(self._wav_features(v).tolist())
-                continue
+                try:
+                    out.append(self._wav_features(v).tolist())
+                    continue
+                except ValueError:
+                    pass  # non-PCM16 / corrupt RIFF -> deterministic fake
             # DETERMINISTIC FAKE for formats needing absent codecs
             rng = np.random.default_rng(_seed_from(v))
             out.append(rng.random(self.frames * self.n_mels,
@@ -459,8 +479,11 @@ class FrameSampler:
                 out.append([])
                 continue
             if v.startswith(_Y4M_MAGIC):
-                out.append(self._sample_y4m(v))
-                continue
+                try:
+                    out.append(self._sample_y4m(v))
+                    continue
+                except ValueError:
+                    pass  # corrupt Y4M body -> deterministic fake below
             # DETERMINISTIC FAKE for containers needing absent codecs
             step = max(len(v) // self.n_frames, 1)
             out.append([v[i * step:(i + 1) * step] for i in range(self.n_frames)])

@@ -78,6 +78,13 @@ def reencode_grouped(ds, out_dir: str, group_key: str = "lang", *,
         plan_local: EncodePlan = ray.get(plan_ref)
         key = group.column("__salted")[0].as_py()
         safe = "".join(c if c.isalnum() or c in "#_-" else "_" for c in str(key))
+        if safe != str(key):
+            # sanitization is lossy ('a.b' and 'a/b' both -> 'a_b'): append
+            # a stable hash of the REAL key so distinct groups never share
+            # an output file
+            import hashlib
+
+            safe += "-" + hashlib.sha1(str(key).encode()).hexdigest()[:8]
         table = group.drop_columns(["__salted"]).sort_by(
             [(c, "ascending") for c in sort_cols])
         out_rows = []

@@ -84,8 +84,10 @@ def prune_stale_parts(out_dir: str, partitions: list[dict]) -> int:
     removed = 0
     if os.path.isdir(out_dir):
         for name in os.listdir(out_dir):
-            if (name.startswith("part-") and name.endswith(".grck")
-                    and name not in live):
+            # EVERY non-live .grck goes, including block-*.grck written by a
+            # previous encode_dataset into this dir — decode reads every
+            # *.grck, so any survivor is double-counted data
+            if name.endswith(".grck") and name not in live:
                 os.remove(os.path.join(out_dir, name))
                 removed += 1
     mdir = _mdir(out_dir)

@@ -2,14 +2,41 @@
 
 from __future__ import annotations
 
+import math
+
 import pyarrow as pa
 
 from .codecs.base import fixed_to_numpy, is_fixed_int_like
 
 
+def _has_float(t: pa.DataType) -> bool:
+    if pa.types.is_floating(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        return _has_float(t.value_type)
+    if pa.types.is_struct(t):
+        return any(_has_float(f.type) for f in t)
+    if pa.types.is_map(t):
+        return _has_float(t.key_type) or _has_float(t.item_type)
+    return False
+
+
+def _nan_eq(x, y) -> bool:
+    """Recursive python equality where NaN == NaN (nested fallback only)."""
+    if isinstance(x, float) and isinstance(y, float):
+        return x == y or (math.isnan(x) and math.isnan(y))
+    if isinstance(x, dict) and isinstance(y, dict):
+        return x.keys() == y.keys() and all(_nan_eq(x[k], y[k]) for k in x)
+    if isinstance(x, (list, tuple)) and isinstance(y, (list, tuple)):
+        return len(x) == len(y) and all(_nan_eq(p, q) for p, q in zip(x, y))
+    return type(x) is type(y) and x == y
+
+
 def arrays_equal(a: pa.Array, b: pa.Array) -> bool:
     """Semantic equality incl. null masks; floats compared by bit pattern
-    (NaN == NaN when the payload bits match)."""
+    (NaN == NaN when the payload bits match), including floats nested in
+    list/struct/map columns (pa.equals alone would fail those on NaN)."""
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
     if isinstance(b, pa.ChunkedArray):
@@ -28,6 +55,11 @@ def arrays_equal(a: pa.Array, b: pa.Array) -> bool:
         if ma is not None:
             return bool((va[ma] == vb[mb]).all())
         return bool((va == vb).all())
+    if _has_float(a.type):
+        # nested floats: slow python fallback, tests-only and only reached
+        # when pa.equals already said False (i.e. NaN is in play or they
+        # genuinely differ)
+        return _nan_eq(a.to_pylist(), b.to_pylist())
     return False
 
 

@@ -167,3 +167,32 @@ def test_cli_clean(ray_session, tmp_path, capsys, sf_dir):
     assert got["rows"] == t.num_rows > 0
     assert "split" in t.column_names and "text" in t.column_names
     assert set(t.column("split").to_pylist()) <= {"train", "val", "test"}
+
+
+def test_cli_guardrails(ray_session, tmp_path, sf_dir):
+    """Round-4 review regressions: friendly errors for unsupported input
+    extensions and missing --key; sketch --output honored for hll."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from plugin_serdes_ray.__main__ import main
+
+    (tmp_path / "x.txt").write_text("hi")
+    with pytest.raises(SystemExit, match="unsupported input format"):
+        main(["convert", str(tmp_path / "x.txt"), str(tmp_path / "y.csv")])
+
+    src = f"{sf_dir}/documents.parquet"
+    with pytest.raises(SystemExit, match="requires --key"):
+        main(["sample", src, str(tmp_path / "s.parquet"),
+              "--id-column", "doc_id"])
+    with pytest.raises(SystemExit, match="requires --key"):
+        main(["sample", src, str(tmp_path / "s.parquet"),
+              "--method", "grouped_k", "--id-column", "doc_id"])
+
+    out = str(tmp_path / "hll.parquet")
+    assert main(["sketch", "hll", src, "--column", "doc_id",
+                 "--output", out]) == 0
+    t = pq.read_table(out)
+    assert t.column("estimate")[0].as_py() > 0

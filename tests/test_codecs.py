@@ -206,3 +206,22 @@ def test_plain_varbin_wide_lengths_v8(monkeypatch):
     # under the limit stays on the compact uint32 path
     arr = pa.array([b"ab", b"c" * 10], type=pa.large_binary())
     assert b'"k":"v"' in bytes(encode_array(arr, "plain")[:64])
+
+
+def test_arrays_equal_nested_float_nan():
+    """NaN inside list/struct columns must compare equal to itself (the
+    flat-float bit-pattern branch does not cover nested types)."""
+    from plugin_serdes_ray.testing import arrays_equal
+
+    nan = float("nan")
+    a = pa.array([[1.0, nan], None, []], type=pa.list_(pa.float64()))
+    b = pa.array([[1.0, nan], None, []], type=pa.list_(pa.float64()))
+    assert arrays_equal(a, b)
+    c = pa.array([[1.0, 2.0], None, []], type=pa.list_(pa.float64()))
+    assert not arrays_equal(a, c)
+    st = pa.struct([("f", pa.float64()), ("s", pa.string())])
+    d = pa.array([{"f": nan, "s": "x"}], type=st)
+    e = pa.array([{"f": nan, "s": "x"}], type=st)
+    assert arrays_equal(d, e)
+    f2 = pa.array([{"f": nan, "s": "y"}], type=st)
+    assert not arrays_equal(d, f2)

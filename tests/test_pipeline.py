@@ -338,3 +338,19 @@ def test_encode_files_empty_list_raises(ray_session, tmp_path):
         encode_files([], str(tmp_path / "enc"))
     with pytest.raises(ValueError, match="empty input file list"):
         sample_plan_from_files([])
+
+
+def test_encode_files_prunes_block_orphans(ray_session, corpus, tmp_path):
+    """encode_dataset's block-*.grck files in the same out_dir are orphans
+    for a later encode_files run — decode reads every *.grck, so they must
+    be pruned, not concatenated as extra rows."""
+    import ray.data
+
+    from plugin_serdes_ray.encode import encode_dataset
+
+    out = str(tmp_path / "enc")
+    encode_dataset(ray.data.read_parquet(corpus[0]), out, concurrency=2)
+    assert any(f.startswith("block-") for f in os.listdir(out))
+    encode_files(corpus, out, concurrency=2)
+    assert not any(f.startswith("block-") for f in os.listdir(out))
+    assert tables_equal(_orig(corpus), decode_table(out))

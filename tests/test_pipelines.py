@@ -1559,3 +1559,84 @@ def test_corpus_diff_mostly_unchanged_refresh(ray_session):
                       "text", "doc_id").take_all()
     got = sorted((r["side"], r["text"]) for r in out)
     assert got == [("added", "e"), ("removed", "d")]
+
+
+def test_multimodal_stages_survive_undecodable_bodies(ray_session):
+    """Known magic + unsupported body must yield nulls (stats stages) or the
+    deterministic fake (feature stages), never a crashed Ray task."""
+    import struct as _struct
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        AudioFeaturizer, AudioStats, FrameSampler, ImageDecoder, ImageStats,
+        encode_wav,
+    )
+
+    # 8-bpp BMP header (unsupported: stdlib decoder is 24/32-bpp only)
+    bad_bmp = b"BM" + b"\x00" * 12 + _struct.pack("<IiiHH", 40, 2, 2, 1, 8) \
+        + b"\x00" * 40
+    # IEEE-float WAV (fmt_tag=3) and channels=0 WAV
+    def wav_with(fmt_tag, channels, bits):
+        fmt = _struct.pack("<HHIIHH", fmt_tag, channels, 8000,
+                           8000 * 2, 2, bits)
+        return (b"RIFF" + _struct.pack("<I", 36 + 4) + b"WAVE"
+                + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", 4) + b"\x00" * 4)
+
+    imgs = pa.table({"image": pa.array([bad_bmp, None], pa.large_binary())})
+    got = ray.data.from_arrow(imgs).map_batches(
+        ImageStats, batch_format="pyarrow", concurrency=1).take_all()
+    assert all(r["width"] is None for r in got)
+    got = ray.data.from_arrow(imgs).map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=1).take_all()
+    assert len(got[0]["image_feat"]) == 32   # deterministic fake, no crash
+
+    auds = pa.table({"audio": pa.array(
+        [wav_with(3, 1, 32), wav_with(1, 0, 16), encode_wav(
+            __import__("numpy").zeros((16, 1), "<i2"))], pa.large_binary())})
+    got = ray.data.from_arrow(auds).map_batches(
+        AudioStats, batch_format="pyarrow", concurrency=1).take_all()
+    assert [r["n_samples"] for r in got] == [None, None, 16]
+    got = ray.data.from_arrow(auds).map_batches(
+        AudioFeaturizer, batch_format="pyarrow", concurrency=1).take_all()
+    assert all(len(r["audio_feat"]) == 128 for r in got)
+
+    vids = pa.table({"video": pa.array(
+        [b"YUV4MPEG2 W4 H4 F25:1 Cmystery\n"], pa.large_binary())})
+    got = ray.data.from_arrow(vids).map_batches(
+        FrameSampler, batch_format="pyarrow", concurrency=1).take_all()
+    assert len(got) == 1   # fake byte-slice fallback, no crash
+
+
+def test_convert_files_duplicate_basenames(ray_session, tmp_path):
+    from plugin_serdes_ray.pipelines.convert import convert_files
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    (a / "data.csv").write_text("x\n1\n")
+    (b / "data.csv").write_text("x\n2\n")
+    out = str(tmp_path / "out")
+    s = convert_files([str(a / "data.csv"), str(b / "data.csv")],
+                      out, "csv", "jsonl", concurrency=2)
+    assert s["converted"] == 2
+    assert len(set(s["outputs"])) == 2
+    import json as _json
+    vals = sorted(_json.loads(open(p).read())["x"] for p in s["outputs"])
+    assert vals == [1, 2]
+    # resume skips both now that each has its own output
+    s2 = convert_files([str(a / "data.csv"), str(b / "data.csv")],
+                       out, "csv", "jsonl", concurrency=2)
+    assert s2["skipped"] == 2
+
+
+def test_generate_webpages_shard_decrease_prunes(tmp_path):
+    from plugin_serdes_ray.fixtures import generate_webpages
+
+    d = str(tmp_path / "wp")
+    f1 = generate_webpages(d, 120, 6)
+    assert len(f1) == 6
+    f2 = generate_webpages(d, 80, 2)
+    assert len(f2) == 2
+    f3 = generate_webpages(d, 80, 2)   # cached call must see ONLY 2
+    assert len(f3) == 2

@@ -640,3 +640,58 @@ def test_protobuf_truncated_stream_honors_policy():
         assert [int(r["x"]) for r in out[:1]] == [1]
         with pytest.raises(Exception):
             parse_protobuf_bytes(bad, dset, "t.M", on_bad_lines="ERROR")
+
+
+def test_coerce_int_overflow_routes_policy():
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, to_int
+
+    skip = CoerceOptions(on_bad_lines="SKIP")
+    out = to_int(pa.array(["9223372036854775808", "42",
+                           "9223372036854775807"]), pa.int64(), skip)
+    assert out.to_pylist() == [None, 42, 9223372036854775807]
+    assert to_int(pa.array(["300", "5"]), pa.int8(), skip).to_pylist() == [None, 5]
+    assert to_int(pa.array(["1e30", "7"]), pa.int64(), skip).to_pylist() == [None, 7]
+    with pytest.raises(BadLineError):
+        to_int(pa.array(["300"]), pa.int8(), CoerceOptions(on_bad_lines="ERROR"))
+
+
+def test_coerce_decimal_precision_overflow_routes_policy():
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, to_decimal
+
+    out = to_decimal(pa.array(["12345", "12.3"]), 3, 1,
+                     CoerceOptions(on_bad_lines="SKIP"))
+    assert [str(v) if v is not None else None for v in out.to_pylist()] == \
+        [None, "12.3"]
+
+
+def test_coerce_timestamp_integer_is_epoch_millis():
+    """Integer input must mean epoch MILLIS for every target unit, same as
+    the all-digit string fast path — not counts of the target unit."""
+    from plugin_serdes_ray.functions.coerce import to_timestamp
+
+    for unit in ("s", "ms", "us", "ns"):
+        a = to_timestamp(pa.array([1700000000000]), unit=unit)
+        b = to_timestamp(pa.array(["1700000000000"]), unit=unit)
+        assert a.to_pylist() == b.to_pylist(), unit
+        assert a.to_pylist()[0].year == 2023
+
+
+def test_toon_backslash_escape_roundtrips():
+    """Escapes must decode by a left-to-right scan: sequential replace
+    corrupts a literal backslash followed by 'n' (or a quote)."""
+    for v in ["a\\nb", "a\nb", 'say "hi"', "back\\slash", "\\\\",
+              'mix\\"q', "end\\"]:
+        assert toon.decode(toon.encode({"k": v})) == {"k": v}, repr(v)
+
+
+def test_avro_named_fixed_enum_by_reference():
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": {"type": "fixed", "name": "F8", "size": 8}},
+        {"name": "b", "type": "F8"},
+        {"name": "x", "type": {"type": "enum", "name": "E",
+                               "symbols": ["A", "B"]}},
+        {"name": "y", "type": "E"}]}
+    rec = {"a": b"12345678", "b": b"abcdefgh", "x": "A", "y": "B"}
+    blob = avroio.write_container([rec], schema)
+    _, recs = avroio.read_container(blob)
+    assert recs == [rec]
