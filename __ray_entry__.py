@@ -29,7 +29,22 @@ _QUERY_CACHE_ROOT = "/tmp/graft_query_cache"
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # basename PLUS a corpus fingerprint: a bare basename would serve stale
+    # cached encodes/indexes after the source parquet is regenerated (or
+    # when two corpora share a basename) — resume=True would then skip
+    # manifest-complete parts encoded from the OLD corpus
+    import hashlib
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    h = hashlib.sha1()
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, name))
+                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    except OSError:
+        pass
+    return f"{base}-{h.hexdigest()[:10]}"
 
 
 def _cache_dir(sf_dir: str, name: str) -> str:
@@ -77,7 +92,10 @@ def _roundtrip_filtered(sf_dir: str, table: str, predicate) -> pa.Table:
     out = _cache_dir(sf_dir, f"rt_{table}")
     encode_files([src], out, resume=True)
     ds = decode_dataset(out, predicate=predicate)
-    return pa.Table.from_pylist(ds.take_all())
+    rows = ds.take_all()
+    if not rows:   # from_pylist([]) would be zero-column, not empty-typed
+        return pq.read_schema(src).empty_table()
+    return pa.Table.from_pylist(rows)
 
 
 def _roundtrip_lineitem_both(sf_dir: str) -> pa.Table:
@@ -93,8 +111,11 @@ def _roundtrip_lineitem_both(sf_dir: str) -> pa.Table:
     out = _cache_dir(sf_dir, "rt_lineitem")
     encode_files([src], out, resume=True)
     full = decode_table(out)
-    filt = pa.Table.from_pylist(decode_dataset(
-        out, predicate=("l_extendedprice", ">=", 80000.0)).take_all())
+    rows = decode_dataset(
+        out, predicate=("l_extendedprice", ">=", 80000.0)).take_all()
+    # empty predicate result -> from_pylist([]) is ZERO-column; rebuild from
+    # the known schema so select/cast below stays valid
+    filt = pa.Table.from_pylist(rows) if rows else full.schema.empty_table()
     filt = filt.select(full.column_names).cast(full.schema)
     full = full.append_column("which", pa.array(["full"] * full.num_rows))
     filt = filt.append_column("which",
@@ -201,7 +222,11 @@ def _convert_fleet(sf_dir: str, table: str = "orders", shards: int = 4) -> pa.Ta
         piece = src.slice(i * step, step)
         p = os.path.join(in_dir, f"shard-{i:02d}.csv")
         if not os.path.exists(p):
-            open(p, "wb").write(table_to_csv_bytes(piece))
+            # tmp+rename: a bare exists() resume would treat a shard
+            # truncated by an interrupted run as complete forever
+            with open(p + ".tmp", "wb") as fh:
+                fh.write(table_to_csv_bytes(piece))
+            os.replace(p + ".tmp", p)
         files.append(p)
     summary = convert_files(files, out_dir, "csv", "avro")
     backs = [read_avro_table(p) for p in summary["outputs"]]
@@ -1246,11 +1271,20 @@ def _html_to_text(sf_dir: str):
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
 
     def xf(batch: pa.Table) -> pa.Table:
+        import html as _html
+
         out = []
         for t in batch.column("text").to_pylist():
+            if t is None:   # null text -> null extraction (oracle parity)
+                out.append(None)
+                continue
+            # escape the payload: raw '<'/'&' in a document would parse as
+            # markup and break the byte-identity contract (html_to_markdown
+            # unescapes entities, so escaped text round-trips exactly)
             page = ("<html><head><title>d</title><script>var a=1;</script>"
                     "</head><body><nav>Home | About</nav><article><p>"
-                    f"{t}</p></article><footer>(c) corpus</footer></body></html>")
+                    f"{_html.escape(t)}</p></article>"
+                    "<footer>(c) corpus</footer></body></html>")
             md = html_to_markdown(
                 page, ignore_tags=["script", "style", "head", "nav", "footer"])
             out.append(" ".join(markdown_to_text(md).split()))

@@ -125,6 +125,13 @@ class _Html2Md(HTMLParser):
         if self.in_pre:
             self._emit(data)
         else:
+            # entity-escape & and < on emission: markdown treats entities as
+            # live (markdown_to_text unescapes them), so raw text containing
+            # '&amp;' or '<' would be double-unescaped / parsed as markup
+            # downstream, breaking html -> md -> text byte identity. Other
+            # markdown specials (*, leading #) are NOT escaped — the subset
+            # renderer has no backslash-escape support (known limitation).
+            data = data.replace("&", "&amp;").replace("<", "&lt;")
             self._emit(re.sub(r"\s+", " ", data))
 
 

@@ -695,3 +695,18 @@ def test_avro_named_fixed_enum_by_reference():
     blob = avroio.write_container([rec], schema)
     _, recs = avroio.read_container(blob)
     assert recs == [rec]
+
+
+def test_html_md_text_entity_identity():
+    """html -> markdown -> text must be the identity on escaped payloads,
+    including text containing literal entity-like sequences ('a&amp;b') and
+    markup-like substrings ('<b>') — emission entity-escapes & and < so
+    markdown_to_text's (commonmark-faithful) unescape restores the bytes."""
+    import html as _html
+
+    for t in ["a <b> c", "x & y", "a&amp;b", "&lt;already&gt;",
+              "5 < 6 && 7 > 2"]:
+        page = f"<html><body><article><p>{_html.escape(t)}</p></article></body></html>"
+        got = " ".join(markdown.markdown_to_text(
+            markdown.html_to_markdown(page)).split())
+        assert got == " ".join(t.split()), t

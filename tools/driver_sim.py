@@ -49,7 +49,8 @@ def main() -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True)
     import duckdb
@@ -85,9 +86,11 @@ def main() -> int:
                     from plugin_serdes_ray.testing import tables_equal
 
                     vals_ok = tables_equal(got, want.cast(got.schema))
-                except Exception:
-                    vals_ok = False
-            status = "PASS" if (rows_ok and schema_ok and vals_ok) else "FAIL"
+                except Exception as cmp_exc:
+                    # a crashed comparison is NOT a value mismatch — say so
+                    vals_ok = f"False (compare {type(cmp_exc).__name__}: {cmp_exc})"
+            status = "PASS" if (rows_ok and schema_ok and vals_ok is True) \
+                else "FAIL"
             if status == "FAIL":
                 failures += 1
             print(f"{name}: {status} rows={got.num_rows}/{want.num_rows} "
@@ -95,7 +98,8 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report and continue
             failures += 1
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
-    ray.shutdown()
+    if owns_ray:   # never tear down a cluster a caller owns
+        ray.shutdown()
     return 1 if failures else 0
 
 
