@@ -123,59 +123,75 @@ def _roundtrip_lineitem_both(sf_dir: str) -> pa.Table:
     return pa.concat_tables([full, filt])
 
 
+def _serde_write_read(tbl: pa.Table, path: str, fmt: str) -> pa.Table:
+    """ONE write+read dispatch shared by _serde_roundtrip (the per-format
+    roundtrip queries) and _serde_step (the chain queries) — two copies of
+    this table would desynchronize silently under the same format name."""
+    if fmt == "csv":
+        from plugin_serdes_ray.sinks.csv_ import table_to_csv_bytes
+        from plugin_serdes_ray.sources.csv_ import read_csv_table
+        open(path, "wb").write(table_to_csv_bytes(tbl))
+        return read_csv_table(path)
+    if fmt == "jsonl":
+        from plugin_serdes_ray.sinks.json_ import table_to_json_bytes
+        from plugin_serdes_ray.sources.json_ import read_json_table
+        open(path, "wb").write(table_to_json_bytes(tbl))
+        return read_json_table(path)
+    if fmt == "yaml":
+        from plugin_serdes_ray.sinks.yaml_ import table_to_yaml_bytes
+        from plugin_serdes_ray.sources.yaml_ import read_yaml_table
+        open(path, "wb").write(table_to_yaml_bytes(tbl))
+        return read_yaml_table(path)
+    if fmt == "xml":
+        from plugin_serdes_ray.sinks.xml_ import table_to_xml_bytes
+        from plugin_serdes_ray.sources.xml_ import read_xml_table
+        open(path, "wb").write(table_to_xml_bytes(tbl))
+        return read_xml_table(path)
+    if fmt == "avro":
+        from plugin_serdes_ray.sinks.avro_ import table_to_avro_bytes
+        from plugin_serdes_ray.sources.avro_ import read_avro_table
+        open(path, "wb").write(table_to_avro_bytes(tbl))
+        return read_avro_table(path)
+    if fmt == "xlsx":
+        from plugin_serdes_ray.sinks.excel_ import tables_to_xlsx_bytes
+        from plugin_serdes_ray.sources.excel_ import read_excel_tables
+        open(path, "wb").write(tables_to_xlsx_bytes({"Sheet1": tbl}))
+        return read_excel_tables(path)["Sheet1"]
+    if fmt == "orc":
+        from plugin_serdes_ray.sinks.orc_ import table_to_orc_bytes
+        from plugin_serdes_ray.sources.orc_ import read_orc_table
+        open(path, "wb").write(table_to_orc_bytes(tbl))
+        return read_orc_table(path)
+    if fmt == "feather":
+        from plugin_serdes_ray.sinks.feather_ import table_to_feather_bytes
+        from plugin_serdes_ray.sources.feather_ import read_feather_table
+        open(path, "wb").write(table_to_feather_bytes(tbl))
+        return read_feather_table(path)
+    if fmt == "toon":
+        from plugin_serdes_ray.functions import toon
+        text = toon.encode({"rows": tbl.to_pylist()})
+        open(path, "w").write(text)
+        return pa.Table.from_pylist(toon.decode(text)["rows"])
+    if fmt == "protobuf":
+        from plugin_serdes_ray.sources.protobuf_ import (
+            descriptor_set_for_schema, read_protobuf, serialize_protobuf,
+        )
+        desc = descriptor_set_for_schema(tbl.schema, message="Chain")
+        desc_path = path + ".desc"
+        open(desc_path, "wb").write(desc)
+        open(path, "wb").write(
+            serialize_protobuf(tbl.to_pylist(), desc, "t.Chain"))
+        return pa.Table.from_pylist(
+            read_protobuf(path, desc_path, "t.Chain").take_all())
+    raise ValueError(fmt)
+
+
 def _serde_roundtrip(sf_dir: str, table: str, fmt: str) -> pa.Table:
     from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
 
     src = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
     d = _cache_dir(sf_dir, f"serde_{fmt}_{table}")
-    path = os.path.join(d, f"data.{fmt}")
-    if fmt == "csv":
-        from plugin_serdes_ray.sinks.csv_ import table_to_csv_bytes
-        from plugin_serdes_ray.sources.csv_ import read_csv_table
-        open(path, "wb").write(table_to_csv_bytes(src))
-        back = read_csv_table(path)
-    elif fmt == "jsonl":
-        from plugin_serdes_ray.sinks.json_ import table_to_json_bytes
-        from plugin_serdes_ray.sources.json_ import read_json_table
-        open(path, "wb").write(table_to_json_bytes(src))
-        back = read_json_table(path)
-    elif fmt == "yaml":
-        from plugin_serdes_ray.sinks.yaml_ import table_to_yaml_bytes
-        from plugin_serdes_ray.sources.yaml_ import read_yaml_table
-        open(path, "wb").write(table_to_yaml_bytes(src))
-        back = read_yaml_table(path)
-    elif fmt == "xml":
-        from plugin_serdes_ray.sinks.xml_ import table_to_xml_bytes
-        from plugin_serdes_ray.sources.xml_ import read_xml_table
-        open(path, "wb").write(table_to_xml_bytes(src))
-        back = read_xml_table(path)
-    elif fmt == "avro":
-        from plugin_serdes_ray.sinks.avro_ import table_to_avro_bytes
-        from plugin_serdes_ray.sources.avro_ import read_avro_table
-        open(path, "wb").write(table_to_avro_bytes(src))
-        back = read_avro_table(path)
-    elif fmt == "xlsx":
-        from plugin_serdes_ray.sinks.excel_ import tables_to_xlsx_bytes
-        from plugin_serdes_ray.sources.excel_ import read_excel_tables
-        open(path, "wb").write(tables_to_xlsx_bytes({"Sheet1": src}))
-        back = read_excel_tables(path)["Sheet1"]
-    elif fmt == "orc":
-        from plugin_serdes_ray.sinks.orc_ import table_to_orc_bytes
-        from plugin_serdes_ray.sources.orc_ import read_orc_table
-        open(path, "wb").write(table_to_orc_bytes(src))
-        back = read_orc_table(path)
-    elif fmt == "feather":
-        from plugin_serdes_ray.sinks.feather_ import table_to_feather_bytes
-        from plugin_serdes_ray.sources.feather_ import read_feather_table
-        open(path, "wb").write(table_to_feather_bytes(src))
-        back = read_feather_table(path)
-    elif fmt == "toon":
-        from plugin_serdes_ray.functions import toon
-        text = toon.encode({"rows": src.to_pylist()})
-        open(path, "w").write(text)
-        back = pa.Table.from_pylist(toon.decode(text)["rows"])
-    else:
-        raise ValueError(fmt)
+    back = _serde_write_read(src, os.path.join(d, f"data.{fmt}"), fmt)
     # re-impose the original schema (string->typed coercion layer)
     return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
 
@@ -332,15 +348,31 @@ def _dedup_minhash(sf_dir: str):
         "doc_id": pa.array([r[1] for r in rows], type=pa.int64())})
 
 
+def _simhash_pairs(sf_dir: str) -> list:
+    """Shared simhash arm (1-token perturbation corpus, hamming<=4): used by
+    both the legacy dedup_simhash_documents row and the consolidated
+    dedup_near_sim row so their parameters cannot drift apart."""
+    from plugin_serdes_ray.pipelines.dedup import simhash_duplicates
+
+    return simhash_duplicates(
+        _dedup_oracle_corpus(sf_dir, perturb_tokens=1), "text", "doc_id",
+        max_hamming=4).take_all()
+
+
+def _jaccard_exact_pairs(sf_dir: str) -> pa.Table:
+    """Shared exact-Jaccard arm (LSH candidates -> semi-join -> exact),
+    sorted; see _simhash_pairs for why it is shared."""
+    from plugin_serdes_ray.pipelines.dedup import minhash_lsh_duplicates_exact
+
+    return minhash_lsh_duplicates_exact(
+        _dedup_oracle_corpus(sf_dir), "text", "doc_id") \
+        .sort_by([("keep_id", "ascending"), ("dup_id", "ascending")])
+
+
 def _dedup_simhash(sf_dir: str):
     """Dup side of the controlled corpus (1-token perturbation -> simhash
     hamming 0-4, vs ~32 between base pairs): exactly the injected ids."""
-    from plugin_serdes_ray.pipelines.dedup import simhash_duplicates
-
-    pairs = simhash_duplicates(
-        _dedup_oracle_corpus(sf_dir, perturb_tokens=1), "text", "doc_id",
-        max_hamming=4).take_all()
-    dup = sorted({r["dup_id"] for r in pairs})
+    dup = sorted({r["dup_id"] for r in _simhash_pairs(sf_dir)})
     return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
 
@@ -352,17 +384,9 @@ def _dedup_near_sim(sf_dir: str):
     text -> exact Jaccard, dedup.minhash_lsh_duplicates_exact; the
     fingerprint arm is the _fingerprints contract — equal texts MUST
     fingerprint equal, candidates verified by a bounded text semi-join)."""
-    from plugin_serdes_ray.pipelines.dedup import (
-        minhash_lsh_duplicates_exact, simhash_duplicates)
-
-    pairs = simhash_duplicates(
-        _dedup_oracle_corpus(sf_dir, perturb_tokens=1), "text", "doc_id",
-        max_hamming=4).take_all()
-    sh = sorted({(r["keep_id"], r["dup_id"]) for r in pairs})
+    sh = sorted({(r["keep_id"], r["dup_id"]) for r in _simhash_pairs(sf_dir)})
     emb = _dedup_embedding(sf_dir)
-    jx = minhash_lsh_duplicates_exact(_dedup_oracle_corpus(sf_dir),
-                                      "text", "doc_id") \
-        .sort_by([("keep_id", "ascending"), ("dup_id", "ascending")])
+    jx = _jaccard_exact_pairs(sf_dir)
     fp = _fingerprints(sf_dir)
     return pa.table({
         "method": pa.array(["simhash"] * len(sh)
@@ -429,12 +453,7 @@ def _dedup_clusters(sf_dir: str):
 def _dedup_jaccard_exact(sf_dir: str):
     """Exact n-gram-Jaccard near-dup path (LSH candidates -> semi-join back
     to text -> exact Jaccard): must find exactly the injected pairs."""
-    from plugin_serdes_ray.pipelines.dedup import minhash_lsh_duplicates_exact
-
-    out = minhash_lsh_duplicates_exact(_dedup_oracle_corpus(sf_dir),
-                                       "text", "doc_id")
-    t = out.sort_by([("keep_id", "ascending"), ("dup_id", "ascending")])
-    return t
+    return _jaccard_exact_pairs(sf_dir)
 
 
 def _sample_documents(sf_dir: str):
@@ -2313,59 +2332,13 @@ def _semi_anti_orders(sf_dir: str):
 
 
 def _serde_step(tbl: pa.Table, d: str, fmt: str, schema) -> pa.Table:
-    """One write+read hop through a serde format, re-coerced to ``schema``
-    (the scalar-conversion layer every hop must survive)."""
+    """One hop of a serde chain: write tbl as fmt, read it back, coerce to
+    schema (the scalar-conversion layer every hop must survive). The
+    write/read dispatch is _serde_write_read, shared with the per-format
+    roundtrip queries."""
     from plugin_serdes_ray.functions.coerce import CoerceOptions, coerce_table
 
-    path = os.path.join(d, f"chain.{fmt}")
-    if fmt == "yaml":
-        from plugin_serdes_ray.sinks.yaml_ import table_to_yaml_bytes
-        from plugin_serdes_ray.sources.yaml_ import read_yaml_table
-        open(path, "wb").write(table_to_yaml_bytes(tbl))
-        back = read_yaml_table(path)
-    elif fmt == "xml":
-        from plugin_serdes_ray.sinks.xml_ import table_to_xml_bytes
-        from plugin_serdes_ray.sources.xml_ import read_xml_table
-        open(path, "wb").write(table_to_xml_bytes(tbl))
-        back = read_xml_table(path)
-    elif fmt == "toon":
-        from plugin_serdes_ray.functions import toon
-        text = toon.encode({"rows": tbl.to_pylist()})
-        open(path, "w").write(text)
-        back = pa.Table.from_pylist(toon.decode(text)["rows"])
-    elif fmt == "xlsx":
-        from plugin_serdes_ray.sinks.excel_ import tables_to_xlsx_bytes
-        from plugin_serdes_ray.sources.excel_ import read_excel_tables
-        open(path, "wb").write(tables_to_xlsx_bytes({"Sheet1": tbl}))
-        back = read_excel_tables(path)["Sheet1"]
-    elif fmt == "avro":
-        from plugin_serdes_ray.sinks.avro_ import table_to_avro_bytes
-        from plugin_serdes_ray.sources.avro_ import read_avro_table
-        open(path, "wb").write(table_to_avro_bytes(tbl))
-        back = read_avro_table(path)
-    elif fmt == "orc":
-        from plugin_serdes_ray.sinks.orc_ import table_to_orc_bytes
-        from plugin_serdes_ray.sources.orc_ import read_orc_table
-        open(path, "wb").write(table_to_orc_bytes(tbl))
-        back = read_orc_table(path)
-    elif fmt == "feather":
-        from plugin_serdes_ray.sinks.feather_ import table_to_feather_bytes
-        from plugin_serdes_ray.sources.feather_ import read_feather_table
-        open(path, "wb").write(table_to_feather_bytes(tbl))
-        back = read_feather_table(path)
-    elif fmt == "protobuf":
-        from plugin_serdes_ray.sources.protobuf_ import (
-            descriptor_set_for_schema, read_protobuf, serialize_protobuf,
-        )
-        desc = descriptor_set_for_schema(tbl.schema, message="Chain")
-        desc_path = path + ".desc"
-        open(desc_path, "wb").write(desc)
-        open(path, "wb").write(
-            serialize_protobuf(tbl.to_pylist(), desc, "t.Chain"))
-        back = pa.Table.from_pylist(
-            read_protobuf(path, desc_path, "t.Chain").take_all())
-    else:
-        raise ValueError(fmt)
+    back = _serde_write_read(tbl, os.path.join(d, f"chain.{fmt}"), fmt)
     return coerce_table(back, schema, CoerceOptions(on_bad_lines="ERROR"))
 
 
