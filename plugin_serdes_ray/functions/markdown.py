@@ -30,6 +30,22 @@ _BLOCK_TAGS = {"p", "div", "section", "article", "main", "header", "footer",
                "nav", "ul", "ol", "table", "tr", "blockquote", "pre", "br",
                "hr"} | set(_HEADINGS)
 
+# markdown specials interpreted by THIS package's md consumers; emission
+# escapes them, the consumers honor the escapes via a protect/restore pass
+_MD_INLINE_SPECIALS = re.compile(r"([\\*`\[\]])")
+_MD_ESCAPED = re.compile(r"\\([\\*`\[\]#>+-])")
+# U+E000 (private use) sentinel: original text containing U+E000 followed by
+# 4 hex digits would collide — acceptable for a test/extraction helper
+_MD_SENTINEL = re.compile("\ue000([0-9a-f]{4})")
+
+
+def _md_protect(text: str) -> str:
+    return _MD_ESCAPED.sub(lambda m: "\ue000%04x" % ord(m.group(1)), text)
+
+
+def _md_restore(text: str) -> str:
+    return _MD_SENTINEL.sub(lambda m: chr(int(m.group(1), 16)), text)
+
 
 class _Html2Md(HTMLParser):
     def __init__(self, ignore_tags: list[str], base_uri: Optional[str]):
@@ -124,15 +140,22 @@ class _Html2Md(HTMLParser):
             return
         if self.in_pre:
             self._emit(data)
-        else:
-            # entity-escape & and < on emission: markdown treats entities as
-            # live (markdown_to_text unescapes them), so raw text containing
-            # '&amp;' or '<' would be double-unescaped / parsed as markup
-            # downstream, breaking html -> md -> text byte identity. Other
-            # markdown specials (*, leading #) are NOT escaped — the subset
-            # renderer has no backslash-escape support (known limitation).
-            data = data.replace("&", "&amp;").replace("<", "&lt;")
-            self._emit(re.sub(r"\s+", " ", data))
+            return
+        # entity-escape & and < on emission: markdown treats entities as
+        # live (markdown_to_text unescapes them), so raw text containing
+        # '&amp;' or '<' would be double-unescaped / parsed as markup
+        # downstream, breaking html -> md -> text byte identity
+        data = data.replace("&", "&amp;").replace("<", "&lt;")
+        # backslash-escape the markdown specials this package's own md
+        # consumers interpret (commonmark-legal anywhere): inline specials
+        # everywhere, block starters only at a line start
+        data = _MD_INLINE_SPECIALS.sub(r"\\\1", data)
+        data = re.sub(r"\s+", " ", data)
+        buf = self.link_text if self.href is not None else self.out
+        tail = "".join(buf[-2:])
+        if not tail or tail.endswith("\n"):
+            data = re.sub(r"^( ?)([#>+]|-(?=[ \t]))", r"\1\\\2", data)
+        self._emit(data)
 
 
 def html_to_markdown(html: str, ignore_tags: Optional[list[str]] = None,
@@ -166,6 +189,9 @@ def markdown_to_html(md: str, escape_html: bool = False) -> str:
             para = []
 
     def _inline(s: str) -> str:
+        # backslash-escaped specials are literal text, not markup: protect
+        # them from the regexes below, restore the bare char at the end
+        s = _md_protect(s)
         if escape_html:
             s = escape(s)
         s = re.sub(r"!\[([^\]]*)\]\(([^)]*)\)", r'<img src="\2" alt="\1" />', s)
@@ -173,7 +199,7 @@ def markdown_to_html(md: str, escape_html: bool = False) -> str:
         s = re.sub(r"\*\*([^*]+)\*\*", r"<strong>\1</strong>", s)
         s = re.sub(r"\*([^*]+)\*", r"<em>\1</em>", s)
         s = re.sub(r"`([^`]+)`", r"<code>\1</code>", s)
-        return s
+        return _md_restore(s)
 
     for line in lines:
         if line.startswith("```"):
@@ -222,7 +248,12 @@ def markdown_to_html(md: str, escape_html: bool = False) -> str:
 def markdown_to_text(md: str) -> str:
     """Markdown -> plain text (MarkdownToText.java:114-165): link text w/o
     URL, '- ' list items preserved, soft breaks -> space, trailing trim."""
-    text = md
+    # protect backslash-escaped specials OUTSIDE code fences (backslash is
+    # literal inside code) so the structural regexes below treat them as
+    # plain text; restored after entity unescaping
+    parts = re.split(r"(```.*?```)", md, flags=re.S)
+    text = "".join(p if p.startswith("```") else _md_protect(p)
+                   for p in parts)
     text = re.sub(r"```.*?```", lambda m: re.sub(r"^```|```$", "", m.group(0),
                                                  flags=re.M).strip("`\n"),
                   text, flags=re.S)
@@ -234,6 +265,7 @@ def markdown_to_text(md: str) -> str:
     text = re.sub(r"`([^`]+)`", r"\1", text)
     text = re.sub(r"^\s*[-*]\s+", "- ", text, flags=re.M)
     text = unescape(text)
+    text = _md_restore(text)
     lines = [ln.rstrip() for ln in text.split("\n")]
     out: list[str] = []
     prev_blank = True

@@ -710,3 +710,24 @@ def test_html_md_text_entity_identity():
         got = " ".join(markdown.markdown_to_text(
             markdown.html_to_markdown(page)).split())
         assert got == " ".join(t.split()), t
+
+
+def test_html_md_text_markdown_specials_identity():
+    """Backslash-escape support: text containing markdown specials (*, `,
+    [], line-start #/-/>, literal backslashes) must survive html -> md ->
+    text byte-for-byte, while REAL markdown in the consumers still parses
+    and code blocks keep backslashes raw."""
+    import html as _html
+
+    for t in ["a *bold* claim", "code `x` tick", "brackets [1] (2)",
+              "back\\slash", "# not a heading", "- not a list", "> quoted",
+              "item #5 mid", "5 * 3 = 15", "**double**",
+              "mix *em* [l](u) `c` \\* done"]:
+        page = f"<html><body><article><p>{_html.escape(t)}</p></article></body></html>"
+        got = " ".join(markdown.markdown_to_text(
+            markdown.html_to_markdown(page)).split())
+        assert got == " ".join(t.split()), t
+    assert markdown.markdown_to_html(r"\*lit\*") == "<p>*lit*</p>"
+    assert markdown.markdown_to_text(r"\*lit\*") == "*lit*"
+    assert markdown.markdown_to_text("*em* `c` [t](u)") == "em c t"
+    assert markdown.markdown_to_text("```\nkeep \\* raw\n```") == "keep \\* raw"
