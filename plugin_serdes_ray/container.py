@@ -171,25 +171,27 @@ def _zone_stats(col: "pa.ChunkedArray | pa.Array"):
           or pa.types.is_time(typ) or pa.types.is_string(typ))
     if not ok or len(col) == 0 or col.null_count == len(col):
         return None
-    try:
-        mm = pc.min_max(col)
-        lo, hi = mm["min"].as_py(), mm["max"].as_py()
-    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
-        return None
-    if pa.types.is_string(typ):
-        if not isinstance(lo, str) or len(lo) > 64 or len(hi) > 64:
-            return None
-        return [lo, hi]
     if pa.types.is_timestamp(typ) or pa.types.is_date(typ) or pa.types.is_time(typ):
         # store temporals as int64 storage units (JSON-safe, order-preserving)
         # plus a tag that reconstructs the storage type, so predicate values
-        # can be converted into the SAME unit/tz at prune time
+        # can be converted into the SAME unit/tz at prune time. This branch
+        # must run BEFORE a generic as_py() — legal Arrow timestamps outside
+        # Python datetime's year range raise OverflowError when boxed
         c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         try:
             mmi = pc.min_max(c.cast(pa.int64()))
         except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
             return None
         return [mmi["min"].as_py(), mmi["max"].as_py(), temporal_type_tag(typ)]
+    try:
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid, OverflowError):
+        return None
+    if pa.types.is_string(typ):
+        if not isinstance(lo, str) or len(lo) > 64 or len(hi) > 64:
+            return None
+        return [lo, hi]
     return [lo, hi]
 
 

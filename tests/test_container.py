@@ -123,3 +123,70 @@ def test_empty_table_roundtrip(tmp_path):
     out = read_partition(path)
     assert out.num_rows == 0
     assert out.schema == t.schema
+
+
+# ---------------------------------------------------------------------------
+# property test: the FULL selector + container path (plan -> write -> read)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _gen_table(draw):
+    n = draw(st.integers(0, 60))
+    cols = {}
+    if draw(st.booleans()):
+        cols["i"] = pa.array(draw(st.lists(
+            st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            min_size=n, max_size=n)), type=pa.int64())
+    if draw(st.booleans()):
+        cols["f"] = pa.array(draw(st.lists(
+            st.one_of(st.none(),
+                      st.floats(allow_nan=True, allow_infinity=True)),
+            min_size=n, max_size=n)), type=pa.float64())
+    if draw(st.booleans()):
+        cols["s"] = pa.array(draw(st.lists(
+            st.one_of(st.none(), st.text(max_size=30)),
+            min_size=n, max_size=n)), type=pa.string())
+    if draw(st.booleans()):
+        cols["b"] = pa.array(draw(st.lists(
+            st.one_of(st.none(), st.binary(max_size=40)),
+            min_size=n, max_size=n)), type=pa.large_binary())
+    if not cols:   # at least one column so the table is writable
+        cols["ts"] = pa.array(draw(st.lists(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            min_size=n, max_size=n)), type=pa.timestamp("us"))
+    return pa.table(cols)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_gen_table())
+def test_prop_plan_container_roundtrip(tmp_path_factory, t):
+    """decode(encode(T)) == T through the REAL public path: sample-based
+    codec auto-selection (incl. the plain-fallback guard), chunked container
+    write with framed outer compression + CRC + temporal tags, zero-copy
+    read — for arbitrary generated tables incl. empties, all-null columns,
+    NaN/inf, giant ints, unicode, and binary."""
+    out = str(tmp_path_factory.mktemp("prop")) + "/p.grck"
+    plan = build_plan(t)
+    write_partition(t, out, plan.codecs, plan.context())
+    back = read_partition(out)
+    assert tables_equal(t, back)
+    # column pruning keeps identity per column
+    for name in t.column_names:
+        pruned = read_partition(out, [name])
+        assert tables_equal(t.select([name]), pruned)
+
+
+def test_zone_stats_timestamp_outside_datetime_range(tmp_path):
+    """Legal Arrow timestamps outside Python datetime's year range must not
+    crash the encode (found by the property test: as_py() on the generic
+    min/max path raised OverflowError before the int64 temporal branch)."""
+    t = pa.table({"ts": pa.array([-(2**62), 0, 2**62],
+                                 type=pa.timestamp("us"))})
+    plan = build_plan(t)
+    out = str(tmp_path / "x.grck")
+    m = write_partition(t, out, plan.codecs, plan.context())
+    assert m["stats"]["ts"][0] == -(2**62) and m["stats"]["ts"][1] == 2**62
+    assert tables_equal(t, read_partition(out))
