@@ -134,3 +134,77 @@ def test_prop_toon_roundtrip(value):
     from plugin_serdes_ray.functions import toon
 
     assert toon.decode(toon.encode(value)) == value
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=24)), max_size=30))
+def test_prop_jsonl_string_roundtrip(texts):
+    """JSONL is a lossless text container: arbitrary unicode strings (incl.
+    newlines, quotes, U+2028-class separators, control chars) round-trip
+    exactly through the sink+source pair."""
+    from plugin_serdes_ray.sinks.json_ import table_to_json_bytes
+    from plugin_serdes_ray.sources.json_ import parse_json_bytes
+
+    t = pa.table({"s": pa.array(texts, pa.string()),
+                  "i": pa.array(range(len(texts)), pa.int64())})
+    recs = parse_json_bytes(table_to_json_bytes(t))
+    assert [r["s"] for r in recs] == texts
+    assert [r["i"] for r in recs] == list(range(len(texts)))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=20)), max_size=25))
+def test_prop_csv_string_roundtrip(texts):
+    """CSV round-trip identity for strings OUTSIDE the designed-lossy set
+    (the reference's nullValues list maps '', 'NA', 'NaN', ... to null by
+    design; everything else — quotes, separators, unicode — must survive).
+    Newlines/CR are excluded: the reference's row-per-line model cannot
+    represent them."""
+    from hypothesis import assume
+
+    from plugin_serdes_ray.functions.coerce import (CoerceOptions,
+                                                     NULL_VALUES,
+                                                     coerce_table)
+    from plugin_serdes_ray.sinks.csv_ import table_to_csv_bytes
+    from plugin_serdes_ray.sources.csv_ import parse_csv_bytes
+
+    assume(all(v is None or (v not in NULL_VALUES
+                             and "\n" not in v and "\r" not in v
+                             and v == v.strip())
+               for v in texts))
+    # avoid all-null/empty tables (schema inference has nothing to go on)
+    assume(any(v for v in texts))
+    # pair with an always-present column: a row whose every cell is null
+    # writes an EMPTY LINE, which skip_empty_rows (reference semantics)
+    # drops by design — single-column all-null rows are designed-lossy
+    t = pa.table({"s": pa.array(texts, pa.string()),
+                  "i": pa.array(range(len(texts)), pa.int64())})
+    back = parse_csv_bytes(table_to_csv_bytes(t))
+    out = coerce_table(back, t.schema, CoerceOptions(on_bad_lines="ERROR"))
+    assert tables_equal(t, out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=20)), max_size=15))
+def test_prop_yaml_roundtrip(texts):
+    from plugin_serdes_ray.sinks.yaml_ import records_to_yaml
+    from plugin_serdes_ray.sources.yaml_ import parse_yaml_bytes
+
+    recs = [{"s": v, "i": i} for i, v in enumerate(texts)]
+    assert parse_yaml_bytes(records_to_yaml(recs).encode()) == recs
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=60))
+def test_prop_html_md_text_identity(t):
+    """Whitespace-collapsed byte identity of html -> markdown -> text for
+    ARBITRARY unicode payloads (property form of the escape-layer tests:
+    markdown specials, entities, brackets, backslashes all round-trip)."""
+    import html as _html
+
+    from plugin_serdes_ray.functions.markdown import (html_to_markdown,
+                                                      markdown_to_text)
+
+    page = f"<html><body><article><p>{_html.escape(t)}</p></article></body></html>"
+    got = " ".join(markdown_to_text(html_to_markdown(page)).split())
+    assert got == " ".join(t.split())
