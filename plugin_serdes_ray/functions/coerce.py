@@ -122,21 +122,26 @@ def to_int(arr: pa.Array, typ: pa.DataType = None,
         return _fail_mask(arr, out, opts, str(typ))
     s = pc.utf8_trim_whitespace(nullify(arr, opts))
     s = _replace_decimal_sep(s, opts)
-    pd_s = pd.to_numeric(s.to_pandas(), errors="coerce")
+    # nullable backend: the default float64 coercion would silently corrupt
+    # integers above 2^53 whenever the batch contains ANY null (int64 can't
+    # hold NaN) — found by the string-identity property test
+    pd_s = pd.to_numeric(s.to_pandas(), errors="coerce",
+                         dtype_backend="numpy_nullable")
     # integer coercion rejects fractional values (PrimitiveIntTest analog);
     # out-of-range values are policy-routed failures like the float path
     # above, never a TypeError/ArrowInvalid aborting the batch before the
     # policy applies
     pd_s = pd_s.where(pd_s % 1 == 0)
     if pd_s.dtype.kind == "u":
-        # to_numeric went uint64: >= one value above int64 max. Mask those
+        # to_numeric went UInt64: >= one value above int64 max. Mask those
         # via exact integer comparison (a float roundtrip would corrupt
         # legal values in (2^53, 2^63))
         import numpy as np
 
-        vals = pd_s.to_numpy()
+        na = pd_s.isna().to_numpy()
+        vals = pd_s.fillna(0).to_numpy(dtype="uint64")
         masked = pd.array(vals.astype(np.int64), dtype="Int64")
-        masked[vals > np.uint64(np.iinfo(np.int64).max)] = pd.NA
+        masked[na | (vals > np.uint64(np.iinfo(np.int64).max))] = pd.NA
         pd_s = pd.Series(masked, index=pd_s.index)
     elif pd_s.dtype.kind == "f":
         # floats beyond int64's range (exact power-of-two bounds) fail
@@ -241,12 +246,22 @@ def to_timestamp(arr: pa.Array, unit: str = "ms", tz: Optional[str] = None,
                             errors="coerce", utc=False)
     if parsed.dt.tz is None:
         parsed = parsed.dt.tz_localize(opts.timezone)
-    epoch = pd.to_datetime(
-        pd.to_numeric(pd_str.where(numeric), errors="coerce"),
-        unit="ms", utc=True)
-    combined = parsed.dt.tz_convert("UTC").fillna(epoch)
-    out = pa.array(combined.dt.tz_localize(None), type=pa.timestamp("ns")).cast(
-        pa.timestamp(unit)).cast(typ)
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    parsed_ns = pa.array(parsed.dt.tz_convert("UTC").dt.tz_localize(None),
+                         type=pa.timestamp("ns")).cast(pa.int64())
+    parsed_t = parsed_ns if per_sec == 10**9 else \
+        pc.divide(parsed_ns, pa.scalar(10**9 // per_sec, pa.int64()))
+    # epoch-millis strings via EXACT integer arithmetic: routing them
+    # through pandas ns datetimes both crashed on values outside the
+    # [1677, 2262] ns window (while the integer input path handled them)
+    # and was the only float hop left in the fast path
+    ms = pa.Array.from_pandas(
+        pd.to_numeric(pd_str.where(numeric), errors="coerce",
+                      dtype_backend="numpy_nullable"), type=pa.int64())
+    num_t = ms if per_sec == 10**3 else (
+        pc.multiply(ms, pa.scalar(per_sec // 10**3, pa.int64()))
+        if per_sec > 10**3 else pc.divide(ms, pa.scalar(10**3, pa.int64())))
+    out = pc.coalesce(parsed_t, num_t).cast(pa.timestamp(unit)).cast(typ)
     return _fail_mask(s, out, opts, f"timestamp[{unit}]")
 
 

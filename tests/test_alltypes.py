@@ -208,3 +208,61 @@ def test_prop_html_md_text_identity(t):
     page = f"<html><body><article><p>{_html.escape(t)}</p></article></body></html>"
     got = " ".join(markdown_to_text(html_to_markdown(page)).split())
     assert got == " ".join(t.split())
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+                max_size=40))
+def test_prop_coerce_int_string_identity(vals):
+    """to_int(str(v)) == v for every representable int64 (the string path
+    must not lose precision through its pandas hop)."""
+    from plugin_serdes_ray.functions.coerce import to_int
+
+    s = pa.array([None if v is None else str(v) for v in vals], pa.string())
+    out = to_int(s, pa.int64())
+    assert out.to_pylist() == vals
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(-(2**52), 2**52)),   # epoch ms range
+                max_size=30))
+def test_prop_coerce_timestamp_int_string_parity(vals):
+    """Integer epoch-millis and their string forms coerce to the SAME
+    timestamps for every unit."""
+    from plugin_serdes_ray.functions.coerce import to_timestamp
+
+    ints = pa.array(vals, pa.int64())
+    strs = pa.array([None if v is None else str(v) for v in vals],
+                    pa.string())
+    for unit in ("ms", "us"):
+        a = to_timestamp(ints, unit=unit)
+        b = to_timestamp(strs, unit=unit)
+        # compare as int64 storage: to_pylist() boxes through Python
+        # datetime, which cannot represent years < 1 / > 9999
+        assert a.cast(pa.int64()).to_pylist() == \
+            b.cast(pa.int64()).to_pylist(), unit
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.fixed_dictionaries({
+        "i": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+        "s": st.one_of(st.none(), st.text(max_size=16)),
+        "b": st.one_of(st.none(), st.binary(max_size=12)),
+        "f": st.one_of(st.none(), st.floats(allow_nan=False,
+                                            allow_infinity=False)),
+    }), max_size=20))
+def test_prop_avro_container_roundtrip(records):
+    """write_container/read_container identity for generated records over a
+    nullable-union schema (ints, unicode strings, bytes, doubles)."""
+    from plugin_serdes_ray.functions import avroio
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": ["null", "int"]},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "b", "type": ["null", "bytes"]},
+        {"name": "f", "type": ["null", "double"]},
+    ]}
+    _, out = avroio.read_container(avroio.write_container(records, schema))
+    assert out == records
