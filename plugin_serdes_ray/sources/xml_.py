@@ -145,7 +145,26 @@ def iter_xml_query(source, opts: XmlOptions, batch_records: int = 1024,
 def _records_to_table(records: list[Any]) -> pa.Table:
     if records and not isinstance(records[0], dict):
         records = [{"value": r} for r in records]
-    return pa.Table.from_pylist(records)
+    try:
+        return pa.Table.from_pylist(records)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # per-cell scalar typing (org.json convention) can infer MIXED types
+        # within one column ("0" -> int, ":" -> str); the reference's
+        # schemaless ION rows tolerate that, an Arrow column cannot —
+        # stringify the offending columns instead of crashing the read
+        keys: list[str] = []
+        for r in records:
+            keys += [k for k in r if k not in keys]
+        cols: dict[str, list] = {k: [r.get(k) for r in records] for k in keys}
+        arrays = {}
+        for k, vals in cols.items():
+            try:
+                arrays[k] = pa.array(vals)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                arrays[k] = pa.array(
+                    [None if v is None else str(v) for v in vals],
+                    type=pa.string())
+        return pa.table(arrays)
 
 
 def read_xml(paths: list[str] | str, opts: Optional[XmlOptions] = None,
@@ -183,5 +202,20 @@ def read_xml(paths: list[str] | str, opts: Optional[XmlOptions] = None,
 
 
 def read_xml_table(path: str, opts: Optional[XmlOptions] = None) -> pa.Table:
+    """Table-level XML read. Unlike the generic :func:`parse_xml_bytes`
+    (reference-faithful: the root-array unwrap needs >= 2 rows, a single
+    nested element is ambiguous — same as org.json's XML.toJSONObject),
+    this reader KNOWS the document is a table, so the 1-row shape
+    ``{root: {row: {...}}}`` unwraps to one record and an empty root to
+    zero records."""
     with open(path, "rb") as f:
-        return _records_to_table(parse_xml_bytes(f.read(), opts))
+        recs = parse_xml_bytes(f.read(), opts)
+    if len(recs) == 1 and isinstance(recs[0], dict) and len(recs[0]) == 1:
+        (inner,) = recs[0].values()
+        if inner is None:                      # <items/> — empty table
+            return pa.table({})
+        if isinstance(inner, dict) and len(inner) == 1:
+            (row,) = inner.values()
+            if isinstance(row, dict):          # single <item> — one row
+                recs = [row]
+    return _records_to_table(recs)

@@ -266,3 +266,78 @@ def test_prop_avro_container_roundtrip(records):
     ]}
     _, out = avroio.read_container(avroio.write_container(records, schema))
     assert out == records
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=20)), max_size=12))
+def test_prop_xml_table_roundtrip(texts):
+    """Table-level XML write/read identity — including 0- and 1-row tables
+    (the generic parse is reference-faithfully ambiguous there; the table
+    reader unwraps by shape) — for arbitrary text EXCEPT control chars
+    (illegal in XML 1.0) and whitespace-only values (text nodes strip)."""
+    import tempfile
+
+    from hypothesis import assume
+
+    from plugin_serdes_ray.sinks.xml_ import table_to_xml_bytes
+    from plugin_serdes_ray.sources.xml_ import read_xml_table
+
+    def xml_ok(v):
+        return v is None or (
+            v.strip() == v and v != "" and
+            all(c >= " " or c == "\t" for c in v))
+
+    assume(all(xml_ok(v) for v in texts))
+    t = pa.table({"s": pa.array(texts, pa.string()),
+                  "i": pa.array(range(len(texts)), pa.int64())})
+    with tempfile.NamedTemporaryFile(suffix=".xml") as f:
+        f.write(table_to_xml_bytes(t))
+        f.flush()
+        got = read_xml_table(f.name)
+    assert got.num_rows == len(texts)
+    if len(texts):
+        # leaf text is type-inferred; compare stringified, None for null
+        gs = got.column("s").to_pylist()
+        assert [None if v is None else str(v) for v in gs] == texts
+        assert [int(v) for v in got.column("i").to_pylist()] == \
+            list(range(len(texts)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=16)), max_size=10),
+       st.lists(st.one_of(st.none(),
+                          st.integers(-(2**52), 2**52),
+                          st.floats(allow_nan=False, allow_infinity=False,
+                                    width=32)),
+                max_size=10))
+def test_prop_xlsx_roundtrip(texts, nums):
+    """xlsx write/read identity: shared-string escaping, typed numeric
+    cells, and nulls for arbitrary payloads (strings keep their type even
+    when they look numeric — cells are typed, unlike CSV)."""
+    from hypothesis import assume
+
+    from plugin_serdes_ray.sinks.excel_ import tables_to_xlsx_bytes
+    from plugin_serdes_ray.sources.excel_ import read_xlsx_bytes
+
+    n = min(len(texts), len(nums))
+    texts, nums = texts[:n], nums[:n]
+    # xlsx shared strings trim nothing, but control chars are illegal in
+    # the underlying XML (designed-lossy, same as the XML sink)
+    assume(all(v is None or all(c >= " " or c in "\t" for c in v)
+               for v in texts))
+    assume(any(v is not None for v in texts) or n == 0)
+    # an all-null row writes an EMPTY sheet row, which skip_empty_rows
+    # (reference semantics) drops by design — keep one always-present
+    # column so every row is observable
+    t = pa.table({"s": pa.array(texts, pa.string()),
+                  "x": pa.array(nums, pa.float64()),
+                  "k": pa.array(range(len(texts)), pa.int64())})
+    got = read_xlsx_bytes(tables_to_xlsx_bytes({"S": t}))["S"]
+    assert got.column("k").to_pylist() == list(range(len(texts)))
+    assert [None if v is None else str(v)
+            for v in got.column("s").to_pylist()] == texts
+    for want, g in zip(nums, got.column("x").to_pylist()):
+        if want is None:
+            assert g is None
+        else:
+            assert g is not None and float(g) == float(want)
