@@ -8,6 +8,7 @@ length-delimited stream framing (:185-194), unknown-field policy
 
 from __future__ import annotations
 
+import base64
 from typing import Any, Optional
 
 import pyarrow as pa
@@ -112,6 +113,8 @@ def parse_protobuf_bytes(data: bytes, descriptor_set: bytes, type_name: str,
             messages.append(chunk)
     else:
         messages = [data]
+    bytes_fields = [f.name for f in cls.DESCRIPTOR.fields
+                    if f.type == f.TYPE_BYTES]
     out: list[dict] = []
     for i, chunk in enumerate(messages):
         try:
@@ -119,7 +122,14 @@ def parse_protobuf_bytes(data: bytes, descriptor_set: bytes, type_name: str,
             msg.ParseFromString(chunk)
             if error_on_unknown_fields and msg.UnknownFields():
                 raise ValueError(f"unknown fields in message {i}")
-            out.append(MessageToDict(msg, preserving_proto_field_name=True))
+            rec = MessageToDict(msg, preserving_proto_field_name=True)
+            # ProtoJSON renders bytes fields as base64 STRINGS — return the
+            # actual bytes so records carry the original payload
+            for name in bytes_fields:
+                v = rec.get(name)
+                if isinstance(v, str):
+                    rec[name] = base64.b64decode(v)
+            out.append(rec)
         except Exception as e:
             handle_bad(on_bad_lines, f"protobuf message {i}: {e}")
     return out
@@ -131,8 +141,18 @@ def serialize_protobuf(records: list[dict], descriptor_set: bytes,
     from google.protobuf.json_format import ParseDict
 
     cls = _message_class(descriptor_set, type_name)
+    bytes_fields = {f.name for f in cls.DESCRIPTOR.fields
+                    if f.type == f.TYPE_BYTES}
     chunks = []
     for r in records:
+        if bytes_fields:
+            # ProtoJSON expects bytes fields as base64 strings; raw bytes
+            # only parsed when they HAPPENED to be valid base64 (and were
+            # then silently decoded into different bytes)
+            r = {k: (base64.b64encode(bytes(v)).decode()
+                     if k in bytes_fields and isinstance(v, (bytes, bytearray))
+                     else v)
+                 for k, v in r.items()}
         msg = ParseDict(r, cls())
         payload = msg.SerializeToString()
         if length_delimited:

@@ -341,3 +341,72 @@ def test_prop_xlsx_roundtrip(texts, nums):
             assert g is None
         else:
             assert g is not None and float(g) == float(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=16), min_size=1, max_size=12),
+       st.sampled_from([",", ";", "|", "\t"]),
+       st.sampled_from(["ALWAYS", "REQUIRED", "NON_NUMERIC"]))
+def test_prop_csv_dialect_matrix(texts, sep, quote_mode):
+    """CSV identity across separators x quote modes for text containing
+    the separator/quote chars themselves (outside the designed-lossy set:
+    nullValues, embedded newlines, NON_NUMERIC's numeric-looking strings
+    which are intentionally written unquoted and re-typed)."""
+    from hypothesis import assume
+
+    from plugin_serdes_ray.functions.coerce import (CoerceOptions,
+                                                    NULL_VALUES,
+                                                    coerce_table)
+    from plugin_serdes_ray.sinks.csv_ import (CsvWriteOptions,
+                                              table_to_csv_bytes)
+    from plugin_serdes_ray.sources.csv_ import CsvOptions, parse_csv_bytes
+
+    def losslessly_csv(v):
+        if v in NULL_VALUES or v != v.strip():
+            return False
+        if "\n" in v or "\r" in v:
+            return False
+        if quote_mode == "NON_NUMERIC":
+            # numeric-looking strings are written unquoted by design
+            body = v[1:] if v[:1] in "+-" else v
+            if body and body.replace(".", "", 1).isdigit():
+                return False
+        return True
+
+    assume(all(losslessly_csv(v) for v in texts))
+    t = pa.table({"s": pa.array(texts, pa.string()),
+                  "i": pa.array(range(len(texts)), pa.int64())})
+    blob = table_to_csv_bytes(t, CsvWriteOptions(field_separator=sep,
+                                                 quote_mode=quote_mode))
+    back = parse_csv_bytes(blob, CsvOptions(field_separator=sep))
+    out = coerce_table(back, t.schema, CoerceOptions(on_bad_lines="ERROR"))
+    assert tables_equal(t, out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.fixed_dictionaries({
+        "i": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        "s": st.one_of(st.none(), st.text(max_size=16)),
+        "b": st.one_of(st.none(), st.binary(max_size=12)),
+    }), max_size=15))
+def test_prop_protobuf_roundtrip(records):
+    """Length-delimited protobuf stream roundtrip for generated records
+    (proto2 explicit presence: zeros and None both survive)."""
+    from plugin_serdes_ray.sources.protobuf_ import (
+        descriptor_set_for_schema, parse_protobuf_bytes, serialize_protobuf,
+    )
+
+    schema = pa.schema([pa.field("i", pa.int64()),
+                        pa.field("s", pa.string()),
+                        pa.field("b", pa.binary())])
+    dset = descriptor_set_for_schema(schema, message="M", package="t")
+    blob = serialize_protobuf(records, dset, "t.M")
+    out = parse_protobuf_bytes(blob, dset, "t.M")
+    assert len(out) == len(records)
+    for want, got in zip(records, out):
+        for k in ("i", "s", "b"):
+            g = got.get(k)
+            if k == "i" and g is not None:
+                g = int(g)
+            assert g == want[k], (k, want, got)
