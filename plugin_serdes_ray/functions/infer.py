@@ -77,8 +77,36 @@ def infer_value(v: Any) -> dict:
 _NUM_ORDER = {"int": 0, "long": 1, "double": 2}
 
 
+def _branch_class(t: dict):
+    """Union-branch compatibility class: branches in the same class merge
+    into one (numeric prims widen, records field-merge, arrays item-merge);
+    different classes coexist as separate union branches."""
+    if t["kind"] == "prim" and t["name"] in _NUM_ORDER:
+        return ("num",)
+    if t["kind"] == "prim":
+        return ("prim", t["name"])
+    return (t["kind"],)
+
+
+def _union_fold(options: list[dict], t: dict) -> list[dict]:
+    key = _branch_class(t)
+    out, merged = [], False
+    for o in options:
+        if not merged and _branch_class(o) == key:
+            o = merge_types(o, t)
+            o = dict(o, nullable=False)   # nullability lives on the union
+            merged = True
+        out.append(o)
+    if not merged:
+        out.append(dict(t, nullable=False))
+    return out
+
+
 def merge_types(a: dict, b: dict) -> dict:
-    """Associative, commutative merge of two inferred types."""
+    """Associative, commutative merge of two inferred types. Irreconcilable
+    kinds form a true multi-branch UNION (InferAvroSchema.java:201-271's
+    union-merge), not a stringly fallback — the avro writer/reader resolve
+    branches per value, so mixed-type fields round-trip exactly."""
     if a["kind"] == "null":
         out = dict(b)
         out["nullable"] = True
@@ -88,13 +116,26 @@ def merge_types(a: dict, b: dict) -> dict:
         out["nullable"] = True
         return out
     nullable = a.get("nullable", False) or b.get("nullable", False)
+    if a["kind"] == "union" or b["kind"] == "union":
+        opts = [dict(o, nullable=False) for o in a["options"]] \
+            if a["kind"] == "union" else [dict(a, nullable=False)]
+        more = list(b["options"]) if b["kind"] == "union" \
+            else [dict(b, nullable=False)]
+        for t in more:
+            opts = _union_fold(opts, t)
+        if len(opts) == 1:
+            return dict(opts[0], nullable=nullable)
+        return {"kind": "union", "options": opts, "nullable": nullable}
     if a["kind"] == "prim" and b["kind"] == "prim":
         if a["name"] == b["name"]:
             out = _prim(a["name"])
         elif a["name"] in _NUM_ORDER and b["name"] in _NUM_ORDER:
             out = _prim(max(a["name"], b["name"], key=_NUM_ORDER.get))
         else:
-            out = _prim("string")  # irreconcilable -> string (lossy fallback)
+            return {"kind": "union",
+                    "options": [dict(a, nullable=False),
+                                dict(b, nullable=False)],
+                    "nullable": nullable}
         out["nullable"] = nullable
         return out
     if a["kind"] == "record" and b["kind"] == "record":
@@ -116,9 +157,10 @@ def merge_types(a: dict, b: dict) -> dict:
     if a["kind"] == "array" and b["kind"] == "array":
         return {"kind": "array", "item": merge_types(a["item"], b["item"]),
                 "nullable": nullable}
-    out = _prim("string")
-    out["nullable"] = True
-    return out
+    # cross-kind (record vs prim, array vs record, ...) -> two-branch union
+    return {"kind": "union",
+            "options": [dict(a, nullable=False), dict(b, nullable=False)],
+            "nullable": nullable}
 
 
 def infer_rows(rows: Iterable[Any], number_of_rows_to_scan: int = 100,
@@ -161,6 +203,10 @@ def to_arrow(t: dict) -> pa.DataType:
         ])
     if t["kind"] == "array":
         return pa.list_(to_arrow(t["item"]))
+    if t["kind"] == "union":
+        # Arrow projection of a mixed-type field: string (Arrow unions are
+        # not supported by the coercion layer; the AVRO path keeps branches)
+        return pa.string()
     raise TypeError(t)
 
 
@@ -201,6 +247,14 @@ def to_avro(t: dict, name_hint: str = "root") -> Any:
         }
     elif t["kind"] == "array":
         base = {"type": "array", "items": to_avro(t["item"], f"{name_hint}_item")}
+    elif t["kind"] == "union":
+        # options are never unions themselves (merge invariant), and the
+        # branch-class fold keeps them type-distinct — both Avro union rules
+        base = [to_avro(o, f"{name_hint}_u{i}")
+                for i, o in enumerate(t["options"])]
+        if t.get("nullable"):
+            return ["null", *base]
+        return base
     else:
         raise TypeError(t)
     if t.get("nullable"):

@@ -410,3 +410,30 @@ def test_prop_protobuf_roundtrip(records):
             if k == "i" and g is not None:
                 g = int(g)
             assert g == want[k], (k, want, got)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.fixed_dictionaries({
+        "a": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        "b": st.one_of(st.none(), st.text(max_size=12)),
+        "c": st.one_of(st.none(), st.booleans()),
+        # a genuinely UNION-typed field (long | string across rows)
+        "u": st.one_of(st.none(), st.integers(-(2**31), 2**31),
+                       st.text(max_size=8)),
+    }), max_size=15))
+def test_prop_infer_then_avro_roundtrip(rows):
+    """Composition property: schema INFERENCE over arbitrary rows (incl. a
+    field whose type varies row to row -> union merge) must produce a
+    schema the avro container writer accepts, and the written records must
+    read back exactly."""
+    from plugin_serdes_ray.functions import avroio
+    from plugin_serdes_ray.functions.infer import infer_rows, to_avro
+
+    root = infer_rows(rows, infer_all_fields=True)
+    schema = to_avro(root, "root")
+    if isinstance(schema, list):
+        schema = next(s for s in schema if s != "null")
+    blob = avroio.write_container(rows, schema)
+    _, out = avroio.read_container(blob)
+    assert out == rows
