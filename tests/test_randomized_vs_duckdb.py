@@ -111,3 +111,141 @@ def test_random_quantiles_vs_duckdb(ray_session):
                 f"SELECT quantile_cont(x, {q}) FROM t").fetchone()[0]
             assert disc[q] == wd, (seed, q)
             assert cont[q] == pytest.approx(float(wc)), (seed, q)
+
+
+def test_random_rollup_null_keys_vs_duckdb(ray_session):
+    """ROLLUP over keys CONTAINING NULLS: count(*) must include null-key
+    rows at every level (ADVICE r4: only null-free fixtures were covered)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import rollup_aggregate
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 150))
+        a = rng.integers(0, 3, n).astype(object)
+        b = rng.integers(0, 3, n).astype(object)
+        a[rng.random(n) < 0.2] = None
+        b[rng.random(n) < 0.2] = None
+        t = pa.table({"a": pa.array(list(a), type=pa.int64()),
+                      "b": pa.array(list(b), type=pa.int64()),
+                      "v": pa.array(rng.integers(0, 100, n),
+                                    type=pa.int64())})
+        got = rollup_aggregate(ray.data.from_arrow(t).repartition(3),
+                               ["a", "b"], sum_cols=["v"]).take_all()
+        con.register("t", t)
+        want = con.execute("""
+            SELECT a, b, sum(v) AS sum_v, count(*) AS n,
+                   grouping(a) AS ga, grouping(b) AS gb
+            FROM t GROUP BY ROLLUP(a, b)""").arrow().to_pylist()
+        # a real NULL key and a rolled-up level are distinguished by the
+        # grouping markers; compare on the common shape
+        gset = _sorted_rows(got, ["a", "b", "sum_v", "n"])
+        wset = _sorted_rows(
+            [{"a": r["a"], "b": r["b"], "sum_v": r["sum_v"], "n": r["n"]}
+             for r in want], ["a", "b", "sum_v", "n"])
+        assert gset == wset, seed
+
+
+def test_random_grouped_means_null_values_vs_duckdb(ray_session):
+    """AVG semantics with null VALUES (contribute to neither sum nor
+    denominator) and null KEYS, vs DuckDB."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 150))
+        k = rng.integers(0, 4, n).astype(object)
+        v = rng.integers(0, 100, n).astype(object)
+        k[rng.random(n) < 0.2] = None
+        v[rng.random(n) < 0.3] = None
+        t = pa.table({"k": pa.array(list(k), type=pa.int64()),
+                      "v": pa.array(list(v), type=pa.int64())})
+        got = grouped_aggregate(ray.data.from_arrow(t).repartition(3),
+                                ["k"], sum_cols=["v"],
+                                mean_cols=["v"]).take_all()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT k, sum(v) AS sum_v, count(*) AS n, avg(v) AS mean_v "
+            "FROM t GROUP BY k").arrow().to_pylist()
+        g = {r["k"]: (r["sum_v"], r["n"], r["mean_v"]) for r in got}
+        w = {r["k"]: (r["sum_v"], r["n"],
+                      None if r["mean_v"] is None else float(r["mean_v"]))
+             for r in want}
+        assert set(g) == set(w), seed
+        for key in w:
+            assert g[key][0] == w[key][0], (seed, key)
+            assert g[key][1] == w[key][1], (seed, key)
+            gm, wm = g[key][2], w[key][2]
+            assert (gm is None) == (wm is None), (seed, key)
+            if gm is not None:
+                assert gm == pytest.approx(wm), (seed, key)
+
+
+def test_random_semi_anti_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import semi_join
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        lt = _rand_table(rng, int(rng.integers(1, 100)), 12)
+        rt = _rand_table(rng, int(rng.integers(1, 100)), 12)
+        con.register("l", lt)
+        con.register("r", rt)
+        got_s = semi_join(ray.data.from_arrow(lt).repartition(3),
+                          ray.data.from_arrow(rt).repartition(3),
+                          "k").take_all()
+        want_s = con.execute(
+            "SELECT * FROM l WHERE EXISTS "
+            "(SELECT 1 FROM r WHERE r.k = l.k)").arrow().to_pylist()
+        assert _sorted_rows(got_s, ["k", "v"]) == \
+            _sorted_rows(want_s, ["k", "v"]), ("semi", seed)
+        got_a = semi_join(ray.data.from_arrow(lt).repartition(3),
+                          ray.data.from_arrow(rt).repartition(3),
+                          "k", anti=True).take_all()
+        want_a = con.execute(
+            "SELECT * FROM l WHERE NOT EXISTS "
+            "(SELECT 1 FROM r WHERE r.k = l.k)").arrow().to_pylist()
+        assert _sorted_rows(got_a, ["k", "v"]) == \
+            _sorted_rows(want_a, ["k", "v"]), ("anti", seed)
+
+
+def test_random_asof_join_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import asof_join
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        nl, nr = int(rng.integers(1, 80)), int(rng.integers(1, 80))
+        lt = pa.table({
+            "u": pa.array(rng.integers(0, 4, nl), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 50, nl), type=pa.int64()),
+            "lv": pa.array(np.arange(nl), type=pa.int64())})
+        rt = pa.table({
+            "u": pa.array(rng.integers(0, 4, nr), type=pa.int64()),
+            # UNIQUE (u, ts) on the right: SQL ASOF is otherwise
+            # nondeterministic about which tied row wins
+            "ts": pa.array(rng.permutation(np.arange(nr)) % 50,
+                           type=pa.int64()),
+            "rv": pa.array(np.arange(nr), type=pa.int64())})
+        rt = pa.Table.from_pylist(
+            list({(r["u"], r["ts"]): r for r in rt.to_pylist()}.values()))
+        for jt, sql in (("inner", "ASOF JOIN"), ("left", "ASOF LEFT JOIN")):
+            got = asof_join(ray.data.from_arrow(lt).repartition(3),
+                            ray.data.from_arrow(rt).repartition(3),
+                            on="ts", by="u", join_type=jt).take_all()
+            con.register("l", lt)
+            con.register("r", rt)
+            want = con.execute(
+                f"SELECT l.u, l.ts, l.lv, r.rv FROM l {sql} r "
+                f"ON l.u = r.u AND l.ts >= r.ts").arrow().to_pylist()
+            assert _sorted_rows(got, ["u", "ts", "lv", "rv"]) == \
+                _sorted_rows(want, ["u", "ts", "lv", "rv"]), (jt, seed)
