@@ -249,3 +249,113 @@ def test_random_asof_join_vs_duckdb(ray_session):
                 f"ON l.u = r.u AND l.ts >= r.ts").arrow().to_pylist()
             assert _sorted_rows(got, ["u", "ts", "lv", "rv"]) == \
                 _sorted_rows(want, ["u", "ts", "lv", "rv"]), (jt, seed)
+
+
+def test_random_set_ops_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import set_op
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        lt = _rand_table(rng, int(rng.integers(1, 80)), 5)
+        rt = _rand_table(rng, int(rng.integers(1, 80)), 5)
+        # shrink the value domain so row-level overlaps actually occur
+        lt = lt.set_column(1, "v", pa.array(
+            np.asarray(lt.column("v")) % 3, type=pa.int64()))
+        rt = rt.set_column(1, "v", pa.array(
+            np.asarray(rt.column("v")) % 3, type=pa.int64()))
+        con.register("l", lt)
+        con.register("r", rt)
+        for op, sql in (("union", "UNION"), ("except", "EXCEPT"),
+                        ("intersect", "INTERSECT")):
+            got = set_op(ray.data.from_arrow(lt).repartition(3),
+                         ray.data.from_arrow(rt).repartition(3),
+                         op).take_all()
+            want = con.execute(
+                f"SELECT * FROM l {sql} SELECT * FROM r").arrow().to_pylist()
+            assert _sorted_rows(got, ["k", "v"]) == \
+                _sorted_rows(want, ["k", "v"]), (op, seed)
+
+
+def test_random_string_agg_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import string_agg
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 100))
+        k = rng.integers(0, 4, n)
+        s = np.array([f"w{int(x)}" for x in rng.integers(0, 9, n)],
+                     dtype=object)
+        s[rng.random(n) < 0.2] = None
+        t = pa.table({"k": pa.array(k, type=pa.int64()),
+                      "s": pa.array(list(s), type=pa.string()),
+                      "o": pa.array(np.arange(n), type=pa.int64())})
+        got = string_agg(ray.data.from_arrow(t).repartition(3),
+                         "k", "s", sep="|", order_by="o").take_all()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT k, string_agg(s, '|' ORDER BY o) AS agg "
+            "FROM t GROUP BY k").arrow().to_pylist()
+        assert {r["k"]: r["agg"] for r in got} == \
+            {r["k"]: r["agg"] for r in want}, seed
+
+
+def test_random_grouped_top_k_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_top_k
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 120))
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 4, n), type=pa.int64()),
+            "x": pa.array(rng.integers(0, 6, n), type=pa.int64()),
+            "id": pa.array(np.arange(n), type=pa.int64()),  # unique tiebreak
+        })
+        got = grouped_top_k(ray.data.from_arrow(t).repartition(3),
+                            "k", "x", k=3, tiebreak="id").take_all()
+        con.register("t", t)
+        want = con.execute("""
+            SELECT k, x, id FROM t QUALIFY
+            row_number() OVER (PARTITION BY k ORDER BY x DESC, id) <= 3
+        """).arrow().to_pylist()
+        assert _sorted_rows(got, ["k", "x", "id"]) == \
+            _sorted_rows(want, ["k", "x", "id"]), seed
+
+
+def test_random_pivot_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import pivot_aggregate
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 120))
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 4, n), type=pa.int64()),
+            "p": pa.array([f"c{int(x)}" for x in rng.integers(0, 3, n)],
+                          type=pa.string()),
+            "v": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+        })
+        got = pivot_aggregate(ray.data.from_arrow(t).repartition(3),
+                              "k", "p", ["c0", "c1", "c2"], "v").take_all()
+        con.register("t", t)
+        want = con.execute("""
+            SELECT k,
+                   sum(v) FILTER (p = 'c0') AS c0,
+                   sum(v) FILTER (p = 'c1') AS c1,
+                   sum(v) FILTER (p = 'c2') AS c2
+            FROM t GROUP BY k""").arrow().to_pylist()
+        g = {r["k"]: (r.get("v_c0"), r.get("v_c1"), r.get("v_c2"))
+             for r in got}
+        w = {r["k"]: tuple(None if r[c] is None else int(r[c])
+                           for c in ("c0", "c1", "c2")) for r in want}
+        assert g == w, seed
