@@ -1655,12 +1655,16 @@ def _window_orders(sf_dir: str):
         specs={"rn": ("row_number",),
                "rnk": ("rank", "o_totalprice"),
                "prev_price": ("lag", "o_totalprice", 1),
-               "cum_price": ("cumsum", "o_totalprice")})
+               "cum_price": ("cumsum", "o_totalprice"),
+               "pct_rnk": ("percent_rank", "o_totalprice"),
+               "cume": ("cume_dist", "o_totalprice"),
+               "sum3": ("moving_sum", "o_totalprice", 3)})
     rows = out.take_all()
-    # cum_price rounds to cents on BOTH sides: numpy's sequential cumsum and
-    # DuckDB's window aggregation order differ in the last ulp (~1e-9 on
-    # multi-million sums); the true sum is an exact multiple of 0.01, so a
-    # 2-decimal round is boundary-safe
+    # cum_price / sum3 round to cents on BOTH sides: numpy's sequential
+    # cumsum and DuckDB's window aggregation order differ in the last ulp
+    # (~1e-9 on multi-million sums); the true sum is an exact multiple of
+    # 0.01, so a 2-decimal round is boundary-safe. pct_rnk / cume are the
+    # same single IEEE division on both sides — bit-equal, no rounding.
     return pa.table({
         "o_orderkey": pa.array([r["o_orderkey"] for r in rows], type=pa.int64()),
         "rn": pa.array([r["rn"] for r in rows], type=pa.int64()),
@@ -1669,6 +1673,11 @@ def _window_orders(sf_dir: str):
         "cum_price": pa.array([None if r["cum_price"] is None
                                else round(r["cum_price"], 2) for r in rows],
                               type=pa.float64()),
+        "pct_rnk": pa.array([r["pct_rnk"] for r in rows], type=pa.float64()),
+        "cume": pa.array([r["cume"] for r in rows], type=pa.float64()),
+        "sum3": pa.array([None if r["sum3"] is None
+                          else round(r["sum3"], 2) for r in rows],
+                         type=pa.float64()),
     })
 
 
@@ -1690,18 +1699,24 @@ def _rollup_lineitem(sf_dir: str):
 
 
 def _pivot_lineitem(sf_dir: str):
-    """Known-value pivot: SUM(l_quantity) per returnflag split by
-    linestatus columns, pre-aggregated per block before one shuffle."""
-    from plugin_serdes_ray.pipelines.relational import pivot_aggregate
+    """Pivot + unpivot chained: SUM(l_quantity) per returnflag split by
+    linestatus columns (pre-aggregated per block before one shuffle), then
+    relational.unpivot melts the wide result back to long (key, name,
+    value) — a broken hop in EITHER direction breaks the hash (the long
+    rows carry exactly the wide cells, one per (key, column name))."""
+    from plugin_serdes_ray.pipelines.relational import (pivot_aggregate,
+                                                        unpivot)
 
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_returnflag", "l_linestatus", "l_quantity"])
-    rows = pivot_aggregate(li, "l_returnflag", "l_linestatus", ["O", "F"],
-                           "l_quantity").take_all()
+    wide = pivot_aggregate(li, "l_returnflag", "l_linestatus", ["O", "F"],
+                           "l_quantity")
+    rows = unpivot(wide, ["l_returnflag"],
+                   ["l_quantity_O", "l_quantity_F"]).take_all()
     return pa.table({
         "l_returnflag": [r["l_returnflag"] for r in rows],
-        "l_quantity_O": pa.array([r["l_quantity_O"] for r in rows], type=pa.float64()),
-        "l_quantity_F": pa.array([r["l_quantity_F"] for r in rows], type=pa.float64()),
+        "name": [r["name"] for r in rows],
+        "value": pa.array([r["value"] for r in rows], type=pa.float64()),
     })
 
 
@@ -1749,12 +1764,31 @@ def _approx_distinct(sf_dir: str):
 
 
 def _heavy_hitter_langs(sf_dir: str):
-    """Heavy hitters ≥5% of rows with EXACT counts (detect-with-sketch,
-    verify-exactly — zero false negatives by pigeonhole)."""
+    """Frequency-analysis family, union-tagged: heavy hitters ≥5% of rows
+    with EXACT counts (detect-with-sketch, verify-exactly — zero false
+    negatives by pigeonhole) plus relational.grouped_mode (most-frequent
+    lang per source, smallest tied value wins, nulls excluded)."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.relational import grouped_mode
     from plugin_serdes_ray.pipelines.sketch import heavy_hitters
 
     docs = _read(sf_dir, "documents").select_columns(["lang"])
-    return heavy_hitters(docs, "lang", 0.05)
+    hh = heavy_hitters(docs, "lang", 0.05)
+    src = (_read(sf_dir, "documents").select_columns(["source", "lang"])
+           .map_batches(lambda b: b.filter(
+               pc.is_valid(b.column("source"))), batch_format="pyarrow",
+               runtime_env=_env()))
+    md = pa.Table.from_pylist(
+        grouped_mode(src, "source", "lang").take_all())
+    hh = hh.add_column(0, "tag", pa.array(["hh"] * hh.num_rows)) \
+           .add_column(1, "source", pa.array([None] * hh.num_rows,
+                                             type=pa.string()))
+    md = pa.table({"tag": pa.array(["mode"] * md.num_rows),
+                   "source": md.column("source"),
+                   "lang": md.column("lang"),
+                   "n": md.column("n")})
+    return pa.concat_tables([hh, md])
 
 
 # ---------------------------------------------------------------------------
@@ -2303,14 +2337,41 @@ def _chunk_text_documents(sf_dir: str):
     return chunk_text(docs, size=200, overlap=40)
 
 
+def _setop_custkeys_all(sf_dir: str, op: str):
+    """Bag-semantics set op (EXCEPT ALL / INTERSECT ALL): orders'
+    o_custkey MULTISET (duplicate keys carry real multiplicities) vs the
+    keys of >=300k orders; the same one-shuffle partials path, the emit
+    stage replicates rows by the SQL multiplicity arithmetic."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.relational import set_op
+
+    left = (_read(sf_dir, "orders").select_columns(["o_custkey"])
+            .map_batches(lambda b: b.rename_columns(["c_custkey"]),
+                         batch_format="pyarrow", runtime_env=_env()))
+    right = (_read(sf_dir, "orders")
+             .select_columns(["o_custkey", "o_totalprice"])
+             .map_batches(lambda b: b.filter(
+                 pc.greater_equal(b.column("o_totalprice"), 300000.0))
+                 .select(["o_custkey"]), batch_format="pyarrow",
+                 runtime_env=_env()))
+    out = set_op(left, right, op)
+    return pa.Table.from_pylist(out.take_all()).sort_by("c_custkey")
+
+
 def _setops_custkeys(sf_dir: str):
-    """EXCEPT and INTERSECT union-tagged into one row (relational.set_op,
-    both ops over the same inputs)."""
-    ex = _setop_custkeys(sf_dir, "except")
-    it = _setop_custkeys(sf_dir, "intersect")
-    ex = ex.add_column(0, "op", pa.array(["except"] * ex.num_rows))
-    it = it.add_column(0, "op", pa.array(["intersect"] * it.num_rows))
-    return pa.concat_tables([ex, it])
+    """All four set operations union-tagged into one row
+    (relational.set_op): EXCEPT / INTERSECT with DISTINCT semantics over
+    customer keys, EXCEPT ALL / INTERSECT ALL with bag multiplicities over
+    the orders multiset."""
+    parts = []
+    for op, fn in [("except", _setop_custkeys),
+                   ("intersect", _setop_custkeys),
+                   ("except_all", _setop_custkeys_all),
+                   ("intersect_all", _setop_custkeys_all)]:
+        t = fn(sf_dir, op)
+        parts.append(t.add_column(0, "op", pa.array([op] * t.num_rows)))
+    return pa.concat_tables(parts)
 
 
 def _semi_anti_orders(sf_dir: str):
@@ -3050,9 +3111,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey
                                                  ORDER BY o_orderkey
                                                  ROWS UNBOUNDED PRECEDING), 2)
-                     AS cum_price
+                     AS cum_price,
+                   percent_rank() OVER w_price AS pct_rnk,
+                   cume_dist() OVER w_price AS cume,
+                   ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderkey
+                                                 ROWS BETWEEN 2 PRECEDING
+                                                 AND CURRENT ROW), 2) AS sum3
             FROM orders
-            WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+            WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+                   w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice)
         """,
         "rollup_lineitem": """
             SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -3060,12 +3128,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "pivot_lineitem_status": """
-            SELECT l_returnflag,
-                   COALESCE(sum(l_quantity) FILTER (l_linestatus = 'O'), 0)
-                     AS l_quantity_O,
-                   COALESCE(sum(l_quantity) FILTER (l_linestatus = 'F'), 0)
-                     AS l_quantity_F
-            FROM lineitem GROUP BY l_returnflag
+            WITH wide AS (
+                SELECT l_returnflag,
+                       COALESCE(sum(l_quantity) FILTER (l_linestatus = 'O'),
+                                0) AS l_quantity_O,
+                       COALESCE(sum(l_quantity) FILTER (l_linestatus = 'F'),
+                                0) AS l_quantity_F
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, 'l_quantity_O' AS name,
+                   l_quantity_O AS value FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'l_quantity_F', l_quantity_F FROM wide
         """,
         "approx_distinct_documents": """
             SELECT 'doc_id' AS col, count(DISTINCT doc_id) AS exact_n,
@@ -3077,8 +3150,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang IS NOT NULL GROUP BY lang
         """,
         "heavy_hitter_langs": """
-            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            SELECT 'hh' AS tag, CAST(NULL AS VARCHAR) AS source, lang,
+                   count(*) AS n
+            FROM documents GROUP BY lang
             HAVING count(*) >= CEIL(0.05 * (SELECT count(*) FROM documents))
+            UNION ALL
+            SELECT 'mode', source, lang, n FROM (
+                SELECT source, lang, count(*) AS n,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY count(*) DESC, lang ASC)
+                         AS rn
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY source, lang) WHERE rn = 1
         """,
         "asof_join_last_error": """
             SELECT l.event_id, r.value AS value
@@ -3638,6 +3722,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'intersect', c_custkey FROM (
                 SELECT c_custkey FROM customer
                 INTERSECT
+                SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)
+            UNION ALL
+            SELECT 'except_all', c_custkey FROM (
+                SELECT o_custkey AS c_custkey FROM orders
+                EXCEPT ALL
+                SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)
+            UNION ALL
+            SELECT 'intersect_all', c_custkey FROM (
+                SELECT o_custkey AS c_custkey FROM orders
+                INTERSECT ALL
                 SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)
         """,
         "semi_anti_join_orders": """

@@ -628,6 +628,13 @@ def window_functions(ds, by, order_by: str, specs: dict):
     - ``("cumsum", col)``       — running ``SUM(col)`` over
       ``ROWS UNBOUNDED PRECEDING`` (nulls skipped; null until the first
       non-null, like SQL)
+    - ``("percent_rank", col)`` — ``PERCENT_RANK()`` of ``col``:
+      ``(rank - 1) / (n - 1)`` as float64, ``0.0`` in a 1-row partition
+    - ``("cume_dist", col)``    — ``CUME_DIST()`` of ``col``: rows ordered
+      at-or-below the current row (ties included) divided by ``n``
+    - ``("moving_sum", col, k)`` — ``SUM(col) OVER (... ROWS BETWEEN k-1
+      PRECEDING AND CURRENT ROW)`` (nulls skipped; NULL when the frame
+      holds no non-null value)
     - ``("ntile", n)``          — ``NTILE(n)`` buckets in ``order_by``
       order (larger buckets first, SQL semantics)
     - ``("first_value", col)`` / ``("last_value", col)`` — ``col`` at the
@@ -653,7 +660,7 @@ def window_functions(ds, by, order_by: str, specs: dict):
             op = spec[0]
             if op == "row_number":
                 cols[out_name] = pa.array(np.arange(1, n + 1, dtype=np.int64))
-            elif op in ("rank", "dense_rank"):
+            elif op in ("rank", "dense_rank", "percent_rank", "cume_dist"):
                 col = g.column(spec[1]).combine_chunks()
                 # rank in the column's OWN order (nulls last, like SQL
                 # NULLS LAST): positions of sorted values, ties collapsed
@@ -671,14 +678,29 @@ def window_functions(ds, by, order_by: str, specs: dict):
                         & pc.is_null(sv.slice(0, n - 1)).to_numpy(
                             zero_copy_only=False))
                     neq[1:] = ~(prev_eq | both_null)
-                if op == "rank":
+                if op == "dense_rank":
+                    r_sorted = np.cumsum(neq).astype(np.int64)
+                elif op == "cume_dist":
+                    # CUME_DIST = (# rows ordered <= current, peers
+                    # included) / n: every member of a tie group shares
+                    # the position AFTER the group's last row
+                    gid = np.cumsum(neq) - 1
+                    last = np.cumsum(np.bincount(gid))  # rows through gid
+                    r_sorted = last[gid]
+                else:  # rank / percent_rank share competition rank
                     r_sorted = np.maximum.accumulate(
                         np.where(neq, np.arange(1, n + 1, dtype=np.int64), 0))
-                else:
-                    r_sorted = np.cumsum(neq).astype(np.int64)
                 r = np.empty(n, dtype=np.int64)
                 r[sidx] = r_sorted
-                cols[out_name] = pa.array(r)
+                if op == "percent_rank":
+                    # SQL: (rank - 1) / (n - 1), 0.0 for a 1-row partition
+                    cols[out_name] = pa.array(
+                        (r - 1) / (n - 1) if n > 1
+                        else np.zeros(n, dtype=np.float64))
+                elif op == "cume_dist":
+                    cols[out_name] = pa.array(r / n)
+                else:
+                    cols[out_name] = pa.array(r)
             elif op in ("lag", "lead"):
                 col = g.column(spec[1]).combine_chunks()
                 k = int(spec[2]) if len(spec) > 2 else 1
@@ -700,6 +722,27 @@ def window_functions(ds, by, order_by: str, specs: dict):
                 cols[out_name] = pc.if_else(
                     pa.array(seen > 0), out,
                     pa.scalar(None, out.type))
+            elif op == "moving_sum":
+                # SUM(col) OVER (... ROWS BETWEEN k-1 PRECEDING AND
+                # CURRENT ROW): cumsum-difference over null-filled values;
+                # NULL when the frame holds no non-null value (SQL SUM)
+                col = g.column(spec[1]).combine_chunks()
+                k = int(spec[2])
+                if k < 1:
+                    raise ValueError("moving_sum window must be >= 1 row")
+                v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+                valid = pc.is_valid(col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                cs = np.cumsum(v)
+                cv = np.cumsum(valid)
+                out = cs.copy()
+                nv = cv.copy()
+                if n > k:
+                    out[k:] = cs[k:] - cs[:-k]
+                    nv[k:] = cv[k:] - cv[:-k]
+                arr = pa.array(out)
+                cols[out_name] = pc.if_else(
+                    pa.array(nv > 0), arr, pa.scalar(None, arr.type))
             elif op == "ntile":
                 buckets = int(spec[1])
                 # SQL NTILE: base size n//b, the first n%b buckets get one
@@ -784,6 +827,45 @@ def pivot_aggregate(ds, key, pivot_col: str, pivot_values: Sequence,
               .groupby(keys if len(keys) > 1 else keys[0])
               .aggregate(*aggs)
               .map_batches(rename, batch_format="pyarrow", runtime_env=env))
+
+
+def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_name: str = "name", value_name: str = "value"):
+    """Wide -> long (SQL UNPIVOT / pandas melt): one output row per
+    (input row, value column), carrying the id columns, the source column
+    NAME and its VALUE. Map-only — no shuffle, streams block by block, so
+    it costs one pass at any scale.
+
+    All ``value_cols`` must share one Arrow type or be numeric (numeric
+    mixes are promoted to float64, the SQL UNPIVOT rule of a common
+    super-type); anything else raises rather than silently stringifying."""
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("unpivot needs at least one value column")
+    schema = ds.schema()
+    types = [schema.types[schema.names.index(c)] for c in value_cols]
+    target = types[0]
+    if any(t != target for t in types):
+        if all(pa.types.is_integer(t) or pa.types.is_floating(t)
+               or pa.types.is_decimal(t) for t in types):
+            target = pa.float64()
+        else:
+            raise ValueError(
+                f"unpivot value columns mix incompatible types: {types}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for vc in value_cols:
+            t = batch.select(id_cols)
+            t = t.append_column(
+                var_name, pa.array([vc] * batch.num_rows, type=pa.string()))
+            t = t.append_column(value_name, batch.column(vc).cast(target))
+            pieces.append(t)
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
 
 
 def sliding_window_aggregate(ds, ts_column: str, window: str = "1h",
@@ -2033,16 +2115,22 @@ def string_agg(ds, by, column: str, sep: str = ",",
 
 
 def set_op(left, right, op: str):
-    """SQL set operations with DISTINCT semantics over whole rows:
-    ``op`` in ``{"union", "except", "intersect"}`` (bag semantics =
-    ``left.union(right)`` directly — no shuffle needed).
+    """SQL set operations over whole rows: ``op`` in ``{"union",
+    "except", "intersect"}`` (DISTINCT semantics) or ``{"except_all",
+    "intersect_all"}`` (bag semantics with SQL multiplicity arithmetic:
+    EXCEPT ALL keeps ``max(l - r, 0)`` copies of each row, INTERSECT ALL
+    keeps ``min(l, r)``). ``UNION ALL`` needs no shuffle at all — that is
+    ``left.union(right)`` directly.
 
     Right columns are matched to left POSITIONALLY and renamed (SQL rule);
     both sides pre-aggregate per block to (row, side-count) partials, so
     the single all-to-all shuffle ships one row per DISTINCT row per block,
-    never the raw corpus. The reduce is Ray-native Sum — no per-group
-    Python. NULLs compare equal, as in SQL set ops."""
-    if op not in ("union", "except", "intersect"):
+    never the raw corpus — the ALL variants ride the same shuffle because
+    the partials already carry the per-side multiplicities. The reduce is
+    Ray-native Sum — no per-group Python. NULLs compare equal, as in SQL
+    set ops."""
+    if op not in ("union", "except", "intersect",
+                  "except_all", "intersect_all"):
         raise ValueError(f"unknown set op {op!r}")
     lnames = None
 
@@ -2079,6 +2167,15 @@ def set_op(left, right, op: str):
     def emit(batch: pa.Table) -> pa.Table:
         l = pc.fill_null(batch.column("sum(__l)"), 0)
         r = pc.fill_null(batch.column("sum(__r)"), 0)
+        if op in ("except_all", "intersect_all"):
+            # bag semantics: replicate each distinct row by the SQL
+            # multiplicity (vectorized np.repeat over take indices)
+            ln = l.combine_chunks().to_numpy(zero_copy_only=False)
+            rn = r.combine_chunks().to_numpy(zero_copy_only=False)
+            reps = (np.maximum(ln - rn, 0) if op == "except_all"
+                    else np.minimum(ln, rn))
+            idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
+            return batch.take(pa.array(idx)).select(lnames)
         if op == "union":
             keep = pc.or_(pc.greater(l, 0), pc.greater(r, 0))
         elif op == "except":
@@ -2142,6 +2239,30 @@ def grouped_top_k(ds, by, order_col: str, k: int = 3,
     return (ds.map_batches(select, batch_format="pyarrow", runtime_env=env)
               .groupby(by_keys if len(by_keys) > 1 else by_keys[0])
               .map_groups(select, batch_format="pyarrow", runtime_env=env))
+
+
+def grouped_mode(ds, by, column: str, count_name: str = "n"):
+    """Most-frequent ``column`` value per group (SQL ``mode()``), with the
+    SMALLEST tied value winning so output is deterministic (SQL leaves the
+    tie unspecified; mirror with ``row_number() OVER (... ORDER BY
+    count(*) DESC, col ASC) = 1``). NULL ``column`` values are excluded,
+    as SQL aggregates do.
+
+    Composition of two scale-safe primitives: per-(group, value) counts
+    via :func:`grouped_aggregate` (combiner-shrunk single shuffle), then
+    :func:`grouped_top_k` with k=1 over the counts — the second shuffle
+    moves one row per (group, value) per block at most, never raw rows.
+
+    Output columns: the group keys, ``column`` (the mode), ``count_name``
+    (its count)."""
+    by_keys = [by] if isinstance(by, str) else list(by)
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(column))),
+        batch_format="pyarrow", runtime_env=package_runtime_env())
+    counts = grouped_aggregate(filtered, [*by_keys, column],
+                               count_name=count_name)
+    return grouped_top_k(counts, by_keys, count_name, k=1,
+                         descending=True, tiebreak=column)
 
 
 def grouped_stats(ds, by, x: str, y: Optional[str] = None):

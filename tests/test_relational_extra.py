@@ -1291,3 +1291,143 @@ def test_interval_join_null_on_keeps_int64_precision(ray_session):
     # float64 would round base -> 2^60 (< lo) and base+256 toward a wrong
     # boundary; exact int64 matches both rows, null-on row is dropped
     assert got == {base: "first", base + 256: "second"}
+
+
+def test_window_percent_rank_cume_dist_moving_sum_vs_sql(
+        orders_ds, sf_dir, ray_session):
+    import duckdb
+
+    from plugin_serdes_ray.pipelines.relational import window_functions
+
+    out = window_functions(
+        orders_ds.select_columns(["o_custkey", "o_orderkey", "o_totalprice"]),
+        by="o_custkey", order_by="o_orderkey",
+        specs={"pr": ("percent_rank", "o_totalprice"),
+               "cd": ("cume_dist", "o_totalprice"),
+               "ms3": ("moving_sum", "o_totalprice", 3)})
+    got = pa.Table.from_pylist(out.take_all()).sort_by(
+        [("o_custkey", "ascending"), ("o_orderkey", "ascending")])
+    want = duckdb.sql(f"""
+        SELECT o_custkey, o_orderkey,
+               percent_rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice) AS pr,
+               cume_dist() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice) AS cd,
+               sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderkey
+                                       ROWS BETWEEN 2 PRECEDING
+                                       AND CURRENT ROW) AS ms3
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        ORDER BY o_custkey, o_orderkey""").arrow()
+    assert got.column("pr").to_pylist() == want.column("pr").to_pylist()
+    assert got.column("cd").to_pylist() == want.column("cd").to_pylist()
+    # float sum order differs in the last ulp; true sum is a multiple of .01
+    g = [None if v is None else round(v, 2)
+         for v in got.column("ms3").to_pylist()]
+    w = [None if v is None else round(v, 2)
+         for v in want.column("ms3").to_pylist()]
+    assert g == w
+
+
+def test_window_moving_sum_null_frames(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import window_functions
+
+    t = pa.table({"k": pa.array([1] * 5, type=pa.int64()),
+                  "o": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "v": pa.array([None, None, 3.0, None, 5.0])})
+    out = window_functions(ray.data.from_arrow(t), by="k", order_by="o",
+                           specs={"ms2": ("moving_sum", "v", 2)})
+    rows = sorted(out.take_all(), key=lambda r: r["o"])
+    # frames: {n}, {n,n}, {n,3}, {3,n}, {n,5} — all-null frames are NULL
+    assert [r["ms2"] for r in rows] == [None, None, 3.0, 3.0, 5.0]
+
+
+def test_set_op_all_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import set_op
+
+    left = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey"])
+    right = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+             .filter(lambda r: r["o_totalprice"] >= 150000.0)
+             .select_columns(["o_custkey"]))
+    for op, sql_op in [("except_all", "EXCEPT ALL"),
+                       ("intersect_all", "INTERSECT ALL")]:
+        got = sorted(r["o_custkey"] for r in
+                     set_op(left, right, op).take_all())
+        want = sorted(r[0] for r in duckdb.sql(f"""
+            SELECT o_custkey FROM read_parquet('{sf_dir}/orders.parquet')
+            {sql_op}
+            SELECT o_custkey FROM read_parquet('{sf_dir}/orders.parquet')
+            WHERE o_totalprice >= 150000.0""").fetchall())
+        assert got == want, op
+
+
+def test_set_op_all_multiplicity_arithmetic(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import set_op
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 1, 1, 2, None, None], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 3, None], type=pa.int64())}))
+    ex = sorted((r["k"] is None, r["k"]) for r in
+                set_op(left, right, "except_all").take_all())
+    # 3x1 - 1x1 = two 1s; 2 unmatched; nulls compare equal: 2 - 1 = one null
+    assert [k for _, k in ex] == [1, 1, 2, None]
+    it = sorted((r["k"] is None, r["k"]) for r in
+                set_op(left, right, "intersect_all").take_all())
+    assert [k for _, k in it] == [1, None]
+
+
+def test_unpivot_matches_union(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import unpivot
+
+    t = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                  "a": pa.array([10.5, None]),
+                  "b": pa.array([3, 4], type=pa.int64())})
+    out = unpivot(ray.data.from_arrow(t), ["id"], ["a", "b"]).take_all()
+    rows = sorted((r["id"], r["name"], r["value"]) for r in out)
+    # numeric mix promotes to float64, nulls survive
+    assert rows == [(1, "a", 10.5), (1, "b", 3.0),
+                    (2, "a", None), (2, "b", 4.0)]
+
+
+def test_unpivot_rejects_incompatible_types(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import unpivot
+
+    t = pa.table({"id": [1], "a": [1.0], "b": ["x"]})
+    with pytest.raises(ValueError, match="incompatible"):
+        unpivot(ray.data.from_arrow(t), ["id"], ["a", "b"])
+
+
+def test_grouped_mode_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_mode
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+    docs = docs.filter(lambda r: r["source"] is not None)
+    got = sorted((r["source"], r["lang"], r["n"]) for r in
+                 grouped_mode(docs, "source", "lang").take_all())
+    want = sorted((r[0], r[1], r[2]) for r in duckdb.sql(f"""
+        SELECT source, lang, n FROM (
+            SELECT source, lang, count(*) AS n,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY count(*) DESC, lang ASC) rn
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY source, lang) WHERE rn = 1""").fetchall())
+    assert got == want
