@@ -854,15 +854,16 @@ def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
             raise ValueError(
                 f"unpivot value columns mix incompatible types: {types}")
 
-    def fn(batch: pa.Table) -> pa.Table:
-        pieces = []
+    def fn(batch: pa.Table):
+        # one piece per value column, yielded separately: output volume is
+        # len(value_cols) x input, so never concat the pieces into one
+        # len(value_cols)-sized block
         for vc in value_cols:
             t = batch.select(id_cols)
             t = t.append_column(
                 var_name, pa.array([vc] * batch.num_rows, type=pa.string()))
             t = t.append_column(value_name, batch.column(vc).cast(target))
-            pieces.append(t)
-        return pa.concat_tables(pieces)
+            yield t
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           runtime_env=package_runtime_env())
@@ -2164,25 +2165,32 @@ def set_op(left, right, op: str):
     merged = (tagged.groupby(lnames if len(lnames) > 1 else lnames[0])
                     .aggregate(Sum("__l"), Sum("__r")))
 
-    def emit(batch: pa.Table) -> pa.Table:
+    def emit(batch: pa.Table):
         l = pc.fill_null(batch.column("sum(__l)"), 0)
         r = pc.fill_null(batch.column("sum(__r)"), 0)
         if op in ("except_all", "intersect_all"):
             # bag semantics: replicate each distinct row by the SQL
-            # multiplicity (vectorized np.repeat over take indices)
+            # multiplicity (vectorized np.repeat over take indices). A hot
+            # row's multiplicity can exceed worker memory, so the
+            # replicated output is YIELDED in bounded slices — the block
+            # never materializes whole.
             ln = l.combine_chunks().to_numpy(zero_copy_only=False)
             rn = r.combine_chunks().to_numpy(zero_copy_only=False)
             reps = (np.maximum(ln - rn, 0) if op == "except_all"
                     else np.minimum(ln, rn))
             idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
-            return batch.take(pa.array(idx)).select(lnames)
+            src = batch.select(lnames)
+            cap = 1 << 20
+            for lo in range(0, len(idx), cap):
+                yield src.take(pa.array(idx[lo:lo + cap]))
+            return
         if op == "union":
             keep = pc.or_(pc.greater(l, 0), pc.greater(r, 0))
         elif op == "except":
             keep = pc.and_(pc.greater(l, 0), pc.equal(r, 0))
         else:
             keep = pc.and_(pc.greater(l, 0), pc.greater(r, 0))
-        return batch.filter(keep).select(lnames)
+        yield batch.filter(keep).select(lnames)
 
     return merged.map_batches(emit, batch_format="pyarrow", runtime_env=env)
 

@@ -359,3 +359,119 @@ def test_random_pivot_vs_duckdb(ray_session):
         w = {r["k"]: tuple(None if r[c] is None else int(r[c])
                            for c in ("c0", "c1", "c2")) for r in want}
         assert g == w, seed
+
+
+def test_random_set_ops_all_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import set_op
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        lt = _rand_table(rng, int(rng.integers(1, 80)), 5)
+        rt = _rand_table(rng, int(rng.integers(1, 80)), 5)
+        # tiny value domain -> real multiplicities on both sides
+        lt = lt.set_column(1, "v", pa.array(
+            np.asarray(lt.column("v")) % 3, type=pa.int64()))
+        rt = rt.set_column(1, "v", pa.array(
+            np.asarray(rt.column("v")) % 3, type=pa.int64()))
+        con.register("l", lt)
+        con.register("r", rt)
+        for op, sql in (("except_all", "EXCEPT ALL"),
+                        ("intersect_all", "INTERSECT ALL")):
+            got = set_op(ray.data.from_arrow(lt).repartition(3),
+                         ray.data.from_arrow(rt).repartition(3),
+                         op).take_all()
+            want = con.execute(
+                f"SELECT * FROM l {sql} SELECT * FROM r").arrow().to_pylist()
+            assert _sorted_rows(got, ["k", "v"]) == \
+                _sorted_rows(want, ["k", "v"]), (op, seed)
+
+
+def test_random_new_windows_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import window_functions
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 120))
+        x = rng.integers(0, 4, n).astype(object)
+        x[rng.random(n) < 0.2] = None  # nulls rank last / skip in sums
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 5, n), type=pa.int64()),
+            "o": pa.array(np.arange(n), type=pa.int64()),
+            "x": pa.array(list(x), type=pa.int64()),
+        })
+        got = window_functions(
+            ray.data.from_arrow(t).repartition(3), "g", "o",
+            {"pr": ("percent_rank", "x"), "cd": ("cume_dist", "x"),
+             "ms": ("moving_sum", "x", 3)}).take_all()
+        want = con.execute("""
+            SELECT g, o, x,
+                   percent_rank() OVER (PARTITION BY g ORDER BY x) AS pr,
+                   cume_dist() OVER (PARTITION BY g ORDER BY x) AS cd,
+                   sum(x) OVER (PARTITION BY g ORDER BY o
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     AS ms
+            FROM t
+        """).arrow().to_pylist()
+        cols = ["g", "o", "x", "pr", "cd", "ms"]
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols), seed
+
+
+def test_random_grouped_mode_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_mode
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        t = _rand_table(rng, int(rng.integers(1, 150)), 5)
+        # tiny value domain -> ties are common; nulls must be ignored
+        v = (np.asarray(t.column("v")) % 3).astype(object)
+        v[rng.random(len(v)) < 0.2] = None
+        t = t.set_column(1, "v", pa.array(list(v), type=pa.int64()))
+        con.register("t", t)
+        got = grouped_mode(ray.data.from_arrow(t).repartition(3),
+                           "k", "v").take_all()
+        want = con.execute("""
+            SELECT k, v, n FROM (
+                SELECT k, v, count(*) AS n,
+                       row_number() OVER (PARTITION BY k
+                                          ORDER BY count(*) DESC, v ASC) rn
+                FROM t WHERE v IS NOT NULL GROUP BY k, v) WHERE rn = 1
+        """).arrow().to_pylist()
+        assert _sorted_rows(got, ["k", "v", "n"]) == \
+            _sorted_rows(want, ["k", "v", "n"]), seed
+
+
+def test_random_unpivot_matches_manual(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import unpivot
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 60))
+        a = rng.integers(-5, 5, n).astype(object)
+        a[rng.random(n) < 0.2] = None
+        t = pa.table({
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            "a": pa.array(list(a), type=pa.int64()),
+            "b": pa.array(rng.random(n)),
+        })
+        got = unpivot(ray.data.from_arrow(t).repartition(3),
+                      ["id"], ["a", "b"]).take_all()
+        want = []
+        for i in range(n):
+            av = t.column("a")[i].as_py()
+            want.append({"id": i, "name": "a",
+                         "value": None if av is None else float(av)})
+            want.append({"id": i, "name": "b",
+                         "value": t.column("b")[i].as_py()})
+        cols = ["id", "name", "value"]
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols), seed
