@@ -871,6 +871,40 @@ def _sessions(sf_dir: str):
     })
 
 
+def _sessions_funnel(sf_dir: str):
+    """Event-sequence analytics family, union-tagged: gap-based
+    sessionization (one groupby(user) shuffle, vectorized in-group split)
+    plus the ordered view->click->purchase funnel
+    (relational.funnel: chained grouped-Min frontier + slim hash joins,
+    greedy earliest-chain semantics). Session rows carry the session
+    bounds with step_idx NULL; funnel rows carry (step_idx, n) with
+    user/timestamps NULL."""
+    from plugin_serdes_ray.pipelines.relational import funnel
+
+    s = _sessions(sf_dir)
+    f = funnel(_read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_type"]),
+        "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    return pa.table({
+        "tag": pa.array(["session"] * s.num_rows + ["funnel"] * f.num_rows),
+        "user_id": pa.concat_arrays([
+            s.column("user_id").combine_chunks(),
+            pa.nulls(f.num_rows, pa.int64())]),
+        "session_start": pa.concat_arrays([
+            s.column("session_start").combine_chunks(),
+            pa.nulls(f.num_rows, pa.timestamp("us"))]),
+        "session_end": pa.concat_arrays([
+            s.column("session_end").combine_chunks(),
+            pa.nulls(f.num_rows, pa.timestamp("us"))]),
+        "step_idx": pa.concat_arrays([
+            pa.nulls(s.num_rows, pa.int64()),
+            f.column("step_idx").combine_chunks()]),
+        "n": pa.concat_arrays([
+            s.column("n_events").combine_chunks(),
+            f.column("n_users").combine_chunks()]),
+    })
+
+
 def _events_props_extract(sf_dir: str):
     """Semi-structured promotion: the events.props JSON-string column's 'k'
     field becomes a typed int64 column inside a streaming map_batches."""
@@ -2542,7 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setops_custkeys": _setops_custkeys,
         "events_props_extract": _events_props_extract,
         "events_overlapping_windows": _events_overlapping_windows,
-        "user_sessions_30m": _sessions,
+        "sessions_funnel_events": _sessions_funnel,
         "window_orders_per_customer": _window_orders,
         "pivot_lineitem_status": _pivot_lineitem,
         "approx_distinct_documents": _approx_distinct,
@@ -2652,6 +2686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orders_automobile": lambda sf: _semi_join_orders(sf, anti=True),
         "rollup_lineitem": _rollup_lineitem,
         "asof_join_last_error": _asof_last_error,
+        # standalone sessionize row (merged into sessions_funnel_events in
+        # the 50 block)
+        "user_sessions_30m": _sessions,
         "events_in_sessions": _events_in_sessions,
         "events_hourly": _events_hourly,
         "events_sliding_30m": _events_sliding,
@@ -3255,6 +3292,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT time_bucket(INTERVAL '30 minutes', ts)
                      - INTERVAL '30 minutes' FROM events
             ) GROUP BY ws
+        """,
+        "sessions_funnel_events": """
+            WITH sess AS (
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) AS session_end, count(*) AS n_events
+              FROM (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess
+                FROM (
+                  SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts)
+                                   > INTERVAL '30 minutes'
+                              THEN 1 ELSE 0 END AS is_new
+                  FROM events)
+              ) GROUP BY user_id, sess),
+            s1 AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(ts) AS t FROM events e
+                   JOIN s1 USING(user_id)
+                   WHERE event_type = 'click' AND e.ts > s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(ts) AS t FROM events e
+                   JOIN s2 USING(user_id)
+                   WHERE event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY e.user_id)
+            SELECT 'session' AS tag, user_id, session_start, session_end,
+                   CAST(NULL AS BIGINT) AS step_idx, n_events AS n FROM sess
+            UNION ALL
+            SELECT 'funnel', NULL, NULL, NULL, 1,
+                   (SELECT count(*) FROM s1)
+            UNION ALL
+            SELECT 'funnel', NULL, NULL, NULL, 2,
+                   (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 'funnel', NULL, NULL, NULL, 3,
+                   (SELECT count(*) FROM s3)
         """,
         "user_sessions_30m": """
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,

@@ -941,6 +941,69 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
                         runtime_env=package_runtime_env()))
 
 
+def funnel(ds, user_col: str, ts_col: str, event_col: str,
+           steps: Sequence) -> pa.Table:
+    """Ordered-funnel conversion counts: how many users performed
+    ``steps[0]``, then ``steps[1]`` STRICTLY AFTER it, then ``steps[2]``
+    after that, ... (greedy earliest-chain semantics — each step matches
+    the user's earliest qualifying event, which maximizes unwindowed
+    funnel completion, so the counts are well-defined).
+
+    No per-user Python and no whole-events materialization: the frontier
+    after step *i* is one fixed-width ``(user, t_i)`` row per surviving
+    user — computed as a native grouped Min, joined back to the next
+    step's (column-pruned, event-filtered) rows via :func:`hash_join`,
+    filtered to ``ts > t_i`` map-only. Per step that is one keyed shuffle
+    of slim payloads; the frontier is materialized (it is consumed twice:
+    the count and the next join). Rows with a null timestamp never match;
+    null users count in step 1's grouped Min (its own group, as SQL
+    ``GROUP BY``) but drop out at the first join (SQL equality).
+
+    Returns a driver-side table ``(step, step_idx, n_users)`` — k rows."""
+    from ray.data.aggregate import Min
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    env = package_runtime_env()
+
+    def step_events(step):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.fill_null(pc.equal(batch.column(event_col), step), False),
+                pc.is_valid(batch.column(ts_col)))
+            return batch.filter(m).select([user_col, ts_col])
+        return fn
+
+    def to_frontier(batch: pa.Table) -> pa.Table:
+        return pa.table({user_col: batch.column(user_col),
+                         "__t": batch.column(f"min({ts_col})")})
+
+    def after_prev(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column(ts_col), batch.column("__t"))
+        return batch.filter(pc.fill_null(keep, False)) \
+                    .select([user_col, ts_col])
+
+    counts = []
+    frontier = None
+    for step in steps:
+        ev = ds.map_batches(step_events(step), batch_format="pyarrow",
+                            runtime_env=env)
+        if frontier is not None:
+            ev = hash_join(ev, frontier, key=user_col).map_batches(
+                after_prev, batch_format="pyarrow", runtime_env=env)
+        frontier = (ev.groupby(user_col).aggregate(Min(ts_col))
+                      .map_batches(to_frontier, batch_format="pyarrow",
+                                   runtime_env=env)
+                      .materialize())
+        counts.append(frontier.count())
+    return pa.table({
+        "step": pa.array([str(s) for s in steps]),
+        "step_idx": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+        "n_users": pa.array(counts, type=pa.int64()),
+    })
+
+
 def asof_join(left, right, on: str, by: str,
               right_cols: Optional[list[str]] = None, suffix: str = "_r",
               join_type: str = "inner"):

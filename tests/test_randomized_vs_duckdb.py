@@ -475,3 +475,36 @@ def test_random_unpivot_matches_manual(ray_session):
                          "value": t.column("b")[i].as_py()})
         cols = ["id", "name", "value"]
         assert _sorted_rows(got, cols) == _sorted_rows(want, cols), seed
+
+
+def test_random_funnel_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import funnel
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 400))
+        u = rng.integers(0, 30, n).astype(object)
+        u[rng.random(n) < 0.1] = None  # null users drop at the first join
+        ts = rng.integers(0, 5000, n).astype(object)
+        ts[rng.random(n) < 0.1] = None  # null timestamps never match
+        t = pa.table({
+            "u": pa.array(list(u), type=pa.int64()),
+            "ts": pa.array(list(ts), type=pa.int64()),
+            "ev": pa.array(rng.choice(["a", "b", "c", "x"], n)),
+        })
+        got = funnel(ray.data.from_arrow(t).repartition(3),
+                     "u", "ts", "ev", ["a", "b", "c"])
+        con.register("t", t)
+        want = con.execute("""
+            WITH s1 AS (SELECT u, min(ts) AS t1 FROM t
+                        WHERE ev='a' AND ts IS NOT NULL GROUP BY u),
+            s2 AS (SELECT t.u, min(ts) AS t2 FROM t JOIN s1 USING(u)
+                   WHERE ev='b' AND ts > s1.t1 GROUP BY t.u),
+            s3 AS (SELECT t.u, min(ts) AS t3 FROM t JOIN s2 USING(u)
+                   WHERE ev='c' AND ts > s2.t2 GROUP BY t.u)
+            SELECT (SELECT count(*) FROM s1), (SELECT count(*) FROM s2),
+                   (SELECT count(*) FROM s3)""").fetchall()
+        assert [r["n_users"] for r in got.to_pylist()] == list(want[0]), seed
