@@ -707,6 +707,22 @@ def _lang_counts(sf_dir: str):
     })
 
 
+def _cross_join_region_nation(sf_dir: str):
+    """Cartesian product against a broadcast small side
+    (relational.cross_join): map-only expansion, the small table ships
+    through the object store once, output yielded one small-row slab at
+    a time."""
+    from plugin_serdes_ray.pipelines.relational import cross_join
+
+    region = _read(sf_dir, "region").select_columns(
+        ["r_regionkey", "r_name"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    rows = cross_join(region, nation).take_all()
+    return pa.Table.from_pylist(rows).sort_by(
+        [("r_regionkey", "ascending"), ("n_nationkey", "ascending")])
+
+
 def _join_orders_mktsegment(sf_dir: str):
     from plugin_serdes_ray.pipelines.relational import broadcast_join, grouped_aggregate
 
@@ -2680,6 +2696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_events_by_type": _agg_events,
         "lang_counts": _lang_counts,
         "join_orders_mktsegment": _join_orders_mktsegment,
+        "cross_join_region_nation": _cross_join_region_nation,
         "hash_join_orders_customer": _hash_join_orders,
         "left_join_customer_orders": _left_join_customer_orders,
         "semi_join_orders_automobile": lambda sf: _semi_join_orders(sf),
@@ -3096,6 +3113,10 @@ def oracle_sql() -> dict[str, str]:
         "agg_events_by_type":
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "cross_join_region_nation": """
+            SELECT r_regionkey, r_name, n_nationkey, n_name
+            FROM region CROSS JOIN nation
+        """,
         "join_orders_mktsegment": """
             SELECT c_mktsegment, count(*) AS n
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

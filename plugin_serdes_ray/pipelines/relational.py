@@ -105,6 +105,41 @@ def broadcast_join(ds, small: pa.Table, key,
                           runtime_env=package_runtime_env())
 
 
+def cross_join(ds, small: pa.Table, max_small_rows: int = 100_000):
+    """Cartesian product of a Dataset with a SMALL in-memory table (SQL
+    CROSS JOIN): the small side ships through the object store once and
+    each block expands map-only — output volume is ``len(small)`` × input,
+    yielded one small-row slab at a time so no block materializes the
+    whole product. Refuses a big small side loudly (a big×big cartesian
+    is never the right plan at scale; bound it or rethink the query).
+
+    Column collisions raise rather than silently suffixing."""
+    import ray
+
+    if small.num_rows > max_small_rows:
+        raise ValueError(
+            f"cross_join small side has {small.num_rows} rows > "
+            f"max_small_rows={max_small_rows}; a cartesian against a big "
+            "side explodes output volume — bound it explicitly if intended")
+    ref = ray.put(small)
+
+    def expand(batch: pa.Table):
+        right = ray.get(ref)
+        dup = set(batch.column_names) & set(right.column_names)
+        if dup:
+            raise ValueError(f"cross_join column collision: {sorted(dup)}")
+        n = batch.num_rows
+        for j in range(right.num_rows):
+            t = batch
+            for name, col in zip(right.column_names, right.columns):
+                t = t.append_column(
+                    name, pa.array([col[j].as_py()] * n, type=col.type))
+            yield t
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
 def _int_bounds(t: pa.DataType):
     if pa.types.is_signed_integer(t):
         return -(1 << (t.bit_width - 1)), (1 << (t.bit_width - 1)) - 1

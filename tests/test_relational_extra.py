@@ -1431,3 +1431,41 @@ def test_grouped_mode_vs_sql(ray_session, sf_dir):
             WHERE lang IS NOT NULL AND source IS NOT NULL
             GROUP BY source, lang) WHERE rn = 1""").fetchall())
     assert got == want
+
+
+def test_cross_join_vs_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import cross_join
+
+    import pyarrow.parquet as pq
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    got = sorted((r["r_regionkey"], r["n_nationkey"]) for r in
+                 cross_join(region, nation).take_all())
+    want = sorted((r[0], r[1]) for r in duckdb.sql(f"""
+        SELECT r_regionkey, n_nationkey
+        FROM read_parquet('{sf_dir}/region.parquet') r
+        CROSS JOIN read_parquet('{sf_dir}/nation.parquet') n""").fetchall())
+    assert got == want
+
+
+def test_cross_join_refuses_big_small_side(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import cross_join
+
+    big = pa.table({"x": pa.array(range(1000), type=pa.int64())})
+    with pytest.raises(ValueError, match="max_small_rows"):
+        cross_join(ray.data.from_arrow(big), big, max_small_rows=10)
+
+
+def test_cross_join_collision_raises(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import cross_join
+
+    left = ray.data.from_arrow(pa.table({"x": [1]}))
+    with pytest.raises(Exception, match="collision"):
+        cross_join(left, pa.table({"x": [2]})).take_all()
