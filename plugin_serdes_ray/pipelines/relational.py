@@ -977,12 +977,21 @@ def sessionize(ds, user_column: str, ts_column: str, gap: str = "30m"):
 
 
 def funnel(ds, user_col: str, ts_col: str, event_col: str,
-           steps: Sequence) -> pa.Table:
+           steps: Sequence, within: Optional[str] = None) -> pa.Table:
     """Ordered-funnel conversion counts: how many users performed
     ``steps[0]``, then ``steps[1]`` STRICTLY AFTER it, then ``steps[2]``
     after that, ... (greedy earliest-chain semantics — each step matches
     the user's earliest qualifying event, which maximizes unwindowed
     funnel completion, so the counts are well-defined).
+
+    ``within`` (e.g. ``"1h"``; ``ts_col`` must then be a timestamp)
+    bounds the whole chain to a conversion window anchored at the user's
+    step-1 time: step *i* must satisfy ``t_1 < t_i <= t_1 + within``.
+    The greedy chain is anchored at the user's EARLIEST step-1 event
+    (the standard analytics-funnel convention) — it does not re-anchor
+    to later step-1 occurrences, so a user who converts only from a
+    later occurrence is not counted; document this when comparing
+    against re-anchoring funnel engines.
 
     No per-user Python and no whole-events materialization: the frontier
     after step *i* is one fixed-width ``(user, t_i)`` row per surviving
@@ -1000,7 +1009,15 @@ def funnel(ds, user_col: str, ts_col: str, event_col: str,
     steps = list(steps)
     if not steps:
         raise ValueError("funnel needs at least one step")
+    win = None
+    if within is not None:
+        win = duration_us(within) if isinstance(within, str) else int(within)
     env = package_runtime_env()
+
+    def ts_int(col):
+        if pa.types.is_timestamp(col.type):
+            return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        return pc.cast(col, pa.int64())
 
     def step_events(step):
         def fn(batch: pa.Table) -> pa.Table:
@@ -1011,13 +1028,25 @@ def funnel(ds, user_col: str, ts_col: str, event_col: str,
         return fn
 
     def to_frontier(batch: pa.Table) -> pa.Table:
-        return pa.table({user_col: batch.column(user_col),
-                         "__t": batch.column(f"min({ts_col})")})
+        cols = {user_col: batch.column(user_col),
+                "__t": batch.column(f"min({ts_col})")}
+        if win is not None:
+            # the chain anchor t_1 rides the frontier (constant per user,
+            # Min is the identity reduce for it past step 1)
+            cols["__t1"] = batch.column("min(__t1)") \
+                if "min(__t1)" in batch.column_names else cols["__t"]
+        return pa.table(cols)
 
     def after_prev(batch: pa.Table) -> pa.Table:
         keep = pc.greater(batch.column(ts_col), batch.column("__t"))
-        return batch.filter(pc.fill_null(keep, False)) \
-                    .select([user_col, ts_col])
+        if win is not None:
+            keep = pc.and_(keep, pc.less_equal(
+                ts_int(batch.column(ts_col)),
+                pc.add(ts_int(batch.column("__t1")),
+                       pa.scalar(win, pa.int64()))))
+        out = batch.filter(pc.fill_null(keep, False))
+        sel = [user_col, ts_col] + (["__t1"] if win is not None else [])
+        return out.select(sel)
 
     counts = []
     frontier = None
@@ -1027,7 +1056,10 @@ def funnel(ds, user_col: str, ts_col: str, event_col: str,
         if frontier is not None:
             ev = hash_join(ev, frontier, key=user_col).map_batches(
                 after_prev, batch_format="pyarrow", runtime_env=env)
-        frontier = (ev.groupby(user_col).aggregate(Min(ts_col))
+        aggs = [Min(ts_col)]
+        if win is not None and frontier is not None:
+            aggs.append(Min("__t1"))
+        frontier = (ev.groupby(user_col).aggregate(*aggs)
                       .map_batches(to_frontier, batch_format="pyarrow",
                                    runtime_env=env)
                       .materialize())

@@ -508,3 +508,36 @@ def test_random_funnel_vs_duckdb(ray_session):
             SELECT (SELECT count(*) FROM s1), (SELECT count(*) FROM s2),
                    (SELECT count(*) FROM s3)""").fetchall()
         assert [r["n_users"] for r in got.to_pylist()] == list(want[0]), seed
+
+
+def test_random_funnel_within_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import funnel
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 400))
+        t = pa.table({
+            "u": pa.array(rng.integers(0, 30, n), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 5000, n), type=pa.int64()),
+            "ev": pa.array(rng.choice(["a", "b", "c", "x"], n)),
+        })
+        got = funnel(ray.data.from_arrow(t).repartition(3),
+                     "u", "ts", "ev", ["a", "b", "c"], within=800)
+        con.register("t", t)
+        # window anchored at the user's EARLIEST step-1 event
+        want = con.execute("""
+            WITH s1 AS (SELECT u, min(ts) AS t1 FROM t
+                        WHERE ev='a' GROUP BY u),
+            s2 AS (SELECT t.u, min(s1.t1) AS t1, min(ts) AS t2
+                   FROM t JOIN s1 USING(u)
+                   WHERE ev='b' AND ts > s1.t1 AND ts <= s1.t1 + 800
+                   GROUP BY t.u),
+            s3 AS (SELECT t.u, min(ts) AS t3 FROM t JOIN s2 USING(u)
+                   WHERE ev='c' AND ts > s2.t2 AND ts <= s2.t1 + 800
+                   GROUP BY t.u)
+            SELECT (SELECT count(*) FROM s1), (SELECT count(*) FROM s2),
+                   (SELECT count(*) FROM s3)""").fetchall()
+        assert [r["n_users"] for r in got.to_pylist()] == list(want[0]), seed

@@ -1469,3 +1469,28 @@ def test_cross_join_collision_raises(ray_session):
     left = ray.data.from_arrow(pa.table({"x": [1]}))
     with pytest.raises(Exception, match="collision"):
         cross_join(left, pa.table({"x": [2]})).take_all()
+
+
+def test_funnel_within_duration_timestamps(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "ts": pa.array([t0, t0 + 5 * m, t0 + 20 * m,
+                        t0, t0 + 90 * m, t0 + 95 * m],
+                       type=pa.timestamp("us")),
+        "ev": pa.array(["a", "b", "c", "a", "b", "c"]),
+    })
+    ds = ray.data.from_arrow(t)
+    # unwindowed: both users convert fully
+    full = funnel(ds, "u", "ts", "ev", ["a", "b", "c"])
+    assert full.column("n_users").to_pylist() == [2, 2, 2]
+    # 30m window anchored at each user's step-1: user 2's b/c fall outside
+    w = funnel(ds, "u", "ts", "ev", ["a", "b", "c"], within="30m")
+    assert w.column("n_users").to_pylist() == [2, 1, 1]
