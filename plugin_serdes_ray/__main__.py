@@ -367,6 +367,27 @@ def cmd_join(args) -> int:
     return 0
 
 
+def cmd_funnel(args) -> int:
+    """Ordered-funnel conversion counts over an event-log parquet."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    _ray()
+    from .pipelines.relational import funnel
+
+    ds = ray.data.read_parquet(
+        _input_files(args.input),
+        columns=[args.user, args.ts, args.event])
+    out = funnel(ds, args.user, args.ts, args.event,
+                 args.steps.split(","), within=args.within)
+    if args.output:
+        pq.write_table(out, args.output)
+    print(json.dumps({"steps": out.column("step").to_pylist(),
+                      "n_users": out.column("n_users").to_pylist()}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="plugin_serdes_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -474,6 +495,19 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("--column", default="text")
     p.set_defaults(fn=cmd_textstats)
+
+    p = sub.add_parser("funnel",
+                       help="ordered-funnel conversion counts over events")
+    p.add_argument("input")
+    p.add_argument("--steps", required=True,
+                   help="comma-separated event values in funnel order")
+    p.add_argument("--user", default="user_id")
+    p.add_argument("--ts", default="ts")
+    p.add_argument("--event", default="event_type")
+    p.add_argument("--within", default=None,
+                   help="conversion window anchored at step 1 (e.g. 1h)")
+    p.add_argument("--output")
+    p.set_defaults(fn=cmd_funnel)
 
     args = ap.parse_args(argv)
     rc = args.fn(args)

@@ -196,3 +196,21 @@ def test_cli_guardrails(ray_session, tmp_path, sf_dir):
                  "--output", out]) == 0
     t = pq.read_table(out)
     assert t.column("estimate")[0].as_py() > 0
+
+
+def test_cli_funnel(ray_session, tmp_path, capsys, sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    out = str(tmp_path / "funnel.parquet")
+    assert main(["funnel", f"{sf_dir}/events.parquet",
+                 "--steps", "view,click,purchase", "--output", out]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["steps"] == ["view", "click", "purchase"]
+    n = got["n_users"]
+    assert n[0] >= n[1] >= n[2] >= 0  # conversion is monotone
+    t = pq.read_table(out)
+    assert t.column("n_users").to_pylist() == n
