@@ -1064,6 +1064,11 @@ def funnel(ds, user_col: str, ts_col: str, event_col: str,
                                    runtime_env=env)
                       .materialize())
         counts.append(frontier.count())
+        if counts[-1] == 0:
+            # nobody reached this step — every later step is 0 (and an
+            # empty frontier has no schema for the next hash_join)
+            counts.extend([0] * (len(steps) - len(counts)))
+            break
     return pa.table({
         "step": pa.array([str(s) for s in steps]),
         "step_idx": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),

@@ -1494,3 +1494,18 @@ def test_funnel_within_duration_timestamps(ray_session):
     # 30m window anchored at each user's step-1: user 2's b/c fall outside
     w = funnel(ds, "u", "ts", "ev", ["a", "b", "c"], within="30m")
     assert w.column("n_users").to_pylist() == [2, 1, 1]
+
+
+def test_funnel_empty_step_zeroes_tail(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import funnel
+
+    t = pa.table({
+        "u": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([1, 2], type=pa.int64()),
+        "ev": pa.array(["a", "a"]),
+    })
+    out = funnel(ray.data.from_arrow(t), "u", "ts", "ev",
+                 ["a", "never", "a"])
+    assert out.column("n_users").to_pylist() == [2, 0, 0]
