@@ -69,7 +69,7 @@ def star_edges(ds, key_col: str, id_col: str):
 
 
 def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
-                         max_iters: int = 50):
+                         max_iters: int = 50, n_buckets: int = 256):
     """Label every vertex of the undirected edge list with the smallest
     vertex id in its connected component. Returns a Dataset with columns
     ``(v, component)`` covering every vertex that appears in ``edges``.
@@ -79,37 +79,46 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
     labels: hash-min labels only ever shrink, so an unchanged sum means a
     fixed point. The int64 sum is exact while
     ``n_vertices * max_vertex_id < 2^63``; beyond that pass a fixed
-    ``max_iters`` >= the expected diameter instead. The edges Dataset's
-    lineage is re-executed once per iteration (streamed, never
-    materialized); labels (two int64 columns per vertex) are materialized
-    each round as the algorithm's working state."""
+    ``max_iters`` >= the expected diameter instead.
+
+    Scale shape (rewritten after measuring 16 s/iteration at sf0.01 in
+    the per-vertex map_groups formulation): the stacked ``(k, nb)``
+    message edge list — 2|E| fixed-width int64 rows — is materialized
+    ONCE up front; re-executing the producing lineage (often itself a
+    shuffle, e.g. :func:`star_edges`) every iteration costs far more
+    than holding two int64 columns in the (spillable) object store.
+    Both the message edges and the per-round labels are coalesced to
+    ~64 MiB blocks, so per-iteration task count tracks DATA volume, not
+    producer parallelism (without this, every union+groupby round adds
+    the other side's block count and iteration wall grows linearly —
+    measured 1.2 s -> 24 s over 12 rounds on a 482-edge graph).
+    Each iteration then runs TWO keyed shuffles, both vectorized: one
+    ``groupby(splitmix64(k) % n_buckets)`` whose per-BUCKET merge joins
+    edge rows to their endpoint's label row with a numpy
+    sort+searchsorted (label rows co-bucket with their edges by
+    construction, and Python runs once per bucket, never per vertex)
+    and pre-shrinks with a C ``group_by`` min; then one native
+    combiner-shrunk Min reduce per vertex. Label messages also carry a
+    pointer-jump row ``(k=lbl[v], nb=v)`` per non-root vertex, so each
+    round also folds ``lbl[lbl[v]]`` into ``lbl[v]`` — path halving
+    that cuts rounds from O(diameter) to O(log diameter) for chain-y
+    graphs at the cost of ≤|V| extra fixed-width message rows. Labels
+    (two int64 columns per vertex) are materialized each round as the
+    algorithm's working state; the driver holds only the convergence
+    scalar."""
     from ray.data.aggregate import Min
 
-    env = package_runtime_env()
+    from .relational import splitmix64
 
-    def verts(batch: pa.Table) -> pa.Table:
-        batch = _valid_edges(batch, a_col, b_col)
-        a = batch.column(a_col).combine_chunks().cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        b = batch.column(b_col).combine_chunks().cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        v = np.unique(np.concatenate([a, b]))
-        return pa.table({"v": pa.array(v), "lbl": pa.array(v)})
+    env = package_runtime_env()
 
     def rename_min(batch: pa.Table) -> pa.Table:
         return pa.table({"v": batch.column("v"),
                          "lbl": batch.column("min(lbl)").cast(pa.int64())})
 
-    labels = (edges.map_batches(verts, batch_format="pyarrow",
-                                runtime_env=env)
-              .groupby("v").aggregate(Min("lbl"))
-              .map_batches(rename_min, batch_format="pyarrow",
-                           runtime_env=env)
-              .materialize())
-    if labels.count() == 0:
-        return labels.map_batches(
-            lambda b: b.rename_columns(["v", "component"]),
-            batch_format="pyarrow", runtime_env=env)
+    def bkt_of(k: np.ndarray) -> pa.Array:
+        return pa.array((splitmix64(k.astype(np.uint64))
+                         % np.uint64(n_buckets)).astype(np.int64))
 
     def edge_msgs(batch: pa.Table) -> pa.Table:
         batch = _valid_edges(batch, a_col, b_col)
@@ -120,45 +129,109 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
         k = np.concatenate([a, b])
         nb = np.concatenate([b, a])
         return pa.table({"k": pa.array(k), "nb": pa.array(nb),
-                         "lbl": pa.nulls(len(k), pa.int64())})
+                         "lbl": pa.nulls(len(k), pa.int64()),
+                         "bkt": bkt_of(k)})
 
     def label_msgs(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({"k": batch.column("v"),
-                         "nb": pa.nulls(n, pa.int64()),
-                         "lbl": batch.column("lbl")})
-
-    def propagate(group: pa.Table) -> pa.Table:
-        # exactly one non-null lbl row per key (the vertex's label);
-        # send it to every neighbor and back to the vertex itself
-        lbl = pc.min(group.column("lbl")).as_py()
-        nb = group.column("nb").combine_chunks().drop_null().to_numpy(
+        v = batch.column("v").combine_chunks().to_numpy(
             zero_copy_only=False)
-        k = group.column("k")[0].as_py()
-        out_v = np.concatenate([nb, np.array([k], dtype=np.int64)])
-        return pa.table({"v": pa.array(out_v.astype(np.int64)),
-                         "lbl": pa.array(np.full(len(out_v), lbl,
-                                                 dtype=np.int64))})
+        l = batch.column("lbl").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # one label row per vertex plus one pointer-jump row per
+        # NON-ROOT vertex: (k=lbl[v], nb=v) asks lbl[v]'s bucket for
+        # lbl[lbl[v]] and routes it back to v (labels are always vertex
+        # ids, so lbl[v]'s own label row co-buckets with the jump row)
+        nr = v[l != v]
+        jl = l[l != v]
+        n, m = len(v), len(nr)
+        k = np.concatenate([v, jl])
+        nb = np.concatenate([np.zeros(n, np.int64), nr])
+        lbl = np.concatenate([l, np.zeros(m, np.int64)])
+        isjump = np.zeros(n + m, bool)
+        isjump[n:] = True
+        return pa.table({"k": pa.array(k),
+                         "nb": pa.array(nb, mask=~isjump),
+                         "lbl": pa.array(lbl, mask=isjump),
+                         "bkt": bkt_of(k)})
 
-    def pre_min(batch: pa.Table) -> pa.Table:
-        # combiner: per-block min per vertex before the min-reduce shuffle
-        g = batch.group_by(["v"]).aggregate([("lbl", "min")])
+    def _coalesced(ds):
+        """Rebucket a materialized dataset to ~64 MiB blocks so loop
+        stages schedule O(bytes) tasks, not O(producer blocks)."""
+        target = max(1, min(ds.num_blocks(),
+                            -(-(ds.size_bytes() or 1) // (64 << 20))))
+        if target < ds.num_blocks():
+            ds = ds.repartition(target).materialize()
+        return ds
+
+    # the stacked message edges never change across iterations — pay the
+    # one-time O(|E|) materialization instead of re-running the producing
+    # lineage (and its shuffles) every round
+    msg_edges = _coalesced(
+        edges.map_batches(edge_msgs, batch_format="pyarrow",
+                          runtime_env=env).materialize())
+
+    def verts(batch: pa.Table) -> pa.Table:
+        # initial label = own id; derived from the materialized message
+        # edges (column k covers every endpoint twice) so the producer
+        # lineage executes exactly once overall
+        v = np.unique(batch.column("k").combine_chunks().to_numpy(
+            zero_copy_only=False))
+        return pa.table({"v": pa.array(v), "lbl": pa.array(v)})
+
+    labels = (msg_edges.map_batches(verts, batch_format="pyarrow",
+                                    runtime_env=env)
+              .groupby("v").aggregate(Min("lbl"))
+              .map_batches(rename_min, batch_format="pyarrow",
+                           runtime_env=env)
+              .materialize())
+    if labels.count() == 0:
+        return labels.map_batches(
+            lambda b: b.rename_columns(["v", "component"]),
+            batch_format="pyarrow", runtime_env=env)
+    labels = _coalesced(labels)
+    n_label_blocks = labels.num_blocks()
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        # one coarse hash bucket: label rows (lbl valid) + edge rows.
+        # Every edge row's key has its label row in THIS bucket (both
+        # bucket by k), so the lookup is a local sort+searchsorted.
+        k = group.column("k").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        lbl = group.column("lbl").combine_chunks()
+        is_lbl = pc.is_valid(lbl).to_numpy(zero_copy_only=False)
+        lk = k[is_lbl]
+        lv = pc.fill_null(lbl, 0).to_numpy(zero_copy_only=False)[is_lbl]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        ek = k[~is_lbl]
+        en = pc.fill_null(group.column("nb").combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False)[~is_lbl]
+        pos = np.minimum(np.searchsorted(lk, ek),
+                         max(len(lk) - 1, 0))
+        if len(ek) and (len(lk) == 0 or not np.array_equal(lk[pos], ek)):
+            raise AssertionError(
+                "connected_components: edge endpoint missing its label row")
+        edge_lbl = lv[pos] if len(ek) else lv[:0]
+        out = pa.table({
+            "v": pa.array(np.concatenate([en, lk])),
+            "lbl": pa.array(np.concatenate([edge_lbl, lv])),
+        })
+        # combiner: per-bucket min per vertex before the min-reduce shuffle
+        g = out.group_by(["v"]).aggregate([("lbl", "min")])
         return g.rename_columns(["v", "lbl"])
 
     prev_sum = None
     for _ in range(max_iters):
-        tagged = edges.map_batches(edge_msgs, batch_format="pyarrow",
-                                   runtime_env=env).union(
+        tagged = msg_edges.union(
             labels.map_batches(label_msgs, batch_format="pyarrow",
                                runtime_env=env))
-        labels = (tagged.groupby("k")
-                  .map_groups(propagate, batch_format="pyarrow",
+        labels = (tagged.groupby("bkt")
+                  .map_groups(bucket_merge, batch_format="pyarrow",
                               runtime_env=env)
-                  .map_batches(pre_min, batch_format="pyarrow",
-                               runtime_env=env)
                   .groupby("v").aggregate(Min("lbl"))
                   .map_batches(rename_min, batch_format="pyarrow",
                                runtime_env=env)
+                  .repartition(n_label_blocks)
                   .materialize())
         s = labels.sum("lbl")
         if s == prev_sum:
