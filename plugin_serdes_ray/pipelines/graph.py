@@ -46,6 +46,18 @@ def _valid_edges(batch: pa.Table, a_col: str, b_col: str) -> pa.Table:
     return batch
 
 
+def _coalesced(ds):
+    """Rebucket a materialized dataset to ~64 MiB blocks so iterative
+    loop stages schedule O(bytes) tasks, not O(producer blocks). Without
+    this, every union+groupby round of an iterative algorithm inherits
+    the other side's block count and per-iteration wall grows linearly."""
+    target = max(1, min(ds.num_blocks(),
+                        -(-(ds.size_bytes() or 1) // (64 << 20))))
+    if target < ds.num_blocks():
+        ds = ds.repartition(target).materialize()
+    return ds
+
+
 def star_edges(ds, key_col: str, id_col: str):
     """Edges connecting all ids that share a ``key_col`` value: one STAR
     per key (min id -> every other id), not the O(k^2) clique — same
@@ -154,15 +166,6 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
                          "lbl": pa.array(lbl, mask=isjump),
                          "bkt": bkt_of(k)})
 
-    def _coalesced(ds):
-        """Rebucket a materialized dataset to ~64 MiB blocks so loop
-        stages schedule O(bytes) tasks, not O(producer blocks)."""
-        target = max(1, min(ds.num_blocks(),
-                            -(-(ds.size_bytes() or 1) // (64 << 20))))
-        if target < ds.num_blocks():
-            ds = ds.repartition(target).materialize()
-        return ds
-
     # the stacked message edges never change across iterations — pay the
     # one-time O(|E|) materialization instead of re-running the producing
     # lineage (and its shuffles) every round
@@ -244,28 +247,38 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
 
 
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
-             damping: float = 0.85, iters: int = 10):
+             damping: float = 0.85, iters: int = 10, n_buckets: int = 256):
     """PageRank by power iteration over a directed edge-list Dataset.
     Returns ``(v, rank)`` for every vertex appearing as src or dst.
     Edges with a NULL endpoint are dropped.
 
-    Scale shape per iteration — the connected_components recipe, ONE
-    keyed shuffle, no join: the edge list (tagged ``(k=src, dst)``) is
-    unioned with the O(|V|) state ``(k=v, p, od)``; ``groupby(k)`` groups
-    each vertex with its out-edges, and the group emits one contribution
-    row ``(dst, d·p/od)`` per out-edge plus a self row ``(v, 0, od)``
-    that keeps in-edge-less vertices alive AND carries the out-degree
-    into the next state (so no per-iteration degree join). A per-block
-    combiner pre-sums before the Sum/Max reduce; the finish map adds the
-    teleport term ``(1-d)/N`` and the dangling mass ``d·Σ_{od=0} p / N``
-    (a driver scalar computed from the O(|V|) state each round, as the
-    convergence sum in :func:`connected_components`). Edges re-execute
-    per iteration (streamed); state (three fixed-width columns per
-    vertex) is materialized as the working set."""
+    Scale shape per iteration — the connected_components recipe, no
+    join: the edge list (tagged ``(k=src, dst)``, materialized ONCE and
+    coalesced to ~64 MiB blocks so its producer lineage never re-runs)
+    is unioned with the O(|V|) state ``(k=v, p, od)``; a coarse
+    ``groupby(splitmix64(k) % n_buckets)`` co-locates each vertex's
+    state row with its out-edges, and the per-BUCKET merge (numpy
+    sort+searchsorted — Python runs once per bucket, never per vertex)
+    emits one contribution row ``(dst, d·p/od)`` per out-edge plus a
+    self row ``(v, 0, od)`` that keeps in-edge-less vertices alive AND
+    carries the out-degree into the next state (so no per-iteration
+    degree join), pre-summed per bucket before the Sum/Max reduce; the
+    finish map adds the teleport term ``(1-d)/N`` and the dangling mass
+    ``d·Σ_{od=0} p / N`` (a driver scalar computed from the O(|V|)
+    state each round, as the convergence sum in
+    :func:`connected_components`). State (three fixed-width columns per
+    vertex) is materialized as the working set, repartitioned to a
+    fixed block count so per-iteration task count stays constant."""
     from ray.data.aggregate import Max, Sum
+
+    from .relational import splitmix64
 
     env = package_runtime_env()
     d = float(damping)
+
+    def bkt_of(k: np.ndarray) -> pa.Array:
+        return pa.array((splitmix64(k.astype(np.uint64))
+                         % np.uint64(n_buckets)).astype(np.int64))
 
     def deg_parts(batch: pa.Table) -> pa.Table:
         batch = _valid_edges(batch, src_col, dst_col)
@@ -296,41 +309,68 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
             "p": pa.array(np.full(batch.num_rows, 1.0 / n)),
             "od": batch.column("sum(od)").cast(pa.int64())})
 
-    state = deg.map_batches(init_state, batch_format="pyarrow",
-                            runtime_env=env).materialize()
+    state = _coalesced(deg.map_batches(init_state, batch_format="pyarrow",
+                                       runtime_env=env).materialize())
+    n_state_blocks = state.num_blocks()
 
     def edge_msgs(batch: pa.Table) -> pa.Table:
         batch = _valid_edges(batch, src_col, dst_col)
+        k = batch.column(src_col).combine_chunks().cast(pa.int64())
         m = batch.num_rows
         return pa.table({
-            "k": batch.column(src_col).cast(pa.int64()),
+            "k": k,
             "dst": batch.column(dst_col).cast(pa.int64()),
             "p": pa.nulls(m, pa.float64()),
-            "od": pa.nulls(m, pa.int64())})
+            "od": pa.nulls(m, pa.int64()),
+            "bkt": bkt_of(k.to_numpy(zero_copy_only=False))})
 
     def state_msgs(batch: pa.Table) -> pa.Table:
-        return pa.table({"k": batch.column("v"),
+        v = batch.column("v").combine_chunks()
+        return pa.table({"k": v,
                          "dst": pa.nulls(batch.num_rows, pa.int64()),
                          "p": batch.column("p"),
-                         "od": batch.column("od")})
+                         "od": batch.column("od"),
+                         "bkt": bkt_of(v.to_numpy(zero_copy_only=False))})
 
-    def spread(group: pa.Table) -> pa.Table:
-        p = pc.max(group.column("p")).as_py()     # the one state row
-        od = pc.max(group.column("od")).as_py()
-        k = group.column("k")[0].as_py()
-        dst = group.column("dst").combine_chunks().drop_null().to_numpy(
+    # the tagged edge messages never change across iterations — pay the
+    # one-time O(|E|) materialization instead of re-running the producer
+    # lineage (and any shuffles in it) every round
+    msg_edges = _coalesced(
+        edges.map_batches(edge_msgs, batch_format="pyarrow",
+                          runtime_env=env).materialize())
+
+    def bucket_spread(group: pa.Table) -> pa.Table:
+        # one coarse hash bucket: state rows (p valid) + edge rows.
+        # Every edge's src has its state row in THIS bucket (both bucket
+        # by k), so the lookup is a local sort+searchsorted.
+        k = group.column("k").combine_chunks().to_numpy(
             zero_copy_only=False)
-        out_v = np.concatenate([dst, np.array([k], dtype=np.int64)])
-        c = np.concatenate([
-            np.full(len(dst), d * p / od if od else 0.0),
-            np.zeros(1)])
-        out_od = np.concatenate([np.full(len(dst), -1, dtype=np.int64),
-                                 np.array([od], dtype=np.int64)])
-        return pa.table({"v": pa.array(out_v), "c": pa.array(c),
-                         "od": pa.array(out_od)})
-
-    def pre_sum(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["v"]).aggregate([("c", "sum"), ("od", "max")])
+        p_col = group.column("p").combine_chunks()
+        is_state = pc.is_valid(p_col).to_numpy(zero_copy_only=False)
+        sk = k[is_state]
+        sp = pc.fill_null(p_col, 0.0).to_numpy(
+            zero_copy_only=False)[is_state]
+        sod = pc.fill_null(group.column("od").combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False)[is_state]
+        order = np.argsort(sk, kind="stable")
+        sk, sp, sod = sk[order], sp[order], sod[order]
+        ek = k[~is_state]
+        ed = pc.fill_null(group.column("dst").combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False)[~is_state]
+        pos = np.minimum(np.searchsorted(sk, ek), max(len(sk) - 1, 0))
+        if len(ek) and (len(sk) == 0 or not np.array_equal(sk[pos], ek)):
+            raise AssertionError(
+                "pagerank: edge src missing its state row")
+        # od[src] >= 1 whenever src has an out-edge, so no /0 here
+        c = (d * sp[pos] / sod[pos]) if len(ek) else sp[:0]
+        out = pa.table({
+            "v": pa.array(np.concatenate([ed, sk])),
+            "c": pa.array(np.concatenate([c, np.zeros(len(sk))])),
+            "od": pa.array(np.concatenate(
+                [np.full(len(ed), -1, dtype=np.int64), sod])),
+        })
+        # combiner: per-bucket pre-sum before the Sum/Max reduce
+        g = out.group_by(["v"]).aggregate([("c", "sum"), ("od", "max")])
         return g.rename_columns(["v", "c", "od"])
 
     for _ in range(iters):
@@ -354,18 +394,16 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
                 "p": pa.array(base + c),
                 "od": batch.column("max(od)").cast(pa.int64())})
 
-        tagged = edges.map_batches(edge_msgs, batch_format="pyarrow",
-                                   runtime_env=env).union(
+        tagged = msg_edges.union(
             state.map_batches(state_msgs, batch_format="pyarrow",
                               runtime_env=env))
-        state = (tagged.groupby("k")
-                 .map_groups(spread, batch_format="pyarrow",
+        state = (tagged.groupby("bkt")
+                 .map_groups(bucket_spread, batch_format="pyarrow",
                              runtime_env=env)
-                 .map_batches(pre_sum, batch_format="pyarrow",
-                              runtime_env=env)
                  .groupby("v").aggregate(Sum("c"), Max("od"))
                  .map_batches(finish, batch_format="pyarrow",
                               runtime_env=env)
+                 .repartition(n_state_blocks)
                  .materialize())
 
     return state.map_batches(
