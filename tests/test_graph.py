@@ -32,6 +32,17 @@ def test_components_long_path_converges(ray_session):
     assert got == [(100 + i, 100) for i in range(n)]
 
 
+def test_components_chain_beyond_max_iters(ray_session):
+    # diameter 120 chain with max_iters=50: plain hash-min would stop at
+    # the iteration cap and silently return un-converged labels; the
+    # pointer-jump rows (lbl[lbl[v]] folded in each round) make rounds
+    # O(log diameter), so this must fully converge well inside the cap
+    n = 121
+    got = _cc(ray_session, a=list(range(1000, 1000 + n - 1)),
+              b=list(range(1001, 1000 + n)))
+    assert got == [(1000 + i, 1000) for i in range(n)]
+
+
 def test_components_duplicate_and_self_edges(ray_session):
     got = _cc(ray_session, a=[5, 5, 5, 7], b=[6, 6, 5, 7])
     assert got == [(5, 5), (6, 5), (7, 7)]
