@@ -97,6 +97,54 @@ def _replace_decimal_sep(s: pa.Array, opts: CoerceOptions) -> pa.Array:
     return s
 
 
+_I64_MAX = (1 << 63) - 1
+
+
+def _nullable_to_int64(pd_s: pd.Series) -> pa.Array:
+    """Exact numpy_nullable numeric series -> int64 Arrow array. Fractional
+    values and values outside int64 (UInt64 spill above 2^63-1, float
+    overflow) become null — the caller's _fail_mask policy-routes them —
+    instead of ArrowInvalid aborting the batch before the policy applies."""
+    pd_s = pd_s.where(pd_s % 1 == 0)
+    if pd_s.dtype.kind == "u":
+        # to_numeric went UInt64: >= one value above int64 max. Mask those
+        # via exact integer comparison (a float roundtrip would corrupt
+        # legal values in (2^53, 2^63))
+        na = pd_s.isna().to_numpy()
+        vals = pd_s.fillna(0).to_numpy(dtype="uint64")
+        masked = pd.array(vals.astype(np.int64), dtype="Int64")
+        masked[na | (vals > np.uint64(np.iinfo(np.int64).max))] = pd.NA
+        pd_s = pd.Series(masked, index=pd_s.index)
+    elif pd_s.dtype.kind == "f":
+        # floats beyond int64's range (exact power-of-two bounds) fail
+        pd_s = pd_s.where((pd_s >= -(2.0 ** 63)) & (pd_s < 2.0 ** 63))
+    return pa.array(pd.array(pd_s, dtype="Int64"), type=pa.int64())
+
+
+def _floor_div_i64(a: pa.Array, divisor: int) -> pa.Array:
+    """Integer division flooring toward -inf. pc.divide truncates toward
+    zero, which would round pre-epoch sub-unit timestamps UP toward the
+    epoch instead of down to the previous whole unit."""
+    d = pa.scalar(divisor, pa.int64())
+    q = pc.divide(a, d)
+    r = pc.subtract(a, pc.multiply(q, d))
+    adj = pc.and_(pc.less(a, 0), pc.not_equal(r, 0))
+    return pc.subtract(q, pc.cast(adj, pa.int64()))
+
+
+def _checked_scale_i64(a: pa.Array, factor: int) -> pa.Array:
+    """a * factor with overflow -> null (policy-routed failure). Plain
+    pc.multiply wraps silently, turning e.g. a year-2286 epoch-ms value
+    into a valid-looking garbage ns timestamp. The symmetric bound gives
+    up one representable value at the int64 min edge (conservative)."""
+    bound = _I64_MAX // factor
+    ok = pc.and_(pc.greater_equal(a, pa.scalar(-bound, pa.int64())),
+                 pc.less_equal(a, pa.scalar(bound, pa.int64())))
+    masked = pc.if_else(pc.fill_null(ok, False), a,
+                        pa.nulls(len(a), pa.int64()))
+    return pc.multiply(masked, pa.scalar(factor, pa.int64()))
+
+
 def to_int(arr: pa.Array, typ: pa.DataType = None,
            opts: Optional[CoerceOptions] = None) -> pa.Array:
     opts = opts or CoerceOptions()
@@ -125,28 +173,12 @@ def to_int(arr: pa.Array, typ: pa.DataType = None,
     # nullable backend: the default float64 coercion would silently corrupt
     # integers above 2^53 whenever the batch contains ANY null (int64 can't
     # hold NaN) — found by the string-identity property test
-    pd_s = pd.to_numeric(s.to_pandas(), errors="coerce",
-                         dtype_backend="numpy_nullable")
     # integer coercion rejects fractional values (PrimitiveIntTest analog);
     # out-of-range values are policy-routed failures like the float path
     # above, never a TypeError/ArrowInvalid aborting the batch before the
     # policy applies
-    pd_s = pd_s.where(pd_s % 1 == 0)
-    if pd_s.dtype.kind == "u":
-        # to_numeric went UInt64: >= one value above int64 max. Mask those
-        # via exact integer comparison (a float roundtrip would corrupt
-        # legal values in (2^53, 2^63))
-        import numpy as np
-
-        na = pd_s.isna().to_numpy()
-        vals = pd_s.fillna(0).to_numpy(dtype="uint64")
-        masked = pd.array(vals.astype(np.int64), dtype="Int64")
-        masked[na | (vals > np.uint64(np.iinfo(np.int64).max))] = pd.NA
-        pd_s = pd.Series(masked, index=pd_s.index)
-    elif pd_s.dtype.kind == "f":
-        # floats beyond int64's range (exact power-of-two bounds) fail
-        pd_s = pd_s.where((pd_s >= -(2.0 ** 63)) & (pd_s < 2.0 ** 63))
-    i64 = pa.array(pd.array(pd_s, dtype="Int64"), type=pa.int64())
+    i64 = _nullable_to_int64(pd.to_numeric(s.to_pandas(), errors="coerce",
+                                           dtype_backend="numpy_nullable"))
     if typ != pa.int64():
         bits = typ.bit_width
         if pa.types.is_signed_integer(typ):
@@ -231,13 +263,26 @@ def to_timestamp(arr: pa.Array, unit: str = "ms", tz: Optional[str] = None,
     typ = pa.timestamp(unit, tz=tz)
     if pa.types.is_timestamp(arr.type):
         return arr.cast(typ)
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+
+    def ms_to_unit(ms: pa.Array) -> pa.Array:
+        # EXACT integer arithmetic in both directions: scaling up masks
+        # would-overflow values to policy failures instead of wrapping
+        # into garbage timestamps; scaling down floors (pre-epoch values
+        # go to the previous whole unit, not up toward the epoch)
+        if per_sec == 10**3:
+            return ms
+        if per_sec > 10**3:
+            return _checked_scale_i64(ms, per_sec // 10**3)
+        return _floor_div_i64(ms, 10**3)
+
     if pa.types.is_integer(arr.type):
         # integers are epoch MILLIS, same semantics as the all-digit string
         # fast path below (AvroConverter.java:379-383) — a bare cast to
         # timestamp(unit) would reinterpret them as counts of the TARGET
         # unit, silently shifting every value for unit != "ms"
-        ms = arr.cast(pa.int64()).cast(pa.timestamp("ms"))
-        return ms.cast(pa.timestamp(unit), safe=False).cast(typ)
+        out = ms_to_unit(arr.cast(pa.int64())).cast(pa.timestamp(unit)).cast(typ)
+        return _fail_mask(arr, out, opts, f"timestamp[{unit}]")
     s = pc.utf8_trim_whitespace(nullify(arr, opts))
     pd_str = s.to_pandas()
     numeric = pd_str.str.fullmatch(r"-?\d+", na=False)
@@ -246,21 +291,20 @@ def to_timestamp(arr: pa.Array, unit: str = "ms", tz: Optional[str] = None,
                             errors="coerce", utc=False)
     if parsed.dt.tz is None:
         parsed = parsed.dt.tz_localize(opts.timezone)
-    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
     parsed_ns = pa.array(parsed.dt.tz_convert("UTC").dt.tz_localize(None),
                          type=pa.timestamp("ns")).cast(pa.int64())
     parsed_t = parsed_ns if per_sec == 10**9 else \
-        pc.divide(parsed_ns, pa.scalar(10**9 // per_sec, pa.int64()))
+        _floor_div_i64(parsed_ns, 10**9 // per_sec)
     # epoch-millis strings via EXACT integer arithmetic: routing them
     # through pandas ns datetimes both crashed on values outside the
     # [1677, 2262] ns window (while the integer input path handled them)
-    # and was the only float hop left in the fast path
-    ms = pa.Array.from_pandas(
+    # and was the only float hop left in the fast path; _nullable_to_int64
+    # masks all-digit strings beyond int64 to policy failures instead of
+    # ArrowInvalid aborting the batch
+    ms = _nullable_to_int64(
         pd.to_numeric(pd_str.where(numeric), errors="coerce",
-                      dtype_backend="numpy_nullable"), type=pa.int64())
-    num_t = ms if per_sec == 10**3 else (
-        pc.multiply(ms, pa.scalar(per_sec // 10**3, pa.int64()))
-        if per_sec > 10**3 else pc.divide(ms, pa.scalar(10**3, pa.int64())))
+                      dtype_backend="numpy_nullable"))
+    num_t = ms_to_unit(ms)
     out = pc.coalesce(parsed_t, num_t).cast(pa.timestamp(unit)).cast(typ)
     return _fail_mask(s, out, opts, f"timestamp[{unit}]")
 

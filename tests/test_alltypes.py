@@ -229,19 +229,55 @@ def test_prop_coerce_int_string_identity(vals):
                 max_size=30))
 def test_prop_coerce_timestamp_int_string_parity(vals):
     """Integer epoch-millis and their string forms coerce to the SAME
-    timestamps for every unit."""
-    from plugin_serdes_ray.functions.coerce import to_timestamp
+    timestamps for every unit (SKIP policy: ms values that overflow the
+    ns unit must policy-fail identically on both paths)."""
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, to_timestamp
+    from plugin_serdes_ray.functions.errors import OnBadLines
 
+    skip = CoerceOptions(on_bad_lines=OnBadLines.SKIP)
     ints = pa.array(vals, pa.int64())
     strs = pa.array([None if v is None else str(v) for v in vals],
                     pa.string())
-    for unit in ("ms", "us"):
-        a = to_timestamp(ints, unit=unit)
-        b = to_timestamp(strs, unit=unit)
+    for unit in ("s", "ms", "us", "ns"):
+        a = to_timestamp(ints, unit=unit, opts=skip)
+        b = to_timestamp(strs, unit=unit, opts=skip)
         # compare as int64 storage: to_pylist() boxes through Python
         # datetime, which cannot represent years < 1 / > 9999
         assert a.cast(pa.int64()).to_pylist() == \
             b.cast(pa.int64()).to_pylist(), unit
+
+
+def test_coerce_timestamp_overflow_and_floor_semantics():
+    """Three review-confirmed defects stay fixed: (1) epoch-ms beyond the
+    target unit's int64 range policy-fails instead of wrapping into a
+    valid-looking garbage timestamp; (2) all-digit strings above int64 max
+    policy-fail instead of ArrowInvalid aborting the batch; (3) pre-epoch
+    sub-unit values floor to the previous whole unit, not up toward the
+    epoch. Both the integer input path and the string fast path."""
+    from plugin_serdes_ray.functions.coerce import CoerceOptions, to_timestamp
+    from plugin_serdes_ray.functions.errors import BadLineError, OnBadLines
+
+    skip = CoerceOptions(on_bad_lines=OnBadLines.SKIP)
+    # (1) 1e13 ms = year 2286, not representable in ns
+    assert to_timestamp(pa.array(["10000000000000"]), unit="ns",
+                        opts=skip).to_pylist() == [None]
+    assert to_timestamp(pa.array([10**13], pa.int64()), unit="ns",
+                        opts=skip).to_pylist() == [None]
+    with pytest.raises(BadLineError):
+        to_timestamp(pa.array(["10000000000000"]), unit="ns")
+    # (2) above int64 max: policy failure, not an aborting ArrowInvalid
+    assert to_timestamp(pa.array(["9223372036854775808"]), unit="ms",
+                        opts=skip).to_pylist() == [None]
+    # (3) floor toward -inf on scale-down, all three routes
+    import datetime as dt
+
+    want = dt.datetime(1969, 12, 31, 23, 59, 59)
+    assert to_timestamp(pa.array(["1969-12-31T23:59:59.4"]), unit="s",
+                        opts=skip).to_pylist() == [want]
+    assert to_timestamp(pa.array(["-600"]), unit="s",
+                        opts=skip).to_pylist() == [want]
+    assert to_timestamp(pa.array([-600], pa.int64()), unit="s",
+                        opts=skip).to_pylist() == [want]
 
 
 @settings(max_examples=30, deadline=None)
