@@ -34,6 +34,9 @@ _BLOCK_TAGS = {"p", "div", "section", "article", "main", "header", "footer",
 # escapes them, the consumers honor the escapes via a protect/restore pass
 _MD_INLINE_SPECIALS = re.compile(r"([\\*`\[\]])")
 _MD_ESCAPED = re.compile(r"\\([\\*`\[\]#>+-])")
+# chars sentinel-protected as LITERALS inside inline code spans (no
+# escape-pair semantics there — CommonMark treats span content verbatim)
+_MD_LITERAL = re.compile(r"([\\*`\[\]#>+-])")
 # U+E000 (private use) sentinel: original text containing U+E000 followed by
 # 4 hex digits would collide — acceptable for a test/extraction helper
 _MD_SENTINEL = re.compile("\ue000([0-9a-f]{4})")
@@ -248,12 +251,25 @@ def markdown_to_html(md: str, escape_html: bool = False) -> str:
 def markdown_to_text(md: str) -> str:
     """Markdown -> plain text (MarkdownToText.java:114-165): link text w/o
     URL, '- ' list items preserved, soft breaks -> space, trailing trim."""
-    # protect backslash-escaped specials OUTSIDE code fences (backslash is
+    # protect backslash-escaped specials OUTSIDE code (backslash is
     # literal inside code) so the structural regexes below treat them as
-    # plain text; restored after entity unescaping
-    parts = re.split(r"(```.*?```)", md, flags=re.S)
-    text = "".join(p if p.startswith("```") else _md_protect(p)
-                   for p in parts)
+    # plain text; restored after entity unescaping. Inline `...` spans
+    # get every special sentinel-protected as a LITERAL char — treating
+    # \* inside a span as an escape pair would drop the backslash.
+    # span delimiters must be UNESCAPED backticks: this package's md
+    # dialect writes literal backticks as \` (see _MD_ESCAPED), so e.g.
+    # the emitter output "\`x\`" is escaped text, not a span
+    parts = re.split(r"(```.*?```|(?<!\\)`[^`\n]+(?<!\\)`)", md, flags=re.S)
+    buf = []
+    for i, p in enumerate(parts):
+        if i % 2 == 0:
+            buf.append(_md_protect(p))
+        elif p.startswith("```"):
+            buf.append(p)
+        else:
+            buf.append(_MD_LITERAL.sub(
+                lambda m: "\ue000%04x" % ord(m.group(1)), p[1:-1]))
+    text = "".join(buf)
     text = re.sub(r"```.*?```", lambda m: re.sub(r"^```|```$", "", m.group(0),
                                                  flags=re.M).strip("`\n"),
                   text, flags=re.S)

@@ -58,6 +58,29 @@ def _coalesced(ds):
     return ds
 
 
+def _bucket_of(k: np.ndarray, n_buckets: int) -> pa.Array:
+    """Coarse hash bucket for co-locating a vertex's state/label row with
+    its message rows — shared by connected_components and pagerank so the
+    two sides of each union can never desynchronize."""
+    from .relational import splitmix64
+
+    return pa.array((splitmix64(k.astype(np.uint64))
+                     % np.uint64(n_buckets)).astype(np.int64))
+
+
+def _sorted_lookup(sorted_keys: np.ndarray, query: np.ndarray,
+                   missing_msg: str) -> np.ndarray:
+    """Positions of ``query`` in ``sorted_keys`` (exact match required —
+    by bucket construction every message key has its state row in the
+    same bucket; a miss means the invariant broke, so raise loudly)."""
+    pos = np.minimum(np.searchsorted(sorted_keys, query),
+                     max(len(sorted_keys) - 1, 0))
+    if len(query) and (len(sorted_keys) == 0
+                       or not np.array_equal(sorted_keys[pos], query)):
+        raise AssertionError(missing_msg)
+    return pos
+
+
 def star_edges(ds, key_col: str, id_col: str):
     """Edges connecting all ids that share a ``key_col`` value: one STAR
     per key (min id -> every other id), not the O(k^2) clique — same
@@ -120,8 +143,6 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
     scalar."""
     from ray.data.aggregate import Min
 
-    from .relational import splitmix64
-
     env = package_runtime_env()
 
     def rename_min(batch: pa.Table) -> pa.Table:
@@ -129,8 +150,7 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
                          "lbl": batch.column("min(lbl)").cast(pa.int64())})
 
     def bkt_of(k: np.ndarray) -> pa.Array:
-        return pa.array((splitmix64(k.astype(np.uint64))
-                         % np.uint64(n_buckets)).astype(np.int64))
+        return _bucket_of(k, n_buckets)
 
     def edge_msgs(batch: pa.Table) -> pa.Table:
         batch = _valid_edges(batch, a_col, b_col)
@@ -209,11 +229,9 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
         ek = k[~is_lbl]
         en = pc.fill_null(group.column("nb").combine_chunks(), 0) \
             .to_numpy(zero_copy_only=False)[~is_lbl]
-        pos = np.minimum(np.searchsorted(lk, ek),
-                         max(len(lk) - 1, 0))
-        if len(ek) and (len(lk) == 0 or not np.array_equal(lk[pos], ek)):
-            raise AssertionError(
-                "connected_components: edge endpoint missing its label row")
+        pos = _sorted_lookup(
+            lk, ek,
+            "connected_components: edge endpoint missing its label row")
         edge_lbl = lv[pos] if len(ek) else lv[:0]
         out = pa.table({
             "v": pa.array(np.concatenate([en, lk])),
@@ -271,21 +289,38 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
     fixed block count so per-iteration task count stays constant."""
     from ray.data.aggregate import Max, Sum
 
-    from .relational import splitmix64
-
     env = package_runtime_env()
     d = float(damping)
 
     def bkt_of(k: np.ndarray) -> pa.Array:
-        return pa.array((splitmix64(k.astype(np.uint64))
-                         % np.uint64(n_buckets)).astype(np.int64))
+        return _bucket_of(k, n_buckets)
+
+    def edge_msgs(batch: pa.Table) -> pa.Table:
+        batch = _valid_edges(batch, src_col, dst_col)
+        k = batch.column(src_col).combine_chunks().cast(pa.int64())
+        m = batch.num_rows
+        return pa.table({
+            "k": k,
+            "dst": batch.column(dst_col).cast(pa.int64()),
+            "p": pa.nulls(m, pa.float64()),
+            "od": pa.nulls(m, pa.int64()),
+            "bkt": bkt_of(k.to_numpy(zero_copy_only=False))})
+
+    # the tagged edge messages never change across iterations — pay the
+    # one-time O(|E|) materialization instead of re-running the producer
+    # lineage (and any shuffles in it) every round. The degree pass below
+    # reads THESE materialized rows, so the producer executes exactly
+    # once overall (the connected_components recipe — deriving it from
+    # `edges` directly would re-run any shuffle inside the producer).
+    msg_edges = _coalesced(
+        edges.map_batches(edge_msgs, batch_format="pyarrow",
+                          runtime_env=env).materialize())
 
     def deg_parts(batch: pa.Table) -> pa.Table:
-        batch = _valid_edges(batch, src_col, dst_col)
-        s = batch.column(src_col).combine_chunks().cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        t = batch.column(dst_col).combine_chunks().cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+        s = batch.column("k").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
         vals, cnts = np.unique(s, return_counts=True)
         dv = np.unique(t)
         return pa.table({
@@ -293,8 +328,8 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
             "od": pa.array(np.concatenate(
                 [cnts.astype(np.int64), np.zeros(len(dv), np.int64)]))})
 
-    deg = (edges.map_batches(deg_parts, batch_format="pyarrow",
-                             runtime_env=env)
+    deg = (msg_edges.map_batches(deg_parts, batch_format="pyarrow",
+                                 runtime_env=env)
            .groupby("v").aggregate(Sum("od")))
     n = deg.count()
     if n == 0:
@@ -313,17 +348,6 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
                                        runtime_env=env).materialize())
     n_state_blocks = state.num_blocks()
 
-    def edge_msgs(batch: pa.Table) -> pa.Table:
-        batch = _valid_edges(batch, src_col, dst_col)
-        k = batch.column(src_col).combine_chunks().cast(pa.int64())
-        m = batch.num_rows
-        return pa.table({
-            "k": k,
-            "dst": batch.column(dst_col).cast(pa.int64()),
-            "p": pa.nulls(m, pa.float64()),
-            "od": pa.nulls(m, pa.int64()),
-            "bkt": bkt_of(k.to_numpy(zero_copy_only=False))})
-
     def state_msgs(batch: pa.Table) -> pa.Table:
         v = batch.column("v").combine_chunks()
         return pa.table({"k": v,
@@ -331,13 +355,6 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
                          "p": batch.column("p"),
                          "od": batch.column("od"),
                          "bkt": bkt_of(v.to_numpy(zero_copy_only=False))})
-
-    # the tagged edge messages never change across iterations — pay the
-    # one-time O(|E|) materialization instead of re-running the producer
-    # lineage (and any shuffles in it) every round
-    msg_edges = _coalesced(
-        edges.map_batches(edge_msgs, batch_format="pyarrow",
-                          runtime_env=env).materialize())
 
     def bucket_spread(group: pa.Table) -> pa.Table:
         # one coarse hash bucket: state rows (p valid) + edge rows.
@@ -357,10 +374,8 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         ek = k[~is_state]
         ed = pc.fill_null(group.column("dst").combine_chunks(), 0) \
             .to_numpy(zero_copy_only=False)[~is_state]
-        pos = np.minimum(np.searchsorted(sk, ek), max(len(sk) - 1, 0))
-        if len(ek) and (len(sk) == 0 or not np.array_equal(sk[pos], ek)):
-            raise AssertionError(
-                "pagerank: edge src missing its state row")
+        pos = _sorted_lookup(sk, ek,
+                             "pagerank: edge src missing its state row")
         # od[src] >= 1 whenever src has an out-edge, so no /0 here
         c = (d * sp[pos] / sod[pos]) if len(ek) else sp[:0]
         out = pa.table({

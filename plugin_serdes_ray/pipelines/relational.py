@@ -121,6 +121,14 @@ def cross_join(ds, small: pa.Table, max_small_rows: int = 100_000):
             f"cross_join small side has {small.num_rows} rows > "
             f"max_small_rows={max_small_rows}; a cartesian against a big "
             "side explodes output volume — bound it explicitly if intended")
+    # catch column collisions at the driver when the schema is already
+    # known (no execution forced); the in-batch check below still guards
+    # lazily-typed inputs
+    known = ds.schema(fetch_if_missing=False)
+    if known is not None:
+        dup = set(known.names) & set(small.column_names)
+        if dup:
+            raise ValueError(f"cross_join column collision: {sorted(dup)}")
     ref = ray.put(small)
 
     def expand(batch: pa.Table):
@@ -129,11 +137,16 @@ def cross_join(ds, small: pa.Table, max_small_rows: int = 100_000):
         if dup:
             raise ValueError(f"cross_join column collision: {sorted(dup)}")
         n = batch.num_rows
+        if n == 0:
+            return
         for j in range(right.num_rows):
+            # replicate the right row via one vectorized take over all its
+            # columns (zero boxing; a python-list build would churn n x
+            # n_cols scalar objects per right row)
+            rep = right.take(pa.array(np.full(n, j, dtype=np.int64)))
             t = batch
-            for name, col in zip(right.column_names, right.columns):
-                t = t.append_column(
-                    name, pa.array([col[j].as_py()] * n, type=col.type))
+            for name, col in zip(rep.column_names, rep.columns):
+                t = t.append_column(name, col)
             yield t
 
     return ds.map_batches(expand, batch_format="pyarrow",
@@ -2313,11 +2326,20 @@ def set_op(left, right, op: str):
             rn = r.combine_chunks().to_numpy(zero_copy_only=False)
             reps = (np.maximum(ln - rn, 0) if op == "except_all"
                     else np.minimum(ln, rn))
-            idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
+            # per-slice index construction: a global np.repeat would
+            # allocate the whole replicated index (8 B x total output
+            # rows — a single hot row with multiplicity 1e9 is an 8 GB
+            # array) before any slicing. cum is O(block rows); each
+            # slice materializes at most cap indices.
+            cum = np.concatenate(([0], np.cumsum(reps)))
+            total = int(cum[-1])
             src = batch.select(lnames)
             cap = 1 << 20
-            for lo in range(0, len(idx), cap):
-                yield src.take(pa.array(idx[lo:lo + cap]))
+            for lo in range(0, total, cap):
+                hi = min(lo + cap, total)
+                idx = np.searchsorted(
+                    cum, np.arange(lo, hi, dtype=np.int64), side="right") - 1
+                yield src.take(pa.array(idx))
             return
         if op == "union":
             keep = pc.or_(pc.greater(l, 0), pc.greater(r, 0))

@@ -731,3 +731,14 @@ def test_html_md_text_markdown_specials_identity():
     assert markdown.markdown_to_text(r"\*lit\*") == "*lit*"
     assert markdown.markdown_to_text("*em* `c` [t](u)") == "em c t"
     assert markdown.markdown_to_text("```\nkeep \\* raw\n```") == "keep \\* raw"
+
+
+def test_markdown_to_text_inline_code_is_literal():
+    """CommonMark: code-span content is verbatim — backslashes are NOT
+    escape pairs there (review regression: `a\\*b` lost its backslash)
+    and specials are not markup."""
+    assert markdown.markdown_to_text(r"`a\*b`") == r"a\*b"
+    assert markdown.markdown_to_text("`**x**`") == "**x**"
+    assert markdown.markdown_to_text("x `[a](b)` y") == "x [a](b) y"
+    # escape pairs OUTSIDE spans still collapse to the bare char
+    assert markdown.markdown_to_text(r"a \* b `\*` c") == r"a * b \* c"
