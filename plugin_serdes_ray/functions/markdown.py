@@ -34,9 +34,27 @@ _BLOCK_TAGS = {"p", "div", "section", "article", "main", "header", "footer",
 # escapes them, the consumers honor the escapes via a protect/restore pass
 _MD_INLINE_SPECIALS = re.compile(r"([\\*`\[\]])")
 _MD_ESCAPED = re.compile(r"\\([\\*`\[\]#>+-])")
-# chars sentinel-protected as LITERALS inside inline code spans (no
-# escape-pair semantics there — CommonMark treats span content verbatim)
-_MD_LITERAL = re.compile(r"([\\*`\[\]#>+-])")
+# inline code spans (CommonMark: content is VERBATIM — no escape pairs,
+# no markup): 1- or 2-backtick delimiters, unescaped, double tried first.
+# Consumers stash span content out-of-band (U+E001 placeholder) before
+# any structural regex or protect pass touches the text.
+_MD_SPAN = re.compile(
+    r"(?<!\\)(?<!`)``(?!`)((?:[^`\n]|`(?!`))+?)``(?!`)"
+    r"|(?<!\\)(?<!`)`(?!`)([^`\n]+?)`(?!`)")
+_MD_SPAN_SLOT = re.compile("\ue001(\\d+)\ue001")
+
+
+def _span_stash(spans: list):
+    """Returns a _MD_SPAN.sub callback that strips delimiters (plus the
+    CommonMark one-space padding rule) and swaps content for a slot."""
+    def sub(m: "re.Match") -> str:
+        inner = m.group(1) if m.group(1) is not None else m.group(2)
+        if len(inner) >= 2 and inner[0] == " " and inner[-1] == " " \
+                and inner.strip():
+            inner = inner[1:-1]
+        spans.append(inner)
+        return "\ue001%d\ue001" % (len(spans) - 1)
+    return sub
 # U+E000 (private use) sentinel: original text containing U+E000 followed by
 # 4 hex digits would collide — acceptable for a test/extraction helper
 _MD_SENTINEL = re.compile("\ue000([0-9a-f]{4})")
@@ -63,8 +81,13 @@ class _Html2Md(HTMLParser):
         self.in_pre = False
         self.bold = False
         self.italic = False
+        self.code_buf: Optional[list[str]] = None
 
     def _emit(self, s: str) -> None:
+        if self.code_buf is not None:
+            # markup markers are unrepresentable inside a CommonMark code
+            # span (content is literal): drop them, keep only data
+            return
         (self.link_text if self.href is not None else self.out).append(s)
 
     def handle_starttag(self, tag, attrs):
@@ -93,7 +116,8 @@ class _Html2Md(HTMLParser):
         elif tag in ("em", "i"):
             self._emit("*")
         elif tag == "code" and not self.in_pre:
-            self._emit("`")
+            if self.code_buf is None:
+                self.code_buf = []
         elif tag == "pre":
             self.in_pre = True
             self.out.append("\n\n```\n")
@@ -128,7 +152,23 @@ class _Html2Md(HTMLParser):
         elif tag in ("em", "i"):
             self._emit("*")
         elif tag == "code" and not self.in_pre:
-            self._emit("`")
+            content = "".join(self.code_buf or [])
+            self.code_buf = None
+            if content:
+                # CommonMark span, content VERBATIM (no backslash escapes
+                # inside code): single-backtick delimiters unless the
+                # content itself has backticks, then double + the
+                # one-space padding rule; content with `` runs falls back
+                # to escaped plain text (span boundary dropped — the
+                # extracted text is unchanged)
+                if "`" not in content:
+                    self._emit(f"`{content}`")
+                elif "``" not in content:
+                    pad = " " if (content.startswith("`")
+                                  or content.endswith("`")) else ""
+                    self._emit(f"``{pad}{content}{pad}``")
+                else:
+                    self._emit(_MD_INLINE_SPECIALS.sub(r"\\\1", content))
         elif tag == "pre":
             self.in_pre = False
             self.out.append("\n```\n\n")
@@ -142,7 +182,15 @@ class _Html2Md(HTMLParser):
         if self.skip_depth:
             return
         if self.in_pre:
-            self._emit(data)
+            (self.link_text if self.href is not None
+             else self.out).append(data)
+            return
+        if self.code_buf is not None:
+            # inline code content: entity-escape & and < (the consumers
+            # unescape entities), collapse whitespace, NO backslash
+            # escaping — CommonMark span content is verbatim
+            data = data.replace("&", "&amp;").replace("<", "&lt;")
+            self.code_buf.append(re.sub(r"\s+", " ", data))
             return
         # entity-escape & and < on emission: markdown treats entities as
         # live (markdown_to_text unescapes them), so raw text containing
@@ -192,8 +240,13 @@ def markdown_to_html(md: str, escape_html: bool = False) -> str:
             para = []
 
     def _inline(s: str) -> str:
-        # backslash-escaped specials are literal text, not markup: protect
-        # them from the regexes below, restore the bare char at the end
+        # code spans first, stashed out-of-band (content is VERBATIM —
+        # no escape pairs, no emphasis inside; and emphasis ACROSS a span
+        # still works because the placeholder is plain text to the
+        # regexes). Then backslash-escaped specials are protected from
+        # the regexes below and restored bare at the end.
+        spans: list[str] = []
+        s = _MD_SPAN.sub(_span_stash(spans), s)
         s = _md_protect(s)
         if escape_html:
             s = escape(s)
@@ -202,7 +255,11 @@ def markdown_to_html(md: str, escape_html: bool = False) -> str:
         s = re.sub(r"\*\*([^*]+)\*\*", r"<strong>\1</strong>", s)
         s = re.sub(r"\*([^*]+)\*", r"<em>\1</em>", s)
         s = re.sub(r"`([^`]+)`", r"<code>\1</code>", s)
-        return _md_restore(s)
+        s = _md_restore(s)
+        return _MD_SPAN_SLOT.sub(
+            lambda m: "<code>%s</code>" % (
+                escape(spans[int(m.group(1))]) if escape_html
+                else spans[int(m.group(1))]), s)
 
     for line in lines:
         if line.startswith("```"):
@@ -251,25 +308,20 @@ def markdown_to_html(md: str, escape_html: bool = False) -> str:
 def markdown_to_text(md: str) -> str:
     """Markdown -> plain text (MarkdownToText.java:114-165): link text w/o
     URL, '- ' list items preserved, soft breaks -> space, trailing trim."""
-    # protect backslash-escaped specials OUTSIDE code (backslash is
-    # literal inside code) so the structural regexes below treat them as
-    # plain text; restored after entity unescaping. Inline `...` spans
-    # get every special sentinel-protected as a LITERAL char — treating
-    # \* inside a span as an escape pair would drop the backslash.
-    # span delimiters must be UNESCAPED backticks: this package's md
-    # dialect writes literal backticks as \` (see _MD_ESCAPED), so e.g.
-    # the emitter output "\`x\`" is escaped text, not a span
-    parts = re.split(r"(```.*?```|(?<!\\)`[^`\n]+(?<!\\)`)", md, flags=re.S)
-    buf = []
-    for i, p in enumerate(parts):
-        if i % 2 == 0:
-            buf.append(_md_protect(p))
-        elif p.startswith("```"):
-            buf.append(p)
-        else:
-            buf.append(_MD_LITERAL.sub(
-                lambda m: "\ue000%04x" % ord(m.group(1)), p[1:-1]))
-    text = "".join(buf)
+    # code content is literal (CommonMark): inline spans are stashed
+    # out-of-band BEFORE the protect pass — treating \\* inside a span as
+    # an escape pair would drop the backslash — and fences are exempted
+    # from both. Outside code, backslash-escaped specials are protected
+    # so the structural regexes below treat them as plain text, then
+    # restored after entity unescaping. Span delimiters must be UNESCAPED
+    # backticks: this package's emitter writes literal backticks in
+    # ordinary text as \\` (see _MD_ESCAPED), so "\\`x\\`" is escaped text,
+    # not a span.
+    spans: list[str] = []
+    stash = _span_stash(spans)
+    parts = re.split(r"(```.*?```)", md, flags=re.S)
+    text = "".join(p if i % 2 else _md_protect(_MD_SPAN.sub(stash, p))
+                   for i, p in enumerate(parts))
     text = re.sub(r"```.*?```", lambda m: re.sub(r"^```|```$", "", m.group(0),
                                                  flags=re.M).strip("`\n"),
                   text, flags=re.S)
@@ -282,6 +334,10 @@ def markdown_to_text(md: str) -> str:
     text = re.sub(r"^\s*[-*]\s+", "- ", text, flags=re.M)
     text = unescape(text)
     text = _md_restore(text)
+    # span content: entities are live (the emitter entity-escapes & and <
+    # inside <code>), everything else is byte-verbatim
+    text = _MD_SPAN_SLOT.sub(lambda m: unescape(spans[int(m.group(1))]),
+                             text)
     lines = [ln.rstrip() for ln in text.split("\n")]
     out: list[str] = []
     prev_blank = True

@@ -742,3 +742,29 @@ def test_markdown_to_text_inline_code_is_literal():
     assert markdown.markdown_to_text("x `[a](b)` y") == "x [a](b) y"
     # escape pairs OUTSIDE spans still collapse to the bare char
     assert markdown.markdown_to_text(r"a \* b `\*` c") == r"a * b \* c"
+    # double-backtick spans (emitted when content has backticks) + the
+    # CommonMark one-space padding rule
+    assert markdown.markdown_to_text("``tick ` inside``") == "tick ` inside"
+    assert markdown.markdown_to_text("`` `lead ``") == "`lead"
+    # md -> html treats span content as literal too, and emphasis still
+    # works ACROSS a span
+    assert markdown.markdown_to_html(r"`a\*b`") == "<p><code>a\\*b</code></p>"
+    assert markdown.markdown_to_html("*a `c` b*") == \
+        "<p><em>a <code>c</code> b</em></p>"
+
+
+def test_html_md_text_inline_code_identity():
+    """html -> markdown -> text byte identity for <code> spans whose
+    content contains every escape-relevant class: the emitter writes
+    VERBATIM span content (double-backtick delimiters when the content
+    has backticks) instead of backslash-escaping inside code."""
+    import html as _html
+
+    for t in ["a*b", "x & y", "a\\b", "tick ` inside", "[br]", "#tag",
+              "`lead", "trail`", "5 < 6 && 7 > 2"]:
+        page = (f"<html><body><article><p>before "
+                f"<code>{_html.escape(t)}</code> after</p></article>"
+                "</body></html>")
+        got = " ".join(markdown.markdown_to_text(
+            markdown.html_to_markdown(page)).split())
+        assert got == " ".join(f"before {t} after".split()), t
