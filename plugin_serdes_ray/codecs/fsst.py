@@ -49,14 +49,6 @@ def _escape_all(data: bytes) -> bytes:
     return out.tobytes()
 
 
-def _escaped_pattern(sym: bytes) -> bytes:
-    s = np.frombuffer(sym, dtype=np.uint8)
-    out = np.empty(2 * len(s), dtype=np.uint8)
-    out[0::2] = ESCAPE
-    out[1::2] = s
-    return out.tobytes()
-
-
 def compress(data: bytes, symbols: list[bytes]) -> bytes:
     """Encode data into the FSST code/escape stream.
 
@@ -85,7 +77,7 @@ def _compress_replace(data: bytes, symbols: list[bytes]) -> bytes:
     # synthetic corpus, gain-first ordering loses ~12pp of compression win
     order = sorted(range(len(symbols)), key=lambda c: -len(symbols[c]))
     for code in order:
-        s = s.replace(_escaped_pattern(symbols[code]), bytes([code]))
+        s = s.replace(_escape_all(symbols[code]), bytes([code]))
     return s
 
 

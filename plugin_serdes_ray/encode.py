@@ -237,6 +237,14 @@ def encode_files(files: list[str], out_dir: str, *,
     checkpoint.write_plan(out_dir, plan)
 
     partitions = plan_partitions(files, target_part_bytes)
+    if columns:
+        # the column selection is part of a partition's identity: without
+        # this, a resume with different columns would skip parts encoded
+        # with the OLD selection and produce mixed-schema partitions
+        # (order matters — it is the output schema order)
+        tag = ":cols=" + ",".join(columns)
+        for p in partitions:
+            p["fingerprint"] += tag
     # drop part files/entries left over from a previous run with a different
     # partition plan — decode reads every *.grck, so orphans are data bugs
     checkpoint.prune_stale_parts(out_dir, partitions)
@@ -308,6 +316,12 @@ def encode_dataset(ds: "Any", out_dir: str, *,
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    # this path is explicitly NON-resumable (block ids are fresh per run):
+    # block files left by a previous run would silently double-count on
+    # decode, since decode reads every *.grck in the directory
+    for f in os.listdir(out_dir):
+        if f.startswith("block-") and f.endswith(".grck"):
+            os.remove(os.path.join(out_dir, f))
     if plan is None:
         # randomize_block_order is a metadata-only shuffle of block order:
         # the sample sees scattered blocks, not the head of the stream
@@ -315,6 +329,10 @@ def encode_dataset(ds: "Any", out_dir: str, *,
         sample = ds.randomize_block_order(seed=17).limit(
             sample_rows).to_arrow_refs()
         tables = [t for t in ray.get(sample) if t.num_rows]
+        if not tables:
+            raise ValueError(
+                "encode_dataset: input dataset is empty — cannot sample an "
+                "encode plan (pass plan= explicitly to encode empty inputs)")
         plan = build_plan(pa.concat_tables(tables).combine_chunks(),
                           outer_level=outer_level)
     plan_ref = ray.put(plan)
@@ -376,8 +394,16 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                       predicate=None) -> Iterable[pa.Table]:
     import pyarrow.compute as pc
 
+    # the predicate column must be decoded even when the caller's
+    # projection excludes it; it is dropped again after filtering
+    read_cols = columns
+    drop_pred = False
+    if predicate is not None and columns is not None \
+            and predicate[0] not in columns:
+        read_cols = list(columns) + [predicate[0]]
+        drop_pred = True
     for path in batch["path"].to_pylist():
-        t = read_partition(str(path), columns)
+        t = read_partition(str(path), read_cols)
         if predicate is not None and t.num_rows:
             col, op, value = predicate
             c = t.column(col).combine_chunks()
@@ -388,6 +414,8 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
             mask = {"==": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
                     "<": pc.less, "<=": pc.less_equal}[op](c, value)
             t = t.filter(mask)
+        if drop_pred:
+            t = t.drop_columns([predicate[0]])
         if t.num_rows or predicate is None:
             yield t
 

@@ -69,6 +69,13 @@ def column_stats(arr: pa.ChunkedArray | pa.Array) -> dict:
             d = np.diff(live)
             s["sorted_frac"] = float((d >= 0).mean()) if len(d) else 1.0
         s["runs"] = int((vals[1:] != vals[:-1]).sum()) + 1 if n > 1 else 1
+    elif pa.types.is_floating(typ):
+        # runs on the BIT PATTERNS (bit-exact reinterpretation, so repeated
+        # identical NaNs still form one run); min/max/sorted_frac are
+        # meaningless on bit patterns and stay unset — only the RLE
+        # shortlist gate reads runs for floats
+        vals, _ = fixed_to_numpy(arr)
+        s["runs"] = int((vals[1:] != vals[:-1]).sum()) + 1 if n > 1 else 1
     elif is_var_binary(typ):
         import pyarrow.compute as pc
         lens = pc.binary_length(arr).cast(pa.int64())
@@ -154,15 +161,32 @@ MEASURE_MAX_ROWS = 2048
 MEASURE_MAX_BYTES = 4 << 20
 
 
+def _even_blocks(arr: pa.Array, rows: int, block: int = 256) -> pa.Array:
+    """Subsample ``rows`` rows as evenly-spaced CONTIGUOUS blocks. A head
+    slice would reintroduce the bias the scattered corpus sample exists to
+    remove (stats/trial-encodes would see only the earliest files' rows);
+    a fully strided take would destroy the local run structure that the
+    runs stat and RLE trial sizes depend on. Even blocks give span
+    coverage AND adjacency."""
+    n = len(arr)
+    if rows >= n:
+        return arr
+    k = max(rows // block, 1)
+    blen = max(rows // k, 1)
+    starts = np.unique(np.linspace(0, n - blen, k).astype(np.int64))
+    return pa.concat_arrays([arr.slice(int(s), blen) for s in starts])
+
+
 def _bounded_slice(arr: pa.Array) -> pa.Array:
-    """Cap the trial-encode slice by rows AND bytes so planning stays O(MB)."""
+    """Cap the trial-encode sample by rows AND bytes so planning stays
+    O(MB); even-block subsample, not a head slice."""
     n = len(arr)
     if n == 0:
         return arr
     rows = min(n, MEASURE_MAX_ROWS)
     bytes_per_row = max(arr.nbytes / n, 1e-9)
     rows = max(min(rows, int(MEASURE_MAX_BYTES / bytes_per_row)), 64 if n >= 64 else n)
-    return arr.slice(0, rows)
+    return _even_blocks(arr, rows)
 
 
 # Measured single-core encode cost (slower codecs must EARN their keep in
@@ -215,13 +239,16 @@ def _plan_column(name: str, col: pa.Array, typ: pa.DataType,
     ctx = EncodeContext(outer_level=outer_level)
     n = len(col)
     if n:
-        # bound the stats slice: planning must stay O(MB) per column no
-        # matter how large the provided sample is
+        # bound the stats sample: planning must stay O(MB) per column no
+        # matter how large the provided sample is. Even blocks across the
+        # whole provided sample — a head slice here silently undid the
+        # scattered corpus sampling for stats, FSST training, and the
+        # measured pick (review r4)
         rows = min(n, 8192)
         bpr = max(col.nbytes / n, 1e-9)
         rows = max(min(rows, int((16 << 20) / bpr)), min(n, 256))
         if rows < n:
-            col = col.slice(0, rows)
+            col = _even_blocks(col, rows)
     stats = column_stats(col)
     cands = shortlist(stats, typ)
     fsst_table = None

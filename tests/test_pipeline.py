@@ -354,3 +354,63 @@ def test_encode_files_prunes_block_orphans(ray_session, corpus, tmp_path):
     encode_files(corpus, out, concurrency=2)
     assert not any(f.startswith("block-") for f in os.listdir(out))
     assert tables_equal(_orig(corpus), decode_table(out))
+
+
+def test_decode_predicate_column_outside_projection(ray_session, corpus,
+                                                    tmp_path):
+    """Zone-map decode must work when the predicate column is NOT in the
+    requested projection (review r4: KeyError in every decode task)."""
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2)
+    orig = _orig(corpus)
+    want = orig.filter(
+        pa.compute.greater(orig.column("warc_ts"),
+                           pa.compute.min(orig.column("warc_ts"))))
+    ds = decode_dataset(out, columns=["url"],
+                        predicate=("warc_ts", ">",
+                                   pa.compute.min(orig.column("warc_ts")).as_py()))
+    got = pa.Table.from_pylist(ds.take_all())
+    assert got.column_names == ["url"]
+    assert got.num_rows == want.num_rows
+    assert sorted(got.column("url").to_pylist()) == \
+        sorted(want.column("url").to_pylist())
+
+
+def test_resume_reencodes_on_column_selection_change(ray_session, corpus,
+                                                     tmp_path):
+    """The column selection is part of a partition's identity: a resume
+    with different columns must NOT skip parts encoded with the old
+    selection (review r4: silent mixed-schema partitions)."""
+    out = str(tmp_path / "enc")
+    encode_files(corpus, out, concurrency=2, columns=["url", "text"])
+    s = encode_files(corpus, out, concurrency=2, columns=["url"])
+    assert s["skipped_parts"] == 0
+    dec = decode_table(out)
+    assert dec.column_names == ["url"]
+    assert dec.num_rows == 1200
+    # same selection resumes as before
+    s2 = encode_files(corpus, out, concurrency=2, columns=["url"])
+    assert s2["skipped_parts"] == 4
+
+
+def test_encode_dataset_rerun_does_not_double_count(ray_session, corpus,
+                                                    tmp_path):
+    """encode_dataset block names are fresh per run: a re-run into the
+    same dir must not leave the previous run's blocks behind (review r4:
+    decode returned 2x rows with no error)."""
+    import ray.data
+
+    out = str(tmp_path / "enc_stream")
+    ds = ray.data.read_parquet(corpus)
+    encode_dataset(ds, out, batch_rows=300, concurrency=2)
+    encode_dataset(ray.data.read_parquet(corpus), out, batch_rows=300,
+                   concurrency=2)
+    assert decode_table(out).num_rows == 1200
+
+
+def test_encode_dataset_empty_input_raises(ray_session, tmp_path):
+    import ray.data
+
+    empty = ray.data.from_items([]).map_batches(lambda b: b)
+    with pytest.raises(ValueError, match="empty"):
+        encode_dataset(empty, str(tmp_path / "enc_e"), concurrency=1)
