@@ -71,7 +71,10 @@ def knn_brute(ds, queries: np.ndarray, query_ids: Optional[list[int]] = None,
     q_ref = ray.put((q, qids))
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ..util import drop_null_vector_rows
+
         qm, qi = ray.get(q_ref)
+        batch = drop_null_vector_rows(batch, vector_column)
         ids = batch.column(id_column).combine_chunks().to_numpy(
             zero_copy_only=False)
         # zero-copy (n, d) view of the embedding buffer — this stage is
@@ -95,9 +98,14 @@ def knn_brute(ds, queries: np.ndarray, query_ids: Optional[list[int]] = None,
                          "vec_id": pa.array(out_v, type=pa.int64()),
                          "score": pa.array(out_s, type=pa.float64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096,
-                           runtime_env=package_runtime_env()).take_all()
-    tables = [pa.Table.from_pylist(parts)] if parts else []
+    import ray as _ray
+
+    # collect the per-block Arrow tables directly — take_all()+from_pylist
+    # boxed O(blocks*k*q) rows through Python dicts right before the
+    # vectorized merge (review r4)
+    refs = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096,
+                          runtime_env=package_runtime_env()).to_arrow_refs()
+    tables = [t for t in _ray.get(refs) if t.num_rows]
     return _topk_merge(tables, k)
 
 
@@ -181,6 +189,9 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
             corpus_dim = len(first[0][vector_column]) if first else 0
 
         def unit_rows(t: pa.Table) -> pa.Table:
+            from ..util import drop_null_vector_rows
+
+            t = drop_null_vector_rows(t, vector_column)
             v = vectors_to_numpy(t.column(vector_column), np.float64)
             if len(v) == 0:
                 v = v.reshape(0, corpus_dim)
@@ -213,7 +224,10 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
     centers_ref = ray.put(centers)
 
     def assign(batch: pa.Table) -> pa.Table:
+        from ..util import drop_null_vector_rows
+
         cen = ray.get(centers_ref)
+        batch = drop_null_vector_rows(batch, vector_column)
         vecs = vectors_to_numpy(batch.column(vector_column), np.float32)
         if len(vecs) == 0:
             return batch.append_column("__ivf", pa.array([], type=pa.int64()))

@@ -130,13 +130,9 @@ def exact_dedup(ds, column: str, id_column: str, *,
     import, so a single cluster never mixes them."""
     import ray
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = _content_hash64(batch.column(column).combine_chunks())
-        return batch.replace_schema_metadata(None).append_column(
-            "__h", pa.array(h.astype(np.int64)))
-
     env = package_runtime_env()
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow", runtime_env=env)
+    hashed = ds.map_batches(_add_hash_fn(column), batch_format="pyarrow",
+                            runtime_env=env)
     if materialize:
         hashed = hashed.materialize()
 
@@ -277,6 +273,15 @@ def minhash_band_rows(ds, column: str, id_column: str, num_perm: int = 64,
     """The pre-shuffle stage: documents -> ``(band_key, doc_id, sig)`` rows,
     ``bands`` per document. This is the ONLY schema that enters the keyed
     shuffle — fixed-width, never the text (tests assert this)."""
+    if num_perm < bands or num_perm % bands:
+        # num_perm < bands makes rows_per_band 0: every band key collapses
+        # to the same value and the groupby ships the WHOLE corpus into
+        # `bands` corpus-sized buckets (O(n^2) verify) — loud, not silent.
+        # A non-divisible split would silently drop the trailing signature
+        # rows and lower recall below the documented banding guarantee.
+        raise ValueError(
+            f"num_perm={num_perm} must be a positive multiple of "
+            f"bands={bands} (rows_per_band = num_perm // bands)")
     rows_per_band = num_perm // bands
 
     def sigs(batch: pa.Table):
@@ -658,7 +663,12 @@ def simhash_duplicates(ds, column: str, id_column: str,
             s = simhash64(t)
             for b in range(bands):
                 band_bits = (s >> (b * width)) & ((1 << width) - 1)
-                key.append((b << width) | band_bits)
+                k64 = (b << width) | band_bits
+                # two's-complement fold into int64: with bands=1 the band
+                # IS the full 64-bit simhash and ~half of all documents
+                # would overflow pa.int64 (the signed fold is a bijection,
+                # so bucketing is unchanged; keys < 2^63 are untouched)
+                key.append(k64 - (1 << 64) if k64 >= (1 << 63) else k64)
                 did.append(i)
                 sh.append(s)
         return pa.table({"band_key": pa.array(key, type=pa.int64()),
@@ -728,8 +738,11 @@ def embedding_duplicates(ds, vector_column: str, id_column: str,
     """
 
     def sigs(batch: pa.Table):
-        from ..util import vectors_to_numpy
+        from ..util import drop_null_vector_rows, vectors_to_numpy
 
+        # a null embedding asserts no similarity (the minhash/simhash
+        # None-text skip, mirrored): drop it before the matrix view
+        batch = drop_null_vector_rows(batch, vector_column)
         ids = batch.column(id_column).combine_chunks().to_numpy(
             zero_copy_only=False)
         vecs = vectors_to_numpy(batch.column(vector_column), np.float32)
@@ -966,7 +979,9 @@ def dup_span_stats(ds, column: str, id_column: str, *, gram: int = 20,
     def cnt_partial(batch: pa.Table) -> pa.Table:
         g = pa.table({"__h": batch.column("__h")}).group_by(
             ["__h"]).aggregate([("__h", "count")])
-        return g.rename_columns(["__h", "__c"])
+        # by-name select: TableGroupBy column order is version-dependent
+        return pa.table({"__h": g.column("__h"),
+                         "__c": g.column("__h_count")})
 
     def only_dups(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater(batch.column("sum(__c)"), 1))

@@ -238,8 +238,10 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
             "lbl": pa.array(np.concatenate([edge_lbl, lv])),
         })
         # combiner: per-bucket min per vertex before the min-reduce shuffle
+        from ..util import grouped_renamed
+
         g = out.group_by(["v"]).aggregate([("lbl", "min")])
-        return g.rename_columns(["v", "lbl"])
+        return grouped_renamed(g, {"v": "v", "lbl_min": "lbl"})
 
     prev_sum = None
     for _ in range(max_iters):
@@ -385,8 +387,10 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
                 [np.full(len(ed), -1, dtype=np.int64), sod])),
         })
         # combiner: per-bucket pre-sum before the Sum/Max reduce
+        from ..util import grouped_renamed
+
         g = out.group_by(["v"]).aggregate([("c", "sum"), ("od", "max")])
-        return g.rename_columns(["v", "c", "od"])
+        return grouped_renamed(g, {"v": "v", "c_sum": "c", "od_max": "od"})
 
     for _ in range(iters):
         # dangling mass: one cheap pass over the O(|V|) state

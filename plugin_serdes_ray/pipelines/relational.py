@@ -47,14 +47,17 @@ def grouped_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
             # rows whose first key value is NULL
             aggs.append(([], "count_all"))
         g = batch.group_by(keys).aggregate(aggs)
-        # POSITIONAL rename (keys first, then aggregates in request order):
-        # a name-keyed rename would clobber a group key literally named
-        # '<c>_sum' (same hazard pivot/grouped_stats guard against)
+        # POSITIONAL rename with layout detection (TableGroupBy column
+        # order is version-dependent): a name-keyed rename would clobber a
+        # group key literally named '<c>_sum' (same hazard pivot/
+        # grouped_stats guard against)
+        from ..util import grouped_rename_positional
+
         agg_names = [f"__s_{c}" for c in sum_all]
         agg_names += [f"__n_{c}" for c in mean_cols]
         if count_name:
             agg_names.append("__cnt")
-        return g.rename_columns(list(keys) + agg_names)
+        return grouped_rename_positional(g, keys, agg_names)
 
     from ray.data.aggregate import Sum
 

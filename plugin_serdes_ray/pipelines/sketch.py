@@ -337,7 +337,10 @@ def heavy_hitters(ds, column: str, fraction: float,
     null_cand = any(r["v"] is None for r in cand_rows)
     cand = sorted({r["v"] for r in cand_rows if r["v"] is not None})
     if not cand and not null_cand:
-        return pa.table({column: pa.array([]),
+        # pin the value column's type: a null-typed empty column would
+        # schema-mismatch against non-empty results on union/compare
+        col_type = ds.schema().types[list(ds.schema().names).index(column)]
+        return pa.table({column: pa.array([], type=col_type),
                          count_name: pa.array([], type=pa.int64())})
     cand_ref = ray.put(cand)
 

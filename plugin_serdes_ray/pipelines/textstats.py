@@ -18,6 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import regex
 
+from ..util import grouped_renamed
+
 # BPE-ish pre-tokenizer (the public GPT-2 pattern — a word/number/punct
 # splitter), compiled once per process
 _BPE_SPLIT = regex.compile(
@@ -764,7 +766,8 @@ def _tf_pairs_fn(column: str, id_column: str):
         pairs = pairs.filter(pc.not_equal(pairs.column("token"), ""))
         g = pairs.group_by([id_column, "token"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns([id_column, "token", "tf"])
+        return grouped_renamed(g, {id_column: id_column, "token": "token",
+                                   "count_all": "tf"})
 
     return tf_pairs
 
@@ -815,7 +818,7 @@ def unigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
     def cnt_partial(t: pa.Table) -> pa.Table:
         g = t.select(["token", "tf"]).group_by("token").aggregate(
             [("tf", "sum")])
-        return g.rename_columns(["token", "cnt_part"])
+        return grouped_renamed(g, {"token": "token", "tf_sum": "cnt_part"})
 
     cnt = (postings.map_batches(cnt_partial, batch_format="pyarrow",
                                 runtime_env=env)
@@ -907,7 +910,8 @@ def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
         pairs = pa.table({id_column: ids, "gram": grams, "prefix": prefix})
         g = pairs.group_by([id_column, "gram", "prefix"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns([id_column, "gram", "prefix", "tf"])
+        return grouped_renamed(g, {id_column: id_column, "gram": "gram",
+                                   "prefix": "prefix", "count_all": "tf"})
 
     postings = ds.select_columns([id_column, column]).map_batches(
         bigram_tf, batch_format="pyarrow", runtime_env=env)
@@ -915,7 +919,8 @@ def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
     def gram_partial(t: pa.Table) -> pa.Table:
         g = t.select(["gram", "prefix", "tf"]) \
             .group_by(["gram", "prefix"]).aggregate([("tf", "sum")])
-        return g.rename_columns(["gram", "prefix", "cnt_part"])
+        return grouped_renamed(g, {"gram": "gram", "prefix": "prefix",
+                                   "tf_sum": "cnt_part"})
 
     def gram_finish(t: pa.Table) -> pa.Table:
         return pa.table({"gram": t.column("gram"),
@@ -936,7 +941,8 @@ def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
     def prefix_partial(t: pa.Table) -> pa.Table:
         g = t.select(["prefix", "cnt_g"]).group_by("prefix").aggregate(
             [("cnt_g", "sum")])
-        return g.rename_columns(["prefix", "cnt_part"])
+        return grouped_renamed(g, {"prefix": "prefix",
+                                   "cnt_g_sum": "cnt_part"})
 
     def prefix_finish(t: pa.Table) -> pa.Table:
         return pa.table({"prefix": t.column("prefix"),
@@ -1030,7 +1036,8 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
         # rows are already distinct (doc, token): per-block df = row count
         g = t.select(["token"]).group_by("token").aggregate(
             [([], "count_all")])
-        return g.rename_columns(["token", "df_part"])
+        return grouped_renamed(g, {"token": "token",
+                                   "count_all": "df_part"})
 
     df = (postings.map_batches(df_partial, batch_format="pyarrow",
                                runtime_env=env)

@@ -359,7 +359,10 @@ def quantize_embeddings(ds, vector_column: str = "embedding",
         if m.shape[0] == 0:     # empty block: pin width to the profile's d
             m = m.reshape(0, len(mn))
         q = np.floor((m - mn) / safe * 255.0 + 0.5) - 128.0
-        q = np.where(span > 0, q, 0.0).astype(np.int8)
+        # clip BEFORE the int8 cast: with a caller-supplied profile range,
+        # an out-of-range value would otherwise wrap (1.5 on a [0,1]
+        # profile coded to -1 ~ mid-range) instead of saturating
+        q = np.clip(np.where(span > 0, q, 0.0), -128.0, 127.0).astype(np.int8)
         d = q.shape[1]
         out = pa.FixedSizeListArray.from_arrays(
             pa.array(q.reshape(-1), type=pa.int8()), d)

@@ -141,3 +141,42 @@ def vectors_to_numpy(col, dtype=None):
     # broadcasts against (d,) stats vectors don't see a (0, 0) matrix
     d = t.list_size if pa.types.is_fixed_size_list(t) else 0
     return out.reshape(0, d)
+
+
+def drop_null_vector_rows(batch, column: str):
+    """Drop rows whose embedding is NULL before a vectors_to_numpy view.
+
+    A null vector participates in no similarity operation (mirrors the
+    minhash/simhash None-text skip), and the boxed numpy fallback would
+    otherwise crash on the inhomogeneous [list, None] shape — which the
+    package's own TextFeaturizer emits for null text."""
+    import pyarrow.compute as pc
+
+    col = batch.column(column)
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+    return batch
+
+
+def grouped_renamed(g, mapping: dict) -> "object":
+    """Order-safe rename of a ``pa.Table.group_by().aggregate()`` result.
+
+    TableGroupBy output column ORDER is pyarrow-version-dependent (keys
+    before aggregates on some versions, after on others), so a positional
+    rename_columns silently swaps keys and counts on upgrade. Select by
+    the GENERATED names (e.g. ``tf_sum``, ``count_all``), then rename."""
+    return g.select(list(mapping)).rename_columns(list(mapping.values()))
+
+
+def grouped_rename_positional(g, keys, agg_names):
+    """Positional rename of a ``group_by(keys).aggregate()`` result that
+    detects WHICH end the keys landed on (pyarrow-version-dependent),
+    for callers that cannot rename by generated name because a group key
+    may literally collide with one (e.g. a key named ``x_sum``)."""
+    names = list(g.column_names)
+    nk = len(keys)
+    if names[:nk] == list(keys):
+        return g.rename_columns(list(keys) + list(agg_names))
+    if names[-nk:] == list(keys):
+        return g.rename_columns(list(agg_names) + list(keys))
+    raise AssertionError(f"unexpected TableGroupBy layout: {names}")

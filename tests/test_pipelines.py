@@ -1640,3 +1640,97 @@ def test_generate_webpages_shard_decrease_prunes(tmp_path):
     assert len(f2) == 2
     f3 = generate_webpages(d, 80, 2)   # cached call must see ONLY 2
     assert len(f3) == 2
+
+
+def test_dedup_review_r4_guards(ray_session):
+    """Review-r4 regressions: (1) minhash num_perm/bands misconfiguration
+    raises instead of collapsing the corpus into one bucket per band;
+    (2) simhash bands=1 folds the full 64-bit key into int64 instead of
+    overflowing on ~half of all documents; (3) null embeddings (which
+    TextFeaturizer emits for null text) are dropped, not crashed on."""
+    import pyarrow as pa
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import (
+        embedding_duplicates, minhash_band_rows, simhash_duplicates,
+    )
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"totally distinct document {i} " * 5}
+         for i in range(6)])
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_band_rows(docs, "text", "doc_id", num_perm=8, bands=16)
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_band_rows(docs, "text", "doc_id", num_perm=63, bands=16)
+
+    # bands=1 / max_hamming=0: full-64-bit band keys; must not overflow
+    dup = {"doc_id": 7, "text": "totally distinct document 0 " * 5}
+    out = simhash_duplicates(docs.union(ray.data.from_items([dup])),
+                             "text", "doc_id",
+                             max_hamming=0, bands=1).take_all()
+    assert {(r["keep_id"], r["dup_id"]) for r in out} == {(0, 7)}
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([v.tolist(), (v * 1.001).tolist(), None],
+                              type=pa.list_(pa.float32()))})
+    pairs = {(r["keep_id"], r["dup_id"]) for r in
+             embedding_duplicates(ray.data.from_arrow(emb),
+                                  "embedding", "vec_id").take_all()}
+    assert pairs == {(1, 2)}
+
+
+def test_knn_brute_skips_null_vectors(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.ann import knn_brute
+
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((4, 8)).astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(
+            [m[0].tolist(), None, m[2].tolist(), m[3].tolist()],
+            type=pa.list_(pa.float32()))})
+    out = knn_brute(ray.data.from_arrow(emb), m[:1], k=4)
+    got = {r["vec_id"] for r in out.to_pylist()}
+    assert got == {0, 2, 3}          # the null row never appears
+
+
+def test_quantize_clips_out_of_profile_values(ray_session):
+    """A caller-supplied profile range must SATURATE out-of-range values
+    (review r4: they wrapped through int8, coding 1.5 on a [0,1] profile
+    to mid-range)."""
+    import pyarrow as pa
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import (dequantize,
+                                                     quantize_embeddings)
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1], type=pa.int64()),
+        "embedding": pa.array([[1.5, -0.5, 0.5]],
+                              type=pa.list_(pa.float32()))}))
+    mn, mx = np.zeros(3), np.ones(3)
+    out, _ = quantize_embeddings(ds, "embedding", minmax=(mn, mx))
+    row = out.take_all()[0]
+    q = np.asarray(row["embedding_q"], dtype=np.int64)
+    assert q[0] == 127 and q[1] == -128          # saturated, not wrapped
+    deq = dequantize(q[None, :], mn, mx)[0]
+    assert deq[0] == 1.0 and deq[1] == 0.0
+
+
+def test_heavy_hitters_empty_keeps_schema(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array([f"l{i}" for i in range(100)], type=pa.string())}))
+    out = heavy_hitters(ds, "lang", fraction=0.5)
+    assert out.num_rows == 0
+    assert out.schema.field("lang").type == pa.string()
