@@ -112,10 +112,14 @@ def convert_files(files: list[str], out_dir: str, in_fmt: str, out_fmt: str,
 
     import hashlib
 
+    from collections import Counter
+
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(str(f) for f in files)
     stems = [os.path.splitext(os.path.basename(f))[0] for f in files]
-    dup_stems = {s for s in stems if stems.count(s) > 1}
+    # Counter, not list.count per element: that is O(n^2) driver time on a
+    # 100k-file list before any conversion task launches
+    dup_stems = {s for s, c in Counter(stems).items() if c > 1}
 
     def out_path(src: str) -> str:
         stem = os.path.splitext(os.path.basename(src))[0]
@@ -128,12 +132,28 @@ def convert_files(files: list[str], out_dir: str, in_fmt: str, out_fmt: str,
             stem = f"{stem}-{tag}"
         return os.path.join(out_dir, f"{stem}.{out_fmt}")
 
-    todo = [f for f in files
-            if not (resume and os.path.exists(out_path(f)))]
+    def _stamp(src: str) -> str:
+        st = os.stat(src)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+
+    def _done(src: str) -> bool:
+        # size+mtime-stamped skip: a bare exists() check would serve a
+        # stale output forever after the input is modified or replaced
+        dst = out_path(src)
+        if not os.path.exists(dst):
+            return False
+        try:
+            return open(dst + ".src").read() == _stamp(src)
+        except OSError:
+            return False
+
+    todo = [f for f in files if not (resume and _done(f))]
 
     def task(batch: pa.Table) -> pa.Table:
         rows_out, paths = [], []
         for src in batch.column("path").to_pylist():
+            stamp = _stamp(src)     # stat BEFORE reading: racing writers
+            # re-convert on the next run rather than skip a torn read
             with open(src, "rb") as fh:
                 table = _parse(in_fmt, fh.read())
             payload = _serialize(out_fmt, table)
@@ -141,6 +161,9 @@ def convert_files(files: list[str], out_dir: str, in_fmt: str, out_fmt: str,
             with open(dst + ".tmp", "wb") as fh:
                 fh.write(payload)
             os.replace(dst + ".tmp", dst)
+            with open(dst + ".src.tmp", "w") as fh:
+                fh.write(stamp)
+            os.replace(dst + ".src.tmp", dst + ".src")
             rows_out.append(table.num_rows)
             paths.append(dst)
         return pa.table({"path": paths, "rows": rows_out})

@@ -164,6 +164,22 @@ def _int_bounds(t: pa.DataType):
     return None
 
 
+def _int_range_keep(c, target: pa.DataType):
+    """Mask keeping key values representable in BOTH integer types —
+    compared in ``c``'s OWN type (a cast-roundtrip filter would pass
+    same-width sign flips: uint64 2^64-1 <-> int64 -1 roundtrips
+    "equal"). None when either type is non-integer (caller re-raises the
+    original cast error). Shared by hash_join and _cast_key_table so the
+    subtle bound arithmetic cannot drift between the join families."""
+    rb, tb = _int_bounds(c.type), _int_bounds(target)
+    if rb is None or tb is None:
+        return None
+    lo, hi = max(rb[0], tb[0]), min(rb[1], tb[1])
+    return pc.fill_null(pc.and_(
+        pc.greater_equal(c, pa.scalar(lo, c.type)),
+        pc.less_equal(c, pa.scalar(hi, c.type))), False)
+
+
 def hash_join(left, right, key, right_key=None,
               suffix: str = "_r", skew_salts: Optional[dict] = None,
               join_type: str = "inner"):
@@ -292,17 +308,11 @@ def hash_join(left, right, key, right_key=None,
                         f"join_type={join_type!r} must keep unmatched right "
                         "rows — align the key types before joining")
                 # keep only keys inside the INTERSECTION of both integer
-                # types' ranges, compared in the right key's own type (a
-                # cast-roundtrip filter would pass same-width sign flips:
-                # uint64 2^64-1 <-> int64 -1 roundtrips "equal")
-                rb, tb = _int_bounds(rk.type), _int_bounds(out_types[lk])
-                if rb is None or tb is None:
+                # types' ranges (shared helper — see _int_range_keep)
+                keep = _int_range_keep(rk, out_types[lk])
+                if keep is None:
                     raise
-                lo, hi = max(rb[0], tb[0]), min(rb[1], tb[1])
-                keep = pc.and_(
-                    pc.greater_equal(rk, pa.scalar(lo, rk.type)),
-                    pc.less_equal(rk, pa.scalar(hi, rk.type)))
-                batch = batch.filter(pc.fill_null(keep, False))
+                batch = batch.filter(keep)
         cast_keys = {}
         for lk, rk_name in zip(keys, right_keys):
             c = batch.column(rk_name).combine_chunks()
@@ -436,14 +446,10 @@ def _cast_key_table(kt: pa.Table, keys: list, l_types: dict) -> pa.Table:
             try:
                 c = c.cast(l_types[lk])
             except pa.ArrowInvalid:
-                rb, tb = _int_bounds(c.type), _int_bounds(l_types[lk])
-                if rb is None or tb is None:
+                keep = _int_range_keep(c, l_types[lk])
+                if keep is None:
                     raise
-                lo, hi = max(rb[0], tb[0]), min(rb[1], tb[1])
-                keep = pc.and_(
-                    pc.greater_equal(c, pa.scalar(lo, c.type)),
-                    pc.less_equal(c, pa.scalar(hi, c.type)))
-                kt = kt.filter(pc.fill_null(keep, False))
+                kt = kt.filter(keep)
                 c = kt.column(lk).combine_chunks().cast(l_types[lk])
         kt = kt.set_column(kt.schema.get_field_index(lk), lk, c)
     return kt
@@ -593,8 +599,10 @@ def bloom_semi_join(left, right, key, right_key=None, *, anti: bool = False,
 
     from .dedup import _content_hash64
 
-    if bits & (bits - 1):
-        raise ValueError("bits must be a power of two")
+    if bits < 64 or bits & (bits - 1):
+        # < 64 passes the power-of-two check but makes the uint64 word
+        # array empty, crashing with a bare IndexError inside a worker
+        raise ValueError("bits must be a power of two >= 64")
     keys = [key] if isinstance(key, str) else list(key)
     right_keys = keys if right_key is None else (
         [right_key] if isinstance(right_key, str) else list(right_key))
@@ -1287,9 +1295,13 @@ def interval_join(left, right, on: str, by: str, lo_col: str, hi_col: str,
         ri = np.flatnonzero(side == 1)
         if len(li) == 0 or len(ri) == 0:
             return pa.table(empty)
-        v = as_i64(group.column(on))[li]
-        lo = as_i64(group.column(lo_out))[ri]
-        hi = as_i64(group.column(hi_out))[ri]
+        # take each side's subset BEFORE to_numpy: the whole-group column
+        # always contains the OTHER side's padding nulls, which would
+        # force the int64 values through float64 and round keys > 2^53
+        # across interval boundaries (defeating pad()'s null filters)
+        v = as_i64(group.column(on).take(pa.array(li)))
+        lo = as_i64(group.column(lo_out).take(pa.array(ri)))
+        hi = as_i64(group.column(hi_out).take(pa.array(ri)))
         if overlap:
             # all-matches mode: sort left values once; each interval's
             # members are one contiguous range of the sorted values; emit
@@ -1457,27 +1469,32 @@ def _order_statistics(ds, column: str, make_ranks, n_buckets: int):
     target_buckets = {int(np.searchsorted(cum, r)) for r in ranks.values()}
     tb = sorted(target_buckets)
 
+    val_type = ds.schema().types[list(ds.schema().names).index(column)]
+
     def collect(batch: pa.Table) -> pa.Table:
         # (value, count) per DISTINCT value in a target bucket: a bucket
         # full of one repeated value (worst-case skew) collapses to one row
-        # instead of flooding the driver
+        # instead of flooding the driver. Values keep their NATIVE dtype —
+        # a float64 cast here would collapse distinct int64 values > 2^53
+        # and break the documented EXACT guarantee (bucket assignment may
+        # stay approximate: it only prunes, never selects)
         v = pc.drop_null(batch.column(column).combine_chunks()).to_numpy(
             zero_copy_only=False)
         if not len(v):
-            return pa.table({"v": pa.array([], type=pa.float64()),
+            return pa.table({"v": pa.array([], type=val_type),
                              "c": pa.array([], type=pa.int64())})
         b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
         kept = v[np.isin(b, tb)]
         uniq, cnts = np.unique(kept, return_counts=True)
-        return pa.table({"v": pa.array(uniq.astype(np.float64)),
+        return pa.table({"v": pa.array(uniq, type=val_type),
                          "c": pa.array(cnts.astype(np.int64))})
 
-    agg: dict[float, int] = {}
+    agg: dict = {}
     for r in col.map_batches(collect, batch_format="pyarrow",
                             runtime_env=package_runtime_env()).take_all():
         agg[r["v"]] = agg.get(r["v"], 0) + r["c"]
-    vals = np.asarray(sorted(agg), dtype=np.float64)
-    vcnt = np.asarray([agg[v] for v in sorted(agg)], dtype=np.int64)
+    svals = sorted(agg)                      # python ints/floats: exact
+    vcnt = np.asarray([agg[v] for v in svals], dtype=np.int64)
     vcum = np.cumsum(vcnt)
     # rank of each collected value GLOBALLY = (values below its bucket that
     # were not collected) + cumulative count within collected values; since
@@ -1490,7 +1507,7 @@ def _order_statistics(ds, column: str, make_ranks, n_buckets: int):
         earlier_collected = sum(int(counts[x]) for x in tb if x < bucket)
         rank_in_collected = r - before_bucket + earlier_collected
         idx = int(np.searchsorted(vcum, rank_in_collected))
-        out[label] = float(vals[idx])
+        out[label] = svals[idx]              # native value, no float cast
     return n, out
 
 
@@ -1707,6 +1724,12 @@ def tumbling_window_aggregate(ds, ts_column: str, window: str = "1h",
     span = duration_us(window) if isinstance(window, str) else int(window)
 
     def add_window(batch: pa.Table) -> pa.Table:
+        # a null event time belongs to no window: drop (mirrors
+        # sliding_window_aggregate/sessionize); without this the int64
+        # view goes float64-with-NaN and the timestamp cast crashes
+        col = batch.column(ts_column)
+        if col.null_count:
+            batch = batch.filter(pc.is_valid(col))
         ts = batch.column(ts_column).combine_chunks().cast(pa.int64())
         import numpy as np
         v = ts.to_numpy(zero_copy_only=False)
@@ -1834,7 +1857,15 @@ def global_shuffle(ds, id_column: str, seed: int = 0, *,
     env = package_runtime_env()
 
     def add_key(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).combine_chunks().to_numpy(
+        col = batch.column(id_column)
+        if col.null_count:
+            # a shuffle must not silently drop rows, and a null id has no
+            # key: one null would also force the whole batch's ids through
+            # float64, collapsing distinct ids > 2^53 to equal keys
+            raise ValueError(
+                f"global_shuffle: {id_column!r} contains nulls; every row "
+                "needs a non-null id to receive a deterministic rank")
+        ids = col.combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.uint64)  # negatives wrap
         k = splitmix64(ids, seed)
         one = np.ones(len(k), dtype=np.int64)
@@ -2535,7 +2566,13 @@ def grouping_sets_aggregate(ds, keys: Sequence[str], sets: Sequence[Sequence[str
     cnt = count_name or "__gs_cnt"      # always carry a count internally:
     # it is needed to re-derive coarser sets even when the caller asked for
     # no count column (dropped again in pad below)
-    finest = grouped_aggregate(ds, keys, sum_cols=sum_cols, count_name=cnt)
+    # materialize: every grouping set consumes `finest`, and an
+    # un-materialized lineage would re-execute the source scan + shuffle
+    # once per set (2^P source passes for CUBE — the exact cost this
+    # function exists to avoid). The materialized set is combiner-shrunk:
+    # one row per distinct full-key combination.
+    finest = grouped_aggregate(ds, keys, sum_cols=sum_cols,
+                               count_name=cnt).materialize()
     agg_src = [f"sum_{c}" for c in sum_cols] + [cnt]
 
     def derive(s_keys: list):

@@ -133,8 +133,16 @@ def build_text_index(ds, index_dir: str, column: str = "text",
         shard, salt = divmod(key, sub_splits)
         out = os.path.join(index_dir, f"shard-{shard:04d}-{salt}.parquet")
         tmp = out + f".tmp-{os.getpid()}"
+        body = group.drop_columns(["__shard"])
+        # cross-block dedup: tokenize_distinct only dedups (doc, token)
+        # WITHIN one block, so a duplicate doc_id row in the corpus would
+        # double its postings and make AND searches count one token twice
+        # (false positives). All of a (doc, token)'s pairs land in THIS
+        # group — the salt is a pure function of the id — so a local
+        # distinct completes the dedup.
+        body = body.group_by(body.column_names).aggregate([])
         # sort by token so parquet row-group stats allow token pruning
-        body = group.drop_columns(["__shard"]).sort_by("token")
+        body = body.sort_by("token")
         pq.write_table(body, tmp)
         os.replace(tmp, out)
         return pa.table({"shard": pa.array([shard], type=pa.int64()),

@@ -1734,3 +1734,24 @@ def test_heavy_hitters_empty_keeps_schema(ray_session):
     out = heavy_hitters(ds, "lang", fraction=0.5)
     assert out.num_rows == 0
     assert out.schema.field("lang").type == pa.string()
+
+
+def test_convert_files_reconverts_on_input_change(ray_session, tmp_path):
+    """Review r4: resume skipped on bare exists(), serving a stale output
+    forever after the input changed; the skip is now size+mtime-stamped."""
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.pipelines.convert import convert_files
+
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    pq.write_table(pa.table({"a": [1, 2]}), src)
+    s1 = convert_files([src], out, "parquet", "csv")
+    assert (s1["converted"], s1["skipped"]) == (1, 0)
+    s2 = convert_files([src], out, "parquet", "csv")
+    assert (s2["converted"], s2["skipped"]) == (0, 1)
+    pq.write_table(pa.table({"a": [1, 2, 3]}), src)   # input changed
+    s3 = convert_files([src], out, "parquet", "csv")
+    assert (s3["converted"], s3["skipped"]) == (1, 0)
+    body = open(s3["outputs"][0]).read()
+    assert body.count("\n") >= 3                       # fresh 3-row output

@@ -1509,3 +1509,75 @@ def test_funnel_empty_step_zeroes_tail(ray_session):
     out = funnel(ray.data.from_arrow(t), "u", "ts", "ev",
                  ["a", "never", "a"])
     assert out.column("n_users").to_pylist() == [2, 0, 0]
+
+
+def test_interval_join_exact_int64_boundaries(ray_session):
+    """Review r4: the union-padding nulls (right rows' `on`, left rows'
+    lo/hi) forced ALL THREE key arrays through float64 regardless of
+    pad()'s own null filters; values straddling a 2^53 rounding boundary
+    produced spurious matches. Each side's subset must convert exactly."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import interval_join
+
+    b = 1 << 53
+    left = pa.table({"k": ["a"], "on": pa.array([b], type=pa.int64())})
+    right = pa.table({
+        "k": ["a"],
+        "lo": pa.array([b + 1], type=pa.int64()),   # rounds DOWN to b in f64
+        "hi": pa.array([b + 2], type=pa.int64()),
+        "tag": ["spurious"],
+    })
+    out = interval_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                        on="on", by="k", lo_col="lo", hi_col="hi").take_all()
+    assert out == []          # b is OUTSIDE [b+1, b+2]
+
+
+def test_tumbling_window_drops_null_timestamps(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import tumbling_window_aggregate
+
+    t = pa.table({
+        "ts": pa.array([1_000_000, None, 3_600_000_000 + 5],
+                       type=pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    })
+    out = tumbling_window_aggregate(ray.data.from_arrow(t), "ts",
+                                    window="1h", sum_cols=["v"]).take_all()
+    got = {r["window_start"].timestamp(): r["sum_v"] for r in out}
+    assert got == {0.0: 1.0, 3600.0: 3.0}      # the null-ts row is dropped
+
+
+def test_global_shuffle_rejects_null_ids(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import global_shuffle
+
+    t = pa.table({"id": pa.array([1, None, 3], type=pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        global_shuffle(ray.data.from_arrow(t), "id").take_all()
+
+
+def test_exact_quantiles_exact_beyond_2_53(ray_session):
+    """Review r4: the collect pass cast values to float64, collapsing
+    distinct int64 values > 2^53 and breaking the EXACT guarantee."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import exact_quantiles
+
+    b = (1 << 60)
+    vals = [b + i for i in range(1, 102)]      # 101 adjacent huge ints
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    out = exact_quantiles(ds, "x", [0.5])
+    assert out[0.5] == b + 51                  # exact median, not rounded
+
+
+def test_bloom_semi_join_rejects_tiny_bits(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import bloom_semi_join
+
+    t = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match=">= 64"):
+        bloom_semi_join(t, t, "k", bits=32)

@@ -239,3 +239,25 @@ def test_search_query_tokens_case_folded(ray_session, tmp_path):
     got = sorted(r["doc_id"] for r in
                  search_text_index(idx, ["The", "DATA"], "and").take_all())
     assert got == [0]
+
+
+def test_index_dedups_duplicate_doc_rows(ray_session, tmp_path):
+    """Review r4: duplicate doc_id rows in a dirty corpus doubled their
+    postings, inflating per-doc AND counts into false positives (a doc
+    with 'apple' twice matched the 2-token query 'apple cherry')."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textindex import (build_text_index,
+                                                       search_text_index)
+
+    rows = [
+        {"doc_id": 1, "text": "apple banana"},
+        {"doc_id": 1, "text": "apple banana"},     # duplicate row
+        {"doc_id": 2, "text": "apple cherry"},
+    ]
+    idx = str(tmp_path / "idx")
+    build_text_index(ray.data.from_items(rows), idx,
+                     column="text", id_column="doc_id", num_shards=2)
+    got = sorted(r["doc_id"] for r in search_text_index(
+        idx, ["apple", "cherry"], mode="and").take_all())
+    assert got == [2]          # doc 1 must NOT match via doubled 'apple'
