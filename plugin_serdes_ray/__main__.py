@@ -101,7 +101,15 @@ def _read_any(path: str):
                          f"(supported: {', '.join(sorted(_READERS))}, .toon)")
     mod_name, fn_name = _READERS[ext]
     fn = getattr(importlib.import_module(mod_name), fn_name)
-    out = fn(path)
+    if ext == ".json":
+        # .json = whole-file array/object; only .jsonl gets NDJSON
+        # semantics (the reader's default), which misparses or crashes
+        # on standard JSON documents
+        from .sources.json_ import JsonOptions
+
+        out = fn(path, JsonOptions(newline_delimited=False))
+    else:
+        out = fn(path)
     if isinstance(out, dict):  # xlsx sheet map -> first sheet
         out = next(iter(out.values()))
     return out

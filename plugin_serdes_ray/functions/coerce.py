@@ -150,7 +150,25 @@ def to_int(arr: pa.Array, typ: pa.DataType = None,
     opts = opts or CoerceOptions()
     typ = typ or pa.int64()
     if pa.types.is_integer(arr.type):
-        return arr.cast(typ)
+        try:
+            return arr.cast(typ)
+        except pa.ArrowInvalid:
+            # narrowing overflow: policy-route like the string/float paths
+            # instead of ArrowInvalid aborting the batch. Compare in the
+            # SOURCE type against the intersection of both ranges.
+            def _bounds(t):
+                if pa.types.is_signed_integer(t):
+                    return -(1 << (t.bit_width - 1)), \
+                        (1 << (t.bit_width - 1)) - 1
+                return 0, (1 << t.bit_width) - 1
+            slo, shi = _bounds(arr.type)
+            tlo, thi = _bounds(typ)
+            lo, hi = max(slo, tlo), min(shi, thi)
+            ok = pc.and_(pc.greater_equal(arr, pa.scalar(lo, arr.type)),
+                         pc.less_equal(arr, pa.scalar(hi, arr.type)))
+            out = pc.if_else(pc.fill_null(ok, False), arr,
+                             pa.nulls(len(arr), arr.type)).cast(typ)
+            return _fail_mask(arr, out, opts, str(typ))
     if pa.types.is_floating(arr.type):
         # mirror the string path: fractional values (NaN, +-inf) and values
         # outside the target type's range are coercion failures routed
@@ -251,7 +269,12 @@ def to_time(arr: pa.Array, unit: str = "ms",
     ns = (pd_s - pd_s.dt.normalize()).dt.total_seconds()
     scale = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
     vals = (ns * scale).round()
-    out = pa.array(pd.array(vals, dtype="Int64"), type=pa.int64()).cast(typ)
+    i = pa.array(pd.array(vals, dtype="Int64"), type=pa.int64())
+    if pa.types.is_time32(typ):
+        # Arrow has no int64 -> time32 cast: route through int32 (values
+        # fit: < 86400*1000 for ms)
+        i = i.cast(pa.int32())
+    out = i.cast(typ)
     return _fail_mask(s, out, opts, f"time[{unit}]")
 
 
@@ -287,11 +310,22 @@ def to_timestamp(arr: pa.Array, unit: str = "ms", tz: Optional[str] = None,
     pd_str = s.to_pandas()
     numeric = pd_str.str.fullmatch(r"-?\d+", na=False)
     fmt = None if opts.datetime_format in ("iso", None) else opts.datetime_format
-    parsed = pd.to_datetime(pd_str.where(~numeric), format=fmt,
-                            errors="coerce", utc=False)
-    if parsed.dt.tz is None:
-        parsed = parsed.dt.tz_localize(opts.timezone)
-    parsed_ns = pa.array(parsed.dt.tz_convert("UTC").dt.tz_localize(None),
+    dt_str = pd_str.where(~numeric)
+    # offset-bearing and zoneless strings parse SEPARATELY: feeding a
+    # mixed batch to one pd.to_datetime(utc=False) call coerces whichever
+    # kind upsets the unified dtype to NaT, so a legal zoneless value
+    # would fail purely because of its batch-mates. Zoneless values
+    # localize to the fallback zone (AvroConverter :90,615-617).
+    has_off = dt_str.str.contains(r"(?:Z|[+-]\d{2}:?\d{2})\s*$",
+                                  na=False, regex=True)
+    aware = pd.to_datetime(dt_str.where(has_off), format=fmt,
+                           errors="coerce", utc=True)
+    naive = pd.to_datetime(dt_str.where(~has_off), format=fmt,
+                           errors="coerce", utc=False)
+    if naive.dt.tz is None:
+        naive = naive.dt.tz_localize(opts.timezone)
+    parsed = aware.fillna(naive.dt.tz_convert("UTC"))
+    parsed_ns = pa.array(parsed.dt.tz_localize(None),
                          type=pa.timestamp("ns")).cast(pa.int64())
     parsed_t = parsed_ns if per_sec == 10**9 else \
         _floor_div_i64(parsed_ns, 10**9 // per_sec)

@@ -17,8 +17,11 @@ aimed at LLM token reduction. Shapes covered:
 
 from __future__ import annotations
 
+import base64
+import datetime as _dt
 import math
 import re
+from decimal import Decimal
 from typing import Any
 
 INDENT = "  "
@@ -46,7 +49,25 @@ def _quote(s: str) -> str:
     return '"' + s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n") + '"'
 
 
+def _to_json_scalar(v: Any) -> Any:
+    """Non-JSON scalars stringify like the yaml/xml sinks do: at the
+    reference's JSON boundary these are already strings, and without this
+    a timestamp column crashed encode (list(datetime)) while a binary
+    column silently became an int array."""
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        try:
+            return bytes(v).decode("utf-8")
+        except UnicodeDecodeError:
+            return base64.b64encode(bytes(v)).decode()
+    if isinstance(v, Decimal):
+        return str(v)
+    return v
+
+
 def _fmt_scalar(v: Any) -> str:
+    v = _to_json_scalar(v)
     if v is None:
         return "null"
     if isinstance(v, bool):
@@ -66,7 +87,9 @@ def _fmt_key(k: str) -> str:
 
 
 def _is_primitive(v: Any) -> bool:
-    return v is None or isinstance(v, (bool, int, float, str))
+    return v is None or isinstance(
+        v, (bool, int, float, str, bytes, bytearray, Decimal,
+            _dt.datetime, _dt.date, _dt.time))
 
 
 def _tabular_fields(items: list) -> list[str] | None:
@@ -247,8 +270,13 @@ class _Parser:
         if fields is not None:  # tabular
             names = [_scalar_key(f.strip()) for f in _split_row(fields)]
             rows = []
-            for _ in range(n):
-                line = self.lines[self.i]
+            for j in range(n):
+                line = self.peek()
+                if line is None:
+                    # truncated input: a parse error, not a bare IndexError
+                    raise ValueError(
+                        f"TOON: tabular array declares {n} rows but input "
+                        f"ends after {j}")
                 self.i += 1
                 toks = _split_row(line.strip())
                 rows.append({k: _scalar(t) for k, t in zip(names, toks)})

@@ -52,7 +52,14 @@ def _stringify(table: pa.Table, opts: CsvWriteOptions) -> pa.Table:
         t = col.type
         if pa.types.is_timestamp(t):
             if t.tz:
-                col = col.cast(pa.timestamp(t.unit))  # stored UTC
+                if opts.timezone and opts.timezone != "UTC":
+                    # honor the configured output zone (the declared option
+                    # was silently ignored — tz-aware values always printed
+                    # in UTC): re-zone, then take the local wall clock
+                    col = pc.local_timestamp(
+                        col.cast(pa.timestamp(t.unit, tz=opts.timezone)))
+                else:
+                    col = col.cast(pa.timestamp(t.unit))  # stored UTC
             # cast -> "YYYY-MM-DD HH:MM:SS.ffffff"; use T separator (ISO).
             # (Arrow strftime lacks %f and would emit it literally.)
             cols[name] = pc.replace_substring(

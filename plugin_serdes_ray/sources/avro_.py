@@ -78,10 +78,7 @@ def read_avro_records(data: bytes, on_bad_lines: str = "ERROR",
     return schema, records
 
 
-def _records_to_table(records: list[Any]) -> pa.Table:
-    if records and not isinstance(records[0], dict):
-        records = [{"value": r} for r in records]
-    return pa.Table.from_pylist(records)
+from ._tabulate import records_to_table as _records_to_table  # shared
 
 
 def read_avro(paths: list[str] | str, on_bad_lines: str = "ERROR",

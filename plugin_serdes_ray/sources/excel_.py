@@ -159,8 +159,13 @@ def format_cell_value(num: float, code: str) -> str:
     if re.search(r"[eE]\+?0", section):
         m = re.search(r"\.([0#]+)[eE]", section)
         dec = len(m.group(1)) if m else 2
-        return f"{num:.{dec}E}".replace("E+0", "E+").replace("E-0", "E-") \
-            .replace("E+", "E+0") .replace("E-", "E-0") + ("%" if pct else "")
+        # Excel's E+00 pads the exponent to (at least) two digits; the old
+        # replace chain re-padded 2-digit exponents into E+012
+        s = f"{num:.{dec}E}"
+        s = re.sub(r"[eE]([+-])(\d+)$",
+                   lambda mm: "E" + mm.group(1) + mm.group(2).zfill(2)
+                   .lstrip("0").rjust(2, "0"), s)
+        return s + ("%" if pct else "")
     m = re.search(r"\.([0#]+)", section)
     dec = len(m.group(1)) if m else 0
     grouped = "," in section
@@ -261,6 +266,12 @@ def _parse_sheet(xml_bytes: bytes, shared: list[str], styles: list[str],
                 cells[idx] = ("TRUE" if b else "FALSE") if formatted else b
             elif t == "str" and v_el is not None:
                 cells[idx] = v_el.text
+            elif t == "e":
+                # error cell (#DIV/0!, #N/A, #REF!, ...): POI surfaces the
+                # error TEXT, never a crash — the numeric fallthrough would
+                # die on float('#DIV/0!') and abort the whole sheet
+                cells[idx] = (v_el.text if v_el is not None else None) \
+                    if formatted else None
             elif v_el is not None and v_el.text is not None:
                 num = float(v_el.text)
                 s_idx = c.get("s")

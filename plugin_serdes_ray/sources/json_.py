@@ -62,10 +62,7 @@ def parse_concatenated_json(text: str) -> list[Any]:
     return out
 
 
-def _records_to_table(records: list[Any]) -> pa.Table:
-    if records and not isinstance(records[0], dict):
-        records = [{"value": r} for r in records]  # root-wrap (InferAvroSchema.java:121-129)
-    return pa.Table.from_pylist(records)
+from ._tabulate import records_to_table as _records_to_table  # shared
 
 
 def read_json(paths: list[str] | str, opts: Optional[JsonOptions] = None,

@@ -20,10 +20,7 @@ def parse_yaml_bytes(data: bytes, charset: str = "utf-8") -> list[Any]:
     return docs
 
 
-def _records_to_table(records: list[Any]) -> pa.Table:
-    if records and not isinstance(records[0], dict):
-        records = [{"value": r} for r in records]
-    return pa.Table.from_pylist(records)
+from ._tabulate import records_to_table as _records_to_table  # shared
 
 
 def read_yaml(paths: list[str] | str, charset: str = "utf-8",

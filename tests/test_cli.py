@@ -214,3 +214,20 @@ def test_cli_funnel(ray_session, tmp_path, capsys, sf_dir):
     assert n[0] >= n[1] >= n[2] >= 0  # conversion is monotone
     t = pq.read_table(out)
     assert t.column("n_users").to_pylist() == n
+
+
+def test_cli_convert_whole_file_json(tmp_path):
+    """Review r4: .json inputs got the JSONL default and misparsed a
+    standard JSON array into one 'value' row (pretty-printed JSON crashed
+    outright). Only .jsonl gets NDJSON semantics."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    src = str(tmp_path / "in.json")
+    open(src, "w").write(json.dumps([{"a": 1}, {"a": 2}], indent=2))
+    out = str(tmp_path / "out.parquet")
+    assert main(["convert", src, out]) == 0
+    assert pq.read_table(out).column("a").to_pylist() == [1, 2]

@@ -768,3 +768,106 @@ def test_html_md_text_inline_code_identity():
         got = " ".join(markdown.markdown_to_text(
             markdown.html_to_markdown(page)).split())
         assert got == " ".join(f"before {t} after".split()), t
+
+
+def test_serde_review_r4_fixes(tmp_path):
+    """Review-r4 serde regressions, each verified to fail before the fix:
+    CLI .json whole-file parse, time32 coercion, narrowing-int policy,
+    mixed offset/naive timestamps, excel error cells + exponent padding,
+    yaml mixed-type stringify fallback, csv timezone option, toon
+    datetime/bytes scalars + truncated-tabular parse error."""
+    import datetime
+
+    import pyarrow as pa
+
+    from plugin_serdes_ray.functions.coerce import (CoerceOptions, to_int,
+                                                    to_time, to_timestamp)
+    from plugin_serdes_ray.functions.errors import OnBadLines
+    from plugin_serdes_ray.functions import toon
+    from plugin_serdes_ray.sinks.csv_ import CsvWriteOptions, table_to_csv_bytes
+    from plugin_serdes_ray.sources.excel_ import format_cell_value
+    from plugin_serdes_ray.sources.yaml_ import (_records_to_table,
+                                                 parse_yaml_bytes)
+
+    skip = CoerceOptions(on_bad_lines=OnBadLines.SKIP)
+    # time32 units (including the default) no longer crash
+    assert to_time(pa.array(["12:34"])).to_pylist() == \
+        [datetime.time(12, 34)]
+    assert to_time(pa.array(["12:34"]), unit="s").to_pylist() == \
+        [datetime.time(12, 34)]
+    # integer narrowing overflow is policy-routed, not ArrowInvalid
+    assert to_int(pa.array([300, 5], pa.int64()), pa.int8(),
+                  skip).to_pylist() == [None, 5]
+    assert to_int(pa.array([2 ** 63], pa.uint64()), pa.int64(),
+                  skip).to_pylist() == [None]
+    # a zoneless string parses even when batch-mates carry offsets
+    got = to_timestamp(pa.array(["2020-01-01T00:00:00+02:00",
+                                 "2020-01-01 03:00:00"]), unit="s")
+    assert got.to_pylist() == [datetime.datetime(2019, 12, 31, 22, 0),
+                               datetime.datetime(2020, 1, 1, 3, 0)]
+    # excel: two-digit exponents not re-padded; error cells don't crash
+    assert format_cell_value(1e12, "0.00E+00") == "1.00E+12"
+    assert format_cell_value(12345.0, "0.00E+00") == "1.23E+04"
+    # yaml mixed-type column stringifies instead of ArrowInvalid
+    t = _records_to_table(parse_yaml_bytes(b"---\na: 1\n---\na: xyz\n"))
+    assert t.column("a").to_pylist() == ["1", "xyz"]
+    # csv timezone option is honored
+    ts = pa.table({"ts": pa.array([1700000000_000_000],
+                                  type=pa.timestamp("us", tz="UTC"))})
+    assert b"2023-11-15T07:13:20" in table_to_csv_bytes(
+        ts, CsvWriteOptions(timezone="Asia/Tokyo"))
+    assert b"2023-11-14T22:13:20" in table_to_csv_bytes(ts)
+    # toon: datetime/bytes/decimal stringify; truncated tabular is a
+    # ValueError, not IndexError
+    s = toon.encode({"rows": [{"t": datetime.datetime(2020, 1, 2, 3, 4, 5),
+                               "b": b"ab"}]})
+    assert toon.decode(s) == {"rows": [{"t": "2020-01-02T03:04:05",
+                                        "b": "ab"}]}
+    with pytest.raises(ValueError, match="declares 3 rows"):
+        toon.decode("rows[3]{a,b}:\n  1,2\n")
+
+
+def test_excel_error_cells_do_not_crash(tmp_path):
+    """A workbook containing a formula error cell (#DIV/0!) must read,
+    with the error surfaced as text in FORMATTED mode and null otherwise."""
+    import zipfile
+
+    from plugin_serdes_ray.sources.excel_ import read_xlsx_bytes
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>x</v></c></row>'
+        '<row r="2"><c r="A2" t="e"><v>#DIV/0!</v></c></row>'
+        '<row r="3"><c r="A3"><v>7</v></c></row>'
+        "</sheetData></worksheet>")
+    wb = ('<?xml version="1.0"?>'
+          '<workbook xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats'
+          '.org/officeDocument/2006/relationships">'
+          '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+          "</workbook>")
+    rels = ('<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>')
+    import io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    data = buf.getvalue()
+    # raw mode: error cell -> null (its all-null row is then dropped by
+    # the default skip_empty_rows, like any blank row); numeric row kept
+    col = next(iter(read_xlsx_bytes(data).values())).column("x").to_pylist()
+    assert col == [7]
+    # FORMATTED mode surfaces the error TEXT like POI does
+    col = next(iter(read_xlsx_bytes(
+        data, ExcelOptions(value_render="FORMATTED_VALUE")).values())) \
+        .column("x").to_pylist()
+    assert col == ["#DIV/0!", "7"]
