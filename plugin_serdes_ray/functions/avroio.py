@@ -136,7 +136,6 @@ def write_datum(out: io.BytesIO, schema: Any, v: Any, named: dict) -> None:
         out.write(b)
     elif t == "enum":
         named[schema["name"]] = schema
-        out.write(b"")
         _write_long(out, schema["symbols"].index(v))
     elif t == "record":
         named[schema["name"]] = schema
@@ -176,20 +175,32 @@ def _accepts(branch: Any, v: Any, named: dict) -> bool:
     if t == "boolean":
         return isinstance(v, bool)
     if t in ("int", "long"):
+        # temporal logical branches accept ONLY the matching python
+        # temporal type: accepting plain ints routed an integer value
+        # into a [time-micros, long] union's FIRST branch, silently
+        # reading back as datetime.time. The date branch must also
+        # exclude datetime (a date subclass) — write_datum's conversion
+        # guard excludes it, so it fell through unconverted and crashed.
         lt = _logical(branch)
         if lt == "date":
-            return isinstance(v, datetime.date) or isinstance(v, int)
+            return isinstance(v, datetime.date) \
+                and not isinstance(v, datetime.datetime)
         if lt in ("time-millis", "time-micros"):
-            return isinstance(v, datetime.time) or isinstance(v, int)
+            return isinstance(v, datetime.time)
         if lt in ("timestamp-millis", "timestamp-micros"):
-            return isinstance(v, datetime.datetime) or isinstance(v, int)
+            return isinstance(v, datetime.datetime)
         return isinstance(v, int) and not isinstance(v, bool)
     if t in ("float", "double"):
         return isinstance(v, (int, float)) and not isinstance(v, bool)
     if t == "string":
         return isinstance(v, (str, uuid_mod.UUID))
     if t == "bytes":
-        return isinstance(v, (bytes, bytearray, Decimal))
+        # a decimal branch takes Decimals, a PLAIN bytes branch takes raw
+        # bytes — cross-acceptance corrupted [bytes, decimal] unions in
+        # both directions (TypeError one way, silent garbage the other)
+        if _logical(branch) == "decimal":
+            return isinstance(v, Decimal)
+        return isinstance(v, (bytes, bytearray))
     if t == "fixed":
         return isinstance(v, (bytes, bytearray))
     if t == "enum":
@@ -294,6 +305,11 @@ def read_datum(inp: BinaryIO, schema: Any, named: dict) -> Any:
 def write_container(records: Iterable[Any], schema: Any,
                     codec: str = "deflate", sync: Optional[bytes] = None,
                     block_records: int = 4096) -> bytes:
+    if codec not in ("null", "deflate"):
+        # the writer would otherwise store UNCOMPRESSED data under
+        # metadata claiming the codec — a file no reader can interpret
+        raise ValueError(f"unsupported avro codec {codec!r} "
+                         "(supported: null, deflate)")
     if isinstance(schema, str):
         schema = json.loads(schema)
     sync = sync or os.urandom(16)

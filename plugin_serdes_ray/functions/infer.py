@@ -228,8 +228,6 @@ _AVRO_PRIM = {
                 "precision": 38, "scale": 18},
 }
 
-_name_counter = [0]
-
 
 def to_avro(t: dict, name_hint: str = "root") -> Any:
     base: Any

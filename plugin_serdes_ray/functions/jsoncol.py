@@ -35,8 +35,13 @@ def extract_json_fields(batch: pa.Table, column: str,
                         prefix: str = "") -> pa.Table:
     """One batch: parse the JSON column once, append a typed column per
     requested field (missing field / null / unparseable row -> null, then
-    the bad-lines policy of the coercion layer applies to type failures)."""
-    opts = opts or CoerceOptions()
+    the bad-lines policy of the coercion layer applies to type failures).
+
+    Unlike the text formats, JSON distinguishes null natively — so by
+    default NO null sentinels apply and the definite strings "", "NA",
+    "None", ... survive extraction (pass opts with null_values to opt
+    back into sentinel mapping)."""
+    opts = opts or CoerceOptions(null_values=[])
     vals: dict[str, list] = {f: [] for f in fields}
     for s in batch.column(column).to_pylist():
         obj = None

@@ -23,10 +23,6 @@ import pyarrow as pa
 
 from ..util import package_runtime_env
 
-# canonical multimodal schema fragments
-IMAGE_META = pa.struct([("width", pa.int32()), ("height", pa.int32()),
-                        ("format", pa.string())])
-
 
 def _seed_from(data: bytes) -> int:
     return int.from_bytes(hashlib.sha1(data).digest()[:4], "little")
@@ -370,8 +366,14 @@ def decode_y4m(data: bytes) -> tuple[dict, np.ndarray]:
             fps_num, fps_den = (int(x) for x in val.split(":"))
         elif tag == "C":
             cspace = val
-    if not w or not h:
-        raise ValueError("Y4M header missing W/H")
+    if w is None or h is None or w <= 0 or h <= 0:
+        # a NEGATIVE dimension must fail here like decode_bmp/decode_ppm:
+        # it makes frame_bytes negative, and the frame loop then re-scans
+        # the same FRAME marker forever (pos steps backward) — a hung
+        # worker with an unboundedly growing frames list
+        raise ValueError("Y4M header missing or non-positive W/H")
+    if fps_den <= 0 or fps_num < 0:
+        raise ValueError("Y4M header has non-positive frame rate")
     key = next((k for k in ("mono", "420", "422", "444")
                 if cspace.startswith(k)), None)
     if key is None:

@@ -871,3 +871,63 @@ def test_excel_error_cells_do_not_crash(tmp_path):
         data, ExcelOptions(value_render="FORMATTED_VALUE")).values())) \
         .column("x").to_pylist()
     assert col == ["#DIV/0!", "7"]
+
+
+def test_avro_union_branch_dispatch():
+    """Review r4: three union-dispatch defects — a [bytes, decimal] union
+    crashed or silently mangled values depending on branch order, a plain
+    int in a [time, long] union read back as datetime.time, and a
+    datetime in a [date, timestamp] union crashed int()."""
+    from plugin_serdes_ray.functions.avroio import (read_container,
+                                                    write_container)
+    from plugin_serdes_ray.functions.infer import infer_rows, to_avsc
+
+    cases = [
+        [{"x": b"raw"}, {"x": Decimal("1.5")}],
+        [{"x": Decimal("1.5")}, {"x": b"raw"}],
+        [{"x": datetime.time(1, 2, 3)}, {"x": 5}],
+    ]
+    for rows in cases:
+        blob = write_container(rows, to_avsc(infer_rows(rows)))
+        _, back = read_container(blob)
+        assert [type(r["x"]) for r in back] == [type(r["x"]) for r in rows]
+        assert all(a["x"] == b["x"] for a, b in zip(rows, back)), rows
+    # [date, timestamp]: no crash; datetime lands in the timestamp branch
+    rows = [{"x": datetime.date(2020, 1, 1)},
+            {"x": datetime.datetime(2020, 1, 1, 5,
+                                    tzinfo=datetime.timezone.utc)}]
+    _, back = read_container(write_container(rows,
+                                             to_avsc(infer_rows(rows))))
+    assert back == rows
+    # unsupported codecs are rejected at write time, not read time
+    with pytest.raises(ValueError, match="snappy"):
+        write_container([{"a": 1}], to_avsc(infer_rows([{"a": 1}])),
+                        codec="snappy")
+
+
+def test_json_extract_keeps_definite_strings():
+    """Review r4: extract_json_fields routed values through the text
+    null-sentinel list, silently nulling the definite JSON strings "NA"
+    and "" — JSON distinguishes null natively."""
+    from plugin_serdes_ray.functions.jsoncol import extract_json_fields
+
+    t = pa.table({"j": ['{"s": "NA", "e": "", "n": 5}', None,
+                        '{"s": null}']})
+    out = extract_json_fields(t, "j", {"s": pa.string(), "e": pa.string(),
+                                       "n": pa.int64()})
+    assert out.column("s").to_pylist() == ["NA", None, None]
+    assert out.column("e").to_pylist() == ["", None, None]
+    assert out.column("n").to_pylist() == [5, None, None]
+
+
+def test_y4m_malformed_headers_never_hang_or_crash():
+    """Review r4: a negative H made the frame loop re-scan the same FRAME
+    marker forever (hung worker); F25:0 crashed VideoStats with
+    ZeroDivisionError despite the nulls-never-crash contract."""
+    from plugin_serdes_ray.pipelines.multimodal import VideoStats, decode_y4m
+
+    with pytest.raises(ValueError, match="non-positive"):
+        decode_y4m(b"YUV4MPEG2 W4 H-1 C420\nFRAME\n" + bytes(32))
+    bad_fps = b"YUV4MPEG2 W2 H2 F25:0 C420\nFRAME\n" + bytes(6)
+    out = VideoStats()(pa.table({"video": [bad_fps]}))
+    assert out.column("n_frames").to_pylist() == [None]
