@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from plugin_serdes_ray.util import vectors_to_numpy
+
 _QUERY_CACHE_ROOT = "/tmp/graft_query_cache"
 
 
@@ -33,18 +35,16 @@ def _sf_tag(sf_dir: str) -> str:
     # cached encodes/indexes after the source parquet is regenerated (or
     # when two corpora share a basename) — resume=True would then skip
     # manifest-complete parts encoded from the OLD corpus
-    import hashlib
+    from plugin_serdes_ray.util import files_fingerprint
 
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    h = hashlib.sha1()
     try:
-        for name in sorted(os.listdir(sf_dir)):
-            if name.endswith(".parquet"):
-                st = os.stat(os.path.join(sf_dir, name))
-                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+        files = [os.path.join(sf_dir, n) for n in os.listdir(sf_dir)
+                 if n.endswith(".parquet")]
+        fp = files_fingerprint(files)[:10]
     except OSError:
-        pass
-    return f"{base}-{h.hexdigest()[:10]}"
+        fp = "nofp"
+    return f"{base}-{fp}"
 
 
 def _cache_dir(sf_dir: str, name: str) -> str:
@@ -93,9 +93,13 @@ def _roundtrip_filtered(sf_dir: str, table: str, predicate) -> pa.Table:
     encode_files([src], out, resume=True)
     ds = decode_dataset(out, predicate=predicate)
     rows = ds.take_all()
+    schema = pq.read_schema(src)
     if not rows:   # from_pylist([]) would be zero-column, not empty-typed
-        return pq.read_schema(src).empty_table()
-    return pa.Table.from_pylist(rows)
+        return schema.empty_table()
+    # re-impose the source schema: from_pylist infers pa.null() for an
+    # all-null column in the qualifying subset (same edge the sibling
+    # _roundtrip_lineitem_both guards with select+cast)
+    return pa.Table.from_pylist(rows).select(schema.names).cast(schema)
 
 
 def _roundtrip_lineitem_both(sf_dir: str) -> pa.Table:
@@ -518,8 +522,8 @@ def _dedup_embedding(sf_dir: str):
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"]).sort_by("vec_id")
-    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
-    ids = np.asarray(t.column("vec_id").to_pylist())
+    vecs = vectors_to_numpy(t.column("embedding"), dtype=np.float32)
+    ids = t.column("vec_id").to_numpy()
     k = 5
     near = []
     rng = np.random.default_rng(271828)
@@ -552,7 +556,7 @@ def _ann_brute(sf_dir: str):
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     t = t.sort_by("vec_id")  # oracle takes the 3 smallest vec_ids
-    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    vecs = vectors_to_numpy(t.column("embedding"), dtype=np.float64)
     ids = t.column("vec_id").to_pylist()
     q = vecs[:3]
     out = knn_brute(_read(sf_dir, "embeddings"), q, query_ids=ids[:3], k=10)
@@ -566,7 +570,7 @@ def _ann_ivf(sf_dir: str):
     from plugin_serdes_ray.pipelines.ann import knn_ivf
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
-    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    vecs = vectors_to_numpy(t.column("embedding"), dtype=np.float32)
     ids = t.column("vec_id").to_pylist()
     idx = _cache_dir(sf_dir, "ivf_index")
     out = knn_ivf(_read(sf_dir, "embeddings"), vecs[:3], query_ids=ids[:3],
@@ -1305,16 +1309,13 @@ def _keyword_search_documents(sf_dir: str):
     and re-sharding the corpus and leaking a fresh /tmp dir per call —
     then open ONLY the query tokens' shards and evaluate AND as a
     distributed groupby(doc_id) count."""
-    import hashlib
     import tempfile
 
     from plugin_serdes_ray.pipelines.textindex import keyword_search
+    from plugin_serdes_ray.util import files_fingerprint
 
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    fp = hashlib.sha1(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
+    fp = files_fingerprint([src])[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"tix_entry_{fp}")
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     out = keyword_search(ds, ["the", "data"], mode="and",
@@ -2081,7 +2082,7 @@ def _ann_top10(sf_dir: str):
     brute = _ann_brute(sf_dir)
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
         .sort_by("vec_id")
-    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    vecs = vectors_to_numpy(t.column("embedding"), dtype=np.float32)
     ids = t.column("vec_id").to_pylist()
     idx = _cache_dir(sf_dir, "ivf_index_dist")
     ivf = knn_ivf(_read(sf_dir, "embeddings"), vecs[:3], query_ids=ids[:3],

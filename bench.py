@@ -35,8 +35,13 @@ def _parquet_gzip_baseline(files: list[str]) -> dict:
     Cached next to the corpus; timing is single-threaded like the reference."""
     import pyarrow.parquet as pq
 
+    from plugin_serdes_ray.util import files_fingerprint
+
     cache = os.path.join(os.path.dirname(files[0]), "_parquet_gzip_baseline.json")
-    fp = f"{len(files)}:{sum(os.path.getsize(f) for f in files)}"
+    # canonical (name, size, mtime_ns) staleness stamp — a regenerated
+    # same-size corpus must NOT reuse the old baseline (the previous
+    # count+total-size key silently would)
+    fp = files_fingerprint(files)
     if os.path.exists(cache):
         with open(cache) as f:
             data = json.load(f)
@@ -113,7 +118,7 @@ def run_bench(sf_dir: str, num_cpus: int, outer_level: int = 3, repeat: int = 1,
     # both cluster sizes get identical treatment
     t_encode = min(encode_times)
 
-    # best-of-2 decode, same treatment as encode (shared-tenant walls swing
+    # best-of-3 decode, same treatment as encode (shared-tenant walls swing
     # 2-3x between identical runs; min approximates the un-contended box)
     decode_times = []
     for _ in range(3):

@@ -34,10 +34,11 @@ from .state import checkpoint
 
 
 def _fingerprint(path: str) -> str:
-    # mtime_ns guards against same-size content changes (regenerated
-    # fixed-row fixtures) silently fingerprint-matching on resume
-    st = os.stat(path)
-    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
+    # canonical (name, size, mtime_ns) stamp — see util.file_stamp for why
+    # mtime_ns matters (regenerated same-size fixtures)
+    from .util import file_stamp
+
+    return file_stamp(path)
 
 
 def sample_plan_from_files(files: list[str], sample_rows: int = 50_000,

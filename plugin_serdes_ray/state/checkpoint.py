@@ -113,9 +113,16 @@ def read_plan(out_dir: str):
     path = os.path.join(_mdir(out_dir), "plan.json")
     if not os.path.exists(path):
         return None
-    with open(path) as f:
-        blob = json.load(f)["plan_pickle"]
-    return pickle.loads(base64.b64decode(blob))
+    try:
+        with open(path) as f:
+            blob = json.load(f)["plan_pickle"]
+        return pickle.loads(base64.b64decode(blob))
+    except Exception:
+        # stale/incompatible plan (older package layout, truncated write):
+        # resume must fall back to re-planning, not crash. Mixed plans
+        # across parts are safe — the container format is self-describing
+        # per chunk, so parts encoded under the old plan still decode.
+        return None
 
 
 @dataclass

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import math
+import struct
 
 import pyarrow as pa
 
@@ -23,9 +23,12 @@ def _has_float(t: pa.DataType) -> bool:
 
 
 def _nan_eq(x, y) -> bool:
-    """Recursive python equality where NaN == NaN (nested fallback only)."""
+    """Recursive python equality; floats by BIT PATTERN (nested fallback
+    only) — same contract as the flat fixed_to_numpy path: NaN == NaN only
+    when payload bits match, and -0.0 != 0.0. to_pylist widens float32 to
+    double, but the widening is injective so double-bit compare is exact."""
     if isinstance(x, float) and isinstance(y, float):
-        return x == y or (math.isnan(x) and math.isnan(y))
+        return struct.pack("<d", x) == struct.pack("<d", y)
     if isinstance(x, dict) and isinstance(y, dict):
         return x.keys() == y.keys() and all(_nan_eq(x[k], y[k]) for k in x)
     if isinstance(x, (list, tuple)) and isinstance(y, (list, tuple)):

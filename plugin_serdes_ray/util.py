@@ -15,6 +15,26 @@ def package_runtime_env() -> dict:
     return {"env_vars": {"PYTHONPATH": root + (os.pathsep + existing if existing else "")}}
 
 
+def file_stamp(path: str) -> str:
+    """Canonical one-file staleness stamp: (basename, size, mtime_ns).
+    mtime_ns guards against same-size content changes (regenerated
+    fixed-row fixtures) silently matching. THE single definition — encode
+    resume, index reuse, query caches and the bench baseline cache all
+    route through here so the staleness semantics can't drift apart."""
+    st = os.stat(path)
+    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
+
+
+def files_fingerprint(paths, params: str = "") -> str:
+    """Hash of sorted ``file_stamp``s (plus caller params) for multi-file
+    corpus identity — cache keys, index-reuse checks, baseline caches."""
+    import hashlib
+
+    parts = [file_stamp(p) for p in sorted(paths)]
+    return hashlib.sha256(
+        ("|".join(parts) + "||" + params).encode()).hexdigest()[:16]
+
+
 def corpus_fingerprint(ds, params: str = "") -> str:
     """Cheap identity fingerprint of a Dataset's input corpus, for index
     reuse checks (VERDICT r3 #3): the sorted input files' (name, size,
@@ -29,9 +49,7 @@ def corpus_fingerprint(ds, params: str = "") -> str:
     try:
         for f in sorted(ds.input_files() or []):
             try:
-                st = os.stat(f)
-                parts.append(f"{os.path.basename(f)}:{st.st_size}:"
-                             f"{st.st_mtime_ns}")
+                parts.append(file_stamp(f))
             except OSError:
                 parts.append(f)
     except Exception:
@@ -63,9 +81,13 @@ def _warm_task(batch: dict) -> dict:
     body = " ".join(rng.choice(words, 600))
     pages = [f"<html><head><title>warm {i}</title></head><body><p>{body}"
              f"</p></body></html>" for i in range(3500)]
+    # "b" rows must ALSO be distinct: a repeated buffer hits the
+    # constant-chunk shortcut (container count_distinct==1) and the plain
+    # encode + outer zstd of the binary payload would never run
+    bmat = rng.integers(0, 255, (3500, 1024), dtype=np.uint8)
     t = pa.table({
         "s": pa.array(pages),                  # ~12MB templated text
-        "b": pa.array([rng.integers(0, 255, 512, dtype=np.uint8).tobytes() * 2] * 3500,
+        "b": pa.array([bmat[i].tobytes() for i in range(3500)],
                       type=pa.large_binary()),  # ~3.5MB binary
         "i": pa.array(np.arange(3500), type=pa.int64()),
     })
