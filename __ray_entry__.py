@@ -2105,6 +2105,33 @@ def _vocab_documents(sf_dir: str):
     return pa.concat_tables([tf, df])
 
 
+def _vocab_bpe_documents(sf_dir: str):
+    """Vocabulary + tokenizer statistics union-tagged into one row set:
+    the 'tf'/'df' word top-20s (textstats.vocab_top_k) plus 'bpe_pair' —
+    the top-20 first-iteration BPE pair counts over the DISTRIBUTED word
+    histogram (bpe.word_histogram -> symbolize -> pair_counts: raw text
+    shuffles once as (word, count), pair stats are per-block partials +
+    one groupby(pair) Sum). The full distributed merge LOOP (bpe_train)
+    is pinned merge-for-merge against an independent in-process reference
+    implementation in tests/test_bpe.py; the first iteration's exact pair
+    statistics are the SQL-checkable surface (the argmax of this table IS
+    the first merge)."""
+    from plugin_serdes_ray.pipelines import bpe
+
+    base = _vocab_documents(sf_dir)
+    hist = bpe.symbolize(bpe.word_histogram(
+        _read(sf_dir, "documents").select_columns(["text"])))
+    # distinct single-char pairs are alphabet-bounded -> tiny take_all
+    rows = bpe.pair_counts(hist).take_all()
+    rows.sort(key=lambda r: (-r["cnt"], r["pair"]))
+    top = rows[:20]
+    pairs = pa.table({
+        "which": pa.array(["bpe_pair"] * len(top)),
+        "token": pa.array([r["pair"] for r in top], type=pa.string()),
+        "cnt": pa.array([r["cnt"] for r in top], type=pa.int64())})
+    return pa.concat_tables([base, pairs])
+
+
 def _textstats_scalars(sf_dir: str):
     """Token counting + quality-length scalars in one pass chain
     (textstats.token_counts -> textstats.quality_scores)."""
@@ -2580,7 +2607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_logprob_documents": _lm_logprob_documents,
         "keyword_search_documents": _keyword_search_documents,
         "normalize_nfc_documents": _normalize_nfc_documents,
-        "vocab_documents": _vocab_documents,
+        "vocab_bpe_documents": _vocab_bpe_documents,
         "pii_redact_documents": _pii_redact_documents,
         "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
         "textstats_scalars": _textstats_scalars,
@@ -2632,6 +2659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # standalone stratified-sampling row (merged into
         # samples_documents)
         "sample_documents_per_lang": _sample_documents,
+        # standalone vocab row (vocab_bpe_documents in the 50 block adds
+        # the BPE pair-count arm on top of the same tf/df arms)
+        "vocab_documents": _vocab_documents,
         # standalone markdown-chain rows (merged into doc_transforms_text)
         "html_extract_text": _html_to_text,
         "markdown_roundtrip_documents": _markdown_roundtrip,
@@ -3774,6 +3804,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
              WHERE token <> '' GROUP BY token
              ORDER BY cnt DESC, token LIMIT 20)
+        """,
+        # BPE first-iteration pair statistics: word histogram (whitespace
+        # split, empties and reserved-U+001F words dropped) -> weighted
+        # adjacent single-character pair counts; 'token' is
+        # left || chr(31) || right, exactly the Ray side's SEP-joined pair
+        "vocab_bpe_documents": r"""
+            (SELECT 'tf' AS which, token, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+')) AS token
+                FROM documents)
+             WHERE token <> '' GROUP BY token
+             ORDER BY cnt DESC, token LIMIT 20)
+            UNION ALL
+            (SELECT 'df', token, count(DISTINCT doc_id)::BIGINT AS cnt FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+')) AS token
+                FROM documents)
+             WHERE token <> '' GROUP BY token
+             ORDER BY cnt DESC, token LIMIT 20)
+            UNION ALL
+            (WITH wc AS (
+                SELECT w, count(*)::BIGINT AS c FROM (
+                    SELECT unnest(regexp_split_to_array(coalesce(text, ''),
+                                                        '\s+')) AS w
+                    FROM documents)
+                WHERE w <> '' AND w NOT LIKE '%' || chr(31) || '%'
+                GROUP BY w),
+            pairs AS (
+                SELECT substr(w, CAST(i AS BIGINT), 1) AS a,
+                       substr(w, CAST(i AS BIGINT) + 1, 1) AS b, c
+                FROM wc, LATERAL (SELECT unnest(generate_series(
+                    1, length(w) - 1)) AS i)
+                WHERE length(w) >= 2)
+            SELECT 'bpe_pair', a || chr(31) || b AS token,
+                   CAST(sum(c) AS BIGINT) AS cnt
+            FROM pairs GROUP BY a, b
+            ORDER BY cnt DESC, token LIMIT 20)
         """,
         "textstats_scalars": r"""
             SELECT doc_id,
