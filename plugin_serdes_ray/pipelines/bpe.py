@@ -193,15 +193,18 @@ def _apply_merge(batch: pa.Table, a: str, b: str) -> pa.Table:
     usually-tiny matching residue."""
     syms = batch.column("sym").combine_chunks()
     pat = a + SEP + b
-    mask = pc.match_substring(syms, pat).to_numpy(zero_copy_only=False)
-    if not mask.any():
+    mask = pc.match_substring(syms, pat)
+    if not pc.any(mask).as_py():
         return batch
-    idx = np.nonzero(mask)[0]
-    new = syms.to_pylist()
-    for i in idx:
-        new[i] = SEP.join(_merge_word(new[i].split(SEP), a, b))
-    return pa.table({"sym": pa.array(new, type=pa.string()),
-                     "n": batch.column("n")})
+    # the histogram is a bag of (sym, n) — row order is meaningless — so
+    # split matched/unmatched and only ever box the matched residue
+    hit = batch.filter(mask)
+    miss = batch.filter(pc.invert(mask))
+    new = [SEP.join(_merge_word(s.split(SEP), a, b))
+           for s in hit.column("sym").to_pylist()]
+    merged = pa.table({"sym": pa.array(new, type=pa.string()),
+                       "n": hit.column("n")})
+    return pa.concat_tables([miss, merged])
 
 
 # ---------------------------------------------------------------------------
