@@ -1315,7 +1315,10 @@ def _keyword_search_documents(sf_dir: str):
     from plugin_serdes_ray.util import files_fingerprint
 
     src = os.path.join(sf_dir, "documents.parquet")
-    fp = files_fingerprint([src])[:12]
+    # abspath in params: file_stamp alone is (basename, size, mtime_ns),
+    # and this index dir is shared across sf dirs under /tmp — two
+    # corpora with timestamp-preserving copies must not collide
+    fp = files_fingerprint([src], params=os.path.abspath(src))[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"tix_entry_{fp}")
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     out = keyword_search(ds, ["the", "data"], mode="and",
@@ -3808,23 +3811,11 @@ def oracle_sql() -> dict[str, str]:
         # BPE first-iteration pair statistics: word histogram (whitespace
         # split, empties and reserved-U+001F words dropped) -> weighted
         # adjacent single-character pair counts; 'token' is
-        # left || chr(31) || right, exactly the Ray side's SEP-joined pair
-        "vocab_bpe_documents": r"""
-            (SELECT 'tf' AS which, token, count(*)::BIGINT AS cnt FROM (
-                SELECT unnest(regexp_split_to_array(coalesce(text, ''),
-                                                    '\s+')) AS token
-                FROM documents)
-             WHERE token <> '' GROUP BY token
-             ORDER BY cnt DESC, token LIMIT 20)
-            UNION ALL
-            (SELECT 'df', token, count(DISTINCT doc_id)::BIGINT AS cnt FROM (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(coalesce(text, ''),
-                                                    '\s+')) AS token
-                FROM documents)
-             WHERE token <> '' GROUP BY token
-             ORDER BY cnt DESC, token LIMIT 20)
-            UNION ALL
+        # left || chr(31) || right, exactly the Ray side's SEP-joined
+        # pair. The tf/df arms are appended from the vocab_documents
+        # entry at the bottom of this function — ONE definition, two
+        # consumers, so a tokenization fix can't leave one stale.
+        "__bpe_pair_arm__": r"""
             (WITH wc AS (
                 SELECT w, count(*)::BIGINT AS c FROM (
                     SELECT unnest(regexp_split_to_array(coalesce(text, ''),
@@ -3918,4 +3909,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'bloom_anti', * FROM a
         """,
     }
-    return {**rt, **serde, **rest}
+    out = {**rt, **serde, **rest}
+    # vocab_bpe_documents = the vocab tf/df arms + the BPE pair arm
+    # (shared fragment — see the __bpe_pair_arm__ comment above)
+    out["vocab_bpe_documents"] = (
+        out["vocab_documents"] + "\n UNION ALL \n"
+        + out.pop("__bpe_pair_arm__"))
+    return out

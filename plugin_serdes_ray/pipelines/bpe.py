@@ -117,7 +117,12 @@ def _sym_pairs_partial(batch: pa.Table) -> pa.Table:
     w = np.repeat(n, lens)[:-1][same]
     t = pa.table({"pair": pair, "w": pa.array(w, type=pa.int64())})
     g = t.group_by("pair").aggregate([("w", "sum")])
-    return grouped_rename_positional(g, ["pair"], ["__w"])
+    # pin (pair, __w) order — grouped_rename_positional absorbs the
+    # pyarrow-version-dependent key/aggregate layout but keeps whichever
+    # order the version emitted, and the early-out empty table above is
+    # (pair, __w); mixed block schemas would crash the groupby shuffle
+    return grouped_rename_positional(g, ["pair"], ["__w"]).select(
+        ["pair", "__w"])
 
 
 def pair_counts(hist, sym_col: str = "sym"):
@@ -143,25 +148,40 @@ def pair_counts(hist, sym_col: str = "sym"):
     return g.map_batches(rename, batch_format="pyarrow", runtime_env=env)
 
 
+def _pair_key(p: str) -> tuple[str, str]:
+    """(left, right) TUPLE for tie ordering.  Comparing the SEP-joined
+    string instead would diverge from the reference lexicographic tuple
+    order whenever a symbol contains a codepoint below U+001F (tuple
+    compares left fully before right; the joined string compares the
+    separator byte against the symbol's next char).  Symbols never
+    contain SEP, so the split is exact."""
+    left, _, right = p.partition(SEP)
+    return left, right
+
+
 def _best_pair(counts) -> Optional[tuple[str, str, int]]:
     """Global argmax of a ``(pair, cnt)`` Dataset with deterministic ties
-    (count desc, pair asc): per-block best row, O(blocks) driver merge.
-    Returns ``(left, right, count)``."""
+    (count desc, then lexicographically smallest ``(left, right)``):
+    per-block best row, O(blocks) driver merge.  Returns
+    ``(left, right, count)``.  ``counts`` is the post-aggregate table, so
+    each pair appears once and block-max-of-block-maxes is the global
+    max; the per-block tie-break boxes only the rows tied at the block's
+    max count."""
     def block_best(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
-        top = cnt == cnt.max()
-        sub = batch.filter(pa.array(top))
-        i = pc.min(sub.column("pair")).as_py()
-        return sub.filter(pc.equal(sub.column("pair"), i)).slice(0, 1)
+        sub = batch.filter(pa.array(cnt == cnt.max()))
+        tied = sub.column("pair").to_pylist()
+        i = min(range(len(tied)), key=lambda j: _pair_key(tied[j]))
+        return sub.slice(i, 1)
 
     rows = counts.map_batches(block_best, batch_format="pyarrow",
                               runtime_env=package_runtime_env()).take_all()
     if not rows:
         return None
-    best = min(rows, key=lambda r: (-r["cnt"], r["pair"]))
-    left, _, right = best["pair"].partition(SEP)
+    best = min(rows, key=lambda r: (-r["cnt"], _pair_key(r["pair"])))
+    left, right = _pair_key(best["pair"])
     return left, right, int(best["cnt"])
 
 
@@ -336,6 +356,10 @@ def token_histogram(ds, merges: Sequence[tuple[str, str]],
     from ray.data.aggregate import Sum
 
     class Hist(BpeEncoder):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self._tcache: dict[str, list[str]] = {}   # word -> token list
+
         def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
             col = pc.fill_null(batch.column(self.column).combine_chunks(),
                                "")
@@ -345,9 +369,7 @@ def token_histogram(ds, merges: Sequence[tuple[str, str]],
             vc = words.value_counts()
             toks: list[str] = []
             ws: list[int] = []
-            wcache: dict[str, list[str]] = getattr(self, "_tcache", None)
-            if wcache is None:
-                wcache = self._tcache = {}
+            wcache = self._tcache
             for w, c in zip(vc.field(0).to_pylist(),
                             vc.field(1).to_pylist()):
                 if SEP in w:

@@ -29,10 +29,15 @@ def _ref_merge(parts, a, b):
     return out
 
 
+_WS = r"[\t\n\f\r ]+"   # RE2's \s — Python re's \s additionally matches
+#                         \v and Unicode spaces; pin the pipeline's
+#                         (split_pattern_regex / DuckDB = RE2) semantics
+
+
 def _ref_words(texts):
     wc = Counter()
     for t in texts:
-        for w in re.split(r"\s+", t or ""):
+        for w in re.split(_WS, t or ""):
             if w and "\x1f" not in w:
                 wc[w] += 1
     return wc
@@ -107,7 +112,7 @@ def test_token_counts_and_histogram(ray_session):
     # expected per-row token counts
     ranks = {m: i for i, m in enumerate(merges)}
     def row_tokens(t):
-        return [tok for w in re.split(r"\s+", t or "") if w
+        return [tok for w in re.split(_WS, t or "") if w
                 for tok in bpe.encode_word(w, ranks)]
     exp_counts = [len(row_tokens(t)) for t in CORPUS]
 
@@ -138,6 +143,22 @@ def test_pair_counts_first_iteration(ray_session):
     got = {tuple(r["pair"].split("\x1f")): r["cnt"]
            for r in bpe.pair_counts(hist).take_all()}
     assert got == dict(exp)
+
+
+def test_tiebreak_tuple_order_with_control_chars(ray_session):
+    """A count tie between ('a', 'z') and ('a\\x01', 'b') — where the
+    merged symbol a\\x01 contains a codepoint BELOW the internal
+    separator — must break by (left, right) TUPLE order like the
+    reference, not by SEP-joined-string order (which would pick the
+    other pair because \\x01 < \\x1f)."""
+    corpus = ["a\x01 a\x01 a\x01 a\x01 a\x01",   # ('a','\x01') x7 -> merge 1
+              "a\x01b a\x01b az az"]             # then ('a\x01','b') vs
+    #                                              ('a','z') tie at 2
+    ref_merges, _ = _ref_train(_ref_words(corpus), 3)
+    assert ref_merges[0] == ("a", "\x01")
+    assert ("a", "z") in ref_merges[1:2]   # tuple order wins the tie
+    got = bpe.bpe_train(_ds(corpus), n_merges=3)
+    assert got == ref_merges
 
 
 def test_min_count_stops_early(ray_session):
