@@ -1181,12 +1181,19 @@ def _unigram_logprob_documents(sf_dir: str):
         type=pa.float64()))
 
 
-def _lm_logprob_documents(sf_dir: str):
-    """Unigram AND bigram corpus-trained LM quality scores union-tagged
-    into one row set (textstats.unigram_logprob / bigram_logprob): per-doc
-    mean negative log-prob, the CCNet-style model-based quality signal and
-    its conditional-fluency refinement. Column ``n`` = n_tokens (unigram) /
-    n_bigrams (bigram)."""
+def _model_scores_documents(sf_dir: str):
+    """Model-based document scoring family, union-tagged into one row
+    set: unigram AND bigram corpus-trained LM quality scores
+    (textstats.unigram_logprob / bigram_logprob — the CCNet-style signal
+    and its conditional-fluency refinement) PLUS the trained multinomial
+    Naive Bayes classifier (classify.nb_train / nb_classify — the
+    fasttext-style language/quality classifier, aggregation-only fit,
+    broadcast-model map-only scoring). Column ``n`` = n_tokens (unigram,
+    nb) / n_bigrams (bigram); ``pred`` = the nb arm's argmax class (NULL
+    for the LM arms); ``avg_neg_logp`` = mean negative log-prob (nb: of
+    the predicted class's log-posterior over n+1 terms, prior included).
+    """
+    from plugin_serdes_ray.pipelines.classify import nb_classify, nb_train
     from plugin_serdes_ray.pipelines.textstats import (bigram_logprob,
                                                        unigram_logprob)
 
@@ -1198,13 +1205,21 @@ def _lm_logprob_documents(sf_dir: str):
             # round the emitted float on both sides (np.log vs ln last-ulp
             # + summation-order noise ~1e-12 relative; 9 decimals is safe)
             rows.append((model, r["doc_id"], r[ncol],
-                         round(r["avg_neg_logp"], 9)))
-    rows.sort()
+                         round(r["avg_neg_logp"], 9), None))
+    labeled = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "text"])
+    nbm = nb_train(labeled, column="text", label_column="lang",
+                   vocab_size=512, alpha=1.0)
+    for r in nb_classify(labeled, nbm).take_all():
+        rows.append(("nb", r["doc_id"], r["n_tokens"],
+                     r["avg_neg_logp"], r["pred"]))
+    rows.sort(key=lambda t: (t[0], t[1]))
     return pa.table({
         "model": pa.array([r[0] for r in rows]),
         "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
         "n": pa.array([r[2] for r in rows], type=pa.int64()),
         "avg_neg_logp": pa.array([r[3] for r in rows], type=pa.float64()),
+        "pred": pa.array([r[4] for r in rows], type=pa.string()),
     })
 
 
@@ -2607,7 +2622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- LLM-pipeline wave (unrecorded in r3's driver file) ---
         "ann_top10": _ann_top10,
         "tfidf_top_terms_documents": _tfidf_top_terms_documents,
-        "lm_logprob_documents": _lm_logprob_documents,
+        "model_scores_documents": _model_scores_documents,
         "keyword_search_documents": _keyword_search_documents,
         "normalize_nfc_documents": _normalize_nfc_documents,
         "vocab_bpe_documents": _vocab_bpe_documents,
@@ -2668,7 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # standalone markdown-chain rows (merged into doc_transforms_text)
         "html_extract_text": _html_to_text,
         "markdown_roundtrip_documents": _markdown_roundtrip,
-        # standalone unigram row (merged into lm_logprob_documents)
+        # standalone unigram row (merged into model_scores_documents)
         "unigram_logprob_documents": _unigram_logprob_documents,
         # snapshot diff (family row: dedup_minhash_documents' incremental
         # arm shares the hash-reduce + bloom anti-join machinery)
@@ -3584,7 +3599,13 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, tf.token) <= 3)
             ORDER BY doc_id, score DESC, token
         """,
-        "lm_logprob_documents": r"""
+        # unigram/bigram arms lowercase (the LM functions' contract); the
+        # nb arm tokenizes RAW text (classify.py's contract) and mirrors
+        # every training constant: vocab_size=512 by (count DESC, token
+        # ASC), alpha=1 Laplace over V+1 buckets (vocab + one OOV),
+        # argmax over round(score, 9) with smallest-label ties, emitted
+        # score = round(-raw/(n+1), 9)
+        "model_scores_documents": r"""
             WITH toks AS (SELECT doc_id,
                        unnest(regexp_split_to_array(
                            lower(coalesce(text, '')), '\s+')) AS token
@@ -3611,15 +3632,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'unigram' AS model, utf.doc_id,
                    sum(utf.tf)::BIGINT AS n,
                    round(sum(utf.tf * (ln(n.n) - ln(cnt.cnt)))
-                         / sum(utf.tf), 9) AS avg_neg_logp
+                         / sum(utf.tf), 9) AS avg_neg_logp,
+                   CAST(NULL AS VARCHAR) AS pred
             FROM utf, n JOIN cnt ON utf.token = cnt.ctoken
             GROUP BY utf.doc_id
             UNION ALL
             SELECT 'bigram', btf.doc_id, sum(btf.tf)::BIGINT,
                    round(sum(btf.tf * (ln(cp.cp) - ln(cg.cg)))
-                         / sum(btf.tf), 9)
+                         / sum(btf.tf), 9), CAST(NULL AS VARCHAR)
             FROM btf JOIN cg ON btf.g = cg.gg JOIN cp ON btf.p = cp.pp
             GROUP BY btf.doc_id
+            UNION ALL
+            SELECT 'nb', doc_id, n_tokens,
+                   round(-s / (n_tokens + 1), 9), cand
+            FROM (
+              SELECT ds_.*, row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY round(s, 9) DESC, cand ASC) AS rn
+              FROM (
+                WITH rtoks AS (
+                  SELECT doc_id, t AS token FROM (
+                    SELECT doc_id, unnest(regexp_split_to_array(
+                        coalesce(text, ''), '\s+')) AS t FROM documents)
+                  WHERE t <> ''),
+                ttoks AS (
+                  SELECT lang, t AS token FROM (
+                    SELECT lang, unnest(regexp_split_to_array(
+                        coalesce(text, ''), '\s+')) AS t FROM documents
+                    WHERE lang IS NOT NULL)
+                  WHERE t <> ''),
+                tc AS (SELECT lang, token, count(*)::BIGINT c
+                       FROM ttoks GROUP BY 1, 2),
+                tot AS (SELECT lang, sum(c)::BIGINT nt FROM tc GROUP BY 1),
+                labs AS (SELECT DISTINCT lang FROM documents
+                         WHERE lang IS NOT NULL),
+                vt AS (SELECT token, sum(c)::BIGINT vc FROM tc GROUP BY 1),
+                vocab AS (SELECT token FROM vt
+                          ORDER BY vc DESC, token ASC LIMIT 512),
+                vsz AS (SELECT count(*)::BIGINT v FROM vocab),
+                cond AS (
+                  SELECT labs.lang, v.token,
+                         ln((coalesce(tc.c, 0) + 1.0)
+                            / (coalesce(tot.nt, 0) + (vsz.v + 1))) AS lp
+                  FROM labs CROSS JOIN vocab v CROSS JOIN vsz
+                  LEFT JOIN tot ON tot.lang = labs.lang
+                  LEFT JOIN tc ON tc.lang = labs.lang
+                             AND tc.token = v.token),
+                iv AS (SELECT tc.lang, sum(tc.c)::BIGINT s FROM tc
+                       JOIN vocab USING (token) GROUP BY 1),
+                oov AS (
+                  SELECT labs.lang,
+                         ln((coalesce(tot.nt, 0) - coalesce(iv.s, 0) + 1.0)
+                            / (coalesce(tot.nt, 0) + (vsz.v + 1))) AS lp
+                  FROM labs CROSS JOIN vsz
+                  LEFT JOIN tot ON tot.lang = labs.lang
+                  LEFT JOIN iv ON iv.lang = labs.lang),
+                pr AS (SELECT lang,
+                              ln(count(*)::DOUBLE
+                                 / (SELECT count(*) FROM documents
+                                    WHERE lang IS NOT NULL)) AS lp
+                       FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+                tok_lp AS (
+                  SELECT t.doc_id, labs.lang AS cand,
+                         CASE WHEN cond.lp IS NOT NULL THEN cond.lp
+                              ELSE oov.lp END AS lp
+                  FROM rtoks t CROSS JOIN labs
+                  LEFT JOIN cond ON cond.lang = labs.lang
+                               AND cond.token = t.token
+                  JOIN oov ON oov.lang = labs.lang)
+                SELECT d.doc_id, labs.lang AS cand,
+                       pr.lp + coalesce(sl.s, 0) AS s,
+                       coalesce(sl.n, 0) AS n_tokens
+                FROM documents d CROSS JOIN labs
+                JOIN pr ON pr.lang = labs.lang
+                LEFT JOIN (SELECT doc_id, cand, sum(lp) AS s,
+                                  count(*)::BIGINT AS n
+                           FROM tok_lp GROUP BY 1, 2) sl
+                  ON sl.doc_id = d.doc_id AND sl.cand = labs.lang
+              ) ds_
+            ) WHERE rn = 1
         """,
         "unigram_logprob_documents": r"""
             WITH toks AS (SELECT doc_id,
