@@ -1401,11 +1401,16 @@ def _markdown_roundtrip(sf_dir: str):
 
 
 def _doc_transforms_text(sf_dir: str):
-    """The two markdown-transform chains union-tagged into one row set:
+    """Document text-transform family union-tagged into one row set:
     'html' = synthetic page -> HtmlToMarkdown -> MarkdownToText (must
     strip boilerplate and reproduce the stored text byte-for-byte);
     'markdown' = MarkdownToHtml -> HtmlToMarkdown -> MarkdownToText
-    identity chain over plain text."""
+    identity chain over plain text; 'pdedup_none' / 'pdedup_first' =
+    CCNet-style cross-corpus paragraph dedup (dedup.paragraph_dedup:
+    line_counts shuffle + broadcast dup set + vectorized map-only
+    rebuild), boilerplate-removal and keep-first-occurrence modes."""
+    from plugin_serdes_ray.pipelines.dedup import paragraph_dedup
+
     def tag(name):
         def f(b: pa.Table) -> pa.Table:
             return b.append_column("method",
@@ -1416,7 +1421,40 @@ def _doc_transforms_text(sf_dir: str):
         tag("html"), batch_format="pyarrow", runtime_env=_env())
     m = _markdown_roundtrip(sf_dir).map_batches(
         tag("markdown"), batch_format="pyarrow", runtime_env=_env())
-    return h.union(m)
+    out = h.union(m)
+
+    # the synthetic corpus has no naturally repeated lines, so inject
+    # deterministic boilerplate (a shared header by doc_id % 7 and one
+    # corpus-wide footer) on BOTH sides — the dedup must strip exactly it
+    def inject(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b.column("doc_id").combine_chunks()
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        mod = pc.cast(pa.array(
+            ids.to_numpy(zero_copy_only=False) % 7), pa.string())
+        hdr = pc.binary_join_element_wise(
+            pa.array(["SHARED HEADER"] * b.num_rows, type=txt.type),
+            mod.cast(txt.type), pa.scalar(" ", type=txt.type))
+        body = pc.binary_join_element_wise(
+            hdr, txt,
+            pa.array(["COMMON FOOTER"] * b.num_rows, type=txt.type),
+            pa.scalar("\n", type=txt.type))
+        return pa.table({"doc_id": ids, "text": body})
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow", runtime_env=_env())
+    for mode in ("none", "first"):
+        arm = paragraph_dedup(docs, keep=mode).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "extracted_text": b.column("text")}),
+            batch_format="pyarrow", runtime_env=_env()).map_batches(
+            tag(f"pdedup_{mode}"), batch_format="pyarrow",
+            runtime_env=_env())
+        out = out.union(arm)
+    return out
 
 
 def _jsonl_bridge(sf_dir: str, table: str) -> pa.Table:
@@ -3012,11 +3050,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d JOIN s3 s USING (doc_id))
             WHERE rn <= 5
         """,
-        "doc_transforms_text": """
+        # pdedup arms: full in-SQL recompute of the cross-corpus paragraph
+        # dedup (split on chr(10), global counts of non-empty lines, drop
+        # every occurrence [none] / all but the smallest (doc_id, idx)
+        # occurrence [first] of lines with count >= 2, reassemble in line
+        # order; empty lines are structural and always kept)
+        "doc_transforms_text": r"""
             SELECT 'html' AS method, doc_id, text AS extracted_text
             FROM documents
             UNION ALL
             SELECT 'markdown', doc_id, text FROM documents
+            UNION ALL
+            SELECT 'pdedup_' || m.mode, d.doc_id,
+                   coalesce(agg.text, '') AS extracted_text
+            FROM documents d
+            CROSS JOIN (VALUES ('none'), ('first')) m(mode)
+            LEFT JOIN (
+              WITH lines AS (
+                SELECT doc_id, i - 1 AS i, ls[i] AS l
+                FROM (SELECT doc_id,
+                             string_split(
+                                 'SHARED HEADER ' || (doc_id % 7)
+                                 || chr(10) || coalesce(text, '')
+                                 || chr(10) || 'COMMON FOOTER',
+                                 chr(10)) AS ls
+                      FROM documents),
+                     unnest(generate_series(1, len(ls))) u(i)),
+              dups AS (SELECT l FROM lines WHERE l <> ''
+                       GROUP BY l HAVING count(*) >= 2),
+              firsts AS (SELECT l, doc_id, i FROM (
+                  SELECT lines.l, doc_id, i, row_number() OVER (
+                      PARTITION BY lines.l ORDER BY doc_id, i) AS rn
+                  FROM lines JOIN dups ON dups.l = lines.l) WHERE rn = 1)
+              SELECT 'none' AS mode, doc_id,
+                     string_agg(l, chr(10) ORDER BY i) AS text
+              FROM lines
+              WHERE l = '' OR l NOT IN (SELECT l FROM dups)
+              GROUP BY doc_id
+              UNION ALL
+              SELECT 'first', lines.doc_id,
+                     string_agg(lines.l, chr(10) ORDER BY lines.i)
+              FROM lines
+              LEFT JOIN firsts f ON f.l = lines.l
+                    AND f.doc_id = lines.doc_id AND f.i = lines.i
+              WHERE lines.l = ''
+                 OR lines.l NOT IN (SELECT l FROM dups)
+                 OR f.l IS NOT NULL
+              GROUP BY lines.doc_id
+            ) agg ON agg.doc_id = d.doc_id AND agg.mode = m.mode
         """,
         "normalize_lineitem": """
             SELECT 'zscore' AS method, l_orderkey, l_linenumber,

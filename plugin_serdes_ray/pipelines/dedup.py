@@ -1020,3 +1020,242 @@ def dup_span_stats(ds, column: str, id_column: str, *, gram: int = 20,
 
     return (tagged.groupby(id_column).aggregate(Sum("__g"), Sum("__d"))
             .map_batches(finish, batch_format="pyarrow", runtime_env=env))
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus paragraph (line) deduplication — the CCNet dedup step
+# ---------------------------------------------------------------------------
+
+def line_counts(ds, column: str = "text", sep: str = "\n"):
+    """Global ``(line, cnt)`` occurrence counts of every NON-EMPTY line
+    (``sep``-split) across the corpus — the :func:`~.bpe.word_histogram`
+    shape: vectorized per-block explode + ``value_counts`` partial (a
+    templated corpus collapses to its distinct lines per block before any
+    data moves), then ONE ``groupby(line).Sum`` shuffle."""
+    from ray.data.aggregate import Sum
+
+    env = package_runtime_env()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(column).combine_chunks(), "")
+        flat = pc.list_flatten(pc.split_pattern(col, sep))
+        vc = flat.filter(pc.not_equal(flat, "")).value_counts()
+        return pa.table({"line": vc.field(0),
+                         "__c": vc.field(1).cast(pa.int64())})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow", runtime_env=env)
+           .groupby("line").aggregate(Sum("__c")))
+    return g.map_batches(
+        lambda t: pa.table({"line": t.column("line"),
+                            "cnt": t.column("sum(__c)").cast(pa.int64())}),
+        batch_format="pyarrow", runtime_env=env)
+
+
+def _line_explode(batch: pa.Table, column: str, id_column: str, sep: str):
+    """(ids, line_idx, flat lines, per-row lens) for one batch."""
+    col = pc.fill_null(batch.column(column).combine_chunks(), "")
+    lst = pc.split_pattern(col, sep)
+    lens = pc.list_value_length(lst).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lst)
+    row = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    return row, idx, flat, lens
+
+
+def _first_key(ids: np.ndarray, idx: np.ndarray) -> pa.Array:
+    """Fixed-width sortable occurrence key: ``{doc_id:020d}.{idx:012d}``.
+    Lexicographic min == (doc_id, idx) tuple min for NON-NEGATIVE ids
+    (asserted) at any int64 magnitude — no packing overflow."""
+    if len(ids) and ids.min() < 0:
+        raise ValueError("paragraph_dedup keep='first' requires "
+                         "non-negative document ids")
+    return pa.array([f"{d:020d}.{i:012d}" for d, i in zip(ids, idx)],
+                    type=pa.string())
+
+
+def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id", *,
+                    sep: str = "\n", min_count: int = 2,
+                    keep: str = "none", broadcast_limit: int = 2_000_000):
+    """Cross-corpus paragraph deduplication (the CCNet dedup step, Wenzek
+    et al. 2020 — public paper): remove every line whose EXACT content
+    occurs ``>= min_count`` times across the whole corpus.  ``keep`` is
+    ``"none"`` (drop all occurrences — boilerplate removal) or
+    ``"first"`` (keep only the globally first occurrence by smallest
+    ``(doc_id, line_idx)`` — classic dedup).  Empty lines are structural
+    and never counted or dropped.  Exact string matching throughout (no
+    hash-collision caveat).  Returns ``(id_column, column)`` with every
+    input row present (a fully-deduplicated document becomes ``""``).
+
+    Scale shape: the corpus streams THREE map passes and never shuffles
+    its text wholesale —
+
+    1. :func:`line_counts` (distinct-per-block partials, one vocab-sized
+       shuffle);
+    2. the duplicated-line set, corpus-global: when it fits
+       ``broadcast_limit`` rows it is ``ray.put`` ONCE (boilerplate sets
+       are tiny next to a corpus) and membership is one vectorized
+       ``pc.index_in`` per batch; otherwise the rebuild routes through a
+       :func:`~.relational.hash_join` of fixed-width ``(doc, idx)``
+       line metadata against the dup set — only metadata and dup lines
+       shuffle, then a per-doc drop-list joins back to the documents
+       (one text shuffle of AFFECTED docs only);
+    3. the rebuild itself is vectorized: keep-mask -> filtered flat
+       lines -> ``ListArray.from_arrays`` -> ``pc.binary_join``.
+
+    ``keep="first"`` adds one metadata-only pass to locate each dup
+    line's global first occurrence (``groupby(line).Min(key)`` over rows
+    already filtered to the dup set)."""
+    import ray as _ray
+    from ray.data.aggregate import Min
+
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    env = package_runtime_env()
+    counts = line_counts(ds, column, sep)
+    dups = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("cnt"),
+                                            min_count)).select(["line"]),
+        batch_format="pyarrow", runtime_env=env).materialize()
+    n_dups = dups.count()
+
+    if n_dups == 0:
+        def passthrough(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_column: batch.column(id_column),
+                column: pc.fill_null(
+                    batch.column(column).combine_chunks(), "")})
+        return ds.select_columns([id_column, column]).map_batches(
+            passthrough, batch_format="pyarrow", runtime_env=env)
+
+    if n_dups > broadcast_limit:
+        return _paragraph_dedup_join(ds, dups, column, id_column,
+                                     sep=sep, keep=keep)
+
+    dup_arr = pa.concat_arrays(
+        [pa.array([r["line"] for r in dups.take_all()],
+                   type=pa.string())])
+    dup_ref = _ray.put(dup_arr)
+
+    first_ref = None
+    if keep == "first":
+        def first_partial(batch: pa.Table) -> pa.Table:
+            row, idx, flat, _ = _line_explode(batch, column, id_column, sep)
+            ids = batch.column(id_column).combine_chunks().to_numpy(
+                zero_copy_only=False)[row]
+            m = pc.is_in(flat, value_set=_ray.get(dup_ref)).to_numpy(
+                zero_copy_only=False)
+            m &= pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            return pa.table({"line": flat.filter(pa.array(m)),
+                             "__k": _first_key(ids[m], idx[m])})
+
+        fr = (ds.select_columns([id_column, column])
+                .map_batches(first_partial, batch_format="pyarrow",
+                             runtime_env=env)
+                .groupby("line").aggregate(Min("__k")).take_all())
+        # aligned with dup_arr's order for a vectorized gather at rebuild
+        fmap = {r["line"]: r["min(__k)"] for r in fr}
+        first_ref = _ray.put(pa.array(
+            [fmap.get(ln) for ln in dup_arr.to_pylist()],
+            type=pa.string()))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        row, idx, flat, lens = _line_explode(batch, column, id_column, sep)
+        di = pc.fill_null(pc.index_in(flat, value_set=_ray.get(dup_ref)),
+                          -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        drop = (di >= 0) & (
+            pc.not_equal(flat, "").to_numpy(zero_copy_only=False))
+        if first_ref is not None and drop.any():
+            ids = batch.column(id_column).combine_chunks().to_numpy(
+                zero_copy_only=False)[row]
+            firsts = _ray.get(first_ref)
+            keys = _first_key(ids[drop], idx[drop])
+            mine = firsts.take(pa.array(di[drop]))
+            is_first = pc.equal(keys, mine).to_numpy(zero_copy_only=False)
+            d2 = drop.copy()
+            d2[np.flatnonzero(drop)[is_first]] = False
+            drop = d2
+        keep_m = ~drop
+        kept_lens = np.bincount(row[keep_m],
+                                minlength=batch.num_rows).astype(np.int64)
+        # rows with zero source lines (can't happen after split: >= 1)
+        offsets = pa.array(np.concatenate(([0], np.cumsum(kept_lens))),
+                           type=pa.int32())
+        lst = pa.ListArray.from_arrays(offsets, flat.filter(pa.array(keep_m)))
+        out = pc.binary_join(lst, sep)
+        return pa.table({id_column: batch.column(id_column), column: out})
+
+    return ds.select_columns([id_column, column]).map_batches(
+        rebuild, batch_format="pyarrow", runtime_env=env)
+
+
+def _paragraph_dedup_join(ds, dups, column: str, id_column: str, *,
+                          sep: str, keep: str):
+    """Shuffle-path rebuild for duplicated-line sets too large to
+    broadcast: fixed-width line metadata joins the dup set, the per-doc
+    drop-list groups to one row per affected doc, and ONLY affected docs'
+    text moves through the final join."""
+    from ray.data.aggregate import Min
+
+    from .relational import hash_join
+
+    env = package_runtime_env()
+
+    def meta(batch: pa.Table) -> pa.Table:
+        row, idx, flat, _ = _line_explode(batch, column, id_column, sep)
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)[row]
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return pa.table({"line": flat.filter(pa.array(ne)),
+                         id_column: pa.array(ids[ne]),
+                         "__i": pa.array(idx[ne])})
+
+    lines = ds.select_columns([id_column, column]).map_batches(
+        meta, batch_format="pyarrow", runtime_env=env)
+    hit = hash_join(lines, dups, key="line")
+    if keep == "first":
+        def add_key(t: pa.Table) -> pa.Table:
+            ids = t.column(id_column).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            idx = t.column("__i").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return t.append_column("__k", _first_key(ids, idx))
+
+        hit = hit.map_batches(add_key, batch_format="pyarrow",
+                              runtime_env=env).materialize()
+        firsts = hit.groupby("line").aggregate(Min("__k"))
+        hit = hash_join(hit, firsts, key="line").map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("__k"),
+                                            t.column("min(__k)"))),
+            batch_format="pyarrow", runtime_env=env)
+
+    def drop_list(group: pa.Table) -> pa.Table:
+        idx = np.sort(group.column("__i").to_numpy(zero_copy_only=False))
+        return pa.table({
+            id_column: group.column(id_column).slice(0, 1),
+            "__drop": pa.array([",".join(map(str, idx))],
+                               type=pa.string())})
+
+    dropg = hit.groupby(id_column).map_groups(
+        drop_list, batch_format="pyarrow", runtime_env=env)
+    joined = hash_join(ds.select_columns([id_column, column]), dropg,
+                       key=id_column, join_type="left")
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(column).combine_chunks(), "")
+        drops = batch.column("__drop").combine_chunks()
+        out = []
+        for text, dl in zip(col.to_pylist(), drops.to_pylist()):
+            if not dl:
+                out.append(text)
+                continue
+            kill = set(map(int, dl.split(",")))
+            parts = text.split(sep)
+            out.append(sep.join(p for i, p in enumerate(parts)
+                                if i not in kill))
+        return pa.table({id_column: batch.column(id_column),
+                         column: pa.array(out, type=pa.string())})
+
+    return joined.map_batches(rebuild, batch_format="pyarrow",
+                              runtime_env=env)
