@@ -1316,17 +1316,22 @@ def _kmeans_one_iter_embeddings(sf_dir: str):
 
 
 def _keyword_search_documents(sf_dir: str):
-    """Boolean keyword search via a materialized inverted index
-    (pipelines/textindex.py): build hash-sharded (token, doc_id) posting
-    lists ONCE per corpus — the index dir is keyed by the documents file's
-    (path, size, mtime) fingerprint, so repeated query/oracle invocations
-    reuse the built index (build-once/probe-many) instead of re-tokenizing
-    and re-sharding the corpus and leaking a fresh /tmp dir per call —
-    then open ONLY the query tokens' shards and evaluate AND as a
-    distributed groupby(doc_id) count."""
+    """Retrieval family, union-tagged: 'bool' = boolean keyword search
+    via a materialized inverted index (pipelines/textindex.py: build
+    hash-sharded (token, doc_id) posting lists ONCE per corpus — the
+    index dir is keyed by the documents file's (path, size, mtime)
+    fingerprint, so repeated query/oracle invocations reuse the built
+    index (build-once/probe-many) instead of re-tokenizing and
+    re-sharding the corpus and leaking a fresh /tmp dir per call — then
+    open ONLY the query tokens' shards and evaluate AND as a distributed
+    groupby(doc_id) count; score column NULL); 'bm25' = Okapi BM25
+    top-20 ranked retrieval (textindex.bm25_search: one tagged tokenize
+    pass, driver-side idf over <= |query| rows, per-doc Sum + exact
+    round-then-rank two-level top-k)."""
     import tempfile
 
-    from plugin_serdes_ray.pipelines.textindex import keyword_search
+    from plugin_serdes_ray.pipelines.textindex import (bm25_search,
+                                                       keyword_search)
     from plugin_serdes_ray.util import files_fingerprint
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -1338,7 +1343,17 @@ def _keyword_search_documents(sf_dir: str):
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     out = keyword_search(ds, ["the", "data"], mode="and",
                          index_dir=index_dir)
-    return pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    kw = pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
+    bm = bm25_search(ds, ["data", "spark", "window"], k=20)
+    return pa.table({
+        "arm": pa.array(["bool"] * kw.num_rows + ["bm25"] * bm.num_rows),
+        "doc_id": pa.concat_arrays([
+            kw.column("doc_id").combine_chunks().cast(pa.int64()),
+            bm.column("doc_id").combine_chunks()]),
+        "score": pa.concat_arrays([
+            pa.nulls(kw.num_rows, pa.float64()),
+            bm.column("score").combine_chunks()]),
+    })
 
 
 def _topk_orders(sf_dir: str):
@@ -3810,13 +3825,42 @@ def oracle_sql() -> dict[str, str]:
             FROM tf, n JOIN cnt ON tf.token = cnt.ctoken
             GROUP BY tf.doc_id ORDER BY doc_id
         """,
+        # bm25 arm mirrors textindex.bm25_search exactly: lowercased
+        # whitespace tokens, idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+        # k1=1.2 b=0.75, avgdl over ALL docs, rank AND emit on
+        # round(score, 9) with doc_id ties ascending, top 20
         "keyword_search_documents": r"""
-            SELECT doc_id FROM documents
+            SELECT 'bool' AS arm, doc_id, CAST(NULL AS DOUBLE) AS score
+            FROM documents
             WHERE list_contains(regexp_split_to_array(
                       lower(coalesce(text, '')), '\s+'), 'the')
               AND list_contains(regexp_split_to_array(
                       lower(coalesce(text, '')), '\s+'), 'data')
-            ORDER BY doc_id
+            UNION ALL
+            SELECT 'bm25', doc_id, score FROM (
+              WITH toks AS (SELECT doc_id, t AS token FROM (
+                     SELECT doc_id, unnest(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+')) AS t
+                     FROM documents) WHERE t <> ''),
+              dl AS (SELECT doc_id, count(*)::DOUBLE dl
+                     FROM toks GROUP BY 1),
+              st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE n,
+                            (SELECT coalesce(sum(dl), 0) FROM dl)::DOUBLE
+                                sumdl),
+              q(token) AS (VALUES ('data'), ('spark'), ('window')),
+              m AS (SELECT doc_id, token, count(*)::DOUBLE tf
+                    FROM toks JOIN q USING (token) GROUP BY 1, 2),
+              df AS (SELECT token, count(*)::DOUBLE df FROM m GROUP BY 1)
+              SELECT m.doc_id,
+                     round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                               * m.tf * (1.2 + 1)
+                               / (m.tf + 1.2 * (1 - 0.75
+                                   + 0.75 * dl.dl / (st.sumdl / st.n)))),
+                           9) AS score
+              FROM m JOIN df USING (token) JOIN dl USING (doc_id)
+              CROSS JOIN st
+              GROUP BY m.doc_id
+              ORDER BY score DESC, m.doc_id ASC LIMIT 20)
         """,
         "repetition_ratio_documents": """
             SELECT doc_id,

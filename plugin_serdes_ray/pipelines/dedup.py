@@ -1133,9 +1133,8 @@ def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id", *,
         return _paragraph_dedup_join(ds, dups, column, id_column,
                                      sep=sep, keep=keep)
 
-    dup_arr = pa.concat_arrays(
-        [pa.array([r["line"] for r in dups.take_all()],
-                   type=pa.string())])
+    dup_arr = pa.array([r["line"] for r in dups.take_all()],
+                       type=pa.string())
     dup_ref = _ray.put(dup_arr)
 
     first_ref = None

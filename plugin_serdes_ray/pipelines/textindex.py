@@ -233,3 +233,136 @@ def keyword_search(ds, tokens: list[str], mode: str = "and",
         index_dir = tempfile.mkdtemp(prefix="text_index_")
     build_text_index(ds, index_dir, column=column, id_column=id_column)
     return search_text_index(index_dir, tokens, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_search(ds, query_tokens: list[str], k: int = 10,
+                column: str = "text", id_column: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75,
+                round_digits: int = 9):
+    """Okapi BM25 ranked retrieval over the corpus (Robertson et al.,
+    TREC-3 — the standard ranking function boolean :func:`keyword_search`
+    lacks), computed exactly and in ONE corpus scan:
+
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    with the non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``dl`` = the document's whitespace token count (lowercased, the
+    :func:`tokenize_distinct` convention), ``avgdl`` over ALL documents.
+
+    Scale shape: the query token set rides the task closure (it is a
+    handful of strings); one tokenize pass per block emits union-tagged
+    fixed-width partials — per-block ``(n_docs, sum_dl)`` stat rows and
+    ``(doc, token, tf, dl)`` rows for QUERY tokens only (vectorized
+    ``pc.is_in`` prefilter) — materialized once for its two consumers.
+    ``df`` collapses to <= |query| rows; idf computes driver-side; the
+    final ranking is a per-doc Sum shuffle of match rows only, then a
+    two-level exact top-k (per-block cut + O(k·blocks) driver merge) by
+    ``(round(score, round_digits) DESC, id ASC)`` — round-before-rank
+    keeps the cut deterministic under float summation-order noise.
+
+    Returns a pyarrow Table ``(id_column, score)`` of the top ``k``.
+    """
+    from ray.data.aggregate import Sum
+
+    env = package_runtime_env()
+    qset = pa.array(sorted({t.lower() for t in query_tokens}),
+                    type=pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch.column(column).combine_chunks(), "")
+        toks_l = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        lens = pc.list_value_length(toks_l).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks_l)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        dl = np.bincount(rep[ne], minlength=batch.num_rows).astype(np.int64)
+        hit = pc.is_in(flat, value_set=qset).to_numpy(
+            zero_copy_only=False) & ne
+        ids = batch.column(id_column).combine_chunks()
+        t = pa.table({id_column: ids.take(pa.array(rep[hit])),
+                      "token": flat.filter(pa.array(hit))})
+        g = t.group_by([id_column, "token"]).aggregate([([], "count_all")])
+        from ..util import grouped_rename_positional
+        g = grouped_rename_positional(
+            g, [id_column, "token"], ["tf"]).select(
+            [id_column, "token", "tf"])
+        # doc lengths for matching docs ride along via a join-free gather
+        pos = pc.index_in(g.column(id_column), value_set=ids).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = g.append_column("dl", pa.array(dl[pos]))
+        g = g.append_column("tag", pa.array(["m"] * g.num_rows))
+        stat = pa.table({
+            id_column: pa.nulls(1, ids.type),
+            "token": pa.array([None], type=pa.string()),
+            "tf": pa.array([batch.num_rows], type=pa.int64()),
+            "dl": pa.array([int(dl.sum())], type=pa.int64()),
+            "tag": pa.array(["s"])})
+        return pa.concat_tables([g.cast(stat.schema), stat])
+
+    tagged = ds.select_columns([id_column, column]).map_batches(
+        partial, batch_format="pyarrow", runtime_env=env).materialize()
+
+    stats = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t.column("tag"), "s")).select(
+            ["tf", "dl"]),
+        batch_format="pyarrow", runtime_env=env).take_all()
+    n_docs = sum(r["tf"] for r in stats)
+    sum_dl = sum(r["dl"] for r in stats)
+    if n_docs == 0:
+        return pa.table({id_column: pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    avgdl = sum_dl / n_docs
+
+    matches = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t.column("tag"), "m")).drop(["tag"]),
+        batch_format="pyarrow", runtime_env=env)
+    df_rows = matches.groupby("token").count().take_all()   # <= |query|
+    idf = {r["token"]: float(np.log(1.0 + (n_docs - r["count()"] + 0.5)
+                                    / (r["count()"] + 0.5)))
+           for r in df_rows}
+    if not idf:
+        return pa.table({id_column: pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+
+    idf_keys = pa.array(sorted(idf), type=pa.string())
+    idf_vals = np.array([idf[t] for t in sorted(idf)])
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ti = pc.index_in(t.column("token").combine_chunks(),
+                         value_set=idf_keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = idf_vals[ti] * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({id_column: t.column(id_column),
+                         "__s": pa.array(s)})
+
+    per_doc = (matches.map_batches(contrib, batch_format="pyarrow",
+                                   runtime_env=env)
+                      .groupby(id_column).aggregate(Sum("__s")))
+
+    def block_top(t: pa.Table) -> pa.Table:
+        s = t.column("sum(__s)").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out = pa.table({id_column: t.column(id_column),
+                        "score": pa.array(np.round(s, round_digits))})
+        if out.num_rows > k:
+            order = pc.sort_indices(out, sort_keys=[
+                ("score", "descending"), (id_column, "ascending")])
+            out = out.take(order.slice(0, k))
+        return out
+
+    rows = per_doc.map_batches(block_top, batch_format="pyarrow",
+                               runtime_env=env).take_all()
+    rows.sort(key=lambda r: (-r["score"], r[id_column]))
+    rows = rows[:k]
+    return pa.table({
+        id_column: pa.array([r[id_column] for r in rows], type=pa.int64()),
+        "score": pa.array([r["score"] for r in rows], type=pa.float64())})
