@@ -381,32 +381,49 @@ def _dedup_simhash(sf_dir: str):
 
 
 def _dedup_near_sim(sf_dir: str):
-    """SimHash, embedding-cosine, exact-n-gram-Jaccard, and winnowing-
-    fingerprint near-dup paths union-tagged into one row set: each
-    controlled-positive corpus must yield exactly its 5 injected pairs and
-    nothing else (the jaccard arm is LSH candidates -> semi-join back to
-    text -> exact Jaccard, dedup.minhash_lsh_duplicates_exact; the
-    fingerprint arm is the _fingerprints contract — equal texts MUST
-    fingerprint equal, candidates verified by a bounded text semi-join)."""
+    """SimHash, embedding-cosine, exact-n-gram-Jaccard, winnowing-
+    fingerprint, and SemDeDup near-dup paths union-tagged into one row
+    set: each controlled-positive corpus must yield exactly its 5
+    injected pairs and nothing else (the jaccard arm is LSH candidates ->
+    semi-join back to text -> exact Jaccard,
+    dedup.minhash_lsh_duplicates_exact; the fingerprint arm is the
+    _fingerprints contract — equal texts MUST fingerprint equal,
+    candidates verified by a bounded text semi-join).  The 'semdedup' arm
+    (dedup.semdedup, Abbas et al. 2023 shape: distributed first-k-seed
+    clustering -> ONE groupby(cluster) shuffle -> blocked in-cluster
+    pairwise) runs over the PLAIN embeddings table and the oracle
+    recomputes the whole contract in SQL — argmin cluster assignment +
+    NOT EXISTS smaller-id cosine>=0.4 — emitting (canonical keeper,
+    dropped id) pairs."""
     sh = sorted({(r["keep_id"], r["dup_id"]) for r in _simhash_pairs(sf_dir)})
     emb = _dedup_embedding(sf_dir)
     jx = _jaccard_exact_pairs(sf_dir)
     fp = _fingerprints(sf_dir)
+    from plugin_serdes_ray.pipelines.dedup import semdedup
+
+    sd_rows = semdedup(
+        _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"]),
+        threshold=0.4, k=8, iters=0).take_all()
+    sd = sorted((r["dup_of"], r["vec_id"])
+                for r in sd_rows if not r["keep"])
     return pa.table({
         "method": pa.array(["simhash"] * len(sh)
                            + ["embedding"] * emb.num_rows
                            + ["jaccard"] * jx.num_rows
-                           + ["fingerprint"] * fp.num_rows),
+                           + ["fingerprint"] * fp.num_rows
+                           + ["semdedup"] * len(sd)),
         "keep_id": pa.concat_arrays([
             pa.array([p[0] for p in sh], type=pa.int64()),
             emb.column("keep_id").combine_chunks(),
             jx.column("keep_id").combine_chunks().cast(pa.int64()),
-            fp.column("keep_id").combine_chunks().cast(pa.int64())]),
+            fp.column("keep_id").combine_chunks().cast(pa.int64()),
+            pa.array([p[0] for p in sd], type=pa.int64())]),
         "dup_id": pa.concat_arrays([
             pa.array([p[1] for p in sh], type=pa.int64()),
             emb.column("dup_id").combine_chunks(),
             jx.column("dup_id").combine_chunks().cast(pa.int64()),
-            fp.column("dup_id").combine_chunks().cast(pa.int64())]),
+            fp.column("dup_id").combine_chunks().cast(pa.int64()),
+            pa.array([p[1] for p in sd], type=pa.int64())]),
     })
 
 
@@ -1423,8 +1440,13 @@ def _doc_transforms_text(sf_dir: str):
     identity chain over plain text; 'pdedup_none' / 'pdedup_first' =
     CCNet-style cross-corpus paragraph dedup (dedup.paragraph_dedup:
     line_counts shuffle + broadcast dup set + vectorized map-only
-    rebuild), boilerplate-removal and keep-first-occurrence modes."""
-    from plugin_serdes_ray.pipelines.dedup import paragraph_dedup
+    rebuild), boilerplate-removal and keep-first-occurrence modes;
+    'pdedup_doc' = INTRA-document line dedup (dedup.paragraph_dedup_doc,
+    a single shuffle-free vectorized map pass) over a corpus with an
+    injected per-doc repeated NAV line — later repeats within one doc
+    drop, the same line in other docs survives."""
+    from plugin_serdes_ray.pipelines.dedup import (paragraph_dedup,
+                                                   paragraph_dedup_doc)
 
     def tag(name):
         def f(b: pa.Table) -> pa.Table:
@@ -1469,7 +1491,35 @@ def _doc_transforms_text(sf_dir: str):
             tag(f"pdedup_{mode}"), batch_format="pyarrow",
             runtime_env=_env())
         out = out.union(arm)
-    return out
+
+    # intra-doc arm: a NAV line injected twice PER DOC (doc_id % 7 makes
+    # it also shared across docs — which must NOT matter to this scope)
+    def inject_doc(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b.column("doc_id").combine_chunks()
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        mod = pc.cast(pa.array(
+            ids.to_numpy(zero_copy_only=False) % 7), pa.string())
+        nav = pc.binary_join_element_wise(
+            pa.array(["NAV"] * b.num_rows, type=txt.type),
+            mod.cast(txt.type), pa.scalar(" ", type=txt.type))
+        body = pc.binary_join_element_wise(
+            nav, txt, nav,
+            pa.array(["END DOC"] * b.num_rows, type=txt.type),
+            pa.scalar("\n", type=txt.type))
+        return pa.table({"doc_id": ids, "text": body})
+
+    docs2 = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(
+        inject_doc, batch_format="pyarrow", runtime_env=_env())
+    arm = paragraph_dedup_doc(docs2).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "extracted_text": b.column("text")}),
+        batch_format="pyarrow", runtime_env=_env()).map_batches(
+        tag("pdedup_doc"), batch_format="pyarrow", runtime_env=_env())
+    return out.union(arm)
 
 
 def _jsonl_bridge(sf_dir: str, table: str) -> pa.Table:
@@ -2999,6 +3049,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'fingerprint', doc_id, doc_id + 1000000
             FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+            UNION ALL
+            -- semdedup: full in-SQL recompute over the PLAIN embeddings
+            -- table (no injected positives): first-8-smallest-id seed
+            -- centroids, argmin L2 assignment (lowest cluster on ties),
+            -- drop a row iff a SMALLER-ID same-cluster row has
+            -- round(cos, 9) >= 0.4; keeper = smallest such id
+            SELECT 'semdedup', keep_id, dup_id FROM (
+                WITH init AS (SELECT row_number() OVER (ORDER BY vec_id)
+                                         - 1 AS cluster,
+                                     embedding AS c
+                              FROM (SELECT * FROM embeddings
+                                    ORDER BY vec_id LIMIT 8)),
+                asg AS (SELECT e.vec_id, e.embedding, i.cluster
+                        FROM embeddings e CROSS JOIN init i
+                        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding::DOUBLE[],
+                                                   i.c::DOUBLE[]),
+                                     i.cluster) = 1)
+                SELECT min(s.vec_id) AS keep_id, a.vec_id AS dup_id
+                FROM asg a JOIN asg s ON s.cluster = a.cluster
+                                     AND s.vec_id < a.vec_id
+                WHERE round(list_cosine_similarity(
+                          s.embedding::DOUBLE[],
+                          a.embedding::DOUBLE[]), 9) >= 0.4
+                GROUP BY a.vec_id)
         """,
         # recursive-CTE transitive closure over the same two edge
         # relations the Ray side builds (star edges have the same
@@ -3113,6 +3188,31 @@ def oracle_sql() -> dict[str, str]:
                  OR f.l IS NOT NULL
               GROUP BY lines.doc_id
             ) agg ON agg.doc_id = d.doc_id AND agg.mode = m.mode
+            UNION ALL
+            -- intra-doc scope: keep only the FIRST occurrence of each
+            -- non-empty line WITHIN a doc (row_number over (doc, line) in
+            -- line order); the injected NAV line repeats once per doc
+            SELECT 'pdedup_doc', d.doc_id,
+                   coalesce(agg2.text, '') AS extracted_text
+            FROM documents d LEFT JOIN (
+              WITH lines2 AS (
+                SELECT doc_id, i - 1 AS i, ls[i] AS l
+                FROM (SELECT doc_id,
+                             string_split(
+                                 'NAV ' || (doc_id % 7)
+                                 || chr(10) || coalesce(text, '')
+                                 || chr(10) || 'NAV ' || (doc_id % 7)
+                                 || chr(10) || 'END DOC',
+                                 chr(10)) AS ls
+                      FROM documents),
+                     unnest(generate_series(1, len(ls))) u(i)),
+              rn AS (SELECT doc_id, i, l,
+                            row_number() OVER (PARTITION BY doc_id, l
+                                               ORDER BY i) AS r
+                     FROM lines2)
+              SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text
+              FROM rn WHERE l = '' OR r = 1 GROUP BY doc_id
+            ) agg2 ON agg2.doc_id = d.doc_id
         """,
         "normalize_lineitem": """
             SELECT 'zscore' AS method, l_orderkey, l_linenumber,

@@ -1258,3 +1258,150 @@ def _paragraph_dedup_join(ds, dups, column: str, id_column: str, *,
 
     return joined.map_batches(rebuild, batch_format="pyarrow",
                               runtime_env=env)
+
+
+def paragraph_dedup_doc(ds, column: str = "text", id_column: str = "doc_id",
+                        *, sep: str = "\n"):
+    """INTRA-document line dedup: within each document, keep only the
+    FIRST occurrence of every non-empty line (later repeats of navbars /
+    footers / boilerplate repeated inside one page are dropped).  Empty
+    lines are structural and always kept.  Complements
+    :func:`paragraph_dedup` (cross-corpus scope): this one needs no
+    corpus statistics at all, so it is a single stateless map pass —
+    no shuffle, no broadcast, trivially linear at any corpus size.
+
+    Fully vectorized: explode lines, ONE ``pc.sort_indices`` over
+    ``(row, line, position)`` per block, adjacent-equality marks repeats
+    (the first occurrence of each ``(row, line)`` run survives because
+    position ascends within the run), scatter the drop mask back, then
+    the same ``ListArray`` rebuild as :func:`paragraph_dedup`.
+
+    Returns ``(id_column, column)`` with every input row present.
+    """
+    env = package_runtime_env()
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        row, idx, flat, lens = _line_explode(batch, column, id_column, sep)
+        m = len(flat)
+        if m == 0:
+            return pa.table({
+                id_column: batch.column(id_column),
+                column: pc.fill_null(
+                    batch.column(column).combine_chunks(), "")})
+        t = pa.table({"r": pa.array(row), "l": flat, "p": pa.array(idx)})
+        order = pc.sort_indices(t, sort_keys=[
+            ("r", "ascending"), ("l", "ascending"), ("p", "ascending")])
+        o = order.to_numpy(zero_copy_only=False).astype(np.int64)
+        rs = row[o]
+        ls = flat.take(order)
+        same = np.zeros(m, dtype=bool)
+        if m > 1:
+            same[1:] = (rs[1:] == rs[:-1]) & pc.equal(
+                ls.slice(1, m - 1), ls.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False)
+        drop = np.zeros(m, dtype=bool)
+        drop[o] = same
+        drop &= pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        keep_m = ~drop
+        kept_lens = np.bincount(row[keep_m],
+                                minlength=batch.num_rows).astype(np.int64)
+        offsets = pa.array(np.concatenate(([0], np.cumsum(kept_lens))),
+                           type=pa.int32())
+        lst = pa.ListArray.from_arrays(offsets,
+                                       flat.filter(pa.array(keep_m)))
+        return pa.table({id_column: batch.column(id_column),
+                         column: pc.binary_join(lst, sep)})
+
+    return ds.select_columns([id_column, column]).map_batches(
+        rebuild, batch_format="pyarrow", runtime_env=env)
+
+
+def semdedup(ds, *, threshold: float = 0.95, k: int = 8, iters: int = 0,
+             centroids=None, vector_column: str = "embedding",
+             id_column: str = "vec_id", block_rows: int = 256,
+             round_digits: int = 9):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper): cluster the embedding space, then WITHIN each cluster drop
+    every row whose cosine similarity to some SMALLER-ID row of the same
+    cluster is ``>= threshold``.  The smaller-id rule (instead of the
+    paper's distance-to-centroid rank) makes the decision a pure,
+    SQL-checkable function of the input: row r is kept iff
+    ``NOT EXISTS s: cluster(s) = cluster(r) AND id(s) < id(r) AND
+    round(cos(s, r), round_digits) >= threshold``.  Note the quantifier
+    ranges over ALL smaller-id rows, kept or not (NOT-EXISTS semantics,
+    not greedy chain-collapse) — documented contract, mirrored by the
+    oracle.
+
+    Scale shape: clustering is the distributed Lloyd loop
+    (:func:`~.vectors.kmeans`, ``iters`` iterations; ``iters=0`` uses the
+    deterministic smallest-id seeds so an external oracle can recompute
+    the centroids) — one broadcast-assign map pass + one partials-only
+    shuffle per iteration; then ONE ``groupby(cluster)`` shuffle
+    co-locates each cluster's ``(id, vector)`` rows (d·8 B/row — the
+    corpus TEXT never moves), and the in-cluster pairwise check is a
+    blocked matmul: ``block_rows × cluster_rows`` similarity tiles, so
+    worker memory is O(block_rows · n) per cluster, never O(n²).
+    Cluster sizes are corpus/k on average — pick ``k`` so a cluster fits
+    a worker (the paper uses k in the thousands at web scale).
+
+    Null/zero vectors are never similar to anything (cosine undefined →
+    treated as -inf) and are always kept; null vectors keep a null
+    cluster.  Returns a Dataset ``(id_column, cluster, keep, dup_of)``
+    where ``dup_of`` is the SMALLEST qualifying smaller id for dropped
+    rows (the canonical representative) and null for kept rows.
+    """
+    from .vectors import kmeans, kmeans_assign, kmeans_init_first_k
+
+    env = package_runtime_env()
+    src = ds.select_columns([id_column, vector_column])
+    if centroids is None:
+        if iters > 0:
+            centroids = kmeans(src, k, iters=iters,
+                               vector_column=vector_column,
+                               id_column=id_column)["centroids"]
+        else:
+            centroids = kmeans_init_first_k(src, k, vector_column,
+                                            id_column)
+    assigned = kmeans_assign(src, centroids, vector_column, "cluster")
+
+    def check(group: pa.Table) -> pa.Table:
+        ids = group.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cl = group.column("cluster").combine_chunks()
+        n = len(ids)
+        if cl.null_count == n or n == 1:
+            return pa.table({id_column: pa.array(ids),
+                             "cluster": cl,
+                             "keep": pa.array(np.ones(n, dtype=bool)),
+                             "dup_of": pa.nulls(n, pa.int64())})
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        from ..util import vectors_to_numpy
+        x = vectors_to_numpy(
+            group.column(vector_column).combine_chunks().take(
+                pa.array(order)), np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        nz = norms > 0
+        x[nz] /= norms[nz, None]
+        x[~nz] = 0.0            # zero-norm rows: cos == 0 < any threshold
+        keep = np.ones(n, dtype=bool)
+        killer = np.zeros(n, dtype=np.int64)
+        for start in range(1, n, block_rows):
+            end = min(start + block_rows, n)
+            s = np.round(x[start:end] @ x[:end].T, round_digits)
+            qual = ((np.arange(end)[None, :]
+                     < np.arange(start, end)[:, None])
+                    & (s >= threshold))
+            hit = qual.any(axis=1)
+            keep[start:end] = ~hit
+            # first True column == smallest qualifying id (ids sorted)
+            first = np.argmax(qual, axis=1)
+            killer[start:end][hit] = ids[first[hit]]
+        keep[~nz] = True
+        return pa.table({id_column: pa.array(ids),
+                         "cluster": cl.take(pa.array(order)),
+                         "keep": pa.array(keep),
+                         "dup_of": pa.array(killer, mask=keep)})
+
+    return assigned.groupby("cluster").map_groups(
+        check, batch_format="pyarrow", runtime_env=env)
