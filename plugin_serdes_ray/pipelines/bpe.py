@@ -319,9 +319,19 @@ class BpeEncoder:
 
         col = pc.fill_null(batch.column(self.column).combine_chunks(), "")
         row, words = _word_rows(col)
-        counts = np.zeros(len(col), dtype=np.int64)
+        n = len(col)
+        if len(words) == 0:
+            return batch.append_column(
+                self.out_col, pa.array(np.zeros(n, dtype=np.int64)))
+        # Python touches each DISTINCT word once (dictionary_encode
+        # collapses occurrences in C); the per-occurrence accumulation is
+        # one vectorized gather + bincount scatter — a templated corpus
+        # pays the merge loop per vocab entry, never per token
+        dct = pc.dictionary_encode(words)
+        vocab = dct.dictionary.to_pylist()
         cache = self.cache
-        for r, w in zip(row, words.to_pylist()):
+        tok_len = np.empty(len(vocab), dtype=np.int64)
+        for i, w in enumerate(vocab):
             c = cache.get(w)
             if c is None:
                 if SEP in w:
@@ -330,7 +340,10 @@ class BpeEncoder:
                 else:
                     c = len(encode_word(w, self.ranks))
                 cache[w] = c
-            counts[r] += c
+            tok_len[i] = c
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(row, weights=tok_len[codes],
+                             minlength=n).astype(np.int64)
         return batch.append_column(self.out_col,
                                    pa.array(counts, type=pa.int64()))
 

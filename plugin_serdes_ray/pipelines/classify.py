@@ -74,7 +74,12 @@ class NBModel:
 
 
 def _label_token_partial(column: str, label_column: str):
-    """Per-block ``(label, token, __w)`` occurrence-count partial."""
+    """Per-block ``(label, token, __w)`` occurrence-count partial, plus
+    one ``token = NULL`` stat row per label carrying the block's
+    DOCUMENT count (rows with zero tokens included) — so priors ride the
+    same single corpus scan and the same keyed shuffle instead of a
+    second pass over the input (a whitespace token is never null, so the
+    null-token group can't collide with a real token)."""
     def partial(batch: pa.Table) -> pa.Table:
         from .textstats import _word_rows
 
@@ -87,8 +92,16 @@ def _label_token_partial(column: str, label_column: str):
         # with WHERE label IS NOT NULL)
         t = t.filter(pc.is_valid(t.column("label")))
         g = t.group_by(["label", "token"]).aggregate([([], "count_all")])
-        return grouped_rename_positional(
+        g = grouped_rename_positional(
             g, ["label", "token"], ["__w"]).select(["label", "token", "__w"])
+        lbl = batch.column(label_column).combine_chunks()
+        d = (pa.table({"label": lbl.filter(pc.is_valid(lbl))})
+             .group_by("label").aggregate([([], "count_all")]))
+        d = grouped_rename_positional(d, ["label"], ["__w"])
+        d = pa.table({"label": d.column("label"),
+                      "token": pa.nulls(d.num_rows, pa.string()),
+                      "__w": d.column("__w").cast(pa.int64())})
+        return pa.concat_tables([g.cast(d.schema), d])
 
     return partial
 
@@ -113,9 +126,17 @@ def nb_train(ds, column: str = "text", label_column: str = "lang",
                          "token": t.column("token"),
                          "c": t.column("sum(__w)").cast(pa.int64())})
 
-    # vocabulary-sized; consumed three times (totals, top-V, vocab fetch)
+    # vocabulary-sized; consumed four times (doc counts, totals, top-V,
+    # vocab fetch). token = NULL rows are the per-label DOCUMENT counts
+    # (priors); real-token consumers filter them out below.
     cnt = cnt.map_batches(cnt_finish, batch_format="pyarrow",
                           runtime_env=env).materialize()
+    docs = {r["label"]: int(r["c"]) for r in cnt.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("token"))),
+        batch_format="pyarrow", runtime_env=env).take_all()}
+    cnt = cnt.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("token"))),
+        batch_format="pyarrow", runtime_env=env)
 
     # --- per-label token totals + per-token totals (both tiny) ---
     def tot_partial(t: pa.Table) -> pa.Table:
@@ -174,20 +195,6 @@ def nb_train(ds, column: str = "text", label_column: str = "lang",
 
     vrows = cnt.map_batches(vocab_rows, batch_format="pyarrow",
                             runtime_env=env).take_all()
-
-    # --- per-label document counts (priors) ---
-    def docs_partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([label_column]).filter(
-            pc.is_valid(batch.column(label_column)))
-        g = t.group_by(label_column).aggregate([([], "count_all")])
-        return grouped_rename_positional(
-            g, [label_column], ["__d"]).select([label_column, "__d"])
-
-    dr = (ds.select_columns([label_column])
-            .map_batches(docs_partial, batch_format="pyarrow",
-                         runtime_env=env)
-            .groupby(label_column).aggregate(Sum("__d")).take_all())
-    docs = {r[label_column]: int(r["sum(__d)"]) for r in dr}
 
     labels = sorted(set(docs) | set(totals))
     if not labels:

@@ -1099,8 +1099,9 @@ def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id", *,
        ``pc.index_in`` per batch; otherwise the rebuild routes through a
        :func:`~.relational.hash_join` of fixed-width ``(doc, idx)``
        line metadata against the dup set — only metadata and dup lines
-       shuffle, then a per-doc drop-list joins back to the documents
-       (one text shuffle of AFFECTED docs only);
+       shuffle there, then the per-doc drop-lists LEFT-join back to the
+       documents (ONE keyed shuffle of the corpus text — the price of a
+       dup set too large to broadcast);
     3. the rebuild itself is vectorized: keep-mask -> filtered flat
        lines -> ``ListArray.from_arrays`` -> ``pc.binary_join``.
 
@@ -1192,9 +1193,10 @@ def paragraph_dedup(ds, column: str = "text", id_column: str = "doc_id", *,
 def _paragraph_dedup_join(ds, dups, column: str, id_column: str, *,
                           sep: str, keep: str):
     """Shuffle-path rebuild for duplicated-line sets too large to
-    broadcast: fixed-width line metadata joins the dup set, the per-doc
-    drop-list groups to one row per affected doc, and ONLY affected docs'
-    text moves through the final join."""
+    broadcast: fixed-width line metadata joins the dup set and the
+    per-doc drop-list groups to one row per affected doc; the final LEFT
+    join then keys the whole corpus text through ONE shuffle (unaffected
+    docs pass through with a null drop-list)."""
     from ray.data.aggregate import Min
 
     from .relational import hash_join
@@ -1380,18 +1382,23 @@ def semdedup(ds, *, threshold: float = 0.95, k: int = 8, iters: int = 0,
         x = vectors_to_numpy(
             group.column(vector_column).combine_chunks().take(
                 pa.array(order)), np.float64)
+        if not x.flags.writeable:   # float64 input: zero-copy READ-ONLY view
+            x = x.copy()
         norms = np.sqrt((x * x).sum(axis=1))
         nz = norms > 0
         x[nz] /= norms[nz, None]
-        x[~nz] = 0.0            # zero-norm rows: cos == 0 < any threshold
+        x[~nz] = 0.0
         keep = np.ones(n, dtype=bool)
         killer = np.zeros(n, dtype=np.int64)
         for start in range(1, n, block_rows):
             end = min(start + block_rows, n)
             s = np.round(x[start:end] @ x[:end].T, round_digits)
+            # zero-norm columns are masked out, not scored 0: a zero
+            # vector must never qualify as a killer even at threshold <= 0
+            # (cosine undefined == -inf per the docstring contract)
             qual = ((np.arange(end)[None, :]
                      < np.arange(start, end)[:, None])
-                    & (s >= threshold))
+                    & (s >= threshold) & nz[None, :end])
             hit = qual.any(axis=1)
             keep[start:end] = ~hit
             # first True column == smallest qualifying id (ids sorted)

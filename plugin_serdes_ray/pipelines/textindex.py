@@ -263,15 +263,33 @@ def bm25_search(ds, query_tokens: list[str], k: int = 10,
     ``(round(score, round_digits) DESC, id ASC)`` — round-before-rank
     keeps the cut deterministic under float summation-order noise.
 
+    Doc ids must be UNIQUE and NON-NULL (the standard retrieval-corpus
+    contract, same as :func:`build_text_index`): a null id raises inside
+    the scan, and a duplicate id is raised when both occurrences land in
+    one block (cross-block duplicates are undetectable without a shuffle
+    and silently merge their term frequencies).  Any Arrow id type works
+    — the output id column keeps the input's type.
+
     Returns a pyarrow Table ``(id_column, score)`` of the top ``k``.
     """
     from ray.data.aggregate import Sum
 
     env = package_runtime_env()
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_column]
     qset = pa.array(sorted({t.lower() for t in query_tokens}),
                     type=pa.string())
 
     def partial(batch: pa.Table) -> pa.Table:
+        pre = batch.column(id_column).combine_chunks()
+        if pre.null_count:
+            raise ValueError(
+                f"bm25_search: null {id_column!r} in the corpus — doc ids "
+                "must be unique and non-null")
+        if len(pre) > pc.count_distinct(pre).as_py():
+            raise ValueError(
+                f"bm25_search: duplicate {id_column!r} values in one "
+                "block — doc ids must be unique")
         col = pc.fill_null(batch.column(column).combine_chunks(), "")
         toks_l = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
         lens = pc.list_value_length(toks_l).to_numpy(
@@ -313,7 +331,7 @@ def bm25_search(ds, query_tokens: list[str], k: int = 10,
     n_docs = sum(r["tf"] for r in stats)
     sum_dl = sum(r["dl"] for r in stats)
     if n_docs == 0:
-        return pa.table({id_column: pa.array([], type=pa.int64()),
+        return pa.table({id_column: pa.array([], type=id_type),
                          "score": pa.array([], type=pa.float64())})
     avgdl = sum_dl / n_docs
 
@@ -325,7 +343,7 @@ def bm25_search(ds, query_tokens: list[str], k: int = 10,
                                     / (r["count()"] + 0.5)))
            for r in df_rows}
     if not idf:
-        return pa.table({id_column: pa.array([], type=pa.int64()),
+        return pa.table({id_column: pa.array([], type=id_type),
                          "score": pa.array([], type=pa.float64())})
 
     idf_keys = pa.array(sorted(idf), type=pa.string())
@@ -364,5 +382,5 @@ def bm25_search(ds, query_tokens: list[str], k: int = 10,
     rows.sort(key=lambda r: (-r["score"], r[id_column]))
     rows = rows[:k]
     return pa.table({
-        id_column: pa.array([r[id_column] for r in rows], type=pa.int64()),
+        id_column: pa.array([r[id_column] for r in rows], type=id_type),
         "score": pa.array([r["score"] for r in rows], type=pa.float64())})

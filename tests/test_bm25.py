@@ -80,3 +80,37 @@ def test_real_table_smoke(ray_session):
     scores = got.column("score").to_pylist()
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def _ds_str_ids(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    })).repartition(2)
+
+
+def test_string_doc_ids(ray_session):
+    rows = [("d%d" % i, t) for i, t in CORPUS]
+    got = bm25_search(_ds_str_ids(rows), ["data", "spark"], k=10)
+    want = _ref_bm25(rows, ["data", "spark"])
+    assert got.column("doc_id").type == pa.string()
+    assert got.column("doc_id").to_pylist() == [d for d, _ in want]
+    # empty result keeps the string id type too
+    empty = bm25_search(_ds_str_ids(rows), ["absent-token"], k=3)
+    assert empty.num_rows == 0 and empty.column("doc_id").type == pa.string()
+
+
+def test_null_and_duplicate_ids_raise(ray_session):
+    import pytest
+    import ray.exceptions
+
+    bad = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, None], type=pa.int64()),
+        "text": pa.array(["a", "b"], type=pa.string())}))
+    with pytest.raises(Exception, match="non-null"):
+        bm25_search(bad, ["a"], k=2)
+    dup = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1], type=pa.int64()),
+        "text": pa.array(["a", "b"], type=pa.string())}))
+    with pytest.raises(Exception, match="duplicate"):
+        bm25_search(dup, ["a"], k=2)

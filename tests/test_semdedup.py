@@ -165,3 +165,31 @@ class TestSemDedup:
         out = semdedup(ds, threshold=0.99, k=3, iters=2).take_all()
         assert len(out) == 60 and all(r["keep"] in (True, False)
                                       for r in out)
+
+
+class TestSemDedupEdges:
+    def test_float64_embeddings_zero_copy_view(self, ray_session):
+        # list<double> storage: vectors_to_numpy hands back a READ-ONLY
+        # zero-copy view; the in-place normalize must copy first
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [1.0, 1e-6], [0.0, 1.0]],
+                type=pa.list_(pa.float64()))}))
+        out = _keep_map(semdedup(ds, threshold=0.95,
+                                 centroids=[[1.0, 0.0], [0.0, 1.0]]))
+        assert out == {1: True, 2: False, 3: True}
+
+    def test_zero_vector_never_kills_at_nonpositive_threshold(
+            self, ray_session):
+        # smallest-id row is the ZERO vector; at threshold 0.0 a cos-0
+        # score would wrongly qualify — the contract says cos(0, x) is
+        # undefined (-inf), so later orthogonal rows must survive
+        ds = _emb([1, 2, 3], [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+        out = semdedup(ds, threshold=0.0,
+                       centroids=[[0.5, 0.5]]).take_all()
+        by = {r["vec_id"]: r for r in out}
+        assert bool(by[1]["keep"]) and bool(by[2]["keep"])
+        # 3 is killed by 2 (cos exactly 0.0 >= 0.0) but NOT by the zero
+        # vector 1 — dup_of must name 2
+        assert not by[3]["keep"] and by[3]["dup_of"] == 2
