@@ -502,15 +502,20 @@ def _samples_documents(sf_dir: str):
     (relational.uniform_sample_k — map-only top-k, no shuffle);
     'grouped_k' = exact-5-per-lang draw under the same splitmix key
     (relational.grouped_sample_k — per-block k-per-key pre-selection, one
-    <= k·blocks-rows shuffle). All four are pure functions of the row ids
-    so the oracle re-evaluates them exactly (the splitmix chain is inlined
+    <= k·blocks-rows shuffle); 'weighted_k' = exact-25 WEIGHTED draw
+    biased by n_chars (relational.weighted_sample_k, Efraimidis-Spirakis
+    exponential keys over the same splitmix u — map-only top-k, no
+    shuffle). All five are pure functions of the row ids/weights so the
+    oracle re-evaluates them exactly (the splitmix chain is inlined
     in SQL via 32-bit-half multiplies)."""
     from plugin_serdes_ray.pipelines.relational import (grouped_sample_k,
                                                         mixture_sample,
                                                         stratified_sample,
-                                                        uniform_sample_k)
+                                                        uniform_sample_k,
+                                                        weighted_sample_k)
 
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"])
     rows = [("stratified", r["doc_id"]) for r in
             stratified_sample(ds, "lang", {"en": 0.1}, "doc_id").take_all()]
     mixed, _ = mixture_sample(ds, "lang", {"en": 0.5, "zh": 0.2, "es": 0.3},
@@ -520,6 +525,8 @@ def _samples_documents(sf_dir: str):
     rows += [("uniform_k", i) for i in uk.column("doc_id").to_pylist()]
     gk = grouped_sample_k(ds, "lang", k=5, id_column="doc_id", seed=7)
     rows += [("grouped_k", r["doc_id"]) for r in gk.take_all()]
+    wk = weighted_sample_k(ds, "doc_id", "n_chars", k=25, seed=7)
+    rows += [("weighted_k", i) for i in wk.column("doc_id").to_pylist()]
     rows.sort()
     return pa.table({
         "method": pa.array([r[0] for r in rows]),
@@ -3139,6 +3146,16 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY s.z) AS rn
                 FROM documents d JOIN s3 s USING (doc_id))
             WHERE rn <= 5
+            UNION ALL
+            -- Efraimidis-Spirakis A-ES: smallest -ln(u)/w keys win, with
+            -- u = (splitmix64(doc_id ^ 7) + 0.5) / 2^64 and w = n_chars
+            SELECT 'weighted_k', doc_id FROM (
+                SELECT d.doc_id
+                FROM documents d JOIN s3 s USING (doc_id)
+                WHERE d.n_chars > 0
+                ORDER BY -ln((s.z + 0.5) / 18446744073709551616.0)
+                         / d.n_chars
+                LIMIT 25)
         """,
         # pdedup arms: full in-SQL recompute of the cross-corpus paragraph
         # dedup (split on chr(10), global counts of non-empty lines, drop

@@ -1919,6 +1919,51 @@ def uniform_sample_k(ds, id_column: str, k: int, seed: int = 0) -> pa.Table:
     return t
 
 
+def weighted_sample_k(ds, id_column: str, weight_column: str, k: int,
+                      seed: int = 0) -> pa.Table:
+    """Exact-k deterministic WEIGHTED sample without replacement
+    (Efraimidis & Spirakis 2006, the A-ES one-pass scheme): each row
+    draws ``u = (splitmix64(id ^ seed) + 0.5) / 2^64`` and the ``k`` rows
+    with the largest ``u^(1/w)`` — equivalently the SMALLEST
+    ``-ln(u) / w`` — win, so inclusion probability scales with the
+    weight while staying a pure, SQL-recomputable function of
+    ``(id, weight, seed)``.  The upweighted-domain / importance-mixing
+    draw (sample 1M docs biased by length or quality score).
+
+    Rows with a null id, null weight, or weight <= 0 are dropped (the
+    exponential key is undefined there; the oracle mirrors with
+    ``WHERE w > 0``).  Scale shape: identical to :func:`uniform_sample_k`
+    — one map-only key pass + per-block local top-k + O(k·blocks) driver
+    merge; no shuffle, no global sort."""
+    env = package_runtime_env()
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch.column(weight_column), pa.float64())
+        batch = batch.filter(
+            pc.and_(pc.is_valid(batch.column(id_column)),
+                    pc.fill_null(pc.greater(w, 0.0), False)))
+        ids = batch.column(id_column).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        wv = pc.cast(batch.column(weight_column),
+                     pa.float64()).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # +0.5 keeps u in (0, 1): splitmix64 can emit 0, and ln(0) = -inf
+        # would tie every zero-draw row regardless of weight
+        u = (splitmix64(ids, seed).astype(np.float64) + 0.5) / 2.0 ** 64
+        return batch.append_column("__wk", pa.array(-np.log(u) / wv))
+
+    t = top_k(ds.map_batches(add_key, batch_format="pyarrow",
+                             runtime_env=env),
+              "__wk", k=k, descending=False)
+    if "__wk" in t.column_names:
+        return t.drop_columns(["__wk"])
+    if t.num_columns == 0:
+        sch = ds.schema()
+        if sch is not None:
+            return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    return t
+
+
 def grouped_sample_k(ds, key, k: int, id_column: str, seed: int = 0):
     """Exact-k-per-group deterministic uniform sample: within each ``key``
     group, the ``k`` rows with smallest ``splitmix64(id ^ seed)`` (a

@@ -1581,3 +1581,49 @@ def test_bloom_semi_join_rejects_tiny_bits(ray_session):
     t = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError, match=">= 64"):
         bloom_semi_join(t, t, "k", bits=32)
+
+
+def test_weighted_sample_k_reference_and_bias(ray_session):
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import (splitmix64,
+                                                        weighted_sample_k)
+
+    ids = list(range(400))
+    # two weight tiers: rows 0..49 weigh 50x the rest
+    w = [50.0 if i < 50 else 1.0 for i in ids]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "w": pa.array(w, type=pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = weighted_sample_k(ds, "doc_id", "w", k=30, seed=3)
+    assert got.num_rows == 30
+    # exact A-ES reference: smallest -ln(u)/w
+    u = (splitmix64(np.asarray(ids, dtype=np.uint64), 3)
+         .astype(np.float64) + 0.5) / 2.0 ** 64
+    keys = -np.log(u) / np.asarray(w)
+    want = {ids[i] for i in np.argsort(keys)[:30]}
+    assert set(got.column("doc_id").to_pylist()) == want
+    # the heavy tier (12.5% of rows, ~86% of mass) must dominate the draw
+    heavy = sum(1 for d in got.column("doc_id").to_pylist() if d < 50)
+    assert heavy >= 20
+    # reproducible; new seed differs
+    again = weighted_sample_k(ds, "doc_id", "w", k=30, seed=3)
+    assert sorted(again.column("doc_id").to_pylist()) == \
+        sorted(got.column("doc_id").to_pylist())
+    other = weighted_sample_k(ds, "doc_id", "w", k=30, seed=4)
+    assert set(other.column("doc_id").to_pylist()) != want
+
+
+def test_weighted_sample_k_drops_invalid_weights(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import weighted_sample_k
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "w": pa.array([1.0, 0.0, -2.0, None, 3.0],
+                                type=pa.float64())})
+    got = weighted_sample_k(ray.data.from_arrow(t), "doc_id", "w", k=10,
+                            seed=0)
+    # zero / negative / null weights are ineligible; k caps at survivors
+    assert sorted(got.column("doc_id").to_pylist()) == [1, 5]
