@@ -204,6 +204,12 @@ def cmd_dedup(args) -> int:
         from .pipelines.dedup import exact_dedup
 
         out = exact_dedup(ds, args.column, args.id_column)
+    elif args.method == "semdedup":
+        from .pipelines.dedup import semdedup
+
+        out = semdedup(ds, threshold=args.threshold, k=args.clusters,
+                       iters=args.iters, vector_column=args.column,
+                       id_column=args.id_column)
     else:
         from .pipelines.dedup import minhash_lsh_dedup
 
@@ -224,12 +230,22 @@ def cmd_sample(args) -> int:
     if args.method in ("stratified", "grouped_k") and not args.key:
         raise SystemExit(f"sample --method {args.method} requires --key "
                          "(the group column)")
+    if args.method == "weighted_k" and not args.weight:
+        raise SystemExit("sample --method weighted_k requires --weight "
+                         "(the weight column)")
     _ray()
     ds = ray.data.read_parquet(_input_files(args.input))
     if args.method == "uniform_k":
         from .pipelines.relational import uniform_sample_k
 
         t = uniform_sample_k(ds, args.id_column, k=args.k, seed=args.seed)
+        pq.write_table(t, args.output)
+        n = t.num_rows
+    elif args.method == "weighted_k":
+        from .pipelines.relational import weighted_sample_k
+
+        t = weighted_sample_k(ds, args.id_column, args.weight, k=args.k,
+                              seed=args.seed)
         pq.write_table(t, args.output)
         n = t.num_rows
     elif args.method == "grouped_k":
@@ -431,19 +447,28 @@ def main(argv=None) -> int:
     p = sub.add_parser("dedup", help="exact/minhash dedup -> parquet")
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("--method", choices=["exact", "minhash"], default="exact")
-    p.add_argument("--column", default="text")
+    p.add_argument("--method", choices=["exact", "minhash", "semdedup"],
+                   default="exact")
+    p.add_argument("--column", default="text",
+                   help="text column (exact/minhash) or embedding "
+                        "column (semdedup)")
     p.add_argument("--id-column", default="doc_id")
     p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--clusters", type=int, default=64,
+                   help="semdedup: k-means cluster count")
+    p.add_argument("--iters", type=int, default=0,
+                   help="semdedup: Lloyd iterations (0 = first-k seeds)")
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("sample", help="deterministic sampling -> parquet")
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--method",
-                   choices=["stratified", "uniform_k", "grouped_k"],
+                   choices=["stratified", "uniform_k", "grouped_k",
+                            "weighted_k"],
                    default="stratified")
     p.add_argument("--key", help="group key (stratified / grouped_k)")
+    p.add_argument("--weight", help="weight column (weighted_k)")
     p.add_argument("--id-column", required=True)
     p.add_argument("--fraction", action="append", default=[],
                    metavar="KEY=FRAC", help="repeatable, e.g. --fraction en=0.1")

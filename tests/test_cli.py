@@ -231,3 +231,45 @@ def test_cli_convert_whole_file_json(tmp_path):
     out = str(tmp_path / "out.parquet")
     assert main(["convert", src, out]) == 0
     assert pq.read_table(out).column("a").to_pylist() == [1, 2]
+
+
+def test_cli_weighted_sample_and_semdedup(ray_session, tmp_path, capsys,
+                                          sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    src = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "wk.parquet")
+    assert main(["sample", src, out, "--method", "weighted_k",
+                 "--id-column", "doc_id", "--weight", "n_chars",
+                 "--k", "9", "--seed", "3"]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 9
+    assert pq.read_table(out).num_rows == 9
+
+    emb = f"{sf_dir}/embeddings.parquet"
+    out2 = str(tmp_path / "sd.parquet")
+    assert main(["dedup", emb, out2, "--method", "semdedup",
+                 "--column", "embedding", "--id-column", "vec_id",
+                 "--threshold", "0.4", "--clusters", "8"]) == 0
+    t = pq.read_table(out2)
+    assert json.loads(capsys.readouterr().out)["rows"] == t.num_rows
+    assert {"vec_id", "cluster", "keep", "dup_of"} <= set(t.column_names)
+    # every input row present, dup_of set exactly on dropped rows
+    assert t.num_rows == pq.read_table(emb).num_rows
+    keep = t.column("keep").to_pylist()
+    dup = t.column("dup_of").to_pylist()
+    assert all((d is None) == k for k, d in zip(keep, dup))
+
+
+def test_cli_weighted_sample_requires_weight(ray_session, tmp_path, sf_dir):
+    import pytest
+
+    from plugin_serdes_ray.__main__ import main
+
+    with pytest.raises(SystemExit, match="--weight"):
+        main(["sample", f"{sf_dir}/documents.parquet",
+              str(tmp_path / "x.parquet"), "--method", "weighted_k",
+              "--id-column", "doc_id"])
