@@ -2243,8 +2243,12 @@ def _vocab_bpe_documents(sf_dir: str):
     is pinned merge-for-merge against an independent in-process reference
     implementation in tests/test_bpe.py; the first iteration's exact pair
     statistics are the SQL-checkable surface (the argmax of this table IS
-    the first merge)."""
+    the first merge). 'topp' = the nucleus vocabulary cutoff
+    (textstats.vocab_top_p, p=0.3: shortest (count DESC, token ASC)
+    prefix reaching 30% of all token mass — one vocab-sized prefix_sum
+    scan, never a corpus sort)."""
     from plugin_serdes_ray.pipelines import bpe
+    from plugin_serdes_ray.pipelines.textstats import vocab_top_p
 
     base = _vocab_documents(sf_dir)
     hist = bpe.symbolize(bpe.word_histogram(
@@ -2257,7 +2261,14 @@ def _vocab_bpe_documents(sf_dir: str):
         "which": pa.array(["bpe_pair"] * len(top)),
         "token": pa.array([r["pair"] for r in top], type=pa.string()),
         "cnt": pa.array([r["cnt"] for r in top], type=pa.int64())})
-    return pa.concat_tables([base, pairs])
+    tp = vocab_top_p(_read(sf_dir, "documents").select_columns(["text"]),
+                     p=0.3).take_all()   # nucleus set: O(vocab * p) rows
+    tp.sort(key=lambda r: (-r["n"], r["token"]))
+    topp = pa.table({
+        "which": pa.array(["topp"] * len(tp)),
+        "token": pa.array([r["token"] for r in tp], type=pa.string()),
+        "cnt": pa.array([r["n"] for r in tp], type=pa.int64())})
+    return pa.concat_tables([base, pairs, topp])
 
 
 def _textstats_scalars(sf_dir: str):
@@ -4167,6 +4178,26 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY a, b
             ORDER BY cnt DESC, token LIMIT 20)
         """,
+        # nucleus (top-p) vocabulary cutoff: include a token iff its
+        # EXCLUSIVE prefix mass under (n DESC, token ASC) order is still
+        # < p * total — mirrors textstats.vocab_top_p exactly (int cumsum
+        # vs the same double p*total product)
+        "__topp_arm__": r"""
+            (WITH tf AS (
+                SELECT token, count(*)::BIGINT AS n FROM (
+                    SELECT unnest(regexp_split_to_array(coalesce(text, ''),
+                                                        '\s+')) AS token
+                    FROM documents)
+                WHERE token <> '' GROUP BY token),
+            tot AS (SELECT sum(n) AS t FROM tf)
+            SELECT 'topp', token, n AS cnt FROM (
+                SELECT token, n, coalesce(sum(n) OVER (
+                    ORDER BY n DESC, token ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS ex
+                FROM tf), tot
+            WHERE ex < 0.3 * tot.t)
+        """,
         "textstats_scalars": r"""
             SELECT doc_id,
                    CAST(len(list_filter(
@@ -4247,5 +4278,6 @@ def oracle_sql() -> dict[str, str]:
     # (shared fragment — see the __bpe_pair_arm__ comment above)
     out["vocab_bpe_documents"] = (
         out["vocab_documents"] + "\n UNION ALL \n"
-        + out.pop("__bpe_pair_arm__"))
+        + out.pop("__bpe_pair_arm__") + "\n UNION ALL \n"
+        + out.pop("__topp_arm__"))
     return out

@@ -749,6 +749,78 @@ def vocab_top_k(ds, column: str = "text", k: int = 20,
     return cand.take(idx.slice(0, k))
 
 
+def vocab_top_p(ds, column: str = "text", p: float = 0.9):
+    """Nucleus (top-p) vocabulary cutoff: the SHORTEST prefix of the
+    vocabulary ordered by ``(count DESC, token ASC)`` whose cumulative
+    term mass reaches ``p`` of all token occurrences — the coverage set a
+    tokenizer/stopword analysis asks for ("which tokens make up 90% of
+    the corpus?").  A token is included iff its EXCLUSIVE prefix mass is
+    still ``< p * total`` (standard nucleus inclusion), so the cut is a
+    total-order-deterministic pure function of the counts.
+
+    100 TB shape: the corpus reduces to the ``(token, n)`` vocabulary via
+    the :func:`vocab_top_k` combiner shuffle (whitespace tokens, empties
+    dropped) and is materialized ONCE for its two consumers; the
+    global cutoff is :func:`~.relational.prefix_sum` over a vectorized
+    fixed-width ``(total-n zero-padded | token)`` sort key — one
+    vocabulary-sized sort (never corpus-sized) + O(blocks) driver
+    offsets — then a map-only filter.  Returns a Dataset ``(token, n)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import package_runtime_env
+    from .relational import prefix_sum
+
+    env = package_runtime_env()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t.column(column).combine_chunks(), "")
+        flat = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        vc = pc.value_counts(flat)
+        out = pa.table({"token": vc.field("values"),
+                        "cnt": vc.field("counts").cast(pa.int64())})
+        return out.filter(pc.not_equal(out.column("token"), ""))
+
+    counts = (ds.select_columns([column])
+                .map_batches(partial, batch_format="pyarrow",
+                             runtime_env=env)
+                .groupby("token").aggregate(Sum("cnt"))
+                .map_batches(
+                    lambda t: t.rename_columns(["token", "n"]),
+                    batch_format="pyarrow", runtime_env=env)
+                .materialize())
+    tot_rows = counts.map_batches(
+        lambda t: pa.table({"t": pa.array(
+            [pc.sum(t.column("n")).as_py() or 0], type=pa.int64())}),
+        batch_format="pyarrow", runtime_env=env).take_all()
+    total = sum(r["t"] for r in tot_rows)
+    if total == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64())}))
+    width = len(str(total))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        inv = pc.subtract(pa.scalar(total, type=pa.int64()),
+                          t.column("n").combine_chunks())
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(inv, pa.string()), width, padding="0"),
+            t.column("token").combine_chunks(),
+            pa.scalar("|", type=pa.string()))
+        return t.append_column("__pk", key)
+
+    keyed = counts.map_batches(add_key, batch_format="pyarrow",
+                               runtime_env=env)
+    cut = p * total
+    scanned = prefix_sum(keyed, "__pk", "n", out_col="__cum",
+                         exclusive=True)
+    return scanned.map_batches(
+        lambda t: t.filter(pc.less(t.column("__cum"), cut))
+                   .drop_columns(["__pk", "__cum"]),
+        batch_format="pyarrow", runtime_env=env)
+
+
 def _tf_pairs_fn(column: str, id_column: str):
     """Batch fn: -> (id, token, tf) rows. A document lives in ONE row, so
     block-local term frequency IS document term frequency; one C

@@ -491,3 +491,33 @@ def test_canonicalize_text_dedup_key():
     only = canonicalize_text(pa.table({
         "text": pa.array(["!!! ... ???", ""])}))
     assert only.column("text_canonical").to_pylist() == ["", ""]
+
+
+def test_vocab_top_p_inclusion_boundaries(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import vocab_top_p
+
+    ds = ray.data.from_arrow(pa.table({
+        "text": ["a a a a b b c", "a b d", None, ""]})).repartition(3)
+    # counts: a=5 b=3 c=1 d=1 (total 10); inclusion = exclusive prefix
+    # mass < p * total under (count DESC, token ASC) order
+    for p, want in [(0.5, {"a"}), (0.51, {"a", "b"}), (0.8, {"a", "b"}),
+                    (0.81, {"a", "b", "c"}), (1.0, {"a", "b", "c", "d"}),
+                    (0.0, set())]:
+        got = {r["token"] for r in vocab_top_p(ds, p=p).take_all()}
+        assert got == want, (p, got, want)
+    # tie order: equal counts cut by token ASC (c before d at the margin)
+    got = {(r["token"], r["n"])
+           for r in vocab_top_p(ds, p=0.85).take_all()}
+    assert got == {("a", 5), ("b", 3), ("c", 1)}
+
+
+def test_vocab_top_p_empty_corpus(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import vocab_top_p
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(
+        [None, ""], type=pa.string())}))
+    assert vocab_top_p(ds, p=0.9).take_all() == []
