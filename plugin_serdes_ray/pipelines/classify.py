@@ -75,11 +75,13 @@ class NBModel:
 
 def _label_token_partial(column: str, label_column: str):
     """Per-block ``(label, token, __w)`` occurrence-count partial, plus
-    one ``token = NULL`` stat row per label carrying the block's
-    DOCUMENT count (rows with zero tokens included) — so priors ride the
-    same single corpus scan and the same keyed shuffle instead of a
-    second pass over the input (a whitespace token is never null, so the
-    null-token group can't collide with a real token)."""
+    one ``token = ""`` stat row per label carrying the block's DOCUMENT
+    count (rows with zero tokens included) — so priors ride the same
+    single corpus scan and the same keyed shuffle instead of a second
+    pass over the input.  The empty string can never be a real token
+    (the whitespace split drops empties), and a NULL key would crash
+    Ray's sort-based shuffle (numpy object sort can't order None vs
+    str), so "" is the collision-free sentinel."""
     def partial(batch: pa.Table) -> pa.Table:
         from .textstats import _word_rows
 
@@ -99,7 +101,8 @@ def _label_token_partial(column: str, label_column: str):
              .group_by("label").aggregate([([], "count_all")]))
         d = grouped_rename_positional(d, ["label"], ["__w"])
         d = pa.table({"label": d.column("label"),
-                      "token": pa.nulls(d.num_rows, pa.string()),
+                      "token": pa.array([""] * d.num_rows,
+                                        type=pa.string()),
                       "__w": d.column("__w").cast(pa.int64())})
         return pa.concat_tables([g.cast(d.schema), d])
 
@@ -127,15 +130,15 @@ def nb_train(ds, column: str = "text", label_column: str = "lang",
                          "c": t.column("sum(__w)").cast(pa.int64())})
 
     # vocabulary-sized; consumed four times (doc counts, totals, top-V,
-    # vocab fetch). token = NULL rows are the per-label DOCUMENT counts
+    # vocab fetch). token = "" rows are the per-label DOCUMENT counts
     # (priors); real-token consumers filter them out below.
     cnt = cnt.map_batches(cnt_finish, batch_format="pyarrow",
                           runtime_env=env).materialize()
     docs = {r["label"]: int(r["c"]) for r in cnt.map_batches(
-        lambda t: t.filter(pc.is_null(t.column("token"))),
+        lambda t: t.filter(pc.equal(t.column("token"), "")),
         batch_format="pyarrow", runtime_env=env).take_all()}
     cnt = cnt.map_batches(
-        lambda t: t.filter(pc.is_valid(t.column("token"))),
+        lambda t: t.filter(pc.not_equal(t.column("token"), "")),
         batch_format="pyarrow", runtime_env=env)
 
     # --- per-label token totals + per-token totals (both tiny) ---
