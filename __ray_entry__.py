@@ -920,32 +920,46 @@ def _sessions_funnel(sf_dir: str):
     sessionization (one groupby(user) shuffle, vectorized in-group split)
     plus the ordered view->click->purchase funnel
     (relational.funnel: chained grouped-Min frontier + slim hash joins,
-    greedy earliest-chain semantics). Session rows carry the session
-    bounds with step_idx NULL; funnel rows carry (step_idx, n) with
-    user/timestamps NULL."""
-    from plugin_serdes_ray.pipelines.relational import funnel
+    greedy earliest-chain semantics) and the DAILY cohort-retention
+    matrix (relational.retention_cohorts: per-block distinct
+    (user, period) collapse -> ONE groupby(user) shuffle -> pre-counted
+    matrix-sized reduce). Session rows carry the session bounds with
+    step_idx NULL; funnel rows carry (step_idx, n) with user/timestamps
+    NULL; retention rows multiplex (cohort -> user_id, offset ->
+    step_idx, n_users -> n)."""
+    from plugin_serdes_ray.pipelines.relational import (funnel,
+                                                        retention_cohorts)
 
     s = _sessions(sf_dir)
     f = funnel(_read(sf_dir, "events").select_columns(
         ["user_id", "ts", "event_type"]),
         "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    r_rows = retention_cohorts(
+        _read(sf_dir, "events").select_columns(["user_id", "ts"]),
+        period_s=86400).take_all()   # matrix-sized: cohorts x offsets
+    r_rows.sort(key=lambda r: (r["cohort"], r["offset"]))
+    nr = len(r_rows)
     return pa.table({
-        "tag": pa.array(["session"] * s.num_rows + ["funnel"] * f.num_rows),
+        "tag": pa.array(["session"] * s.num_rows + ["funnel"] * f.num_rows
+                        + ["retention"] * nr),
         "user_id": pa.concat_arrays([
             s.column("user_id").combine_chunks(),
-            pa.nulls(f.num_rows, pa.int64())]),
+            pa.nulls(f.num_rows, pa.int64()),
+            pa.array([r["cohort"] for r in r_rows], type=pa.int64())]),
         "session_start": pa.concat_arrays([
             s.column("session_start").combine_chunks(),
-            pa.nulls(f.num_rows, pa.timestamp("us"))]),
+            pa.nulls(f.num_rows + nr, pa.timestamp("us"))]),
         "session_end": pa.concat_arrays([
             s.column("session_end").combine_chunks(),
-            pa.nulls(f.num_rows, pa.timestamp("us"))]),
+            pa.nulls(f.num_rows + nr, pa.timestamp("us"))]),
         "step_idx": pa.concat_arrays([
             pa.nulls(s.num_rows, pa.int64()),
-            f.column("step_idx").combine_chunks()]),
+            f.column("step_idx").combine_chunks(),
+            pa.array([r["offset"] for r in r_rows], type=pa.int64())]),
         "n": pa.concat_arrays([
             s.column("n_events").combine_chunks(),
-            f.column("n_users").combine_chunks()]),
+            f.column("n_users").combine_chunks(),
+            pa.array([r["n_users"] for r in r_rows], type=pa.int64())]),
     })
 
 
@@ -3626,6 +3640,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'funnel', NULL, NULL, NULL, 3,
                    (SELECT count(*) FROM s3)
+            UNION ALL
+            -- retention matrix (cohort -> user_id, offset -> step_idx):
+            -- daily periods via integer floor division of epoch
+            -- microseconds, cohort = first active period per user
+            SELECT 'retention', cohort, NULL, NULL, "offset", n_users
+            FROM (
+              WITH up AS (SELECT DISTINCT user_id AS u,
+                                 epoch_us(ts) // 86400000000 AS per
+                          FROM events
+                          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              coh AS (SELECT u, min(per) AS c FROM up GROUP BY u)
+              SELECT c AS cohort, per - c AS "offset",
+                     count(*)::BIGINT AS n_users
+              FROM up JOIN coh USING (u) GROUP BY 1, 2)
         """,
         "user_sessions_30m": """
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,

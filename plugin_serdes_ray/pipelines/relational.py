@@ -2678,3 +2678,68 @@ def cube_aggregate(ds, keys: Sequence[str], sum_cols: Sequence[str] = (),
             for c in combinations(keys, r)]
     return grouping_sets_aggregate(ds, keys, sets, sum_cols=sum_cols,
                                    count_name=count_name)
+
+
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      period_s: int = 86400):
+    """Cohort retention matrix — the standard product/corpus-freshness
+    analysis: bucket time into ``period_s``-second periods, assign each
+    user to the cohort of their FIRST active period, and count how many
+    of a cohort's users are active again ``offset`` periods later.
+    Returns a Dataset ``(cohort, offset, n_users)`` where ``cohort`` is
+    the epoch period index of first activity and ``offset >= 0`` (offset
+    0 row = cohort size).  Null users/timestamps are ignored.
+
+    Scale shape: events collapse per block to DISTINCT ``(user, period)``
+    pairs (a C ``group_by``, so a user's many events in one period never
+    leave the block), then ONE ``groupby(user)`` shuffle co-locates each
+    user's periods — per-user work is a tiny ``np.unique`` — and the
+    resulting one-row-per-(user, cohort, offset) stream pre-counts per
+    block before a second, matrix-sized ``groupby([cohort, offset])``
+    Sum (cohorts x offsets rows, never user-sized).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..util import grouped_rename_positional
+
+    env = package_runtime_env()
+    scale = int(period_s) * 1_000_000   # timestamps are microseconds
+
+    def distinct_periods(batch: pa.Table) -> pa.Table:
+        t = batch.select([user_col, ts_col]).filter(
+            pc.and_(pc.is_valid(batch.column(user_col)),
+                    pc.is_valid(batch.column(ts_col))))
+        us = t.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        per = np.floor_divide(us, scale)
+        return pa.table({user_col: t.column(user_col),
+                         "__per": pa.array(per)}) \
+            .group_by([user_col, "__per"]).aggregate([])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        per = np.unique(group.column("__per").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"cohort": pa.array(np.full(len(per), per[0])),
+                         "offset": pa.array(per - per[0])})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cohort", "offset"]).aggregate([([], "count_all")])
+        return grouped_rename_positional(
+            g, ["cohort", "offset"], ["__n"]).select(
+            ["cohort", "offset", "__n"])
+
+    pairs = (ds.select_columns([user_col, ts_col])
+               .map_batches(distinct_periods, batch_format="pyarrow",
+                            runtime_env=env)
+               .groupby(user_col)
+               .map_groups(per_user, batch_format="pyarrow",
+                           runtime_env=env))
+    g = (pairs.map_batches(count_partial, batch_format="pyarrow",
+                           runtime_env=env)
+              .groupby(["cohort", "offset"]).aggregate(Sum("__n")))
+    return g.map_batches(
+        lambda t: pa.table({
+            "cohort": t.column("cohort").cast(pa.int64()),
+            "offset": t.column("offset").cast(pa.int64()),
+            "n_users": t.column("sum(__n)").cast(pa.int64())}),
+        batch_format="pyarrow", runtime_env=env)

@@ -1627,3 +1627,30 @@ def test_weighted_sample_k_drops_invalid_weights(ray_session):
                             seed=0)
     # zero / negative / null weights are ineligible; k caps at survivors
     assert sorted(got.column("doc_id").to_pylist()) == [1, 5]
+
+
+def test_retention_cohorts_reference(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import retention_cohorts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1 active days 0,1,3; user 2 days 0,1; user 3 day 1 only —
+    # with duplicate events inside each period (must count once)
+    for u, days in [(1, [0, 1, 3]), (2, [0, 1]), (3, [1])]:
+        for d in days:
+            rows.append((u, base + dt.timedelta(days=d, minutes=u)))
+            rows.append((u, base + dt.timedelta(days=d, minutes=u + 5)))
+    rows.append((4, None))        # null ts ignored
+    rows.append((None, base))     # null user ignored
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us"))})
+    out = retention_cohorts(
+        ray.data.from_arrow(t).repartition(3)).take_all()
+    got = {(r["cohort"], r["offset"]): r["n_users"] for r in out}
+    c0 = (base - dt.datetime(1970, 1, 1)).days
+    assert got == {(c0, 0): 2, (c0, 1): 2, (c0, 3): 1, (c0 + 1, 0): 1}
