@@ -72,11 +72,28 @@ def _content_hash64(arr: pa.Array) -> np.ndarray:
     duplicated-hash groups additionally verify actual values (collision
     safety)."""
     if _polars_available():
+        import time
+
         import polars as pl
 
-        s = pl.from_arrow(arr if isinstance(arr, pa.Array)
-                          else arr.combine_chunks())
-        return s.hash(seed=0).to_numpy().astype(np.uint64)
+        a = arr if isinstance(arr, pa.Array) else arr.combine_chunks()
+        # same settling retry as the probe: polars resolves its lazy
+        # re-export attributes ONE AT A TIME on first touch, so a call
+        # through a code path the probe didn't exercise can still observe
+        # a half-populated module when another thread of this worker is
+        # resolving the same attribute (seen in the wild on from_arrow:
+        # "module 'polars._reexport' has no attribute 'Series'")
+        last_err: Exception | None = None
+        for _ in range(100):
+            try:
+                s = pl.from_arrow(a)
+                return s.hash(seed=0).to_numpy().astype(np.uint64)
+            except AttributeError as e:  # pragma: no cover - import race
+                last_err = e
+                time.sleep(0.05)
+        raise RuntimeError(
+            "polars lazy attributes never settled in this worker; "
+            "refusing to switch hash paths mid-run") from last_err
     out = np.empty(len(arr), dtype=np.uint64)
     for i, v in enumerate(arr):
         b = v.as_py()
