@@ -1914,14 +1914,17 @@ def _pivot_lineitem(sf_dir: str):
 
 
 def _approx_distinct(sf_dir: str):
-    """Sketch contracts, both mergeable-sketch families in one row set.
+    """Sketch contracts, the mergeable-sketch families in one row set.
     HLL: the estimate must land within 5% of the exact distinct count
     (p=14 => ~0.8% stddev). Count-min ('cms_<lang>' rows): the frequency
     estimate of every lang must be >= its exact count (CMS never
     underestimates) and <= exact + ceil(e·n/width) (the collision-mass
-    bound). Every row carries the EXACT count (distributed) plus the
-    pass/fail bool, so the oracle recomputes both; a broken sketch flips
-    the bool and fails the value hash."""
+    bound). Grouped HLL ('ghll_<lang>' rows): per-lang distinct-text
+    estimates (sketch.grouped_approx_distinct — one register row per key
+    per block on the shuffle) within 5% of the exact per-lang counts
+    (relational.grouped_count_distinct). Every row carries the EXACT
+    count (distributed) plus the pass/fail bool, so the oracle recomputes
+    both; a broken sketch flips the bool and fails the value hash."""
     import numpy as np
 
     from plugin_serdes_ray.pipelines import sketch
@@ -1949,6 +1952,21 @@ def _approx_distinct(sf_dir: str):
         out_cols.append(f"cms_{lang}")
         out_exact.append(int(counts[lang]))
         out_ok.append(counts[lang] <= est <= counts[lang] + bound)
+    # grouped HLL ('ghll_<lang>' rows): per-lang distinct TEXT estimate
+    # within 5% of the exact per-lang distinct count (p=14 ~ 0.8% stddev;
+    # fixed-width register rows are the only thing the shuffle moves)
+    from plugin_serdes_ray.pipelines.relational import grouped_count_distinct
+
+    gh = {r["lang"]: r["approx_distinct"] for r in
+          sketch.grouped_approx_distinct(
+              docs.select_columns(["lang", "text"]), "lang", "text",
+              p=14).take_all()}
+    gx = {r["lang"]: r["n_distinct"] for r in grouped_count_distinct(
+        docs.select_columns(["lang", "text"]), "lang", "text").take_all()}
+    for lang in sorted(gx):
+        out_cols.append(f"ghll_{lang}")
+        out_exact.append(int(gx[lang]))
+        out_ok.append(abs(gh[lang] - gx[lang]) <= 0.05 * gx[lang])
     return pa.table({
         "col": pa.array(out_cols),
         "exact_n": pa.array(out_exact, type=pa.int64()),
@@ -3493,6 +3511,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'cms_' || lang, count(*), TRUE FROM documents
             WHERE lang IS NOT NULL GROUP BY lang
+            UNION ALL
+            SELECT 'ghll_' || lang, count(DISTINCT text), TRUE
+            FROM documents WHERE lang IS NOT NULL GROUP BY lang
         """,
         "heavy_hitter_langs": """
             SELECT 'hh' AS tag, CAST(NULL AS VARCHAR) AS source, lang,

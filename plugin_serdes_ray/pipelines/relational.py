@@ -2743,3 +2743,49 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
             "offset": t.column("offset").cast(pa.int64()),
             "n_users": t.column("sum(__n)").cast(pa.int64())}),
         batch_format="pyarrow", runtime_env=env)
+
+
+def grouped_count_distinct(ds, key: str, column: str):
+    """Exact per-key ``COUNT(DISTINCT column)`` — :func:`count_distinct`
+    with a GROUP BY.  Returns a Dataset ``(key, n_distinct)``.
+
+    Scale shape: each block collapses to its DISTINCT ``(key, value)``
+    pairs first (one C ``group_by``, so repeated values never leave the
+    block), then ONE ``groupby([key, value])`` shuffle finishes the
+    global distinct, per-block per-key count partials shrink the result,
+    and a key-sized ``groupby(key).Sum`` reduce emits the counts.  Null
+    values don't count (SQL semantics); null KEYS are dropped — mirror
+    in SQL with ``WHERE key IS NOT NULL`` (a null string key would also
+    crash Ray's numpy object sort, the NB-sentinel lesson).  For
+    high-cardinality value columns prefer
+    :func:`~.sketch.grouped_approx_distinct`, whose shuffle moves
+    fixed-width registers instead of the values themselves."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..util import grouped_rename_positional
+
+    env = package_runtime_env()
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        t = t.select([key, column])
+        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
+                             pc.is_valid(t.column(column))))
+        return t.group_by([key, column]).aggregate([])
+
+    pairs = (ds.map_batches(block_distinct, batch_format="pyarrow",
+                            runtime_env=env)
+               .groupby([key, column]).aggregate(Count()))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select([key]).group_by(key).aggregate([([], "count_all")])
+        return grouped_rename_positional(g, [key], ["__d"]).select(
+            [key, "__d"])
+
+    g = (pairs.map_batches(count_partial, batch_format="pyarrow",
+                           runtime_env=env)
+              .groupby(key).aggregate(Sum("__d")))
+    return g.map_batches(
+        lambda t: pa.table({key: t.column(key),
+                            "n_distinct": t.column("sum(__d)").cast(
+                                pa.int64())}),
+        batch_format="pyarrow", runtime_env=env)

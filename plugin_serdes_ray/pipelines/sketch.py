@@ -44,6 +44,30 @@ def hll_estimate(registers: np.ndarray) -> float:
     return float(est)
 
 
+def _hll_ranks(h: np.ndarray, p: int):
+    """(register index, rank) pairs for 64-bit hashes: top ``p`` bits
+    index the register, rank = leading zeros of the rest + 1."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)      # top p bits consumed by the index
+    lz = np.full(len(h), 64 - p, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        # bit_length via float64 log2 is unsafe near 2^53; use
+        # successive halving on the uint64 view instead
+        r = rest[nz]
+        lead = np.zeros(len(r), dtype=np.uint8)
+        width = np.uint64(32)
+        while width:
+            top = r >> np.uint64(64) - width
+            zero_top = top == 0
+            lead[zero_top] += np.uint8(width)
+            r = np.where(zero_top, r << width, r)
+            width >>= np.uint64(1)
+        lz[nz] = lead
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    return idx, rank
+
+
 def approx_count_distinct(ds, column: str, p: int = 14) -> float:
     """HyperLogLog distinct count of ``column`` (relative error ~1.04/sqrt(2^p),
     ~0.8% at the default p=14).
@@ -67,25 +91,7 @@ def approx_count_distinct(ds, column: str, p: int = 14) -> float:
                 col = col.filter(valid)
             if len(col):
                 h = _content_hash64(col)
-                idx = (h >> np.uint64(64 - p)).astype(np.int64)
-                rest = h << np.uint64(p)  # top p bits consumed by the index
-                # rank = leading zeros of the remaining 64-p bits, + 1
-                lz = np.full(len(h), 64 - p, dtype=np.uint8)
-                nz = rest != 0
-                if nz.any():
-                    # bit_length via float64 log2 is unsafe near 2^53; use
-                    # successive halving on the uint64 view instead
-                    r = rest[nz]
-                    lead = np.zeros(len(r), dtype=np.uint8)
-                    width = np.uint64(32)
-                    while width:
-                        top = r >> np.uint64(64) - width
-                        zero_top = top == 0
-                        lead[zero_top] += np.uint8(width)
-                        r = np.where(zero_top, r << width, r)
-                        width >>= np.uint64(1)
-                    lz[nz] = lead
-                rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+                idx, rank = _hll_ranks(h, p)
                 np.maximum.at(regs, idx, rank)
         return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
 
@@ -95,6 +101,64 @@ def approx_count_distinct(ds, column: str, p: int = 14) -> float:
     for r in rows:
         merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def grouped_approx_distinct(ds, key: str, column: str, p: int = 12):
+    """Per-key HyperLogLog distinct counts — ``approx_count_distinct``
+    with a GROUP BY (relative error ~1.04/sqrt(2^p), ~1.6% at the default
+    p=12).  Returns a Dataset ``(key, approx_distinct)`` (float64).
+
+    Scale shape: each block groups its rows by key (one C
+    ``dictionary_encode``) and scatter-maxes EVERY key's ranks into one
+    flat ``keys_in_block × 2^p`` register bank — a single vectorized
+    ``np.maximum.at`` — then emits one ``2^p``-byte register row per key
+    per block.  The ONE ``groupby(key)`` shuffle moves those fixed-width
+    sketch rows, never values; the per-key merge is an elementwise max.
+    Null keys are dropped (documented; mirror in SQL with ``WHERE key IS
+    NOT NULL``), null values don't count (SQL ``count(DISTINCT ...)``
+    semantics)."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    from .dedup import _content_hash64
+
+    def block_registers(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, column])
+        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
+                             pc.is_valid(t.column(column))))
+        empty = pa.table({
+            key: batch.column(key).combine_chunks().slice(0, 0),
+            "__regs": pa.array([], type=pa.binary())})
+        if t.num_rows == 0:
+            return empty
+        dct = pc.dictionary_encode(t.column(key).combine_chunks())
+        codes = pc.fill_null(dct.indices, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq = dct.dictionary
+        h = _content_hash64(t.column(column).combine_chunks())
+        idx, rank = _hll_ranks(h, p)
+        regs = np.zeros(len(uniq) * m, dtype=np.uint8)
+        np.maximum.at(regs, codes * m + idx, rank)
+        return pa.table({
+            key: uniq,
+            "__regs": pa.array([regs[i * m:(i + 1) * m].tobytes()
+                                for i in range(len(uniq))],
+                               type=pa.binary())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        merged = np.zeros(m, dtype=np.uint8)
+        for b in group.column("__regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+        return pa.table({
+            key: group.column(key).slice(0, 1),
+            "approx_distinct": pa.array([hll_estimate(merged)],
+                                        type=pa.float64())})
+
+    env = package_runtime_env()
+    return (ds.map_batches(block_registers, batch_format="pyarrow",
+                           runtime_env=env)
+              .groupby(key)
+              .map_groups(merge, batch_format="pyarrow", runtime_env=env))
 
 
 class CountMinSketch:

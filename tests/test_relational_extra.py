@@ -1654,3 +1654,45 @@ def test_retention_cohorts_reference(ray_session):
     got = {(r["cohort"], r["offset"]): r["n_users"] for r in out}
     c0 = (base - dt.datetime(1970, 1, 1)).days
     assert got == {(c0, 0): 2, (c0, 1): 2, (c0, 3): 1, (c0 + 1, 0): 1}
+
+
+def test_grouped_count_distinct_and_hll(ray_session):
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_count_distinct
+    from plugin_serdes_ray.pipelines.sketch import grouped_approx_distinct
+
+    rng = np.random.RandomState(7)
+    keys, vals = [], []
+    # per-key distinct cardinalities: a=300, b=40, c=1; nulls ignored
+    for k, card, reps in [("a", 300, 3), ("b", 40, 10), ("c", 1, 50)]:
+        for i in range(card):
+            for _ in range(reps):
+                keys.append(k)
+                vals.append(f"{k}-v{i}")
+    keys += ["a", None, "a"]
+    vals += [None, "x", "a-v0"]      # null value / null key rows
+    order = rng.permutation(len(keys))
+    t = pa.table({
+        "k": pa.array([keys[i] for i in order], type=pa.string()),
+        "v": pa.array([vals[i] for i in order], type=pa.string())})
+    ds = ray.data.from_arrow(t).repartition(9)
+
+    exact = {r["k"]: r["n_distinct"]
+             for r in grouped_count_distinct(ds, "k", "v").take_all()}
+    assert exact == {"a": 300, "b": 40, "c": 1}
+
+    approx = {r["k"]: r["approx_distinct"]
+              for r in grouped_approx_distinct(ds, "k", "v",
+                                               p=12).take_all()}
+    assert set(approx) == {"a", "b", "c"}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2.0, 0.1 * n), (k, approx[k], n)
+
+    # partition-layout invariance: registers merge to the same banks
+    approx1 = {r["k"]: r["approx_distinct"]
+               for r in grouped_approx_distinct(
+                   ray.data.from_arrow(t).repartition(2), "k", "v",
+                   p=12).take_all()}
+    assert approx1 == approx
