@@ -287,10 +287,26 @@ def cmd_sketch(args) -> int:
     import ray.data
 
     _ray()
-    ds = ray.data.read_parquet(_input_files(args.input),
-                               columns=[args.column])
+    cols = [args.column] if not (args.method == "ghll" and args.key) \
+        else [args.key, args.column]
+    ds = ray.data.read_parquet(_input_files(args.input), columns=cols)
     import pyarrow as pa
 
+    if args.method == "ghll":
+        if not args.key:
+            raise SystemExit("sketch --method ghll requires --key")
+        from .pipelines.sketch import grouped_approx_distinct
+
+        out = grouped_approx_distinct(ds, args.key, args.column,
+                                      p=args.precision)
+        rows = sorted(out.take_all(), key=lambda r: str(r[args.key]))
+        t = pa.table({
+            args.key: [r[args.key] for r in rows],
+            "approx_distinct": [r["approx_distinct"] for r in rows]})
+        if args.output:
+            pq.write_table(t, args.output)
+        print(json.dumps({"column": args.column, "keys": t.num_rows}))
+        return 0
     if args.method == "hll":
         from .pipelines.sketch import approx_count_distinct
 
@@ -327,6 +343,22 @@ def cmd_sketch(args) -> int:
         pq.write_table(out, args.output)
     print(json.dumps({"column": args.column, "hitters": out.num_rows,
                       "top": out.slice(0, 5).to_pylist()}))
+    return 0
+
+
+def cmd_retention(args) -> int:
+    """Cohort retention matrix of an events table -> parquet."""
+    import ray.data
+
+    _ray()
+    ds = ray.data.read_parquet(_input_files(args.input),
+                               columns=[args.user_column, args.ts_column])
+    from .pipelines.relational import retention_cohorts
+
+    out = retention_cohorts(ds, args.user_column, args.ts_column,
+                            period_s=args.period)
+    n = _stream_to_parquet(out, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
     return 0
 
 
@@ -478,11 +510,14 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_sample)
 
     p = sub.add_parser("sketch",
-                       help="HLL / heavy hitters / quantiles / histogram")
+                       help="HLL / grouped HLL / heavy hitters / quantiles"
+                            " / histogram")
     p.add_argument("method",
-                   choices=["hll", "heavy", "quantiles", "histogram"])
+                   choices=["hll", "ghll", "heavy", "quantiles",
+                            "histogram"])
     p.add_argument("input")
     p.add_argument("--column", required=True)
+    p.add_argument("--key", help="group column (ghll)")
     p.add_argument("--precision", type=int, default=14)
     p.add_argument("--fraction", type=float, default=0.01)
     p.add_argument("--q", help="comma-separated quantiles")
@@ -491,6 +526,16 @@ def main(argv=None) -> int:
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--output")
     p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser("retention",
+                       help="cohort retention matrix of an events table")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--user-column", default="user_id")
+    p.add_argument("--ts-column", default="ts")
+    p.add_argument("--period", type=int, default=86400,
+                   help="cohort period in seconds (default 1 day)")
+    p.set_defaults(fn=cmd_retention)
 
     p = sub.add_parser("clean",
                        help="gopher filter + canonical dedup + splits")

@@ -273,3 +273,32 @@ def test_cli_weighted_sample_requires_weight(ray_session, tmp_path, sf_dir):
         main(["sample", f"{sf_dir}/documents.parquet",
               str(tmp_path / "x.parquet"), "--method", "weighted_k",
               "--id-column", "doc_id"])
+
+
+def test_cli_ghll_and_retention(ray_session, tmp_path, capsys, sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    out = str(tmp_path / "ghll.parquet")
+    assert main(["sketch", "ghll", f"{sf_dir}/documents.parquet",
+                 "--key", "lang", "--column", "text",
+                 "--precision", "12", "--output", out]) == 0
+    assert json.loads(capsys.readouterr().out)["keys"] >= 2
+    t = pq.read_table(out)
+    assert set(t.column_names) == {"lang", "approx_distinct"}
+
+    out2 = str(tmp_path / "ret.parquet")
+    assert main(["retention", f"{sf_dir}/events.parquet", out2,
+                 "--period", "86400"]) == 0
+    r = pq.read_table(out2)
+    assert json.loads(capsys.readouterr().out)["rows"] == r.num_rows
+    assert set(r.column_names) == {"cohort", "offset", "n_users"}
+    # offset-0 cells are cohort sizes: every cohort has one
+    offs = {}
+    for c, o in zip(r.column("cohort").to_pylist(),
+                    r.column("offset").to_pylist()):
+        offs.setdefault(c, set()).add(o)
+    assert all(0 in s for s in offs.values())
