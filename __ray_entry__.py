@@ -3513,7 +3513,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang IS NOT NULL GROUP BY lang
             UNION ALL
             SELECT 'ghll_' || lang, count(DISTINCT text), TRUE
-            FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+            GROUP BY lang
         """,
         "heavy_hitter_langs": """
             SELECT 'hh' AS tag, CAST(NULL AS VARCHAR) AS source, lang,

@@ -205,16 +205,31 @@ def cmd_dedup(args) -> int:
 
         out = exact_dedup(ds, args.column, args.id_column)
     elif args.method == "semdedup":
-        from .pipelines.dedup import semdedup
+        import pyarrow.compute as pc
 
-        out = semdedup(ds, threshold=args.threshold, k=args.clusters,
-                       iters=args.iters, vector_column=args.column,
-                       id_column=args.id_column)
+        from .pipelines.dedup import semdedup
+        from .pipelines.relational import semi_join
+        from .util import package_runtime_env
+
+        # same contract as exact/minhash: OUTPUT IS THE DEDUPED CORPUS.
+        # semdedup() itself returns a per-row keep/dup_of annotation, so
+        # filter to kept ids and semi-join the original rows back (keys
+        # only shuffle). Threshold default is the library's 0.95, NOT
+        # minhash's looser 0.7.
+        thr = 0.95 if args.threshold is None else args.threshold
+        flags = semdedup(ds, threshold=thr, k=args.clusters,
+                         iters=args.iters, vector_column=args.column,
+                         id_column=args.id_column)
+        kept = flags.map_batches(
+            lambda t: t.filter(t.column("keep")).select([args.id_column]),
+            batch_format="pyarrow", runtime_env=package_runtime_env())
+        out = semi_join(ds, kept, args.id_column)
     else:
         from .pipelines.dedup import minhash_lsh_dedup
 
+        thr = 0.7 if args.threshold is None else args.threshold
         out = minhash_lsh_dedup(ds, args.column, args.id_column,
-                                threshold=args.threshold)
+                                threshold=thr)
     n = _stream_to_parquet(out, args.output)
     print(json.dumps({"rows": n, "out": args.output}))
     return 0
@@ -286,15 +301,17 @@ def cmd_sketch(args) -> int:
 
     import ray.data
 
+    if args.method == "ghll" and not args.key:
+        # fail BEFORE paying Ray startup + the parquet metadata read,
+        # and with the syntax the parser actually accepts
+        raise SystemExit("sketch ghll requires --key (the group column)")
     _ray()
-    cols = [args.column] if not (args.method == "ghll" and args.key) \
-        else [args.key, args.column]
+    cols = [args.key, args.column] if args.method == "ghll" \
+        else [args.column]
     ds = ray.data.read_parquet(_input_files(args.input), columns=cols)
     import pyarrow as pa
 
     if args.method == "ghll":
-        if not args.key:
-            raise SystemExit("sketch --method ghll requires --key")
         from .pipelines.sketch import grouped_approx_distinct
 
         out = grouped_approx_distinct(ds, args.key, args.column,
@@ -485,7 +502,9 @@ def main(argv=None) -> int:
                    help="text column (exact/minhash) or embedding "
                         "column (semdedup)")
     p.add_argument("--id-column", default="doc_id")
-    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="similarity threshold (default: 0.7 minhash, "
+                        "0.95 semdedup cosine)")
     p.add_argument("--clusters", type=int, default=64,
                    help="semdedup: k-means cluster count")
     p.add_argument("--iters", type=int, default=0,

@@ -54,6 +54,12 @@ def _polars_available() -> bool:
                 last_err = None
                 break
             except AttributeError as e:  # pragma: no cover - import race
+                # only the lazy-import race is retryable (its message names
+                # a polars module, e.g. "module 'polars._reexport' has no
+                # attribute 'Series'"); any other AttributeError is a real
+                # bug and must not burn 100 x 0.05 s per block masking it
+                if "polars" not in str(e):
+                    raise
                 last_err = e
                 time.sleep(0.05)
         if last_err is not None:  # pragma: no cover
@@ -89,6 +95,8 @@ def _content_hash64(arr: pa.Array) -> np.ndarray:
                 s = pl.from_arrow(a)
                 return s.hash(seed=0).to_numpy().astype(np.uint64)
             except AttributeError as e:  # pragma: no cover - import race
+                if "polars" not in str(e):  # real bug, not the import race
+                    raise
                 last_err = e
                 time.sleep(0.05)
         raise RuntimeError(

@@ -2688,7 +2688,11 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
     of a cohort's users are active again ``offset`` periods later.
     Returns a Dataset ``(cohort, offset, n_users)`` where ``cohort`` is
     the epoch period index of first activity and ``offset >= 0`` (offset
-    0 row = cohort size).  Null users/timestamps are ignored.
+    0 row = cohort size).  Null users/timestamps are ignored.  Any input
+    timestamp unit is normalized to microseconds first (the sessionize /
+    funnel convention); PRE-EPOCH timestamps are rejected loudly — the
+    SQL twin's ``//`` truncates toward zero while this floor-divides, so
+    negative epochs would silently bucket differently.
 
     Scale shape: events collapse per block to DISTINCT ``(user, period)``
     pairs (a C ``group_by``, so a user's many events in one period never
@@ -2709,8 +2713,16 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
         t = batch.select([user_col, ts_col]).filter(
             pc.and_(pc.is_valid(batch.column(user_col)),
                     pc.is_valid(batch.column(ts_col))))
-        us = t.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+        # normalize to us FIRST: a raw int64 cast of timestamp[ns/ms/s]
+        # would bucket 1000x off (the sessionize/funnel convention)
+        us = t.column(ts_col).combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
+        if len(us) and us.min() < 0:
+            raise ValueError(
+                "retention_cohorts: pre-epoch timestamps are not "
+                "supported (floor vs truncate bucketing would diverge "
+                "from the SQL twin)")
         per = np.floor_divide(us, scale)
         return pa.table({user_col: t.column(user_col),
                          "__per": pa.array(per)}) \
@@ -2756,7 +2768,11 @@ def grouped_count_distinct(ds, key: str, column: str):
     and a key-sized ``groupby(key).Sum`` reduce emits the counts.  Null
     values don't count (SQL semantics); null KEYS are dropped — mirror
     in SQL with ``WHERE key IS NOT NULL`` (a null string key would also
-    crash Ray's numpy object sort, the NB-sentinel lesson).  For
+    crash Ray's numpy object sort, the NB-sentinel lesson).  One
+    documented divergence from SQL: a key whose values are ALL null
+    produces NO output row (SQL's GROUP BY would emit ``(key, 0)``) —
+    null values never enter the shuffle, so such keys are invisible;
+    mirror with ``AND column IS NOT NULL`` in the WHERE.  For
     high-cardinality value columns prefer
     :func:`~.sketch.grouped_approx_distinct`, whose shuffle moves
     fixed-width registers instead of the values themselves."""

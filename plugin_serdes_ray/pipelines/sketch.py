@@ -116,7 +116,9 @@ def grouped_approx_distinct(ds, key: str, column: str, p: int = 12):
     sketch rows, never values; the per-key merge is an elementwise max.
     Null keys are dropped (documented; mirror in SQL with ``WHERE key IS
     NOT NULL``), null values don't count (SQL ``count(DISTINCT ...)``
-    semantics)."""
+    semantics).  Like :func:`~.relational.grouped_count_distinct`, a key
+    whose values are ALL null produces NO output row (SQL would emit
+    ``(key, 0)``) — mirror with ``AND column IS NOT NULL``."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
     m = 1 << p

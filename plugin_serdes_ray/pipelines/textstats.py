@@ -696,6 +696,25 @@ def contamination_overlap(corpus, bench, column: str = "text",
                                runtime_env=env)
 
 
+def _ws_split(t: pa.Table, column: str) -> pa.Array:
+    """Whitespace tokenization of a block's text column (nulls -> "") —
+    THE tokenization contract the vocab SQL oracles mirror
+    character-for-character.  Exactly one copy so :func:`vocab_top_k`
+    and :func:`vocab_top_p` can never silently desynchronize (e.g. a
+    future RE2 ``\\s``-class pin must land in both at once)."""
+    col = pc.fill_null(t.column(column).combine_chunks(), "")
+    return pc.split_pattern_regex(col, r"\s+")
+
+
+def _token_counts(flat: pa.Array) -> pa.Table:
+    """(token, cnt) counts of a flat token array, empty tokens dropped —
+    the shared combiner row shape of the vocab family."""
+    vc = pc.value_counts(flat)
+    out = pa.table({"token": vc.field("values"),
+                    "cnt": vc.field("counts").cast(pa.int64())})
+    return out.filter(pc.not_equal(out.column("token"), ""))
+
+
 def vocab_top_k(ds, column: str = "text", k: int = 20,
                 document_frequency: bool = False) -> pa.Table:
     """Corpus vocabulary statistics: the k most frequent whitespace tokens
@@ -713,20 +732,16 @@ def vocab_top_k(ds, column: str = "text", k: int = 20,
     from ..util import package_runtime_env
 
     def partial(t: pa.Table) -> pa.Table:
-        col = pc.fill_null(t.column(column).combine_chunks(), "")
-        toks_l = pc.split_pattern_regex(col, r"\s+")
+        toks_l = _ws_split(t, column)
         flat = pc.list_flatten(toks_l)
         if document_frequency:
             lens = pc.list_value_length(toks_l).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            row_of = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+            row_of = np.repeat(np.arange(len(toks_l), dtype=np.int64), lens)
             d = pa.table({"r": pa.array(row_of), "token": flat}) \
                 .group_by(["r", "token"]).aggregate([])
             flat = d.column("token").combine_chunks()
-        vc = pc.value_counts(flat)
-        out = pa.table({"token": vc.field("values"),
-                        "cnt": vc.field("counts").cast(pa.int64())})
-        return out.filter(pc.not_equal(out.column("token"), ""))
+        return _token_counts(flat)
 
     def local_topk(t: pa.Table) -> pa.Table:
         t = t.rename_columns(["token", "cnt"])
@@ -774,12 +789,7 @@ def vocab_top_p(ds, column: str = "text", p: float = 0.9):
     env = package_runtime_env()
 
     def partial(t: pa.Table) -> pa.Table:
-        col = pc.fill_null(t.column(column).combine_chunks(), "")
-        flat = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
-        vc = pc.value_counts(flat)
-        out = pa.table({"token": vc.field("values"),
-                        "cnt": vc.field("counts").cast(pa.int64())})
-        return out.filter(pc.not_equal(out.column("token"), ""))
+        return _token_counts(pc.list_flatten(_ws_split(t, column)))
 
     counts = (ds.select_columns([column])
                 .map_batches(partial, batch_format="pyarrow",

@@ -256,12 +256,23 @@ def test_cli_weighted_sample_and_semdedup(ray_session, tmp_path, capsys,
                  "--threshold", "0.4", "--clusters", "8"]) == 0
     t = pq.read_table(out2)
     assert json.loads(capsys.readouterr().out)["rows"] == t.num_rows
-    assert {"vec_id", "cluster", "keep", "dup_of"} <= set(t.column_names)
-    # every input row present, dup_of set exactly on dropped rows
-    assert t.num_rows == pq.read_table(emb).num_rows
-    keep = t.column("keep").to_pylist()
-    dup = t.column("dup_of").to_pylist()
-    assert all((d is None) == k for k, d in zip(keep, dup))
+    src_t = pq.read_table(emb)
+    # SAME contract as exact/minhash: the output is the deduped CORPUS
+    # (full original rows, kept ids only), never a keep-flag annotation
+    assert set(t.column_names) == set(src_t.column_names)
+    assert 0 < t.num_rows < src_t.num_rows   # 0.4 cosine drops plenty
+    ids = t.column("vec_id").to_pylist()
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= set(src_t.column("vec_id").to_pylist())
+
+    # threshold default is semdedup's 0.95, not minhash's 0.7: at 0.95
+    # a second run must keep at least as many rows as the 0.4 run
+    out3 = str(tmp_path / "sd95.parquet")
+    assert main(["dedup", emb, out3, "--method", "semdedup",
+                 "--column", "embedding", "--id-column", "vec_id",
+                 "--clusters", "8"]) == 0
+    capsys.readouterr()
+    assert pq.read_table(out3).num_rows >= t.num_rows
 
 
 def test_cli_weighted_sample_requires_weight(ray_session, tmp_path, sf_dir):

@@ -1655,6 +1655,24 @@ def test_retention_cohorts_reference(ray_session):
     c0 = (base - dt.datetime(1970, 1, 1)).days
     assert got == {(c0, 0): 2, (c0, 1): 2, (c0, 3): 1, (c0 + 1, 0): 1}
 
+    # unit-invariance: timestamp[ns] (the pandas/pyarrow writer default)
+    # must bucket identically to timestamp[us], not 1000x off
+    t_ns = t.set_column(1, "ts", t.column("ts").cast(pa.timestamp("ns")))
+    out_ns = retention_cohorts(
+        ray.data.from_arrow(t_ns).repartition(3)).take_all()
+    assert {(r["cohort"], r["offset"]): r["n_users"]
+            for r in out_ns} == got
+
+    # pre-epoch timestamps are rejected loudly (floor vs the SQL twin's
+    # truncate-toward-zero would silently bucket them differently)
+    import pytest
+    t_pre = pa.table({
+        "user_id": pa.array([1], type=pa.int64()),
+        "ts": pa.array([dt.datetime(1969, 12, 31, 12)],
+                       type=pa.timestamp("us"))})
+    with pytest.raises(Exception, match="pre-epoch"):
+        retention_cohorts(ray.data.from_arrow(t_pre)).take_all()
+
 
 def test_grouped_count_distinct_and_hll(ray_session):
     import numpy as np
@@ -1671,8 +1689,10 @@ def test_grouped_count_distinct_and_hll(ray_session):
             for _ in range(reps):
                 keys.append(k)
                 vals.append(f"{k}-v{i}")
-    keys += ["a", None, "a"]
-    vals += [None, "x", "a-v0"]      # null value / null key rows
+    keys += ["a", None, "a", "z", "z"]
+    vals += [None, "x", "a-v0", None, None]  # null value / null key rows;
+    # key "z" has ONLY null values -> documented: emits NO row (SQL
+    # would emit (z, 0); oracles mirror with AND col IS NOT NULL)
     order = rng.permutation(len(keys))
     t = pa.table({
         "k": pa.array([keys[i] for i in order], type=pa.string()),
