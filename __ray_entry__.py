@@ -781,6 +781,30 @@ def _events_hourly(sf_dir: str):
     })
 
 
+def _resample_events(sf_dir: str):
+    """Gap-free per-key time grid: 15-minute buckets per event_type, count +
+    forward-filled sum(value) (relational.resample_timeseries, fill='ffill');
+    the SQL twin densifies with unnest(generate_series) + LEFT JOIN +
+    last_value(... IGNORE NULLS)."""
+    from plugin_serdes_ray.pipelines.relational import resample_timeseries
+
+    ds = _read(sf_dir, "events")
+    rows = resample_timeseries(ds, "event_type", "ts", every="15m",
+                               sum_cols=["value"], fill="ffill").take_all()
+    return pa.table({
+        "event_type": [r["event_type"] for r in rows],
+        "bucket_start": pa.array([r["bucket_start"] for r in rows],
+                                 type=pa.timestamp("us")),
+        # round on BOTH sides (9 decimals): block-partial + shuffle Sum
+        # addition order differs from DuckDB's single-pass sum in the
+        # last ulp (the agg-query convention)
+        "sum_value": pa.array(
+            [None if r["sum_value"] is None else round(r["sum_value"], 9)
+             for r in rows], type=pa.float64()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
 def _hash_join_orders(sf_dir: str):
     """Big-big join path: one keyed shuffle, no broadcast — row-level output
     so the oracle hash checks the actual join, not just aggregates."""
@@ -2911,6 +2935,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": _events_in_sessions,
         "events_hourly": _events_hourly,
         "events_sliding_30m": _events_sliding,
+        # gap-free resample grid (family: tumbling windows / events_hourly
+        # in spirit; densify + ffill is the new surface)
+        "resample_events_15m": _resample_events,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3437,6 +3464,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "resample_events_15m": """
+            WITH agg AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 900000000) * 900000000 AS b,
+                       sum(value) AS sv, count(*) AS cnt
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2),
+            dense AS (
+                SELECT event_type,
+                       unnest(generate_series(min(b), max(b),
+                                              900000000)) AS b
+                FROM agg GROUP BY event_type),
+            joined AS (
+                SELECT d.event_type, d.b, a.sv,
+                       coalesce(a.cnt, 0) AS n
+                FROM dense d LEFT JOIN agg a
+                  ON d.event_type = a.event_type AND d.b = a.b)
+            SELECT event_type, make_timestamp(b) AS bucket_start,
+                   round(last_value(sv IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b), 9) AS sum_value,
+                   n
+            FROM joined
         """,
         "hash_join_orders_customer": """
             SELECT o.o_orderkey, c.c_mktsegment

@@ -379,6 +379,25 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_resample(args) -> int:
+    """Gap-free per-key time grid (bucket aggregate + densify + fill)."""
+    import ray.data
+
+    _ray()
+    sums = [c for c in (args.sum or "").split(",") if c]
+    ds = ray.data.read_parquet(
+        _input_files(args.input),
+        columns=[args.key_column, args.ts_column, *sums])
+    from .pipelines.relational import resample_timeseries
+
+    out = resample_timeseries(ds, args.key_column, args.ts_column,
+                              every=args.every, sum_cols=sums,
+                              fill=args.fill)
+    n = _stream_to_parquet(out, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Turnkey web-corpus cleaning (gopher filter -> canonical exact
     dedup -> split assignment) -> parquet."""
@@ -555,6 +574,20 @@ def main(argv=None) -> int:
     p.add_argument("--period", type=int, default=86400,
                    help="cohort period in seconds (default 1 day)")
     p.set_defaults(fn=cmd_retention)
+
+    p = sub.add_parser("resample",
+                       help="gap-free time-bucket grid per key")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--key-column", default="event_type")
+    p.add_argument("--ts-column", default="ts")
+    p.add_argument("--every", default="1h",
+                   help="bucket width, e.g. 15m / 1h / 1d")
+    p.add_argument("--sum", default="",
+                   help="comma-separated numeric columns to sum")
+    p.add_argument("--fill", default="null",
+                   choices=["null", "zero", "ffill"])
+    p.set_defaults(fn=cmd_resample)
 
     p = sub.add_parser("clean",
                        help="gopher filter + canonical dedup + splits")

@@ -2805,3 +2805,117 @@ def grouped_count_distinct(ds, key: str, column: str):
                             "n_distinct": t.column("sum(__d)").cast(
                                 pa.int64())}),
         batch_format="pyarrow", runtime_env=env)
+
+
+def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
+                        sum_cols: Sequence[str] = (), fill: str = "null",
+                        count_name: str = "n"):
+    """Time-series resample: bucket event time into fixed ``every``-wide
+    intervals, aggregate per ``(key, bucket)``, then DENSIFY each key's
+    series from its first to its last active bucket so downstream
+    consumers (charting, anomaly scoring, training-curve alignment) see a
+    gap-free grid.  The SQL twin is ``GROUP BY key, bucket`` +
+    ``unnest(generate_series(min, max, every))`` + ``LEFT JOIN`` +
+    (for ``fill='ffill'``) ``last_value(x IGNORE NULLS) OVER (PARTITION
+    BY key ORDER BY bucket)``.
+
+    Output columns: ``(key, bucket_start timestamp[us], sum_<c>...,
+    count_name int64)``.  Gap buckets get count 0 and sums per ``fill``:
+
+    - ``'null'``  — SQL LEFT-JOIN semantics (sum is NULL in a gap);
+    - ``'zero'``  — gaps read as 0 (sums keep their input-sum dtype);
+    - ``'ffill'`` — last NON-NULL sum carries forward (exactly DuckDB's
+      ``last_value(... IGNORE NULLS)``: an active bucket whose values
+      were all null is carried over too, in both systems).
+
+    Rows with a null key or null timestamp are dropped (mirror in SQL
+    with ``WHERE key IS NOT NULL AND ts IS NOT NULL``); pre-epoch
+    timestamps are rejected loudly (floor-vs-truncate bucketing would
+    silently diverge from the SQL twin — the retention_cohorts rule).
+
+    Scale shape: one C ``group_by`` per block collapses raw events to
+    ``(key, bucket)`` partials BEFORE the only row-weight shuffle
+    (``groupby([key, bucket]).Sum``), then a ``groupby(key).map_groups``
+    over the already-bucket-sized aggregate densifies with one
+    ``np.arange`` + scatter per key — raw events never reach the second
+    shuffle.  Per-key output is ``(span / every)`` rows emitted from one
+    map_groups call: pick ``every`` so the densified series for one key
+    fits a block (a year of '1m' buckets is ~526k rows — fine; don't ask
+    for '1s' buckets over a decade per key).
+    """
+    if fill not in ("null", "zero", "ffill"):
+        raise ValueError(f"resample_timeseries: unknown fill {fill!r}")
+    from ray.data.aggregate import Sum
+
+    from ..util import grouped_rename_positional
+
+    env = package_runtime_env()
+    span = duration_us(every) if isinstance(every, str) else int(every)
+    sum_cols = list(sum_cols)
+    if key.startswith("__") or any(c.startswith("__") for c in sum_cols):
+        raise ValueError("resample_timeseries: '__'-prefixed names "
+                         "collide with internal partial columns")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, ts_col, *sum_cols]).filter(
+            pc.and_(pc.is_valid(batch.column(key)),
+                    pc.is_valid(batch.column(ts_col))))
+        us = t.column(ts_col).combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(us) and us.min() < 0:
+            raise ValueError("resample_timeseries: pre-epoch timestamps "
+                             "are not supported")
+        b = (us // span) * span
+        t = pa.table({key: t.column(key), "__b": pa.array(b),
+                      **{c: t.column(c) for c in sum_cols}})
+        g = t.group_by([key, "__b"]).aggregate(
+            [(c, "sum") for c in sum_cols] + [([], "count_all")])
+        return grouped_rename_positional(
+            g, [key, "__b"], [f"__s_{c}" for c in sum_cols] + ["__cnt"])
+
+    def densify(group: pa.Table) -> pa.Table:
+        group = group.sort_by("__b")
+        b = group.column("__b").to_numpy(zero_copy_only=False)
+        lo, hi = int(b[0]), int(b[-1])
+        m = (hi - lo) // span + 1
+        idx = (b - lo) // span
+        cols = {key: group.column(key).take(
+            pa.array(np.zeros(m, dtype=np.int64))),
+            "bucket_start": pa.array(
+                lo + span * np.arange(m, dtype=np.int64)).cast(
+                pa.timestamp("us"))}
+        for c in sum_cols:
+            s = group.column(f"sum(__s_{c})").combine_chunks()
+            src_valid = pc.is_valid(s).to_numpy(zero_copy_only=False)
+            sv = s.to_numpy(zero_copy_only=False)
+            out = np.zeros(m, dtype=sv.dtype if sv.dtype.kind != "O"
+                           else np.float64)
+            valid = np.zeros(m, dtype=bool)
+            out[idx] = np.where(src_valid, sv, 0)
+            valid[idx] = src_valid
+            if fill == "ffill":
+                pos = np.where(valid, np.arange(m), -1)
+                pos = np.maximum.accumulate(pos)
+                hit = pos >= 0
+                out = out[np.maximum(pos, 0)]
+                valid = hit
+            if fill == "zero":
+                arr = pa.array(out, type=s.type)
+            else:
+                arr = pa.array(out, type=s.type,
+                               mask=~valid)
+            cols[f"sum_{c}"] = arr
+        n = np.zeros(m, dtype=np.int64)
+        n[idx] = group.column("sum(__cnt)").to_numpy(
+            zero_copy_only=False)
+        cols[count_name] = pa.array(n)
+        return pa.table(cols)
+
+    aggs = [Sum(f"__s_{c}") for c in sum_cols] + [Sum("__cnt")]
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           runtime_env=env)
+              .groupby([key, "__b"]).aggregate(*aggs)
+              .groupby(key)
+              .map_groups(densify, batch_format="pyarrow",
+                          runtime_env=env))

@@ -313,3 +313,26 @@ def test_cli_ghll_and_retention(ray_session, tmp_path, capsys, sf_dir):
                     r.column("offset").to_pylist()):
         offs.setdefault(c, set()).add(o)
     assert all(0 in s for s in offs.values())
+
+
+def test_cli_resample(ray_session, tmp_path, sf_dir):
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    out = str(tmp_path / "grid.parquet")
+    assert main(["resample", f"{sf_dir}/events.parquet", out,
+                 "--every", "1d", "--sum", "value",
+                 "--fill", "zero"]) == 0
+    t = pq.read_table(out)
+    assert set(t.column_names) == {"event_type", "bucket_start",
+                                   "sum_value", "n"}
+    # dense grid: every key covers a contiguous daily range, counts sum
+    # to the non-null event rows
+    src = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts"])
+    import pyarrow.compute as pc
+    live = src.filter(pc.and_(pc.is_valid(src.column("event_type")),
+                              pc.is_valid(src.column("ts"))))
+    assert sum(t.column("n").to_pylist()) == live.num_rows
+    assert t.column("sum_value").null_count == 0  # fill=zero

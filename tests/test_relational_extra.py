@@ -1716,3 +1716,62 @@ def test_grouped_count_distinct_and_hll(ray_session):
                    ray.data.from_arrow(t).repartition(2), "k", "v",
                    p=12).take_all()}
     assert approx1 == approx
+
+
+def test_resample_timeseries_fill_modes(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import resample_timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda m: base + dt.timedelta(minutes=m)
+    # key 'a': buckets 0 and 3 active (1,2 are gaps); bucket 3's values
+    # are ALL NULL (sum must be NULL, not 0, and ffill must carry bucket
+    # 0's sum over it in both systems). key 'b': single bucket.
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "a", "b", None, "a"]),
+        "ts": pa.array([mk(0), mk(5), mk(45), mk(47), mk(20), mk(0), None],
+                       type=pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, None, None, 7.5, 9.9, 4.0],
+                      type=pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    def run(fill):
+        out = resample_timeseries(ds, "k", "ts", every="15m",
+                                  sum_cols=["v"], fill=fill).take_all()
+        return {(r["k"], r["bucket_start"]): (r["sum_v"], r["n"])
+                for r in out}
+
+    got = run("null")
+    assert got == {
+        ("a", mk(0)): (3.0, 2), ("a", mk(15)): (None, 0),
+        ("a", mk(30)): (None, 0), ("a", mk(45)): (None, 2),
+        ("b", mk(15)): (7.5, 1)}
+    assert run("zero")[("a", mk(15))] == (0.0, 0)
+    assert run("zero")[("a", mk(45))] == (0.0, 2)
+    ff = run("ffill")
+    # gaps AND the all-null active bucket carry the last non-null sum
+    assert ff[("a", mk(15))] == (3.0, 0)
+    assert ff[("a", mk(45))] == (3.0, 2)
+
+    # integer sums keep an integer dtype through the dense grid
+    t2 = pa.table({"k": ["x", "x"],
+                   "ts": pa.array([mk(0), mk(31)], type=pa.timestamp("us")),
+                   "c": pa.array([5, 7], type=pa.int64())})
+    out2 = resample_timeseries(ray.data.from_arrow(t2), "k", "ts",
+                               every="15m", sum_cols=["c"],
+                               fill="zero").take_all()
+    vals = {r["bucket_start"]: r["sum_c"] for r in out2}
+    assert vals == {mk(0): 5, mk(15): 0, mk(30): 7}
+    assert all(isinstance(v, int) for v in vals.values())
+
+    import pytest
+    t_pre = pa.table({"k": ["a"],
+                      "ts": pa.array([dt.datetime(1969, 6, 1)],
+                                     type=pa.timestamp("us")),
+                      "v": [1.0]})
+    with pytest.raises(Exception, match="pre-epoch"):
+        resample_timeseries(ray.data.from_arrow(t_pre), "k", "ts",
+                            sum_cols=["v"]).take_all()
