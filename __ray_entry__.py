@@ -781,6 +781,32 @@ def _events_hourly(sf_dir: str):
     })
 
 
+def _importance_weights_documents(sf_dir: str):
+    """DSIR-style selection scores: target LM = en documents' top-200
+    whitespace tokens, source LM = the whole corpus over the same
+    vocabulary; per-doc summed log ratio (textstats.importance_weights).
+    The SQL twin recomputes both add-1 unigram LMs and the per-doc join;
+    log_ratio rounded to 9 decimals on both sides (np.log vs ln last-ulp
+    + join-order addition, the unigram-query convention)."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.textstats import importance_weights
+
+    docs = _read(sf_dir, "documents")
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow", runtime_env=_env())
+    rows = importance_weights(docs, target, vocab_k=200).take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_vocab": pa.array([r["n_vocab"] for r in rows],
+                            type=pa.int64()),
+        "log_ratio": pa.array(
+            [None if r["log_ratio"] is None else round(r["log_ratio"], 9)
+             for r in rows], type=pa.float64()),
+    })
+
+
 def _resample_events(sf_dir: str):
     """Gap-free per-key time grid: 15-minute buckets per event_type, count +
     forward-filled sum(value) (relational.resample_timeseries, fill='ffill');
@@ -2938,6 +2964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gap-free resample grid (family: tumbling windows / events_hourly
         # in spirit; densify + ffill is the new surface)
         "resample_events_15m": _resample_events,
+        # DSIR-style target-vs-source selection scores (family: unigram /
+        # model_scores — same LM machinery, new ratio estimator)
+        "importance_weights_documents": _importance_weights_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3464,6 +3493,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "importance_weights_documents": r"""
+            WITH tok_t AS (
+                SELECT unnest(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+')) AS token
+                FROM documents WHERE lang = 'en'),
+            vt AS (
+                SELECT token, count(*)::DOUBLE AS cnt FROM tok_t
+                WHERE token <> '' GROUP BY token
+                ORDER BY count(*) DESC, token LIMIT 200),
+            tok_s AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+')) AS token
+                FROM documents),
+            vs AS (
+                SELECT token, count(*)::DOUBLE AS cnt FROM tok_s
+                WHERE token IN (SELECT token FROM vt) GROUP BY token),
+            c AS (SELECT (SELECT sum(cnt) FROM vt) AS nt,
+                         (SELECT coalesce(sum(cnt), 0) FROM vs) AS ns,
+                         (SELECT count(*)::DOUBLE FROM vt) AS v),
+            lr AS (
+                SELECT vt.token,
+                       ln((vt.cnt + 1.0) / (c.nt + c.v))
+                     - ln((coalesce(vs.cnt, 0) + 1.0) / (c.ns + c.v)) AS lr
+                FROM vt LEFT JOIN vs USING (token), c),
+            per AS (
+                SELECT s.doc_id, count(*)::BIGINT AS nv, sum(lr.lr) AS s
+                FROM tok_s s JOIN lr ON s.token = lr.token GROUP BY 1)
+            SELECT d.doc_id, coalesce(p.nv, 0) AS n_vocab,
+                   round(p.s, 9) AS log_ratio
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "resample_events_15m": """
             WITH agg AS (

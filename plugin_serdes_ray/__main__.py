@@ -398,6 +398,26 @@ def cmd_resample(args) -> int:
     return 0
 
 
+def cmd_dsir(args) -> int:
+    """DSIR-style importance weights of a source corpus vs a target."""
+    import ray.data
+
+    _ray()
+    from .pipelines.textstats import importance_weights
+
+    src = ray.data.read_parquet(
+        _input_files(args.input),
+        columns=[args.id_column, args.column])
+    target = ray.data.read_parquet(_input_files(args.target),
+                                   columns=[args.column])
+    out = importance_weights(src, target, column=args.column,
+                             id_column=args.id_column,
+                             vocab_k=args.vocab_k, smooth=args.smooth)
+    n = _stream_to_parquet(out, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Turnkey web-corpus cleaning (gopher filter -> canonical exact
     dedup -> split assignment) -> parquet."""
@@ -574,6 +594,17 @@ def main(argv=None) -> int:
     p.add_argument("--period", type=int, default=86400,
                    help="cohort period in seconds (default 1 day)")
     p.set_defaults(fn=cmd_retention)
+
+    p = sub.add_parser("dsir",
+                       help="importance weights vs a target corpus")
+    p.add_argument("input")
+    p.add_argument("target")
+    p.add_argument("output")
+    p.add_argument("--column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--vocab-k", type=int, default=1000)
+    p.add_argument("--smooth", type=float, default=1.0)
+    p.set_defaults(fn=cmd_dsir)
 
     p = sub.add_parser("resample",
                        help="gap-free time-bucket grid per key")

@@ -1157,3 +1157,92 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
     scored = joined.map_batches(score, batch_format="pyarrow",
                                 runtime_env=env)
     return grouped_top_k(scored, id_column, "score", k=k, tiebreak="token")
+
+
+def importance_weights(ds, target, column: str = "text",
+                       id_column: str = "doc_id", vocab_k: int = 1000,
+                       smooth: float = 1.0):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS): score every
+    SOURCE document by the log-likelihood ratio of a target-domain unigram
+    LM against the source-corpus unigram LM over a shared vocabulary, so
+    downstream selection (:func:`~.relational.weighted_sample_k`, or a
+    plain threshold) can resample the source toward the target
+    distribution.  The paper buckets hashed n-grams; this uses the
+    corpus's own top-``vocab_k`` whitespace tokens (the
+    :func:`vocab_top_k` contract, so the SQL twin is exact) — same
+    estimator, explicit features.
+
+    Both LMs are add-``smooth`` estimates over the SHARED vocabulary
+    (target's top-k by tf, ties ``count DESC, token ASC``): ``p(w) =
+    (cnt(w) + smooth) / (total_vocab_cnt + smooth * |V|)``.
+    Out-of-vocabulary tokens are ignored on both sides. Returns a Dataset
+    ``(id_column, n_vocab int64, log_ratio float64)`` where ``n_vocab``
+    counts vocabulary-token OCCURRENCES in the document and ``log_ratio``
+    is their summed per-token ratio (NULL when the document has no
+    vocabulary tokens — mirror with a LEFT JOIN in SQL).
+
+    100 TB shape: the two LM estimates are vocabulary-sized — target
+    counts via :func:`vocab_top_k` (combiner shuffle + O(k·blocks) driver
+    merge), source counts via ONE (token, partial-count) Sum shuffle
+    pre-filtered to the k vocabulary tokens per block — and ship to every
+    scorer ONCE via ``ray.put``.  Scoring is then a single MAP-ONLY pass:
+    tokenize, ``pc.index_in`` against the broadcast vocabulary, one
+    ``np.bincount`` per block; raw text and per-doc postings never
+    shuffle at all.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import package_runtime_env
+
+    env = package_runtime_env()
+    vt = vocab_top_k(target, column=column, k=vocab_k)
+    vocab = vt.column("token").combine_chunks()
+    t_cnt = vt.column("cnt").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    v = len(vocab)
+    if v == 0:
+        raise ValueError("importance_weights: target corpus has no tokens")
+    vocab_ref = ray.put(vocab)
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        c = _token_counts(pc.list_flatten(_ws_split(t, column)))
+        return c.filter(pc.is_in(c.column("token"),
+                                 value_set=ray.get(vocab_ref)))
+
+    src_rows = (ds.select_columns([column])
+                  .map_batches(src_partial, batch_format="pyarrow",
+                               runtime_env=env)
+                  .groupby("token").aggregate(Sum("cnt"))
+                  .take_all())                      # <= vocab_k rows
+    s_map = {r["token"]: r["sum(cnt)"] for r in src_rows}
+    s_cnt = np.array([s_map.get(tok.as_py(), 0) for tok in vocab],
+                     dtype=np.float64)
+    # add-smooth over the shared vocabulary (totals are vocab-restricted
+    # on BOTH sides so each is a proper distribution over V)
+    lr = (np.log((t_cnt + smooth) / (t_cnt.sum() + smooth * v))
+          - np.log((s_cnt + smooth) / (s_cnt.sum() + smooth * v)))
+    lr_ref = ray.put(lr)
+
+    def score(t: pa.Table) -> pa.Table:
+        toks_l = _ws_split(t, column)
+        flat = pc.list_flatten(toks_l)
+        lens = pc.list_value_length(toks_l).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(toks_l), dtype=np.int64), lens)
+        idx = pc.fill_null(
+            pc.index_in(flat, value_set=ray.get(vocab_ref)),
+            -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = idx >= 0
+        w = ray.get(lr_ref)
+        m = t.num_rows
+        n_vocab = np.bincount(row_of[ok], minlength=m).astype(np.int64)
+        s = np.bincount(row_of[ok], weights=w[idx[ok]], minlength=m)
+        return pa.table({
+            id_column: t.column(id_column),
+            "n_vocab": pa.array(n_vocab),
+            "log_ratio": pa.array(s, mask=n_vocab == 0)})
+
+    return ds.select_columns([id_column, column]).map_batches(
+        score, batch_format="pyarrow", runtime_env=env)

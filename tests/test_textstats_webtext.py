@@ -521,3 +521,32 @@ def test_vocab_top_p_empty_corpus(ray_session):
     ds = ray.data.from_arrow(pa.table({"text": pa.array(
         [None, ""], type=pa.string())}))
     assert vocab_top_p(ds, p=0.9).take_all() == []
+
+
+def test_importance_weights_reference(ray_session):
+    import math
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import importance_weights
+
+    # target favors 'cat'; source favors 'dog'. vocab_k=2 -> V={cat,dog}
+    # (target tf: cat 3, dog 1; 'bird' never makes the vocabulary).
+    target = ray.data.from_arrow(pa.table({
+        "doc_id": [100, 101],
+        "text": ["cat cat", "cat dog"]}))
+    src = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["dog dog cat", "bird bird", None, "cat"]})
+    out = importance_weights(
+        ray.data.from_arrow(src).repartition(2), target,
+        vocab_k=2).take_all()
+    got = {r["doc_id"]: (r["n_vocab"], r["log_ratio"]) for r in out}
+    # source vocab counts: dog 2, cat 2 (doc2/3 contribute nothing)
+    pt = {"cat": (3 + 1) / (4 + 2), "dog": (1 + 1) / (4 + 2)}
+    ps = {"cat": (2 + 1) / (4 + 2), "dog": (2 + 1) / (4 + 2)}
+    lr = {w: math.log(pt[w]) - math.log(ps[w]) for w in pt}
+    assert got[2] == (0, None) and got[3] == (0, None)
+    assert got[4][0] == 1 and abs(got[4][1] - lr["cat"]) < 1e-12
+    assert got[1][0] == 3
+    assert abs(got[1][1] - (2 * lr["dog"] + lr["cat"])) < 1e-12
