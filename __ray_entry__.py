@@ -1671,14 +1671,17 @@ def _grouped_reencode_documents(sf_dir: str):
 
 def _multimodal_features(sf_dir: str):
     """REAL image decode through the actor-pool stage: each doc_id gets a
-    deterministic 24-bpp BMP (width = 1 + doc_id % 16, height = 1 + doc_id
-    % 8, every pixel = doc_id % 256 on all channels) built by the stdlib
-    encoder; ImageStats actors parse the actual BMP bytes back. The oracle
-    recomputes width/height/mean_r from doc_id arithmetic in SQL — a wrong
-    stride/flip/channel-order in the decoder breaks the hash match."""
+    deterministic image (width = 1 + doc_id % 16, height = 1 + doc_id
+    % 8, every pixel = doc_id % 256 on all channels) built by a stdlib
+    encoder — 24-bpp BMP for even ids, zlib PNG for odd ids; ImageStats
+    actors parse the actual container bytes back. The oracle recomputes
+    width/height/mean_r from doc_id arithmetic in SQL — a wrong
+    stride/flip/filter/channel-order in EITHER decoder breaks the hash."""
     import ray.data
 
-    from plugin_serdes_ray.pipelines.multimodal import encode_bmp, image_stats
+    from plugin_serdes_ray.pipelines.multimodal import (encode_bmp,
+                                                        encode_png,
+                                                        image_stats)
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"])
@@ -1686,7 +1689,8 @@ def _multimodal_features(sf_dir: str):
     imgs = []
     for i in ids:
         w, h, v = 1 + i % 16, 1 + i % 8, i % 256
-        imgs.append(encode_bmp(np.full((h, w, 3), v, dtype=np.uint8)))
+        enc = encode_bmp if i % 2 == 0 else encode_png
+        imgs.append(enc(np.full((h, w, 3), v, dtype=np.uint8)))
     t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                   "image": pa.array(imgs, type=pa.large_binary())})
     ds = ray.data.from_arrow(t)

@@ -2,14 +2,15 @@
 with typed metadata, processed by ACTOR-POOL map_batches stages (decoder
 state built once per actor in __init__ — the stateful-stage pattern).
 
-All three modalities decode for REAL on uncompressed container formats
-whose parsing is pure stdlib/numpy: images BMP (24/32-bpp BI_RGB) + binary
-PPM (P6), audio PCM16 RIFF/WAVE, video YUV4MPEG2 (mono/420/422/444).
-Compressed formats (JPEG/PNG/mp3/mp4/...) need PIL/ffmpeg, which are NOT
-in this container — those payloads fall back to clearly-marked
-deterministic fakes (feature stages) or nulls (stats stages). The Ray-side
-plumbing — schemas, byte-bounded batch sizing, actor signatures, output
-layout — is identical either way, and the real paths are oracle-checked.
+All three modalities decode for REAL on container formats whose parsing
+is pure stdlib/numpy: images BMP (24/32-bpp BI_RGB), binary PPM (P6) and
+8-bit non-interlaced PNG (zlib inflate + filter reconstruction, all five
+filters, color types 0/2/3/4/6); audio PCM16 RIFF/WAVE; video YUV4MPEG2
+(mono/420/422/444). Formats needing codecs absent from this container
+(JPEG/mp3/mp4/...) fall back to clearly-marked deterministic fakes
+(feature stages) or nulls (stats stages). The Ray-side plumbing —
+schemas, byte-bounded batch sizing, actor signatures, output layout — is
+identical either way, and the real paths are oracle-checked.
 """
 
 from __future__ import annotations
@@ -105,6 +106,123 @@ def decode_ppm(data: bytes) -> np.ndarray:
                          offset=pos).reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure stdlib+numpy PNG decoder -> (height, width, 3) uint8 RGB.
+
+    Supports the non-interlaced 8-bit-per-sample core of the spec: color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and 6 (RGBA) —
+    alpha is dropped, gray replicates to 3 channels — with all five
+    scanline filters reconstructed (none/up/sub vectorized per row; the
+    sequential average/paeth filters per-byte). Raises ValueError on
+    other bit depths / Adam7 interlace / malformed streams, so the stats
+    stage's null-fallback contract holds."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat, plte = [], None
+    while pos + 8 <= len(data):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter")
+            if ilace != 0:
+                raise ValueError("Adam7-interlaced PNGs not supported")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    rowlen = w * ch
+    if len(raw) != h * (rowlen + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    raw = raw.reshape(h, rowlen + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    for y in range(h):
+        f, r = int(filters[y]), rows[y]
+        if f == 0:
+            line = r.copy()
+        elif f == 1:          # sub: mod-256 cumsum per byte-stride class
+            line = np.empty(rowlen, dtype=np.uint8)
+            for c in range(ch):
+                line[c::ch] = np.cumsum(
+                    r[c::ch], dtype=np.int64) & 0xFF
+        elif f == 2:          # up
+            line = r + prev
+        elif f == 3:          # average (sequential in x)
+            line = np.empty(rowlen, dtype=np.uint8)
+            for i in range(rowlen):
+                a = int(line[i - ch]) if i >= ch else 0
+                line[i] = (int(r[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:          # paeth (sequential in x)
+            line = np.empty(rowlen, dtype=np.uint8)
+            for i in range(rowlen):
+                a = int(line[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                cc = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - cc
+                pa_, pb, pcc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pcc) else (
+                    b if pb <= pcc else cc)
+                line[i] = (int(r[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y], prev = line, line
+    px = out.reshape(h, w, ch)
+    if ctype == 2:
+        return np.ascontiguousarray(px)
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return np.ascontiguousarray(plte[px[:, :, 0]])
+    # gray / gray+alpha: replicate luminance
+    return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit color-type-2 PNG bytes, filter 0
+    (fixture / test helper for the decoder above; stdlib+numpy only)."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("want (h, w, 3) uint8 RGB")
+    h, w, _ = px.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * 3)], axis=1)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(data: bytes) -> Optional[np.ndarray]:
     """Dispatch on magic bytes -> (h, w, 3) uint8 RGB, or None when the
     payload is not a format the stdlib decoders cover."""
@@ -112,6 +230,8 @@ def decode_image(data: bytes) -> Optional[np.ndarray]:
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     return None
 
 
@@ -167,10 +287,10 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 class ImageDecoder:
     """Actor-pool stage: binary image column -> fixed-size float features.
 
-    BMP/P6-PPM payloads decode for REAL (stdlib parsers above) into a
+    BMP/P6-PPM/PNG payloads decode for REAL (stdlib parsers above) into a
     deterministic feature vector: [width, height, mean_r, mean_g, mean_b,
     then a coarse 2x2-block luminance grid] padded/truncated to ``size``.
-    Other formats (JPEG/PNG need PIL, absent here) fall back to a
+    Other formats (JPEG needs PIL, absent here) fall back to a
     clearly-marked deterministic fake so the pipeline stays runnable on
     arbitrary payloads."""
 

@@ -1755,3 +1755,115 @@ def test_convert_files_reconverts_on_input_change(ray_session, tmp_path):
     assert (s3["converted"], s3["skipped"]) == (1, 0)
     body = open(s3["outputs"][0]).read()
     assert body.count("\n") >= 3                       # fresh 3-row output
+
+
+def test_png_roundtrip_and_filters():
+    """encode_png(filter 0) roundtrips; hand-filtered rows (sub/up/avg/
+    paeth) reconstruct to the same reference image; gray/palette/alpha
+    color types map to RGB; malformed streams raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        _PNG_SIG, decode_image, decode_png, encode_png)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    assert np.array_equal(decode_image(encode_png(px)), px)
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    def build(w, h, ctype, ch, scan_rows, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(b"".join(scan_rows)))
+                + chunk(b"IEND", b""))
+
+    # forward-apply each filter on the RGB reference, one filter per row
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    rows = []
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pred = np.where(
+                (abs(p - left) <= abs(p - prev))
+                & (abs(p - left) <= abs(p - ul)), left,
+                np.where(abs(p - prev) <= abs(p - ul), prev, ul))
+            enc = cur - pred
+        rows.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    assert np.array_equal(decode_png(build(w, h, 2, 3, rows)), px)
+
+    # gray (type 0) replicates; gray+alpha (4) drops alpha
+    g = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    rows_g = [b"\x00" + g[y].tobytes() for y in range(4)]
+    assert np.array_equal(decode_png(build(5, 4, 0, 1, rows_g)),
+                          np.repeat(g[:, :, None], 3, axis=2))
+    ga = np.dstack([g, np.full_like(g, 9)])
+    rows_ga = [b"\x00" + ga[y].tobytes() for y in range(4)]
+    assert np.array_equal(decode_png(build(5, 4, 4, 2, rows_ga)),
+                          np.repeat(g[:, :, None], 3, axis=2))
+
+    # palette (type 3) looks up PLTE; RGBA (6) drops alpha
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    pidx = rng.integers(0, 4, size=(3, 6), dtype=np.uint8)
+    rows_p = [b"\x00" + pidx[y].tobytes() for y in range(3)]
+    got = decode_png(build(6, 3, 3, 1, rows_p,
+                           extra=chunk(b"PLTE", plte.tobytes())))
+    assert np.array_equal(got, plte[pidx])
+    rgba = np.concatenate([px, np.full((h, w, 1), 3, np.uint8)], axis=2)
+    rows_a = [b"\x00" + rgba[y].tobytes() for y in range(h)]
+    assert np.array_equal(decode_png(build(w, h, 6, 4, rows_a)), px)
+
+    # loud failures: 16-bit depth, interlace, truncated IDAT
+    bad_ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_PNG_SIG + chunk(b"IHDR", bad_ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                   + chunk(b"IEND", b""))
+    il_ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(_PNG_SIG + chunk(b"IHDR", il_ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+                   + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(build(w, h, 2, 3, rows[:-1]))
+
+
+def test_image_stats_on_png(ray_session):
+    """The oracle-checkable stats stage decodes PNG payloads for real."""
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import encode_png, image_stats
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 200
+    px[:, :, 1] = 100
+    t = pa.table({"image_id": pa.array([1, 2], type=pa.int64()),
+                  "image": pa.array([encode_png(px), b"\x89PNG bogus"],
+                                    type=pa.binary())})
+    out = {r["image_id"]: r for r in image_stats(
+        ray.data.from_arrow(t)).take_all()}
+    assert (out[1]["width"], out[1]["height"]) == (6, 4)
+    assert out[1]["mean_r"] == 200.0 and out[1]["mean_g"] == 100.0
+    assert out[2]["width"] is None        # undecodable -> null stats
