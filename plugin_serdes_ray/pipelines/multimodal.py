@@ -235,12 +235,33 @@ def decode_image(data: bytes) -> Optional[np.ndarray]:
     return None
 
 
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 expansion tables for ITU-T G.711 mu-law and A-law
+    (the classic CCITT g711.c reconstruction, vectorized)."""
+    u = np.arange(256, dtype=np.int32)
+    v = (~u) & 0xFF                       # mu-law stores the complement
+    t = (((v & 0x0F) << 3) + 0x84) << ((v >> 4) & 7)
+    mu = np.where(v & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    a = u ^ 0x55                          # A-law inverts the even bits
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8,
+                 (t + 0x108) << np.maximum(seg - 1, 0))
+    al = np.where(a & 0x80, t, -t).astype(np.int16)
+    return mu, al
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE PCM16 -> (sample_rate, (n_samples, n_channels) int16).
-    Stdlib struct parse of the fmt/data chunks; anything non-PCM16 raises."""
+    """RIFF/WAVE -> (sample_rate, (n_samples, n_channels) int16).
+    Stdlib struct parse of the fmt/data chunks. Formats that expand
+    without an audio library: PCM16 (tag 1), G.711 A-law (tag 6) and
+    mu-law (tag 7) via the numpy LUTs above; anything else raises."""
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, channels, bits, frames = 12, None, None, None, None
+    pos, fmt_tag, rate, channels, bits = 12, None, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -250,10 +271,12 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
                 raise ValueError("truncated WAV fmt chunk")
             fmt_tag, channels, rate = struct.unpack_from("<HHI", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
-            if fmt_tag != 1 or bits != 16:
+            if not ((fmt_tag == 1 and bits == 16)
+                    or (fmt_tag in (6, 7) and bits == 8)):
                 raise ValueError(
                     f"unsupported WAV (format={fmt_tag}, bits={bits}): "
-                    "only PCM16 parses without an audio library")
+                    "only PCM16 / G.711 A-law / mu-law parse without an "
+                    "audio library")
             if channels == 0 or rate == 0:
                 # must be ValueError: callers' undecodable-payload handlers
                 # catch exactly that (a ZeroDivisionError at the data chunk
@@ -263,9 +286,17 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
             avail = min(size, len(data) - body)
-            n = avail // (2 * channels)
-            frames = np.frombuffer(data, dtype="<i2", count=n * channels,
-                                   offset=body).reshape(n, channels)
+            if fmt_tag == 1:
+                n = avail // (2 * channels)
+                frames = np.frombuffer(data, dtype="<i2",
+                                       count=n * channels,
+                                       offset=body).reshape(n, channels)
+            else:
+                n = avail // channels
+                codes = np.frombuffer(data, dtype=np.uint8,
+                                      count=n * channels, offset=body)
+                lut = _ALAW_LUT if fmt_tag == 6 else _ULAW_LUT
+                frames = lut[codes].reshape(n, channels)
             return rate, frames
         pos = body + size + (size & 1)   # chunks are 2-byte aligned
     raise ValueError("WAV has no data chunk")

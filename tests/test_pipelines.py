@@ -1867,3 +1867,43 @@ def test_image_stats_on_png(ray_session):
     assert (out[1]["width"], out[1]["height"]) == (6, 4)
     assert out[1]["mean_r"] == 200.0 and out[1]["mean_g"] == 100.0
     assert out[2]["width"] is None        # undecodable -> null stats
+
+
+def test_wav_g711_decode(ray_session):
+    """G.711 A-law / mu-law WAV payloads expand to int16 through the
+    numpy LUTs; the full 256-entry tables match the stdlib audioop
+    reference; AudioStats consumes them like PCM16."""
+    import struct
+
+    import numpy as np
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        _ALAW_LUT, _ULAW_LUT, audio_stats, decode_wav)
+
+    import audioop  # stdlib in this Python; the CCITT reference tables
+    codes = bytes(range(256))
+    want_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    want_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    assert np.array_equal(_ULAW_LUT, want_u)
+    assert np.array_equal(_ALAW_LUT, want_a)
+
+    def g711_wav(tag, payload, rate=8000, ch=1):
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)
+        return (b"RIFF" + struct.pack("<I", 28 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    rate, frames = decode_wav(g711_wav(7, codes))
+    assert rate == 8000 and frames.shape == (256, 1)
+    assert np.array_equal(frames[:, 0], want_u)
+    rate, frames = decode_wav(g711_wav(6, codes, ch=2))
+    assert frames.shape == (128, 2)
+    assert np.array_equal(frames.reshape(-1), want_a)
+
+    import pyarrow as pa
+    import ray.data
+    t = pa.table({"audio_id": pa.array([1], type=pa.int64()),
+                  "audio": pa.array([g711_wav(7, codes)],
+                                    type=pa.binary())})
+    out = audio_stats(ray.data.from_arrow(t)).take_all()
+    assert out[0]["n_samples"] == 256 and out[0]["rms"] > 0
