@@ -807,6 +807,36 @@ def _importance_weights_documents(sf_dir: str):
     })
 
 
+def _triangles_documents(sf_dir: str):
+    """Per-vertex triangle counts (graph.triangle_count: degree-ordered
+    wedge counting) over a deterministic synthetic graph on the document
+    ids: i links to p=(i*7+3)%N and q=(i*13+5)%N plus the closing edge
+    (p, q), so every i forms a triangle (modulo coincidences — counted
+    exactly by both sides). Oracle enumerates x<y<z triples by three-way
+    self-join."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import triangle_count
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p, q = (ids * 7 + 3) % n, (ids * 13 + 5) % n
+        return pa.table({"a": pa.array(np.concatenate([ids, ids, p])),
+                         "b": pa.array(np.concatenate([p, q, q]))})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow",
+                             runtime_env=_env())
+    rows = triangle_count(edges).take_all()
+    return pa.table({
+        "doc_id": pa.array([r["v"] for r in rows], type=pa.int64()),
+        "n_tri": pa.array([r["n_tri"] for r in rows], type=pa.int64()),
+    })
+
+
 def _resample_events(sf_dir: str):
     """Gap-free per-key time grid: 15-minute buckets per event_type, count +
     forward-filled sum(value) (relational.resample_timeseries, fill='ffill');
@@ -2971,6 +3001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR-style target-vs-source selection scores (family: unigram /
         # model_scores — same LM machinery, new ratio estimator)
         "importance_weights_documents": _importance_weights_documents,
+        # per-vertex triangle counts (family: graph — components/pagerank
+        # covered by pagerank_documents; wedge counting is new machinery)
+        "triangles_documents": _triangles_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3497,6 +3530,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "triangles_documents": """
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            raw AS (
+                SELECT doc_id AS a,
+                       (doc_id * 7 + 3) % (SELECT c FROM n) AS b
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 5) % (SELECT c FROM n)
+                FROM documents
+                UNION ALL
+                SELECT (doc_id * 7 + 3) % (SELECT c FROM n),
+                       (doc_id * 13 + 5) % (SELECT c FROM n)
+                FROM documents),
+            e AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+                  FROM raw WHERE a <> b),
+            tri AS (
+                SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                FROM e e1
+                JOIN e e2 ON e2.x = e1.y
+                JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+            verts AS (
+                SELECT a AS v FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+            SELECT v AS doc_id, count(*)::BIGINT AS n_tri
+            FROM verts GROUP BY v
         """,
         "importance_weights_documents": r"""
             WITH tok_t AS (

@@ -446,6 +446,10 @@ def cmd_graph(args) -> int:
         from .pipelines.graph import connected_components
 
         out = connected_components(ds, args.src, args.dst)
+    elif args.algo == "triangles":
+        from .pipelines.graph import triangle_count
+
+        out = triangle_count(ds, args.src, args.dst)
     else:
         from .pipelines.graph import pagerank
 
@@ -631,8 +635,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("graph",
-                       help="connected components / pagerank over edges")
-    p.add_argument("algo", choices=["components", "pagerank"])
+                       help="components / pagerank / triangles over edges")
+    p.add_argument("algo", choices=["components", "pagerank", "triangles"])
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--src", default="src")

@@ -429,3 +429,122 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
         lambda b: pa.table({"v": b.column("v"),
                             "rank": b.column("p")}),
         batch_format="pyarrow", runtime_env=env)
+
+
+def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
+    """Per-vertex triangle counts over an undirected edge list — the
+    classic graph statistic (clustering coefficients, spam/bot detection,
+    community density).  Returns a Dataset ``(v, n_tri)`` listing every
+    vertex that closes at least one triangle (mirror in SQL by grouping
+    the enumerated triangle triples; vertices in no triangle have no
+    row).  Self-loops, null endpoints and duplicate/reversed edges are
+    ignored.
+
+    Algorithm: degree-ordered wedge counting (cf. Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011 —
+    public paper, no code used).  Each undirected edge is oriented from
+    the lower-(degree, id)-rank endpoint to the higher; each vertex then
+    emits the wedges between its OUT-neighbors, and a wedge that matches
+    an edge is a triangle found exactly once.  The orientation bounds
+    every out-degree by O(sqrt(|E|)), so a web-scale hub with degree 10^7
+    emits ~|E| wedges instead of the 10^14 an id-ordered split would —
+    that bound is what makes the wedge stage feasible at 100 TB.
+
+    Scale shape: one (x, y) distinct shuffle, one degree-count shuffle
+    (combiner-shrunk), two :func:`~.relational.hash_join` passes to
+    attach endpoint degrees (fixed-width (v, deg) right side), ONE
+    groupby(src) wedge expansion whose per-group work is a vectorized
+    ``np.triu_indices`` over an out-degree bounded by sqrt, one wedge-vs-
+    edge join on the composite (v, w) key, and a final combiner-shrunk
+    per-vertex count.  Raw payloads never move; every shuffled row is
+    two or three int64s."""
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import hash_join
+
+    env = package_runtime_env()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        batch = _valid_edges(batch, a_col, b_col)
+        a = batch.column(a_col).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = batch.column(b_col).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        t = pa.table({"x": pa.array(lo[keep]), "y": pa.array(hi[keep])})
+        return t.group_by(["x", "y"]).aggregate([])   # block-local dedup
+
+    e = (edges.map_batches(canon, batch_format="pyarrow", runtime_env=env)
+              .groupby(["x", "y"]).aggregate(Count())
+              .map_batches(lambda t: t.select(["x", "y"]),
+                           batch_format="pyarrow", runtime_env=env)
+              .materialize())                     # reused by 3 consumers
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t.column("x").combine_chunks(),
+                                 t.column("y").combine_chunks()])
+        vc = pc.value_counts(both)
+        return pa.table({"v": vc.field("values"),
+                         "__d": vc.field("counts").cast(pa.int64())})
+
+    deg = (e.map_batches(deg_partial, batch_format="pyarrow",
+                         runtime_env=env)
+            .groupby("v").aggregate(Sum("__d"))
+            .map_batches(lambda t: t.rename_columns(["v", "deg"]),
+                         batch_format="pyarrow", runtime_env=env)
+            .materialize())                       # joined twice below
+
+    ex = hash_join(e, deg, key="x", right_key="v")        # + deg of x
+    exy = hash_join(
+        ex.map_batches(lambda t: t.rename_columns(
+            ["x", "y", "deg_x"]), batch_format="pyarrow", runtime_env=env),
+        deg, key="y", right_key="v")                      # + deg of y
+
+    def orient(t: pa.Table) -> pa.Table:
+        x = t.column("x").combine_chunks().to_numpy(zero_copy_only=False)
+        y = t.column("y").combine_chunks().to_numpy(zero_copy_only=False)
+        dx = t.column("deg_x").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dy = t.column("deg").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # rank = (degree, id); orient low -> high so each wedge has ONE
+        # canonical center and out-degrees are sqrt-bounded
+        x_first = (dx < dy) | ((dx == dy) & (x < y))
+        return pa.table({"src": pa.array(np.where(x_first, x, y)),
+                         "dst": pa.array(np.where(x_first, y, x))})
+
+    oriented = exy.map_batches(orient, batch_format="pyarrow",
+                               runtime_env=env)
+
+    def wedges(group: pa.Table) -> pa.Table:
+        u = group.column("src")[0].as_py()
+        nb = np.unique(group.column("dst").to_numpy(zero_copy_only=False))
+        k = len(nb)
+        if k < 2:
+            return pa.table({"u": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        i, j = np.triu_indices(k, 1)
+        # candidate pair in canonical (id-min, id-max) order so it keys
+        # against the canonical edge set
+        return pa.table({"u": pa.array(np.full(len(i), u, dtype=np.int64)),
+                         "v": pa.array(nb[i]), "w": pa.array(nb[j])})
+
+    wedge_ds = (oriented.groupby("src")
+                        .map_groups(wedges, batch_format="pyarrow",
+                                    runtime_env=env))
+    tri = hash_join(wedge_ds, e, key=["v", "w"], right_key=["x", "y"])
+
+    def vert_partial(t: pa.Table) -> pa.Table:
+        allv = pa.concat_arrays([t.column(c).combine_chunks()
+                                 for c in ("u", "v", "w")])
+        vc = pc.value_counts(allv)
+        return pa.table({"v": vc.field("values"),
+                         "__n": vc.field("counts").cast(pa.int64())})
+
+    return (tri.map_batches(vert_partial, batch_format="pyarrow",
+                            runtime_env=env)
+               .groupby("v").aggregate(Sum("__n"))
+               .map_batches(lambda t: t.rename_columns(["v", "n_tri"]),
+                            batch_format="pyarrow", runtime_env=env))

@@ -116,3 +116,40 @@ def test_null_endpoints_are_dropped(ray_session):
     star = sorted((r["a"], r["b"]) for r in star_edges(
         ray.data.from_arrow(kt), "key", "id").take_all())
     assert star == [(3, 7)]
+
+
+def test_triangle_count_reference(ray_session):
+    import itertools
+
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3), an appendage
+    # triangle {4,5,6}, a path 6-7-8 (no triangle), duplicate/reversed/
+    # self/null edges that must all be ignored
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    ed = k4 + [(4, 5), (5, 6), (6, 4), (6, 7), (7, 8),
+               (2, 1), (3, 3), (1, 2)]
+    a = [e[0] for e in ed] + [None]
+    b = [e[1] for e in ed] + [9]
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, type=pa.int64()),
+        "b": pa.array(b, type=pa.int64())})).repartition(3)
+    got = {r["v"]: r["n_tri"] for r in triangle_count(ds).take_all()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 4, 5: 1, 6: 1}
+
+    # brute-force cross-check on a pseudo-random graph
+    rng = np.random.default_rng(11)
+    m = rng.integers(0, 12, size=(40, 2))
+    ds2 = ray.data.from_arrow(pa.table({
+        "a": pa.array(m[:, 0]), "b": pa.array(m[:, 1])})).repartition(4)
+    es = {(min(x, y), max(x, y)) for x, y in m if x != y}
+    want = {}
+    for x, y, z in itertools.combinations(sorted({v for e in es for v in e}), 3):
+        if (x, y) in es and (x, z) in es and (y, z) in es:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    got2 = {r["v"]: r["n_tri"] for r in triangle_count(ds2).take_all()}
+    assert got2 == want
