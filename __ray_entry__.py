@@ -807,6 +807,28 @@ def _importance_weights_documents(sf_dir: str):
     })
 
 
+def _profile_lineitem(sf_dir: str):
+    """One-pass dataset profile (pipelines/profile.py) over four lineitem
+    columns spanning the type dispatch: two numerics (min/max/mean/std
+    from merged sum/sumsq, closed form both sides), a string (lexi
+    min/max + codepoint length bounds) and a timestamp (epoch-us
+    bounds). std re-rounds to 6 on BOTH sides: the closed form
+    cancels ~13 digits of sumsq, so addition-order noise reaches 1e-9
+    at these magnitudes (observed straddle at round-9)."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.profile import profile
+
+    ds = _read(sf_dir, "lineitem")
+    t = profile(ds, columns=["l_quantity", "l_extendedprice",
+                             "l_returnflag", "l_shipdate"])
+    is_std = pc.equal(t.column("stat"), "std")
+    return t.set_column(
+        t.column_names.index("value_num"), "value_num",
+        pc.if_else(is_std, pc.round(t.column("value_num"), 6),
+                   t.column("value_num")))
+
+
 def _triangles_documents(sf_dir: str):
     """Per-vertex triangle counts (graph.triangle_count: degree-ordered
     wedge counting) over a deterministic synthetic graph on the document
@@ -3004,6 +3026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-vertex triangle counts (family: graph — components/pagerank
         # covered by pagerank_documents; wedge counting is new machinery)
         "triangles_documents": _triangles_documents,
+        # one-pass per-column profile (family: describe/EDA — map-only)
+        "profile_lineitem": _profile_lineitem,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3530,6 +3554,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "profile_lineitem": """
+            WITH num AS (
+                SELECT * FROM (VALUES ('l_quantity'), ('l_extendedprice'))
+                       v(c)),
+            base AS (
+                SELECT c,
+                       CASE c WHEN 'l_quantity' THEN
+                           (SELECT count(l_quantity) FROM lineitem)
+                       ELSE (SELECT count(l_extendedprice) FROM lineitem)
+                       END AS n,
+                       CASE c WHEN 'l_quantity' THEN
+                           (SELECT sum(l_quantity) FROM lineitem)
+                       ELSE (SELECT sum(l_extendedprice) FROM lineitem)
+                       END AS s,
+                       CASE c WHEN 'l_quantity' THEN
+                           (SELECT sum(l_quantity * l_quantity)
+                            FROM lineitem)
+                       ELSE (SELECT sum(l_extendedprice * l_extendedprice)
+                             FROM lineitem)
+                       END AS sq,
+                       CASE c WHEN 'l_quantity' THEN
+                           (SELECT min(l_quantity) FROM lineitem)
+                       ELSE (SELECT min(l_extendedprice) FROM lineitem)
+                       END AS mn,
+                       CASE c WHEN 'l_quantity' THEN
+                           (SELECT max(l_quantity) FROM lineitem)
+                       ELSE (SELECT max(l_extendedprice) FROM lineitem)
+                       END AS mx
+                FROM num),
+            numrows AS (
+                SELECT c AS "column", 'n' AS stat, n::DOUBLE AS value_num,
+                       NULL::VARCHAR AS value_str FROM base
+                UNION ALL SELECT c, 'nulls',
+                       (SELECT count(*) FROM lineitem) - n, NULL FROM base
+                UNION ALL SELECT c, 'min', mn, NULL FROM base
+                UNION ALL SELECT c, 'max', mx, NULL FROM base
+                UNION ALL SELECT c, 'mean', round(s / n, 9), NULL FROM base
+                UNION ALL SELECT c, 'std',
+                       round(sqrt((sq - s * s / n) / (n - 1)), 6), NULL
+                FROM base),
+            strrows AS (
+                SELECT 'l_returnflag', 'n',
+                       count(l_returnflag)::DOUBLE, NULL FROM lineitem
+                UNION ALL SELECT 'l_returnflag', 'nulls',
+                       (count(*) - count(l_returnflag))::DOUBLE, NULL
+                FROM lineitem
+                UNION ALL SELECT 'l_returnflag', 'min', NULL,
+                       min(l_returnflag) FROM lineitem
+                UNION ALL SELECT 'l_returnflag', 'max', NULL,
+                       max(l_returnflag) FROM lineitem
+                UNION ALL SELECT 'l_returnflag', 'min_len',
+                       min(length(l_returnflag))::DOUBLE, NULL
+                FROM lineitem
+                UNION ALL SELECT 'l_returnflag', 'max_len',
+                       max(length(l_returnflag))::DOUBLE, NULL
+                FROM lineitem),
+            tsrows AS (
+                SELECT 'l_shipdate', 'n', count(l_shipdate)::DOUBLE, NULL
+                FROM lineitem
+                UNION ALL SELECT 'l_shipdate', 'nulls',
+                       (count(*) - count(l_shipdate))::DOUBLE, NULL
+                FROM lineitem
+                UNION ALL SELECT 'l_shipdate', 'min',
+                       epoch_us(min(l_shipdate))::DOUBLE, NULL
+                FROM lineitem
+                UNION ALL SELECT 'l_shipdate', 'max',
+                       epoch_us(max(l_shipdate))::DOUBLE, NULL
+                FROM lineitem)
+            SELECT * FROM numrows
+            UNION ALL SELECT * FROM strrows
+            UNION ALL SELECT * FROM tsrows
         """,
         "triangles_documents": """
             WITH n AS (SELECT count(*) AS c FROM documents),

@@ -1775,3 +1775,43 @@ def test_resample_timeseries_fill_modes(ray_session):
     with pytest.raises(Exception, match="pre-epoch"):
         resample_timeseries(ray.data.from_arrow(t_pre), "k", "ts",
                             sum_cols=["v"]).take_all()
+
+
+def test_profile_reference(ray_session):
+    import math
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.profile import profile
+
+    t = pa.table({
+        "x": pa.array([1.0, 2.0, None, 4.0], type=pa.float64()),
+        "s": pa.array(["bb", None, "a", "ccc"]),
+        "ts": pa.array([1_000_000, None, 3_000_000, 2_000_000],
+                       type=pa.timestamp("us")),
+        "b": pa.array([b"z", b"y", b"x", b"w"], type=pa.binary())})
+    out = profile(ray.data.from_arrow(t).repartition(3))
+    got = {(r["column"], r["stat"]): (r["value_num"], r["value_str"])
+           for r in out.to_pylist()}
+    assert got[("x", "n")] == (3.0, None)
+    assert got[("x", "nulls")] == (1.0, None)
+    assert got[("x", "min")] == (1.0, None)
+    assert got[("x", "max")] == (4.0, None)
+    assert got[("x", "mean")][0] == round(7.0 / 3, 9)
+    want_std = math.sqrt((21.0 - 49.0 / 3) / 2)
+    assert abs(got[("x", "std")][0] - want_std) < 1e-9
+    assert got[("s", "min")] == (None, "a")
+    assert got[("s", "max")] == (None, "ccc")
+    assert got[("s", "min_len")] == (1.0, None)
+    assert got[("s", "max_len")] == (3.0, None)
+    assert got[("ts", "min")] == (1_000_000.0, None)
+    assert got[("ts", "max")] == (3_000_000.0, None)
+    # binary: n/nulls only
+    assert got[("b", "n")] == (4.0, None)
+    assert ("b", "min") not in got
+    # single-value column: std is NULL, not a crash
+    one = profile(ray.data.from_arrow(pa.table({
+        "v": pa.array([5.0], type=pa.float64())})))
+    g1 = {(r["column"], r["stat"]): r["value_num"]
+          for r in one.to_pylist()}
+    assert g1[("v", "std")] is None and g1[("v", "mean")] == 5.0
