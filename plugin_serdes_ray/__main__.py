@@ -398,6 +398,24 @@ def cmd_resample(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """One-pass per-column profile of a parquet table -> stdout/parquet."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    _ray()
+    cols = [c for c in (args.columns or "").split(",") if c] or None
+    ds = ray.data.read_parquet(_input_files(args.input), columns=cols)
+    from .pipelines.profile import profile
+
+    out = profile(ds, columns=cols)
+    if args.output:
+        pq.write_table(out, args.output)
+    print(json.dumps({"rows": out.num_rows,
+                      "columns": sorted(set(out.column("column").to_pylist()))}))
+    return 0
+
+
 def cmd_dsir(args) -> int:
     """DSIR-style importance weights of a source corpus vs a target."""
     import ray.data
@@ -598,6 +616,14 @@ def main(argv=None) -> int:
     p.add_argument("--period", type=int, default=86400,
                    help="cohort period in seconds (default 1 day)")
     p.set_defaults(fn=cmd_retention)
+
+    p = sub.add_parser("describe",
+                       help="one-pass per-column profile of a table")
+    p.add_argument("input")
+    p.add_argument("--columns", default="",
+                   help="comma-separated subset (default: all)")
+    p.add_argument("--output", help="optional parquet destination")
+    p.set_defaults(fn=cmd_describe)
 
     p = sub.add_parser("dsir",
                        help="importance weights vs a target corpus")

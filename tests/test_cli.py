@@ -336,3 +336,23 @@ def test_cli_resample(ray_session, tmp_path, sf_dir):
                               pc.is_valid(src.column("ts"))))
     assert sum(t.column("n").to_pylist()) == live.num_rows
     assert t.column("sum_value").null_count == 0  # fill=zero
+
+
+def test_cli_describe(ray_session, tmp_path, capsys, sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    out = str(tmp_path / "prof.parquet")
+    assert main(["describe", f"{sf_dir}/nation.parquet",
+                 "--columns", "n_nationkey,n_name",
+                 "--output", out]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["columns"] == ["n_name", "n_nationkey"]
+    t = pq.read_table(out)
+    stats = {(r["column"], r["stat"]): r["value_num"]
+             for r in t.to_pylist()}
+    assert stats[("n_nationkey", "nulls")] == 0.0
+    assert stats[("n_nationkey", "n")] == stats[("n_name", "n")]
