@@ -836,8 +836,6 @@ def _triangles_documents(sf_dir: str):
     (p, q), so every i forms a triangle (modulo coincidences — counted
     exactly by both sides). Oracle enumerates x<y<z triples by three-way
     self-join."""
-    import ray.data
-
     from plugin_serdes_ray.pipelines.graph import triangle_count
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id"])
@@ -2864,9 +2862,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     or chained queries (VERDICT r3 #1). The legacy per-operator entries
     follow for transparency; each is also covered by pytest."""
     first_50 = {
+        # --- newest (post-closing round-4 session) ---
+        "resample_events_15m": _resample_events,
+        "importance_weights_documents": _importance_weights_documents,
+        "triangles_documents": _triangles_documents,
+        "profile_lineitem": _profile_lineitem,
         # --- new this round ---
         "samples_documents": _samples_documents,
-        "quantile_band_lineitem": _quantile_band_lineitem,
         "chunk_text_documents": _chunk_text_documents,
         "normalize_lineitem": _normalize_lineitem,
         "quantize_embeddings": _quantize_embeddings,
@@ -2874,7 +2876,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_documents": _contamination_documents,
         "pack_sequences_documents": _pack_sequences_documents,
         "global_shuffle_documents": _global_shuffle_documents,
-        "url_host_stats_documents": _url_host_stats_documents,
         "dedup_clusters_documents": _dedup_clusters,
         "gopher_signals_documents": _gopher_signals_documents,
         "rag_chunk_cluster": _rag_chunk_cluster,
@@ -2886,7 +2887,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_nfc_documents": _normalize_nfc_documents,
         "vocab_bpe_documents": _vocab_bpe_documents,
         "pii_redact_documents": _pii_redact_documents,
-        "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
         "textstats_scalars": _textstats_scalars,
         # --- wide-op wave ---
         "cube_lineitem": _cube_lineitem,
@@ -2901,7 +2901,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_orders_per_customer": _window_orders,
         "pivot_lineitem_status": _pivot_lineitem,
         "approx_distinct_documents": _approx_distinct,
-        "heavy_hitter_langs": _heavy_hitter_langs,
         "agg_lineitem_q1": _agg_lineitem,
         "full_join_customer_orders": _full_join_customer_orders,
         "multikey_join_lineitem": _multikey_join_lineitem,
@@ -3017,17 +3016,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": _events_in_sessions,
         "events_hourly": _events_hourly,
         "events_sliding_30m": _events_sliding,
-        # gap-free resample grid (family: tumbling windows / events_hourly
-        # in spirit; densify + ffill is the new surface)
-        "resample_events_15m": _resample_events,
-        # DSIR-style target-vs-source selection scores (family: unigram /
-        # model_scores — same LM machinery, new ratio estimator)
-        "importance_weights_documents": _importance_weights_documents,
-        # per-vertex triangle counts (family: graph — components/pagerank
-        # covered by pagerank_documents; wedge counting is new machinery)
-        "triangles_documents": _triangles_documents,
-        # one-pass per-column profile (family: describe/EDA — map-only)
-        "profile_lineitem": _profile_lineitem,
+        # demoted from the 50 block to make room for the four newest
+        # families (resample/DSIR/triangles/profile), each family still
+        # covered there: quantile banding by quantiles_lineitem_all (same
+        # two-pass histogram-locate machinery), kmeans E/M by
+        # rag_chunk_cluster's kmeans stage, heavy hitters by
+        # approx_distinct_documents (sketch family), url-host extraction
+        # by pii_redact_documents (RE2 kernels) + agg_lineitem_q1
+        # (grouped count)
+        "quantile_band_lineitem": _quantile_band_lineitem,
+        "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
+        "heavy_hitter_langs": _heavy_hitter_langs,
+        "url_host_stats_documents": _url_host_stats_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,

@@ -117,12 +117,28 @@ def decode_png(data: bytes) -> np.ndarray:
     alpha is dropped, gray replicates to 3 channels — with all five
     scanline filters reconstructed (none/up/sub vectorized per row; the
     sequential average/paeth filters per-byte). Raises ValueError on
-    other bit depths / Adam7 interlace / malformed streams, so the stats
-    stage's null-fallback contract holds."""
+    other bit depths / Adam7 interlace / malformed streams — ALL decode
+    failures surface as ValueError (zlib/struct/index errors are
+    translated), because the stats/feature stages' null-fallback
+    contract catches exactly that class."""
     import zlib
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
+    try:
+        return _decode_png_body(data)
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError, OverflowError) as exc:
+        # corrupt deflate stream / short IHDR / palette index out of
+        # range must hit the callers' ValueError-only fallback handlers,
+        # not crash the actor-pool stage
+        raise ValueError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png_body(data: bytes) -> np.ndarray:
+    import zlib
+
     pos, w = 8, None
     idat, plte = [], None
     while pos + 8 <= len(data):

@@ -2888,11 +2888,14 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
         for c in sum_cols:
             s = group.column(f"sum(__s_{c})").combine_chunks()
             src_valid = pc.is_valid(s).to_numpy(zero_copy_only=False)
-            sv = s.to_numpy(zero_copy_only=False)
+            # fill nulls BEFORE to_numpy: a nullable int64 would otherwise
+            # round-trip through float64+NaN and silently lose sums above
+            # 2^53 (review r4)
+            sv = pc.fill_null(s, 0).to_numpy(zero_copy_only=False)
             out = np.zeros(m, dtype=sv.dtype if sv.dtype.kind != "O"
                            else np.float64)
             valid = np.zeros(m, dtype=bool)
-            out[idx] = np.where(src_valid, sv, 0)
+            out[idx] = sv
             valid[idx] = src_valid
             if fill == "ffill":
                 pos = np.where(valid, np.arange(m), -1)

@@ -1848,6 +1848,23 @@ def test_png_roundtrip_and_filters():
     with pytest.raises(ValueError, match="size mismatch"):
         decode_png(build(w, h, 2, 3, rows[:-1]))
 
+    # ALL malformed-stream failures surface as ValueError (the stats
+    # stages catch exactly that class): corrupt deflate bytes, a short
+    # IHDR body, and palette indices past the PLTE end (review r4)
+    good = encode_png(px)
+    idat_len = struct.unpack(">I", good[33:37])[0]   # sig+IHDR = 33 bytes
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(good[:41] + b"\x00" * idat_len + good[41 + idat_len:])
+    ihdr_short = struct.pack(">II", 4, 4)
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(_PNG_SIG + chunk(b"IHDR", ihdr_short)
+                   + chunk(b"IDAT", zlib.compress(b"\x00"))
+                   + chunk(b"IEND", b""))
+    rows_oob = [b"\x00" + bytes([3]) * 6 for _ in range(3)]
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(build(6, 3, 3, 1, rows_oob,
+                         extra=chunk(b"PLTE", bytes(6))))  # 2-color PLTE
+
 
 def test_image_stats_on_png(ray_session):
     """The oracle-checkable stats stage decodes PNG payloads for real."""
@@ -1880,12 +1897,24 @@ def test_wav_g711_decode(ray_session):
     from plugin_serdes_ray.pipelines.multimodal import (
         _ALAW_LUT, _ULAW_LUT, audio_stats, decode_wav)
 
-    import audioop  # stdlib in this Python; the CCITT reference tables
+    # frozen CCITT anchor values (independent of any library): mu-law
+    # 0xFF->0, 0x00->-32124, 0x80->+32124; A-law 0x55->-8, 0xD5->+8,
+    # 0x2A->-32256, 0xAA->+32256
+    assert _ULAW_LUT[0xFF] == 0 and _ULAW_LUT[0x00] == -32124
+    assert _ULAW_LUT[0x80] == 32124
+    assert _ALAW_LUT[0x55] == -8 and _ALAW_LUT[0xD5] == 8
+    assert _ALAW_LUT[0x2A] == -32256 and _ALAW_LUT[0xAA] == 32256
     codes = bytes(range(256))
-    want_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
-    want_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
-    assert np.array_equal(_ULAW_LUT, want_u)
-    assert np.array_equal(_ALAW_LUT, want_a)
+    want_u, want_a = _ULAW_LUT, _ALAW_LUT
+    try:  # full-table cross-check vs the stdlib reference when present
+        import audioop  # removed from the stdlib in Python 3.13
+
+        want_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+        want_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+        assert np.array_equal(_ULAW_LUT, want_u)
+        assert np.array_equal(_ALAW_LUT, want_a)
+    except ImportError:
+        pass
 
     def g711_wav(tag, payload, rate=8000, ch=1):
         fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch, ch, 8)

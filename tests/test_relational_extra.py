@@ -1767,6 +1767,18 @@ def test_resample_timeseries_fill_modes(ray_session):
     assert vals == {mk(0): 5, mk(15): 0, mk(30): 7}
     assert all(isinstance(v, int) for v in vals.values())
 
+    # int64 sums above 2^53 with a NULL bucket in the same key must not
+    # round-trip through float64 (review r4)
+    big = (1 << 53) + 1
+    t3 = pa.table({"k": ["y", "y"],
+                   "ts": pa.array([mk(0), mk(16)],
+                                  type=pa.timestamp("us")),
+                   "c": pa.array([big, None], type=pa.int64())})
+    out3 = resample_timeseries(ray.data.from_arrow(t3), "k", "ts",
+                               every="15m", sum_cols=["c"]).take_all()
+    v3 = {r["bucket_start"]: r["sum_c"] for r in out3}
+    assert v3 == {mk(0): big, mk(15): None}
+
     import pytest
     t_pre = pa.table({"k": ["a"],
                       "ts": pa.array([dt.datetime(1969, 6, 1)],
