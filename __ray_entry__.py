@@ -807,6 +807,48 @@ def _importance_weights_documents(sf_dir: str):
     })
 
 
+def _anomalies_events(sf_dir: str):
+    """Robust time-series anomaly flags: hourly resampled per-type grid
+    (fill=zero), sums rounded to 9 on BOTH sides FIRST (so every
+    downstream median/MAD/flag derives from bit-identical doubles — no
+    further rounding needed), then relational.robust_anomalies
+    (median/MAD, threshold 3)."""
+    from plugin_serdes_ray.pipelines.relational import (resample_timeseries,
+                                                        robust_anomalies)
+
+    ds = _read(sf_dir, "events")
+    grid = resample_timeseries(ds, "event_type", "ts", every="1h",
+                               sum_cols=["value"], fill="zero")
+
+    def round9(t: pa.Table) -> pa.Table:
+        # Python round, not pc.round: Arrow's ndigits=9 multiply-divide
+        # leaves one-ulp-off doubles unchanged (87.92999999999999 stays)
+        # while DuckDB/Python collapse them to the canonical 87.93
+        vals = pa.array([None if v is None else round(v, 9)
+                         for v in t.column("sum_value").to_pylist()],
+                        type=pa.float64())
+        return t.set_column(t.column_names.index("sum_value"),
+                            "sum_value", vals)
+
+    rounded = grid.map_batches(round9, batch_format="pyarrow",
+                               runtime_env=_env())
+    rows = robust_anomalies(rounded, "event_type", "sum_value",
+                            threshold=3.0).take_all()
+    return pa.table({
+        "event_type": [r["event_type"] for r in rows],
+        "bucket_start": pa.array([r["bucket_start"] for r in rows],
+                                 type=pa.timestamp("us")),
+        "sum_value": pa.array([r["sum_value"] for r in rows],
+                              type=pa.float64()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        "abs_dev": pa.array([r["abs_dev"] for r in rows],
+                            type=pa.float64()),
+        "mad": pa.array([r["mad"] for r in rows], type=pa.float64()),
+        "is_anomaly": pa.array([r["is_anomaly"] for r in rows],
+                               type=pa.bool_()),
+    })
+
+
 def _profile_lineitem(sf_dir: str):
     """One-pass dataset profile (pipelines/profile.py) over four lineitem
     columns spanning the type dispatch: two numerics (min/max/mean/std
@@ -3028,6 +3070,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
         "heavy_hitter_langs": _heavy_hitter_langs,
         "url_host_stats_documents": _url_host_stats_documents,
+        # median/MAD anomaly chain (families covered in the 50 block:
+        # resample_events_15m grid + quantiles_lineitem_all order stats +
+        # full_join/multikey join machinery)
+        "anomalies_events_hourly": _anomalies_events,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3554,6 +3600,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "anomalies_events_hourly": """
+            WITH agg AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+                       sum(value) AS sv, count(*) AS cnt
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2),
+            dense AS (
+                SELECT event_type,
+                       unnest(generate_series(min(b), max(b),
+                                              3600000000)) AS b
+                FROM agg GROUP BY event_type),
+            grid AS (
+                SELECT d.event_type, d.b,
+                       round(coalesce(a.sv, 0), 9) AS x,
+                       coalesce(a.cnt, 0) AS n
+                FROM dense d LEFT JOIN agg a
+                  ON d.event_type = a.event_type AND d.b = a.b),
+            med AS (SELECT event_type, quantile_disc(x, 0.5) AS med
+                    FROM grid GROUP BY 1),
+            dv AS (SELECT g.event_type, g.b, g.x, g.n,
+                          abs(g.x - m.med) AS dev
+                   FROM grid g JOIN med m USING (event_type)),
+            mad AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                    FROM dv GROUP BY 1)
+            SELECT d.event_type, make_timestamp(d.b) AS bucket_start,
+                   d.x AS sum_value, d.n AS n, d.dev AS abs_dev,
+                   m.mad AS mad, d.dev > 3.0 * m.mad AS is_anomaly
+            FROM dv d JOIN mad m USING (event_type)
         """,
         "profile_lineitem": """
             WITH num AS (

@@ -2922,3 +2922,54 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
               .groupby(key)
               .map_groups(densify, batch_format="pyarrow",
                           runtime_env=env))
+
+
+def robust_anomalies(ds, key: str, value_col: str, threshold: float = 3.0,
+                     out_flag: str = "is_anomaly"):
+    """Per-key robust outlier flags: a row is anomalous when its absolute
+    deviation from the key's MEDIAN exceeds ``threshold`` x the key's MAD
+    (median absolute deviation) — the standard distribution-free
+    alternative to z-scores (mean/std are themselves dragged by the
+    outliers they're meant to find).  Appends ``abs_dev``, ``mad`` and
+    boolean ``out_flag`` columns; rows with a NULL value get NULL flags
+    (SQL comparison semantics).  A key whose MAD is 0 (over half its
+    values identical) flags EVERY deviating row — by construction, and
+    identically in the SQL twin (``quantile_disc(x, 0.5)`` medians).
+
+    Scale shape: intended for ALREADY-AGGREGATED inputs (a resampled
+    grid, a per-entity stats table) — two :func:`grouped_quantiles`
+    shuffles (each key's rows on one worker, the map_groups contract)
+    and two :func:`hash_join` passes against key-sized median/MAD
+    tables; the input is materialized once and reused by both.
+    """
+    env = package_runtime_env()
+    for c in ("__med", "__dev", "__mad"):
+        if c in ds.schema().names:
+            raise ValueError(f"robust_anomalies: column {c} is reserved")
+    base = ds.materialize()
+    med = grouped_quantiles(base, key, value_col, {"__med": 0.5})
+    j1 = hash_join(base, med, key=key)
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        dev = pc.abs(pc.subtract(
+            t.column(value_col).cast(pa.float64()),
+            t.column("__med").cast(pa.float64())))
+        return t.append_column("__dev", dev)
+
+    d = j1.map_batches(add_dev, batch_format="pyarrow",
+                       runtime_env=env).materialize()
+    mad = grouped_quantiles(d, key, "__dev", {"__mad": 0.5})
+    j2 = hash_join(d, mad, key=key)
+
+    def finish(t: pa.Table) -> pa.Table:
+        dev = t.column("__dev")
+        madc = t.column("__mad").cast(pa.float64())
+        flag = pc.greater(dev, pc.multiply(
+            madc, pa.scalar(float(threshold), pa.float64())))
+        out = t.drop_columns(["__med"]).append_column(out_flag, flag)
+        return out.rename_columns(
+            ["abs_dev" if n == "__dev" else "mad" if n == "__mad" else n
+             for n in out.column_names])
+
+    return j2.map_batches(finish, batch_format="pyarrow",
+                          runtime_env=env)

@@ -1827,3 +1827,31 @@ def test_profile_reference(ray_session):
     g1 = {(r["column"], r["stat"]): r["value_num"]
           for r in one.to_pylist()}
     assert g1[("v", "std")] is None and g1[("v", "mean")] == 5.0
+
+
+def test_robust_anomalies_reference(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import robust_anomalies
+
+    # key 'a': median 10, MAD 1 -> 100 is anomalous at threshold 3;
+    # key 'b': constant values -> MAD 0 -> ANY deviation flags; null
+    # value -> null flag
+    t = pa.table({
+        "k": ["a"] * 5 + ["b"] * 4,
+        "x": pa.array([9.0, 10.0, 11.0, 100.0, 10.0,
+                       5.0, 5.0, 5.0, 6.0], type=pa.float64())})
+    out = robust_anomalies(
+        ray.data.from_arrow(t).repartition(3), "k", "x").take_all()
+    flags = sorted((r["k"], r["x"], r["is_anomaly"]) for r in out)
+    assert ("a", 100.0, True) in flags
+    assert ("a", 10.0, False) in flags and ("a", 9.0, False) in flags
+    assert ("b", 6.0, True) in flags and ("b", 5.0, False) in flags
+    byrow = {(r["k"], r["x"]): (r["abs_dev"], r["mad"]) for r in out}
+    assert byrow[("a", 100.0)] == (90.0, 1.0)
+    assert byrow[("b", 5.0)] == (0.0, 0.0)
+
+    tn = pa.table({"k": ["a", "a", "a"],
+                   "x": pa.array([1.0, None, 2.0], type=pa.float64())})
+    outn = robust_anomalies(ray.data.from_arrow(tn), "k", "x").take_all()
+    assert any(r["x"] is None and r["is_anomaly"] is None for r in outn)
