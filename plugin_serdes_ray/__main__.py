@@ -398,6 +398,27 @@ def cmd_resample(args) -> int:
     return 0
 
 
+def cmd_anomalies(args) -> int:
+    """Resample to a gap-free grid, then median/MAD anomaly flags."""
+    import ray.data
+
+    _ray()
+    ds = ray.data.read_parquet(
+        _input_files(args.input),
+        columns=[args.key_column, args.ts_column, args.value_column])
+    from .pipelines.relational import resample_timeseries, robust_anomalies
+
+    grid = resample_timeseries(ds, args.key_column, args.ts_column,
+                               every=args.every,
+                               sum_cols=[args.value_column], fill="zero")
+    out = robust_anomalies(grid, args.key_column,
+                           f"sum_{args.value_column}",
+                           threshold=args.threshold)
+    n = _stream_to_parquet(out, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
+    return 0
+
+
 def cmd_describe(args) -> int:
     """One-pass per-column profile of a parquet table -> stdout/parquet."""
     import pyarrow.parquet as pq
@@ -624,6 +645,17 @@ def main(argv=None) -> int:
                    help="comma-separated subset (default: all)")
     p.add_argument("--output", help="optional parquet destination")
     p.set_defaults(fn=cmd_describe)
+
+    p = sub.add_parser("anomalies",
+                       help="median/MAD anomaly flags on a resampled grid")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--key-column", default="event_type")
+    p.add_argument("--ts-column", default="ts")
+    p.add_argument("--value-column", default="value")
+    p.add_argument("--every", default="1h")
+    p.add_argument("--threshold", type=float, default=3.0)
+    p.set_defaults(fn=cmd_anomalies)
 
     p = sub.add_parser("dsir",
                        help="importance weights vs a target corpus")

@@ -356,3 +356,17 @@ def test_cli_describe(ray_session, tmp_path, capsys, sf_dir):
              for r in t.to_pylist()}
     assert stats[("n_nationkey", "nulls")] == 0.0
     assert stats[("n_nationkey", "n")] == stats[("n_name", "n")]
+
+
+def test_cli_anomalies(ray_session, tmp_path, sf_dir):
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    out = str(tmp_path / "anom.parquet")
+    assert main(["anomalies", f"{sf_dir}/events.parquet", out,
+                 "--every", "1d"]) == 0
+    t = pq.read_table(out)
+    assert {"event_type", "bucket_start", "sum_value", "abs_dev",
+            "mad", "is_anomaly"} <= set(t.column_names)
+    assert t.column("is_anomaly").null_count == 0  # fill=zero grid
