@@ -541,3 +541,82 @@ def test_random_funnel_within_vs_duckdb(ray_session):
             SELECT (SELECT count(*) FROM s1), (SELECT count(*) FROM s2),
                    (SELECT count(*) FROM s3)""").fetchall()
         assert [r["n_users"] for r in got.to_pylist()] == list(want[0]), seed
+
+
+def test_random_resample_vs_duckdb(ray_session):
+    """Random sparse integer-valued event series at random bucket widths:
+    the gap-free grid (fill=null) must match the unnest(generate_series)
+    + LEFT JOIN twin exactly (int sums, no float rounding involved)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import resample_timeseries
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(5, 60))
+        keys = rng.integers(0, 4, n).astype(object)
+        keys[rng.random(n) < 0.1] = None
+        # sparse microsecond timestamps inside a few hours, some nulls
+        ts = rng.integers(0, 4 * 3600, n) * 1_000_000
+        ts = ts.astype(object)
+        ts[rng.random(n) < 0.1] = None
+        vals = rng.integers(-50, 50, n).astype(object)
+        vals[rng.random(n) < 0.2] = None
+        t = pa.table({
+            "k": pa.array(list(keys), type=pa.int64()),
+            "ts": pa.array(list(ts), type=pa.int64()).cast(
+                pa.timestamp("us")),
+            "v": pa.array(list(vals), type=pa.int64())})
+        width = int(rng.choice([60, 300, 900])) * 1_000_000
+        got = resample_timeseries(
+            ray.data.from_arrow(t).repartition(3), "k", "ts",
+            every=width, sum_cols=["v"], fill="null").take_all()
+        con.register("t", t)
+        want = con.execute(f"""
+            WITH agg AS (
+                SELECT k, (epoch_us(ts) // {width}) * {width} AS b,
+                       sum(v) AS sv, count(*) AS n
+                FROM t WHERE k IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2),
+            dense AS (
+                SELECT k, unnest(generate_series(min(b), max(b),
+                                                 {width})) AS b
+                FROM agg GROUP BY k)
+            SELECT d.k, make_timestamp(d.b) AS bucket_start,
+                   a.sv AS sum_v, coalesce(a.n, 0) AS n
+            FROM dense d LEFT JOIN agg a ON d.k = a.k AND d.b = a.b
+        """).arrow().to_pylist()
+        cols = ["k", "bucket_start", "sum_v", "n"]
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols), seed
+
+
+def test_random_robust_anomalies_vs_duckdb(ray_session):
+    """Random per-key integer values: median/MAD flags must match the
+    quantile_disc twin (integers in, exact doubles derived)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import robust_anomalies
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(200 + seed)
+        t = _rand_table(rng, int(rng.integers(4, 70)), 5, with_nulls=False)
+        got = robust_anomalies(
+            ray.data.from_arrow(t).repartition(3), "k", "v",
+            threshold=2.0).take_all()
+        con.register("t", t)
+        want = con.execute("""
+            WITH med AS (SELECT k, quantile_disc(v, 0.5) AS med
+                         FROM t GROUP BY 1),
+            d AS (SELECT t.k, t.v,
+                         abs(t.v::DOUBLE - m.med::DOUBLE) AS abs_dev
+                  FROM t JOIN med m USING (k)),
+            mad AS (SELECT k, quantile_disc(abs_dev, 0.5) AS mad
+                    FROM d GROUP BY 1)
+            SELECT d.k, d.v, d.abs_dev, m.mad,
+                   d.abs_dev > 2.0 * m.mad AS is_anomaly
+            FROM d JOIN mad m USING (k)
+        """).arrow().to_pylist()
+        cols = ["k", "v", "abs_dev", "mad", "is_anomaly"]
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols), seed
