@@ -2809,7 +2809,7 @@ def grouped_count_distinct(ds, key: str, column: str):
 
 def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
                         sum_cols: Sequence[str] = (), fill: str = "null",
-                        count_name: str = "n"):
+                        count_name: str = "n", align: str = "per_key"):
     """Time-series resample: bucket event time into fixed ``every``-wide
     intervals, aggregate per ``(key, bucket)``, then DENSIFY each key's
     series from its first to its last active bucket so downstream
@@ -2828,6 +2828,12 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
       ``last_value(... IGNORE NULLS)``: an active bucket whose values
       were all null is carried over too, in both systems).
 
+    ``align='per_key'`` (default) densifies each key from ITS first to
+    ITS last active bucket; ``align='global'`` aligns every key to the
+    corpus-wide [min, max] bucket range (one extra pass over the
+    bucket-sized aggregate) so downstream feature matrices share one
+    time axis.
+
     Rows with a null key or null timestamp are dropped (mirror in SQL
     with ``WHERE key IS NOT NULL AND ts IS NOT NULL``); pre-epoch
     timestamps are rejected loudly (floor-vs-truncate bucketing would
@@ -2845,6 +2851,8 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
     """
     if fill not in ("null", "zero", "ffill"):
         raise ValueError(f"resample_timeseries: unknown fill {fill!r}")
+    if align not in ("per_key", "global"):
+        raise ValueError(f"resample_timeseries: unknown align {align!r}")
     from ray.data.aggregate import Sum
 
     from ..util import grouped_rename_positional
@@ -2874,10 +2882,15 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
         return grouped_rename_positional(
             g, [key, "__b"], [f"__s_{c}" for c in sum_cols] + ["__cnt"])
 
+    bounds = [None, None]   # filled before densify runs when align=global
+
     def densify(group: pa.Table) -> pa.Table:
         group = group.sort_by("__b")
         b = group.column("__b").to_numpy(zero_copy_only=False)
-        lo, hi = int(b[0]), int(b[-1])
+        if align == "global":
+            lo, hi = bounds
+        else:
+            lo, hi = int(b[0]), int(b[-1])
         m = (hi - lo) // span + 1
         idx = (b - lo) // span
         cols = {key: group.column(key).take(
@@ -2916,12 +2929,38 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
         return pa.table(cols)
 
     aggs = [Sum(f"__s_{c}") for c in sum_cols] + [Sum("__cnt")]
-    return (ds.map_batches(partial, batch_format="pyarrow",
-                           runtime_env=env)
-              .groupby([key, "__b"]).aggregate(*aggs)
-              .groupby(key)
-              .map_groups(densify, batch_format="pyarrow",
-                          runtime_env=env))
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          runtime_env=env)
+             .groupby([key, "__b"]).aggregate(*aggs))
+    if align == "global":
+        # one extra pass over the already-bucket-sized aggregate: every
+        # key densifies over the same [global min, global max] grid so
+        # downstream feature matrices share one time axis
+        agg = agg.materialize()
+        mm = [(r["min(__b)"], r["max(__b)"]) for r in agg.map_batches(
+            lambda t: pa.table({
+                "min(__b)": pa.array(
+                    [pc.min(t.column("__b")).as_py()], type=pa.int64()),
+                "max(__b)": pa.array(
+                    [pc.max(t.column("__b")).as_py()], type=pa.int64())}),
+            batch_format="pyarrow", runtime_env=env).take_all()]
+        mm = [(a, b) for a, b in mm if a is not None]
+        if not mm:
+            import ray.data
+            sch = agg.schema()
+            key_t = dict(zip(sch.names, sch.types)).get(key, pa.int64())
+            cols = {key: pa.array([], type=key_t),
+                    "bucket_start": pa.array([], type=pa.timestamp("us"))}
+            for c in sum_cols:
+                st = dict(zip(sch.names, sch.types))[f"sum(__s_{c})"]
+                cols[f"sum_{c}"] = pa.array([], type=st)
+            cols[count_name] = pa.array([], type=pa.int64())
+            return ray.data.from_arrow(pa.table(cols))
+        bounds[0] = min(a for a, _ in mm)
+        bounds[1] = max(b for _, b in mm)
+    return (agg.groupby(key)
+               .map_groups(densify, batch_format="pyarrow",
+                           runtime_env=env))
 
 
 def robust_anomalies(ds, key: str, value_col: str, threshold: float = 3.0,

@@ -1855,3 +1855,37 @@ def test_robust_anomalies_reference(ray_session):
                    "x": pa.array([1.0, None, 2.0], type=pa.float64())})
     outn = robust_anomalies(ray.data.from_arrow(tn), "k", "x").take_all()
     assert any(r["x"] is None and r["is_anomaly"] is None for r in outn)
+
+
+def test_resample_global_alignment(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import resample_timeseries
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda m: base + dt.timedelta(minutes=m)
+    # key 'a' active 0-15m, key 'b' active 45-60m: per_key grids don't
+    # overlap; global aligns both to [0m, 60m] (5 buckets each)
+    t = pa.table({
+        "k": ["a", "a", "b", "b"],
+        "ts": pa.array([mk(0), mk(15), mk(45), mk(60)],
+                       type=pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0], type=pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    per = resample_timeseries(ds, "k", "ts", every="15m",
+                              sum_cols=["v"]).take_all()
+    assert sum(1 for r in per if r["k"] == "a") == 2
+    glob = resample_timeseries(ds, "k", "ts", every="15m",
+                               sum_cols=["v"], fill="zero",
+                               align="global").take_all()
+    ga = {r["bucket_start"]: r["sum_v"] for r in glob if r["k"] == "a"}
+    gb = {r["bucket_start"]: r["sum_v"] for r in glob if r["k"] == "b"}
+    assert set(ga) == set(gb) == {mk(15 * i) for i in range(5)}
+    assert ga[mk(0)] == 1.0 and ga[mk(60)] == 0.0
+    assert gb[mk(0)] == 0.0 and gb[mk(45)] == 3.0
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown align"):
+        resample_timeseries(ds, "k", "ts", align="both")
