@@ -2985,7 +2985,17 @@ def robust_anomalies(ds, key: str, value_col: str, threshold: float = 3.0,
     for c in ("__med", "__dev", "__mad"):
         if c in ds.schema().names:
             raise ValueError(f"robust_anomalies: column {c} is reserved")
-    base = ds.materialize()
+
+    def drop_null_keys(t: pa.Table) -> pa.Table:
+        # null keys are dropped up front (mirror in SQL with WHERE key IS
+        # NOT NULL): they'd vanish at the inner median-attach join anyway,
+        # and a null string key crashes Ray's groupby sort (the
+        # grouped_count_distinct / NB-sentinel lesson)
+        col = t.column(key)
+        return t.filter(pc.is_valid(col)) if col.null_count else t
+
+    base = ds.map_batches(drop_null_keys, batch_format="pyarrow",
+                          runtime_env=env).materialize()
     med = grouped_quantiles(base, key, value_col, {"__med": 0.5})
     j1 = hash_join(base, med, key=key)
 

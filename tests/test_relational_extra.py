@@ -1851,10 +1851,13 @@ def test_robust_anomalies_reference(ray_session):
     assert byrow[("a", 100.0)] == (90.0, 1.0)
     assert byrow[("b", 5.0)] == (0.0, 0.0)
 
-    tn = pa.table({"k": ["a", "a", "a"],
-                   "x": pa.array([1.0, None, 2.0], type=pa.float64())})
+    tn = pa.table({"k": ["a", "a", "a", None],
+                   "x": pa.array([1.0, None, 2.0, 9.0],
+                                 type=pa.float64())})
     outn = robust_anomalies(ray.data.from_arrow(tn), "k", "x").take_all()
     assert any(r["x"] is None and r["is_anomaly"] is None for r in outn)
+    # null keys dropped up front (string-key groupby-sort hazard)
+    assert len(outn) == 3 and all(r["k"] == "a" for r in outn)
 
 
 def test_resample_global_alignment(ray_session):
