@@ -6,5 +6,6 @@ from .base import (  # noqa: F401
 )
 from . import plain  # noqa: F401
 from . import intcodecs  # noqa: F401
+from . import floatcodecs  # noqa: F401
 from . import dictionary  # noqa: F401
 from . import fsst  # noqa: F401

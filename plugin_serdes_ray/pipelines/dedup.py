@@ -25,6 +25,47 @@ MERSENNE = (1 << 61) - 1
 _HAVE_POLARS: bool | None = None    # first-call latch, fixed per process
 
 
+def _settle_polars_hash(arr: pa.Array) -> np.ndarray:
+    """Run polars' vectorized xxhash over ``arr``, riding out the lazy-
+    import race: polars populates its submodule graph on first attribute
+    touch, and a concurrent import in the same Ray worker can observe it
+    half-initialized (seen in the wild as ``module 'polars._reexport'
+    has no attribute 'Series'``).  Plain retries don't always heal it —
+    a partially-failed ``import polars`` stays CACHED in sys.modules, so
+    every later touch re-raises the same AttributeError forever (the
+    r4 driver-sim corpus_diff flake: 100 retries x 0.05 s, same error).
+    Every 20th retry therefore PURGES polars from sys.modules and
+    re-imports fresh; raises RuntimeError only if five fresh imports in
+    a row still can't settle."""
+    import importlib
+    import sys
+    import time
+
+    last_err: Exception | None = None
+    for attempt in range(100):
+        try:
+            import polars as pl
+
+            s = pl.from_arrow(arr)
+            return s.hash(seed=0).to_numpy().astype(np.uint64)
+        except AttributeError as e:  # pragma: no cover - import race
+            # only the lazy-import race is retryable (its message names a
+            # polars module); any other AttributeError is a real bug
+            if "polars" not in str(e):
+                raise
+            last_err = e
+            if attempt % 20 == 19:
+                for name in [m for m in sys.modules
+                             if m == "polars" or m.startswith("polars.")]:
+                    sys.modules.pop(name, None)
+                importlib.invalidate_caches()
+            time.sleep(0.05)
+    raise RuntimeError(
+        "polars lazy attributes never settled in this worker (even after "
+        "fresh re-imports); refusing to switch hash paths mid-run"
+    ) from last_err
+
+
 def _polars_available() -> bool:
     """Probed lazily (module import must stay cheap for the minhash/simhash
     pipelines that never hash content), but latched: once a process picks a
@@ -42,30 +83,12 @@ def _polars_available() -> bool:
     global _HAVE_POLARS
     if _HAVE_POLARS is None:
         try:
-            import polars as pl
+            import polars  # noqa: F401
         except ImportError:  # pragma: no cover - polars baked into this env
             _HAVE_POLARS = False
             return _HAVE_POLARS
-        import time
-        last_err: Exception | None = None
-        for _ in range(100):
-            try:
-                pl.from_arrow(pa.array(["probe"])).hash(seed=0).to_numpy()
-                last_err = None
-                break
-            except AttributeError as e:  # pragma: no cover - import race
-                # only the lazy-import race is retryable (its message names
-                # a polars module, e.g. "module 'polars._reexport' has no
-                # attribute 'Series'"); any other AttributeError is a real
-                # bug and must not burn 100 x 0.05 s per block masking it
-                if "polars" not in str(e):
-                    raise
-                last_err = e
-                time.sleep(0.05)
-        if last_err is not None:  # pragma: no cover
-            raise RuntimeError(
-                "polars import never settled in this worker; refusing to "
-                "switch hash paths mid-run") from last_err
+        # full from_arrow -> hash probe with the purge-and-reimport retry
+        _settle_polars_hash(pa.array(["probe"]))
         _HAVE_POLARS = True
     return _HAVE_POLARS
 
@@ -78,30 +101,8 @@ def _content_hash64(arr: pa.Array) -> np.ndarray:
     duplicated-hash groups additionally verify actual values (collision
     safety)."""
     if _polars_available():
-        import time
-
-        import polars as pl
-
         a = arr if isinstance(arr, pa.Array) else arr.combine_chunks()
-        # same settling retry as the probe: polars resolves its lazy
-        # re-export attributes ONE AT A TIME on first touch, so a call
-        # through a code path the probe didn't exercise can still observe
-        # a half-populated module when another thread of this worker is
-        # resolving the same attribute (seen in the wild on from_arrow:
-        # "module 'polars._reexport' has no attribute 'Series'")
-        last_err: Exception | None = None
-        for _ in range(100):
-            try:
-                s = pl.from_arrow(a)
-                return s.hash(seed=0).to_numpy().astype(np.uint64)
-            except AttributeError as e:  # pragma: no cover - import race
-                if "polars" not in str(e):  # real bug, not the import race
-                    raise
-                last_err = e
-                time.sleep(0.05)
-        raise RuntimeError(
-            "polars lazy attributes never settled in this worker; "
-            "refusing to switch hash paths mid-run") from last_err
+        return _settle_polars_hash(a)
     out = np.empty(len(arr), dtype=np.uint64)
     for i, v in enumerate(arr):
         b = v.as_py()

@@ -150,8 +150,13 @@ def shortlist(stats: dict, typ: pa.DataType) -> list[str]:
             cands.append("rle")
         if distinct <= max(n // 4, 2) and distinct <= (1 << 16):
             cands.append("dict")
+        if pa.types.is_floating(typ):
+            # byte-stream-split: size-neutral transpose that usually wins
+            # under the outer zstd on real float data; the measurement
+            # pass decides (floats get a 4-wide shortlist so plain stays)
+            cands.append("bss")
         cands.append("plain")
-        return cands[:3]
+        return cands[:4]
     if pa.types.is_boolean(typ):
         return ["rle", "plain"]
     return ["raw_ipc"]

@@ -72,6 +72,8 @@ APPLICABLE: dict[str, list[str]] = {
     "dict_rle": ["strs", "i32_runs", "const_str", "allnull_str", "alternating"],
     "dict_fsst": ["strs", "strs_prefix", "large_str", "bin", "const_str"],
     "fsst": VARBIN,
+    # bss needs an int-view dtype (no bool bit-view, no 128-bit decimals)
+    "bss": [c for c in FIXED if c != "bools"],
 }
 
 
