@@ -480,6 +480,13 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
               .map_batches(lambda t: t.select(["x", "y"]),
                            batch_format="pyarrow", runtime_env=env)
               .materialize())                     # reused by 3 consumers
+    if e.count() == 0:
+        # no surviving edges: an empty aggregate has no schema, which
+        # would crash the joins below — return the empty result directly
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "v": pa.array([], type=pa.int64()),
+            "n_tri": pa.array([], type=pa.int64())}))
 
     def deg_partial(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays([t.column("x").combine_chunks(),

@@ -153,3 +153,11 @@ def test_triangle_count_reference(ray_session):
                 want[v] = want.get(v, 0) + 1
     got2 = {r["v"]: r["n_tri"] for r in triangle_count(ds2).take_all()}
     assert got2 == want
+
+    # degenerate graphs: empty, single edge, triangle-free path
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    assert triangle_count(ray.data.from_arrow(empty)).take_all() == []
+    path = pa.table({"a": pa.array([1, 2], type=pa.int64()),
+                     "b": pa.array([2, 3], type=pa.int64())})
+    assert triangle_count(ray.data.from_arrow(path)).take_all() == []
