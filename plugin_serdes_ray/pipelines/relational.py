@@ -2996,6 +2996,17 @@ def robust_anomalies(ds, key: str, value_col: str, threshold: float = 3.0,
 
     base = ds.map_batches(drop_null_keys, batch_format="pyarrow",
                           runtime_env=env).materialize()
+    if base.count() == 0:
+        # an empty grouped-quantile aggregate has no schema, which would
+        # crash the median-attach join — return the empty result directly
+        import ray.data
+        sch = ds.schema()
+        cols = {n: pa.array([], type=t)
+                for n, t in zip(sch.names, sch.types)}
+        cols["abs_dev"] = pa.array([], type=pa.float64())
+        cols["mad"] = pa.array([], type=pa.float64())
+        cols[out_flag] = pa.array([], type=pa.bool_())
+        return ray.data.from_arrow(pa.table(cols))
     med = grouped_quantiles(base, key, value_col, {"__med": 0.5})
     j1 = hash_join(base, med, key=key)
 

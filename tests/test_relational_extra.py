@@ -1859,6 +1859,12 @@ def test_robust_anomalies_reference(ray_session):
     # null keys dropped up front (string-key groupby-sort hazard)
     assert len(outn) == 3 and all(r["k"] == "a" for r in outn)
 
+    # empty input returns an empty typed result, not a schema crash
+    te = pa.table({"k": pa.array([], type=pa.string()),
+                   "x": pa.array([], type=pa.float64())})
+    assert robust_anomalies(
+        ray.data.from_arrow(te), "k", "x").take_all() == []
+
 
 def test_resample_global_alignment(ray_session):
     import datetime as dt
