@@ -849,6 +849,40 @@ def _anomalies_events(sf_dir: str):
     })
 
 
+def _rolling_mean_events(sf_dir: str):
+    """Trailing 24-bucket moving average over the hourly resample grid
+    (relational.rolling_aggregate): grid sums Python-rounded to 9 on both
+    sides first (the anomalies-query convention), rolling mean rounded to
+    9 on both sides (cumsum vs window-sum addition order)."""
+    from plugin_serdes_ray.pipelines.relational import (resample_timeseries,
+                                                        rolling_aggregate)
+
+    ds = _read(sf_dir, "events")
+    grid = resample_timeseries(ds, "event_type", "ts", every="1h",
+                               sum_cols=["value"], fill="null")
+
+    def round9(t: pa.Table) -> pa.Table:
+        vals = pa.array([None if v is None else round(v, 9)
+                         for v in t.column("sum_value").to_pylist()],
+                        type=pa.float64())
+        return t.set_column(t.column_names.index("sum_value"),
+                            "sum_value", vals)
+
+    rounded = grid.map_batches(round9, batch_format="pyarrow",
+                               runtime_env=_env())
+    rows = rolling_aggregate(rounded, "event_type", "bucket_start",
+                             "sum_value", window=24).take_all()
+    return pa.table({
+        "event_type": [r["event_type"] for r in rows],
+        "bucket_start": pa.array([r["bucket_start"] for r in rows],
+                                 type=pa.timestamp("us")),
+        "ma24": pa.array(
+            [None if r["rolling_mean_sum_value"] is None
+             else round(r["rolling_mean_sum_value"], 9) for r in rows],
+            type=pa.float64()),
+    })
+
+
 def _profile_lineitem(sf_dir: str):
     """One-pass dataset profile (pipelines/profile.py) over four lineitem
     columns spanning the type dispatch: two numerics (min/max/mean/std
@@ -3074,6 +3108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # resample_events_15m grid + quantiles_lineitem_all order stats +
         # full_join/multikey join machinery)
         "anomalies_events_hourly": _anomalies_events,
+        # trailing moving average over the grid (families covered:
+        # resample_events_15m + window_orders_per_customer)
+        "rolling_mean_events": _rolling_mean_events,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3600,6 +3637,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "rolling_mean_events": """
+            WITH agg AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+                       sum(value) AS sv
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2),
+            dense AS (
+                SELECT event_type,
+                       unnest(generate_series(min(b), max(b),
+                                              3600000000)) AS b
+                FROM agg GROUP BY event_type),
+            grid AS (
+                SELECT d.event_type, d.b, round(a.sv, 9) AS x
+                FROM dense d LEFT JOIN agg a
+                  ON d.event_type = a.event_type AND d.b = a.b)
+            SELECT event_type, make_timestamp(b) AS bucket_start,
+                   round(avg(x) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+                       9) AS ma24
+            FROM grid
         """,
         "anomalies_events_hourly": """
             WITH agg AS (

@@ -3033,3 +3033,55 @@ def robust_anomalies(ds, key: str, value_col: str, threshold: float = 3.0,
 
     return j2.map_batches(finish, batch_format="pyarrow",
                           runtime_env=env)
+
+
+def rolling_aggregate(ds, key: str, order_col: str, value_col: str,
+                      window: int, agg: str = "mean",
+                      out_col: Optional[str] = None):
+    """Trailing rolling-window aggregate per key: for each row, the
+    SUM/MEAN of ``value_col`` over the last ``window`` rows of that key in
+    ``order_col`` order (inclusive) — SQL ``agg(v) OVER (PARTITION BY key
+    ORDER BY o ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``, with
+    the same null-skipping semantics (null values contribute to neither
+    numerator nor denominator; a window of only nulls yields NULL).
+    ``order_col`` must be unique within each key (use a densified
+    :func:`resample_timeseries` grid or add a tiebreaker).
+
+    Scale shape: ONE groupby(key) shuffle; per-group work is a sort plus
+    two cumulative sums (O(rows), no per-window loop).  Each key's rows
+    must fit one worker — the map_groups contract, same as
+    :func:`grouped_quantiles`; this is meant for already-aggregated
+    series, not raw events."""
+    if agg not in ("mean", "sum"):
+        raise ValueError(f"rolling_aggregate: unknown agg {agg!r}")
+    if window < 1:
+        raise ValueError("rolling_aggregate: window must be >= 1")
+    out = out_col or f"rolling_{agg}_{value_col}"
+    env = package_runtime_env()
+
+    def apply(group: pa.Table) -> pa.Table:
+        g = group.sort_by(order_col)
+        col = g.column(value_col).combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        x = np.where(valid, pc.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.float64), 0.0)
+        n = len(x)
+        cs = np.cumsum(x)
+        cc = np.cumsum(valid.astype(np.int64))
+        if n > window:
+            s = cs - np.concatenate([np.zeros(window), cs[:-window]])
+            c = cc - np.concatenate([np.zeros(window, dtype=np.int64),
+                                     cc[:-window]])
+        else:
+            s, c = cs, cc
+        if agg == "mean":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = s / c
+        else:
+            vals = s
+        return g.append_column(out, pa.array(vals, type=pa.float64(),
+                                             mask=c == 0))
+
+    return (ds.groupby(key)
+              .map_groups(apply, batch_format="pyarrow",
+                          runtime_env=env))

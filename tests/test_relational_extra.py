@@ -1898,3 +1898,31 @@ def test_resample_global_alignment(ray_session):
     import pytest
     with pytest.raises(ValueError, match="unknown align"):
         resample_timeseries(ds, "k", "ts", align="both")
+
+
+def test_rolling_aggregate_reference(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import rolling_aggregate
+
+    t = pa.table({
+        "k": ["a"] * 5 + ["b"] * 2,
+        "o": pa.array([1, 2, 3, 4, 5, 1, 2], type=pa.int64()),
+        "v": pa.array([10.0, None, 30.0, None, None, 7.0, 9.0],
+                      type=pa.float64())})
+    out = rolling_aggregate(ray.data.from_arrow(t).repartition(3),
+                            "k", "o", "v", window=3).take_all()
+    got = {(r["k"], r["o"]): r["rolling_mean_v"] for r in out}
+    # trailing 3-row windows with SQL null skipping
+    assert got[("a", 1)] == 10.0
+    assert got[("a", 2)] == 10.0        # {10, null}
+    assert got[("a", 3)] == 20.0        # {10, null, 30}
+    assert got[("a", 4)] == 30.0        # {null, 30, null}
+    assert got[("a", 5)] == 30.0        # {30, null, null}
+    assert got[("b", 2)] == 8.0
+
+    s = rolling_aggregate(ray.data.from_arrow(t), "k", "o", "v",
+                          window=2, agg="sum").take_all()
+    gs = {(r["k"], r["o"]): r["rolling_sum_v"] for r in s}
+    # window=2 at o=3: {null, 30} -> 30; at o=5: {null, null} -> NULL
+    assert gs[("a", 3)] == 30.0 and gs[("a", 5)] is None
