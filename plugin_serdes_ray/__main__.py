@@ -393,6 +393,12 @@ def cmd_resample(args) -> int:
     out = resample_timeseries(ds, args.key_column, args.ts_column,
                               every=args.every, sum_cols=sums,
                               fill=args.fill)
+    if args.rolling and sums:
+        from .pipelines.relational import rolling_aggregate
+
+        for c in sums:
+            out = rolling_aggregate(out, args.key_column, "bucket_start",
+                                    f"sum_{c}", window=args.rolling)
     n = _stream_to_parquet(out, args.output)
     print(json.dumps({"rows": n, "out": args.output}))
     return 0
@@ -680,6 +686,8 @@ def main(argv=None) -> int:
                    help="comma-separated numeric columns to sum")
     p.add_argument("--fill", default="null",
                    choices=["null", "zero", "ffill"])
+    p.add_argument("--rolling", type=int, default=0,
+                   help="append a trailing N-bucket moving mean per --sum")
     p.set_defaults(fn=cmd_resample)
 
     p = sub.add_parser("clean",

@@ -327,6 +327,12 @@ def test_cli_resample(ray_session, tmp_path, sf_dir):
     t = pq.read_table(out)
     assert set(t.column_names) == {"event_type", "bucket_start",
                                    "sum_value", "n"}
+    out2 = str(tmp_path / "grid_ma.parquet")
+    assert main(["resample", f"{sf_dir}/events.parquet", out2,
+                 "--every", "1d", "--sum", "value",
+                 "--rolling", "7"]) == 0
+    t2 = pq.read_table(out2)
+    assert "rolling_mean_sum_value" in t2.column_names
     # dense grid: every key covers a contiguous daily range, counts sum
     # to the non-null event rows
     src = pq.read_table(f"{sf_dir}/events.parquet",
