@@ -849,6 +849,34 @@ def _anomalies_events(sf_dir: str):
     })
 
 
+def _resample_interp_events(sf_dir: str):
+    """Linear-interpolation fill over the hourly grid: grid sums rounded
+    to 9 on both sides FIRST (shared-input convention), interpolants
+    rounded to 9 on both sides (np.interp's slope-first association vs
+    the SQL line formula differs in the last ulp). Semantics pinned by
+    the SQL twin: gaps strictly between two non-null sums take the line
+    value; leading/trailing gaps stay NULL."""
+    from plugin_serdes_ray.pipelines.relational import resample_timeseries
+
+    ds = _read(sf_dir, "events")
+    # rounding parity: the interpolant is a continuous function of the
+    # two neighbor sums, whose cross-engine ulp noise stays ~1e-13 at
+    # these magnitudes — rounding only the OUTPUT to 9 collapses it.
+    # 15m buckets leave ~7k real gaps at sf0.01, so interp is exercised.
+    rows = resample_timeseries(ds, "event_type", "ts", every="15m",
+                               sum_cols=["value"],
+                               fill="interp").take_all()
+    return pa.table({
+        "event_type": [r["event_type"] for r in rows],
+        "bucket_start": pa.array([r["bucket_start"] for r in rows],
+                                 type=pa.timestamp("us")),
+        "v_interp": pa.array(
+            [None if r["sum_value"] is None else round(r["sum_value"], 9)
+             for r in rows], type=pa.float64()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
 def _rolling_mean_events(sf_dir: str):
     """Trailing 24-bucket moving average over the hourly resample grid
     (relational.rolling_aggregate): grid sums Python-rounded to 9 on both
@@ -3111,6 +3139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trailing moving average over the grid (families covered:
         # resample_events_15m + window_orders_per_customer)
         "rolling_mean_events": _rolling_mean_events,
+        # linear-interpolation fill arm of the resample family
+        "resample_interp_events": _resample_interp_events,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3637,6 +3667,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "resample_interp_events": """
+            WITH agg AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 900000000) * 900000000 AS b,
+                       sum(value) AS sv, count(*) AS cnt
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2),
+            dense AS (
+                SELECT event_type,
+                       unnest(generate_series(min(b), max(b),
+                                              900000000)) AS b
+                FROM agg GROUP BY event_type),
+            grid AS (
+                SELECT d.event_type, d.b, a.sv AS x,
+                       coalesce(a.cnt, 0) AS n
+                FROM dense d LEFT JOIN agg a
+                  ON d.event_type = a.event_type AND d.b = a.b),
+            nb AS (
+                SELECT event_type, b, x, n,
+                       last_value(x IGNORE NULLS) OVER w_prev AS pv,
+                       last_value(CASE WHEN x IS NOT NULL THEN b END
+                                  IGNORE NULLS) OVER w_prev AS pb,
+                       first_value(x IGNORE NULLS) OVER w_next AS nv,
+                       first_value(CASE WHEN x IS NOT NULL THEN b END
+                                   IGNORE NULLS) OVER w_next AS nxb
+                FROM grid
+                WINDOW w_prev AS (PARTITION BY event_type ORDER BY b
+                                  ROWS UNBOUNDED PRECEDING),
+                       w_next AS (PARTITION BY event_type ORDER BY b
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING))
+            SELECT event_type, make_timestamp(b) AS bucket_start,
+                   round(CASE WHEN x IS NOT NULL THEN x
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                              THEN pv + (nv - pv)
+                                   * ((b - pb)::DOUBLE / (nxb - pb))
+                              ELSE NULL END, 9) AS v_interp,
+                   n
+            FROM nb
         """,
         "rolling_mean_events": """
             WITH agg AS (

@@ -2826,7 +2826,11 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
     - ``'zero'``  — gaps read as 0 (sums keep their input-sum dtype);
     - ``'ffill'`` — last NON-NULL sum carries forward (exactly DuckDB's
       ``last_value(... IGNORE NULLS)``: an active bucket whose values
-      were all null is carried over too, in both systems).
+      were all null is carried over too, in both systems);
+    - ``'interp'`` — linear interpolation strictly BETWEEN non-null
+      sums (leading/trailing gaps stay NULL); sums become float64.
+      SQL twin: prev/next value+bucket via ``last_value/first_value
+      (... IGNORE NULLS)`` over mirrored frames, then the line formula.
 
     ``align='per_key'`` (default) densifies each key from ITS first to
     ITS last active bucket; ``align='global'`` aligns every key to the
@@ -2849,7 +2853,7 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
     fits a block (a year of '1m' buckets is ~526k rows — fine; don't ask
     for '1s' buckets over a decade per key).
     """
-    if fill not in ("null", "zero", "ffill"):
+    if fill not in ("null", "zero", "ffill", "interp"):
         raise ValueError(f"resample_timeseries: unknown fill {fill!r}")
     if align not in ("per_key", "global"):
         raise ValueError(f"resample_timeseries: unknown align {align!r}")
@@ -2916,7 +2920,20 @@ def resample_timeseries(ds, key: str, ts_col: str, every: str = "1h",
                 hit = pos >= 0
                 out = out[np.maximum(pos, 0)]
                 valid = hit
-            if fill == "zero":
+            if fill == "interp":
+                # linear interpolation STRICTLY BETWEEN valid points;
+                # leading/trailing gaps stay NULL (output is float64 —
+                # interpolants are fractional regardless of input dtype)
+                outf = out.astype(np.float64)
+                vi = np.flatnonzero(valid)
+                if len(vi) >= 2:
+                    pos = np.arange(m)
+                    between = (~valid) & (pos > vi[0]) & (pos < vi[-1])
+                    outf = np.where(
+                        between, np.interp(pos, vi, outf[vi]), outf)
+                    valid = valid | between
+                arr = pa.array(outf, type=pa.float64(), mask=~valid)
+            elif fill == "zero":
                 arr = pa.array(out, type=s.type)
             else:
                 arr = pa.array(out, type=s.type,

@@ -1767,6 +1767,22 @@ def test_resample_timeseries_fill_modes(ray_session):
     assert vals == {mk(0): 5, mk(15): 0, mk(30): 7}
     assert all(isinstance(v, int) for v in vals.values())
 
+    # interp: gaps strictly between valid points get the line value
+    # (float64 out); leading/trailing gaps and the all-null active
+    # bucket interpolate too (it is a null sum like any gap)
+    it = pa.table({"k": ["c"] * 3,
+                   "ts": pa.array([mk(0), mk(45), mk(60)],
+                                  type=pa.timestamp("us")),
+                   "v": pa.array([3.0, None, 9.0], type=pa.float64())})
+    oi = resample_timeseries(ray.data.from_arrow(it), "k", "ts",
+                             every="15m", sum_cols=["v"],
+                             fill="interp").take_all()
+    vi = {r["bucket_start"]: r["sum_v"] for r in oi}
+    # valid points: 0m=3.0 and 60m=9.0 -> linear 1.5/bucket; the 45m
+    # bucket is active but null-summed, so it interpolates like a gap
+    assert vi == {mk(0): 3.0, mk(15): 4.5, mk(30): 6.0,
+                  mk(45): 7.5, mk(60): 9.0}
+
     # int64 sums above 2^53 with a NULL bucket in the same key must not
     # round-trip through float64 (review r4)
     big = (1 << 53) + 1
