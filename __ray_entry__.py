@@ -911,6 +911,19 @@ def _rolling_mean_events(sf_dir: str):
     })
 
 
+def _pmi_collocations_documents(sf_dir: str):
+    """Top word-bigram collocations by PMI (textstats.pmi_collocations —
+    Church & Hanks association mining): lowercased whitespace tokens,
+    min_count=5, scores rounded to 9 BEFORE the (pmi desc, gram asc)
+    top-20 selection on both sides so the selected set is stable against
+    one-ulp libm divergence. The SQL twin spells the identical operation
+    order: ln(c12) - ln(N2) - ln(c1) + ln(N1) - ln(c2) + ln(N1)."""
+    from plugin_serdes_ray.pipelines.textstats import pmi_collocations
+
+    ds = _read(sf_dir, "documents")
+    return pmi_collocations(ds, k=20, min_count=5)
+
+
 def _profile_lineitem(sf_dir: str):
     """One-pass dataset profile (pipelines/profile.py) over four lineitem
     columns spanning the type dispatch: two numerics (min/max/mean/std
@@ -3141,6 +3154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_mean_events": _rolling_mean_events,
         # linear-interpolation fill arm of the resample family
         "resample_interp_events": _resample_interp_events,
+        # PMI collocation mining (families covered: vocab_topk_documents
+        # counts + model_scores_documents bigram machinery)
+        "pmi_collocations_documents": _pmi_collocations_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3667,6 +3683,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        # tokenization/lowercasing identical to model_scores_documents'
+        # bigram arm; round-9 BEFORE the row_number selection mirrors the
+        # operator's pre-selection rounding (set-stability contract)
+        "pmi_collocations_documents": r"""
+            WITH wl AS (SELECT list_filter(regexp_split_to_array(
+                            lower(coalesce(text, '')), '\s+'),
+                            x -> x <> '') AS w
+                        FROM documents),
+            grams AS (SELECT w[i] || ' ' || w[i+1] AS g,
+                             w[i] AS w1, w[i+1] AS w2
+                      FROM wl, unnest(generate_series(1, len(w) - 1))
+                          AS u(i)),
+            cg AS (SELECT g, any_value(w1) AS w1, any_value(w2) AS w2,
+                          count(*)::DOUBLE AS c12
+                   FROM grams GROUP BY g),
+            ct AS (SELECT token, count(*)::DOUBLE AS c FROM (
+                     SELECT unnest(w) AS token FROM wl) GROUP BY 1),
+            n1 AS (SELECT sum(c) AS n1 FROM ct),
+            n2 AS (SELECT sum(c12) AS n2 FROM cg)
+            SELECT g AS gram, c12::BIGINT AS c12, pmi FROM (
+              SELECT cg.g, cg.c12,
+                     round(ln(cg.c12) - ln(n2.n2) - ln(t1.c) + ln(n1.n1)
+                           - ln(t2.c) + ln(n1.n1), 9) AS pmi
+              FROM cg
+              JOIN ct t1 ON cg.w1 = t1.token
+              JOIN ct t2 ON cg.w2 = t2.token
+              CROSS JOIN n1 CROSS JOIN n2
+              WHERE cg.c12 >= 5
+              QUALIFY row_number() OVER (ORDER BY pmi DESC, g ASC) <= 20)
+            ORDER BY pmi DESC, gram
         """,
         "resample_interp_events": """
             WITH agg AS (

@@ -443,6 +443,25 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_collocations(args) -> int:
+    """Top word-bigram collocations by PMI -> stdout/parquet."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    _ray()
+    from .pipelines.textstats import pmi_collocations
+
+    ds = ray.data.read_parquet(_input_files(args.input),
+                               columns=[args.column])
+    out = pmi_collocations(ds, column=args.column, k=args.k,
+                           min_count=args.min_count)
+    if args.output:
+        pq.write_table(out, args.output)
+    print(json.dumps({"rows": out.num_rows,
+                      "top": out.column("gram").to_pylist()[:5]}))
+    return 0
+
+
 def cmd_dsir(args) -> int:
     """DSIR-style importance weights of a source corpus vs a target."""
     import ray.data
@@ -633,6 +652,15 @@ def main(argv=None) -> int:
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--output")
     p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser("collocations",
+                       help="top word-bigram collocations by PMI")
+    p.add_argument("input")
+    p.add_argument("--column", default="text")
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--min-count", type=int, default=5)
+    p.add_argument("--output", help="optional parquet destination")
+    p.set_defaults(fn=cmd_collocations)
 
     p = sub.add_parser("retention",
                        help="cohort retention matrix of an events table")

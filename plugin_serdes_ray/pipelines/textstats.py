@@ -1081,6 +1081,153 @@ def bigram_logprob(ds, column: str = "text", id_column: str = "doc_id",
                                runtime_env=env)
 
 
+def pmi_collocations(ds, column: str = "text", k: int = 20,
+                     min_count: int = 5) -> pa.Table:
+    """Top-k word-bigram collocations by pointwise mutual information —
+    the classic corpus-analysis op (Church & Hanks 1990) that surfaces
+    multi-word expressions ("new york", "click here") a tokenizer or
+    stopword list should know about. Tokenization is the LM family's
+    contract: lowercased whitespace tokens, empties dropped.
+
+    ``PMI(w1 w2) = ln(c12) - ln(N2) - ln(c1) + ln(N1) - ln(c2) + ln(N1)``
+    — i.e. ``ln(p12 / (p1·p2))`` with ``p12 = c12/N2`` over total bigram
+    occurrences and ``p(w) = c/N1`` over total token occurrences, spelled
+    in EXACTLY that operation order so the DuckDB oracle reproduces the
+    float bit-for-bit. Bigrams with ``c12 < min_count`` are dropped first
+    (rare-pair PMI explodes toward ln N). Scores are rounded to 9
+    decimals BEFORE selection so the (pmi desc, gram asc) order — and
+    therefore the selected set — is stable against one-ulp libm
+    divergence between engines.
+
+    100 TB shape: ONE postings pass builds block-local (gram, w1) counts
+    (a C ``group_by`` per block; w1 rides the group key, functionally
+    dependent on gram); a partial+Sum reduce shrinks to the
+    vocabulary-sized corpus gram table, min_count-filtered BEFORE
+    anything joins; token counts reduce the same way; both totals are
+    O(vocab) aggregates; unigram counts attach through two vocab-sized
+    :func:`~.relational.hash_join` passes (w2 recovered by splitting the
+    gram at its single space — tokens contain no whitespace); final
+    selection is a per-block (pmi desc, gram asc) top-k plus an
+    O(k·blocks) driver merge. Raw text never shuffles; no global sort.
+
+    Returns an Arrow table ``(gram, c12 int64, pmi float64)``, k rows.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..util import package_runtime_env
+    from .relational import hash_join
+
+    env = package_runtime_env()
+
+    def _lowered(t: pa.Table) -> pa.Array:
+        col = t.column(column).combine_chunks()
+        if pa.types.is_null(col.type):      # all-null block from_items
+            col = col.cast(pa.string())
+        return pc.utf8_lower(pc.fill_null(col, ""))
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        col = _lowered(t)
+        _, grams, w1 = _word_ngrams(*_word_rows(col), 2, with_prefix=True)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "w1": pa.array([], type=pa.string()),
+                             "c_part": pa.array([], type=pa.int64())})
+        g = pa.table({"gram": grams, "w1": w1}) \
+            .group_by(["gram", "w1"]).aggregate([([], "count_all")])
+        return grouped_renamed(g, {"gram": "gram", "w1": "w1",
+                                   "count_all": "c_part"})
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        return _token_counts(pc.list_flatten(
+            pc.split_pattern_regex(_lowered(t), r"\s+")))
+
+    src = ds.select_columns([column])
+    cg = (src.map_batches(gram_partial, batch_format="pyarrow",
+                          runtime_env=env)
+             .groupby(["gram", "w1"]).aggregate(Sum("c_part")))
+
+    def cg_finish(t: pa.Table) -> pa.Table:
+        return pa.table({"gram": t.column("gram"), "w1": t.column("w1"),
+                         "c12": t.column("sum(c_part)").cast(pa.int64())})
+
+    # materialized ONCE, vocabulary-sized: consumed by the N2 total
+    # (which must see every gram — the denominator is total bigram
+    # occurrences) and by the min_count-filtered join input below
+    cg = cg.map_batches(cg_finish, batch_format="pyarrow",
+                        runtime_env=env).materialize()
+    n2 = float(cg.aggregate(Sum("c12"))["sum(c12)"] or 0)
+
+    def cg_filter(t: pa.Table) -> pa.Table:
+        # shrink before deriving w2 / joining: rare pairs are most of the
+        # gram vocabulary but can never reach the top-k
+        out = t.filter(pc.greater_equal(t.column("c12"), min_count))
+        w2 = pc.list_element(pc.split_pattern(
+            out.column("gram").combine_chunks(), " ", max_splits=1), 1)
+        return out.append_column("w2", w2)
+
+    cg = cg.map_batches(cg_filter, batch_format="pyarrow", runtime_env=env)
+
+    ct = (src.map_batches(tok_partial, batch_format="pyarrow",
+                          runtime_env=env)
+             .groupby("token").aggregate(Sum("cnt"))
+             .map_batches(lambda t: t.rename_columns(["token", "c"]),
+                          batch_format="pyarrow", runtime_env=env)
+             .materialize())
+
+    n1 = float(ct.aggregate(Sum("c"))["sum(c)"] or 0)
+    empty = pa.table({"gram": pa.array([], type=pa.string()),
+                      "c12": pa.array([], type=pa.int64()),
+                      "pmi": pa.array([], type=pa.float64())})
+    if n1 == 0 or n2 == 0:
+        return empty
+
+    j1 = hash_join(cg, ct.map_batches(
+        lambda t: t.rename_columns(["w1", "c1"]),
+        batch_format="pyarrow", runtime_env=env), key="w1")
+    j2 = hash_join(j1, ct.map_batches(
+        lambda t: t.rename_columns(["w2", "c2"]),
+        batch_format="pyarrow", runtime_env=env), key="w2")
+
+    ln_n1, ln_n2 = math.log(n1), math.log(n2)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        c12 = t.column("c12").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c1 = t.column("c1").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c2 = t.column("c2").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        raw = np.log(c12) - ln_n2 - np.log(c1) + ln_n1 - np.log(c2) + ln_n1
+        # Python round, not pc.round: Arrow's multiply-divide ndigits
+        # rounding leaves one-ulp-off doubles unchanged while
+        # DuckDB/Python collapse them (BASELINE.md oracle convention)
+        pmi = pa.array([round(v, 9) for v in raw.tolist()],
+                       type=pa.float64())
+        out = pa.table({"gram": t.column("gram"),
+                        "c12": t.column("c12").cast(pa.int64()),
+                        "pmi": pmi})
+        idx = pc.sort_indices(out, sort_keys=[("pmi", "descending"),
+                                              ("gram", "ascending")])
+        return out.take(idx.slice(0, k))
+
+    import ray
+
+    refs = j2.map_batches(score_topk, batch_format="pyarrow",
+                          runtime_env=env).to_arrow_refs()
+    tables = [tb for tb in ray.get(refs) if tb.num_columns]
+    if not tables:
+        return empty
+    cand = pa.concat_tables(
+        tables, promote_options="default").combine_chunks()
+    if cand.num_rows == 0:
+        return empty
+    idx = pc.sort_indices(cand, sort_keys=[("pmi", "descending"),
+                                           ("gram", "ascending")])
+    return cand.take(idx.slice(0, k))
+
+
 def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
                     k: int = 3, salt_target_bytes: int = 32 << 20):
     """Top-k terms per document by tf-idf (``tf · ln(N/df)``), composed

@@ -376,3 +376,22 @@ def test_cli_anomalies(ray_session, tmp_path, sf_dir):
     assert {"event_type", "bucket_start", "sum_value", "abs_dev",
             "mad", "is_anomaly"} <= set(t.column_names)
     assert t.column("is_anomaly").null_count == 0  # fill=zero grid
+
+
+def test_cli_collocations(ray_session, tmp_path, capsys, sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    out = str(tmp_path / "pmi.parquet")
+    assert main(["collocations", f"{sf_dir}/documents.parquet",
+                 "--k", "7", "--min-count", "2", "--output", out]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] == 7
+    t = pq.read_table(out)
+    assert t.column_names == ["gram", "c12", "pmi"]
+    rows = t.to_pylist()
+    assert all(r["c12"] >= 2 for r in rows)
+    assert rows == sorted(rows, key=lambda r: (-r["pmi"], r["gram"]))

@@ -550,3 +550,49 @@ def test_importance_weights_reference(ray_session):
     assert got[4][0] == 1 and abs(got[4][1] - lr["cat"]) < 1e-12
     assert got[1][0] == 3
     assert abs(got[1][1] - (2 * lr["dog"] + lr["cat"])) < 1e-12
+
+
+def test_pmi_collocations_hand_case(ray_session):
+    """Hand-checkable corpus: 'big data' always collocates, 'the'
+    pairs with everything (low PMI), rare pairs fall to min_count."""
+    import math
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import pmi_collocations
+
+    docs = [{"doc_id": i, "text": "Big Data beats the rest"}
+            for i in range(6)]
+    docs += [{"doc_id": 100 + i, "text": "the rest is noise"}
+             for i in range(6)]
+    docs += [{"doc_id": 200, "text": "rare pair"}]  # c12=1 < min_count
+    ds = ray.data.from_items(docs).repartition(3)
+    got = pmi_collocations(ds, k=50, min_count=5)
+    rows = {r["gram"]: r for r in got.to_pylist()}
+    assert "rare pair" not in rows
+    # counts: 6x(5 tok, 4 bg) + 6x(4 tok, 3 bg) + (2 tok, 1 bg)
+    n1, n2 = 56.0, 43.0
+    exp = round(math.log(6) - math.log(n2) - math.log(6)
+                + math.log(n1) - math.log(6) + math.log(n1), 9)
+    assert rows["big data"]["c12"] == 6
+    assert rows["big data"]["pmi"] == exp
+    # 'the rest' occurs 12x but 'the'/'rest' are corpus-wide frequent
+    assert rows["the rest"]["c12"] == 12
+    assert rows["the rest"]["pmi"] < rows["big data"]["pmi"]
+    # ordering contract: pmi desc, gram asc
+    lst = got.to_pylist()
+    assert lst == sorted(lst, key=lambda r: (-r["pmi"], r["gram"]))
+
+
+def test_pmi_collocations_empty_and_all_rare(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import pmi_collocations
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": None},
+                              {"doc_id": 2, "text": "   "},
+                              {"doc_id": 3, "text": "one two"}])
+    got = pmi_collocations(ds, k=5, min_count=5)
+    assert got.num_rows == 0
+    assert got.column_names == ["gram", "c12", "pmi"]
+    assert got.schema.field("c12").type == pa.int64()
