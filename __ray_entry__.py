@@ -924,6 +924,23 @@ def _pmi_collocations_documents(sf_dir: str):
     return pmi_collocations(ds, k=20, min_count=5)
 
 
+def _vocab_kl_documents(sf_dir: str):
+    """Per-language vocabulary KL divergence vs the corpus unigram
+    distribution (textstats.vocab_kl_divergence): add-1 smoothing over
+    the full corpus vocabulary, NULL-lang rows excluded, term arithmetic
+    spelled identically on both engines, kl rounded to 9."""
+    from plugin_serdes_ray.pipelines.textstats import vocab_kl_divergence
+
+    ds = _read(sf_dir, "documents")
+    rows = vocab_kl_divergence(ds).take_all()
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows],
+                             type=pa.int64()),
+        "kl": pa.array([r["kl"] for r in rows], type=pa.float64()),
+    })
+
+
 def _profile_lineitem(sf_dir: str):
     """One-pass dataset profile (pipelines/profile.py) over four lineitem
     columns spanning the type dispatch: two numerics (min/max/mean/std
@@ -3157,6 +3174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PMI collocation mining (families covered: vocab_topk_documents
         # counts + model_scores_documents bigram machinery)
         "pmi_collocations_documents": _pmi_collocations_documents,
+        # per-language KL divergence vs the corpus unigram distribution
+        "vocab_kl_documents": _vocab_kl_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3714,6 +3733,32 @@ def oracle_sql() -> dict[str, str]:
               WHERE cg.c12 >= 5
               QUALIFY row_number() OVER (ORDER BY pmi DESC, g ASC) <= 20)
             ORDER BY pmi DESC, gram
+        """,
+        # tokenization = vocab family (raw whitespace tokens, empties
+        # dropped); identical term spelling: p_g * ((ln(c_gt+1) -
+        # ln(n_g+V)) - (ln(c_t+1) - ln(N+V)))
+        "vocab_kl_documents": r"""
+            WITH toks AS (SELECT lang, unnest(regexp_split_to_array(
+                              coalesce(text, ''), '\s+')) AS token
+                          FROM documents WHERE lang IS NOT NULL),
+            t2 AS (SELECT lang, token FROM toks WHERE token <> ''),
+            gt AS (SELECT lang, token, count(*)::DOUBLE AS c_gt
+                   FROM t2 GROUP BY 1, 2),
+            ct AS (SELECT token, sum(c_gt) AS c_t FROM gt GROUP BY 1),
+            v AS (SELECT count(*)::DOUBLE AS v, sum(c_t) AS n FROM ct),
+            ng AS (SELECT lang, sum(c_gt) AS n_g FROM gt GROUP BY 1),
+            sup AS (SELECT ng.lang, ng.n_g, ct.token, ct.c_t
+                    FROM ng CROSS JOIN ct),
+            fl AS (SELECT s.lang, s.n_g, s.c_t,
+                          coalesce(gt.c_gt, 0) AS c_gt
+                   FROM sup s LEFT JOIN gt
+                     ON s.lang = gt.lang AND s.token = gt.token)
+            SELECT lang, n_g::BIGINT AS n_tokens,
+                   round(sum(((c_gt + 1) / (n_g + v.v)) *
+                             ((ln(c_gt + 1) - ln(n_g + v.v))
+                              - (ln(c_t + 1) - ln(v.n + v.v)))), 9) AS kl
+            FROM fl CROSS JOIN v
+            GROUP BY lang, n_g
         """,
         "resample_interp_events": """
             WITH agg AS (

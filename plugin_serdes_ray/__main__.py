@@ -462,6 +462,28 @@ def cmd_collocations(args) -> int:
     return 0
 
 
+def cmd_divergence(args) -> int:
+    """Per-group vocabulary KL divergence vs the corpus -> stdout/parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    _ray()
+    from .pipelines.textstats import vocab_kl_divergence
+
+    ds = ray.data.read_parquet(_input_files(args.input),
+                               columns=[args.key, args.column])
+    rows = vocab_kl_divergence(ds, group_column=args.key,
+                               column=args.column,
+                               smooth=args.smooth).take_all()
+    out = pa.Table.from_pylist(rows) if rows else None
+    if args.output and out is not None:
+        pq.write_table(out, args.output)
+    print(json.dumps({"rows": len(rows),
+                      "kl": {r[args.key]: r["kl"] for r in rows}}))
+    return 0
+
+
 def cmd_dsir(args) -> int:
     """DSIR-style importance weights of a source corpus vs a target."""
     import ray.data
@@ -661,6 +683,15 @@ def main(argv=None) -> int:
     p.add_argument("--min-count", type=int, default=5)
     p.add_argument("--output", help="optional parquet destination")
     p.set_defaults(fn=cmd_collocations)
+
+    p = sub.add_parser("divergence",
+                       help="per-group vocabulary KL divergence vs corpus")
+    p.add_argument("input")
+    p.add_argument("--key", default="lang")
+    p.add_argument("--column", default="text")
+    p.add_argument("--smooth", type=float, default=1.0)
+    p.add_argument("--output", help="optional parquet destination")
+    p.set_defaults(fn=cmd_divergence)
 
     p = sub.add_parser("retention",
                        help="cohort retention matrix of an events table")

@@ -1228,6 +1228,149 @@ def pmi_collocations(ds, column: str = "text", k: int = 20,
     return cand.take(idx.slice(0, k))
 
 
+def vocab_kl_divergence(ds, group_column: str = "lang",
+                        column: str = "text",
+                        smooth: float = 1.0):
+    """Per-group vocabulary divergence: ``KL(P_g || P_corpus)`` of each
+    group's add-``smooth`` unigram distribution against the whole
+    corpus's, over the corpus's FULL vocabulary — the data-mixture
+    diagnostic that says which subcorpus (language, source, crawl snap)
+    is lexically farthest from the blend it feeds. Tokenization is the
+    vocab family's contract (raw whitespace tokens, empties dropped);
+    rows with a NULL group are excluded (SQL GROUP BY semantics).
+
+    ``P_g(t) = (c_gt + s) / (n_g + s·V)`` and ``P(t) = (c_t + s) /
+    (N + s·V)`` with ``V`` = corpus distinct-token count; each term is
+    spelled ``p_g · ((ln(c_gt+s) − ln(n_g+sV)) − (ln(c_t+s) − ln(N+sV)))``
+    in exactly that operation order on both engines.
+
+    100 TB shape: ONE corpus pass builds block-local (group, token)
+    counts (C ``group_by``), a Sum shuffle reduces them to the
+    grouped-vocabulary table, and the corpus vocabulary DERIVES from it
+    (a second vocab-sized Sum — no second corpus scan). The full
+    group×vocab support is realized by tiling each vocabulary block
+    with the (small, driver-held) group list and LEFT-joining the
+    grouped counts — |groups|·|vocab| fixed-width rows through one
+    keyed shuffle, never corpus-sized, never a driver loop. Returns a
+    Dataset ``(group_column, n_tokens int64, kl float64)``.
+    """
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import package_runtime_env
+    from .relational import hash_join
+
+    env = package_runtime_env()
+
+    def gt_partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_column).combine_chunks()
+        if pa.types.is_null(g.type):
+            g = g.cast(pa.string())
+        toks_l = _ws_split(t, column)
+        lens = pc.list_value_length(toks_l).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(toks_l), dtype=np.int64), lens)
+        flat = pc.list_flatten(toks_l)
+        keep = pc.and_(pc.not_equal(flat, ""),
+                       pc.is_valid(g.take(pa.array(row_of))))
+        sel = keep.to_numpy(zero_copy_only=False)
+        tab = pa.table({"g": g.take(pa.array(row_of[sel])),
+                        "token": flat.filter(keep)})
+        out = tab.group_by(["g", "token"]).aggregate([([], "count_all")])
+        return grouped_renamed(out, {"g": "g", "token": "token",
+                                     "count_all": "c_part"})
+
+    gt = (ds.select_columns([group_column, column])
+            .map_batches(gt_partial, batch_format="pyarrow",
+                         runtime_env=env)
+            .groupby(["g", "token"]).aggregate(Sum("c_part"))
+            .map_batches(lambda t: t.rename_columns(["g", "token", "c_gt"]),
+                         batch_format="pyarrow", runtime_env=env)
+            .materialize())
+
+    ct = (gt.map_batches(
+              lambda t: grouped_renamed(
+                  t.select(["token", "c_gt"]).group_by("token")
+                   .aggregate([("c_gt", "sum")]),
+                  {"token": "token", "c_gt_sum": "c_part"}),
+              batch_format="pyarrow", runtime_env=env)
+            .groupby("token").aggregate(Sum("c_part"))
+            .map_batches(lambda t: t.rename_columns(["token", "c_t"]),
+                         batch_format="pyarrow", runtime_env=env)
+            .materialize())
+
+    # group list + per-group totals: O(groups) driver rows by design
+    ng_rows = (gt.map_batches(
+                   lambda t: grouped_renamed(
+                       t.select(["g", "c_gt"]).group_by("g")
+                        .aggregate([("c_gt", "sum")]),
+                       {"g": "g", "c_gt_sum": "n_part"}),
+                   batch_format="pyarrow", runtime_env=env)
+                 .groupby("g").aggregate(Sum("n_part")).take_all())
+    n_g = {r["g"]: float(r["sum(n_part)"]) for r in ng_rows}
+    groups = sorted(n_g)
+    empty = pa.table({group_column: pa.array([], type=pa.string()),
+                      "n_tokens": pa.array([], type=pa.int64()),
+                      "kl": pa.array([], type=pa.float64())})
+    if not groups:
+        return ray.data.from_arrow(empty)
+
+    v = float(ct.count())
+    n_tot = float(ct.aggregate(Sum("c_t"))["sum(c_t)"] or 0)
+    sv = smooth * v
+    ln_pn = math.log(n_tot + sv)
+
+    def expand(t: pa.Table) -> pa.Table:
+        # tile the (small) group list across this vocabulary block:
+        # |groups| x block rows, the full support of every P_g
+        nb = t.num_rows
+        toks = t.column("token").combine_chunks()
+        idx = pa.array(np.tile(np.arange(nb, dtype=np.int64), len(groups)))
+        gcol = pa.array(np.repeat(np.array(groups, dtype=object), nb))
+        return pa.table({"g": gcol, "token": toks.take(idx),
+                         "c_t": t.column("c_t").combine_chunks().take(idx)})
+
+    support = ct.map_batches(expand, batch_format="pyarrow",
+                             runtime_env=env)
+    joined = hash_join(support, gt, key=["g", "token"], join_type="left")
+
+    group_arr = pa.array(groups)
+    ng_arr = np.array([n_g[g] for g in groups], dtype=np.float64)
+    den_arr = np.array([math.log(n_g[g] + sv) for g in groups])
+
+    def term(t: pa.Table) -> pa.Table:
+        gc = t.column("g").combine_chunks()
+        cgt = pc.fill_null(t.column("c_gt").combine_chunks(), 0) \
+            .cast(pa.float64()).to_numpy(zero_copy_only=False)
+        c_t = t.column("c_t").combine_chunks().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        gi = pc.index_in(gc, value_set=group_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        den_g, ngv = den_arr[gi], ng_arr[gi]
+        p_g = (cgt + smooth) / (ngv + sv)
+        tm = p_g * ((np.log(cgt + smooth) - den_g)
+                    - (np.log(c_t + smooth) - ln_pn))
+        return pa.table({"g": gc, "__t": pa.array(tm)})
+
+    summed = (joined.map_batches(term, batch_format="pyarrow",
+                                 runtime_env=env)
+                    .groupby("g").aggregate(Sum("__t")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        gc = t.column("g").combine_chunks()
+        kl = [round(x, 9) for x in
+              t.column("sum(__t)").to_pylist()]
+        ntk = pa.array([int(n_g[x]) for x in gc.to_pylist()],
+                       type=pa.int64())
+        return pa.table({group_column: gc, "n_tokens": ntk,
+                         "kl": pa.array(kl, type=pa.float64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              runtime_env=env)
+
+
 def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
                     k: int = 3, salt_target_bytes: int = 32 << 20):
     """Top-k terms per document by tf-idf (``tf · ln(N/df)``), composed

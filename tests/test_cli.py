@@ -395,3 +395,20 @@ def test_cli_collocations(ray_session, tmp_path, capsys, sf_dir):
     rows = t.to_pylist()
     assert all(r["c12"] >= 2 for r in rows)
     assert rows == sorted(rows, key=lambda r: (-r["pmi"], r["gram"]))
+
+
+def test_cli_divergence(ray_session, tmp_path, capsys, sf_dir):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.__main__ import main
+
+    out = str(tmp_path / "kl.parquet")
+    assert main(["divergence", f"{sf_dir}/documents.parquet",
+                 "--key", "lang", "--output", out]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] >= 1
+    assert all(v >= 0 for v in got["kl"].values())
+    t = pq.read_table(out)
+    assert t.column_names == ["lang", "n_tokens", "kl"]

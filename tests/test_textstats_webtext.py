@@ -596,3 +596,54 @@ def test_pmi_collocations_empty_and_all_rare(ray_session):
     assert got.num_rows == 0
     assert got.column_names == ["gram", "c12", "pmi"]
     assert got.schema.field("c12").type == pa.int64()
+
+
+def test_vocab_kl_single_group_is_zero(ray_session):
+    """One group == the corpus, so P_g == P and every term cancels to
+    exactly 0.0 (same floats both sides of the subtraction)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import vocab_kl_divergence
+
+    ds = ray.data.from_items(
+        [{"lang": "en", "text": "a b c a"},
+         {"lang": "en", "text": "b c d"},
+         {"lang": None, "text": "excluded row"}]).repartition(2)
+    rows = vocab_kl_divergence(ds).take_all()
+    assert rows == [{"lang": "en", "n_tokens": 7, "kl": 0.0}]
+
+
+def test_vocab_kl_reference_and_empty(ray_session):
+    """Two-group corpus vs a direct numpy recomputation of the same
+    formula; empty corpus returns the typed empty result."""
+    import math
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textstats import vocab_kl_divergence
+
+    ds = ray.data.from_items(
+        [{"lang": "en", "text": "x x y"},
+         {"lang": "de", "text": "z z z y"}]).repartition(2)
+    rows = sorted(vocab_kl_divergence(ds).take_all(),
+                  key=lambda r: r["lang"])
+    # vocab = {x, y, z}: V=3, N=7; counts en: x2 y1 z0 (n=3),
+    # de: x0 y1 z3 (n=4)
+    def kl(cs, n):
+        tot = {"x": 2.0, "y": 2.0, "z": 3.0}
+        s = 0.0
+        for t in ("x", "y", "z"):
+            pg = (cs.get(t, 0.0) + 1) / (n + 3.0)
+            s += pg * ((math.log(cs.get(t, 0.0) + 1) - math.log(n + 3.0))
+                       - (math.log(tot[t] + 1) - math.log(7 + 3.0)))
+        return round(s, 9)
+
+    assert rows[0]["lang"] == "de" and rows[0]["n_tokens"] == 4
+    assert abs(rows[0]["kl"] - kl({"y": 1.0, "z": 3.0}, 4.0)) <= 1e-9
+    assert rows[1]["lang"] == "en" and rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["kl"] - kl({"x": 2.0, "y": 1.0}, 3.0)) <= 1e-9
+    assert all(r["kl"] > 0 for r in rows)
+
+    empty = ray.data.from_items([{"lang": None, "text": "only null"}])
+    got = vocab_kl_divergence(empty).take_all()
+    assert got == []
