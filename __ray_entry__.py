@@ -924,6 +924,64 @@ def _pmi_collocations_documents(sf_dir: str):
     return pmi_collocations(ds, k=20, min_count=5)
 
 
+def _c4_clean_documents(sf_dir: str):
+    """C4-style line filtering (textstats.c4_signals): per-line terminal
+    punctuation / >=3 words / no-javascript keep rule, page-level lorem
+    ipsum + curly-brace flags; cleaned text re-joined with newlines.
+    The flat synthetic corpus has no newlines or punctuation, so both
+    sides first build the SAME six-line page from (doc_id, text) —
+    sentence, raw 40-char prefix (no terminal punct), a too-short line,
+    and three doc_id-modulated variants exercising the javascript /
+    lorem-ipsum / curly-brace rules — then filter. Exact string compare
+    against the SQL list_filter twin."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.textstats import c4_signals
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        idn = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids_s = ids.cast(pa.string())
+        raw = pc.utf8_slice_codeunits(
+            pc.fill_null(t.column("text").combine_chunks(), ""), 0, 40)
+
+        def const(s: str) -> pa.Array:
+            return pa.array([s] * len(idn), type=pa.string())
+
+        l1 = pc.binary_join_element_wise(
+            const("Document "), ids_s,
+            const(" begins with a proper sentence."), "")
+        l4 = pc.if_else(pa.array(idn % 5 == 0),
+                        const("All about javascript optimization today."),
+                        const("A clean alternative sentence instead."))
+        l5 = pc.if_else(pa.array(idn % 7 == 0),
+                        const("Sprinkle lorem ipsum into this page now."),
+                        const("Nothing unusual appears in this line."))
+        l6 = pc.if_else(pa.array(idn % 11 == 0),
+                        const("Braces { show up here sometimes."),
+                        const("Final line ends without punctuation"))
+        page = pc.binary_join_element_wise(
+            l1, raw, const("Too short."), l4, l5, l6, "\n")
+        return pa.table({"doc_id": ids, "text": page})
+
+    ds = (_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+          .map_batches(synth, batch_format="pyarrow", runtime_env=_env()))
+    out = ds.map_batches(lambda t: c4_signals(t).drop_columns(["text"]),
+                         batch_format="pyarrow", runtime_env=_env())
+    rows = out.take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "c4_text": pa.array([r["c4_text"] for r in rows],
+                            type=pa.string()),
+        "c4_total_lines": pa.array([r["c4_total_lines"] for r in rows],
+                                   type=pa.int64()),
+        "c4_kept_lines": pa.array([r["c4_kept_lines"] for r in rows],
+                                  type=pa.int64()),
+        "c4_keep_page": pa.array([r["c4_keep_page"] for r in rows],
+                                 type=pa.bool_()),
+    })
+
+
 def _vocab_kl_documents(sf_dir: str):
     """Per-language vocabulary KL divergence vs the corpus unigram
     distribution (textstats.vocab_kl_divergence): add-1 smoothing over
@@ -3176,6 +3234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations_documents": _pmi_collocations_documents,
         # per-language KL divergence vs the corpus unigram distribution
         "vocab_kl_documents": _vocab_kl_documents,
+        # C4 line-filter cascade (family covered: gopher_signals_documents)
+        "c4_clean_documents": _c4_clean_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3733,6 +3793,45 @@ def oracle_sql() -> dict[str, str]:
               WHERE cg.c12 >= 5
               QUALIFY row_number() OVER (ORDER BY pmi DESC, g ASC) <= 20)
             ORDER BY pmi DESC, gram
+        """,
+        "c4_clean_documents": r"""
+            WITH base AS (SELECT doc_id,
+                'Document ' || CAST(doc_id AS VARCHAR)
+                || ' begins with a proper sentence.'
+                || chr(10) || substring(coalesce(text, ''), 1, 40)
+                || chr(10) || 'Too short.'
+                || chr(10) || CASE WHEN doc_id % 5 = 0
+                    THEN 'All about javascript optimization today.'
+                    ELSE 'A clean alternative sentence instead.' END
+                || chr(10) || CASE WHEN doc_id % 7 = 0
+                    THEN 'Sprinkle lorem ipsum into this page now.'
+                    ELSE 'Nothing unusual appears in this line.' END
+                || chr(10) || CASE WHEN doc_id % 11 = 0
+                    THEN 'Braces { show up here sometimes.'
+                    ELSE 'Final line ends without punctuation' END
+                AS t
+                FROM documents),
+            l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines
+                  FROM base),
+            k AS (SELECT doc_id, t,
+                         len(lines)::BIGINT AS c4_total_lines,
+                         list_filter(lines, x ->
+                             (ends_with(x, '.') OR ends_with(x, '!')
+                              OR ends_with(x, '?') OR ends_with(x, '"')
+                              OR ends_with(x, '”'))
+                             AND len(list_filter(
+                                 regexp_split_to_array(x, '\s+'),
+                                 w -> w <> '')) >= 3
+                             AND NOT contains(lower(x), 'javascript'))
+                             AS kept
+                  FROM l)
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+                   c4_total_lines,
+                   len(kept)::BIGINT AS c4_kept_lines,
+                   NOT (contains(lower(t), 'lorem ipsum')
+                        OR contains(t, '{')) AS c4_keep_page
+            FROM k
         """,
         # tokenization = vocab family (raw whitespace tokens, empties
         # dropped); identical term spelling: p_g * ((ln(c_gt+1) -

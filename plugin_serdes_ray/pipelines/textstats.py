@@ -524,6 +524,61 @@ def gopher_filter(batch: pa.Table, *, max_dup_line_frac: float = 0.30,
     return batch.append_column(out, pa.array(keep))
 
 
+def c4_signals(batch: pa.Table, column: str = "text",
+               min_words: int = 3) -> pa.Table:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    C4 heuristics): keep only lines that END in terminal punctuation
+    (``.`` ``!`` ``?`` ``"`` ``”``), have at least ``min_words``
+    whitespace words, and do not mention "javascript" (case-insensitive);
+    flag pages containing "lorem ipsum" (case-insensitive) or ``{`` for
+    page-level removal. Nulls read as "" (one empty line, kept=0).
+
+    Appends ``c4_text`` (kept lines re-joined with newlines),
+    ``c4_total_lines``, ``c4_kept_lines`` (int64) and ``c4_keep_page``
+    (bool). Fully vectorized: one split kernel, suffix/substring kernels
+    over the flat line array, one bincount + ListArray rebuild + C
+    ``binary_join`` — no Python loop. Map-only; composes with
+    :func:`gopher_filter` for the full quality cascade."""
+    col = batch.column(column).combine_chunks()
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    col = pc.fill_null(col, "")
+    lines_l = pc.split_pattern(col, "\n")
+    lens = pc.list_value_length(lines_l).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lines_l)
+    rows = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+
+    term = pc.ends_with(flat, ".")
+    for sfx in ("!", "?", "\"", "”"):
+        term = pc.or_(term, pc.ends_with(flat, sfx))
+    words = pc.count_substring_regex(flat, r"\S+")
+    enough = pc.greater_equal(words, min_words)
+    nojs = pc.invert(pc.match_substring(flat, "javascript",
+                                        ignore_case=True))
+    keep = pc.and_(pc.and_(term, enough), nojs).to_numpy(
+        zero_copy_only=False)
+
+    counts = np.bincount(rows[keep], minlength=len(col))
+    offsets = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(counts)]).astype(np.int64)
+    kept_list = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        flat.filter(pa.array(keep)).cast(pa.large_string()))
+    joined = pc.binary_join(kept_list, pa.scalar(
+        "\n", type=pa.large_string())).cast(pa.string())
+
+    lorem = pc.match_substring(col, "lorem ipsum", ignore_case=True)
+    curly = pc.match_substring(col, "{")
+    keep_page = pc.invert(pc.or_(lorem, curly))
+    return (batch.append_column("c4_text", joined)
+                 .append_column("c4_total_lines",
+                                pa.array(lens, type=pa.int64()))
+                 .append_column("c4_kept_lines",
+                                pa.array(counts.astype(np.int64)))
+                 .append_column("c4_keep_page", keep_page))
+
+
 def chunk_text(ds, column: str = "text", id_column: str = "doc_id", *,
                size: int = 512, overlap: int = 64,
                chunk_col: str = "chunk", idx_col: str = "chunk_id"):

@@ -647,3 +647,30 @@ def test_vocab_kl_reference_and_empty(ray_session):
     empty = ray.data.from_items([{"lang": None, "text": "only null"}])
     got = vocab_kl_divergence(empty).take_all()
     assert got == []
+
+
+def test_c4_signals_rules():
+    from plugin_serdes_ray.pipelines.textstats import c4_signals
+
+    t = pa.table({"text": [
+        "Good line with words here.\nshort.\nno terminal punct\n"
+        "Another proper sentence!",
+        "Uses JavaScript heavily here.\nThis line is safe and long.",
+        "Has lorem ipsum dolor sit amet.",
+        "var x = { a: 1 };\nA fine sentence indeed.",
+        'Ends with a quote."\nEnds with smart quote.”\nEnds with question?',
+        None]})
+    out = c4_signals(t)
+    rows = out.to_pylist()
+    assert rows[0]["c4_text"] == ("Good line with words here.\n"
+                                  "Another proper sentence!")
+    assert rows[0]["c4_total_lines"] == 4
+    assert rows[0]["c4_kept_lines"] == 2
+    assert rows[0]["c4_keep_page"] is True
+    assert rows[1]["c4_text"] == "This line is safe and long."  # js dropped
+    assert rows[2]["c4_keep_page"] is False                     # lorem
+    assert rows[3]["c4_keep_page"] is False                     # curly
+    # quote/smart-quote/question all count as terminal punctuation
+    assert rows[4]["c4_kept_lines"] == 3
+    assert rows[5]["c4_text"] == "" and rows[5]["c4_kept_lines"] == 0
+    assert rows[5]["c4_total_lines"] == 1 and rows[5]["c4_keep_page"]
