@@ -982,6 +982,45 @@ def _c4_clean_documents(sf_dir: str):
     })
 
 
+def _edit_pairs_documents(sf_dir: str):
+    """Blocked exact-Levenshtein pair mining (dedup.edit_distance_pairs):
+    both sides augment the corpus with a one-substitution twin of every
+    10th document (first 'a' -> 'b', id + 1000000) so true distance-1
+    pairs exist, then compare all pairs within (source, char-length//64)
+    blocks. DuckDB's levenshtein is byte-based; the operator's DP runs
+    over UTF-8 bytes to match."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.dedup import edit_distance_pairs
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks().cast(pa.int64())
+        txt = pc.fill_null(t.column("text").combine_chunks(), "")
+        src = t.column("source").combine_chunks()
+        pick = pa.array(
+            ids.to_numpy(zero_copy_only=False) % 10 == 0)
+        twins = pa.table({
+            "doc_id": pc.add(ids, pa.scalar(1000000, type=pa.int64())),
+            "source": src,
+            "text": pc.replace_substring(txt, "a", "b",
+                                         max_replacements=1),
+        }).filter(pick)
+        base = pa.table({"doc_id": ids, "source": src, "text": txt})
+        return pa.concat_tables([base, twins])
+
+    ds = (_read(sf_dir, "documents")
+          .select_columns(["doc_id", "source", "text"])
+          .map_batches(augment, batch_format="pyarrow",
+                       runtime_env=_env()))
+    rows = edit_distance_pairs(ds, "text", "doc_id", ["source"],
+                               max_dist=2).take_all()
+    return pa.table({
+        "id_a": pa.array([r["id_a"] for r in rows], type=pa.int64()),
+        "id_b": pa.array([r["id_b"] for r in rows], type=pa.int64()),
+        "dist": pa.array([r["dist"] for r in rows], type=pa.int64()),
+    })
+
+
 def _vocab_kl_documents(sf_dir: str):
     """Per-language vocabulary KL divergence vs the corpus unigram
     distribution (textstats.vocab_kl_divergence): add-1 smoothing over
@@ -3236,6 +3275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_kl_documents": _vocab_kl_documents,
         # C4 line-filter cascade (family covered: gopher_signals_documents)
         "c4_clean_documents": _c4_clean_documents,
+        # blocked exact-Levenshtein pair mining (record-linkage compare)
+        "edit_pairs_documents": _edit_pairs_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3793,6 +3834,27 @@ def oracle_sql() -> dict[str, str]:
               WHERE cg.c12 >= 5
               QUALIFY row_number() OVER (ORDER BY pmi DESC, g ASC) <= 20)
             ORDER BY pmi DESC, gram
+        """,
+        # levenshtein() is byte-based in DuckDB; the Ray DP matches by
+        # running over UTF-8 bytes. regexp_replace default = first match
+        # only, mirroring pc.replace_substring(max_replacements=1)
+        "edit_pairs_documents": r"""
+            WITH aug AS (
+                SELECT doc_id, source, coalesce(text, '') AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, source,
+                       regexp_replace(coalesce(text, ''), 'a', 'b')
+                FROM documents WHERE doc_id % 10 = 0),
+            b AS (SELECT doc_id, source, text AS t,
+                         length(text) // 64 AS band
+                  FROM aug)
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   levenshtein(x.t, y.t)::BIGINT AS dist
+            FROM b x JOIN b y
+              ON x.source = y.source AND x.band = y.band
+             AND x.doc_id < y.doc_id
+            WHERE levenshtein(x.t, y.t) <= 2
         """,
         "c4_clean_documents": r"""
             WITH base AS (SELECT doc_id,

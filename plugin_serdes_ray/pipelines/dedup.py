@@ -1438,3 +1438,124 @@ def semdedup(ds, *, threshold: float = 0.95, k: int = 8, iters: int = 0,
 
     return assigned.groupby("cluster").map_groups(
         check, batch_format="pyarrow", runtime_env=env)
+
+
+# ---------------------------------------------------------------------------
+# blocked edit-distance (Levenshtein) pair mining — record-linkage style
+# ---------------------------------------------------------------------------
+
+def _levenshtein_bytes(a: np.ndarray, b: np.ndarray, max_dist: int) -> int:
+    """Unit-cost Levenshtein over uint8 byte arrays (= DuckDB's
+    ``levenshtein``, which is byte-based: 'café' vs 'cafe' is 2), row
+    DP vectorized with the min-plus prefix-scan trick so the inner loop
+    is O(len_a) numpy calls, not O(len_a * len_b) Python. Abandons early
+    (returns ``max_dist + 1``) once a full row exceeds ``max_dist``."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        d = max(la, lb)
+        return d if d <= max_dist else max_dist + 1
+    idx0 = np.arange(lb + 1, dtype=np.int64)
+    prev = idx0.copy()
+    for i in range(1, la + 1):
+        cand = np.empty(lb + 1, dtype=np.int64)
+        cand[0] = i
+        # deletion vs substitution; insertion resolved by the scan below
+        cand[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i - 1]))
+        # cur[j] = min_k<=j (cand[k] + (j - k))  ==  j + cummin(cand - j)
+        prev = idx0 + np.minimum.accumulate(cand - idx0)
+        if prev.min() > max_dist:
+            return max_dist + 1
+    return int(prev[-1]) if prev[-1] <= max_dist else max_dist + 1
+
+
+def edit_distance_pairs(ds, column: str, id_column: str,
+                        block_cols: list, *, max_dist: int = 2,
+                        band_width: int = 64):
+    """Fuzzy-duplicate pairs by EXACT Levenshtein distance within blocking
+    keys — the record-linkage shape (block -> compare): rows sharing
+    ``block_cols`` AND a character-length band (``utf8_length // 
+    band_width``) are compared all-pairs; emitted pairs are exactly
+    ``{(a, b): a < b, lev(text_a, text_b) <= max_dist}`` within each
+    block. Rows with a NULL blocking key never match (SQL equi-join
+    semantics); NULL text reads as ''. Cross-block pairs are out of
+    scope BY CONTRACT (documented partitioning assumption — the caller
+    picks blocking keys tight enough that a block's rows fit one task;
+    an edit <= max_dist cannot change the band by more than one only if
+    band_width > max_dist, so callers wanting band-boundary recall
+    should run a second pass with the band offset by band_width//2).
+
+    100 TB shape: ONE groupby shuffle on the block key; inside each
+    block an exact-bound prune makes the quadratic part cheap: pairs are
+    dropped when byte-length difference > max_dist or when the byte-
+    histogram L1 bound ceil(|hist_a - hist_b|_1 / 2) > max_dist (both
+    LOWER bounds on Levenshtein — no recall loss), and only survivors
+    pay the vectorized DP. Returns (id_a, id_b, dist int64)."""
+    import pyarrow.compute as pc
+
+    from ..util import package_runtime_env
+
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "dist": pa.array([], type=pa.int64())})
+
+    def add_block(t: pa.Table) -> pa.Table:
+        txt = t.column(column).combine_chunks()
+        if pa.types.is_null(txt.type):
+            txt = txt.cast(pa.string())
+        txt = pc.fill_null(txt, "")
+        band = pc.divide(pc.utf8_length(txt),
+                         pa.scalar(band_width, type=pa.int32()))
+        keep = pa.table({id_column: t.column(id_column),
+                         "__txt": txt, "__band": band.cast(pa.int64())})
+        for c in block_cols:
+            keep = keep.append_column(c, t.column(c))
+        # NULL blocking keys can never equi-match: drop them up front
+        mask = None
+        for c in block_cols:
+            v = pc.is_valid(keep.column(c))
+            mask = v if mask is None else pc.and_(mask, v)
+        return keep.filter(mask) if mask is not None else keep
+
+    def compare(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = group.column(id_column).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        texts = group.column("__txt").take(pa.array(order)).to_pylist()
+        bufs = [np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                for s in texts]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        # byte histograms for the L1 lower bound (one 256-wide bincount
+        # per row, then a blocked pairwise L1 -> exact prune)
+        hist = np.zeros((n, 256), dtype=np.int64)
+        for i, b in enumerate(bufs):
+            if len(b):
+                hist[i] = np.bincount(b, minlength=256)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_d: list[int] = []
+        for i in range(n - 1):
+            cand = np.nonzero(
+                np.abs(lens[i + 1:] - lens[i]) <= max_dist)[0] + i + 1
+            if len(cand) == 0:
+                continue
+            l1 = np.abs(hist[cand] - hist[i]).sum(axis=1)
+            cand = cand[(l1 + 1) // 2 <= max_dist]
+            for j in cand:
+                d = _levenshtein_bytes(bufs[i], bufs[int(j)], max_dist)
+                if d <= max_dist:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[int(j)]))
+                    out_d.append(d)
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "dist": pa.array(out_d, type=pa.int64())})
+
+    keyed = ds.map_batches(add_block, batch_format="pyarrow",
+                           runtime_env=package_runtime_env())
+    return keyed.groupby(list(block_cols) + ["__band"]).map_groups(
+        compare, batch_format="pyarrow",
+        runtime_env=package_runtime_env())

@@ -1936,3 +1936,60 @@ def test_wav_g711_decode(ray_session):
                                     type=pa.binary())})
     out = audio_stats(ray.data.from_arrow(t)).take_all()
     assert out[0]["n_samples"] == 256 and out[0]["rms"] > 0
+
+
+def test_levenshtein_kernel_vs_duckdb_random():
+    """The byte DP must equal DuckDB's levenshtein on random short
+    strings, including unicode (both byte-based) and the early-abandon
+    cap."""
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from plugin_serdes_ray.pipelines.dedup import _levenshtein_bytes
+
+    rng = random.Random(7)
+    alpha = "abcde é"
+    cases = [("", ""), ("", "abc"), ("café", "cafe")]
+    for _ in range(60):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        cases.append((a, b))
+    for a, b in cases:
+        want = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        got = _levenshtein_bytes(
+            np.frombuffer(a.encode(), dtype=np.uint8),
+            np.frombuffer(b.encode(), dtype=np.uint8), 64)
+        assert got == want, (a, b, got, want)
+        capped = _levenshtein_bytes(
+            np.frombuffer(a.encode(), dtype=np.uint8),
+            np.frombuffer(b.encode(), dtype=np.uint8), 1)
+        assert capped == (want if want <= 1 else 2)
+
+
+def test_edit_distance_pairs_blocks_and_nulls(ray_session):
+    """Blocking semantics: NULL keys never match, cross-block pairs are
+    out of scope, in-block pairs are exact, NULL text reads as ''."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import edit_distance_pairs
+
+    rows = [
+        {"doc_id": 1, "src": "s1", "text": "the quick brown fox jumps"},
+        {"doc_id": 2, "src": "s1", "text": "the quick brown fox jumps!"},
+        {"doc_id": 3, "src": "s1", "text": "the quick brown fox jumped"},
+        {"doc_id": 4, "src": "s2", "text": "the quick brown fox jumps"},
+        {"doc_id": 5, "src": "s1", "text": "entirely different body text"},
+        {"doc_id": 6, "src": None, "text": "the quick brown fox jumps"},
+        {"doc_id": 7, "src": "s1", "text": None},
+        {"doc_id": 8, "src": "s1", "text": ""},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(ds, "text", "doc_id", ["src"],
+                                     max_dist=2).take_all())
+    # (2,3): "jumps!" vs "jumped" = two substitutions, still <= 2
+    assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 2), (7, 8, 0)]
