@@ -982,6 +982,28 @@ def _c4_clean_documents(sf_dir: str):
     })
 
 
+def _boilerplate_documents(sf_dir: str):
+    """Boilerplate removal by line document frequency
+    (dedup.remove_frequent_lines): the flat corpus has no newlines, so
+    the query runs it at sep=' ' — dropping every occurrence of tokens
+    present in >= 400 of the 500 documents (the stopword-grade mass),
+    exactly what the CCNet-style frequent-line rule does to cookie
+    banners at a real corpus. Exact rebuilt-text compare."""
+    from plugin_serdes_ray.pipelines.dedup import remove_frequent_lines
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = remove_frequent_lines(ds, sep=" ", min_df=400)
+    rows = out.take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "text": pa.array([r["text"] for r in rows], type=pa.string()),
+        "n_lines": pa.array([r["n_lines"] for r in rows],
+                            type=pa.int64()),
+        "n_removed": pa.array([r["n_removed"] for r in rows],
+                              type=pa.int64()),
+    })
+
+
 def _edit_pairs_documents(sf_dir: str):
     """Blocked exact-Levenshtein pair mining (dedup.edit_distance_pairs):
     both sides augment the corpus with a one-substitution twin of every
@@ -3277,6 +3299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_documents": _c4_clean_documents,
         # blocked exact-Levenshtein pair mining (record-linkage compare)
         "edit_pairs_documents": _edit_pairs_documents,
+        # frequent-line boilerplate removal (CCNet-adjacent, all
+        # occurrences dropped — paragraph_dedup keeps the first)
+        "boilerplate_documents": _boilerplate_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3834,6 +3859,33 @@ def oracle_sql() -> dict[str, str]:
               WHERE cg.c12 >= 5
               QUALIFY row_number() OVER (ORDER BY pmi DESC, g ASC) <= 20)
             ORDER BY pmi DESC, gram
+        """,
+        # sep=' ' run of the frequent-line rule; empty segments are
+        # structural (never frequent); docs losing every segment rebuild
+        # to '' via the LEFT JOIN + coalesce
+        "boilerplate_documents": r"""
+            WITH l AS (SELECT doc_id, string_split(coalesce(text, ''),
+                                                   ' ') AS lines
+                       FROM documents),
+            e AS (SELECT doc_id, i, lines[i] AS line
+                  FROM l, unnest(generate_series(1, len(lines)))
+                      AS u(i)),
+            freq AS (SELECT line FROM (
+                       SELECT DISTINCT doc_id, line FROM e
+                       WHERE line <> '')
+                     GROUP BY line HAVING count(*) >= 400),
+            kept AS (SELECT doc_id, i, line FROM e
+                     WHERE line NOT IN (SELECT line FROM freq)),
+            agg AS (SELECT doc_id,
+                           string_agg(line, ' ' ORDER BY i) AS text,
+                           count(*)::BIGINT AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT l.doc_id,
+                   coalesce(agg.text, '') AS text,
+                   len(l.lines)::BIGINT AS n_lines,
+                   (len(l.lines) - coalesce(agg.n_kept, 0))::BIGINT
+                       AS n_removed
+            FROM l LEFT JOIN agg ON l.doc_id = agg.doc_id
         """,
         # levenshtein() is byte-based in DuckDB; the Ray DP matches by
         # running over UTF-8 bytes. regexp_replace default = first match

@@ -1077,6 +1077,82 @@ def line_counts(ds, column: str = "text", sep: str = "\n"):
         batch_format="pyarrow", runtime_env=env)
 
 
+def remove_frequent_lines(ds, column: str = "text",
+                          id_column: str = "doc_id", *, sep: str = "\n",
+                          min_df: int = 2,
+                          broadcast_limit: int = 2_000_000):
+    """Boilerplate removal by line document-frequency — the CCNet-adjacent
+    step that drops EVERY occurrence of a line appearing in >= ``min_df``
+    distinct documents (cookie banners, nav menus, footers), where
+    :func:`paragraph_dedup` instead keeps the first occurrence of exact
+    duplicates. Empty lines are structural, never boilerplate, and are
+    always kept. Returns ``(id_column, text, n_lines, n_removed)`` with
+    the surviving lines re-joined by ``sep``.
+
+    100 TB shape: a document lives in ONE row, so per-block distinct
+    (doc, line) pairs + ``value_counts`` are a true partial DF; ONE
+    ``groupby(line).Sum`` shuffle reduces them. The frequent set is then
+    pigeonhole-bounded — at most corpus_line_occurrences / min_df lines
+    — so it collects driver-side (guarded by ``broadcast_limit``),
+    broadcasts ONCE via ``ray.put``, and the rebuild is a MAP-ONLY pass
+    (``pc.is_in`` + bincount ListArray rebuild + C ``binary_join``).
+    Raw text never shuffles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    env = package_runtime_env()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        row, _, flat, _ = _line_explode(batch, column, id_column, sep)
+        ne = pc.not_equal(flat, "")
+        tab = pa.table({"r": pa.array(row[ne.to_numpy(
+                            zero_copy_only=False)]),
+                        "line": flat.filter(ne)})
+        d = tab.group_by(["r", "line"]).aggregate([])
+        vc = d.column("line").combine_chunks().value_counts()
+        return pa.table({"line": vc.field(0),
+                         "__df": vc.field(1).cast(pa.int64())})
+
+    dfs = (ds.map_batches(df_partial, batch_format="pyarrow",
+                          runtime_env=env)
+             .groupby("line").aggregate(Sum("__df")))
+    freq_rows = dfs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("sum(__df)"),
+                                            min_df)).select(["line"]),
+        batch_format="pyarrow", runtime_env=env).take_all()
+    if len(freq_rows) > broadcast_limit:
+        raise ValueError(
+            f"remove_frequent_lines: {len(freq_rows)} frequent lines "
+            f"exceed broadcast_limit={broadcast_limit}; raise min_df or "
+            "the limit")
+    freq = pa.array(sorted({r["line"] for r in freq_rows}),
+                    type=pa.string())
+    freq_ref = ray.put(freq)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        row, _, flat, lens = _line_explode(batch, column, id_column, sep)
+        drop = pc.is_in(flat, value_set=ray.get(freq_ref)).to_numpy(
+            zero_copy_only=False)
+        keep = ~drop
+        counts = np.bincount(row[keep], minlength=batch.num_rows)
+        offsets = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(counts)]).astype(np.int64)
+        kept_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            flat.filter(pa.array(keep)).cast(pa.large_string()))
+        joined = pc.binary_join(kept_list, pa.scalar(
+            sep, type=pa.large_string())).cast(pa.string())
+        return pa.table({
+            id_column: batch.column(id_column),
+            "text": joined,
+            "n_lines": pa.array(lens, type=pa.int64()),
+            "n_removed": pa.array(lens - counts.astype(np.int64)),
+        })
+
+    return ds.map_batches(rebuild, batch_format="pyarrow",
+                          runtime_env=env)
+
+
 def _line_explode(batch: pa.Table, column: str, id_column: str, sep: str):
     """(ids, line_idx, flat lines, per-row lens) for one batch."""
     col = pc.fill_null(batch.column(column).combine_chunks(), "")

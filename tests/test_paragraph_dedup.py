@@ -105,3 +105,43 @@ def test_real_table_smoke(ray_session):
     out = paragraph_dedup(ds, keep="first").take_all()
     assert len(out) == ds.count()
     assert all(r["text"] is not None for r in out)
+
+
+def test_remove_frequent_lines_semantics(ray_session):
+    """ALL occurrences of a frequent line vanish (vs paragraph_dedup's
+    keep-first); empty lines are structural and survive; NULL text
+    rebuilds to ''."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import remove_frequent_lines
+
+    rows = [
+        {"doc_id": 1, "text": "BANNER\nreal one\n\nfooter"},
+        {"doc_id": 2, "text": "BANNER\nreal two\nfooter"},
+        {"doc_id": 3, "text": "BANNER\nunique\nfooter"},
+        {"doc_id": 4, "text": None},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    got = sorted(remove_frequent_lines(ds, min_df=3).take_all(),
+                 key=lambda r: r["doc_id"])
+    assert [r["text"] for r in got] == [
+        "real one\n", "real two", "unique", ""]
+    assert [r["n_lines"] for r in got] == [4, 3, 3, 1]
+    assert [r["n_removed"] for r in got] == [2, 2, 2, 0]
+    # min_df above the corpus df: nothing removed, text round-trips
+    same = sorted(remove_frequent_lines(ds, min_df=4).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["n_removed"] for r in same] == [0, 0, 0, 0]
+    assert same[0]["text"] == rows[0]["text"]
+
+
+def test_remove_frequent_lines_broadcast_limit(ray_session):
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import remove_frequent_lines
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": "shared\nl%d" % i} for i in range(4)])
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        remove_frequent_lines(ds, min_df=1, broadcast_limit=2).take_all()
