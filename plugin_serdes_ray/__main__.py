@@ -515,7 +515,9 @@ def cmd_clean(args) -> int:
     ds = ray.data.read_parquet(_input_files(args.input))
     out = clean_web_corpus(ds, text_col=args.column,
                            id_col=args.id_column,
-                           min_words=args.min_words, seed=args.seed)
+                           min_words=args.min_words, seed=args.seed,
+                           c4_lines=args.c4,
+                           boilerplate_min_df=args.boilerplate_df)
     n = _stream_to_parquet(out, args.output)
     print(json.dumps({"rows": n, "out": args.output}))
     return 0
@@ -757,6 +759,10 @@ def main(argv=None) -> int:
     p.add_argument("--id-column", default="doc_id")
     p.add_argument("--min-words", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--c4", action="store_true",
+                   help="C4 line cleaning + page flags first")
+    p.add_argument("--boilerplate-df", type=int, default=0,
+                   help="drop lines present in >= N docs (0 = off)")
     p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("graph",

@@ -1080,14 +1080,18 @@ def line_counts(ds, column: str = "text", sep: str = "\n"):
 def remove_frequent_lines(ds, column: str = "text",
                           id_column: str = "doc_id", *, sep: str = "\n",
                           min_df: int = 2,
-                          broadcast_limit: int = 2_000_000):
+                          broadcast_limit: int = 2_000_000,
+                          replace: bool = False):
     """Boilerplate removal by line document-frequency — the CCNet-adjacent
     step that drops EVERY occurrence of a line appearing in >= ``min_df``
     distinct documents (cookie banners, nav menus, footers), where
     :func:`paragraph_dedup` instead keeps the first occurrence of exact
     duplicates. Empty lines are structural, never boilerplate, and are
     always kept. Returns ``(id_column, text, n_lines, n_removed)`` with
-    the surviving lines re-joined by ``sep``.
+    the surviving lines re-joined by ``sep`` — or, with
+    ``replace=True``, the ORIGINAL batch schema with ``column`` replaced
+    in place (plus ``n_removed``), so preset chains keep their other
+    columns without a corpus-sized re-join.
 
     100 TB shape: a document lives in ONE row, so per-block distinct
     (doc, line) pairs + ``value_counts`` are a true partial DF; ONE
@@ -1142,11 +1146,16 @@ def remove_frequent_lines(ds, column: str = "text",
             flat.filter(pa.array(keep)).cast(pa.large_string()))
         joined = pc.binary_join(kept_list, pa.scalar(
             sep, type=pa.large_string())).cast(pa.string())
+        removed = pa.array(lens - counts.astype(np.int64))
+        if replace:
+            return batch.set_column(
+                batch.column_names.index(column), column, joined
+            ).append_column("n_removed", removed)
         return pa.table({
             id_column: batch.column(id_column),
             "text": joined,
             "n_lines": pa.array(lens, type=pa.int64()),
-            "n_removed": pa.array(lens - counts.astype(np.int64)),
+            "n_removed": removed,
         })
 
     return ds.map_batches(rebuild, batch_format="pyarrow",

@@ -13,10 +13,17 @@ from ..util import package_runtime_env
 
 def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
                      min_words: int = 50, max_words: int = 100_000,
-                     near_dedup: bool = False,
+                     near_dedup: bool = False, c4_lines: bool = False,
+                     boilerplate_min_df: int = 0,
                      splits: dict | None = None, seed: int = 0):
     """The standard web-corpus cleaning chain in one call:
 
+    0. optional C4 LINE CLEANING (``c4_lines=True`` —
+       textstats.c4_signals: terminal-punctuation / >=3-words /
+       no-javascript line keep rule, lorem-ipsum + curly-brace page
+       drop) and optional FREQUENT-LINE BOILERPLATE removal
+       (``boilerplate_min_df > 0`` — dedup.remove_frequent_lines: every
+       occurrence of a line in >= min_df documents is dropped);
     1. Gopher quality FILTER (textstats.gopher_signals + gopher_filter,
        Rae et al. 2021 thresholds) — drops repetitious/degenerate pages
        map-only;
@@ -37,12 +44,34 @@ def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
     exact_dedup's duplicated-hash group and (when enabled) the LSH band
     buckets.
     """
-    from .dedup import exact_dedup, minhash_lsh_dedup_distributed
+    from .dedup import (exact_dedup, minhash_lsh_dedup_distributed,
+                        remove_frequent_lines)
     from .relational import assign_splits
-    from .textstats import canonicalize_text, gopher_filter, gopher_signals
+    from .textstats import (c4_signals, canonicalize_text, gopher_filter,
+                            gopher_signals)
 
     env = package_runtime_env()
     canon = "__canonical"
+
+    if c4_lines:
+        def c4_pass(b: pa.Table) -> pa.Table:
+            s = c4_signals(b, column=text_col)
+            s = s.filter(s.column("c4_keep_page"))
+            keep = s.drop_columns([text_col]).rename_columns(
+                [text_col if c == "c4_text" else c
+                 for c in s.drop_columns([text_col]).column_names])
+            return keep.select(b.column_names)
+
+        ds = ds.map_batches(c4_pass, batch_format="pyarrow",
+                            runtime_env=env)
+    if boilerplate_min_df > 0:
+        # replace=True keeps every other column in place — the corpus is
+        # never re-joined to itself
+        ds = remove_frequent_lines(
+            ds, column=text_col, id_column=id_col,
+            min_df=boilerplate_min_df, replace=True).map_batches(
+            lambda b: b.drop_columns(["n_removed"]),
+            batch_format="pyarrow", runtime_env=env)
 
     def quality_pass(b: pa.Table) -> pa.Table:
         scored = gopher_filter(gopher_signals(b, column=text_col),

@@ -1993,3 +1993,42 @@ def test_edit_distance_pairs_blocks_and_nulls(ray_session):
                                      max_dist=2).take_all())
     # (2,3): "jumps!" vs "jumped" = two substitutions, still <= 2
     assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 2), (7, 8, 0)]
+
+
+def test_clean_web_corpus_c4_and_boilerplate_stages(ray_session):
+    """The optional stage-0 pair: C4 line cleaning drops non-sentence /
+    javascript lines and lorem-ipsum pages; frequent-line removal strips
+    the shared banner from every survivor; downstream stages see the
+    cleaned text."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.presets import clean_web_corpus
+
+    def body(i, salt):
+        # letter-distinct words: canonicalize_text strips digits, so
+        # digit-only distinctions would collapse in exact dedup; the two
+        # lines get DIFFERENT bodies or gopher's dup-ngram check fires
+        tag = "".join(chr(97 + (i // 26 ** p) % 26) for p in range(3))
+        # stay inside a-z: chr(97+26) is '{', which trips the C4 page flag
+        return " ".join(f"{salt}{tag}{chr(97 + j)}" for j in range(26))
+
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": (
+            "SHARED BANNER LINE HERE NOW TODAY.\n"
+            f"The body {body(i, 'q')} continues properly.\n"
+            "no terminal punctuation on this line\n"
+            f"Closing sentence variant {body(i, 'z')} here.")})
+    rows.append({"doc_id": 99,
+                 "text": "Contains lorem ipsum so the page dies."})
+    ds = ray.data.from_items(rows).repartition(3)
+    out = clean_web_corpus(ds, min_words=10, c4_lines=True,
+                           boilerplate_min_df=15)
+    res = {r["doc_id"]: r for r in out.take_all()}
+    assert 99 not in res                      # lorem-ipsum page dropped
+    assert len(res) == 20
+    for r in res.values():
+        assert "SHARED BANNER" not in r["text"]      # boilerplate gone
+        assert "no terminal punctuation" not in r["text"]  # c4 line gone
+        assert "continues properly." in r["text"]
+        assert "split" in r
