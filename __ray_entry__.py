@@ -982,6 +982,34 @@ def _c4_clean_documents(sf_dir: str):
     })
 
 
+def _validate_lineitem_orders(sf_dir: str):
+    """Declarative data-quality validation (profile.validate — the
+    dbt-test layer): seven rules across two tables, thresholds chosen so
+    some rules FAIL with exact violation counts (range capped at 45,
+    returnflag set missing 'R', priority regex without the space class).
+    Map-only rules fold into one shared scan; unique adds one
+    combiner-shrunk shuffle; ref broadcasts the dimension keys."""
+    from plugin_serdes_ray.pipelines.profile import validate
+
+    li = _read(sf_dir, "lineitem")
+    orders = _read(sf_dir, "orders")
+    cust = _read(sf_dir, "customer")
+    part1 = validate(li, [
+        {"rule": "not_null", "column": "l_orderkey"},
+        {"rule": "range", "column": "l_quantity", "min": 1, "max": 45},
+        {"rule": "in_set", "column": "l_returnflag", "values": ["A", "N"]},
+        {"rule": "ref", "column": "l_orderkey",
+         "ref": (orders, "o_orderkey")},
+    ])
+    part2 = validate(orders, [
+        {"rule": "unique", "column": "o_orderkey"},
+        {"rule": "regex", "column": "o_orderpriority",
+         "pattern": "[0-9]-[A-Z]+"},
+        {"rule": "ref", "column": "o_custkey", "ref": (cust, "c_custkey")},
+    ])
+    return pa.concat_tables([part1, part2])
+
+
 def _boilerplate_documents(sf_dir: str):
     """Boilerplate removal by line document frequency
     (dedup.remove_frequent_lines): the flat corpus has no newlines, so
@@ -3302,6 +3330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frequent-line boilerplate removal (CCNet-adjacent, all
         # occurrences dropped — paragraph_dedup keeps the first)
         "boilerplate_documents": _boilerplate_documents,
+        # declarative data-quality validation (dbt-test layer)
+        "validate_lineitem_orders": _validate_lineitem_orders,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3859,6 +3889,73 @@ def oracle_sql() -> dict[str, str]:
               WHERE cg.c12 >= 5
               QUALIFY row_number() OVER (ORDER BY pmi DESC, g ASC) <= 20)
             ORDER BY pmi DESC, gram
+        """,
+        # regexp_full_match == the operator's ^(?:pat)$ anchoring; NOT IN
+        # (SELECT ...) drops NULL refs like the broadcast is_in does
+        "validate_lineitem_orders": r"""
+            SELECT 'not_null:l_orderkey' AS rule,
+                   count(*) FILTER (WHERE l_orderkey IS NULL)::BIGINT
+                       AS violations,
+                   count(*)::BIGINT AS n_rows,
+                   count(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS ok
+            FROM lineitem
+            UNION ALL
+            SELECT 'range:l_quantity',
+                   count(*) FILTER (WHERE l_quantity IS NOT NULL
+                       AND (l_quantity < 1 OR l_quantity > 45))::BIGINT,
+                   count(*)::BIGINT,
+                   count(*) FILTER (WHERE l_quantity IS NOT NULL
+                       AND (l_quantity < 1 OR l_quantity > 45)) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'in_set:l_returnflag',
+                   count(*) FILTER (WHERE l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A', 'N'))::BIGINT,
+                   count(*)::BIGINT,
+                   count(*) FILTER (WHERE l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A', 'N')) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'ref:l_orderkey',
+                   count(*) FILTER (WHERE l_orderkey IS NOT NULL
+                       AND l_orderkey NOT IN (
+                           SELECT o_orderkey FROM orders
+                           WHERE o_orderkey IS NOT NULL))::BIGINT,
+                   count(*)::BIGINT,
+                   count(*) FILTER (WHERE l_orderkey IS NOT NULL
+                       AND l_orderkey NOT IN (
+                           SELECT o_orderkey FROM orders
+                           WHERE o_orderkey IS NOT NULL)) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique:o_orderkey',
+                   (count(o_orderkey)
+                    - count(DISTINCT o_orderkey))::BIGINT,
+                   count(*)::BIGINT,
+                   count(o_orderkey) = count(DISTINCT o_orderkey)
+            FROM orders
+            UNION ALL
+            SELECT 'regex:o_orderpriority',
+                   count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                       AND NOT regexp_full_match(
+                           o_orderpriority, '[0-9]-[A-Z]+'))::BIGINT,
+                   count(*)::BIGINT,
+                   count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                       AND NOT regexp_full_match(
+                           o_orderpriority, '[0-9]-[A-Z]+')) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'ref:o_custkey',
+                   count(*) FILTER (WHERE o_custkey IS NOT NULL
+                       AND o_custkey NOT IN (
+                           SELECT c_custkey FROM customer
+                           WHERE c_custkey IS NOT NULL))::BIGINT,
+                   count(*)::BIGINT,
+                   count(*) FILTER (WHERE o_custkey IS NOT NULL
+                       AND o_custkey NOT IN (
+                           SELECT c_custkey FROM customer
+                           WHERE c_custkey IS NOT NULL)) = 0
+            FROM orders
         """,
         # sep=' ' run of the frequent-line rule; empty segments are
         # structural (never frequent); docs losing every segment rebuild

@@ -443,6 +443,38 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Declarative data-quality validation (profile.validate) -> report.
+
+    --rules is a JSON list of rule dicts; a 'ref' rule names a reference
+    loaded via --ref name=path: {"rule": "ref", "column": "fk",
+    "ref": "name", "ref_column": "k"}.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    _ray()
+    from .pipelines.profile import validate
+
+    rules = json.loads(open(args.rules).read()
+                       if os.path.exists(args.rules) else args.rules)
+    refs = {}
+    for spec in args.ref or []:
+        name, path = spec.split("=", 1)
+        refs[name] = ray.data.read_parquet(_input_files(path))
+    for r in rules:
+        if r.get("rule") == "ref":
+            r["ref"] = (refs[r["ref"]], r.pop("ref_column"))
+    ds = ray.data.read_parquet(_input_files(args.input))
+    out = validate(ds, rules)
+    if args.output:
+        pq.write_table(out, args.output)
+    print(json.dumps({"rules": out.num_rows,
+                      "failing": [r["rule"] for r in out.to_pylist()
+                                  if not r["ok"]]}))
+    return 0 if all(out.column("ok").to_pylist()) else 1
+
+
 def cmd_collocations(args) -> int:
     """Top word-bigram collocations by PMI -> stdout/parquet."""
     import pyarrow.parquet as pq
@@ -676,6 +708,16 @@ def main(argv=None) -> int:
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--output")
     p.set_defaults(fn=cmd_sketch)
+
+    p = sub.add_parser("validate",
+                       help="declarative data-quality rules -> report")
+    p.add_argument("input")
+    p.add_argument("--rules", required=True,
+                   help="JSON rule list (inline or a file path)")
+    p.add_argument("--ref", action="append",
+                   help="name=path reference table for 'ref' rules")
+    p.add_argument("--output", help="optional parquet destination")
+    p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("collocations",
                        help="top word-bigram collocations by PMI")

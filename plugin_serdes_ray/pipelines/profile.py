@@ -142,3 +142,163 @@ def profile(ds, columns: Optional[Sequence[str]] = None,
         "stat": pa.array(stats, type=pa.string()),
         "value_num": pa.array(nums, type=pa.float64()),
         "value_str": pa.array(strs, type=pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# rule-based data validation (the dbt-test / expectations layer)
+# ---------------------------------------------------------------------------
+
+def validate(ds, rules: Sequence[dict], *,
+             ref_broadcast_limit: int = 5_000_000):
+    """Declarative data-quality validation — the dbt-test shape over a
+    Dataset: each rule counts its violating rows exactly, and the result
+    is one row per rule ``(rule, column, violations, n_rows, ok)``.
+
+    Rules (dicts, ``rule`` + ``column`` plus per-rule params):
+
+    - ``not_null`` — NULL values;
+    - ``range`` (``min``/``max``, inclusive) — non-null values outside;
+    - ``in_set`` (``values``) — non-null values not in the list;
+    - ``regex`` (``pattern``, RE2) — non-null values not fully matching;
+    - ``unique`` — rows beyond the first of each duplicated non-null
+      value (``n_nonnull - n_distinct``);
+    - ``ref`` (``ref`` = (Dataset, column)) — non-null values absent
+      from the reference column (foreign-key containment).
+
+    100 TB shape: every map-only rule (not_null/range/in_set/regex)
+    folds into ONE shared scan emitting a fixed-width partial row per
+    rule per block, Sum-merged driver-side — O(rules × blocks) driver
+    rows, no shuffle. ``unique`` adds one combiner-shrunk
+    ``groupby(column)`` shuffle per named column (vocabulary-sized).
+    ``ref`` collects the reference side's DISTINCT keys driver-side
+    (guarded by ``ref_broadcast_limit`` — dimension tables; a fact-fact
+    containment check should use :func:`~.relational.anti_join`) and
+    broadcasts them once via ``ray.put`` into the shared scan."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    env = package_runtime_env()
+    map_rules = []          # (label, column, batch -> violation count)
+    names_seen = set()
+
+    def label(r: dict) -> str:
+        base = f"{r['rule']}:{r['column']}"
+        out, i = base, 2
+        while out in names_seen:
+            out, i = f"{base}#{i}", i + 1
+        names_seen.add(out)
+        return out
+
+    unique_cols = []        # (label, column)
+    for r in rules:
+        kind, col = r["rule"], r["column"]
+        lab = label(r)
+        if kind == "not_null":
+            map_rules.append((lab, col, lambda a, r=r: a.null_count))
+        elif kind == "range":
+            lo, hi = r.get("min"), r.get("max")
+
+            def viol(a, lo=lo, hi=hi):
+                v = a.drop_null()
+                bad = pa.array(np.zeros(len(v), dtype=bool)) \
+                    if len(v) else pa.array([], type=pa.bool_())
+                if lo is not None:
+                    bad = pc.or_(bad, pc.less(v, lo))
+                if hi is not None:
+                    bad = pc.or_(bad, pc.greater(v, hi))
+                return pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+
+            map_rules.append((lab, col, viol))
+        elif kind == "in_set":
+            vals = pa.array(r["values"])
+            map_rules.append((
+                lab, col,
+                lambda a, vals=vals: len(a.drop_null()) - (pc.sum(pc.cast(
+                    pc.is_in(a.drop_null(), value_set=vals),
+                    pa.int64())).as_py() or 0)))
+        elif kind == "regex":
+            pat = r["pattern"]
+            map_rules.append((
+                lab, col,
+                lambda a, pat=pat: len(a.drop_null()) - (pc.sum(pc.cast(
+                    pc.match_substring_regex(
+                        a.drop_null().cast(pa.string()),
+                        f"^(?:{pat})$"),
+                    pa.int64())).as_py() or 0)))
+        elif kind == "unique":
+            unique_cols.append((lab, col))
+        elif kind == "ref":
+            ref_ds, ref_col = r["ref"]
+            keys = ref_ds.select_columns([ref_col]).map_batches(
+                lambda t, c=ref_col: pa.table(
+                    {"k": pc.unique(t.column(c).combine_chunks()
+                                    .drop_null())}),
+                batch_format="pyarrow", runtime_env=env).take_all()
+            if len(keys) > ref_broadcast_limit:
+                raise ValueError(
+                    f"validate ref:{col}: {len(keys)} reference keys "
+                    f"exceed ref_broadcast_limit={ref_broadcast_limit}; "
+                    "use relational.anti_join for fact-fact containment")
+            vals = pa.array(sorted({row["k"] for row in keys}))
+            ref_ref = ray.put(vals)
+            map_rules.append((
+                lab, col,
+                lambda a, ref_ref=ref_ref: len(a.drop_null()) - (
+                    pc.sum(pc.cast(
+                        pc.is_in(a.drop_null(),
+                                 value_set=ray.get(ref_ref)),
+                        pa.int64())).as_py() or 0)))
+        else:
+            raise ValueError(f"validate: unknown rule {kind!r}")
+
+    cols_needed = sorted({r["column"] for r in rules})
+
+    def scan(t: pa.Table) -> pa.Table:
+        labs = [lab for lab, _, _ in map_rules] + ["__rows"]
+        viols = [int(fn(t.column(c).combine_chunks()))
+                 for _, c, fn in map_rules] + [t.num_rows]
+        return pa.table({"rule": pa.array(labs),
+                         "v": pa.array(viols, type=pa.int64())})
+
+    parts = (ds.select_columns(cols_needed)
+               .map_batches(scan, batch_format="pyarrow", runtime_env=env)
+               .groupby("rule").aggregate(Sum("v")).take_all())
+    totals = {p["rule"]: p["sum(v)"] for p in parts}
+    n_rows = totals.pop("__rows", 0)
+
+    for lab, col in unique_cols:
+        # per-block (value, count) partials -> ONE combiner-shrunk
+        # shuffle; duplicates beyond the first = sum(cnt) - n_distinct
+        def vc_partial(t: pa.Table, c=col) -> pa.Table:
+            vc = t.column(c).combine_chunks().drop_null().value_counts()
+            return pa.table({"val": vc.field(0),
+                             "c": vc.field(1).cast(pa.int64())})
+
+        red = (ds.select_columns([col])
+                 .map_batches(vc_partial, batch_format="pyarrow",
+                              runtime_env=env)
+                 .groupby("val").aggregate(Sum("c"))
+                 .map_batches(
+                     lambda t: pa.table({
+                         "extra": pa.array([
+                             (pc.sum(t.column("sum(c)")).as_py() or 0)
+                             - t.num_rows], type=pa.int64())}),
+                     batch_format="pyarrow", runtime_env=env)
+                 .take_all())
+        totals[lab] = sum(p["extra"] for p in red)
+
+    order = []
+    for r in rules:
+        base = f"{r['rule']}:{r['column']}"
+        for lab in totals:
+            if (lab == base or lab.startswith(base + "#")) \
+                    and lab not in order:
+                order.append(lab)
+                break
+    return pa.table({
+        "rule": pa.array(order, type=pa.string()),
+        "violations": pa.array([int(totals[k]) for k in order],
+                               type=pa.int64()),
+        "n_rows": pa.array([int(n_rows)] * len(order), type=pa.int64()),
+        "ok": pa.array([totals[k] == 0 for k in order], type=pa.bool_()),
+    })

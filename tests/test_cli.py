@@ -412,3 +412,31 @@ def test_cli_divergence(ray_session, tmp_path, capsys, sf_dir):
     assert all(v >= 0 for v in got["kl"].values())
     t = pq.read_table(out)
     assert t.column_names == ["lang", "n_tokens", "kl"]
+
+
+def test_cli_validate(ray_session, tmp_path, capsys, sf_dir):
+    import json
+
+    from plugin_serdes_ray.__main__ import main
+
+    rules = [
+        {"rule": "not_null", "column": "o_orderkey"},
+        {"rule": "unique", "column": "o_orderkey"},
+        {"rule": "in_set", "column": "o_orderstatus",
+         "values": ["F", "O"]},       # P exists -> fails
+        {"rule": "ref", "column": "o_custkey", "ref": "cust",
+         "ref_column": "c_custkey"},
+    ]
+    rf = tmp_path / "rules.json"
+    rf.write_text(json.dumps(rules))
+    out = str(tmp_path / "report.parquet")
+    rc = main(["validate", f"{sf_dir}/orders.parquet",
+               "--rules", str(rf),
+               "--ref", f"cust={sf_dir}/customer.parquet",
+               "--output", out])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rules"] == 4
+    assert (rc == 1) == bool(got["failing"])
+    import pyarrow.parquet as pq
+    t = pq.read_table(out)
+    assert t.column_names == ["rule", "violations", "n_rows", "ok"]

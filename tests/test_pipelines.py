@@ -2032,3 +2032,50 @@ def test_clean_web_corpus_c4_and_boilerplate_stages(ray_session):
         assert "no terminal punctuation" not in r["text"]  # c4 line gone
         assert "continues properly." in r["text"]
         assert "split" in r
+
+
+def test_validate_rules_engine(ray_session):
+    """Each rule counts its violations exactly; labels disambiguate
+    duplicate (rule, column) pairs; the ref guard trips loudly."""
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.profile import validate
+
+    t = pa.table({
+        "id": [1, 2, 3, 3, None],
+        "qty": [5.0, -1.0, 200.0, 10.0, 3.0],
+        "flag": ["A", "N", "R", "X", None],
+        "code": ["ab12", "zz99", "bad!", "cd34", "ef56"],
+        "fk": [10, 20, 30, 40, 99],
+    })
+    ref = ray.data.from_arrow(pa.table({"k": [10, 20, 30, 40, 50]}))
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = validate(ds, [
+        {"rule": "not_null", "column": "id"},
+        {"rule": "unique", "column": "id"},
+        {"rule": "range", "column": "qty", "min": 0, "max": 100},
+        {"rule": "range", "column": "qty", "min": 0},   # dup label -> #2
+        {"rule": "in_set", "column": "flag", "values": ["A", "N", "R"]},
+        {"rule": "regex", "column": "code",
+         "pattern": "[a-z]{2}[0-9]{2}"},
+        {"rule": "ref", "column": "fk", "ref": (ref, "k")},
+    ])
+    rows = {r["rule"]: r for r in out.to_pylist()}
+    assert rows["not_null:id"]["violations"] == 1
+    assert rows["unique:id"]["violations"] == 1          # one extra 3
+    assert rows["range:qty"]["violations"] == 2          # -1 and 200
+    assert rows["range:qty#2"]["violations"] == 1        # only -1
+    assert rows["in_set:flag"]["violations"] == 1        # X (null skipped)
+    assert rows["regex:code"]["violations"] == 1         # bad!
+    assert rows["ref:fk"]["violations"] == 1             # 99
+    assert all(r["n_rows"] == 5 for r in rows.values())
+    assert not any(r["ok"] for r in rows.values())
+
+    clean = validate(ds, [{"rule": "range", "column": "qty",
+                           "min": -10, "max": 1000}])
+    assert clean.to_pylist()[0]["ok"] is True
+
+    with pytest.raises(ValueError, match="ref_broadcast_limit"):
+        validate(ds, [{"rule": "ref", "column": "fk", "ref": (ref, "k")}],
+                 ref_broadcast_limit=2)
