@@ -982,6 +982,42 @@ def _c4_clean_documents(sf_dir: str):
     })
 
 
+def _zorder_lineitem(sf_dir: str):
+    """Z-order clustering (relational.zorder_sort): Morton-interleaved
+    8-bit quantization of (l_partkey, l_suppkey), globally sorted with
+    an exact rank. Quantization is pure integer arithmetic — (v - min) *
+    255 // (max - min) — so the oracle recomputes the key and the total
+    (z, id) order bit-for-bit; rank = row_number() - 1."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.relational import zorder_sort
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def add_id(t: pa.Table) -> pa.Table:
+        lid = pc.add(pc.multiply(t.column("l_orderkey").cast(pa.int64()),
+                                 pa.scalar(8, type=pa.int64())),
+                     t.column("l_linenumber").cast(pa.int64()))
+        return pa.table({"id": lid,
+                         "l_partkey": t.column("l_partkey"),
+                         "l_suppkey": t.column("l_suppkey")})
+
+    keyed = ds.map_batches(add_id, batch_format="pyarrow",
+                           runtime_env=_env())
+    out = zorder_sort(keyed, ["l_partkey", "l_suppkey"], "id", bits=8,
+                      rank_col="rank")
+    rows = out.take_all()
+    return pa.table({
+        "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+        "l_partkey": pa.array([r["l_partkey"] for r in rows],
+                              type=pa.int64()),
+        "l_suppkey": pa.array([r["l_suppkey"] for r in rows],
+                              type=pa.int64()),
+        "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+    })
+
+
 def _validate_lineitem_orders(sf_dir: str):
     """Declarative data-quality validation (profile.validate — the
     dbt-test layer): seven rules across two tables, thresholds chosen so
@@ -3332,6 +3368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_documents": _boilerplate_documents,
         # declarative data-quality validation (dbt-test layer)
         "validate_lineitem_orders": _validate_lineitem_orders,
+        # Z-order clustering key + global sort + exact rank
+        "zorder_lineitem": _zorder_lineitem,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3348,6 +3386,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_stats": _multimodal_video_stats,
     }
     return {**first_50, **legacy}
+
+
+def _zorder_interleave_sql(qx: str, qy: str, bits: int) -> str:
+    """SQL expression interleaving two ``bits``-bit integer expressions
+    into a Morton key — x on even bits, y on odd (matches
+    relational.zorder_key's ``i * k + j`` layout). Pure integer
+    arithmetic, bit-for-bit equal to the numpy kernel."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({qx}) // {1 << i} % 2) * {1 << (2 * i)}")
+        terms.append(f"(({qy}) // {1 << i} % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
 
 
 def _splitmix_z_sql(seed: int) -> str:
@@ -3889,6 +3939,32 @@ def oracle_sql() -> dict[str, str]:
               WHERE cg.c12 >= 5
               QUALIFY row_number() OVER (ORDER BY pmi DESC, g ASC) <= 20)
             ORDER BY pmi DESC, gram
+        """,
+        # integer quantize + Morton interleave, rank over (z, id); the
+        # interleave expression is generated by _zorder_interleave_sql
+        "zorder_lineitem": f"""
+            WITH base AS (
+                SELECT l_orderkey * 8 + l_linenumber AS id,
+                       l_partkey, l_suppkey
+                FROM lineitem),
+            st AS (SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                          min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+                   FROM base),
+            q AS (SELECT id, l_partkey, l_suppkey,
+                         CASE WHEN mxx > mnx THEN
+                             (l_partkey - mnx) * 255 // (mxx - mnx)
+                             ELSE 0 END AS qx,
+                         CASE WHEN mxy > mny THEN
+                             (l_suppkey - mny) * 255 // (mxy - mny)
+                             ELSE 0 END AS qy
+                  FROM base CROSS JOIN st),
+            z AS (SELECT id, l_partkey, l_suppkey,
+                         {_zorder_interleave_sql('qx', 'qy', 8)} AS zk
+                  FROM q)
+            SELECT id, l_partkey, l_suppkey,
+                   (row_number() OVER (ORDER BY zk, id) - 1)::BIGINT
+                       AS rank
+            FROM z
         """,
         # regexp_full_match == the operator's ^(?:pat)$ anchoring; NOT IN
         # (SELECT ...) drops NULL refs like the broadcast is_in does

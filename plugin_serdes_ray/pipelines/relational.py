@@ -1840,6 +1840,97 @@ def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def zorder_key(ds, columns, bits: int = 16, *, zcol: str = "__z",
+               stats: Optional[dict] = None):
+    """Append a Morton (Z-order) key interleaving ``bits``-bit
+    quantizations of the named INTEGER columns — the multi-dimensional
+    clustering key Delta/Iceberg ``ZORDER BY`` uses so a later sort
+    co-locates rows close in EVERY named dimension and min/max zone maps
+    prune on all of them at once (one sorted dimension prunes one).
+
+    Quantization is exact integer arithmetic so a SQL twin reproduces the
+    key bit-for-bit: ``q = (v - min) * (2^bits - 1) // (max - min)``
+    (constant columns -> bucket 0; NULLs read as the column min ->
+    bucket 0). ``bits * len(columns)`` must stay <= 62 (int64 key).
+    ``stats`` can inject precomputed {col: (min, max)}; otherwise ONE
+    aggregate pass collects them. Returns the Dataset with ``zcol``
+    (int64) appended."""
+    from ray.data.aggregate import Max, Min
+
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    k = len(cols)
+    if bits * k > 62:
+        raise ValueError(f"zorder_key: {bits} bits x {k} columns "
+                         "exceeds the 62-bit int64 key budget")
+    m = (1 << bits) - 1
+    if stats is None:
+        aggs = [a for c in cols for a in (Min(c), Max(c))]
+        got = ds.aggregate(*aggs)
+        stats = {c: (got[f"min({c})"], got[f"max({c})"]) for c in cols}
+    env = package_runtime_env()
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, dtype=np.uint64)
+        for j, c in enumerate(cols):
+            mn, mx = stats[c]
+            v = pc.fill_null(batch.column(c).combine_chunks(), mn) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if mx > mn:
+                q = ((v - mn) * m // (mx - mn)).astype(np.uint64)
+            else:
+                q = np.zeros(batch.num_rows, dtype=np.uint64)
+            for i in range(bits):
+                z |= ((q >> np.uint64(i)) & np.uint64(1)) \
+                    << np.uint64(i * k + j)
+        return batch.append_column(zcol, pa.array(z.astype(np.int64)))
+
+    return ds.map_batches(add_z, batch_format="pyarrow", runtime_env=env)
+
+
+def zorder_sort(ds, columns, id_column: str, bits: int = 16, *,
+                rank_col: Optional[str] = None):
+    """Z-order clustering: :func:`zorder_key` + ONE global range sort on
+    the interleaved key (the unavoidable all-to-all any reclustering
+    pays), tiebroken by ``id_column`` for a total deterministic order.
+    With ``rank_col`` the output also carries the row's position
+    (``row_number() OVER (ORDER BY z, id) - 1``) via the O(blocks)
+    :func:`prefix_sum` offset pass — no second shuffle.
+
+    Feeding the result to the container encoder makes every named
+    dimension's chunk min/max ranges narrow, so
+    ``decode_dataset(predicate=...)`` zone-map pruning skips chunks for
+    predicates on ANY of the z-ordered columns, not just a single sort
+    key."""
+    env = package_runtime_env()
+    keyed = zorder_key(ds, columns, bits)
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        # fixed-width sortable (z, id) composite, fully vectorized; ids
+        # must be non-negative for the zero-pad order to hold
+        z = batch.column("__z").combine_chunks()
+        ids = pc.fill_null(batch.column(id_column), 0).combine_chunks() \
+            .cast(pa.int64())
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(z, pa.string()), 19, padding="0"),
+            pc.utf8_lpad(pc.cast(ids, pa.string()), 20, padding="0"),
+            ".")
+        one = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        return batch.append_column("__pk", key).append_column("__one", one)
+
+    if rank_col is None:
+        return keyed.sort(["__z", id_column]).map_batches(
+            lambda t: t.drop_columns(["__z"]),
+            batch_format="pyarrow", runtime_env=env)
+    scanned = prefix_sum(keyed.map_batches(add_pk, batch_format="pyarrow",
+                                           runtime_env=env),
+                         "__pk", "__one", out_col=rank_col,
+                         exclusive=True)
+    return scanned.map_batches(
+        lambda t: t.drop_columns(["__z", "__pk", "__one"]),
+        batch_format="pyarrow", runtime_env=env)
+
+
 def global_shuffle(ds, id_column: str, seed: int = 0, *,
                    rank_col: str = "rank"):
     """Deterministic global shuffle for training-data ordering: every row

@@ -1942,3 +1942,68 @@ def test_rolling_aggregate_reference(ray_session):
     gs = {(r["k"], r["o"]): r["rolling_sum_v"] for r in s}
     # window=2 at o=3: {null, 30} -> 30; at o=5: {null, null} -> NULL
     assert gs[("a", 3)] == 30.0 and gs[("a", 5)] is None
+
+
+def test_zorder_sort_matches_reference_and_prunes(ray_session):
+    """Rank order must equal a pure-python Morton reference; chopping the
+    z-ordered stream into chunks gives 2-D zone-map ranges that prune a
+    box predicate far better than a 1-D sort's."""
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import zorder_sort
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    t = pa.table({"id": np.arange(n),
+                  "x": rng.integers(0, 1000, n),
+                  "y": rng.integers(0, 1000, n)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = sorted(zorder_sort(ds, ["x", "y"], "id", bits=8,
+                             rank_col="rank").take_all(),
+                 key=lambda r: r["rank"])
+    assert [r["rank"] for r in got] == list(range(n))
+
+    xs = t.column("x").to_numpy()
+    ys = t.column("y").to_numpy()
+    mnx, mxx, mny, mxy = xs.min(), xs.max(), ys.min(), ys.max()
+    qx = (xs - mnx) * 255 // (mxx - mnx)
+    qy = (ys - mny) * 255 // (mxy - mny)
+    z = np.zeros(n, dtype=np.int64)
+    for i in range(8):
+        z |= ((qx >> i) & 1) << (2 * i)
+        z |= ((qy >> i) & 1) << (2 * i + 1)
+    order = np.lexsort((np.arange(n), z))
+    assert [r["id"] for r in got] == list(np.arange(n)[order])
+
+    def chunks_hit(seq_y, n_chunks=32):
+        # predicate on the SECOND dimension only (y in [100,200]): an
+        # x-sorted layout leaves y unsorted so ~every chunk may match;
+        # the z-ordered layout bounds y per chunk too
+        hits = 0
+        for c in np.array_split(np.arange(n), n_chunks):
+            cy = seq_y[c]
+            if cy.min() <= 200 and cy.max() >= 100:
+                hits += 1
+        return hits
+
+    zy = np.array([r["y"] for r in got])
+    o1 = np.argsort(xs, kind="stable")
+    assert chunks_hit(zy) < chunks_hit(ys[o1]) / 2
+
+
+def test_zorder_key_guards_and_nulls(ray_session):
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import (zorder_key,
+                                                        zorder_sort)
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": [1, 2, 3], "x": [5, None, 9], "y": [7, 7, 7]}))
+    with pytest.raises(ValueError, match="62-bit"):
+        zorder_key(ds, ["x", "y", "id", "id"], bits=16)
+    # NULL x -> column min -> bucket 0; constant y -> bucket 0 for all
+    rows = sorted(zorder_sort(ds, ["x", "y"], "id").take_all(),
+                  key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [1, 2, 3]
