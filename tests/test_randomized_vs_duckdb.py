@@ -620,3 +620,56 @@ def test_random_robust_anomalies_vs_duckdb(ray_session):
         """).arrow().to_pylist()
         cols = ["k", "v", "abs_dev", "mad", "is_anomaly"]
         assert _sorted_rows(got, cols) == _sorted_rows(want, cols), seed
+
+
+def test_random_remove_frequent_lines_vs_duckdb(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import remove_frequent_lines
+
+    con = duckdb.connect()
+    vocab = ["aa", "bb", "cc", "dd", "", "ee"]
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 40))
+        texts = []
+        for _ in range(n):
+            m = int(rng.integers(0, 8))
+            texts.append("\n".join(
+                vocab[int(j)] for j in rng.integers(0, len(vocab), m))
+                if m else "")
+        if rng.random() < 0.5:
+            texts[0] = None
+        t = pa.table({"doc_id": pa.array(list(range(n)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        min_df = int(rng.integers(2, 6))
+        got = {r["doc_id"]: r for r in remove_frequent_lines(
+            ray.data.from_arrow(t).repartition(3),
+            min_df=min_df).take_all()}
+        con.register("docs", t)
+        want = con.execute(f"""
+            WITH l AS (SELECT doc_id, string_split(coalesce(text, ''),
+                                                   chr(10)) AS lines
+                       FROM docs),
+            e AS (SELECT doc_id, i, lines[i] AS line
+                  FROM l, unnest(generate_series(1, len(lines))) AS u(i)),
+            freq AS (SELECT line FROM (
+                       SELECT DISTINCT doc_id, line FROM e
+                       WHERE line <> '')
+                     GROUP BY line HAVING count(*) >= {min_df}),
+            kept AS (SELECT doc_id, i, line FROM e
+                     WHERE line NOT IN (SELECT line FROM freq)),
+            agg AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY i) AS text,
+                           count(*)::BIGINT AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT l.doc_id, coalesce(agg.text, '') AS text,
+                   len(l.lines)::BIGINT AS n_lines,
+                   (len(l.lines) - coalesce(agg.n_kept, 0))::BIGINT
+                       AS n_removed
+            FROM l LEFT JOIN agg ON l.doc_id = agg.doc_id
+        """).arrow().to_pylist()
+        for w in want:
+            g = got[w["doc_id"]]
+            assert (g["text"], g["n_lines"], g["n_removed"]) == \
+                (w["text"], w["n_lines"], w["n_removed"]), (seed, w)
