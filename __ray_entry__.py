@@ -982,6 +982,32 @@ def _c4_clean_documents(sf_dir: str):
     })
 
 
+def _phrase_search_documents(sf_dir: str):
+    """Exact phrase search over a POSITIONAL inverted index
+    (textindex.phrase_search): three phrases union-tagged — adjacent
+    pair, repeated-token phrase (role logic), single token — each
+    matching exactly the docs whose space-joined token string contains
+    ' phrase ' (the SQL twin). Index built once per corpus fingerprint
+    under /tmp."""
+    from plugin_serdes_ray.pipelines.textindex import (build_text_index,
+                                                       phrase_search_index)
+    from plugin_serdes_ray.util import corpus_fingerprint
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    fp = corpus_fingerprint(ds, "phrase_query")
+    idx = os.path.join("/tmp", f"phrase_index_{fp[:16]}")
+    build_text_index(ds, idx, positions=True)
+    rows = []
+    for phrase in ("big data", "table table", "spark"):
+        ids = phrase_search_index(idx, phrase).take_all()
+        rows += [(phrase, r["doc_id"]) for r in ids]
+    rows.sort()
+    return pa.table({
+        "phrase": pa.array([r[0] for r in rows], type=pa.string()),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 def _zorder_lineitem(sf_dir: str):
     """Z-order clustering (relational.zorder_sort): Morton-interleaved
     8-bit quantization of (l_partkey, l_suppkey), globally sorted with
@@ -3370,6 +3396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_lineitem_orders": _validate_lineitem_orders,
         # Z-order clustering key + global sort + exact rank
         "zorder_lineitem": _zorder_lineitem,
+        # positional-index exact phrase search (3 phrases union-tagged)
+        "phrase_search_documents": _phrase_search_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3939,6 +3967,20 @@ def oracle_sql() -> dict[str, str]:
               WHERE cg.c12 >= 5
               QUALIFY row_number() OVER (ORDER BY pmi DESC, g ASC) <= 20)
             ORDER BY pmi DESC, gram
+        """,
+        # phrase presence == substring of the space-joined non-empty
+        # token string with space boundaries (tokens contain no \s)
+        "phrase_search_documents": r"""
+            WITH s AS (SELECT doc_id,
+                           ' ' || array_to_string(list_filter(
+                               regexp_split_to_array(
+                                   lower(coalesce(text, '')), '\s+'),
+                               x -> x <> ''), ' ') || ' ' AS toks
+                       FROM documents)
+            SELECT p.phrase, s.doc_id
+            FROM s CROSS JOIN (VALUES ('big data'), ('table table'),
+                                      ('spark')) AS p(phrase)
+            WHERE contains(s.toks, ' ' || p.phrase || ' ')
         """,
         # integer quantize + Morton interleave, rank over (z, id); the
         # interleave expression is generated by _zorder_interleave_sql

@@ -56,6 +56,33 @@ def tokenize_distinct(batch: pa.Table, column: str, id_column: str,
     return pairs.group_by([id_column, "token", *extra]).aggregate([])
 
 
+def tokenize_positions(batch: pa.Table, column: str, id_column: str,
+                       carry: dict | None = None) -> pa.Table:
+    """(doc_id, token, pos) rows — one per token OCCURRENCE, ``pos`` =
+    the token's rank among the document's NON-EMPTY whitespace tokens
+    (lowercased), so phrase adjacency is ``pos_b == pos_a + 1`` exactly
+    when the tokens are adjacent in the space-joined token string the
+    SQL twin tests with LIKE. Fully vectorized."""
+    col = pc.fill_null(batch.column(column).combine_chunks(), "")
+    toks_l = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    lens = pc.list_value_length(toks_l).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rep = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+    flat = pc.list_flatten(toks_l)
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    rows = rep[ne]
+    kept = flat.filter(pa.array(ne))
+    counts = np.bincount(rows, minlength=len(col))
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = np.arange(len(kept), dtype=np.int64) - np.repeat(starts, counts)
+    ids = batch.column(id_column).combine_chunks().take(pa.array(rows))
+    data = {id_column: ids, "token": kept,
+            "pos": pa.array(pos.astype(np.int32))}
+    for name, arr in (carry or {}).items():
+        data[name] = pa.array(np.asarray(arr)[rows])
+    return pa.table(data)
+
+
 def _doc_salt(ids: pa.Array | pa.ChunkedArray, id_column: str,
               sub_splits: int) -> np.ndarray:
     """Per-document sub-split assignment for ANY id type. Integer ids hash
@@ -77,7 +104,7 @@ def _doc_salt(ids: pa.Array | pa.ChunkedArray, id_column: str,
 
 def build_text_index(ds, index_dir: str, column: str = "text",
                      id_column: str = "doc_id", num_shards: int = 64,
-                     sub_splits: int = 2) -> dict:
+                     sub_splits: int = 2, positions: bool = False) -> dict:
     """One-time inverted-index build: tokenize + distinct per block, ONE
     keyed shuffle on (token-hash shard × doc-hash sub-split), one parquet
     posting file per occupied (shard, split) — atomic tmp+rename writes,
@@ -97,7 +124,8 @@ def build_text_index(ds, index_dir: str, column: str = "text",
     from ..util import corpus_fingerprint
 
     fp = corpus_fingerprint(
-        ds, f"textindex:{column}:{id_column}:{num_shards}:{sub_splits}")
+        ds, f"textindex:{column}:{id_column}:{num_shards}:{sub_splits}"
+            f":{int(positions)}")
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
         meta = json.load(open(meta_path))
@@ -110,8 +138,9 @@ def build_text_index(ds, index_dir: str, column: str = "text",
 
     def emit(batch: pa.Table) -> pa.Table:
         dsalt = _doc_salt(batch.column(id_column), id_column, sub_splits)
-        pairs = tokenize_distinct(batch, column, id_column,
-                                  carry={"__dsalt": dsalt})
+        tok_fn = tokenize_positions if positions else tokenize_distinct
+        pairs = tok_fn(batch, column, id_column,
+                       carry={"__dsalt": dsalt})
         toks = pairs.column("token").combine_chunks()
         # crc32 per DISTINCT token of the block (C call each; the distinct
         # collapse above bounds the loop by block vocabulary, not text)
@@ -161,7 +190,7 @@ def build_text_index(ds, index_dir: str, column: str = "text",
     meta = {"num_shards": num_shards, "sub_splits": sub_splits,
             "postings": int(sum(r["postings"] for r in parts)),
             "column": column, "id_column": id_column,
-            "fingerprint": fp,
+            "fingerprint": fp, "positions": positions,
             # exact Arrow id type (hex-IPC) so empty search results carry
             # the true schema, not a hardcoded int64
             "id_schema_hex": id_schema.serialize().to_pybytes().hex()}
@@ -204,15 +233,28 @@ def search_text_index(index_dir: str, tokens: list[str],
     tok_arr = pa.array(tokens)
 
     def filt(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("token"),
-                                     value_set=tok_arr))
+        out = batch.filter(pc.is_in(batch.column("token"),
+                                    value_set=tok_arr))
+        if meta.get("positions"):
+            # positional postings carry one row per OCCURRENCE: collapse
+            # to distinct (doc, token) so the AND count stays per-token
+            out = out.select([id_column, "token"]).group_by(
+                [id_column, "token"]).aggregate([])
+        return out
 
     from ray.data.aggregate import Count
 
     env = package_runtime_env()
-    hits = (ray.data.read_parquet(files)
-            .map_batches(filt, batch_format="pyarrow", runtime_env=env)
-            .groupby(id_column).aggregate(Count()))
+    src = ray.data.read_parquet(files).map_batches(
+        filt, batch_format="pyarrow", runtime_env=env)
+    if meta.get("positions"):
+        # the per-batch collapse in filt is not global: a posting file
+        # split across read blocks would count one token twice for a doc
+        # and break the AND arithmetic — one keyed distinct fixes it
+        src = src.groupby([id_column, "token"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow",
+            runtime_env=env)
+    hits = src.groupby(id_column).aggregate(Count())
 
     def emit(batch: pa.Table) -> pa.Table:
         cnt = batch.column("count()")
@@ -233,6 +275,107 @@ def keyword_search(ds, tokens: list[str], mode: str = "and",
         index_dir = tempfile.mkdtemp(prefix="text_index_")
     build_text_index(ds, index_dir, column=column, id_column=id_column)
     return search_text_index(index_dir, tokens, mode=mode)
+
+
+def phrase_search_index(index_dir: str, phrase: str):
+    """Exact phrase search against a POSITIONAL index (``positions=True``
+    build): a document matches iff the lowercased phrase tokens occur
+    CONSECUTIVELY among its non-empty whitespace tokens — exactly the
+    docs whose space-joined token string contains ``' phrase '`` (the
+    SQL twin). Returns a Dataset of distinct matching ids.
+
+    Distributed evaluation, no driver posting sets: opens only the
+    phrase tokens' shards; each occurrence of phrase token i at position
+    p emits the candidate anchor ``(doc, p - i, role=i)`` (a token
+    appearing at several phrase slots emits one row per role); an
+    anchor with all ``len(phrase)`` roles present is a match —
+    ``groupby(doc, anchor).count == L`` over distinct role rows, then
+    one distinct-doc collapse."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    if not meta.get("positions"):
+        raise ValueError("phrase_search_index needs an index built with "
+                         "positions=True")
+    id_column = meta["id_column"]
+    toks = [t for t in phrase.lower().split() if t]
+    if not toks:
+        raise ValueError("phrase_search_index: empty phrase")
+    roles: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        roles.setdefault(t, []).append(i)
+    need = len(toks)
+    shards = sorted({_shard_of(t, meta["num_shards"]) for t in roles})
+    files: list[str] = []
+    for s in shards:
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"shard-{s:04d}-*.parquet"))))
+    hexs = meta.get("id_schema_hex")
+    empty_sch = (pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(hexs)))
+                 if hexs else pa.schema([pa.field(id_column, pa.int64())]))
+    if not files:
+        return ray.data.from_arrow(empty_sch.empty_table())
+    tok_arr = pa.array(sorted(roles), type=pa.string())
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch.column("token"),
+                                    value_set=tok_arr))
+        parts = []
+        for t, rs in roles.items():
+            rows = hit.filter(pc.equal(hit.column("token"), t))
+            if rows.num_rows == 0:
+                continue
+            pos = rows.column("pos").combine_chunks().cast(pa.int64())
+            for i in rs:
+                anchor = pc.subtract(pos, pa.scalar(i, type=pa.int64()))
+                part = pa.table({id_column: rows.column(id_column),
+                                 "anchor": anchor,
+                                 "role": pa.array(
+                                     np.full(rows.num_rows, i,
+                                             dtype=np.int64))})
+                # anchors < 0 can never complete a phrase
+                parts.append(part.filter(
+                    pc.greater_equal(part.column("anchor"), 0)))
+        if not parts:
+            return pa.table({
+                id_column: pa.array(
+                    [], type=empty_sch.field(id_column).type),
+                "anchor": pa.array([], type=pa.int64()),
+                "role": pa.array([], type=pa.int64())})
+        out = pa.concat_tables(parts)
+        # postings are distinct per (doc, token, pos), so (doc, anchor,
+        # role) rows are already distinct within this batch
+        return out
+
+    env = package_runtime_env()
+    hits = (ray.data.read_parquet(files)
+            .map_batches(anchors, batch_format="pyarrow", runtime_env=env)
+            .groupby([id_column, "anchor"]).aggregate(Count()))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("count()"), need)
+        return batch.filter(keep).select([id_column]) \
+            .group_by([id_column]).aggregate([])
+
+    matched = hits.map_batches(emit, batch_format="pyarrow",
+                               runtime_env=env)
+    # a doc can match at several anchors across blocks: one last distinct
+    return matched.groupby(id_column).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow", runtime_env=env)
+
+
+def phrase_search(ds, phrase: str, column: str = "text",
+                  id_column: str = "doc_id",
+                  index_dir: str | None = None):
+    """Build (or reuse) a positional index, then phrase-search it."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="text_index_pos_")
+    build_text_index(ds, index_dir, column=column, id_column=id_column,
+                     positions=True)
+    return phrase_search_index(index_dir, phrase)
 
 
 # ---------------------------------------------------------------------------

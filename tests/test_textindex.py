@@ -261,3 +261,89 @@ def test_index_dedups_duplicate_doc_rows(ray_session, tmp_path):
     got = sorted(r["doc_id"] for r in search_text_index(
         idx, ["apple", "cherry"], mode="and").take_all())
     assert got == [2]          # doc 1 must NOT match via doubled 'apple'
+
+
+def test_tokenize_positions_vectorized(ray_session):
+    from plugin_serdes_ray.pipelines.textindex import tokenize_positions
+
+    t = pa.table({"doc_id": [7, 8, 9],
+                  "text": ["Alpha  beta alpha", None, "  gamma "]})
+    out = tokenize_positions(t, "text", "doc_id")
+    rows = sorted(zip(out.column("doc_id").to_pylist(),
+                      out.column("pos").to_pylist(),
+                      out.column("token").to_pylist()))
+    # positions rank NON-EMPTY tokens only (multi-space and leading
+    # whitespace produce empty splits that must not consume a slot)
+    assert rows == [(7, 0, "alpha"), (7, 1, "beta"), (7, 2, "alpha"),
+                    (9, 0, "gamma")]
+
+
+def test_phrase_search_adjacency_and_repeats(ray_session, tmp_path):
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textindex import (build_text_index,
+                                                       phrase_search_index,
+                                                       search_text_index)
+
+    t = pa.table({"doc_id": [0, 1, 2, 3, 4, 5],
+                  "text": ["big data engine",          # adjacent
+                           "big red data",             # NOT adjacent
+                           "data big data big data",   # adjacent (twice)
+                           "Big  DATA",                # case + multi-space
+                           None,
+                           "table table stakes"]})     # repeated token
+    idx = str(tmp_path / "pix")
+    build_text_index(ray.data.from_arrow(t), idx, num_shards=8,
+                     positions=True)
+    got = sorted(r["doc_id"] for r in
+                 phrase_search_index(idx, "big data").take_all())
+    assert got == [0, 2, 3]
+    # repeated-token phrase: needs the SAME token at two consecutive
+    # positions — 'table table' must not match a single 'table'
+    got2 = sorted(r["doc_id"] for r in
+                  phrase_search_index(idx, "table table").take_all())
+    assert got2 == [5]
+    # single-token phrase degenerates to keyword search
+    got3 = sorted(r["doc_id"] for r in
+                  phrase_search_index(idx, "red").take_all())
+    assert got3 == [1]
+    # absent phrase -> empty
+    assert phrase_search_index(idx, "data engine big").count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        phrase_search_index(idx, "   ")
+    # a positional index still answers boolean searches correctly
+    # (per-occurrence postings are collapsed before the AND count)
+    got4 = sorted(r["doc_id"] for r in
+                  search_text_index(idx, ["big", "data"], "and").take_all())
+    assert got4 == [0, 1, 2, 3]
+    # a non-positional index refuses phrase queries loudly
+    idx2 = str(tmp_path / "flat")
+    build_text_index(ray.data.from_arrow(t), idx2, num_shards=8)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search_index(idx2, "big data")
+
+
+def test_phrase_search_vs_sql(ray_session, sf_dir, tmp_path):
+    """Distributed phrase search == the space-joined-token substring SQL
+    twin on the real documents table."""
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textindex import phrase_search
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    idx = str(tmp_path / "pix_docs")
+    got = sorted(r["doc_id"] for r in
+                 phrase_search(docs, "big data", index_dir=idx).take_all())
+    want = [r[0] for r in duckdb.sql(rf"""
+        WITH s AS (SELECT doc_id,
+                       ' ' || array_to_string(list_filter(
+                           regexp_split_to_array(
+                               lower(coalesce(text, '')), '\s+'),
+                           x -> x <> ''), ' ') || ' ' AS toks
+                   FROM read_parquet('{sf_dir}/documents.parquet'))
+        SELECT doc_id FROM s WHERE contains(toks, ' big data ')
+        ORDER BY doc_id""").fetchall()]
+    assert got == want and len(want) > 0
