@@ -1008,6 +1008,57 @@ def _phrase_search_documents(sf_dir: str):
     })
 
 
+def _cdc_merge_orders(sf_dir: str):
+    """CDC merge / MERGE INTO (merge.merge_changes, the big-big shuffle
+    path): a deterministic changeset synthesized from orders — deletes
+    (o_orderkey%97==0 and %89!=0), last-writer-wins updates (%89==0: a
+    version-1 row at +1000 AND a version-2 row at +5000 — version 2 must
+    win), and inserts (new key o_orderkey+100000000 for %101==0, priority
+    'INSERTED'). The SQL twin rebuilds the final table state directly."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.merge import merge_changes
+
+    snap = _read(sf_dir, "orders")
+
+    def mk_delta(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+
+        def tag(t: pa.Table, op: str, ver: int) -> pa.Table:
+            t = t.append_column("op", pa.array(
+                np.full(t.num_rows, op, dtype=object), type=pa.string()))
+            return t.append_column("ver", pa.array(
+                np.full(t.num_rows, ver, dtype=np.int64)))
+
+        def bump(t: pa.Table, amount: float) -> pa.Table:
+            i = t.column_names.index("o_totalprice")
+            return t.set_column(i, "o_totalprice",
+                                pc.add(t.column("o_totalprice"), amount))
+
+        dels = batch.filter(pa.array((k % 97 == 0) & (k % 89 != 0)))
+        upd = batch.filter(pa.array(k % 89 == 0))
+        ins = batch.filter(pa.array(k % 101 == 0))
+        ins = ins.set_column(
+            ins.column_names.index("o_orderkey"), "o_orderkey",
+            pc.add(ins.column("o_orderkey"), 100_000_000))
+        ins = ins.set_column(
+            ins.column_names.index("o_orderpriority"), "o_orderpriority",
+            pa.array(np.full(ins.num_rows, "INSERTED", dtype=object),
+                     type=pa.string()))
+        return pa.concat_tables([
+            tag(dels, "delete", 1),
+            tag(bump(upd, 1000.0), "upsert", 1),   # stale write, must lose
+            tag(bump(upd, 5000.0), "upsert", 2),   # LWW winner
+            tag(ins, "upsert", 1),
+        ])
+
+    delta = _read(sf_dir, "orders").map_batches(
+        mk_delta, batch_format="pyarrow", runtime_env=_env())
+    return merge_changes(snap, delta, "o_orderkey", op_column="op",
+                         version_column="ver")
+
+
 def _zorder_lineitem(sf_dir: str):
     """Z-order clustering (relational.zorder_sort): Morton-interleaved
     8-bit quantization of (l_partkey, l_suppkey), globally sorted with
@@ -3398,6 +3449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_lineitem": _zorder_lineitem,
         # positional-index exact phrase search (3 phrases union-tagged)
         "phrase_search_documents": _phrase_search_documents,
+        # CDC merge/upsert (MERGE INTO): deletes + LWW updates + inserts
+        "cdc_merge_orders": _cdc_merge_orders,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -3981,6 +4034,23 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN (VALUES ('big data'), ('table table'),
                                       ('spark')) AS p(phrase)
             WHERE contains(s.toks, ' ' || p.phrase || ' ')
+        """,
+        # final table state after the changeset: untouched rows pass
+        # through, %89 keys carry the version-2 (+5000) update, %97-only
+        # keys are deleted, %101 keys also insert a shifted-key copy
+        "cdc_merge_orders": """
+            SELECT * FROM orders
+            WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 5000.0 AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 89 = 0
+            UNION ALL
+            SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate,
+                   'INSERTED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 101 = 0
         """,
         # integer quantize + Morton interleave, rank over (z, id); the
         # interleave expression is generated by _zorder_interleave_sql

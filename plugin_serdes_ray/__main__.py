@@ -603,6 +603,32 @@ def cmd_join(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """CDC merge: apply a changeset parquet to a snapshot parquet."""
+    import ray.data
+
+    _ray()
+    from .pipelines.merge import broadcast_merge, merge_changes
+
+    snap = ray.data.read_parquet(_input_files(args.snapshot))
+    key = [k.strip() for k in args.key.split(",") if k.strip()]
+    if args.broadcast:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        delta = pa.concat_tables(
+            [pq.read_table(f) for f in _input_files(args.delta)])
+        out_ds = broadcast_merge(snap, delta, key, op_column=args.op,
+                                 version_column=args.version)
+    else:
+        delta = ray.data.read_parquet(_input_files(args.delta))
+        out_ds = merge_changes(snap, delta, key, op_column=args.op,
+                               version_column=args.version)
+    n = _stream_to_parquet(out_ds, args.output)
+    print(json.dumps({"rows": n, "out": args.output}))
+    return 0
+
+
 def cmd_funnel(args) -> int:
     """Ordered-funnel conversion counts over an event-log parquet."""
     import pyarrow.parquet as pq
@@ -833,6 +859,23 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("--column", default="text")
     p.set_defaults(fn=cmd_textstats)
+
+    p = sub.add_parser("merge",
+                       help="CDC merge: apply upsert/delete changeset to a "
+                            "snapshot")
+    p.add_argument("snapshot")
+    p.add_argument("delta")
+    p.add_argument("--key", required=True,
+                   help="merge key column (comma-separate for composite)")
+    p.add_argument("--op", default=None,
+                   help="delta op column (upsert|delete); absent = upserts")
+    p.add_argument("--version", default=None,
+                   help="delta version column (last writer wins)")
+    p.add_argument("--broadcast", action="store_true",
+                   help="resolve the delta driver-side and skip the "
+                        "shuffle (small deltas)")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_merge)
 
     p = sub.add_parser("funnel",
                        help="ordered-funnel conversion counts over events")
