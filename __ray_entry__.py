@@ -1008,6 +1008,46 @@ def _phrase_search_documents(sf_dir: str):
     })
 
 
+def _image_dhash_dups(sf_dir: str):
+    """Perceptual-hash image near-dup chain
+    (multimodal.image_near_duplicates): each doc_id gets a deterministic
+    seeded-noise image (BMP); every doc_id%20==0 (and >0) instead gets a
+    +20-brightness copy of doc_id-1's image in a PNG container (different
+    bytes, different format, same dHash). The chain — real decode ->
+    dhash64 actor pool -> banded Hamming near-dup — must recover exactly
+    the injected (doc_id-1, doc_id) pairs; the SQL twin is the injection
+    rule itself."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        encode_bmp, encode_png, image_near_duplicates)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+
+    def base_px(i: int) -> np.ndarray:
+        rng = np.random.default_rng([7, i])
+        return rng.integers(10, 200, size=(16, 24, 3)).astype(np.uint8)
+
+    imgs = []
+    for i in ids:
+        if i % 20 == 0 and i > 0:
+            px = np.clip(base_px(i - 1).astype(np.int64) + 20,
+                         0, 255).astype(np.uint8)
+            imgs.append(encode_png(px))
+        else:
+            imgs.append(encode_bmp(base_px(i)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "image": pa.array(imgs, type=pa.large_binary())}))
+    rows = sorted((r["keep_id"], r["dup_id"]) for r in
+                  image_near_duplicates(ds, max_hamming=2).take_all())
+    return pa.table({
+        "keep_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "dup_id": pa.array([r[1] for r in rows], type=pa.int64())})
+
+
 def _cdc_merge_orders(sf_dir: str):
     """CDC merge / MERGE INTO (merge.merge_changes, the big-big shuffle
     path): a deterministic changeset synthesized from orders — deletes
@@ -3451,6 +3491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_documents": _phrase_search_documents,
         # CDC merge/upsert (MERGE INTO): deletes + LWW updates + inserts
         "cdc_merge_orders": _cdc_merge_orders,
+        # perceptual-hash (dHash) image near-dup chain
+        "image_dhash_dups": _image_dhash_dups,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -4034,6 +4076,13 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN (VALUES ('big data'), ('table table'),
                                       ('spark')) AS p(phrase)
             WHERE contains(s.toks, ' ' || p.phrase || ' ')
+        """,
+        # the injection rule: every doc_id%20==0 (>0) is a brightness-
+        # shifted copy of doc_id-1 — the chain must recover exactly these
+        "image_dhash_dups": """
+            SELECT b.doc_id AS keep_id, d.doc_id AS dup_id
+            FROM documents d JOIN documents b ON b.doc_id = d.doc_id - 1
+            WHERE d.doc_id % 20 = 0 AND d.doc_id > 0
         """,
         # final table state after the changeset: untouched rows pass
         # through, %89 keys carry the version-2 (+5000) update, %97-only

@@ -665,46 +665,46 @@ def _effective_bands(bands: int, max_hamming: int) -> int:
     return b        # <= 32 by the guards above
 
 
-def simhash_duplicates(ds, column: str, id_column: str,
-                       max_hamming: int = 3, bands: int = 4):
-    """Near-dup pairs by SimHash banding: if hamming(a,b) <= bands-1, at
-    least one of ``bands`` disjoint bands matches exactly (pigeonhole) ->
-    bucket groupby on (band, band_bits), verify full hamming in-group.
-
-    The band count AUTO-RAISES to keep the pigeonhole guarantee: asking for
-    max_hamming=4 with 4 bands would silently miss ~10% of hamming-4 pairs
-    (one flipped bit per band), so bands becomes the smallest power-of-two
-    divisor of 64 that exceeds max_hamming (ValueError beyond 31 — a 64-bit
-    simhash cannot guarantee recall there)."""
+def hash64_duplicates(ds, hash_column: str, id_column: str,
+                      max_hamming: int = 3, bands: int = 4,
+                      distinct: bool = True):
+    """Near-dup pairs over ANY signed-folded 64-bit hash column (simhash,
+    image dhash, audio fingerprint, ...) by banding: if hamming(a, b) <=
+    bands-1, at least one of ``bands`` disjoint bit bands matches exactly
+    (pigeonhole) -> bucket groupby on (band, band_bits), verify full
+    hamming in-group. Null hashes (undecodable payloads) never pair.
+    Band emission is fully vectorized (numpy tile + shift on the uint64
+    view); a pair matching in several bands is collapsed to one row when
+    ``distinct`` (one extra tiny keyed distinct over the pair set)."""
     bands = _effective_bands(bands, max_hamming)
     width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
 
-    def sigs(batch: pa.Table):
-        ids = batch.column(id_column).to_pylist()
-        texts = batch.column(column).to_pylist()
-        key, did, sh = [], [], []
-        for i, t in zip(ids, texts):
-            if t is None:
-                continue
-            s = simhash64(t)
-            for b in range(bands):
-                band_bits = (s >> (b * width)) & ((1 << width) - 1)
-                k64 = (b << width) | band_bits
-                # two's-complement fold into int64: with bands=1 the band
-                # IS the full 64-bit simhash and ~half of all documents
-                # would overflow pa.int64 (the signed fold is a bijection,
-                # so bucketing is unchanged; keys < 2^63 are untouched)
-                key.append(k64 - (1 << 64) if k64 >= (1 << 63) else k64)
-                did.append(i)
-                sh.append(s)
-        return pa.table({"band_key": pa.array(key, type=pa.int64()),
-                         "doc_id": pa.array(did, type=pa.int64()),
-                         "simhash": pa.array([x - (1 << 63) for x in sh],
-                                             type=pa.int64())})
+    def sigs(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(hash_column)),
+                       pc.is_valid(batch.column(id_column)))
+        batch = batch.filter(keep)
+        hs = batch.column(hash_column).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hu = hs.view(np.uint64)
+        n = len(hu)
+        b = np.repeat(np.arange(bands, dtype=np.uint64), n)
+        hh = np.tile(hu, bands)
+        band_bits = (hh >> (b * np.uint64(width))) & mask
+        # two's-complement fold into int64 (signed view): with bands=1 the
+        # band IS the full 64-bit hash and ~half of all values would
+        # overflow pa.int64; the fold is a bijection so bucketing holds
+        key = ((b << np.uint64(width)) | band_bits).view(np.int64)
+        ids = batch.column(id_column).combine_chunks()
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
+        return pa.table({"band_key": pa.array(key),
+                         id_column: ids.take(idx),
+                         "__h64": pa.array(np.tile(hs, bands))})
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        hs = [(x + (1 << 63)) for x in group.column("simhash").to_pylist()]
+        ids = group.column(id_column).to_pylist()
+        # +2^63 == XOR with the top bit on both sides: XOR-distance safe
+        hs = [(x + (1 << 63)) for x in group.column("__h64").to_pylist()]
         order = np.argsort(ids)
         keep, dup = [], []
         # chained canons: each unmatched doc becomes a new canon, so b~c is
@@ -726,10 +726,47 @@ def simhash_duplicates(ds, column: str, id_column: str,
         return pa.table({"keep_id": pa.array(keep, type=pa.int64()),
                          "dup_id": pa.array(dup, type=pa.int64())})
 
-    return (ds.map_batches(sigs, batch_format="pyarrow",
-                           runtime_env=package_runtime_env())
-            .groupby("band_key").map_groups(verify, batch_format="pyarrow",
-                         runtime_env=package_runtime_env()))
+    env = package_runtime_env()
+    pairs = (ds.map_batches(sigs, batch_format="pyarrow", runtime_env=env)
+             .groupby("band_key").map_groups(verify, batch_format="pyarrow",
+                                             runtime_env=env))
+    if not distinct:
+        return pairs
+    return pairs.groupby(["keep_id", "dup_id"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow", runtime_env=env)
+
+
+def simhash_duplicates(ds, column: str, id_column: str,
+                       max_hamming: int = 3, bands: int = 4):
+    """Near-dup pairs by SimHash banding — the text front-end of
+    :func:`hash64_duplicates`: compute the 64-bit simhash per document,
+    then band/bucket/verify. The band count AUTO-RAISES to keep the
+    pigeonhole guarantee: asking for max_hamming=4 with 4 bands would
+    silently miss ~10% of hamming-4 pairs (one flipped bit per band), so
+    bands becomes the smallest power-of-two divisor of 64 that exceeds
+    max_hamming (ValueError beyond 31 — a 64-bit simhash cannot guarantee
+    recall there)."""
+    bands = _effective_bands(bands, max_hamming)
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        texts = batch.column(column).to_pylist()
+        did, sh = [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            did.append(i)
+            sh.append(simhash64(t) - (1 << 63))   # signed fold
+        return pa.table({id_column: pa.array(did, type=pa.int64()),
+                         "__sim": pa.array(sh, type=pa.int64())})
+
+    hashed = ds.map_batches(sigs, batch_format="pyarrow",
+                            runtime_env=package_runtime_env())
+    # distinct=False preserves the historical contract (a pair matching in
+    # several bands may emit several rows; consumers collapse)
+    return hash64_duplicates(hashed, "__sim", id_column,
+                             max_hamming=max_hamming, bands=bands,
+                             distinct=False)
 
 
 # ---------------------------------------------------------------------------

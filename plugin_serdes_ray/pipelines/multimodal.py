@@ -718,3 +718,76 @@ def video_stats(ds, column: str = "video", concurrency: int = 4,
         batch_size=batch_size, batch_format="pyarrow",
         concurrency=concurrency, num_cpus=1,
         runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing / image near-dup
+# ---------------------------------------------------------------------------
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash, the classic perceptual hash): the
+    image is grayscaled, sampled down to a 9x8 grid (nearest-pixel — exact
+    and deterministic, no resampling library), and each bit records
+    whether a cell is brighter than its right neighbour. Invariant to
+    global brightness shifts and contrast scaling; near-duplicate images
+    land within a small Hamming distance. Returns an UNSIGNED 64-bit int
+    (row-major bit order, bit 63 first)."""
+    h, w, _ = px.shape
+    lum = px.astype(np.float64).mean(axis=2)
+    rows = (np.arange(8, dtype=np.int64) * h) // 8
+    cols = (np.arange(9, dtype=np.int64) * w) // 9
+    grid = lum[np.ix_(rows, cols)]
+    bits = (grid[:, :-1] > grid[:, 1:]).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageDHash:
+    """Actor-pool stage: binary image column -> signed-folded int64
+    ``dhash`` column (REAL BMP/PPM/PNG decode; undecodable payloads get a
+    NULL hash and never pair downstream)."""
+
+    def __init__(self, column: str = "image"):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list = []
+        for v in batch.column(self.column).to_pylist():
+            try:
+                px = decode_image(v) if v is not None else None
+            except ValueError:
+                px = None
+            if px is None:
+                out.append(None)
+            else:
+                u = dhash64(px)
+                out.append(u - (1 << 64) if u >= (1 << 63) else u)
+        return batch.append_column("dhash", pa.array(out, type=pa.int64()))
+
+
+def image_dhash(ds, column: str = "image", concurrency: int = 4,
+                batch_size: int = 64):
+    """Append a perceptual-hash column (see :func:`dhash64`)."""
+    return ds.map_batches(
+        ImageDHash, fn_constructor_kwargs={"column": column},
+        batch_size=batch_size, batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1,
+        runtime_env=package_runtime_env())
+
+
+def image_near_duplicates(ds, column: str = "image",
+                          id_column: str = "doc_id",
+                          max_hamming: int = 2, bands: int = 4,
+                          concurrency: int = 4, batch_size: int = 64):
+    """Near-duplicate image pairs: dHash per image (actor pool, real
+    decode), then the generic banded 64-bit-hash pipeline
+    (``dedup.hash64_duplicates`` — pigeonhole band bucketing + in-group
+    exact Hamming verify, distinct pairs). Image bytes never shuffle:
+    only (band_key, id, hash) fixed-width rows move."""
+    from .dedup import hash64_duplicates
+
+    hashed = image_dhash(ds, column=column, concurrency=concurrency,
+                         batch_size=batch_size).select_columns(
+        [id_column, "dhash"])
+    return hash64_duplicates(hashed, "dhash", id_column,
+                             max_hamming=max_hamming, bands=bands)

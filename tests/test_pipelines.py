@@ -1042,6 +1042,62 @@ def test_image_stats_actor_stage(ray_session):
     assert rows[1]["width"] is None and rows[1]["mean_r"] is None
 
 
+def test_dhash64_invariances():
+    """dHash: deterministic; invariant to global brightness shift and
+    contrast scale and to changes in pixels the 9x8 grid never samples;
+    sensitive to a real content change."""
+    from plugin_serdes_ray.pipelines.multimodal import dhash64
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(20, 200, size=(32, 32, 3)).astype(np.uint8)
+    h0 = dhash64(px)
+    assert h0 == dhash64(px.copy())                     # deterministic
+    assert 0 <= h0 < (1 << 64)
+    assert dhash64(np.clip(px.astype(np.int64) + 30, 0, 255)
+                   .astype(np.uint8)) == h0             # brightness shift
+    # off-grid pixel tweak: rows sampled are (i*32)//8 -> multiples of 4,
+    # so row 1 is never sampled
+    tweaked = px.copy()
+    tweaked[1, 1] = 255 - tweaked[1, 1]
+    assert dhash64(tweaked) == h0
+    # a real content change (flip the whole top half) moves the hash
+    flipped = px.copy()
+    flipped[:16] = 255 - flipped[:16]
+    assert dhash64(flipped) != h0
+
+
+def test_image_near_duplicates_chain(ray_session):
+    """image_near_duplicates: injected brightness-shifted copies pair with
+    their originals; independent noise images do not; undecodable payloads
+    never pair."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (encode_bmp,
+                                                        encode_png,
+                                                        image_near_duplicates)
+
+    rng = np.random.default_rng(11)
+    ids, imgs = [], []
+    for i in range(12):
+        px = rng.integers(10, 200, size=(16, 24, 3)).astype(np.uint8)
+        ids.append(i)
+        imgs.append(encode_bmp(px))
+        if i % 4 == 0:
+            # near-dup: +20 brightness, PNG container (different BYTES,
+            # different format, same perceptual content)
+            ids.append(100 + i)
+            imgs.append(encode_png((px.astype(np.int64) + 20)
+                                   .clip(0, 255).astype(np.uint8)))
+    ids.append(999)
+    imgs.append(b"JPEG-ish undecodable payload")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "image": pa.array(imgs, type=pa.large_binary())}))
+    pairs = sorted((r["keep_id"], r["dup_id"]) for r in
+                   image_near_duplicates(ds, max_hamming=2).take_all())
+    assert pairs == [(0, 100), (4, 104), (8, 108)]
+
+
 def test_quality_scores_string_layouts():
     """quality_scores must read the offsets buffer at the column's own
     width: large_string (int64 offsets, the north-rule corpus type) and a
