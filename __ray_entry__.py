@@ -1008,6 +1008,23 @@ def _phrase_search_documents(sf_dir: str):
     })
 
 
+def _logreg_step_embeddings(sf_dir: str):
+    """Distributed logistic regression (vectors.logreg_train), numerically
+    pinned by ONE full-batch gradient step from w=0, b=0 at lr=0.5 over
+    the embeddings table (y = label==1): sigmoid(0) is exactly 0.5, so
+    w1_j = -lr * avg((0.5 - y) * x_j) and b1 = -lr * avg(0.5 - y) — both
+    SQL-recomputable via unnest. Long output (j, w) with the bias at
+    j=-1; Python round(v, 9) for float parity (never pc.round)."""
+    from plugin_serdes_ray.pipelines.vectors import logreg_train
+
+    ds = _read(sf_dir, "embeddings")
+    w, b, _ = logreg_train(ds, iters=1, lr=0.5, positive_label=1)
+    js = [-1] + list(range(len(w)))
+    vs = [round(float(b), 9)] + [round(float(v), 9) for v in w]
+    return pa.table({"j": pa.array(js, type=pa.int64()),
+                     "w": pa.array(vs, type=pa.float64())})
+
+
 def _image_dhash_dups(sf_dir: str):
     """Perceptual-hash image near-dup chain
     (multimodal.image_near_duplicates): each doc_id gets a deterministic
@@ -3493,6 +3510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_orders": _cdc_merge_orders,
         # perceptual-hash (dHash) image near-dup chain
         "image_dhash_dups": _image_dhash_dups,
+        # distributed logistic regression: one exact SQL-checkable GD step
+        "logreg_step_embeddings": _logreg_step_embeddings,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -4076,6 +4095,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN (VALUES ('big data'), ('table table'),
                                       ('spark')) AS p(phrase)
             WHERE contains(s.toks, ' ' || p.phrase || ' ')
+        """,
+        # one GD step from zeros: sigmoid(0)=0.5 exactly, so the step is
+        # plain arithmetic over the unnested embedding values
+        "logreg_step_embeddings": """
+            WITH rows_ AS (SELECT embedding,
+                                  CASE WHEN label = 1 THEN 1.0
+                                       ELSE 0.0 END AS y
+                           FROM embeddings
+                           WHERE embedding IS NOT NULL
+                             AND label IS NOT NULL),
+                 flat AS (SELECT generate_subscripts(embedding, 1) - 1
+                                     AS j,
+                                 unnest(embedding) AS v, y
+                          FROM rows_)
+            SELECT j::BIGINT AS j,
+                   round(-0.5 * avg((0.5 - y) * v), 9) AS w
+            FROM flat GROUP BY j
+            UNION ALL
+            SELECT -1 AS j, round(-0.5 * avg(0.5 - y), 9) AS w
+            FROM rows_
         """,
         # the injection rule: every doc_id%20==0 (>0) is a brightness-
         # shifted copy of doc_id-1 — the chain must recover exactly these

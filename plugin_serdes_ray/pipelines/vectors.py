@@ -377,3 +377,148 @@ def dequantize(q: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     reconstruction ``mn + (q + 128) / 255 * (mx - mn)`` (float64)."""
     span = mx - mn
     return mn + (np.asarray(q, dtype=np.float64) + 128.0) / 255.0 * span
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic regression (full-batch gradient descent)
+# ---------------------------------------------------------------------------
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    """Numerically stable sigmoid (no overflow warnings at |z| > 700)."""
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def logreg_partials(ds, w: np.ndarray, b: float,
+                    vector_column: str = "embedding",
+                    label_column: str = "label",
+                    positive_label=1):
+    """ONE full-batch pass at weights ``(w, b)``: every block reduces to a
+    single fixed-width row ``(X^T r, sum r, logloss sum, n)`` where
+    ``r = sigmoid(Xw + b) - y`` — the vectors never leave their block and
+    the driver reads O(blocks) rows. Rows with a null vector or null
+    label are dropped (documented SQL-style semantics).
+
+    Returns ``(grad_vec_sum, grad_bias_sum, loss_sum, n)`` — UNnormalized
+    sums, so the caller owns the 1/n and the L2 term."""
+    import ray
+
+    dim = len(w)
+    wref = ray.put(np.ascontiguousarray(np.asarray(w, dtype=np.float64)))
+    env = package_runtime_env()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ww = ray.get(wref)                  # zero-copy shared-memory read
+        vec = t.column(vector_column)
+        vec = (vec.combine_chunks()
+               if isinstance(vec, pa.ChunkedArray) else vec)
+        lab = t.column(label_column)
+        lab = (lab.combine_chunks()
+               if isinstance(lab, pa.ChunkedArray) else lab)
+        ok = pc.and_(pc.is_valid(vec), pc.is_valid(lab))
+        if not pc.all(ok).as_py():
+            t = t.filter(ok)
+            vec = t.column(vector_column).combine_chunks()
+            lab = t.column(label_column).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({
+                "__g": pa.array([], type=pa.list_(pa.float64(), dim)),
+                "__gb": pa.array([], type=pa.float64()),
+                "__loss": pa.array([], type=pa.float64()),
+                "__n": pa.array([], type=pa.int64())})
+        X = vectors_to_numpy(vec, np.float64)
+        y = pc.equal(lab, positive_label).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        z = X @ ww + b
+        r = _sigmoid(z) - y
+        g = X.T @ r
+        loss = float(np.sum(np.logaddexp(0.0, z) - y * z))
+        return pa.table({
+            "__g": pa.FixedSizeListArray.from_arrays(pa.array(g), dim),
+            "__gb": pa.array([float(r.sum())]),
+            "__loss": pa.array([loss]),
+            "__n": pa.array([t.num_rows], type=pa.int64())})
+
+    rows = (ds.select_columns([vector_column, label_column])
+            .map_batches(partial, batch_format="pyarrow", runtime_env=env)
+            .take_all())
+    if not rows or sum(r["__n"] for r in rows) == 0:
+        return np.zeros(dim), 0.0, 0.0, 0
+    g = np.sum([np.asarray(r["__g"], dtype=np.float64) for r in rows],
+               axis=0)
+    gb = float(sum(r["__gb"] for r in rows))
+    loss = float(sum(r["__loss"] for r in rows))
+    n = int(sum(r["__n"] for r in rows))
+    return g, gb, loss, n
+
+
+def logreg_train(ds, vector_column: str = "embedding",
+                 label_column: str = "label", positive_label=1,
+                 iters: int = 25, lr: float = 0.5, l2: float = 0.0,
+                 tol: float = 0.0):
+    """Distributed binary logistic regression by full-batch gradient
+    descent — the iterative-ML pattern beyond k-means: ONE streaming map
+    pass per iteration (weights ``ray.put``-broadcast, per-block
+    fixed-width gradient partials, driver reduce), driver state O(d).
+    Full-batch (not SGD) keeps the result independent of partitioning up
+    to float summation order. ``y = (label == positive_label)``.
+
+    Returns ``(w, b, losses)`` — weights, bias, and the per-iteration
+    mean log-loss (computed at the weights BEFORE each step, so
+    ``losses[0]`` is the ln(2) baseline of w=0)."""
+    dim = _dim_of(ds, vector_column)
+    cols = ds.select_columns([vector_column, label_column])
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    losses: list = []
+    for _ in range(int(iters)):
+        g, gb, loss, n = logreg_partials(
+            cols, w, b, vector_column=vector_column,
+            label_column=label_column, positive_label=positive_label)
+        if n == 0:
+            raise ValueError("logreg_train: no rows with a non-null "
+                             "vector AND label")
+        losses.append(loss / n + 0.5 * l2 * float(w @ w))
+        w = w - lr * (g / n + l2 * w)
+        b = b - lr * (gb / n)
+        if tol and len(losses) >= 2 and abs(losses[-2] - losses[-1]) < tol:
+            break
+    return w, b, losses
+
+
+def logreg_predict(ds, w: np.ndarray, b: float,
+                   vector_column: str = "embedding",
+                   out_column: str = "score"):
+    """Broadcast map-only scoring: append ``sigmoid(x·w + b)`` per row
+    (null vectors get a null score). The weight vector is ``ray.put``
+    once, never re-shipped per batch."""
+    import ray
+
+    wref = ray.put(np.ascontiguousarray(np.asarray(w, dtype=np.float64)))
+    env = package_runtime_env()
+
+    def score(t: pa.Table) -> pa.Table:
+        ww = ray.get(wref)
+        col = t.column(vector_column)
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            vt = t.filter(valid)
+            s = _sigmoid(vectors_to_numpy(
+                vt.column(vector_column).combine_chunks(),
+                np.float64) @ ww + b)
+            out = np.zeros(t.num_rows, dtype=np.float64)
+            vmask = valid.to_numpy(zero_copy_only=False)
+            out[vmask] = s
+            return t.append_column(out_column,
+                                   pa.array(out, mask=~vmask))
+        s = _sigmoid(vectors_to_numpy(col, np.float64) @ ww + b)
+        return t.append_column(out_column, pa.array(s))
+
+    return ds.map_batches(score, batch_format="pyarrow", runtime_env=env)

@@ -163,3 +163,73 @@ def test_vectors_to_numpy_empty_keeps_fixed_width():
     # variable-width list stays (0, 0) — width genuinely unknown
     var = pa.array([], type=pa.list_(pa.float64()))
     assert vectors_to_numpy(var).shape == (0, 0)
+
+
+def test_logreg_gradient_matches_numpy(ray_session):
+    """One distributed partial pass == the numpy full-batch gradient."""
+    from plugin_serdes_ray.pipelines.vectors import logreg_partials
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(40, 3))
+    y = (X[:, 0] + 0.3 * rng.normal(size=40) > 0).astype(int)
+    ds = _mk(X, [int(v) for v in y])
+    w = rng.normal(size=3)
+    b = 0.7
+    g, gb, loss, n = logreg_partials(ds, w, b, positive_label=1)
+    z = X @ w + b
+    p = 1.0 / (1.0 + np.exp(-z))
+    r = p - y
+    assert n == 40
+    np.testing.assert_allclose(g, X.T @ r, rtol=1e-10)
+    np.testing.assert_allclose(gb, r.sum(), rtol=1e-10)
+    np.testing.assert_allclose(
+        loss, np.sum(np.logaddexp(0, z) - y * z), rtol=1e-10)
+
+
+def test_logreg_train_separable_and_partition_invariant(ray_session):
+    from plugin_serdes_ray.pipelines.vectors import (logreg_predict,
+                                                     logreg_train)
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(200, 4))
+    y = (X[:, 1] - X[:, 2] > 0).astype(int)
+    ds1 = _mk(X, [int(v) for v in y])
+    w, b, losses = logreg_train(ds1, iters=40, lr=1.0)
+    np.testing.assert_allclose(losses[0], np.log(2))  # w=0 baseline
+    assert losses[-1] < 0.25 < losses[0]
+    # descent: every step reduces the full-batch loss at lr=1 here
+    assert all(a >= b_ for a, b_ in zip(losses, losses[1:]))
+    scored = logreg_predict(ds1, w, b).take_all()
+    acc = np.mean([(r["score"] > 0.5) == bool(yy)
+                   for r, yy in zip(sorted(scored,
+                                           key=lambda r: r["vec_id"]), y)])
+    assert acc >= 0.95
+    # partitioning only perturbs float summation order
+    w8, b8, _ = logreg_train(_mk(X, [int(v) for v in y]).repartition(8),
+                             iters=40, lr=1.0)
+    np.testing.assert_allclose(w8, w, atol=1e-8)
+    np.testing.assert_allclose(b8, b, atol=1e-8)
+
+
+def test_logreg_nulls_dropped_and_null_scores(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import (logreg_partials,
+                                                     logreg_predict)
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "label": pa.array([1, None, 0], type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]), 2)})
+    ds = ray.data.from_arrow(t)
+    g, gb, loss, n = logreg_partials(ds, np.zeros(2), 0.0)
+    assert n == 2                       # the null-label row is dropped
+    # null VECTOR -> null score, row kept
+    t2 = t.set_column(2, "embedding", pa.FixedSizeListArray.from_arrays(
+        pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]), 2).take(
+        pa.array([0, None, 2], type=pa.int64())))
+    rows = sorted(logreg_predict(ray.data.from_arrow(t2), np.ones(2),
+                                 0.0).take_all(),
+                  key=lambda r: r["vec_id"])
+    assert rows[1]["score"] is None and rows[0]["score"] is not None
