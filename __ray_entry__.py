@@ -1008,6 +1008,25 @@ def _phrase_search_documents(sf_dir: str):
     })
 
 
+def _token_entropy_documents(sf_dir: str):
+    """Per-document whitespace-token Shannon entropy
+    (textstats.token_entropy, the degenerate-text detector): map-only,
+    vectorized (row, token-code) unique counts. Python round(v, 9) for
+    float parity; the SQL twin recomputes -sum(p log2 p) via unnest."""
+    from plugin_serdes_ray.pipelines.textstats import token_entropy
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    rows = ds.map_batches(
+        lambda b: token_entropy(b).select(["doc_id", "token_entropy"]),
+        batch_format="pyarrow", runtime_env=_env()).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "token_entropy": pa.array(
+            [round(float(r["token_entropy"]), 9) for r in rows],
+            type=pa.float64())})
+
+
 def _logreg_step_embeddings(sf_dir: str):
     """Distributed logistic regression (vectors.logreg_train), numerically
     pinned by ONE full-batch gradient step from w=0, b=0 at lr=0.5 over
@@ -3512,6 +3531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_dups": _image_dhash_dups,
         # distributed logistic regression: one exact SQL-checkable GD step
         "logreg_step_embeddings": _logreg_step_embeddings,
+        # per-doc token-distribution Shannon entropy (degenerate-text)
+        "token_entropy_documents": _token_entropy_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
@@ -4095,6 +4116,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN (VALUES ('big data'), ('table table'),
                                       ('spark')) AS p(phrase)
             WHERE contains(s.toks, ' ' || p.phrase || ' ')
+        """,
+        # -sum(p log2 p) over the doc's whitespace-token distribution;
+        # abs() pins the p=1 case to +0.0 (IEEE -0.0 would hash-differ)
+        "token_entropy_documents": r"""
+            WITH flat AS (SELECT doc_id,
+                              unnest(list_filter(regexp_split_to_array(
+                                  lower(coalesce(text, '')), '\s+'),
+                                  x -> x <> '')) AS t
+                          FROM documents),
+                 cnts AS (SELECT doc_id, t, count(*)::DOUBLE AS c
+                          FROM flat GROUP BY doc_id, t),
+                 ent AS (SELECT c.doc_id,
+                                -sum((c.c / n.n) * log2(c.c / n.n)) AS e
+                         FROM cnts c JOIN (SELECT doc_id, sum(c) AS n
+                                           FROM cnts GROUP BY doc_id) n
+                              USING (doc_id)
+                         GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   round(abs(coalesce(e.e, 0.0)), 9) AS token_entropy
+            FROM documents d LEFT JOIN ent e USING (doc_id)
         """,
         # one GD step from zeros: sigmoid(0)=0.5 exactly, so the step is
         # plain arithmetic over the unnested embedding values

@@ -371,6 +371,39 @@ def repetition_ratio(batch: pa.Table, column: str = "text") -> pa.Table:
                                pa.array(rep, type=pa.float64()))
 
 
+def token_entropy(batch: pa.Table, column: str = "text",
+                  out: str = "token_entropy") -> pa.Table:
+    """Shannon entropy (bits) of each document's whitespace-token
+    distribution — the classic degenerate-text detector: near 0 for
+    one-token spam ("buy buy buy ..."), ~log2(n) for fully diverse text.
+    Empty/null docs get 0.
+
+    Vectorized: one split kernel, per-(row, token) counts via ``np.unique``
+    over (row, token-code) pairs, per-row fold via ``np.add.at`` — no
+    Python loop over rows or tokens."""
+    col = pc.fill_null(batch.column(column).combine_chunks(), "")
+    n = len(col)
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    rows = row_of[ne]
+    codes = pc.dictionary_encode(flat.filter(pa.array(ne))).indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    total = np.bincount(rows, minlength=n).astype(np.float64)
+    ent = np.zeros(n, dtype=np.float64)
+    if len(rows):
+        vocab = int(codes.max()) + 1
+        pair, cnt = np.unique(rows * vocab + codes, return_counts=True)
+        r = pair // vocab
+        p = cnt / total[r]
+        np.add.at(ent, r, -p * np.log2(p))
+    ent[total == 0] = 0.0
+    return batch.append_column(out, pa.array(ent, type=pa.float64()))
+
+
 def gopher_signals(batch: pa.Table, column: str = "text",
                    id_prefix: str = "") -> pa.Table:
     """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1),

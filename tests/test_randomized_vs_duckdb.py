@@ -673,3 +673,56 @@ def test_random_remove_frequent_lines_vs_duckdb(ray_session):
             g = got[w["doc_id"]]
             assert (g["text"], g["n_lines"], g["n_removed"]) == \
                 (w["text"], w["n_lines"], w["n_removed"]), (seed, w)
+
+
+def test_random_cdc_merge_vs_duckdb(ray_session):
+    """Both merge paths vs a SQL rebuild (anti join + upsert winners) on
+    random snapshots with duplicate keys and random deltas with LWW
+    versions (unique (k, ver) per key keeps the winner well-defined)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.merge import (broadcast_merge,
+                                                   merge_changes)
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng([21, seed])
+        n = int(rng.integers(20, 120))
+        snap = pa.table({
+            "k": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+            "v": pa.array(rng.integers(-99, 99, n), type=pa.int64())})
+        # delta: up to 3 versioned rows per key, ops random per row
+        dkeys, dvers = [], []
+        for k in rng.choice(60, size=int(rng.integers(1, 25)),
+                            replace=False):
+            for ver in range(1, int(rng.integers(2, 4))):
+                dkeys.append(int(k))
+                dvers.append(ver)
+        m = len(dkeys)
+        delta = pa.table({
+            "k": pa.array(dkeys, type=pa.int64()),
+            "v": pa.array(rng.integers(1000, 2000, m), type=pa.int64()),
+            "op": pa.array(list(np.where(rng.random(m) < 0.35, "delete",
+                                         "upsert").astype(object)),
+                           type=pa.string()),
+            "ver": pa.array(dvers, type=pa.int64())})
+        con.register("snap", snap)
+        con.register("delta", delta)
+        want = con.execute("""
+            WITH win AS (SELECT k, v, op FROM delta
+                         QUALIFY row_number() OVER (
+                             PARTITION BY k ORDER BY ver DESC) = 1)
+            SELECT s.k, s.v FROM snap s ANTI JOIN win USING (k)
+            UNION ALL
+            SELECT k, v FROM win WHERE op = 'upsert'
+        """).arrow().to_pylist()
+        for out in (
+            broadcast_merge(ray.data.from_arrow(snap), delta, "k",
+                            op_column="op", version_column="ver"),
+            merge_changes(ray.data.from_arrow(snap).repartition(3),
+                          ray.data.from_arrow(delta).repartition(2), "k",
+                          op_column="op", version_column="ver"),
+        ):
+            got = out.take_all()
+            assert _sorted_rows(got, ["k", "v"]) == \
+                _sorted_rows(want, ["k", "v"]), seed

@@ -674,3 +674,22 @@ def test_c4_signals_rules():
     assert rows[4]["c4_kept_lines"] == 3
     assert rows[5]["c4_text"] == "" and rows[5]["c4_kept_lines"] == 0
     assert rows[5]["c4_total_lines"] == 1 and rows[5]["c4_keep_page"]
+
+
+def test_token_entropy_known_values():
+    from plugin_serdes_ray.pipelines.textstats import token_entropy
+
+    t = pa.table({"text": pa.array([
+        "a a b b",            # two tokens, 50/50 -> 1 bit
+        "spam spam spam",     # degenerate -> 0
+        "A  a\tB b",          # case-fold + multi-whitespace -> 1 bit
+        "w x y z",            # uniform over 4 -> 2 bits
+        "", None,             # empty/null -> 0
+    ])})
+    out = token_entropy(t).column("token_entropy").to_pylist()
+    import numpy as np
+    np.testing.assert_allclose(out, [1.0, 0.0, 1.0, 2.0, 0.0, 0.0],
+                               atol=1e-12)
+    # sign bit: the degenerate case must be +0.0, not -0.0 (value-hash
+    # compares care)
+    assert str(out[1]) == "0.0"
