@@ -195,6 +195,96 @@ def _zone_stats(col: "pa.ChunkedArray | pa.Array"):
     return [lo, hi]
 
 
+#: bloom sizing: >= ~10 bits/distinct value keeps the false-positive rate
+#: near 1% at k=4; partitions whose distinct count needs more than the cap
+#: get NO bloom (never a saturated, useless one)
+BLOOM_MAX_BITS = 1 << 17          # 16 KiB of bits -> ~22 KB base64
+BLOOM_K = 4
+
+
+def _bloom_key(value) -> Optional[bytes]:
+    """Canonical hash input per value; None = type not bloom-eligible."""
+    if isinstance(value, str):
+        return value.encode()
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    if isinstance(value, bool) or not isinstance(value, int):
+        return None
+    return b"i:%d" % value
+
+
+def _bloom_positions(key: bytes, bits: int) -> list:
+    """k bit positions by double hashing two independent CRC32 streams
+    (deterministic, C-speed, no library dependency)."""
+    h1 = zlib.crc32(key)
+    h2 = zlib.crc32(key, 0x9E3779B9) | 1        # odd -> full cycle
+    return [((h1 + i * h2) * 0x9E3779B1 & 0xFFFFFFFF) % bits
+            for i in range(BLOOM_K)]
+
+
+def _bloom_stats(col: "pa.ChunkedArray | pa.Array") -> Optional[dict]:
+    """Per-partition Bloom filter over the column's DISTINCT values for
+    equality pruning (zone maps only help when the value range separates
+    partitions; a bloom prunes point lookups on interleaved high-
+    cardinality keys like urls). Strings/binaries/ints only; sized to the
+    distinct count; skipped when the count would saturate the cap."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    typ = col.type
+    ok = (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+          or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
+          or (pa.types.is_integer(typ)))
+    if not ok or len(col) == 0:
+        return None
+    # wide payload columns (page text/html, media bytes) are point-lookup
+    # keys for nobody and their pc.unique pass is the expensive part of
+    # this function — skip by mean value width before touching the data
+    if col.nbytes > 256 * len(col):
+        return None
+    try:
+        distinct = pc.unique(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col).drop_null()
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        return None
+    n = len(distinct)
+    if n == 0:
+        return None
+    bits = 1 << max(10, (10 * n - 1).bit_length())
+    if bits > BLOOM_MAX_BITS:
+        return None
+    arr = np.zeros(bits // 8, dtype=np.uint8)
+    for v in distinct.to_pylist():
+        key = _bloom_key(v)
+        if key is None:
+            return None
+        for p in _bloom_positions(key, bits):
+            arr[p >> 3] |= 1 << (p & 7)
+    return {"b": base64.b64encode(arr.tobytes()).decode(),
+            "bits": bits, "k": BLOOM_K}
+
+
+def bloom_may_contain(bloom: Optional[dict], value) -> bool:
+    """Conservative membership: False ONLY when the filter proves the
+    value absent from the partition. Unknown shapes / ineligible values
+    keep the partition."""
+    if not bloom:
+        return True
+    key = _bloom_key(value)
+    if key is None:
+        return True
+    try:
+        arr = base64.b64decode(bloom["b"])
+        bits = int(bloom["bits"])
+    except (KeyError, TypeError, ValueError):
+        return True
+    for p in _bloom_positions(key, bits):
+        if not (arr[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 def temporal_type_tag(typ: pa.DataType) -> str:
     """JSON-safe tag encoding a temporal storage type, e.g. ``ts:us:UTC``,
     ``ts:ms:`` (naive), ``date32``, ``time64:ns``."""
@@ -240,6 +330,7 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
     codec_used: dict[str, str] = {}
     col_bytes: dict[str, list[int]] = {}
     col_stats: dict[str, list] = {}
+    col_blooms: dict[str, dict] = {}
     for name in table.column_names:
         col = table.column(name)
         ctx.column = name
@@ -258,11 +349,15 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
         stats = _zone_stats(col)
         if stats is not None:
             col_stats[name] = stats
+        bloom = _bloom_stats(col)
+        if bloom is not None:
+            col_blooms[name] = bloom
     header = {
         "schema": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
         "rows": table.num_rows,
         "columns": col_entries,
         "stats": col_stats,
+        "blooms": col_blooms,
         "meta": extra_meta or {},
     }
     hdr = json.dumps(header, separators=(",", ":")).encode()
@@ -283,6 +378,8 @@ def write_partition(table: pa.Table, path: str, plan: dict[str, str],
         "column_bytes": col_bytes,
         # partition zone maps (min/max) for predicate pruning on decode
         "stats": col_stats,
+        # per-column distinct-value Bloom filters for equality pruning
+        "blooms": col_blooms,
     }
 
 

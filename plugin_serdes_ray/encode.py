@@ -204,6 +204,7 @@ def encode_shard_batch(batch: dict, *, plan: EncodePlan, out_dir: str,
             "codecs": metrics["codecs"],
             "column_bytes": metrics.get("column_bytes", {}),
             "stats": metrics.get("stats", {}),
+            "blooms": metrics.get("blooms", {}),
             "secs": secs,
         })
         results["part_id"].append(part_id)
@@ -428,10 +429,15 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
 
     ``predicate=(column, op, value)`` with op in {==, >, >=, <, <=} prunes
     whole partitions via the manifest zone maps (min/max recorded at encode
-    time) before any file is opened, then exact-filters surviving rows —
-    the columnar-engine read path: prune at the read, filter the rest.
+    time) — and, for ``==`` on string/binary/int columns, via the
+    per-partition distinct-value Bloom filters, which prune point lookups
+    even when value ranges interleave across partitions — before any file
+    is opened, then exact-filters surviving rows — the columnar-engine
+    read path: prune at the read, filter the rest.
     """
     import ray.data
+
+    from .container import bloom_may_contain
 
     files = _part_files(out_dir)
     if predicate is not None:
@@ -442,8 +448,12 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
         for f in files:
             e = by_file.get(os.path.basename(f))
             stats = (e or {}).get("stats", {}).get(col)
-            if _zone_may_match(stats, op, value):
-                kept.append(f)
+            if not _zone_may_match(stats, op, value):
+                continue
+            if op == "==" and not bloom_may_contain(
+                    (e or {}).get("blooms", {}).get(col), value):
+                continue
+            kept.append(f)
         files = kept
     ds = ray.data.from_items([{"path": f} for f in files])
     return ds.map_batches(

@@ -181,6 +181,55 @@ def test_zone_map_predicate_pruning(ray_session, tmp_path):
     assert pruned.count() == 0
 
 
+def test_bloom_filter_equality_pruning(ray_session, tmp_path):
+    """Per-partition distinct-value Bloom filters prune `==` lookups even
+    when zone-map ranges INTERLEAVE (every partition spans a..z, so
+    min/max can never prune); the proof corrupts the partitions the bloom
+    must skip — decode succeeds only if they are never opened."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.container import bloom_may_contain
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+    from plugin_serdes_ray.state.checkpoint import read_manifest_entries
+
+    paths = []
+    for i in range(4):
+        # urls interleave alphabetically across partitions: zone maps on
+        # the url column overlap fully
+        t = pa.table({
+            "url": pa.array([f"https://{c}{j:03d}.ex/p{i}"
+                             for j, c in zip(range(100), "abcdxyz" * 20)]),
+            "part": pa.array(np.full(100, i, dtype=np.int64))})
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "enc")
+    encode_files(paths, out, concurrency=2)
+    entries = read_manifest_entries(out)
+    assert all("url" in e["blooms"] for e in entries.values())
+
+    target = "https://a000.ex/p2"          # lives ONLY in partition 2
+    holders = [e["file"] for e in entries.values()
+               if bloom_may_contain(e["blooms"]["url"], target)]
+    assert len(holders) < 4                # the bloom really prunes
+    # corrupt every part the bloom excludes: decode only works if the
+    # prune skips them before any open
+    import glob as _g
+    import os as _os
+    for f in _g.glob(_os.path.join(out, "*.grck")):
+        if _os.path.basename(f) not in holders:
+            open(f, "wb").write(b"garbage")
+    rows = decode_dataset(out, predicate=("url", "==", target)).take_all()
+    assert [r["part"] for r in rows] == [2]
+    # int columns get blooms too; absent value -> zero partitions read
+    assert all("part" in e["blooms"] for e in entries.values())
+    assert decode_dataset(out, predicate=("part", "==", 99)).count() == 0
+    # conservative on unknown shapes
+    assert bloom_may_contain(None, "x") and bloom_may_contain({}, "x")
+    assert bloom_may_contain({"b": "!!bad", "bits": 8}, "x")
+
+
 def test_zone_map_temporal_units(ray_session, tmp_path):
     """Datetime predicates prune correctly whatever the column's storage
     unit (ADVICE r1: timestamp[ms] partitions were wrongly pruned because
