@@ -555,6 +555,22 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_shards(args) -> int:
+    """Corpus -> resumable training shards (clean + shuffle + pack)."""
+    import ray.data
+
+    _ray()
+    from .pipelines.presets import prepare_pretraining_shards
+
+    ds = ray.data.read_parquet(_input_files(args.input))
+    stats = prepare_pretraining_shards(
+        ds, args.output, text_col=args.column, id_col=args.id_column,
+        seq_len=args.seq_len, n_shards=args.shards, seed=args.seed,
+        clean_kwargs={"min_words": args.min_words})
+    print(json.dumps({**stats, "out": args.output}))
+    return 0
+
+
 def cmd_graph(args) -> int:
     """Graph analytics over an edge-list parquet -> parquet."""
     import ray.data
@@ -832,6 +848,18 @@ def main(argv=None) -> int:
     p.add_argument("--boilerplate-df", type=int, default=0,
                    help="drop lines present in >= N docs (0 = off)")
     p.set_defaults(fn=cmd_clean)
+
+    p = sub.add_parser("shards",
+                       help="corpus -> resumable packed training shards")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--column", default="text")
+    p.add_argument("--id-column", default="doc_id")
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--shards", type=int, default=64)
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_shards)
 
     p = sub.add_parser("graph",
                        help="components / pagerank / triangles over edges")

@@ -92,3 +92,57 @@ def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
     return assign_splits(deduped, id_col,
                          splits or {"train": 0.98, "val": 0.01,
                                     "test": 0.01}, seed=seed)
+
+
+def prepare_pretraining_shards(ds, out_dir: str, *,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               seq_len: int = 2048, n_shards: int = 64,
+                               seed: int = 0, resume: bool = True,
+                               clean_kwargs: dict | None = None) -> dict:
+    """Corpus -> training shards in ONE call, composing the
+    individually-oracle-checked stages end to end:
+
+    1. :func:`clean_web_corpus` (quality filter + canonical exact dedup +
+       train/val/test split; pass ``clean_kwargs`` to tune or enable the
+       optional C4/boilerplate/near-dup stages);
+    2. whitespace token counts (``textstats.token_counts``, Arrow-native,
+       BPE loop off);
+    3. deterministic epoch shuffle (``relational.global_shuffle`` — the
+       seeded splitmix permutation, reproducible across cluster sizes);
+    4. concat-and-chop sequence packing in SHUFFLED order
+       (``relational.pack_sequences`` over the shuffle rank): every doc
+       gets the ``seq_len``-token window it starts in;
+    5. whole windows round-robin onto ``n_shards`` shards
+       (``shard = bin_id % n_shards`` — a window never splits across
+       shards) and a RESUMABLE hive-partitioned parquet write
+       (``sinks.parquet_.write_partitioned``): a rerun after a failure
+       pays only the missing shards.
+
+    Returns the write stats dict (written/skipped shard counts + rows).
+    """
+    from ..sinks.parquet_ import write_partitioned
+    from .relational import global_shuffle, pack_sequences
+    from .textstats import token_counts
+
+    env = package_runtime_env()
+    cleaned = clean_web_corpus(ds, text_col, id_col, seed=seed,
+                               **(clean_kwargs or {}))
+    counted = cleaned.map_batches(
+        lambda b: token_counts(b, column=text_col, bpe=False),
+        batch_format="pyarrow", runtime_env=env)
+    shuffled = global_shuffle(counted, id_col, seed=seed)
+    packed = pack_sequences(shuffled, "ws_tokens", "rank", int(seq_len))
+
+    # modulo is numpy territory (no pc.mod kernel across versions)
+    import numpy as np
+
+    def shard_of(b: pa.Table) -> pa.Table:
+        bins = b.column("bin_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "shard_id", pa.array(bins % int(n_shards), type=pa.int64()))
+
+    sharded = packed.map_batches(shard_of, batch_format="pyarrow",
+                                 runtime_env=env)
+    return write_partitioned(sharded, out_dir, "shard_id", resume=resume)

@@ -440,3 +440,19 @@ def test_cli_validate(ray_session, tmp_path, capsys, sf_dir):
     import pyarrow.parquet as pq
     t = pq.read_table(out)
     assert t.column_names == ["rule", "violations", "n_rows", "ok"]
+
+
+def test_cli_shards(ray_session, tmp_path, capsys, sf_dir):
+    import glob
+    import json as _json
+
+    from plugin_serdes_ray.__main__ import main
+
+    out = str(tmp_path / "shards")
+    assert main(["shards", f"{sf_dir}/documents.parquet", out,
+                 "--seq-len", "256", "--shards", "4",
+                 "--min-words", "1"]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["written"] >= 1 and stats["rows"] > 0
+    files = glob.glob(f"{out}/shard_id=*/part-0.parquet")
+    assert len(files) == stats["written"]

@@ -1476,6 +1476,53 @@ def test_clean_web_corpus_preset(ray_session):
         {(d, r["split"]) for d, r in rows.items()}
 
 
+def test_prepare_pretraining_shards_preset(ray_session, tmp_path):
+    """End-to-end corpus -> shards: cleaning drops the dup, packing is the
+    exact prefix-sum layout in shuffle-rank order, whole windows land on
+    one shard, and a rerun after deleting a shard rewrites ONLY it."""
+    import glob as _g
+
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.presets import prepare_pretraining_shards
+
+    n = 40
+    # letter-only tokens: the canonical dedup key strips digits/punct, so
+    # numbered tokens would collapse every same-length doc into one
+    texts = [" ".join(f"w{chr(97 + i % 26)}{chr(97 + i // 26)}{chr(97 + j)}"
+                      for j in range(3 + i % 7)) for i in range(n)]
+    texts[7] = texts[3]                       # exact dup -> dropped
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = str(tmp_path / "shards")
+    stats = prepare_pretraining_shards(
+        ray.data.from_arrow(t).repartition(4), out, seq_len=16,
+        n_shards=4, seed=1, clean_kwargs={"min_words": 1})
+    assert stats["written"] >= 1 and stats["rows"] == n - 1
+    files = sorted(_g.glob(f"{out}/shard_id=*/part-0.parquet"))
+    back = pa.concat_tables([pq_.read_table(f) for f in files])
+    assert back.num_rows == n - 1 and 7 not in \
+        back.column("doc_id").to_pylist()
+    rows = sorted(back.to_pylist(), key=lambda r: r["rank"])
+    # exact concat-and-chop invariant over the shuffled order
+    start = 0
+    for r in rows:
+        assert r["bin_id"] == start // 16 and r["bin_offset"] == start % 16
+        assert r["shard_id"] == r["bin_id"] % 4
+        start += r["ws_tokens"]
+    # resume: delete one shard, rerun -> exactly that shard rewritten
+    import shutil as _sh
+    _sh.rmtree(f"{out}/shard_id=2")
+    stats2 = prepare_pretraining_shards(
+        ray.data.from_arrow(t).repartition(4), out, seq_len=16,
+        n_shards=4, seed=1, clean_kwargs={"min_words": 1})
+    assert stats2["written"] == 1 and stats2["skipped"] == len(files) - 1
+    files2 = sorted(_g.glob(f"{out}/shard_id=*/part-0.parquet"))
+    back2 = pa.concat_tables([pq_.read_table(f) for f in files2])
+    assert back2.num_rows == n - 1
+
+
 def test_clean_web_corpus_near_dedup(ray_session):
     import ray.data
 
