@@ -392,33 +392,67 @@ def _zone_may_match(stats: Optional[list], op: str, value) -> bool:
     return True
 
 
+def _normalize_predicates(predicate) -> list:
+    """Accept one ``(col, op, value)`` tuple or a LIST of them (AND)."""
+    if predicate is None:
+        return []
+    if isinstance(predicate, (list,)) or (
+            isinstance(predicate, tuple)
+            and predicate and not isinstance(predicate[0], str)):
+        preds = list(predicate)
+    else:
+        preds = [predicate]
+    for p in preds:
+        if len(p) != 3 or not isinstance(p[0], str):
+            raise ValueError(f"predicate {p!r}: want (column, op, value)")
+        if p[1] not in ("==", ">", ">=", "<", "<=", "in"):
+            raise ValueError(f"predicate op {p[1]!r}: want == > >= < <= in")
+        if p[1] == "in" and not isinstance(p[2], (list, tuple, set,
+                                                  frozenset)):
+            raise ValueError("'in' predicate needs a list/tuple/set value")
+    return preds
+
+
 def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                       predicate=None) -> Iterable[pa.Table]:
     import pyarrow.compute as pc
 
-    # the predicate column must be decoded even when the caller's
-    # projection excludes it; it is dropped again after filtering
+    preds = _normalize_predicates(predicate)
+    # predicate columns must be decoded even when the caller's projection
+    # excludes them; they are dropped again after filtering
     read_cols = columns
-    drop_pred = False
-    if predicate is not None and columns is not None \
-            and predicate[0] not in columns:
-        read_cols = list(columns) + [predicate[0]]
-        drop_pred = True
+    drop_cols: list[str] = []
+    if preds and columns is not None:
+        drop_cols = [p[0] for p in preds if p[0] not in columns]
+        drop_cols = list(dict.fromkeys(drop_cols))
+        if drop_cols:
+            read_cols = list(columns) + drop_cols
     for path in batch["path"].to_pylist():
         t = read_partition(str(path), read_cols)
-        if predicate is not None and t.num_rows:
-            col, op, value = predicate
+        for col, op, value in preds:
+            if not t.num_rows:
+                break
             c = t.column(col).combine_chunks()
-            try:
-                value = pa.scalar(value, type=c.type)
-            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-                pass  # let Arrow's comparison kernel infer/cast
-            mask = {"==": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
-                    "<": pc.less, "<=": pc.less_equal}[op](c, value)
-            t = t.filter(mask)
-        if drop_pred:
-            t = t.drop_columns([predicate[0]])
-        if t.num_rows or predicate is None:
+            if op == "in":
+                try:
+                    vs = pa.array(list(value), type=c.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError):
+                    vs = pa.array(list(value))
+                mask = pc.is_in(c, value_set=vs)
+            else:
+                try:
+                    value = pa.scalar(value, type=c.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError):
+                    pass  # let Arrow's comparison kernel infer/cast
+                mask = {"==": pc.equal, ">": pc.greater,
+                        ">=": pc.greater_equal, "<": pc.less,
+                        "<=": pc.less_equal}[op](c, value)
+            t = t.filter(pc.fill_null(mask, False))
+        if drop_cols:
+            t = t.drop_columns(drop_cols)
+        if t.num_rows or not preds:
             yield t
 
 
@@ -427,34 +461,39 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
                    predicate: Optional[tuple] = None) -> "Any":
     """Container dir -> Ray Dataset (one decode task per partition file).
 
-    ``predicate=(column, op, value)`` with op in {==, >, >=, <, <=} prunes
-    whole partitions via the manifest zone maps (min/max recorded at encode
-    time) — and, for ``==`` on string/binary/int columns, via the
-    per-partition distinct-value Bloom filters, which prune point lookups
-    even when value ranges interleave across partitions — before any file
-    is opened, then exact-filters surviving rows — the columnar-engine
-    read path: prune at the read, filter the rest.
+    ``predicate`` is one ``(column, op, value)`` tuple or a LIST of them
+    (AND-conjunction), op in {==, >, >=, <, <=, in} ('in' takes a value
+    list). Every conjunct prunes whole partitions via the manifest zone
+    maps (min/max recorded at encode time) — and, for ``==`` / ``in`` on
+    string/binary/int columns, via the per-partition distinct-value Bloom
+    filters, which prune point lookups even when value ranges interleave
+    across partitions — before any file is opened, then exact-filters
+    surviving rows — the columnar-engine read path: prune at the read,
+    filter the rest.
     """
     import ray.data
 
     from .container import bloom_may_contain
 
+    preds = _normalize_predicates(predicate)
     files = _part_files(out_dir)
-    if predicate is not None:
-        col, op, value = predicate
+    if preds:
         entries = checkpoint.read_manifest_entries(out_dir)
         by_file = {e["file"]: e for e in entries.values()}
-        kept = []
-        for f in files:
-            e = by_file.get(os.path.basename(f))
+
+        def may_match(e: Optional[dict], col, op, value) -> bool:
             stats = (e or {}).get("stats", {}).get(col)
+            bloom = (e or {}).get("blooms", {}).get(col)
+            if op == "in":
+                return any(_zone_may_match(stats, "==", v)
+                           and bloom_may_contain(bloom, v) for v in value)
             if not _zone_may_match(stats, op, value):
-                continue
-            if op == "==" and not bloom_may_contain(
-                    (e or {}).get("blooms", {}).get(col), value):
-                continue
-            kept.append(f)
-        files = kept
+                return False
+            return op != "==" or bloom_may_contain(bloom, value)
+
+        files = [f for f in files
+                 if all(may_match(by_file.get(os.path.basename(f)),
+                                  *p) for p in preds)]
     ds = ray.data.from_items([{"path": f} for f in files])
     return ds.map_batches(
         decode_part_batch,

@@ -181,6 +181,49 @@ def test_zone_map_predicate_pruning(ray_session, tmp_path):
     assert pruned.count() == 0
 
 
+def test_predicate_conjunction_and_in(ray_session, tmp_path):
+    """decode_dataset predicates: AND-lists and the 'in' operator, both
+    pruning (zone+bloom) AND exact-filtering; projection excluding the
+    predicate columns still works."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+
+    paths = []
+    for i in range(4):  # disjoint k ranges; lang cycles per row
+        t = pa.table({
+            "k": pa.array(np.arange(i * 100, (i + 1) * 100)),
+            "lang": pa.array([("en", "de", "fr")[j % 3]
+                              for j in range(100)]),
+            "v": pa.array([f"r{i}-{j}" for j in range(100)])})
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "enc")
+    encode_files(paths, out, concurrency=2)
+    # conjunction: range + equality
+    rows = decode_dataset(out, predicate=[("k", ">=", 350),
+                                          ("lang", "==", "en")]).take_all()
+    assert sorted(r["k"] for r in rows) == \
+        [k for k in range(350, 400) if k % 3 == 0]
+    # 'in' on ints spans two partitions only
+    rows2 = decode_dataset(out, predicate=("k", "in", [5, 205])).take_all()
+    assert sorted(r["k"] for r in rows2) == [5, 205]
+    # projection excludes the predicate columns -> they are read+dropped
+    rows3 = decode_dataset(out, columns=["v"],
+                           predicate=[("k", "==", 7),
+                                      ("lang", "in", ["de"])]).take_all()
+    assert rows3 == [{"v": "r0-7"}]
+    # 'in' with an empty list matches nothing (and prunes everything)
+    assert decode_dataset(out, predicate=("k", "in", [])).count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="op"):
+        decode_dataset(out, predicate=("k", "!=", 1))
+    with pytest.raises(ValueError, match="'in' predicate"):
+        decode_dataset(out, predicate=("k", "in", 5))
+
+
 def test_bloom_filter_equality_pruning(ray_session, tmp_path):
     """Per-partition distinct-value Bloom filters prune `==` lookups even
     when zone-map ranges INTERLEAVE (every partition spans a..z, so
