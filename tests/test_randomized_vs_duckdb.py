@@ -726,3 +726,88 @@ def test_random_cdc_merge_vs_duckdb(ray_session):
             got = out.take_all()
             assert _sorted_rows(got, ["k", "v"]) == \
                 _sorted_rows(want, ["k", "v"]), seed
+
+
+def test_random_phrase_search_vs_duckdb(ray_session, tmp_path):
+    """Positional phrase search vs the space-joined-token substring twin
+    on random small-vocab corpora (tiny vocab -> dense adjacency and
+    repeated-token phrases occur naturally)."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.textindex import (build_text_index,
+                                                       phrase_search_index)
+
+    vocab = ["ga", "bu", "zo", "meu"]
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng([31, seed])
+        n = 60
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+                 for _ in range(n)]
+        t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                      "text": pa.array(texts)})
+        idx = str(tmp_path / f"pix{seed}")
+        build_text_index(ray.data.from_arrow(t), idx, num_shards=8,
+                         positions=True)
+        con.register("docs", t)
+        for plen in (2, 3):
+            phrase = " ".join(rng.choice(vocab, size=plen))
+            got = sorted(r["doc_id"] for r in
+                         phrase_search_index(idx, phrase).take_all())
+            want = [r[0] for r in con.execute(
+                "SELECT doc_id FROM docs WHERE contains("
+                "' ' || text || ' ', ' ' || ? || ' ') ORDER BY doc_id",
+                [phrase]).fetchall()]
+            assert got == want, (seed, phrase)
+
+
+def test_random_decode_predicates_vs_duckdb(ray_session, tmp_path):
+    """Container decode with random predicate conjunctions (==, ranges,
+    'in') == DuckDB on the same parquet, across random multi-file
+    layouts — exercises zone + bloom pruning with values both present
+    and absent."""
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+
+    con = duckdb.connect()
+    for seed in (0, 1):
+        rng = np.random.default_rng([37, seed])
+        paths = []
+        for i in range(3):
+            nrows = int(rng.integers(30, 120))
+            t = pa.table({
+                "k": pa.array(rng.integers(0, 500, nrows),
+                              type=pa.int64()),
+                "tag": pa.array([f"t{v}" for v in
+                                 rng.integers(0, 6, nrows)]),
+                "x": pa.array(rng.normal(size=nrows))})
+            p = str(tmp_path / f"s{seed}f{i}.parquet")
+            pq_.write_table(t, p)
+            paths.append(p)
+        out = str(tmp_path / f"enc{seed}")
+        encode_files(paths, out, concurrency=2)
+        con.execute(f"CREATE OR REPLACE VIEW all_t AS "
+                    f"SELECT * FROM read_parquet({paths!r})")
+        probes = [
+            [("k", "==", int(rng.integers(0, 600)))],
+            [("tag", "==", "t3"), ("k", ">=", 100)],
+            [("k", "in", [int(v) for v in rng.integers(0, 600, 5)])],
+            [("tag", "in", ["t0", "t5", "zz"]), ("k", "<", 250)],
+        ]
+        for preds in probes:
+            got = decode_dataset(out, columns=["k", "tag"],
+                                 predicate=preds).take_all()
+            conds = []
+            for c, op, v in preds:
+                if op == "in":
+                    vals = ", ".join(repr(x) for x in v)
+                    conds.append(f"{c} IN ({vals})")
+                else:
+                    opsql = "=" if op == "==" else op
+                    conds.append(f"{c} {opsql} {v!r}")
+            want = con.execute(
+                "SELECT k, tag FROM all_t WHERE " +
+                " AND ".join(conds)).arrow().to_pylist()
+            assert _sorted_rows(got, ["k", "tag"]) == \
+                _sorted_rows(want, ["k", "tag"]), (seed, preds)
