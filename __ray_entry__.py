@@ -3339,7 +3339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": _profile_lineitem,
         # --- new this round ---
         "samples_documents": _samples_documents,
-        "chunk_text_documents": _chunk_text_documents,
+        # (chunk_text_documents demoted to legacy: rag_chunk_cluster's
+        # chunk stage covers the family; the slot records the new
+        # distributed logistic-regression trainer instead)
+        "logreg_step_embeddings": _logreg_step_embeddings,
         "normalize_lineitem": _normalize_lineitem,
         "quantize_embeddings": _quantize_embeddings,
         "dup_ngram_spans_documents": _dup_ngram_spans,
@@ -3386,8 +3389,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_sim": _dedup_near_sim,
         # --- container engine + serde surface (chained) ---
         "roundtrip_lineitem_both": _roundtrip_lineitem_both,
-        "csv_roundtrip_orders": lambda sf: _serde_roundtrip(
-            sf, "orders", "csv"),
+        # (csv_roundtrip_orders demoted to legacy: convert_fleet_orders
+        # exercises CSV write+read per shard file; the slot records the
+        # new CDC merge family instead)
+        "cdc_merge_orders": _cdc_merge_orders,
         "serde_chain_region": _serde_chain_region,
         "convert_fleet_orders": lambda sf: _convert_fleet(sf, "orders"),
     }
@@ -3525,14 +3530,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_lineitem": _zorder_lineitem,
         # positional-index exact phrase search (3 phrases union-tagged)
         "phrase_search_documents": _phrase_search_documents,
-        # CDC merge/upsert (MERGE INTO): deletes + LWW updates + inserts
-        "cdc_merge_orders": _cdc_merge_orders,
         # perceptual-hash (dHash) image near-dup chain
         "image_dhash_dups": _image_dhash_dups,
-        # distributed logistic regression: one exact SQL-checkable GD step
-        "logreg_step_embeddings": _logreg_step_embeddings,
         # per-doc token-distribution Shannon entropy (degenerate-text)
         "token_entropy_documents": _token_entropy_documents,
+        # demoted from the 50 block for the CDC-merge + logreg families
+        # (CSV covered by convert_fleet_orders, chunking by
+        # rag_chunk_cluster)
+        "csv_roundtrip_orders": lambda sf: _serde_roundtrip(
+            sf, "orders", "csv"),
+        "chunk_text_documents": _chunk_text_documents,
         "topk_orders": _topk_orders,
         "distinct_counts": _distinct_counts,
         "quantiles_lineitem": _quantiles_lineitem,
