@@ -1084,6 +1084,44 @@ def _image_dhash_dups(sf_dir: str):
         "dup_id": pa.array([r[1] for r in rows], type=pa.int64())})
 
 
+def _audio_fingerprint_dups(sf_dir: str):
+    """Robust-audio-fingerprint near-dup chain
+    (multimodal.audio_near_duplicates, Haitsma-Kalker sign-of-delta
+    bits): each doc_id gets a deterministic seeded-noise PCM16 WAV (even
+    samples); every doc_id%25==0 (and >0) instead gets the HALF-AMPLITUDE
+    copy of doc_id-1's clip (different bytes, scale-invariant
+    fingerprint). The chain must recover exactly the injected
+    (doc_id-1, doc_id) pairs; the SQL twin is the injection rule."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        audio_near_duplicates, encode_wav)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+
+    def base_samples(i: int) -> np.ndarray:
+        rng = np.random.default_rng([19, i])
+        return (rng.integers(-8000, 8000, size=1024) * 2).astype(np.int16)
+
+    clips = []
+    for i in ids:
+        if i % 25 == 0 and i > 0:
+            clips.append(encode_wav(
+                (base_samples(i - 1) // 2).astype(np.int16)))
+        else:
+            clips.append(encode_wav(base_samples(i)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "audio": pa.array(clips, type=pa.large_binary())}))
+    rows = sorted((r["keep_id"], r["dup_id"]) for r in
+                  audio_near_duplicates(ds, max_hamming=3).take_all())
+    return pa.table({
+        "keep_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "dup_id": pa.array([r[1] for r in rows], type=pa.int64())})
+
+
 def _cdc_merge_orders(sf_dir: str):
     """CDC merge / MERGE INTO (merge.merge_changes, the big-big shuffle
     path): a deterministic changeset synthesized from orders — deletes
@@ -3532,6 +3570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_documents": _phrase_search_documents,
         # perceptual-hash (dHash) image near-dup chain
         "image_dhash_dups": _image_dhash_dups,
+        # robust-audio-fingerprint near-dup chain (scale-invariant)
+        "audio_fingerprint_dups": _audio_fingerprint_dups,
         # per-doc token-distribution Shannon entropy (degenerate-text)
         "token_entropy_documents": _token_entropy_documents,
         # demoted from the 50 block for the CDC-merge + logreg families
@@ -4163,6 +4203,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1 AS j, round(-0.5 * avg(0.5 - y), 9) AS w
             FROM rows_
+        """,
+        # the injection rule: every doc_id%25==0 (>0) is a half-amplitude
+        # copy of doc_id-1 — the chain must recover exactly these
+        "audio_fingerprint_dups": """
+            SELECT b.doc_id AS keep_id, d.doc_id AS dup_id
+            FROM documents d JOIN documents b ON b.doc_id = d.doc_id - 1
+            WHERE d.doc_id % 25 = 0 AND d.doc_id > 0
         """,
         # the injection rule: every doc_id%20==0 (>0) is a brightness-
         # shifted copy of doc_id-1 — the chain must recover exactly these

@@ -775,6 +775,79 @@ def image_dhash(ds, column: str = "image", concurrency: int = 4,
         runtime_env=package_runtime_env())
 
 
+def audio_fingerprint64(data: bytes, frames: int = 9, bands: int = 9) -> int:
+    """64-bit robust audio fingerprint (Haitsma & Kalker 2002 shape):
+    channel-0 samples split into ``frames`` windows, FFT band energies per
+    window, bit(f, b) = sign of the TIME-DELTA of the BAND-DELTA of
+    energies — ``(E[f,b]-E[f,b+1]) - (E[f-1,b]-E[f-1,b+1]) > 0``.
+    (frames-1) x (bands-1) = 64 bits at the 9/9 defaults. Invariant to
+    global amplitude scaling (energies scale uniformly, signs survive);
+    near-identical clips land within a small Hamming distance. Raises
+    ``ValueError`` on non-PCM16 payloads (callers null those out)."""
+    _, samples = decode_wav(data)
+    x = samples[:, 0].astype(np.float64)
+    if len(x) < frames:
+        x = np.pad(x, (0, frames - len(x)))
+    step = len(x) // frames
+    e = np.empty((frames, bands), dtype=np.float64)
+    for f in range(frames):
+        spec = np.abs(np.fft.rfft(x[f * step:(f + 1) * step])) ** 2
+        e[f] = [b.sum() for b in np.array_split(spec, bands)]
+    band_delta = e[:, :-1] - e[:, 1:]          # (frames, bands-1)
+    bits = (band_delta[1:] - band_delta[:-1]) > 0
+    return int(np.packbits(bits.reshape(-1)).view(">u8")[0])
+
+
+class AudioFingerprint:
+    """Actor-pool stage: binary audio column -> signed-folded int64
+    ``afp`` column (REAL PCM16/G.711 WAV decode; undecodable payloads
+    get a NULL fingerprint and never pair downstream)."""
+
+    def __init__(self, column: str = "audio"):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list = []
+        for v in batch.column(self.column).to_pylist():
+            if v is None or v[:4] != b"RIFF":
+                out.append(None)
+                continue
+            try:
+                u = audio_fingerprint64(v)
+            except ValueError:
+                out.append(None)
+                continue
+            out.append(u - (1 << 64) if u >= (1 << 63) else u)
+        return batch.append_column("afp", pa.array(out, type=pa.int64()))
+
+
+def audio_fingerprints(ds, column: str = "audio", concurrency: int = 4,
+                       batch_size: int = 64):
+    """Append the robust fingerprint column (see
+    :func:`audio_fingerprint64`)."""
+    return ds.map_batches(
+        AudioFingerprint, fn_constructor_kwargs={"column": column},
+        batch_size=batch_size, batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1,
+        runtime_env=package_runtime_env())
+
+
+def audio_near_duplicates(ds, column: str = "audio",
+                          id_column: str = "doc_id",
+                          max_hamming: int = 3, bands: int = 4,
+                          concurrency: int = 4, batch_size: int = 64):
+    """Near-duplicate audio pairs: robust fingerprint per clip (actor
+    pool, real decode), then the generic banded 64-bit-hash pipeline
+    (``dedup.hash64_duplicates``). Audio bytes never shuffle."""
+    from .dedup import hash64_duplicates
+
+    hashed = audio_fingerprints(ds, column=column, concurrency=concurrency,
+                                batch_size=batch_size).select_columns(
+        [id_column, "afp"])
+    return hash64_duplicates(hashed, "afp", id_column,
+                             max_hamming=max_hamming, bands=bands)
+
+
 def image_near_duplicates(ds, column: str = "image",
                           id_column: str = "doc_id",
                           max_hamming: int = 2, bands: int = 4,

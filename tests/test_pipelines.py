@@ -1098,6 +1098,53 @@ def test_image_near_duplicates_chain(ray_session):
     assert pairs == [(0, 100), (4, 104), (8, 108)]
 
 
+def test_audio_fingerprint_invariances():
+    """Robust audio fingerprint: deterministic, invariant to exact
+    amplitude halving (sign-of-delta structure), sensitive to different
+    content; non-PCM payloads raise."""
+    import pytest
+
+    from plugin_serdes_ray.pipelines.multimodal import (audio_fingerprint64,
+                                                        encode_wav)
+
+    rng = np.random.default_rng(13)
+    s = (rng.integers(-8000, 8000, size=2048) * 2).astype(np.int16)
+    h0 = audio_fingerprint64(encode_wav(s))
+    assert h0 == audio_fingerprint64(encode_wav(s.copy()))
+    assert 0 <= h0 < (1 << 64)
+    # exact halving: every band energy scales by 0.25 -> signs survive
+    assert audio_fingerprint64(encode_wav(s // 2)) == h0
+    other = (rng.integers(-8000, 8000, size=2048) * 2).astype(np.int16)
+    assert audio_fingerprint64(encode_wav(other)) != h0
+    with pytest.raises(ValueError):
+        audio_fingerprint64(b"RIFFxxxxWAVEjunk")
+
+
+def test_audio_near_duplicates_chain(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        audio_near_duplicates, encode_wav)
+
+    rng = np.random.default_rng(17)
+    ids, clips = [], []
+    for i in range(10):
+        s = (rng.integers(-8000, 8000, size=1024) * 2).astype(np.int16)
+        ids.append(i)
+        clips.append(encode_wav(s))
+        if i % 5 == 0:
+            ids.append(100 + i)           # half-amplitude copy
+            clips.append(encode_wav((s // 2).astype(np.int16)))
+    ids.append(999)
+    clips.append(b"not audio at all")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "audio": pa.array(clips, type=pa.large_binary())}))
+    pairs = sorted((r["keep_id"], r["dup_id"]) for r in
+                   audio_near_duplicates(ds, max_hamming=3).take_all())
+    assert pairs == [(0, 100), (5, 105)]
+
+
 def test_quality_scores_string_layouts():
     """quality_scores must read the offsets buffer at the column's own
     width: large_string (int64 offsets, the north-rule corpus type) and a
