@@ -1084,6 +1084,44 @@ def _image_dhash_dups(sf_dir: str):
         "dup_id": pa.array([r[1] for r in rows], type=pa.int64())})
 
 
+def _video_fingerprint_dups(sf_dir: str):
+    """Majority-vote frame-dHash video near-dup chain
+    (multimodal.video_near_duplicates): each doc_id gets a deterministic
+    seeded-noise 4-frame Y4M clip; every doc_id%30==0 (and >0) instead
+    gets the +15-brightness whole-clip copy of doc_id-1 (different bytes,
+    same per-frame dHashes => same fingerprint). The chain must recover
+    exactly the injected (doc_id-1, doc_id) pairs."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        encode_y4m, video_near_duplicates)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+
+    def base_clip(i: int) -> np.ndarray:
+        rng = np.random.default_rng([23, i])
+        return rng.integers(10, 200, size=(4, 16, 32)).astype(np.uint8)
+
+    vids = []
+    for i in ids:
+        if i % 30 == 0 and i > 0:
+            c = np.clip(base_clip(i - 1).astype(np.int64) + 15,
+                        0, 255).astype(np.uint8)
+        else:
+            c = base_clip(i)
+        vids.append(encode_y4m(c))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "video": pa.array(vids, type=pa.large_binary())}))
+    rows = sorted((r["keep_id"], r["dup_id"]) for r in
+                  video_near_duplicates(ds).take_all())
+    return pa.table({
+        "keep_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "dup_id": pa.array([r[1] for r in rows], type=pa.int64())})
+
+
 def _audio_fingerprint_dups(sf_dir: str):
     """Robust-audio-fingerprint near-dup chain
     (multimodal.audio_near_duplicates, Haitsma-Kalker sign-of-delta
@@ -3572,6 +3610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_dups": _image_dhash_dups,
         # robust-audio-fingerprint near-dup chain (scale-invariant)
         "audio_fingerprint_dups": _audio_fingerprint_dups,
+        # majority-vote frame-dHash video near-dup chain
+        "video_fingerprint_dups": _video_fingerprint_dups,
         # per-doc token-distribution Shannon entropy (degenerate-text)
         "token_entropy_documents": _token_entropy_documents,
         # demoted from the 50 block for the CDC-merge + logreg families
@@ -4203,6 +4243,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1 AS j, round(-0.5 * avg(0.5 - y), 9) AS w
             FROM rows_
+        """,
+        # the injection rule: every doc_id%30==0 (>0) is a brightness-
+        # shifted whole-clip copy of doc_id-1
+        "video_fingerprint_dups": """
+            SELECT b.doc_id AS keep_id, d.doc_id AS dup_id
+            FROM documents d JOIN documents b ON b.doc_id = d.doc_id - 1
+            WHERE d.doc_id % 30 = 0 AND d.doc_id > 0
         """,
         # the injection rule: every doc_id%25==0 (>0) is a half-amplitude
         # copy of doc_id-1 — the chain must recover exactly these

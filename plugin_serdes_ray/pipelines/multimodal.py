@@ -733,8 +733,12 @@ def dhash64(px: np.ndarray) -> int:
     global brightness shifts and contrast scaling; near-duplicate images
     land within a small Hamming distance. Returns an UNSIGNED 64-bit int
     (row-major bit order, bit 63 first)."""
-    h, w, _ = px.shape
-    lum = px.astype(np.float64).mean(axis=2)
+    if px.ndim == 2:                       # grayscale / luma plane
+        h, w = px.shape
+        lum = px.astype(np.float64)
+    else:
+        h, w, _ = px.shape
+        lum = px.astype(np.float64).mean(axis=2)
     rows = (np.arange(8, dtype=np.int64) * h) // 8
     cols = (np.arange(9, dtype=np.int64) * w) // 9
     grid = lum[np.ix_(rows, cols)]
@@ -845,6 +849,69 @@ def audio_near_duplicates(ds, column: str = "audio",
                                 batch_size=batch_size).select_columns(
         [id_column, "afp"])
     return hash64_duplicates(hashed, "afp", id_column,
+                             max_hamming=max_hamming, bands=bands)
+
+
+def video_fingerprint64(data: bytes, n_frames: int = 8) -> int:
+    """64-bit video fingerprint: dHash of up to ``n_frames`` evenly-spaced
+    luma frames, folded by per-bit MAJORITY vote (ties -> 1, so the vote
+    is deterministic). Whole-clip transforms that preserve each frame's
+    dHash (brightness shift, contrast scale, container re-encode) keep
+    the fingerprint; a few changed frames move only near-tie bits.
+    Raises ``ValueError`` on non-Y4M / empty payloads."""
+    _, frames = decode_y4m(data)
+    if frames.shape[0] == 0:
+        raise ValueError("video_fingerprint64: clip has no frames")
+    idx = np.unique(np.linspace(0, len(frames) - 1,
+                                min(n_frames, len(frames))).astype(int))
+    hs = np.array([dhash64(frames[i]) for i in idx], dtype=np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    maj = bits.sum(axis=0) * 2 >= len(hs)
+    return int(np.sum(np.where(maj, np.uint64(1), np.uint64(0))
+                      << np.arange(64, dtype=np.uint64)))
+
+
+class VideoFingerprint:
+    """Actor-pool stage: binary video column -> signed-folded int64
+    ``vfp`` column (REAL Y4M decode; undecodable payloads get NULL)."""
+
+    def __init__(self, column: str = "video", n_frames: int = 8):
+        self.column = column
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list = []
+        for v in batch.column(self.column).to_pylist():
+            try:
+                u = (video_fingerprint64(v, self.n_frames)
+                     if v is not None else None)
+            except ValueError:
+                u = None
+            if u is None:
+                out.append(None)
+            else:
+                out.append(u - (1 << 64) if u >= (1 << 63) else u)
+        return batch.append_column("vfp", pa.array(out, type=pa.int64()))
+
+
+def video_near_duplicates(ds, column: str = "video",
+                          id_column: str = "doc_id",
+                          max_hamming: int = 3, bands: int = 4,
+                          n_frames: int = 8,
+                          concurrency: int = 4, batch_size: int = 16):
+    """Near-duplicate video pairs: majority-vote frame-dHash fingerprint
+    per clip (actor pool, real decode), then ``dedup.hash64_duplicates``.
+    Video bytes never shuffle."""
+    from .dedup import hash64_duplicates
+
+    hashed = ds.map_batches(
+        VideoFingerprint,
+        fn_constructor_kwargs={"column": column, "n_frames": n_frames},
+        batch_size=batch_size, batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1,
+        runtime_env=package_runtime_env()).select_columns(
+        [id_column, "vfp"])
+    return hash64_duplicates(hashed, "vfp", id_column,
                              max_hamming=max_hamming, bands=bands)
 
 

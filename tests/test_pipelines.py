@@ -1145,6 +1145,50 @@ def test_audio_near_duplicates_chain(ray_session):
     assert pairs == [(0, 100), (5, 105)]
 
 
+def test_video_fingerprint_and_near_duplicates(ray_session):
+    """Video fingerprint: brightness-shifted whole-clip copies keep the
+    majority-vote frame-dHash fingerprint; different clips differ; the
+    chain recovers exactly the injected pairs."""
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.multimodal import (
+        encode_y4m, video_fingerprint64, video_near_duplicates)
+
+    rng = np.random.default_rng(29)
+
+    def clip(seed):
+        r = np.random.default_rng(seed)
+        return r.integers(10, 200, size=(4, 16, 32)).astype(np.uint8)
+
+    base = clip(0)
+    h0 = video_fingerprint64(encode_y4m(base))
+    assert h0 == video_fingerprint64(encode_y4m(base.copy()))
+    shifted = np.clip(base.astype(np.int64) + 20, 0, 255).astype(np.uint8)
+    assert video_fingerprint64(encode_y4m(shifted)) == h0
+    assert video_fingerprint64(encode_y4m(clip(1))) != h0
+    with pytest.raises(ValueError):
+        video_fingerprint64(b"not video")
+
+    ids, vids = [], []
+    for i in range(8):
+        c = clip(100 + i)
+        ids.append(i)
+        vids.append(encode_y4m(c))
+        if i % 4 == 0:
+            ids.append(900 + i)
+            vids.append(encode_y4m(
+                np.clip(c.astype(np.int64) + 15, 0, 255).astype(np.uint8)))
+    ids.append(999)
+    vids.append(b"JUNK payload")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "video": pa.array(vids, type=pa.large_binary())}))
+    pairs = sorted((r["keep_id"], r["dup_id"]) for r in
+                   video_near_duplicates(ds).take_all())
+    assert pairs == [(0, 900), (4, 904)]
+
+
 def test_quality_scores_string_layouts():
     """quality_scores must read the offsets buffer at the column's own
     width: large_string (int64 offsets, the north-rule corpus type) and a
