@@ -152,13 +152,26 @@ def broadcast_merge(snapshot, delta: pa.Table, key,
 
 
 def merge_changes(snapshot, delta, key, op_column: str | None = None,
-                  version_column: str | None = None):
+                  version_column: str | None = None,
+                  bloom_bits: int | None = 1 << 23):
     """Big-big merge: ONE keyed shuffle co-partitions snapshot and delta
     rows by the stringified merge key (null snapshot keys spread over 64
     routing groups and pass through); each key group resolves the winner
     locally and emits the survivor rows. See the module docstring for the
     full merge contract; use :func:`broadcast_merge` when the delta fits
-    in the object store."""
+    in the object store.
+
+    Scale shape: a daily delta touches a sliver of a 100 TB snapshot, so
+    by default the delta's keys are first folded into a distributed Bloom
+    bitmap (``relational.build_key_bloom`` — fixed-width partials, one
+    ``ray.put``) and snapshot rows that MISS it (definitely unmatched,
+    plus null-key rows) pass through MAP-ONLY; only bloom hits enter the
+    keyed shuffle, which then costs O(|delta| + |matching snapshot| +
+    false positives) instead of O(|snapshot|). ``bloom_bits=None``
+    disables the prefilter (same result, full shuffle); size it (a power
+    of two) to the delta's distinct-key count. The delta's lineage
+    executes twice with the prefilter on (bitmap build + merge)."""
+    import ray
     import ray.data  # noqa: F401  (Dataset API via the inputs)
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -279,9 +292,34 @@ def merge_changes(snapshot, delta, key, op_column: str | None = None,
         return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
     env = package_runtime_env()
+    passthrough = None
+    if bloom_bits is not None:
+        from .relational import bloom_probe_hits, build_key_bloom
+
+        if bloom_bits < 64 or bloom_bits & (bloom_bits - 1):
+            raise ValueError("bloom_bits must be a power of two >= 64")
+        ref = build_key_bloom(delta, keys, out_keys=keys,
+                              out_types=out_types, bits=bloom_bits)
+        mask = bloom_bits - 1
+
+        def split(batch: pa.Table, want_hits: bool) -> pa.Table:
+            hits = bloom_probe_hits(batch, keys, ray.get(ref), 4, mask)
+            t = batch.filter(pa.array(hits if want_hits else ~hits))
+            return t if want_hits else t.select(out_names)
+
+        # bloom misses (and null-key rows) are definitely unmatched:
+        # emit map-only, never shuffle them
+        passthrough = snapshot.map_batches(
+            lambda b: split(b, False), batch_format="pyarrow",
+            runtime_env=env)
+        snapshot = snapshot.map_batches(
+            lambda b: split(b, True), batch_format="pyarrow",
+            runtime_env=env)
+
     tagged = snapshot.map_batches(pad_snap, batch_format="pyarrow",
                                   runtime_env=env).union(
         delta.map_batches(pad_delta, batch_format="pyarrow",
                           runtime_env=env))
-    return tagged.groupby("__mk").map_groups(
+    merged = tagged.groupby("__mk").map_groups(
         resolve, batch_format="pyarrow", runtime_env=env)
+    return merged if passthrough is None else merged.union(passthrough)

@@ -566,6 +566,67 @@ def _bloom_indices(base: np.ndarray, num_hashes: int, mask: int):
             yield ((base + np.uint64(i) * h2) & np.uint64(mask))
 
 
+def build_key_bloom(side, side_keys: list, *, out_keys: list,
+                    out_types: dict, bits: int = 1 << 23,
+                    num_hashes: int = 4):
+    """Fold a dataset's key tuples into ONE Bloom bitmap, distributed:
+    per-block ``bits/8``-byte partials (never the keys), OR-reduced in a
+    64-ary map-only tree, final bitmap ``ray.put`` once. Returns the
+    object ref of the uint64 word array. Shared by
+    :func:`bloom_semi_join` and ``merge.merge_changes``."""
+    import ray
+
+    from .dedup import _content_hash64
+
+    nwords, mask = bits >> 6, bits - 1
+    env = package_runtime_env()
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        kt = batch.filter(_keys_valid(batch, side_keys))
+        kt = kt.select(side_keys).rename_columns(out_keys)
+        kt = _cast_key_table(kt, out_keys, out_types)
+        base = _content_hash64(_key_join(kt, out_keys))
+        words = np.zeros(nwords, dtype=np.uint64)
+        for idx in _bloom_indices(base, num_hashes, mask):
+            np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bm": pa.array([words.tobytes()],
+                                        type=pa.large_binary())})
+
+    def or_batch(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nwords, dtype=np.uint64)
+        for v in batch.column("bm"):
+            acc |= np.frombuffer(v.as_py(), dtype=np.uint64)
+        return pa.table({"bm": pa.array([acc.tobytes()],
+                                        type=pa.large_binary())})
+
+    bm = side.map_batches(build_partial, batch_format="pyarrow",
+                          runtime_env=env).materialize()
+    while bm.count() > 1:
+        bm = bm.map_batches(or_batch, batch_size=64, batch_format="pyarrow",
+                            runtime_env=env).materialize()
+    rows = bm.take_all()
+    words = (np.frombuffer(rows[0]["bm"], dtype=np.uint64) if rows
+             else np.zeros(nwords, dtype=np.uint64))
+    return ray.put(words)
+
+
+def bloom_probe_hits(batch: pa.Table, keys: list, words: np.ndarray,
+                     num_hashes: int, mask: int) -> np.ndarray:
+    """Vectorized membership test of a batch's key tuples against a
+    :func:`build_key_bloom` bitmap -> bool mask (null keys never hit)."""
+    from .dedup import _content_hash64
+
+    valid = _keys_valid(batch, keys).to_numpy(zero_copy_only=False)
+    base = _content_hash64(_key_join(batch, keys))
+    hits = valid.copy()
+    for idx in _bloom_indices(base, num_hashes, mask):
+        bit = (words[(idx >> np.uint64(6)).astype(np.int64)]
+               >> (idx & np.uint64(63))) & np.uint64(1)
+        hits &= bit.astype(bool)
+    return hits
+
+
 def bloom_semi_join(left, right, key, right_key=None, *, anti: bool = False,
                     bits: int = 1 << 23, num_hashes: int = 4):
     """Bloom-prefiltered LEFT SEMI / LEFT ANTI join — exact results, but the
@@ -597,8 +658,6 @@ def bloom_semi_join(left, right, key, right_key=None, *, anti: bool = False,
     """
     import ray
 
-    from .dedup import _content_hash64
-
     if bits < 64 or bits & (bits - 1):
         # < 64 passes the power-of-two check but makes the uint64 word
         # array empty, crashing with a bare IndexError inside a worker
@@ -608,47 +667,15 @@ def bloom_semi_join(left, right, key, right_key=None, *, anti: bool = False,
         [right_key] if isinstance(right_key, str) else list(right_key))
     l_schema = left.schema()
     l_types = {nm: t for nm, t in zip(l_schema.names, l_schema.types)}
-    nwords, mask = bits >> 6, bits - 1
+    mask = bits - 1
     env = package_runtime_env()
 
-    def build_partial(batch: pa.Table) -> pa.Table:
-        kt = batch.filter(_keys_valid(batch, right_keys))
-        kt = kt.select(right_keys).rename_columns(keys)
-        kt = _cast_key_table(kt, keys, l_types)
-        base = _content_hash64(_key_join(kt, keys))
-        words = np.zeros(nwords, dtype=np.uint64)
-        for idx in _bloom_indices(base, num_hashes, mask):
-            np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
-                             np.uint64(1) << (idx & np.uint64(63)))
-        return pa.table({"bm": pa.array([words.tobytes()],
-                                        type=pa.large_binary())})
-
-    def or_batch(batch: pa.Table) -> pa.Table:
-        acc = np.zeros(nwords, dtype=np.uint64)
-        for v in batch.column("bm"):
-            acc |= np.frombuffer(v.as_py(), dtype=np.uint64)
-        return pa.table({"bm": pa.array([acc.tobytes()],
-                                        type=pa.large_binary())})
-
-    bm = right.map_batches(build_partial, batch_format="pyarrow",
-                           runtime_env=env).materialize()
-    while bm.count() > 1:
-        bm = bm.map_batches(or_batch, batch_size=64, batch_format="pyarrow",
-                            runtime_env=env).materialize()
-    rows = bm.take_all()
-    words = (np.frombuffer(rows[0]["bm"], dtype=np.uint64) if rows
-             else np.zeros(nwords, dtype=np.uint64))
-    ref = ray.put(words)
+    ref = build_key_bloom(right, right_keys, out_keys=keys,
+                          out_types=l_types, bits=bits,
+                          num_hashes=num_hashes)
 
     def probe(batch: pa.Table, want_hits: bool) -> pa.Table:
-        w = ray.get(ref)
-        valid = _keys_valid(batch, keys).to_numpy(zero_copy_only=False)
-        base = _content_hash64(_key_join(batch, keys))
-        hits = valid.copy()
-        for idx in _bloom_indices(base, num_hashes, mask):
-            bit = (w[(idx >> np.uint64(6)).astype(np.int64)]
-                   >> (idx & np.uint64(63))) & np.uint64(1)
-            hits &= bit.astype(bool)
+        hits = bloom_probe_hits(batch, keys, ray.get(ref), num_hashes, mask)
         return batch.filter(pa.array(hits if want_hits else ~hits))
 
     maybe = left.map_batches(lambda b: probe(b, True),

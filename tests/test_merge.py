@@ -163,6 +163,40 @@ def test_merge_casts_delta_key_types_and_empty_delta(ray_session):
     assert _run(s) == _run(ray.data.from_arrow(_snap()))
 
 
+def test_merge_bloom_prefilter_equivalence(ray_session):
+    """The delta-key Bloom prefilter must be invisible in the result:
+    bloom on (default) == bloom off (full shuffle) on data with nulls,
+    dup keys, deletes, and versions."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.merge import merge_changes
+
+    rng = np.random.default_rng(4)
+    n = 300
+    k = rng.integers(0, 120, n).astype(object)
+    k[rng.random(n) < 0.1] = None
+    snap = pa.table({"k": pa.array(list(k), type=pa.int64()),
+                     "v": pa.array([f"s{i}" for i in range(n)])})
+    delta = pa.table({
+        "k": pa.array([3, 3, 50, 999], type=pa.int64()),
+        "v": ["old", "NEW", "del", "ins"],
+        "op": ["upsert", "upsert", "delete", "upsert"],
+        "ver": pa.array([1, 2, 1, 1], type=pa.int64())})
+    kw = dict(op_column="op", version_column="ver")
+    on = _run(merge_changes(ray.data.from_arrow(snap).repartition(5),
+                            ray.data.from_arrow(delta), "k", **kw))
+    off = _run(merge_changes(ray.data.from_arrow(snap).repartition(5),
+                             ray.data.from_arrow(delta), "k",
+                             bloom_bits=None, **kw))
+    assert on == off
+    assert (999, "ins") in on and all(r[0] != 50 for r in on)
+    import pytest
+    with pytest.raises(ValueError, match="bloom_bits"):
+        merge_changes(ray.data.from_arrow(snap),
+                      ray.data.from_arrow(delta), "k", bloom_bits=100,
+                      **kw)
+
+
 def test_cli_merge_both_paths(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
