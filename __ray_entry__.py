@@ -1793,21 +1793,34 @@ def _grouped_topk_orders(sf_dir: str):
 def _grouped_stats_lineitem(sf_dir: str):
     """Distributed second moments by return flag via sufficient statistics
     (relational.grouped_stats): mean/stddev of quantity + its correlation
-    with extended price — one combiner-shrunk shuffle, no raw values held."""
-    from plugin_serdes_ray.pipelines.relational import grouped_stats
+    with extended price — one combiner-shrunk shuffle, no raw values held.
+    Union-tagged with the per-group OLS fit (relational.grouped_linreg ==
+    SQL regr_slope/regr_intercept/regr_r2) of extended price on quantity:
+    the same sufficient-statistics machinery finishing to a regression."""
+    from plugin_serdes_ray.pipelines.relational import (grouped_linreg,
+                                                        grouped_stats)
 
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_returnflag", "l_quantity", "l_extendedprice"])
     out = grouped_stats(ds, "l_returnflag", "l_quantity", "l_extendedprice")
     t = pa.Table.from_pylist(out.take_all()).sort_by("l_returnflag")
+    reg = grouped_linreg(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    rt = pa.Table.from_pylist(reg.take_all()).sort_by("l_returnflag")
+    assert rt.column("l_returnflag").to_pylist() == \
+        t.column("l_returnflag").to_pylist()
+    for c in ("slope", "intercept", "r2"):
+        t = t.append_column(c, rt.column(c))
     # distributed sufficient-statistic sums differ from the oracle's
     # single-pass reduction in the last ulp; round on BOTH sides (9
     # decimals — far from any boundary at these magnitudes)
-    for c in ("mean_l_quantity", "stddev_l_quantity",
-              "corr_l_quantity_l_extendedprice"):
+    # intercept rounds at 6: its magnitude (~5e4) puts the 9th decimal
+    # inside the distributed-vs-single-pass summation error band
+    for c, nd in (("mean_l_quantity", 9), ("stddev_l_quantity", 9),
+                  ("corr_l_quantity_l_extendedprice", 9), ("slope", 9),
+                  ("intercept", 6), ("r2", 9)):
         i = t.column_names.index(c)
         t = t.set_column(i, c, pa.array(
-            [None if v is None else round(v, 9)
+            [None if v is None else round(v, nd)
              for v in t.column(c).to_pylist()], type=pa.float64()))
     return t
 
@@ -5073,7 +5086,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 9) AS mean_l_quantity,
                    round(stddev_samp(l_quantity), 9) AS stddev_l_quantity,
                    round(corr(l_quantity, l_extendedprice), 9)
-                       AS corr_l_quantity_l_extendedprice
+                       AS corr_l_quantity_l_extendedprice,
+                   round(regr_slope(l_extendedprice, l_quantity), 9)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 9) AS r2
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "vocab_topk_documents": r"""

@@ -2709,6 +2709,89 @@ def grouped_stats(ds, by, x: str, y: Optional[str] = None):
     return merged.map_batches(finish, batch_format="pyarrow", runtime_env=env)
 
 
+def grouped_linreg(ds, by, x: str, y: str):
+    """Per-group ordinary-least-squares fit of ``y`` on ``x`` via the same
+    sufficient-statistics shape as :func:`grouped_stats`: per-block
+    ``group_by`` partials ``(n, Σx, Σy, Σxy, Σx², Σy²)`` over
+    pairwise-complete rows -> ONE keyed shuffle of combiner output ->
+    native Sum reduce -> closed-form finish. Raw values never shuffle;
+    volume is O(keys·blocks) fixed-width rows.
+
+    Semantics mirror SQL ``regr_*(y, x)`` (PostgreSQL/DuckDB):
+
+    - ``n``         = regr_count  (pairwise non-null rows)
+    - ``slope``     = regr_slope  (null when var_pop(x) == 0, incl. n<2)
+    - ``intercept`` = regr_intercept (null when slope is null)
+    - ``r2``        = regr_r2   (null when var_pop(x)==0; 1.0 when
+      var_pop(y)==0 with var_pop(x)>0; else corr²)
+    """
+    by_keys = [by] if isinstance(by, str) else list(by)
+    need = list(dict.fromkeys(by_keys + [x, y]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = t.column(x).combine_chunks().cast(pa.float64())
+        yv = t.column(y).combine_chunks().cast(pa.float64())
+        both = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        xp = pc.if_else(both, xv, 0.0)
+        yp = pc.if_else(both, yv, 0.0)
+        cols = {c: t.column(c) for c in by_keys}
+        cols["__n"] = both.cast(pa.int64())
+        cols["__sx"] = xp
+        cols["__sy"] = yp
+        cols["__sxy"] = pc.multiply(xp, yp)
+        cols["__sxx"] = pc.multiply(xp, xp)
+        cols["__syy"] = pc.multiply(yp, yp)
+        part = pa.table(cols)
+        aggs = [(c, "sum") for c in part.column_names if c.startswith("__")]
+        g = part.group_by(by_keys).aggregate(aggs)
+        # strip "_sum" ONLY from partial columns; key names stay untouched
+        return g.rename_columns(
+            [c[:-4] if c.startswith("__") and c.endswith("_sum") else c
+             for c in g.column_names])
+
+    from ray.data.aggregate import Sum
+
+    env = package_runtime_env()
+    part_ds = ds.select_columns(need).map_batches(
+        partial, batch_format="pyarrow", runtime_env=env)
+    sum_cols = ["__n", "__sx", "__sy", "__sxy", "__sxx", "__syy"]
+    merged = (part_ds.groupby(by_keys if len(by_keys) > 1 else by_keys[0])
+                     .aggregate(*[Sum(c) for c in sum_cols]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        def col(name):
+            return pc.fill_null(t.column(f"sum({name})"), 0) \
+                .combine_chunks().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+        n = col("__n")
+        sx, sy = col("__sx"), col("__sy")
+        sxy, sxx, syy = col("__sxy"), col("__sxx"), col("__syy")
+        # population second moments scaled by n²:  n·Σx² − (Σx)²  etc.
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(vx > 0, cov / np.where(vx > 0, vx, 1.0), np.nan)
+            intercept = np.where(vx > 0,
+                                 (sy - slope * sx) / np.maximum(n, 1), np.nan)
+            r2 = np.where(vx > 0,
+                          np.where(vy > 0,
+                                   (cov * cov)
+                                   / np.where((vx > 0) & (vy > 0),
+                                              vx * vy, 1.0),
+                                   1.0),
+                          np.nan)
+        ok = vx > 0
+        out = {c: t.column(c) for c in by_keys}
+        out["n"] = pa.array(n.astype(np.int64))
+        out["slope"] = pa.array(slope, mask=~ok)
+        out["intercept"] = pa.array(intercept, mask=~ok)
+        out["r2"] = pa.array(r2, mask=~ok)
+        return pa.table(out)
+
+    return merged.map_batches(finish, batch_format="pyarrow", runtime_env=env)
+
+
 def grouping_sets_aggregate(ds, keys: Sequence[str], sets: Sequence[Sequence[str]],
                             sum_cols: Sequence[str] = (),
                             count_name: Optional[str] = "n"):

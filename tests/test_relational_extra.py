@@ -2007,3 +2007,45 @@ def test_zorder_key_guards_and_nulls(ray_session):
     rows = sorted(zorder_sort(ds, ["x", "y"], "id").take_all(),
                   key=lambda r: r["id"])
     assert [r["id"] for r in rows] == [1, 2, 3]
+
+
+def test_grouped_linreg_matches_duckdb_regr(ray_session):
+    """OLS per group vs DuckDB regr_* — incl. a null-riddled group, a
+    constant-x group (slope/intercept/r2 all NULL), a constant-y group
+    (r2 = 1.0), and a single-row group (var_pop(x)=0 -> NULL)."""
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_linreg
+
+    k = ["a"] * 6 + ["b"] * 4 + ["c"] * 3 + ["d"] + ["e"] * 3
+    x = [1.0, 2.0, 3.0, None, 5.0, 6.0,      # a: nulls in x
+         7.0, 7.0, 7.0, 7.0,                 # b: constant x
+         1.0, 2.0, 3.0,                      # c: constant y
+         4.0,                                # d: single row
+         1.0, 2.0, None]                     # e
+    y = [2.0, 3.9, 6.1, 8.0, None, 12.2,     # a: nulls in y too
+         1.0, 2.0, 3.0, 4.0,
+         5.0, 5.0, 5.0,
+         9.0,
+         3.0, None, 4.0]
+    t = pa.table({"k": pa.array(k), "x": pa.array(x, type=pa.float64()),
+                  "y": pa.array(y, type=pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = {r["k"]: r for r in grouped_linreg(ds, "k", "x", "y").take_all()}
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        SELECT k, regr_count(y, x)::BIGINT AS n, regr_slope(y, x) AS slope,
+               regr_intercept(y, x) AS intercept, regr_r2(y, x) AS r2
+        FROM t GROUP BY k ORDER BY k""").fetchall()
+    assert len(got) == len(want)
+    for kk, n, slope, intercept, r2 in want:
+        g = got[kk]
+        assert g["n"] == n, kk
+        for name, w in (("slope", slope), ("intercept", intercept),
+                        ("r2", r2)):
+            if w is None:
+                assert g[name] is None, (kk, name, g[name])
+            else:
+                assert g[name] == pytest.approx(w, abs=1e-12), (kk, name)
