@@ -379,6 +379,127 @@ def dequantize(q: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     return mn + (np.asarray(q, dtype=np.float64) + 128.0) / 255.0 * span
 
 
+def covariance_stats(ds, vector_column: str = "embedding"):
+    """Exact mean vector and SAMPLE covariance matrix of an embedding
+    column in ONE streaming pass: every block reduces to a fixed payload
+    ``(n, Σx (d·8 B), XᵀX (d²·8 B))`` shipped as binary blobs; the driver
+    sum-merges O(blocks) rows and finishes with the closed form
+    ``cov = (ΣXᵀX − (Σx)(Σx)ᵀ/n) / (n−1)``. Null vectors are skipped
+    (SQL covar_samp semantics). Vectors never shuffle; the per-block
+    payload is d²+d+1 doubles (8 MB at d=1000 — document your d).
+
+    Returns ``(n, mean (d,), cov (d, d))``."""
+    env = package_runtime_env()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(vector_column).combine_chunks().drop_null()
+        if len(col) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "sx": pa.array([], type=pa.binary()),
+                             "xtx": pa.array([], type=pa.binary())})
+        m = vectors_to_numpy(col, dtype=np.float64)
+        return pa.table({
+            "n": pa.array([m.shape[0]], type=pa.int64()),
+            "sx": pa.array([m.sum(axis=0).tobytes()], type=pa.binary()),
+            "xtx": pa.array([(m.T @ m).tobytes()], type=pa.binary())})
+
+    rows = ds.select_columns([vector_column]).map_batches(
+        partial, batch_format="pyarrow", runtime_env=env).take_all()
+    if not rows:
+        raise ValueError("covariance_stats: no non-null vectors")
+    n = int(sum(r["n"] for r in rows))
+    sx = np.sum([np.frombuffer(r["sx"], dtype=np.float64) for r in rows],
+                axis=0)
+    d = len(sx)
+    xtx = np.sum([np.frombuffer(r["xtx"], dtype=np.float64).reshape(d, d)
+                  for r in rows], axis=0)
+    mean = sx / n
+    if n < 2:
+        return n, mean, np.full((d, d), np.nan)
+    cov = (xtx - np.outer(sx, sx) / n) / (n - 1)
+    return n, mean, cov
+
+
+def pca(ds, n_components: int, vector_column: str = "embedding", *,
+        stats=None) -> dict:
+    """Distributed principal-component analysis: the corpus contributes
+    only the :func:`covariance_stats` pass (one streaming map, fixed
+    per-block payload); the eigendecomposition runs driver-side on the
+    (d, d) covariance — O(d³) with NO dependence on corpus size, the
+    standard exact-PCA split for tall-skinny data (d ≤ a few thousand;
+    beyond that use randomized sketches). Component signs are pinned
+    deterministically: the largest-|loading| entry of each component is
+    made positive (first index wins ties), so results are reproducible
+    across runs and partitionings.
+
+    Returns ``{"components": (k, d) rows=PCs, "explained_variance": (k,)
+    eigenvalues, "explained_variance_ratio": (k,), "mean": (d,),
+    "n": int}``. Pass ``stats=(n, mean, cov)`` from a prior
+    :func:`covariance_stats` call to skip the corpus pass."""
+    n, mean, cov = stats if stats is not None \
+        else covariance_stats(ds, vector_column)
+    d = len(mean)
+    k = int(n_components)
+    if not 1 <= k <= d:
+        raise ValueError(f"n_components must be in [1, {d}], got {k}")
+    if n < 2:
+        raise ValueError("pca needs at least 2 non-null vectors")
+    vals, vecs = np.linalg.eigh(cov)        # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                # (k, d)
+    flip = comps[np.arange(k), np.argmax(np.abs(comps), axis=1)] < 0
+    comps[flip] *= -1.0
+    ev = np.maximum(vals[order], 0.0)
+    total = float(np.trace(cov))
+    ratio = ev / total if total > 0 else np.zeros(k)
+    return {"components": comps, "explained_variance": ev,
+            "explained_variance_ratio": ratio, "mean": mean, "n": n}
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray,
+                vector_column: str = "embedding",
+                out_column: str = "pca"):
+    """Map-only projection onto fitted principal components: append
+    ``(x − mean) · componentsᵀ`` per row. ``(mean, components)`` are
+    ``ray.put`` ONCE and read zero-copy in every task. Null vectors get a
+    null projection."""
+    import ray
+
+    mu = np.ascontiguousarray(np.asarray(mean, dtype=np.float64))
+    w = np.ascontiguousarray(np.asarray(components, dtype=np.float64))
+    if w.ndim != 2 or w.shape[1] != len(mu):
+        raise ValueError("components must be (k, d) with d == len(mean)")
+    k = w.shape[0]
+    ref = ray.put((mu, w))
+    env = package_runtime_env()
+
+    def project(t: pa.Table) -> pa.Table:
+        mmu, ww = ray.get(ref)
+        col = t.column(vector_column)
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            vt = t.filter(valid)
+            p = (vectors_to_numpy(
+                vt.column(vector_column).combine_chunks(), np.float64)
+                - mmu) @ ww.T
+            out = np.zeros((t.num_rows, k), dtype=np.float64)
+            vmask = valid.to_numpy(zero_copy_only=False)
+            out[vmask] = p
+            flat = pa.array(out.reshape(-1), type=pa.float64())
+            arr = pa.FixedSizeListArray.from_arrays(flat, k)
+            arr = pc.if_else(pc.is_null(col), pa.scalar(
+                None, type=pa.list_(pa.float64(), k)), arr)
+            return t.append_column(out_column, arr)
+        p = (vectors_to_numpy(col, np.float64) - mmu) @ ww.T
+        flat = pa.array(p.reshape(-1), type=pa.float64())
+        return t.append_column(
+            out_column, pa.FixedSizeListArray.from_arrays(flat, k))
+
+    return ds.map_batches(project, batch_format="pyarrow", runtime_env=env)
+
+
 # ---------------------------------------------------------------------------
 # distributed logistic regression (full-batch gradient descent)
 # ---------------------------------------------------------------------------

@@ -233,3 +233,80 @@ def test_logreg_nulls_dropped_and_null_scores(ray_session):
                                  0.0).take_all(),
                   key=lambda r: r["vec_id"])
     assert rows[1]["score"] is None and rows[0]["score"] is not None
+
+
+def test_covariance_stats_matches_numpy(ray_session):
+    """One-pass distributed (n, mean, cov) == numpy on the gathered
+    matrix, invariant to partitioning, null vectors skipped."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import covariance_stats
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=(60, 5)) * [1.0, 2.0, 0.5, 3.0, 1.5]
+    ds = _mk(vals, [0] * 60).repartition(7)
+    n, mean, cov = covariance_stats(ds, "embedding")
+    assert n == 60
+    np.testing.assert_allclose(mean, vals.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(cov, np.cov(vals, rowvar=False),
+                               rtol=1e-9, atol=1e-12)
+    # null vectors are skipped
+    t = pa.table({"embedding": pa.concat_arrays([
+        pa.FixedSizeListArray.from_arrays(
+            pa.array(vals.reshape(-1)), 5).slice(0, 60),
+        pa.array([None], type=pa.list_(pa.float64(), 5))])})
+    n2, mean2, _ = covariance_stats(ray.data.from_arrow(t), "embedding")
+    assert n2 == 60
+    np.testing.assert_allclose(mean2, mean, rtol=1e-12)
+
+
+def test_pca_matches_numpy_eigh_and_projects(ray_session):
+    from plugin_serdes_ray.pipelines.vectors import (pca, pca_project)
+
+    rng = np.random.default_rng(3)
+    # anisotropic cloud: a dominant direction plus noise
+    base = rng.normal(size=(200, 1)) @ np.array([[3.0, 1.0, 0.2, 0.0]])
+    vals = base + rng.normal(size=(200, 4)) * 0.3 + [1.0, -2.0, 0.5, 4.0]
+    ds = _mk(vals, [0] * 200).repartition(6)
+    fit = pca(ds, 2, "embedding")
+    # reference: numpy eigh on the sample covariance, same sign pinning
+    cov = np.cov(vals, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    ref = v[:, order].T
+    flip = ref[np.arange(2), np.argmax(np.abs(ref), axis=1)] < 0
+    ref[flip] *= -1.0
+    np.testing.assert_allclose(fit["components"], ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(fit["explained_variance"], w[order],
+                               rtol=1e-9)
+    assert 0.9 < fit["explained_variance_ratio"][0] <= 1.0
+    # projection: scores == centered data @ components.T, and the score
+    # variance along PC1 equals the first eigenvalue
+    rows = pca_project(ds, fit["mean"], fit["components"],
+                       "embedding").take_all()
+    got = np.array([r["pca"] for r in sorted(rows,
+                                             key=lambda r: r["vec_id"])])
+    want = (vals - vals.mean(axis=0)) @ ref.T
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(got[:, 0].var(ddof=1), w[order][0],
+                               rtol=1e-9)
+
+
+def test_pca_project_null_vectors_and_guards(ray_session):
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import pca, pca_project
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], None, [3.0, 0.0]],
+                              type=pa.list_(pa.float64(), 2))})
+    ds = ray.data.from_arrow(t)
+    fit = pca(ds, 1, "embedding")
+    rows = {r["vec_id"]: r["pca"]
+            for r in pca_project(ds, fit["mean"], fit["components"],
+                                 "embedding").take_all()}
+    assert rows[1] is None and rows[0] is not None
+    with pytest.raises(ValueError):
+        pca(ds, 3, "embedding")   # k > d
