@@ -3050,8 +3050,10 @@ def _normalize_lineitem(sf_dir: str):
     over l_quantity union-tagged, exact global moments from ONE
     fixed-payload streaming pass then a map-only transform. Values rounded
     to 6 decimals on both sides (summation-order noise in mean/std is
-    ~1e-12 relative)."""
-    from plugin_serdes_ray.pipelines.relational import normalize_column
+    ~1e-12 relative). The 'winsor' arm is relational.winsorize: clamp to
+    the exact [p05, p95] quantile_disc bounds, same locate machinery."""
+    from plugin_serdes_ray.pipelines.relational import (normalize_column,
+                                                        winsorize)
 
     ds = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_linenumber", "l_quantity"])
@@ -3061,6 +3063,9 @@ def _normalize_lineitem(sf_dir: str):
                                   method=method).take_all():
             rows.append((method, r["l_orderkey"], r["l_linenumber"],
                          round(r["l_quantity_norm"], 6)))
+    for r in winsorize(ds, "l_quantity", 0.05, 0.95).take_all():
+        rows.append(("winsor", r["l_orderkey"], r["l_linenumber"],
+                     round(r["l_quantity_wins"], 6)))
     rows.sort()
     return pa.table({
         "method": pa.array([r[0] for r in rows]),
@@ -4069,6 +4074,13 @@ def oracle_sql() -> dict[str, str]:
                           - quantile_disc(l_quantity, 0.5) OVER ())
                          / (quantile_disc(l_quantity, 0.75) OVER ()
                             - quantile_disc(l_quantity, 0.25) OVER ()), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'winsor', l_orderkey, l_linenumber,
+                   round(least(greatest(
+                       l_quantity::DOUBLE,
+                       quantile_disc(l_quantity, 0.05) OVER ()),
+                       quantile_disc(l_quantity, 0.95) OVER ()), 6)
             FROM lineitem
         """,
         "pagerank_documents": _pagerank_sql(),

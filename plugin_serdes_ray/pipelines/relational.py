@@ -2355,6 +2355,38 @@ def normalize_column(ds, column: str, *, method: str = "zscore",
     return ds.map_batches(xf, batch_format="pyarrow", runtime_env=env)
 
 
+def winsorize(ds, column: str, lo: float = 0.05, hi: float = 0.95, *,
+              out_column: Optional[str] = None):
+    """Outlier clamping for model features: append ``out_column`` (default
+    ``<column>_wins``) = ``least(greatest(x, q_lo), q_hi)`` where the
+    bounds are EXACT global quantiles (``quantile_disc`` semantics) from
+    the shared two-pass :func:`exact_quantiles` locate — then a map-only
+    vectorized clamp; no shuffle anywhere. Nulls propagate. ``lo``/``hi``
+    are quantile fractions; ``lo=0`` / ``hi=1`` clamp at min/max (a
+    no-op) and the pair must satisfy ``0 <= lo <= hi <= 1``."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got ({lo}, {hi})")
+    out = out_column or f"{column}_wins"
+    q = exact_quantiles(ds, column, [lo, hi])
+    vlo, vhi = q[lo], q[hi]
+    env = package_runtime_env()
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t.column(column).combine_chunks().cast(pa.float64())
+        if vlo is None:                 # all-null column
+            z = pa.array([None] * len(v), type=pa.float64())
+        else:
+            # skip_nulls=False: Arrow's element-wise min/max otherwise
+            # SUBSTITUTES the bound for a null input; nulls must propagate
+            z = pc.min_element_wise(
+                pc.max_element_wise(v, pa.scalar(float(vlo)),
+                                    skip_nulls=False),
+                pa.scalar(float(vhi)), skip_nulls=False)
+        return t.append_column(out, z)
+
+    return ds.map_batches(clamp, batch_format="pyarrow", runtime_env=env)
+
+
 def pack_sequences(ds, cost_col: str, id_col: str, seq_len: int, *,
                    bin_col: str = "bin_id", offset_col: str = "bin_offset"):
     """Concat-and-chop sequence-packing layout for LLM training batches:

@@ -2049,3 +2049,30 @@ def test_grouped_linreg_matches_duckdb_regr(ray_session):
                 assert g[name] is None, (kk, name, g[name])
             else:
                 assert g[name] == pytest.approx(w, abs=1e-12), (kk, name)
+
+
+def test_winsorize_clamps_and_propagates_nulls(ray_session):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import winsorize
+
+    vals = [float(v) for v in range(1, 101)] + [None, 1000.0, -50.0]
+    t = pa.table({"x": pa.array(vals, type=pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = sorted((v for v in (r["x_wins"] for r in
+                              winsorize(ds, "x", 0.10, 0.90).take_all())
+                  if v is not None))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(r[0] for r in con.sql("""
+        SELECT least(greatest(x, quantile_disc(x, 0.10) OVER ()),
+                     quantile_disc(x, 0.90) OVER ()) FROM t
+        WHERE x IS NOT NULL""").fetchall())
+    assert got == want
+    nulls = [r["x_wins"] for r in winsorize(ds, "x").take_all()
+             if r["x_wins"] is None]
+    assert len(nulls) == 1          # the null row stays null
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        winsorize(ds, "x", 0.9, 0.1)
