@@ -2012,6 +2012,83 @@ def _kmeans_one_iter_embeddings(sf_dir: str):
     return _vec_rows_long(out.take_all(), "cluster", "centroid")
 
 
+_HYBRID_PROBE = "spark window data . < 42"
+
+
+def _hybrid_query_vec():
+    """The hybrid-retrieval dense-arm query vector: TextFeaturizer's
+    deterministic embedding of a fixed probe string — recomputable by the
+    oracle generator, so its 8 float64 components inline into SQL."""
+    from plugin_serdes_ray.pipelines.vectors import (projection_matrix,
+                                                     text_features)
+
+    return (text_features(pa.array([_HYBRID_PROBE]))
+            @ projection_matrix())[0]
+
+
+def _keyword_search_oracle() -> str:
+    """Boolean + BM25 + hybrid-RRF arms. The hybrid arm recomputes both
+    retrieval rankings (BM25 round-then-rank top-20; float64 cosine of
+    the inlined featurizer embedding vs the inlined probe vector, zero
+    vectors scoring 0 like ann._unit) and the left-to-right
+    1/(60+rank) RRF sum."""
+    import numpy as np
+
+    qv = _hybrid_query_vec()
+    nq = float(np.linalg.norm(qv))
+    embs = _embed_e_sql()
+    dp = " + ".join(f"e{j} * ({float(qv[j])!r})" for j in range(8))
+    nv = "sqrt(" + " + ".join(f"e{j} * e{j}" for j in range(8)) + ")"
+    return rf"""
+        WITH toks AS (SELECT doc_id, t AS token FROM (
+               SELECT doc_id, unnest(regexp_split_to_array(
+                   lower(coalesce(text, '')), '\s+')) AS t
+               FROM documents) WHERE t <> ''),
+        dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM toks GROUP BY 1),
+        st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE n,
+                      (SELECT coalesce(sum(dl), 0) FROM dl)::DOUBLE sumdl),
+        q(token) AS (VALUES ('data'), ('spark'), ('window')),
+        m AS (SELECT doc_id, token, count(*)::DOUBLE tf
+              FROM toks JOIN q USING (token) GROUP BY 1, 2),
+        df AS (SELECT token, count(*)::DOUBLE df FROM m GROUP BY 1),
+        bm AS (SELECT m.doc_id,
+                      round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                                * m.tf * (1.2 + 1)
+                                / (m.tf + 1.2 * (1 - 0.75
+                                    + 0.75 * dl.dl / (st.sumdl / st.n)))),
+                            9) AS s
+               FROM m JOIN df USING (token) JOIN dl USING (doc_id)
+               CROSS JOIN st GROUP BY m.doc_id),
+        bmr AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY s DESC, doc_id) AS r
+                FROM bm QUALIFY r <= 20),
+        e AS (SELECT doc_id, {embs} FROM documents),
+        ann AS (SELECT doc_id,
+                       round(CASE WHEN {nv} = 0 THEN 0.0
+                             ELSE ({dp}) / ({nv} * ({nq!r})) END, 9) AS s
+                FROM e),
+        annr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY s DESC, doc_id) AS r
+                 FROM ann QUALIFY r <= 20),
+        hy AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+                      COALESCE(1.0 / (60 + b.r), 0)
+                          + COALESCE(1.0 / (60 + a.r), 0) AS s
+               FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id)
+        SELECT 'bool' AS arm, doc_id, CAST(NULL AS DOUBLE) AS score
+        FROM documents
+        WHERE list_contains(regexp_split_to_array(
+                  lower(coalesce(text, '')), '\s+'), 'the')
+          AND list_contains(regexp_split_to_array(
+                  lower(coalesce(text, '')), '\s+'), 'data')
+        UNION ALL
+        SELECT 'bm25', doc_id, s FROM
+            (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id LIMIT 20)
+        UNION ALL
+        SELECT 'hybrid', doc_id, round(s, 9) FROM
+            (SELECT doc_id, s FROM hy ORDER BY s DESC, doc_id LIMIT 10)
+    """
+
+
 def _keyword_search_documents(sf_dir: str):
     """Retrieval family, union-tagged: 'bool' = boolean keyword search
     via a materialized inverted index (pipelines/textindex.py: build
@@ -2024,10 +2101,15 @@ def _keyword_search_documents(sf_dir: str):
     groupby(doc_id) count; score column NULL); 'bm25' = Okapi BM25
     top-20 ranked retrieval (textindex.bm25_search: one tagged tokenize
     pass, driver-side idf over <= |query| rows, per-doc Sum + exact
-    round-then-rank two-level top-k)."""
+    round-then-rank two-level top-k); 'hybrid' = RRF fusion of the BM25
+    arm with an exact float64 cosine arm over TextFeaturizer embeddings
+    (textindex.hybrid_search: two corpus scans, driver-side fusion over
+    O(fetch_k) rows/arm; the oracle recomputes BOTH arms' ranks and the
+    1/(60+rank) sums in SQL, featurizer constants inlined)."""
     import tempfile
 
     from plugin_serdes_ray.pipelines.textindex import (bm25_search,
+                                                       hybrid_search,
                                                        keyword_search)
     from plugin_serdes_ray.util import files_fingerprint
 
@@ -2042,14 +2124,21 @@ def _keyword_search_documents(sf_dir: str):
                          index_dir=index_dir)
     kw = pa.Table.from_pylist(out.take_all()).sort_by("doc_id")
     bm = bm25_search(ds, ["data", "spark", "window"], k=20)
+    hy = hybrid_search(ds, ["data", "spark", "window"],
+                       _hybrid_query_vec(), k=10, fetch_k=20)
     return pa.table({
-        "arm": pa.array(["bool"] * kw.num_rows + ["bm25"] * bm.num_rows),
+        "arm": pa.array(["bool"] * kw.num_rows + ["bm25"] * bm.num_rows
+                        + ["hybrid"] * hy.num_rows),
         "doc_id": pa.concat_arrays([
             kw.column("doc_id").combine_chunks().cast(pa.int64()),
-            bm.column("doc_id").combine_chunks()]),
+            bm.column("doc_id").combine_chunks(),
+            hy.column("doc_id").combine_chunks()]),
         "score": pa.concat_arrays([
             pa.nulls(kw.num_rows, pa.float64()),
-            bm.column("score").combine_chunks()]),
+            bm.column("score").combine_chunks(),
+            pa.array([round(s, 9) for s in
+                      hy.column("score").to_pylist()],
+                     type=pa.float64())]),
     })
 
 
@@ -2807,16 +2896,16 @@ def _text_embed_cluster(sf_dir: str):
     }).sort_by("doc_id")
 
 
-def _embed_cluster_sql(id_cols: str, source: str) -> str:
-    """Generate a featurize->project->argmin chain oracle over any source
-    CTE exposing ``(id_cols..., text)``, with the SAME seeded constants
-    the Ray stages use (float64 repr round-trips exactly; left-to-right
-    sums match TextFeaturizer's accumulation order)."""
+def _embed_e_sql() -> str:
+    """The ``e0..e7`` select-list recomputing TextFeaturizer's embedding
+    over a ``text`` column with the SAME seeded constants the Ray stage
+    uses (float64 repr round-trips exactly; left-to-right sums match the
+    featurizer's accumulation order). Shared by the embed-cluster and
+    hybrid-retrieval oracles."""
     from plugin_serdes_ray.pipelines.vectors import (FEATURE_NAMES,
                                                      projection_matrix)
 
     M = projection_matrix()
-    C = _text_embed_centroids()
     feat_sql = {
         "chars": "CAST(length(text) AS DOUBLE)",
         "words": "CAST(len(list_filter(regexp_split_to_array(text, "
@@ -2834,10 +2923,18 @@ def _embed_cluster_sql(id_cols: str, source: str) -> str:
         "dots": "CAST(length(text) - length(replace(text, '.', '')) "
                 "AS DOUBLE)",
     }
-    embs = ", ".join(
+    return ", ".join(
         "(" + " + ".join(f"({feat_sql[f]}) * ({M[i][j]!r})"
                          for i, f in enumerate(FEATURE_NAMES)) + f") AS e{j}"
         for j in range(8))
+
+
+def _embed_cluster_sql(id_cols: str, source: str) -> str:
+    """Generate a featurize->project->argmin chain oracle over any source
+    CTE exposing ``(id_cols..., text)``, with the SAME seeded constants
+    the Ray stages use."""
+    embs = _embed_e_sql()
+    C = _text_embed_centroids()
     dists = ", ".join(
         "(" + " + ".join(f"(e{j} - ({C[c][j]!r})) * (e{j} - ({C[c][j]!r}))"
                          for j in range(8)) + f") AS d{c}"
@@ -5397,39 +5494,7 @@ def oracle_sql() -> dict[str, str]:
         # whitespace tokens, idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
         # k1=1.2 b=0.75, avgdl over ALL docs, rank AND emit on
         # round(score, 9) with doc_id ties ascending, top 20
-        "keyword_search_documents": r"""
-            SELECT 'bool' AS arm, doc_id, CAST(NULL AS DOUBLE) AS score
-            FROM documents
-            WHERE list_contains(regexp_split_to_array(
-                      lower(coalesce(text, '')), '\s+'), 'the')
-              AND list_contains(regexp_split_to_array(
-                      lower(coalesce(text, '')), '\s+'), 'data')
-            UNION ALL
-            SELECT 'bm25', doc_id, score FROM (
-              WITH toks AS (SELECT doc_id, t AS token FROM (
-                     SELECT doc_id, unnest(regexp_split_to_array(
-                         lower(coalesce(text, '')), '\s+')) AS t
-                     FROM documents) WHERE t <> ''),
-              dl AS (SELECT doc_id, count(*)::DOUBLE dl
-                     FROM toks GROUP BY 1),
-              st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE n,
-                            (SELECT coalesce(sum(dl), 0) FROM dl)::DOUBLE
-                                sumdl),
-              q(token) AS (VALUES ('data'), ('spark'), ('window')),
-              m AS (SELECT doc_id, token, count(*)::DOUBLE tf
-                    FROM toks JOIN q USING (token) GROUP BY 1, 2),
-              df AS (SELECT token, count(*)::DOUBLE df FROM m GROUP BY 1)
-              SELECT m.doc_id,
-                     round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
-                               * m.tf * (1.2 + 1)
-                               / (m.tf + 1.2 * (1 - 0.75
-                                   + 0.75 * dl.dl / (st.sumdl / st.n)))),
-                           9) AS score
-              FROM m JOIN df USING (token) JOIN dl USING (doc_id)
-              CROSS JOIN st
-              GROUP BY m.doc_id
-              ORDER BY score DESC, m.doc_id ASC LIMIT 20)
-        """,
+        "keyword_search_documents": _keyword_search_oracle(),
         "repetition_ratio_documents": """
             SELECT doc_id,
                    1.0 - count(DISTINCT line)::DOUBLE / count(*)::DOUBLE

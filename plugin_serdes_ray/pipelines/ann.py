@@ -62,11 +62,14 @@ def _topk_merge(parts: list[pa.Table], k: int) -> pa.Table:
 
 def knn_brute(ds, queries: np.ndarray, query_ids: Optional[list[int]] = None,
               k: int = 10, vector_column: str = "embedding",
-              id_column: str = "vec_id") -> pa.Table:
-    """Exact cosine top-k of each query against the whole dataset."""
+              id_column: str = "vec_id", dtype=np.float32) -> pa.Table:
+    """Exact cosine top-k of each query against the whole dataset.
+    ``dtype`` picks the matmul precision: float32 (default — half the
+    bandwidth, plenty for ANN) or float64 when scores must be
+    reproducible by an external double-precision recompute."""
     import ray
 
-    q = _unit(np.asarray(queries, dtype=np.float32))
+    q = _unit(np.asarray(queries, dtype=dtype))
     qids = np.asarray(query_ids if query_ids is not None else range(len(q)))
     q_ref = ray.put((q, qids))
 
@@ -79,7 +82,7 @@ def knn_brute(ds, queries: np.ndarray, query_ids: Optional[list[int]] = None,
             zero_copy_only=False)
         # zero-copy (n, d) view of the embedding buffer — this stage is
         # matmul-bound; boxing every float through to_pylist() dominated
-        vecs = vectors_to_numpy(batch.column(vector_column), np.float32)
+        vecs = vectors_to_numpy(batch.column(vector_column), dtype)
         if len(vecs) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),

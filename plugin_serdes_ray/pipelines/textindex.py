@@ -18,6 +18,7 @@ import glob
 import json
 import os
 import zlib
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
@@ -527,3 +528,81 @@ def bm25_search(ds, query_tokens: list[str], k: int = 10,
     return pa.table({
         id_column: pa.array([r[id_column] for r in rows], type=id_type),
         "score": pa.array([r["score"] for r in rows], type=pa.float64())})
+
+
+def rrf_fuse(ranked_ids: list, k: int = 10, rrf_k: int = 60) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of rank-ordered id lists: ``score(d) = Σ_arms 1/(rrf_k + rank_arm(d))``
+    over the arms that retrieved ``d`` (1-based ranks), ties broken by id
+    ascending. Runs driver-side — the inputs are each arm's top-``fetch_k``
+    (O(arms·fetch_k) rows), never the corpus. Accumulation is
+    left-to-right in arm order, so an external recompute that adds the
+    terms in the same order matches float64 bit-for-bit.
+
+    Returns ``(id, score, rank_0, rank_1, ...)`` — one nullable int64
+    rank column per arm — top ``k`` rows."""
+    scores: dict = {}
+    ranks: list[dict] = []
+    for ids in ranked_ids:
+        arm_rank: dict = {}
+        for rank, i in enumerate(ids, 1):
+            scores[i] = scores.get(i, 0.0) + 1.0 / (rrf_k + rank)
+            arm_rank[i] = rank
+        ranks.append(arm_rank)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    cols = {"id": pa.array([i for i, _ in top]),
+            "score": pa.array([s for _, s in top], type=pa.float64())}
+    for a, arm_rank in enumerate(ranks):
+        cols[f"rank_{a}"] = pa.array(
+            [arm_rank.get(i) for i, _ in top], type=pa.int64())
+    return pa.table(cols)
+
+
+def hybrid_search(ds, query_tokens: list[str], query_vector,
+                  k: int = 10, *, rrf_k: int = 60,
+                  fetch_k: Optional[int] = None,
+                  column: str = "text", id_column: str = "doc_id",
+                  emb_ds=None, vector_column: str = "embedding",
+                  k1: float = 1.2, b: float = 0.75,
+                  round_digits: int = 9) -> pa.Table:
+    """Hybrid lexical + dense retrieval with RRF fusion — the standard
+    two-tower RAG retrieval shape. Corpus-side cost is exactly the two
+    arm scans, each already scale-shaped:
+
+    - BM25 arm: :func:`bm25_search` (one tagged tokenize pass, driver
+      idf, per-doc Sum of match rows only, round-then-rank top-k);
+    - dense arm: exact cosine top-k (:func:`ann.knn_brute` in float64 —
+      query ``ray.put`` once, per-batch matmul, O(k·blocks) merge) over
+      ``emb_ds`` (a dataset carrying ``(id_column, vector_column)``;
+      default: :func:`vectors.text_to_embeddings` of ``ds`` — the
+      model-stand-in featurizer), re-ranked by (round(score,
+      ``round_digits``) DESC, id ASC) so rank order is reproducible by
+      an external recompute;
+    - fusion: :func:`rrf_fuse` driver-side over O(fetch_k) rows per arm
+      (``fetch_k`` defaults to ``2*k``).
+
+    Returns ``(id_column, score, bm25_rank, ann_rank)`` top-``k``."""
+    import numpy as np
+
+    from .ann import knn_brute
+
+    fk = fetch_k or 2 * k
+    bm = bm25_search(ds, query_tokens, k=fk, column=column,
+                     id_column=id_column, k1=k1, b=b,
+                     round_digits=round_digits)
+    if emb_ds is None:
+        from .vectors import text_to_embeddings
+        emb_ds = text_to_embeddings(ds, column=column,
+                                    out_column=vector_column)
+    ann = knn_brute(emb_ds, np.asarray([query_vector]), k=fk,
+                    vector_column=vector_column, id_column=id_column,
+                    dtype=np.float64)
+    arows = sorted(
+        ((round(float(s), round_digits), i)
+         for i, s in zip(ann.column("vec_id").to_pylist(),
+                         ann.column("score").to_pylist())),
+        key=lambda t: (-t[0], t[1]))
+    fused = rrf_fuse([bm.column(id_column).to_pylist(),
+                      [i for _, i in arows]], k=k, rrf_k=rrf_k)
+    return fused.rename_columns(
+        [id_column, "score", "bm25_rank", "ann_rank"])

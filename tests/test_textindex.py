@@ -347,3 +347,66 @@ def test_phrase_search_vs_sql(ray_session, sf_dir, tmp_path):
         SELECT doc_id FROM s WHERE contains(toks, ' big data ')
         ORDER BY doc_id""").fetchall()]
     assert got == want and len(want) > 0
+
+
+def test_rrf_fuse_reference_and_ties():
+    from plugin_serdes_ray.pipelines.textindex import rrf_fuse
+
+    out = rrf_fuse([[1, 2, 3], [3, 4]], k=3, rrf_k=60)
+    # 3: 1/63 + 1/61; 1: 1/61; 4: 1/62; 2: 1/62 -> tie with 4, id asc
+    want = {3: 1 / 63 + 1 / 61, 1: 1 / 61, 4: 1 / 62, 2: 1 / 62}
+    ids = out.column("id").to_pylist()
+    assert ids == [3, 1, 2]
+    for i, s in zip(ids, out.column("score").to_pylist()):
+        assert s == want[i]
+    assert out.column("rank_0").to_pylist() == [3, 1, 2]
+    assert out.column("rank_1").to_pylist() == [1, None, None]
+
+
+def test_hybrid_search_fuses_both_arms(ray_session):
+    """A doc that is mediocre in each arm but present in both must beat a
+    doc that tops one arm only; result parity vs an explicit driver-side
+    recompute of BM25 + cosine + RRF."""
+    import numpy as np
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.ann import knn_brute
+    from plugin_serdes_ray.pipelines.textindex import (bm25_search,
+                                                       hybrid_search,
+                                                       rrf_fuse)
+    from plugin_serdes_ray.pipelines.vectors import (TextFeaturizer,
+                                                     text_features,
+                                                     projection_matrix)
+
+    texts = [
+        "alpha beta gamma data",                  # 0: one bm25 hit
+        "data data data data window window",      # 1: bm25 heavy
+        "spark window data <<<< .... 12345",      # 2: both-ish
+        "nothing relevant here at all",           # 3: neither
+        "spark spark window data . . . <",        # 4: both-ish
+    ] * 3
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([f"{t} uniq{si}" for si, t in enumerate(texts)]),
+    })).repartition(3)
+    probe = "spark window data . < 42"
+    qv = (text_features(pa.array([probe])) @ projection_matrix())[0]
+    got = hybrid_search(ds, ["data", "spark", "window"], qv, k=5)
+    # reference: same arms recomputed through the public pieces
+    bm = bm25_search(ds, ["data", "spark", "window"], k=10)
+    ann = knn_brute(ds.map_batches(TextFeaturizer, batch_format="pyarrow",
+                                   concurrency=1),
+                    np.asarray([qv]), k=10, id_column="doc_id",
+                    dtype=np.float64)
+    arows = sorted(((round(float(s), 9), i) for i, s in
+                    zip(ann.column("vec_id").to_pylist(),
+                        ann.column("score").to_pylist())),
+                   key=lambda t: (-t[0], t[1]))
+    want = rrf_fuse([bm.column("doc_id").to_pylist(),
+                     [i for _, i in arows]], k=5)
+    assert got.column("doc_id").to_pylist() == want.column("id").to_pylist()
+    assert got.column("score").to_pylist() == \
+        want.column("score").to_pylist()
+    assert got.column("bm25_rank").null_count < got.num_rows
+    assert got.column("ann_rank").null_count < got.num_rows
