@@ -380,6 +380,80 @@ def _dedup_simhash(sf_dir: str):
     return pa.table({"dup_id": pa.array(dup, type=pa.int64())})
 
 
+def _pq_dup_pairs(sf_dir: str) -> list:
+    """Product-quantization dedup contract (the doc_fingerprints pattern
+    for vectors): EQUAL vectors must PQ-encode to equal codes
+    (ann.pq_encode ties are deterministic), so over a corpus with
+    injected exact-copy vectors (vec_id % 7 == 0 copied to vec_id +
+    100000), grouping by the packed code and exact-verifying candidate
+    groups' raw vectors yields exactly the injected pairs. Near-vectors
+    sharing all m codes (the quantizer's job!) are rejected by the
+    bounded exact verify, never emitted."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.ann import pq_encode, pq_train
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        # vec_id % 7 == 0 via integer divide (Arrow has no modulo kernel)
+        dup = t.filter(pc.equal(
+            pc.subtract(t.column("vec_id"),
+                        pc.multiply(pc.divide(t.column("vec_id"), 7),
+                                    pa.scalar(7, type=pa.int64()))),
+            pa.scalar(0, type=pa.int64())))
+        dup = dup.set_column(
+            dup.column_names.index("vec_id"), "vec_id",
+            pc.add(dup.column("vec_id"), pa.scalar(100000,
+                                                   type=pa.int64())))
+        return pa.concat_tables([t, dup])
+
+    corpus = ds.map_batches(inject, batch_format="pyarrow",
+                            runtime_env=_env())
+    books = pq_train(corpus, m=8, n_codes=64, sample_size=4096, seed=11)
+    enc = pq_encode(corpus, books)
+
+    def pack(t: pa.Table) -> pa.Table:
+        codes = vectors_to_numpy(t.column("pq_code"), np.int64)
+        packed = np.zeros(len(t), dtype=np.int64)
+        for s in range(codes.shape[1]):
+            packed = packed * 64 + codes[:, s]
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "code64": pa.array(packed),
+                         "embedding": t.column("embedding")})
+
+    packed_ds = enc.map_batches(pack, batch_format="pyarrow",
+                                runtime_env=_env())
+    # candidate groups: packed codes seen >= 2 times (combiner-shrunk
+    # count shuffle); then ONE bounded is_in fetch of candidate vectors
+    from plugin_serdes_ray.pipelines.relational import grouped_aggregate
+
+    counts = grouped_aggregate(packed_ds.select_columns(["code64"]),
+                               ["code64"], count_name="n")
+    hot = [r["code64"] for r in counts.filter(
+        lambda r: r["n"] >= 2).take_all()]
+    hot_arr = pa.array(hot, type=pa.int64())
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("code64"), value_set=hot_arr))
+
+    cand = packed_ds.map_batches(keep_hot, batch_format="pyarrow",
+                                 runtime_env=_env()).take_all()
+    by_code: dict = {}
+    for r in cand:
+        by_code.setdefault(r["code64"], []).append(
+            (r["vec_id"], tuple(r["embedding"])))
+    pairs = []
+    for members in by_code.values():
+        members.sort()
+        by_vec: dict = {}
+        for vid, vec in members:
+            by_vec.setdefault(vec, []).append(vid)
+        for ids in by_vec.values():
+            pairs.extend((ids[0], d) for d in ids[1:])
+    return sorted(pairs)
+
+
 def _dedup_near_sim(sf_dir: str):
     """SimHash, embedding-cosine, exact-n-gram-Jaccard, winnowing-
     fingerprint, and SemDeDup near-dup paths union-tagged into one row
@@ -406,24 +480,28 @@ def _dedup_near_sim(sf_dir: str):
         threshold=0.4, k=8, iters=0).take_all()
     sd = sorted((r["dup_of"], r["vec_id"])
                 for r in sd_rows if not r["keep"])
+    pq_pairs = _pq_dup_pairs(sf_dir)
     return pa.table({
         "method": pa.array(["simhash"] * len(sh)
                            + ["embedding"] * emb.num_rows
                            + ["jaccard"] * jx.num_rows
                            + ["fingerprint"] * fp.num_rows
-                           + ["semdedup"] * len(sd)),
+                           + ["semdedup"] * len(sd)
+                           + ["pq"] * len(pq_pairs)),
         "keep_id": pa.concat_arrays([
             pa.array([p[0] for p in sh], type=pa.int64()),
             emb.column("keep_id").combine_chunks(),
             jx.column("keep_id").combine_chunks().cast(pa.int64()),
             fp.column("keep_id").combine_chunks().cast(pa.int64()),
-            pa.array([p[0] for p in sd], type=pa.int64())]),
+            pa.array([p[0] for p in sd], type=pa.int64()),
+            pa.array([p[0] for p in pq_pairs], type=pa.int64())]),
         "dup_id": pa.concat_arrays([
             pa.array([p[1] for p in sh], type=pa.int64()),
             emb.column("dup_id").combine_chunks(),
             jx.column("dup_id").combine_chunks().cast(pa.int64()),
             fp.column("dup_id").combine_chunks().cast(pa.int64()),
-            pa.array([p[1] for p in sd], type=pa.int64())]),
+            pa.array([p[1] for p in sd], type=pa.int64()),
+            pa.array([p[1] for p in pq_pairs], type=pa.int64())]),
     })
 
 
@@ -4004,6 +4082,13 @@ def oracle_sql() -> dict[str, str]:
                           s.embedding::DOUBLE[],
                           a.embedding::DOUBLE[]), 9) >= 0.4
                 GROUP BY a.vec_id)
+            UNION ALL
+            -- pq: equal vectors MUST PQ-encode equal (deterministic
+            -- argmin ties), and the bounded exact verify rejects every
+            -- merely-near candidate -> the emitted pairs are exactly the
+            -- injection rule
+            SELECT 'pq', vec_id, vec_id + 100000 FROM embeddings
+            WHERE vec_id % 7 = 0
         """,
         # recursive-CTE transitive closure over the same two edge
         # relations the Ray side builds (star edges have the same

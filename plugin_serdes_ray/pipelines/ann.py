@@ -17,6 +17,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..util import package_runtime_env, vectors_to_numpy
 
@@ -329,3 +330,190 @@ def knn_ivf(ds, queries: np.ndarray, query_ids: Optional[list[int]] = None,
                     id_column=id_column, quantizer=quantizer)
     return knn_ivf_index(index_dir, queries, query_ids=query_ids, k=k,
                          nprobe=nprobe)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou, Douze & Schmid, TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_l2(sample: np.ndarray, k: int, iters: int = 12,
+              seed: int = 0) -> np.ndarray:
+    """Plain (un-normalized) L2 Lloyd iterations on a driver sample —
+    subspace codebooks must quantize raw coordinates, so the cosine-style
+    normalization of :func:`kmeans_lite` does not apply. Deterministic
+    seeding; an emptied cluster keeps its previous center."""
+    rng = np.random.default_rng(seed)
+    x = np.ascontiguousarray(sample, dtype=np.float64)
+    centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2) \
+            if x.shape[1] * len(centers) <= 1 << 14 else \
+            -2.0 * (x @ centers.T) + (centers * centers).sum(axis=1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(centers)):
+            members = x[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers
+
+
+def pq_train(ds, m: int = 8, n_codes: int = 256,
+             vector_column: str = "embedding", *,
+             sample_size: int = 8192, iters: int = 12,
+             seed: int = 0) -> np.ndarray:
+    """Train product-quantization codebooks: split the d dims into ``m``
+    contiguous subspaces and run L2 Lloyd per subspace on ONE scattered
+    driver sample (the codebook is (m, n_codes, d/m) — tiny; training it
+    on a sample is the standard PQ recipe, the full corpus only flows
+    through the map-only :func:`pq_encode`). d must divide by m."""
+    total = ds.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    rows = (ds.random_sample(frac, seed=seed) if frac < 1.0 else ds) \
+        .select_columns([vector_column]).take(sample_size)
+    sample = np.asarray([r[vector_column] for r in rows
+                         if r[vector_column] is not None],
+                        dtype=np.float64)
+    if sample.ndim != 2 or len(sample) < n_codes:
+        raise ValueError(
+            f"pq_train: need >= n_codes={n_codes} sampled vectors, got "
+            f"{len(sample)}")
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, min(n_codes, len(sample)), dsub), dtype=np.float64)
+    for s in range(m):
+        books[s] = _lloyd_l2(sample[:, s * dsub:(s + 1) * dsub],
+                             n_codes, iters=iters, seed=seed + s)
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray,
+              vector_column: str = "embedding",
+              out_column: str = "pq_code"):
+    """Map-only PQ encoding: append ``out_column`` =
+    fixed_size_list<uint8, m> of per-subspace nearest-centroid indices
+    (lowest index wins ties — equal vectors ALWAYS encode to equal
+    codes). Codebooks are ``ray.put`` once. Null vectors get a null
+    code. 8-32x storage shrink: the 100 TB corpus ships m bytes/vector
+    to the search tier instead of d·4."""
+    import ray
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ncodes, dsub = books.shape
+    if ncodes > 256:
+        raise ValueError("pq_encode packs codes into uint8: n_codes <= 256")
+    ref = ray.put(books)
+    env = package_runtime_env()
+
+    def enc(t: pa.Table) -> pa.Table:
+        bb = ray.get(ref)
+        col = t.column(vector_column)
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        valid_mask = pc.is_valid(col)
+        vt = t.filter(valid_mask) if col.null_count else t
+        x = vectors_to_numpy(
+            vt.column(vector_column).combine_chunks()
+            if isinstance(vt.column(vector_column), pa.ChunkedArray)
+            else vt.column(vector_column), np.float64)
+        if x.shape[0] == 0:
+            x = x.reshape(0, m * dsub)
+        codes = np.empty((x.shape[0], m), dtype=np.uint8)
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            d2 = -2.0 * (xs @ bb[s].T) + (bb[s] * bb[s]).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        if col.null_count:
+            full = np.zeros((t.num_rows, m), dtype=np.uint8)
+            vm = valid_mask.to_numpy(zero_copy_only=False)
+            full[vm] = codes
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(full.reshape(-1), type=pa.uint8()), m)
+            arr = pc.if_else(
+                pc.is_null(col),
+                pa.scalar(None, type=pa.list_(pa.uint8(), m)), arr)
+            return t.append_column(out_column, arr)
+        return t.append_column(out_column, pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), type=pa.uint8()), m))
+
+    return ds.map_batches(enc, batch_format="pyarrow", runtime_env=env)
+
+
+def knn_pq(ds_codes, codebooks: np.ndarray, queries: np.ndarray,
+           query_ids: Optional[list[int]] = None, k: int = 10,
+           code_column: str = "pq_code", id_column: str = "vec_id",
+           metric: str = "l2") -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, ONE
+    (m, n_codes) lookup table of exact query-to-centroid distances (or
+    inner products for ``metric="ip"``) is built driver-side and
+    ``ray.put`` with the codebooks; each batch scores rows with m table
+    gathers + a sum — never touching float vectors — and emits its local
+    top-k, merged O(k·q·blocks) on the driver. The returned ``score`` is
+    ``-distance`` for l2 (so descending order means nearest) and the
+    inner product for ip; ties break by id ascending."""
+    import ray
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ncodes, dsub = books.shape
+    q = np.ascontiguousarray(np.asarray(queries, dtype=np.float64))
+    if q.ndim != 2 or q.shape[1] != m * dsub:
+        raise ValueError(f"queries must be (nq, {m * dsub})")
+    qids = np.asarray(query_ids if query_ids is not None else range(len(q)),
+                      dtype=np.int64)
+    # (nq, m, n_codes) exact query-subvector / centroid tables
+    luts = np.empty((len(q), m, ncodes), dtype=np.float64)
+    for s in range(m):
+        qs = q[:, s * dsub:(s + 1) * dsub]                 # (nq, dsub)
+        if metric == "ip":
+            luts[:, s, :] = qs @ books[s].T
+        elif metric == "l2":
+            luts[:, s, :] = (
+                ((qs * qs).sum(axis=1)[:, None])
+                - 2.0 * (qs @ books[s].T)
+                + (books[s] * books[s]).sum(axis=1)[None, :])
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+    sign = 1.0 if metric == "ip" else -1.0
+    ref = ray.put((luts, qids))
+    env = package_runtime_env()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..util import drop_null_vector_rows
+
+        lt, qi = ray.get(ref)
+        batch = drop_null_vector_rows(batch, code_column)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        codes = vectors_to_numpy(batch.column(code_column), np.int64)
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # scores[n, q] = sum_s lut[q, s, codes[n, s]]
+        nq = lt.shape[0]
+        scores = np.zeros((len(ids), nq), dtype=np.float64)
+        for s in range(codes.shape[1]):
+            # (nq, n) gather per subspace, accumulated transposed
+            scores += lt[:, s, :][:, codes[:, s]].T
+        scores *= sign
+        kk = min(k, len(ids))
+        top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+        top_sc = np.take_along_axis(scores, top, axis=0)
+        out_q = np.repeat(qi, kk)
+        out_v = ids[top.T.reshape(-1)]
+        out_s = top_sc.T.reshape(-1)
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+    import ray as _ray
+
+    refs = ds_codes.map_batches(partial, batch_format="pyarrow",
+                                batch_size=4096,
+                                runtime_env=package_runtime_env()
+                                ).to_arrow_refs()
+    tables = [t for t in _ray.get(refs) if t.num_rows]
+    return _topk_merge(tables, k)

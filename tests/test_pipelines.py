@@ -2273,3 +2273,103 @@ def test_validate_rules_engine(ray_session):
     with pytest.raises(ValueError, match="ref_broadcast_limit"):
         validate(ds, [{"rule": "ref", "column": "fk", "ref": (ref, "k")}],
                  ref_broadcast_limit=2)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_corpus(n=300, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(6, d)) * 4.0
+    vals = centers[rng.integers(0, 6, size=n)] + rng.normal(size=(n, d))
+    return vals
+
+
+def _vec_ds(vals, ids=None, extra_null=False):
+    import ray.data
+
+    n, d = vals.shape
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.asarray(vals, dtype=np.float64).reshape(-1)), d)
+    ids = list(ids if ids is not None else range(n))
+    if extra_null:
+        arr = pa.concat_arrays([arr.cast(pa.list_(pa.float64(), d)),
+                                pa.array([None],
+                                         type=pa.list_(pa.float64(), d))])
+        ids = ids + [10_000]
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()), "embedding": arr}))
+
+
+def test_pq_encode_equal_vectors_equal_codes_null_safe(ray_session):
+    from plugin_serdes_ray.pipelines.ann import pq_encode, pq_train
+
+    vals = _pq_corpus(280, 16)
+    vals[100] = vals[7]           # exact duplicate pair
+    vals[200] = vals[7]
+    ds = _vec_ds(vals, extra_null=True).repartition(4)
+    books = pq_train(ds, m=4, n_codes=16, sample_size=280, seed=1)
+    rows = {r["vec_id"]: r["pq_code"]
+            for r in pq_encode(ds, books).take_all()}
+    assert rows[7] == rows[100] == rows[200]
+    assert rows[10_000] is None
+    assert len(rows[7]) == 4 and all(0 <= c < 16 for c in rows[7])
+
+
+def test_pq_adc_matches_numpy_reference(ray_session):
+    """knn_pq scores == a direct numpy ADC recompute over the encoded
+    corpus, for both metrics, including tie order by id."""
+    from plugin_serdes_ray.pipelines.ann import pq_encode, pq_train, knn_pq
+    from plugin_serdes_ray.util import vectors_to_numpy
+
+    vals = _pq_corpus(250, 16, seed=9)
+    ds = _vec_ds(vals).repartition(5)
+    books = pq_train(ds, m=4, n_codes=32, sample_size=250, seed=2)
+    enc = pq_encode(ds, books)
+    rows = sorted(enc.take_all(), key=lambda r: r["vec_id"])
+    codes = np.array([r["pq_code"] for r in rows], dtype=np.int64)
+    queries = _pq_corpus(3, 16, seed=77)
+    for metric in ("l2", "ip"):
+        got = knn_pq(enc, books, queries, k=8, metric=metric)
+        # reference ADC
+        recon = np.concatenate(
+            [books[s][codes[:, s]] for s in range(4)], axis=1)
+        for qi in range(3):
+            qv = queries[qi]
+            if metric == "ip":
+                sc = recon @ qv
+            else:
+                sc = -(((recon - qv) ** 2).sum(axis=1))
+            order = sorted(range(len(sc)), key=lambda i: (-sc[i], i))[:8]
+            sub = got.filter(pa.compute.equal(got.column("query_id"), qi))
+            assert sub.column("vec_id").to_pylist() == order, metric
+            np.testing.assert_allclose(
+                sub.column("score").to_pylist(), sc[order], rtol=1e-9)
+
+
+def test_pq_recall_vs_brute(ray_session):
+    from plugin_serdes_ray.pipelines.ann import (knn_brute, knn_pq,
+                                                 pq_encode, pq_train)
+
+    vals = _pq_corpus(400, 16, seed=21)
+    ds = _vec_ds(vals).repartition(4)
+    books = pq_train(ds, m=8, n_codes=64, sample_size=400, seed=3)
+    enc = pq_encode(ds, books)
+    queries = vals[:5] + 0.01
+    exact = knn_brute(ds, queries, k=10, dtype=np.float64)
+    # cosine brute vs ip ADC over unnormalized data differ; compare l2
+    # ADC against exact l2 neighbours instead
+    import numpy as _np
+    recall = []
+    approx = knn_pq(enc, books, queries, k=10, metric="l2")
+    for qi in range(5):
+        d2 = ((vals - queries[qi]) ** 2).sum(axis=1)
+        true10 = set(_np.argsort(d2, kind="stable")[:10].tolist())
+        got10 = set(approx.filter(
+            pa.compute.equal(approx.column("query_id"), qi))
+            .column("vec_id").to_pylist())
+        recall.append(len(true10 & got10) / 10.0)
+    assert sum(recall) / len(recall) >= 0.6, recall
+    assert exact.num_rows == 50
