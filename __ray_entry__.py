@@ -1485,12 +1485,24 @@ def _resample_events(sf_dir: str):
     """Gap-free per-key time grid: 15-minute buckets per event_type, count +
     forward-filled sum(value) (relational.resample_timeseries, fill='ffill');
     the SQL twin densifies with unnest(generate_series) + LEFT JOIN +
-    last_value(... IGNORE NULLS)."""
-    from plugin_serdes_ray.pipelines.relational import resample_timeseries
+    last_value(... IGNORE NULLS). The ema_value column is relational.ema
+    (alpha=0.1, pandas adjust=False recursion) over the fill='null' grid —
+    empty buckets stay null and do not update the smoother state; the
+    oracle recomputes the same closed form with window functions."""
+    from plugin_serdes_ray.pipelines.relational import (ema,
+                                                        resample_timeseries)
 
     ds = _read(sf_dir, "events")
     rows = resample_timeseries(ds, "event_type", "ts", every="15m",
                                sum_cols=["value"], fill="ffill").take_all()
+    rows.sort(key=lambda r: (r["event_type"], r["bucket_start"]))
+    raw = resample_timeseries(ds, "event_type", "ts", every="15m",
+                              sum_cols=["value"], fill="null")
+    erows = ema(raw, "event_type", "bucket_start", "sum_value",
+                alpha=0.1).take_all()
+    erows.sort(key=lambda r: (r["event_type"], r["bucket_start"]))
+    assert [(r["event_type"], r["bucket_start"]) for r in rows] == \
+        [(r["event_type"], r["bucket_start"]) for r in erows]
     return pa.table({
         "event_type": [r["event_type"] for r in rows],
         "bucket_start": pa.array([r["bucket_start"] for r in rows],
@@ -1502,6 +1514,12 @@ def _resample_events(sf_dir: str):
             [None if r["sum_value"] is None else round(r["sum_value"], 9)
              for r in rows], type=pa.float64()),
         "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        # ema rounds at 6: the segmented scan and the oracle's global
+        # renormalization agree to ~1e-12 relative, not to the last ulp
+        "ema_value": pa.array(
+            [None if r["ema_sum_value"] is None
+             else round(r["ema_sum_value"], 6) for r in erows],
+            type=pa.float64()),
     })
 
 
@@ -4998,12 +5016,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT d.event_type, d.b, a.sv,
                        coalesce(a.cnt, 0) AS n
                 FROM dense d LEFT JOIN agg a
-                  ON d.event_type = a.event_type AND d.b = a.b)
+                  ON d.event_type = a.event_type AND d.b = a.b),
+            -- ema(alpha=0.1) closed form: y_j = 0.9^j * S_j with
+            -- S = cumulative sum of x_i * coef_i * 0.9^{-i} over the
+            -- key's NON-NULL rows (i = non-null rank; coef = 1 for the
+            -- seed row, 0.1 after); null buckets emit null and skip
+            cum AS (
+                SELECT event_type, b, sv, n,
+                       count(sv) OVER (PARTITION BY event_type
+                                       ORDER BY b) AS j
+                FROM joined),
+            terms AS (
+                SELECT *, CASE WHEN sv IS NULL THEN 0.0
+                               WHEN j = 1 THEN sv * power(0.9, -j)
+                               ELSE 0.1 * sv * power(0.9, -j) END AS term
+                FROM cum),
+            esum AS (
+                SELECT *, sum(term) OVER (PARTITION BY event_type
+                                          ORDER BY b) AS s
+                FROM terms)
             SELECT event_type, make_timestamp(b) AS bucket_start,
                    round(last_value(sv IGNORE NULLS) OVER (
                        PARTITION BY event_type ORDER BY b), 9) AS sum_value,
-                   n
-            FROM joined
+                   n,
+                   CASE WHEN sv IS NULL THEN NULL
+                        ELSE round(power(0.9, j) * s, 6) END AS ema_value
+            FROM esum
         """,
         "hash_join_orders_customer": """
             SELECT o.o_orderkey, c.c_mktsegment

@@ -2076,3 +2076,59 @@ def test_winsorize_clamps_and_propagates_nulls(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         winsorize(ds, "x", 0.9, 0.1)
+
+
+def _ema_ref(xs, alpha):
+    out, state = [], None
+    for v in xs:
+        if v is None:
+            out.append(None)
+            continue
+        state = v if state is None else alpha * v + (1 - alpha) * state
+        out.append(state)
+    return out
+
+
+@pytest.mark.parametrize("alpha", [0.1, 0.5, 0.9, 1.0])
+def test_ema_matches_recursive_reference(ray_session, alpha):
+    """Segmented renormalized scan == the plain recursion, incl. null
+    skipping, several keys, and a series long enough to span many
+    segments at high alpha (seg_len ~ 30 at alpha=0.9)."""
+    import ray.data
+
+    rng = np.random.default_rng(13)
+    n = 500
+    keys, orders, vals = [], [], []
+    for k in ("a", "b"):
+        xs = rng.normal(size=n) * 10.0
+        xs_list = [None if rng.random() < 0.1 else float(v) for v in xs]
+        keys += [k] * n
+        orders += list(range(n))
+        vals += xs_list
+    t = pa.table({"k": pa.array(keys), "o": pa.array(orders,
+                                                     type=pa.int64()),
+                  "x": pa.array(vals, type=pa.float64())})
+    from plugin_serdes_ray.pipelines.relational import ema
+
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = {}
+    for r in ema(ds, "k", "o", "x", alpha).take_all():
+        got[(r["k"], r["o"])] = r["ema_x"]
+    for k in ("a", "b"):
+        xs = [vals[(0 if k == "a" else n) + i] for i in range(n)]
+        want = _ema_ref(xs, alpha)
+        for i, w in enumerate(want):
+            g = got[(k, i)]
+            if w is None:
+                assert g is None, (k, i)
+            else:
+                assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (k, i)
+
+
+def test_ema_guards():
+    from plugin_serdes_ray.pipelines.relational import ema
+
+    with pytest.raises(ValueError):
+        ema(None, "k", "o", "x", 0.0)
+    with pytest.raises(ValueError):
+        ema(None, "k", "o", "x", 1.5)
