@@ -2815,6 +2815,20 @@ def _approx_distinct(sf_dir: str):
         out_cols.append(f"ghll_{lang}")
         out_exact.append(int(gx[lang]))
         out_ok.append(abs(gh[lang] - gx[lang]) <= 0.05 * gx[lang])
+    # Misra-Gries ('mg_<lang>' rows): k=3 < the 5 distinct langs forces
+    # real decrements; the THEOREM (not a probability) must hold per
+    # value: est <= exact, exact - est <= n/(k+1), and any lang with
+    # exact > n/(k+1) is retained
+    mg = sketch.misra_gries(langs, "lang", k=3)
+    mg_slack = mg["n"] / 4.0
+    for lang in vals:
+        est = mg["counters"].get(lang)
+        exact = counts[lang]
+        ok = (est is None or (est <= exact and exact - est <= mg_slack)) \
+            and (exact <= mg_slack or est is not None)
+        out_cols.append(f"mg_{lang}")
+        out_exact.append(int(exact))
+        out_ok.append(bool(ok))
     return pa.table({
         "col": pa.array(out_cols),
         "exact_n": pa.array(out_exact, type=pa.int64()),
@@ -5120,6 +5134,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ghll_' || lang, count(DISTINCT text), TRUE
             FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
             GROUP BY lang
+            UNION ALL
+            SELECT 'mg_' || lang, count(*), TRUE FROM documents
+            WHERE lang IS NOT NULL GROUP BY lang
         """,
         "heavy_hitter_langs": """
             SELECT 'hh' AS tag, CAST(NULL AS VARCHAR) AS source, lang,

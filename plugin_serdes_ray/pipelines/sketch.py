@@ -443,3 +443,58 @@ def heavy_hitters(ds, column: str, fraction: float,
         column: pa.array([v for v, _ in hits], type=col_type),
         count_name: pa.array([c for _, c in hits], type=pa.int64()),
     })
+
+
+def _mg_compress(counts: dict, k: int) -> dict:
+    """Misra-Gries compress to <= k counters: subtract the (k+1)-th
+    largest count from every counter and drop the non-positive ones."""
+    if len(counts) <= k:
+        return dict(counts)
+    d = sorted(counts.values(), reverse=True)[k]
+    return {v: c - d for v, c in counts.items() if c - d > 0}
+
+
+def misra_gries(ds, column: str, k: int = 64) -> dict:
+    """Mergeable Misra-Gries frequent-items summary (Misra & Gries 1982;
+    mergeability: Agarwal et al., PODS 2012) in ONE streaming pass: each
+    block reduces to <= k ``(value, count)`` rows — exact block counts
+    via ``value_counts`` followed by one MG compress — and the driver
+    sum-merges the O(blocks·k) rows and compresses once more. Nulls are
+    not counted.
+
+    Deterministic guarantees regardless of partitioning (the theorem,
+    not a probability): for every value ``0 <= true - est <= n/(k+1)``,
+    and any value with ``true > n/(k+1)`` is RETAINED in the summary.
+
+    Returns ``{"counters": {value: est}, "n": non-null rows, "k": k}``."""
+    if k < 1:
+        raise ValueError("misra_gries: k must be >= 1")
+    env = package_runtime_env()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        col = col.drop_null()
+        if len(col) == 0:
+            return pa.table({"v": pa.array([], type=col.type),
+                             "c": pa.array([], type=pa.int64()),
+                             "bn": pa.array([], type=pa.int64())})
+        vc = col.value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_pylist()
+        local = _mg_compress(dict(zip(vals.to_pylist(), cnts)), k)
+        items = sorted(local.items(), key=lambda t: (-t[1], str(t[0])))
+        bn = [len(col)] + [0] * (len(items) - 1) if items else []
+        return pa.table({"v": pa.array([v for v, _ in items],
+                                       type=col.type),
+                         "c": pa.array([c for _, c in items],
+                                       type=pa.int64()),
+                         "bn": pa.array(bn, type=pa.int64())})
+
+    rows = ds.select_columns([column]).map_batches(
+        block_summary, batch_format="pyarrow", runtime_env=env).take_all()
+    merged: dict = {}
+    n = 0
+    for r in rows:
+        merged[r["v"]] = merged.get(r["v"], 0) + r["c"]
+        n += r["bn"]
+    return {"counters": _mg_compress(merged, k), "n": n, "k": k}

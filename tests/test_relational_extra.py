@@ -2132,3 +2132,37 @@ def test_ema_guards():
         ema(None, "k", "o", "x", 0.0)
     with pytest.raises(ValueError):
         ema(None, "k", "o", "x", 1.5)
+
+
+def test_misra_gries_guarantees_hold_zipf(ray_session):
+    """MG theorem on zipf data across many partitions: est never exceeds
+    true, deficit <= n/(k+1), every value with true > n/(k+1) retained."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import misra_gries
+
+    rng = np.random.default_rng(19)
+    vals = [f"w{z}" for z in rng.zipf(1.3, size=20000) if z < 5000]
+    t = pa.table({"w": pa.array(vals + [None] * 50)})
+    ds = ray.data.from_arrow(t).repartition(16)
+    res = misra_gries(ds, "w", k=12)
+    assert res["n"] == len(vals)
+    from collections import Counter
+
+    true = Counter(vals)
+    slack = res["n"] / (12 + 1)
+    for v, est in res["counters"].items():
+        assert 0 <= true[v] - est <= slack, v
+    for v, c in true.items():
+        if c > slack:
+            assert v in res["counters"], (v, c, slack)
+
+
+def test_misra_gries_exact_when_k_covers_distinct(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.sketch import misra_gries
+
+    t = pa.table({"x": pa.array(["a"] * 5 + ["b"] * 3 + ["c"] * 2)})
+    res = misra_gries(ray.data.from_arrow(t).repartition(3), "x", k=3)
+    assert res["counters"] == {"a": 5, "b": 3, "c": 2}
