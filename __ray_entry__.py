@@ -346,6 +346,38 @@ def _dedup_minhash(sf_dir: str):
                          runtime_env=_env()),
         "text", "doc_id")
     rows += [("incremental", r["doc_id"]) for r in inc.take_all()]
+    # 'minhash_incr': the MATERIALIZED LSH index path — seen = even base
+    # ids of the controlled corpus, indexed once (dedup.build_minhash_index,
+    # fingerprint-keyed cache dir); new shard = odd bases + all injected
+    # near-dups. Survivors must be the odd bases plus exactly the injected
+    # rows whose perturbation SOURCE is odd (source in the new shard, not
+    # the index -> cross-corpus near-dup not found, by design).
+    from plugin_serdes_ray.pipelines.dedup import (build_minhash_index,
+                                                   minhash_dedup_incremental)
+
+    def even_base(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(b.column("doc_id"), pa.scalar(1000000, pa.int64())),
+            pc.equal(pc.bit_wise_and(b.column("doc_id"),
+                                     pa.scalar(1, pa.int64())), 0))
+        return b.filter(keep)
+
+    def new_shard(b: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.greater_equal(b.column("doc_id"),
+                             pa.scalar(1000000, pa.int64())),
+            pc.equal(pc.bit_wise_and(b.column("doc_id"),
+                                     pa.scalar(1, pa.int64())), 1))
+        return b.filter(keep)
+
+    seen = corpus.map_batches(even_base, batch_format="pyarrow",
+                              runtime_env=_env())
+    newd = corpus.map_batches(new_shard, batch_format="pyarrow",
+                              runtime_env=_env())
+    idx = _cache_dir(sf_dir, "mh_index_even")
+    build_minhash_index(seen, idx, shards=8)
+    surv = minhash_dedup_incremental(newd, idx)
+    rows += [("minhash_incr", r["doc_id"]) for r in surv.take_all()]
     rows.sort()
     return pa.table({
         "method": pa.array([r[0] for r in rows]),
@@ -4008,6 +4040,15 @@ def oracle_sql() -> dict[str, str]:
                               WHERE s.doc_id % 2 = 0
                                 AND s.text IS NOT DISTINCT FROM d.text)
             GROUP BY text
+            UNION ALL
+            -- materialized-LSH incremental survivors: odd bases + the
+            -- injected rows whose source id is odd (source not indexed)
+            SELECT 'minhash_incr', doc_id FROM documents
+            WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'minhash_incr', doc_id + 1000000 FROM
+                (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+            WHERE doc_id % 2 = 1
         """,
         # same synthesized urls, host via regexp_extract
         "url_host_stats_documents": """

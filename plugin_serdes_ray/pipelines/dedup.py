@@ -11,7 +11,9 @@ variants bucket by MinHash bands / SimHash bands / hyperplane signs.
 
 from __future__ import annotations
 
+import glob
 import hashlib
+import os
 from typing import Optional
 
 import numpy as np
@@ -1681,3 +1683,206 @@ def edit_distance_pairs(ds, column: str, id_column: str,
     return keyed.groupby(list(block_cols) + ["__band"]).map_groups(
         compare, batch_format="pyarrow",
         runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# materialized MinHash LSH index (incremental near-dup against a seen corpus)
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(ds, index_dir: str, column: str = "text",
+                        id_column: str = "doc_id", *, num_perm: int = 64,
+                        bands: int = 16, k: int = 5,
+                        shards: int = 32) -> dict:
+    """Materialize the SEEN corpus's MinHash band rows into ``shards``
+    hash-sharded parquet files so later ingest deltas can near-dup
+    against the corpus WITHOUT re-reading or re-signaturing it — the
+    LSH analog of :func:`~.textindex.build_text_index` / the IVF index.
+
+    Build cost is one signature pass (:func:`minhash_band_rows` — only
+    ``(band_key, doc_id, sig)`` fixed-width rows move) plus one keyed
+    shuffle into shard files (atomic tmp+rename, one file per shard,
+    shard = splitmix(band_key) % shards so a probe maps keys to shards
+    without any lookup structure). ``meta.json`` records the corpus
+    fingerprint + parameters; a reuse with a changed corpus or params
+    rebuilds instead of serving stale postings (the r3 #3 guard)."""
+    import json
+
+    import ray
+
+    from ..util import corpus_fingerprint
+
+    fp = corpus_fingerprint(
+        ds, f"mh:{column}:{id_column}:{num_perm}:{bands}:{k}:{shards}")
+    meta_path = os.path.join(index_dir, "meta.json")
+    meta = {"fingerprint": fp, "num_perm": num_perm, "bands": bands,
+            "k": k, "shards": shards, "column": column,
+            "id_column": id_column}
+    if os.path.exists(meta_path):
+        old = json.load(open(meta_path))
+        if old.get("fingerprint") == fp:
+            return old
+        os.remove(meta_path)
+    os.makedirs(index_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(index_dir, "shard-*.parquet*")):
+        os.remove(stale)
+    env = package_runtime_env()
+    rows = minhash_band_rows(ds, column, id_column, num_perm, bands, k)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        keys = t.column("band_key").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        return t.append_column("shard", pa.array(
+            (_mix64(keys) % np.uint64(shards)).astype(np.int64)))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        sid = int(group.column("shard")[0].as_py())
+        out = os.path.join(index_dir, f"shard-{sid}.parquet")
+        tmp = out + ".tmp"
+        pq_.write_table(group.drop_columns(["shard"]).sort_by("band_key"),
+                        tmp)
+        os.replace(tmp, out)
+        return pa.table({"shard": pa.array([sid], type=pa.int64()),
+                         "rows": pa.array([group.num_rows],
+                                          type=pa.int64())})
+
+    (rows.map_batches(add_shard, batch_format="pyarrow", runtime_env=env)
+         .groupby("shard")
+         .map_groups(write_shard, batch_format="pyarrow",
+                     runtime_env=env)).materialize()
+    tmp_meta = meta_path + ".tmp"
+    with open(tmp_meta, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_meta, meta_path)
+    return meta
+
+
+def minhash_pairs_incremental(new_ds, index_dir: str, *,
+                              threshold: float = 0.7,
+                              max_driver_keys: int = 2_000_000):
+    """Near-dup pairs of a NEW shard against an indexed seen corpus
+    (:func:`build_minhash_index`): -> Dataset of ``(seen_id, new_id)``
+    with ``seen_id`` a bucket-local witness (the smallest matching seen
+    id in that band bucket, not a global canonical). Pairs may repeat
+    across bands — callers wanting the dedup filter use
+    :func:`minhash_dedup_incremental`.
+
+    Probe shape: the new shard is signatured once; ONLY the index shards
+    its band keys map to are opened (splitmix(key) % shards — a test
+    corrupts the others), each read with an ``is_in`` band-key filter
+    pushed to parquet when the distinct-key count fits the driver
+    (<= ``max_driver_keys``, else the whole mapped shard streams).
+    Seen corpus text is never touched; the verify is the same
+    estimated-Jaccard in-bucket compare as :func:`minhash_lsh_duplicates`
+    restricted to cross (seen, new) pairs."""
+    import json
+
+    import ray.data
+
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    num_perm, bands, k = meta["num_perm"], meta["bands"], meta["k"]
+    shards = meta["shards"]
+    env = package_runtime_env()
+    new_rows = minhash_band_rows(
+        new_ds, meta["column"], meta["id_column"], num_perm, bands,
+        k).materialize()
+    key_arr = pa.array(
+        sorted(new_rows.unique("band_key")), type=pa.int64())
+    keys = key_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    needed = sorted(set((_mix64(keys) % np.uint64(shards))
+                        .astype(np.int64).tolist()))
+    files = [os.path.join(index_dir, f"shard-{s}.parquet")
+             for s in needed
+             if os.path.exists(os.path.join(index_dir,
+                                            f"shard-{s}.parquet"))]
+    empty_pairs = pa.table({"seen_id": pa.array([], type=pa.int64()),
+                            "new_id": pa.array([], type=pa.int64())})
+    if not files:
+        return ray.data.from_arrow(empty_pairs)
+    if len(key_arr) <= max_driver_keys:
+        import pyarrow.dataset as pads
+
+        seen_rows = ray.data.read_parquet(
+            files, filter=pads.field("band_key").isin(key_arr))
+    else:
+        seen_rows = ray.data.read_parquet(files)
+
+    def tag(side):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)))
+        return f
+
+    both = seen_rows.map_batches(tag(1), batch_format="pyarrow",
+                                 runtime_env=env).union(
+        new_rows.map_batches(tag(0), batch_format="pyarrow",
+                             runtime_env=env))
+
+    def verify_cross(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        if not (side == 0).any() or not (side == 1).any():
+            return empty_pairs
+        ids = group.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        raw = group.column("sig").to_pylist()
+        seen_by_sig: dict = {}
+        new_by_sig: dict = {}
+        for i, s, sd in zip(ids, raw, side):
+            d = seen_by_sig if sd == 1 else new_by_sig
+            d.setdefault(s, []).append(int(i))
+        seen_sigs = sorted(seen_by_sig)           # deterministic order
+        seen_min = np.array([min(seen_by_sig[s]) for s in seen_sigs],
+                            dtype=np.int64)
+        smat = np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in seen_sigs])
+        keep, dup = [], []
+        new_sigs = sorted(new_by_sig)
+        nmat = np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in new_sigs])
+        # blocked (new x seen) estimated-Jaccard, ~64 MB temp bound
+        blk = max(1, int(64_000_000 // max(smat.shape[0]
+                                           * smat.shape[1], 1)))
+        for i0 in range(0, nmat.shape[0], blk):
+            nb = nmat[i0:i0 + blk]
+            est = (nb[:, None, :] == smat[None, :, :]).mean(axis=2)
+            hit = est >= threshold
+            for r in np.nonzero(hit.any(axis=1))[0]:
+                witness = int(seen_min[hit[r]].min())
+                for nid in new_by_sig[new_sigs[i0 + int(r)]]:
+                    keep.append(witness)
+                    dup.append(nid)
+        return pa.table({"seen_id": pa.array(keep, type=pa.int64()),
+                         "new_id": pa.array(dup, type=pa.int64())})
+
+    return (both.groupby("band_key")
+                .map_groups(verify_cross, batch_format="pyarrow",
+                            runtime_env=env))
+
+
+def minhash_dedup_incremental(new_ds, index_dir: str, *,
+                              threshold: float = 0.7, id_column=None):
+    """Filter form of :func:`minhash_pairs_incremental`: return the NEW
+    shard's rows that are NOT near-duplicates of the indexed seen corpus
+    (intra-shard near-dups are out of scope — run
+    :func:`minhash_lsh_dedup` on the shard first if needed). The dropped
+    id set is O(matched new rows) on the driver, broadcast into a
+    map-only ``is_in`` filter — the shard itself never shuffles."""
+    import json
+
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    idc = id_column or meta["id_column"]
+    pairs = minhash_pairs_incremental(new_ds, index_dir,
+                                      threshold=threshold)
+    dropped = pa.array(
+        sorted({r["new_id"] for r in pairs.take_all()}),
+        type=pa.int64())
+    env = package_runtime_env()
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column(idc), value_set=dropped)
+        return t.filter(pc.invert(pc.fill_null(m, False)))
+
+    return new_ds.map_batches(keep, batch_format="pyarrow",
+                              runtime_env=env)

@@ -2373,3 +2373,111 @@ def test_pq_recall_vs_brute(ray_session):
         recall.append(len(true10 & got10) / 10.0)
     assert sum(recall) / len(recall) >= 0.6, recall
     assert exact.num_rows == 50
+
+
+# ---------------------------------------------------------------------------
+# materialized MinHash LSH index (incremental near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _mh_corpus(tag, n=40, seed=3):
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{z}" for z in range(400)]
+    texts = [" ".join(rng.choice(words, size=30).tolist())
+             for _ in range(n)]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts)})), texts
+
+
+def test_minhash_index_incremental_pairs_and_filter(ray_session, tmp_path):
+    from plugin_serdes_ray.pipelines.dedup import (build_minhash_index,
+                                                   minhash_dedup_incremental,
+                                                   minhash_pairs_incremental)
+    import ray.data
+
+    seen, texts = _mh_corpus("seen", n=40)
+    idx = str(tmp_path / "mh_idx")
+    meta = build_minhash_index(seen.repartition(4), idx, shards=8)
+    assert meta["shards"] == 8
+    # new shard: 3 exact copies of seen docs (ids 100..102) + 2 fresh
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101, 102, 103, 104], type=pa.int64()),
+        "text": pa.array([texts[5], texts[17], texts[33],
+                          "completely fresh document one",
+                          "another brand new unseen text"])}))
+    pairs = minhash_pairs_incremental(new.repartition(2), idx).take_all()
+    got = {(r["seen_id"], r["new_id"]) for r in pairs}
+    assert got == {(5, 100), (17, 101), (33, 102)}
+    kept = sorted(r["doc_id"] for r in
+                  minhash_dedup_incremental(new, idx).take_all())
+    assert kept == [103, 104]
+    # reuse: same corpus -> meta returned without rebuild (mtime check)
+    import os as _os
+
+    f = _os.path.join(idx, "shard-0.parquet")
+    mt = _os.path.getmtime(f) if _os.path.exists(f) else None
+    meta2 = build_minhash_index(seen.repartition(4), idx, shards=8)
+    assert meta2["fingerprint"] == meta["fingerprint"]
+    if mt is not None:
+        assert _os.path.getmtime(f) == mt
+
+
+def test_minhash_index_probe_opens_only_mapped_shards(ray_session,
+                                                      tmp_path):
+    """Corrupt every index shard the new keys do NOT map to: the probe
+    must still succeed (it never opens them)."""
+    import json
+    import os as _os
+
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import (_mix64,
+                                                   build_minhash_index,
+                                                   minhash_band_rows,
+                                                   minhash_pairs_incremental)
+
+    seen, texts = _mh_corpus("seen", n=30, seed=11)
+    idx = str(tmp_path / "mh_idx2")
+    build_minhash_index(seen, idx, shards=16)
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([900], type=pa.int64()),
+        "text": pa.array([texts[2]])}))
+    meta = json.load(open(_os.path.join(idx, "meta.json")))
+    rows = minhash_band_rows(new, "text", "doc_id", meta["num_perm"],
+                             meta["bands"], meta["k"]).take_all()
+    keys = np.array([r["band_key"] for r in rows], dtype=np.uint64)
+    needed = set((_mix64(keys) % np.uint64(16)).astype(np.int64).tolist())
+    for s in range(16):
+        if s in needed:
+            continue
+        p = _os.path.join(idx, f"shard-{s}.parquet")
+        if _os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(b"corrupted")
+    got = {(r["seen_id"], r["new_id"]) for r in
+           minhash_pairs_incremental(new, idx).take_all()}
+    assert got == {(2, 900)}
+
+
+def test_minhash_index_rebuilds_on_corpus_change(ray_session, tmp_path):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import (build_minhash_index,
+                                                   minhash_pairs_incremental)
+
+    seen, texts = _mh_corpus("seen", n=10, seed=7)
+    idx = str(tmp_path / "mh_idx3")
+    m1 = build_minhash_index(seen, idx, shards=4)
+    # changed corpus (one extra doc) -> different fingerprint -> rebuild
+    seen2, texts2 = _mh_corpus("seen", n=12, seed=7)
+    m2 = build_minhash_index(seen2, idx, shards=4)
+    assert m1["fingerprint"] != m2["fingerprint"]
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([500], type=pa.int64()),
+        "text": pa.array([texts2[11]])}))   # only in the NEW corpus
+    got = {(r["seen_id"], r["new_id"]) for r in
+           minhash_pairs_incremental(new, idx).take_all()}
+    assert got == {(11, 500)}
