@@ -1634,7 +1634,10 @@ def _multikey_join_lineitem(sf_dir: str):
 
 def _asof_left_join_last_error(sf_dir: str):
     """ASOF LEFT JOIN variant: clicks with NO prior error keep their row
-    with a null value (vs the inner variant dropping them)."""
+    with a null value (vs the inner variant dropping them). The 'tol30m'
+    arm adds the tolerance bound (pandas merge_asof tolerance): an error
+    older than 30 minutes is no match — the oracle recomputes it with an
+    explicit bounded LEFT JOIN + QUALIFY row_number."""
     from plugin_serdes_ray.pipelines.relational import asof_join
 
     ev = _read(sf_dir, "events")
@@ -1651,13 +1654,20 @@ def _asof_left_join_last_error(sf_dir: str):
     errors = ev.map_batches(pick("error"), batch_format="pyarrow",
                             runtime_env=_env()).select_columns(
         ["user_id", "ts", "value"])
-    out = asof_join(clicks, errors, on="ts", by="user_id",
-                    right_cols=["value"], join_type="left")
-    rows = out.take_all()
-    rows.sort(key=lambda r: r["event_id"])
+    modes, eids, vals = [], [], []
+    for mode, tol in (("plain", None), ("tol30m", "30m")):
+        out = asof_join(clicks, errors, on="ts", by="user_id",
+                        right_cols=["value"], join_type="left",
+                        tolerance=tol)
+        rows = out.take_all()
+        rows.sort(key=lambda r: r["event_id"])
+        modes += [mode] * len(rows)
+        eids += [r["event_id"] for r in rows]
+        vals += [r["value"] for r in rows]
     return pa.table({
-        "event_id": pa.array([r["event_id"] for r in rows], type=pa.int64()),
-        "value": pa.array([r["value"] for r in rows], type=pa.float64()),
+        "mode": pa.array(modes),
+        "event_id": pa.array(eids, type=pa.int64()),
+        "value": pa.array(vals, type=pa.float64()),
     })
 
 
@@ -3436,27 +3446,22 @@ def _corpus_diff_documents(sf_dir: str):
 def _quantize_embeddings(sf_dir: str):
     """Int8 scalar quantization (vectors.quantize_embeddings): exact
     per-dimension ranges from one fixed-payload pass, map-only affine
-    coding, emitted long-format (vec_id, i, q) so the value compare never
-    sees a list column."""
-    import numpy as np
-
+    coding, then relational.explode unnests the code vectors long-format
+    (vec_id, i, q) — the generic list-column explode operator IS the
+    emission path here, so this oracle drives it too."""
+    from plugin_serdes_ray.pipelines.relational import explode
     from plugin_serdes_ray.pipelines.vectors import quantize_embeddings
-    from plugin_serdes_ray.util import vectors_to_numpy
 
     ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
     out, _ = quantize_embeddings(ds)
-    ids, dims, codes = [], [], []
-    for b in out.iter_batches(batch_format="pyarrow"):
-        q = vectors_to_numpy(b.column("embedding_q"), dtype=np.int64)
-        n, d = q.shape
-        ids.append(np.repeat(np.asarray(b.column("vec_id")), d))
-        dims.append(np.tile(np.arange(d, dtype=np.int64), n))
-        codes.append(q.reshape(-1))
+    long = explode(out.select_columns(["vec_id", "embedding_q"]),
+                   "embedding_q", pos_col="i", value_name="q")
+    rows = sorted((r["vec_id"], r["i"], r["q"]) for r in long.take_all())
     return pa.table({
-        "vec_id": pa.array(np.concatenate(ids)),
-        "i": pa.array(np.concatenate(dims)),
-        "q": pa.array(np.concatenate(codes)),
-    }).sort_by([("vec_id", "ascending"), ("i", "ascending")])
+        "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "i": pa.array([r[1] for r in rows], type=pa.int64()),
+        "q": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
 
 
 def _pca_covariance_embeddings(sf_dir: str):
@@ -5201,10 +5206,18 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "asof_left_join_last_error": """
-            SELECT l.event_id, r.value AS value
+            SELECT 'plain' AS mode, l.event_id, r.value AS value
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+            UNION ALL
+            SELECT 'tol30m', l.event_id, r.value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+                 AND r.ts >= l.ts - INTERVAL 30 MINUTE
+            QUALIFY row_number() OVER (PARTITION BY l.event_id
+                                       ORDER BY r.ts DESC) = 1
         """,
         "left_join_customer_orders": """
             SELECT c.c_custkey, o.o_orderkey

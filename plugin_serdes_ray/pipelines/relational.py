@@ -955,6 +955,71 @@ def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
                           runtime_env=package_runtime_env())
 
 
+def explode(ds, list_col: str, *, pos_col: Optional[str] = None,
+            value_name: Optional[str] = None, keep_empty: bool = False):
+    """List column -> one row per element (SQL ``unnest`` / Spark
+    ``explode``): sibling columns repeat by each row's list length via
+    one vectorized take — map-only, no shuffle, streams block by block.
+
+    - ``value_name`` names the element column (default: ``list_col``,
+      replacing the list column in place).
+    - ``pos_col`` optionally adds the 0-based element index (SQL ``WITH
+      ORDINALITY`` minus one).
+    - ``keep_empty=False`` (SQL unnest semantics) drops rows whose list
+      is empty or NULL; ``True`` keeps them as a single null-element row
+      (the LEFT JOIN LATERAL shape)."""
+    out_name = value_name or list_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col)
+        col = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col)     # skips nulls AND empties alike
+        if keep_empty:
+            n_out = np.maximum(lens, 1)
+            rep = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            n_out)
+            # element index within each output group; empty/null lists
+            # get one null-element row (LEFT JOIN LATERAL shape)
+            starts = np.concatenate([[0], np.cumsum(n_out)[:-1]])
+            pos = (np.arange(len(rep), dtype=np.int64) - starts[rep]
+                   if len(rep) else np.empty(0, np.int64))
+            src = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            has = lens[rep] > 0
+            # null slots take element 0 (masked to null right after) —
+            # guard the all-empty block where flat has no element at all
+            safe_idx = np.where(has, src[rep] + pos, 0)
+            if len(flat) == 0:
+                vals = pa.nulls(len(rep), flat.type)
+            else:
+                vals = flat.take(pa.array(safe_idx, type=pa.int64()))
+                if not has.all():
+                    vals = pc.if_else(pa.array(has), vals,
+                                      pa.scalar(None, type=flat.type))
+            if pos_col:
+                pos_vals = pa.array(pos, type=pa.int64(), mask=~has)
+        else:
+            rep = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            lens)
+            vals = flat
+            if pos_col:
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                pos_vals = pa.array(
+                    np.arange(len(rep), dtype=np.int64) - starts[rep]
+                    if len(rep) else np.empty(0, np.int64),
+                    type=pa.int64())
+        others = batch.drop_columns([list_col])
+        t = others.take(pa.array(rep, type=pa.int64()))
+        if pos_col:
+            t = t.append_column(pos_col, pos_vals)
+        return t.append_column(out_name, vals)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
 def sliding_window_aggregate(ds, ts_column: str, window: str = "1h",
                              hop: str = "30m", keys: Sequence[str] = (),
                              count_name: str = "n"):
@@ -1129,7 +1194,7 @@ def funnel(ds, user_col: str, ts_col: str, event_col: str,
 
 def asof_join(left, right, on: str, by: str,
               right_cols: Optional[list[str]] = None, suffix: str = "_r",
-              join_type: str = "inner"):
+              join_type: str = "inner", tolerance=None):
     """AS-OF join: for each left row, the most recent right row of the same
     ``by`` key with ``right.on <= left.on``. ``join_type="inner"`` drops
     left rows with no prior right row; ``join_type="left"`` keeps them with
@@ -1137,12 +1202,24 @@ def asof_join(left, right, on: str, by: str,
     left rows whose ``by``/``on`` is null, which match nothing but are
     kept, at the cost of one extra streaming scan of the left side).
 
+    ``tolerance`` (optional) bounds the match age: a right row older than
+    ``left.on - tolerance`` is no match (pandas ``merge_asof`` tolerance).
+    Pass a duration string (``"30m"``) for timestamp ``on`` columns or a
+    number for numeric ones; matches exactly at the bound are kept
+    (``left.on - right.on <= tolerance``).
+
     Ray shape: both sides pad to a union schema, tag, union, ONE
     groupby(by) shuffle, then a vectorized in-group merge (sort + one
     searchsorted — never a cross product). The per-group state is one key's
     rows, the natural partitioning for as-of semantics."""
     if join_type not in ("inner", "left"):
         raise ValueError(f"asof_join join_type {join_type!r}: want inner|left")
+    tol = None
+    if tolerance is not None:
+        tol = duration_us(tolerance) if isinstance(tolerance, str) \
+            else float(tolerance)
+        if tol < 0:
+            raise ValueError("asof_join tolerance must be >= 0")
     r_schema = right.schema()
     right_cols = list(right_cols or
                       [n for n in r_schema.names if n not in (on, by)])
@@ -1204,6 +1281,9 @@ def asof_join(left, right, on: str, by: str,
         # most recent right row at-or-before each left timestamp
         pos = np.searchsorted(onv[r_order], onv[li], side="right") - 1
         has = pos >= 0
+        if tol is not None:
+            age = onv[li] - onv[r_order[np.maximum(pos, 0)]]
+            has = has & (age <= tol)
         lt = group.take(li[has])
         rt = group.take(r_order[pos[has]])
         cols = {nm: (lt if nm in l_names else rt).column(nm)

@@ -2166,3 +2166,76 @@ def test_misra_gries_exact_when_k_covers_distinct(ray_session):
     t = pa.table({"x": pa.array(["a"] * 5 + ["b"] * 3 + ["c"] * 2)})
     res = misra_gries(ray.data.from_arrow(t).repartition(3), "x", k=3)
     assert res["counters"] == {"a": 5, "b": 3, "c": 2}
+
+
+def test_explode_matches_duckdb_unnest(ray_session):
+    import duckdb
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import explode
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "xs": pa.array([[10, 20], [], None, [30], [40, 50, 60]],
+                       type=pa.list_(pa.int64()))})
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = sorted((r["id"], r["pos"], r["xs"])
+                 for r in explode(ds, "xs", pos_col="pos").take_all())
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(tuple(r) for r in con.sql("""
+        SELECT id, CAST(generate_subscripts(xs, 1) - 1 AS BIGINT),
+               unnest(xs) FROM t""").fetchall())
+    assert got == want
+    # keep_empty: empty/null lists keep one null-element row
+    ke = sorted(((r["id"], r["pos"], r["xs"]) for r in
+                 explode(ds, "xs", pos_col="pos",
+                         keep_empty=True).take_all()),
+                key=lambda x: (x[0], x[1] if x[1] is not None else -1))
+    assert (2, None, None) in ke and (3, None, None) in ke
+    assert len(ke) == len(want) + 2
+    # rename without position
+    rn = explode(ds, "xs", value_name="x").take_all()
+    assert {r["x"] for r in rn if r["x"] is not None} == \
+        {10, 20, 30, 40, 50, 60}
+
+
+def test_explode_all_empty_block(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import explode
+
+    t = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                  "xs": pa.array([[], None], type=pa.list_(pa.int64()))})
+    ds = ray.data.from_arrow(t)
+    assert explode(ds, "xs").count() == 0
+    rows = explode(ds, "xs", keep_empty=True, pos_col="p").take_all()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    assert all(r["xs"] is None and r["p"] is None for r in rows)
+
+
+def test_asof_join_tolerance(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "k": pa.array(["a"] * 4),
+        "t": pa.array([100, 200, 300, 400], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"] * 2),
+        "t": pa.array([90, 250], type=pa.int64()),
+        "v": pa.array([1.0, 2.0], type=pa.float64())}))
+    # tolerance 50: id1 matches 90 (age 10), id2 no (age 110), id3
+    # matches 250 (age 50 == bound, inclusive), id4 no (age 150)
+    got = {r["id"]: r["v"] for r in asof_join(
+        left, right, on="t", by="k", right_cols=["v"], join_type="left",
+        tolerance=50).take_all()}
+    assert got == {1: 1.0, 2: None, 3: 2.0, 4: None}
+    inner = sorted(r["id"] for r in asof_join(
+        left, right, on="t", by="k", right_cols=["v"],
+        tolerance=50).take_all())
+    assert inner == [1, 3]
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="t", by="k", tolerance=-1)
