@@ -265,7 +265,8 @@ def kmeans_one_iter(ds, k: int, vector_column: str = "embedding",
 
 def kmeans(ds, k: int, iters: int = 10, tol: float = 1e-6,
            vector_column: str = "embedding", id_column: str = "vec_id",
-           centroids: Optional[np.ndarray] = None) -> dict:
+           centroids: Optional[np.ndarray] = None,
+           checkpoint_dir: Optional[str] = None) -> dict:
     """Full Lloyd k-means as a driver loop over :func:`kmeans_one_iter` —
     per iteration: one broadcast-assign map pass over the corpus plus one
     partials-only shuffle (O(k·blocks) rows). The driver holds only the
@@ -273,25 +274,42 @@ def kmeans(ds, k: int, iters: int = 10, tol: float = 1e-6,
     drops under ``tol``. An empty cluster keeps its previous centroid
     (standard Lloyd practice; no resampling pass).
 
+    ``checkpoint_dir`` makes the loop RESUMABLE
+    (:func:`~..state.iterate.checkpointed_loop`): every iteration's
+    centroids persist atomically, and a rerun after a driver crash
+    continues from the last completed iteration instead of re-paying the
+    corpus passes (fingerprinted against the corpus + parameters).
+
     Returns {"centroids": (k, d) ndarray, "iters": int, "shift": float}.
     Final assignments are one more :func:`kmeans_assign` away — kept out
     of the return so callers who only need centroids never pay the pass."""
+    from ..state.iterate import checkpointed_loop
+
     if centroids is None:
         centroids = kmeans_init_first_k(ds, k, vector_column, id_column)
-    c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
-    shift = float("inf")
-    it = 0
-    for it in range(1, iters + 1):
+    c0 = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+
+    def step(state: dict, it: int):
+        c = np.asarray(state["centroids"], dtype=np.float64)
         rows = kmeans_one_iter(ds, k, vector_column, id_column,
                                centroids=c).take_all()   # k tiny rows
         new = c.copy()
         for r in rows:
             new[int(r["cluster"])] = np.asarray(r["centroid"])
         shift = float(np.abs(new - c).max())
-        c = new
-        if shift < tol:
-            break
-    return {"centroids": c, "iters": it, "shift": shift}
+        return ({"centroids": new, "shift": shift, "it": it},
+                shift < tol)
+
+    fp = ""
+    if checkpoint_dir:
+        from ..util import corpus_fingerprint
+        fp = corpus_fingerprint(
+            ds, f"kmeans:{k}:{iters}:{tol}:{vector_column}:{id_column}")
+    state, _ = checkpointed_loop(
+        step, {"centroids": c0, "shift": float("inf"), "it": 0},
+        iters, checkpoint_dir, fingerprint=fp)
+    return {"centroids": np.asarray(state["centroids"], dtype=np.float64),
+            "iters": int(state["it"]), "shift": float(state["shift"])}
 
 
 def embedding_dim_minmax(ds, vector_column: str = "embedding"):
@@ -581,7 +599,8 @@ def logreg_partials(ds, w: np.ndarray, b: float,
 def logreg_train(ds, vector_column: str = "embedding",
                  label_column: str = "label", positive_label=1,
                  iters: int = 25, lr: float = 0.5, l2: float = 0.0,
-                 tol: float = 0.0):
+                 tol: float = 0.0,
+                 checkpoint_dir: Optional[str] = None):
     """Distributed binary logistic regression by full-batch gradient
     descent — the iterative-ML pattern beyond k-means: ONE streaming map
     pass per iteration (weights ``ray.put``-broadcast, per-block
@@ -589,15 +608,22 @@ def logreg_train(ds, vector_column: str = "embedding",
     Full-batch (not SGD) keeps the result independent of partitioning up
     to float summation order. ``y = (label == positive_label)``.
 
+    ``checkpoint_dir`` makes the loop RESUMABLE: each iteration's
+    ``(w, b, losses)`` persist atomically and a rerun continues from the
+    last completed iteration (fingerprinted vs corpus + parameters).
+
     Returns ``(w, b, losses)`` — weights, bias, and the per-iteration
     mean log-loss (computed at the weights BEFORE each step, so
     ``losses[0]`` is the ln(2) baseline of w=0)."""
+    from ..state.iterate import checkpointed_loop
+
     dim = _dim_of(ds, vector_column)
     cols = ds.select_columns([vector_column, label_column])
-    w = np.zeros(dim, dtype=np.float64)
-    b = 0.0
-    losses: list = []
-    for _ in range(int(iters)):
+
+    def step(state: dict, it: int):
+        w = np.asarray(state["w"], dtype=np.float64)
+        b = float(state["b"])
+        losses = list(state["losses"])
         g, gb, loss, n = logreg_partials(
             cols, w, b, vector_column=vector_column,
             label_column=label_column, positive_label=positive_label)
@@ -607,9 +633,22 @@ def logreg_train(ds, vector_column: str = "embedding",
         losses.append(loss / n + 0.5 * l2 * float(w @ w))
         w = w - lr * (g / n + l2 * w)
         b = b - lr * (gb / n)
-        if tol and len(losses) >= 2 and abs(losses[-2] - losses[-1]) < tol:
-            break
-    return w, b, losses
+        stop = bool(tol and len(losses) >= 2
+                    and abs(losses[-2] - losses[-1]) < tol)
+        return {"w": w, "b": float(b), "losses": losses}, stop
+
+    fp = ""
+    if checkpoint_dir:
+        from ..util import corpus_fingerprint
+        fp = corpus_fingerprint(
+            ds, f"logreg:{vector_column}:{label_column}:{positive_label}:"
+                f"{iters}:{lr}:{l2}:{tol}")
+    state, _ = checkpointed_loop(
+        step, {"w": np.zeros(dim, dtype=np.float64), "b": 0.0,
+               "losses": []},
+        iters, checkpoint_dir, fingerprint=fp)
+    return (np.asarray(state["w"], dtype=np.float64), float(state["b"]),
+            [float(v) for v in state["losses"]])
 
 
 def logreg_predict(ds, w: np.ndarray, b: float,

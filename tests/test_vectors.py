@@ -310,3 +310,87 @@ def test_pca_project_null_vectors_and_guards(ray_session):
     assert rows[1] is None and rows[0] is not None
     with pytest.raises(ValueError):
         pca(ds, 3, "embedding")   # k > d
+
+
+def test_checkpointed_loop_resume_and_guards(tmp_path):
+    from plugin_serdes_ray.state.iterate import (checkpointed_loop,
+                                                 load_latest)
+
+    calls = []
+
+    def step(state, it):
+        calls.append(it)
+        return {"x": np.asarray(state["x"]) + 1, "it": it}, False
+
+    d = str(tmp_path / "ck")
+    s1, ran1 = checkpointed_loop(step, {"x": np.zeros(2), "it": 0}, 3, d,
+                                 fingerprint="fp1")
+    assert ran1 == 3 and calls == [1, 2, 3]
+    # partial tmp file must be ignored by resume
+    with open(f"{d}/iter-00004.npz.tmp", "wb") as f:
+        f.write(b"partial")
+    s2, ran2 = checkpointed_loop(step, {"x": np.zeros(2), "it": 0}, 5, d,
+                                 fingerprint="fp1")
+    assert ran2 == 2 and calls == [1, 2, 3, 4, 5]   # resumed after 3
+    np.testing.assert_array_equal(s2["x"], [5.0, 5.0])
+    it, st = load_latest(d)
+    assert it == 5
+    # fingerprint mismatch clears and restarts
+    s3, ran3 = checkpointed_loop(step, {"x": np.zeros(2), "it": 0}, 2, d,
+                                 fingerprint="OTHER")
+    assert ran3 == 2 and np.all(np.asarray(s3["x"]) == 2.0)
+
+
+def test_checkpointed_loop_stop_is_persistent(tmp_path):
+    from plugin_serdes_ray.state.iterate import checkpointed_loop
+
+    def step(state, it):
+        return {"n": state["n"] + 1}, state["n"] + 1 >= 2   # stop at 2
+
+    d = str(tmp_path / "ck2")
+    s1, ran1 = checkpointed_loop(step, {"n": 0}, 10, d, fingerprint="f")
+    assert s1["n"] == 2 and ran1 == 2
+    # rerun: the stored stop flag short-circuits, nothing re-executes
+    s2, ran2 = checkpointed_loop(step, {"n": 0}, 10, d, fingerprint="f")
+    assert s2["n"] == 2 and ran2 == 0
+
+
+def test_kmeans_checkpoint_resume_matches_uncheckpointed(ray_session,
+                                                         tmp_path):
+    from plugin_serdes_ray.pipelines.vectors import kmeans
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.normal(0, 0.3, size=(30, 3)),
+                           rng.normal(4, 0.3, size=(30, 3))])
+    ds = _mk(vals, [0] * 60).repartition(4)
+    plain = kmeans(ds, 2, iters=4, tol=0.0)
+    d = str(tmp_path / "km")
+    partial = kmeans(ds, 2, iters=2, tol=0.0, checkpoint_dir=d)
+    assert partial["iters"] == 2
+    resumed = kmeans(ds, 2, iters=4, tol=0.0, checkpoint_dir=d)
+    np.testing.assert_allclose(resumed["centroids"], plain["centroids"],
+                               rtol=1e-12)
+    assert resumed["iters"] == 4
+
+
+def test_logreg_checkpoint_resume_matches_uncheckpointed(ray_session,
+                                                         tmp_path):
+    import pytest
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.vectors import logreg_train
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(80, 4))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.int64)
+    t = pa.table({
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(X.reshape(-1)), 4),
+        "label": pa.array(y)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    w0, b0, l0 = logreg_train(ds, iters=5)
+    d = str(tmp_path / "lr")
+    logreg_train(ds, iters=2, checkpoint_dir=d)
+    w1, b1, l1 = logreg_train(ds, iters=5, checkpoint_dir=d)
+    np.testing.assert_allclose(w1, w0, rtol=1e-12)
+    assert b1 == pytest.approx(b0, rel=1e-12) and len(l1) == len(l0)
