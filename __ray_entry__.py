@@ -1463,6 +1463,17 @@ def _vocab_kl_documents(sf_dir: str):
     })
 
 
+def _key_skew_orders(sf_dir: str):
+    """Key-skew diagnostic before a groupby/join on o_custkey
+    (profile.key_skew_report): exact combiner-shrunk per-key counts, a
+    distinct-keys-sized sort for the top-10, and n_rows / n_distinct /
+    skew_ratio summary rows — long format (stat, key, v)."""
+    from plugin_serdes_ray.pipelines.profile import key_skew_report
+
+    ds = _read(sf_dir, "orders").select_columns(["o_custkey"])
+    return key_skew_report(ds, "o_custkey", top=10)
+
+
 def _profile_lineitem(sf_dir: str):
     """One-pass dataset profile (pipelines/profile.py) over four lineitem
     columns spanning the type dispatch: two numerics (min/max/mean/std
@@ -3809,6 +3820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analytics (family row: dedup_clusters_documents
         # covers the graph module's shuffle shape)
         "pagerank_documents": _pagerank_documents,
+        # shuffle-planning skew diagnostic (family row: profile_lineitem
+        # covers the profiling module)
+        "key_skew_orders": _key_skew_orders,
         # curriculum ordering (family rows: quantiles + global shuffle
         # cover the two building blocks)
         "curriculum_order_documents": _curriculum_order_documents,
@@ -4344,6 +4358,25 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "pagerank_documents": _pagerank_sql(),
+        "key_skew_orders": """
+            WITH c AS (SELECT o_custkey AS k, count(*) AS n FROM orders
+                       WHERE o_custkey IS NOT NULL GROUP BY 1),
+            s AS (SELECT sum(n)::DOUBLE total, count(*)::DOUBLE d,
+                         max(n)::DOUBLE mx FROM c),
+            h AS (SELECT k, n FROM c ORDER BY n DESC, k LIMIT 10)
+            SELECT 'top' AS stat, CAST(k AS VARCHAR) AS key,
+                   CAST(n AS DOUBLE) AS v FROM h
+            UNION ALL
+            SELECT 'frac', CAST(k AS VARCHAR), round(n / s.total, 9)
+            FROM h CROSS JOIN s
+            UNION ALL
+            SELECT 'summary', 'n_rows', s.total FROM s
+            UNION ALL
+            SELECT 'summary', 'n_distinct', s.d FROM s
+            UNION ALL
+            SELECT 'summary', 'skew_ratio',
+                   round(s.mx / (s.total / s.d), 9) FROM s
+        """,
         "curriculum_order_documents": f"""
             WITH {_splitmix_z_sql(9)},
             q AS (SELECT quantile_disc(n_chars, 0.25) AS b1,

@@ -302,3 +302,55 @@ def validate(ds, rules: Sequence[dict], *,
         "n_rows": pa.array([int(n_rows)] * len(order), type=pa.int64()),
         "ok": pa.array([totals[k] == 0 for k in order], type=pa.bool_()),
     })
+
+
+def key_skew_report(ds, column: str, top: int = 10) -> pa.Table:
+    """Shuffle-planning diagnostic: is ``column`` safe to group/join by,
+    or does one hot key swamp a worker? EXACT per-key counts via the
+    combiner-shrunk :func:`~.relational.grouped_aggregate` (one keyed
+    shuffle of one row per key per block), then a DISTINCT-KEYS-sized
+    sort for the top-``top`` keys — the raw table never sorts. Nulls are
+    excluded (``count(column)`` semantics).
+
+    Long-format result ``(stat, key, v)``:
+
+    - ``('top', key, count)`` / ``('frac', key, round(count/total, 9))``
+      for the top keys by ``(count DESC, key ASC)``;
+    - ``('summary', 'n_rows'|'n_distinct'|'skew_ratio', v)`` where
+      skew_ratio = max_count / mean_count (1.0 = perfectly even; feed
+      :func:`~.relational.salted_key` when it is large)."""
+    from .relational import grouped_aggregate
+
+    def drop_null_key(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(column)))
+
+    # nulls drop BEFORE the groupby: Ray's sort-based key shuffle cannot
+    # order None against strings, and count(column) excludes them anyway
+    keyed = ds.select_columns([column]).map_batches(
+        drop_null_key, batch_format="pyarrow",
+        runtime_env=package_runtime_env())
+    counts = grouped_aggregate(keyed, [column], count_name="n") \
+        .materialize()        # two consumers: the sort and the summary
+    from ray.data.aggregate import Count, Max, Sum
+
+    agg = counts.aggregate(Sum("n"), Count(), Max("n"))
+    total = int(agg["sum(n)"] or 0)
+    d = int(agg["count()"] or 0)
+    mx = int(agg["max(n)"] or 0)
+    head = counts.sort(["n", column], descending=[True, False]) \
+        .limit(top).take_all()
+    stats, keys, vs = [], [], []
+    for r in head:
+        stats.append("top")
+        keys.append(str(r[column]))
+        vs.append(float(r["n"]))
+    for r in head:
+        stats.append("frac")
+        keys.append(str(r[column]))
+        vs.append(round(r["n"] / total, 9) if total else 0.0)
+    stats += ["summary"] * 3
+    keys += ["n_rows", "n_distinct", "skew_ratio"]
+    vs += [float(total), float(d),
+           round(mx / (total / d), 9) if d and total else 0.0]
+    return pa.table({"stat": pa.array(stats), "key": pa.array(keys),
+                     "v": pa.array(vs, type=pa.float64())})

@@ -811,3 +811,47 @@ def test_random_decode_predicates_vs_duckdb(ray_session, tmp_path):
                 " AND ".join(conds)).arrow().to_pylist()
             assert _sorted_rows(got, ["k", "tag"]) == \
                 _sorted_rows(want, ["k", "tag"]), (seed, preds)
+
+
+def test_random_grouped_linreg_vs_duckdb(ray_session):
+    """regr_slope/intercept/r2/count parity on random nulls, constant
+    groups, and single-row groups across several seeds."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.relational import grouped_linreg
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2, 3):
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(5, 120))
+        keys = rng.integers(0, 6, n).astype(object)
+        x = rng.normal(size=n).astype(object)
+        y = (2.5 * np.array(x, dtype=np.float64)
+             + rng.normal(size=n)).astype(object)
+        for arr in (x, y):
+            arr[rng.random(n) < 0.2] = None
+        # one constant-x group bolted on
+        keys = np.concatenate([keys, [99, 99, 99]])
+        x = np.concatenate([x, [7.0, 7.0, 7.0]])
+        y = np.concatenate([y, [1.0, 2.0, 3.0]])
+        t = pa.table({"k": pa.array(list(keys), type=pa.int64()),
+                      "x": pa.array(list(x), type=pa.float64()),
+                      "y": pa.array(list(y), type=pa.float64())})
+        ds = ray.data.from_arrow(t).repartition(int(rng.integers(1, 6)))
+        got = {r["k"]: r for r in
+               grouped_linreg(ds, "k", "x", "y").take_all()}
+        con.register("t", t)
+        want = con.sql("""
+            SELECT k, regr_count(y, x)::BIGINT, regr_slope(y, x),
+                   regr_intercept(y, x), regr_r2(y, x)
+            FROM t GROUP BY k""").fetchall()
+        assert len(got) == len(want), seed
+        for kk, cn, sl, ic, r2 in want:
+            g = got[kk]
+            assert g["n"] == cn, (seed, kk)
+            for nm, w in (("slope", sl), ("intercept", ic), ("r2", r2)):
+                if w is None:
+                    assert g[nm] is None, (seed, kk, nm)
+                else:
+                    assert g[nm] == pytest.approx(w, rel=1e-9,
+                                                  abs=1e-12), (seed, kk)

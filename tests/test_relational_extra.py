@@ -2239,3 +2239,22 @@ def test_asof_join_tolerance(ray_session):
     assert inner == [1, 3]
     with pytest.raises(ValueError):
         asof_join(left, right, on="t", by="k", tolerance=-1)
+
+
+def test_key_skew_report_hot_key_and_nulls(ray_session):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.profile import key_skew_report
+
+    t = pa.table({"k": pa.array(["hot"] * 80 + ["a"] * 10 + ["b"] * 10
+                                + [None] * 5)})
+    out = key_skew_report(ray.data.from_arrow(t).repartition(4), "k",
+                          top=2)
+    rows = {(r["stat"], r["key"]): r["v"] for r in out.to_pylist()}
+    assert rows[("top", "hot")] == 80.0
+    assert rows[("frac", "hot")] == 0.8
+    assert rows[("summary", "n_rows")] == 100.0     # nulls excluded
+    assert rows[("summary", "n_distinct")] == 3.0
+    assert rows[("summary", "skew_ratio")] == round(80 / (100 / 3), 9)
+    assert ("top", "b") not in rows                 # top=2 cut, tie by key
+    assert ("top", "a") in rows
