@@ -517,3 +517,153 @@ def knn_pq(ds_codes, codebooks: np.ndarray, queries: np.ndarray,
                                 ).to_arrow_refs()
     tables = [t for t in _ray.get(refs) if t.num_rows]
     return _topk_merge(tables, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted lists (the memory-scale ANN path)
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(ds, index_dir: str, n_clusters: int = 16, *,
+                      m: int = 8, n_codes: int = 256,
+                      sample_size: int = 4096, sub_splits: int = 4,
+                      vector_column: str = "embedding",
+                      id_column: str = "vec_id", seed: int = 3) -> dict:
+    """IVF-PQ build (Jégou et al. 2011 composed with the IVF layout):
+    like :func:`build_ivf_index` but each inverted list stores ``(id,
+    pq_code)`` — m bytes per vector instead of d·4 — so a 100 TB
+    embedding corpus's index fits a fraction of the footprint and probes
+    move only codes. Unit-normalized vectors are PQ-encoded directly and
+    searched with inner-product ADC (:func:`knn_ivfpq_index`), the
+    cosine-friendly flavor; both quantizers train on ONE scattered
+    sample (the standard recipe — the corpus only flows through the
+    single assign+encode streaming pass). Same atomic file layout,
+    corpus-fingerprinted meta, and (cluster, sub-split) splitting as the
+    raw IVF index."""
+    import json
+
+    import ray
+
+    from ..util import corpus_fingerprint
+
+    fp = corpus_fingerprint(
+        ds, f"ivfpq:{vector_column}:{id_column}:{n_clusters}:{m}:"
+            f"{n_codes}:{sub_splits}:{seed}:{sample_size}")
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        if meta.get("fingerprint") == fp:
+            return meta
+        os.remove(meta_path)
+    os.makedirs(index_dir, exist_ok=True)
+    for stale in glob_module.glob(os.path.join(index_dir,
+                                               "cluster-*.parquet*")):
+        os.remove(stale)
+    total = ds.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    rows = (ds.random_sample(frac, seed=seed) if frac < 1.0 else ds) \
+        .select_columns([vector_column]).take(sample_size)
+    sample = np.asarray([r[vector_column] for r in rows
+                         if r[vector_column] is not None],
+                        dtype=np.float64)
+    centers = kmeans_lite(sample.astype(np.float32), n_clusters, seed=seed)
+    usample = _unit(sample)
+    d = usample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ncb = min(n_codes, len(usample))
+    books = np.empty((m, ncb, dsub), dtype=np.float64)
+    for s in range(m):
+        books[s] = _lloyd_l2(usample[:, s * dsub:(s + 1) * dsub],
+                             ncb, seed=seed + s)
+    cen_ref = ray.put(centers)
+    book_ref = ray.put(books)
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        from ..util import drop_null_vector_rows
+
+        cen = ray.get(cen_ref)
+        bb = ray.get(book_ref)
+        batch = drop_null_vector_rows(batch, vector_column)
+        vecs = vectors_to_numpy(batch.column(vector_column), np.float64)
+        if len(vecs) == 0:
+            return pa.table({
+                id_column: pa.array([], type=pa.int64()),
+                "pq_code": pa.array([], type=pa.list_(pa.uint8(), m)),
+                "__ivf": pa.array([], type=pa.int64())})
+        u = _unit(vecs)
+        cluster = np.argmax(u.astype(np.float32) @ cen.T, axis=1) \
+            .astype(np.int64)
+        codes = np.empty((len(u), m), dtype=np.uint8)
+        for s in range(m):
+            xs = u[:, s * dsub:(s + 1) * dsub]
+            d2 = -2.0 * (xs @ bb[s].T) \
+                + (bb[s] * bb[s]).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        ids = batch.column(id_column).combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        salt = ids % sub_splits
+        return pa.table({
+            id_column: pa.array(ids),
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), type=pa.uint8()), m),
+            "__ivf": pa.array(cluster * sub_splits + salt)})
+
+    def write_list(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        key = group.column("__ivf")[0].as_py()
+        cluster, salt = divmod(int(key), sub_splits)
+        out = os.path.join(index_dir,
+                           f"cluster-{cluster:04d}-{salt}.parquet")
+        tmp = out + ".tmp"
+        pq_.write_table(group.drop_columns(["__ivf"]), tmp)
+        os.replace(tmp, out)
+        return pa.table({"cluster": pa.array([cluster], type=pa.int64()),
+                         "rows": pa.array([group.num_rows],
+                                          type=pa.int64())})
+
+    parts = (ds.map_batches(assign_encode, batch_format="pyarrow",
+                            runtime_env=package_runtime_env())
+             .groupby("__ivf")
+             .map_groups(write_list, batch_format="pyarrow",
+                         runtime_env=package_runtime_env())
+             .take_all())
+    np.save(os.path.join(index_dir, "centroids.npy"), centers)
+    np.save(os.path.join(index_dir, "codebooks.npy"), books)
+    meta = {"n_clusters": int(len(centers)), "sub_splits": sub_splits,
+            "rows": int(sum(r["rows"] for r in parts)), "m": m,
+            "n_codes": int(ncb), "vector_column": vector_column,
+            "id_column": id_column, "fingerprint": fp, "kind": "ivfpq"}
+    tmp = meta_path + ".tmp"
+    json.dump(meta, open(tmp, "w"))
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def knn_ivfpq_index(index_dir: str, queries: np.ndarray,
+                    query_ids: Optional[list[int]] = None, k: int = 10,
+                    nprobe: int = 4) -> pa.Table:
+    """Probe an IVF-PQ index: open ONLY the probed clusters' code lists
+    (the raw-IVF subset-probe guarantee holds — same file layout) and
+    score them with inner-product ADC over the stored uint8 codes via
+    :func:`knn_pq`; float vectors are never read because the index does
+    not contain any."""
+    import json
+
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(f"{index_dir} is not an IVF-PQ index")
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    files, probe, q = ivf_probe_files(index_dir, queries, nprobe)
+    qids = list(np.asarray(
+        query_ids if query_ids is not None else range(len(q))))
+    if not files:
+        return _topk_merge([], k)
+    import ray.data
+
+    ds = ray.data.read_parquet(files)
+    return knn_pq(ds, books, _unit(np.asarray(queries, dtype=np.float64)),
+                  query_ids=qids, k=k, code_column="pq_code",
+                  id_column=meta["id_column"], metric="ip")

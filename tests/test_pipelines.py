@@ -2481,3 +2481,46 @@ def test_minhash_index_rebuilds_on_corpus_change(ray_session, tmp_path):
     got = {(r["seen_id"], r["new_id"]) for r in
            minhash_pairs_incremental(new, idx).take_all()}
     assert got == {(11, 500)}
+
+
+def test_ivfpq_recall_and_subset_probe(ray_session, tmp_path):
+    """IVF-PQ: recall@10 vs exact cosine at nprobe=all; at nprobe=1 only
+    the probed cluster's files are opened (corrupt the rest); the index
+    stores codes only (no float vector column)."""
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.pipelines.ann import (build_ivfpq_index,
+                                                 knn_brute,
+                                                 knn_ivfpq_index)
+
+    vals = _pq_corpus(500, 16, seed=31)
+    ds = _vec_ds(vals).repartition(5)
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(ds, idx, n_clusters=6, m=8, n_codes=64,
+                             sample_size=500, sub_splits=2)
+    assert meta["rows"] == 500 and meta["kind"] == "ivfpq"
+    # code lists hold (vec_id, pq_code) only — no float payload
+    import glob as _glob
+    f0 = sorted(_glob.glob(f"{idx}/cluster-*.parquet"))[0]
+    assert set(pq_.read_schema(f0).names) == {"vec_id", "pq_code"}
+    queries = vals[:4] + 0.01
+    exact = knn_brute(ds, queries, k=10, dtype=np.float64)
+    approx = knn_ivfpq_index(idx, queries, k=10, nprobe=6)
+    recall = []
+    for qi in range(4):
+        e = set(exact.filter(pa.compute.equal(
+            exact.column("query_id"), qi)).column("vec_id").to_pylist())
+        a = set(approx.filter(pa.compute.equal(
+            approx.column("query_id"), qi)).column("vec_id").to_pylist())
+        recall.append(len(e & a) / 10.0)
+    assert sum(recall) / len(recall) >= 0.5, recall
+    # subset probe: nprobe=1 must not open unprobed clusters
+    from plugin_serdes_ray.pipelines.ann import ivf_probe_files
+
+    files, probe, _ = ivf_probe_files(idx, queries[:1], nprobe=1)
+    for p in _glob.glob(f"{idx}/cluster-*.parquet"):
+        if p not in files:
+            with open(p, "wb") as f:
+                f.write(b"corrupt")
+    one = knn_ivfpq_index(idx, queries[:1], k=5, nprobe=1)
+    assert one.num_rows == 5
