@@ -2957,6 +2957,65 @@ def _url_host_stats_documents(sf_dir: str):
         "n": pa.array([r[2] for r in rows], type=pa.int64())})
 
 
+def _canonical_urls_documents(sf_dir: str):
+    """URL canonicalization + keep-first URL dedup chain
+    (weburl.canonicalize_urls -> relational.window_functions): messy URL
+    variants (mixed-case host, default :443 port, utm/gclid tracking
+    params in leading/middle/trailing position, #fragments, pathless
+    hosts) are synthesized deterministically from doc_id in PAIRS
+    (doc_id // 2), so both pair members canonicalize equal and the
+    group-min doc_id is the kept page. The oracle recomputes the same
+    synthesis, the same RE2 canonicalization chain
+    (weburl.oracle_canonical_sql — kernel-for-kernel identical patterns)
+    and min() OVER the canonical group."""
+    import pyarrow.compute as pc
+
+    from plugin_serdes_ray.pipelines.relational import window_functions
+    from plugin_serdes_ray.pipelines.weburl import canonicalize_url_dataset
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def messy(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").combine_chunks()
+        base = pc.divide(d, 2)
+
+        def mod(x, k):
+            # doc_id % k via integer divide (pyarrow has no modulo kernel)
+            return pc.subtract(x, pc.multiply(pc.divide(x, k), k))
+
+        def s(x):
+            return x.cast(pa.string())
+
+        j = pc.binary_join_element_wise
+        host = pc.if_else(pc.equal(mod(d, 3), 0),
+                          j("WWW.SITE", s(mod(base, 50)), ".COM", ""),
+                          j("www.site", s(mod(base, 50)), ".com", ""))
+        port = pc.if_else(pc.equal(mod(d, 5), 0), ":443", "")
+        path = pc.if_else(pc.equal(mod(base, 11), 0), "",
+                          j("/p/", s(base), ""))
+        q = pc.if_else(
+            pc.equal(mod(d, 2), 1),
+            j("?utm_source=t", s(d), "&a=", s(mod(base, 7)), ""),
+            j("?a=", s(mod(base, 7)), ""))
+        gcl = pc.if_else(pc.equal(mod(d, 13), 0),
+                         j("&gclid=g", s(d), ""), "")
+        frag = pc.if_else(pc.equal(mod(d, 4), 0),
+                          j("#sec", s(d), ""), "")
+        url = j("https://", host, port, path, q, gcl, frag, "")
+        return pa.table({"doc_id": d, "url": url})
+
+    ds = canonicalize_url_dataset(
+        docs.map_batches(messy, batch_format="pyarrow", runtime_env=_env()))
+    out = window_functions(ds, "url_canonical", "doc_id",
+                           {"canon_id": ("first_value", "doc_id")})
+    rows = sorted((r["doc_id"], r["url_canonical"], r["canon_id"])
+                  for r in out.take_all())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "url_canonical": pa.array([r[1] for r in rows], type=pa.string()),
+        "canon_id": pa.array([r[2] for r in rows], type=pa.int64())})
+
+
 def _global_shuffle_documents(sf_dir: str):
     """Deterministic training-data shuffle (relational.global_shuffle):
     rank == row_number under splitmix64(doc_id ^ 7) order; the oracle
@@ -3899,6 +3958,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_one_iter_embeddings": _kmeans_one_iter_embeddings,
         "heavy_hitter_langs": _heavy_hitter_langs,
         "url_host_stats_documents": _url_host_stats_documents,
+        # URL canonicalization + keep-first URL dedup (family covered in
+        # the 50 block: pii_redact_documents — same map-only RE2-kernel
+        # scrub shape; window machinery by window_orders_per_customer)
+        "canonical_urls_documents": _canonical_urls_documents,
         # median/MAD anomaly chain (families covered in the 50 block:
         # resample_events_15m grid + quantiles_lineitem_all order stats +
         # full_join/multikey join machinery)
@@ -3992,6 +4055,14 @@ def _splitmix_z_sql(seed: int) -> str:
         s3 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s2)"""
 
 
+def _weburl_oracle_sql(expr: str) -> str:
+    """SQL mirror of weburl.canonicalize_urls — built by the library from
+    the very pattern strings the Ray kernels run (one source of truth)."""
+    from plugin_serdes_ray.pipelines.weburl import oracle_canonical_sql
+
+    return oracle_canonical_sql(expr)
+
+
 def oracle_sql() -> dict[str, str]:
     rt = {f"roundtrip_{t}": f"SELECT * FROM {t}"
           for t in ["lineitem", "orders", "documents", "events", "customer"]}
@@ -4078,6 +4149,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
                    count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        # same deterministic messy-URL synthesis, the SAME RE2
+        # canonicalization chain (weburl.oracle_canonical_sql builds it
+        # from the very pattern strings the Ray kernels run), min() over
+        # the canonical group = keep-first URL dedup
+        "canonical_urls_documents": f"""
+            WITH raw AS (SELECT doc_id, doc_id // 2 AS base
+                         FROM documents),
+            u AS (SELECT doc_id,
+              'https://' ||
+              CASE WHEN doc_id % 3 = 0
+                   THEN 'WWW.SITE' || (base % 50) || '.COM'
+                   ELSE 'www.site' || (base % 50) || '.com' END ||
+              CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+              CASE WHEN base % 11 = 0 THEN '' ELSE '/p/' || base END ||
+              CASE WHEN doc_id % 2 = 1
+                   THEN '?utm_source=t' || doc_id || '&a=' || (base % 7)
+                   ELSE '?a=' || (base % 7) END ||
+              CASE WHEN doc_id % 13 = 0
+                   THEN '&gclid=g' || doc_id ELSE '' END ||
+              CASE WHEN doc_id % 4 = 0
+                   THEN '#sec' || doc_id ELSE '' END AS url
+              FROM raw),
+            c AS (SELECT doc_id,
+                         {_weburl_oracle_sql('url')} AS url_canonical
+                  FROM u)
+            SELECT doc_id, url_canonical,
+                   min(doc_id) OVER (PARTITION BY url_canonical)
+                       AS canon_id
+            FROM c
         """,
         # splitmix64 reimplemented in SQL via the shared CTE helper (one
         # source of truth for the constants; samplers/curriculum use it too)
