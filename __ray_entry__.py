@@ -127,6 +127,35 @@ def _roundtrip_lineitem_both(sf_dir: str) -> pa.Table:
     return pa.concat_tables([full, filt])
 
 
+def _compact_evolve_lineitem(sf_dir: str) -> pa.Table:
+    """Container MAINTENANCE chain: encode lineitem into many small parts
+    (2 MiB target), bin-pack compact them (encode.compact_parts — the
+    lakehouse rewrite_data_files analogue, resumable one-task-per-bin),
+    then an EVOLVED predicate decode of the compacted dir: l_linenumber
+    upcast int32->int64, l_quantity renamed qty, a new src_tag column
+    filled from a default — read-time schema evolution over immutable
+    parts (encode.evolve_table)."""
+    from plugin_serdes_ray.encode import (compact_parts, decode_dataset,
+                                          encode_files)
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    out1 = _cache_dir(sf_dir, "ce_src")
+    encode_files([src], out1, resume=True, target_part_bytes=2 << 20)
+    out2 = _cache_dir(sf_dir, "ce_dst")
+    compact_parts(out1, out2, target_part_bytes=1 << 40, resume=True)
+    tgt = pa.schema([("l_orderkey", pa.int64()),
+                     ("l_linenumber", pa.int64()),
+                     ("qty", pa.float64()),
+                     ("src_tag", pa.int64())])
+    rows = decode_dataset(out2, target_schema=tgt,
+                          renames={"l_quantity": "qty"},
+                          defaults={"src_tag": 1},
+                          predicate=("l_quantity", ">=", 25.0)).take_all()
+    if not rows:
+        return tgt.empty_table()
+    return pa.Table.from_pylist(rows).select(tgt.names).cast(tgt)
+
+
 def _serde_write_read(tbl: pa.Table, path: str, fmt: str) -> pa.Table:
     """ONE write+read dispatch shared by _serde_roundtrip (the per-format
     roundtrip queries) and _serde_step (the chain queries) — two copies of
@@ -4017,6 +4046,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal actor-pool stages (REAL stdlib BMP/PPM/WAV kernels)
         "multimodal_image_features": _multimodal_features,
         "multimodal_video_stats": _multimodal_video_stats,
+        # container maintenance: small-part compaction + read-time schema
+        # evolution (rename/upcast/default) with predicate pruning on the
+        # compacted manifest (family covered in the 50 block:
+        # roundtrip_lineitem_both — same encode/decode machinery)
+        "compact_evolve_lineitem": _compact_evolve_lineitem,
     }
     return {**first_50, **legacy}
 
@@ -4072,6 +4106,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'full' AS which, * FROM lineitem
         UNION ALL
         SELECT 'filtered', * FROM lineitem WHERE l_extendedprice >= 80000.0
+    """
+    rt["compact_evolve_lineitem"] = """
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_quantity AS qty, CAST(1 AS BIGINT) AS src_tag
+        FROM lineitem WHERE l_quantity >= 25.0
     """
     serde = {
         "csv_roundtrip_customer": "SELECT * FROM customer",

@@ -354,6 +354,203 @@ def encode_dataset(ds: "Any", out_dir: str, *,
             "ratio": raw / enc if enc else 0.0, "plan": dict(plan.codecs)}
 
 
+def evolve_table(t: pa.Table, target_schema: pa.Schema, *,
+                 defaults: Optional[dict] = None,
+                 renames: Optional[dict] = None,
+                 safe_cast: bool = True) -> pa.Table:
+    """Project a decoded table onto a TARGET schema (schema evolution).
+
+    Lakehouse-style read-time evolution over immutable container parts —
+    old parts never rewrite when the logical schema moves:
+
+    - a target column missing from ``t`` is filled with ``defaults[name]``
+      (vectorized ``fill_null`` over a typed null column) or nulls;
+    - a source column absent from the target is dropped;
+    - type changes cast via Arrow (``safe_cast=True`` raises on lossy
+      casts, e.g. int64 -> int32 overflow, instead of corrupting);
+    - ``renames`` maps ``{source_name: target_name}``.
+
+    The reference's closest feature is the Avro writer's provided-schema
+    projection (avro/IonToAvro.java's schema handling); this generalizes it
+    to every decode path."""
+    import pyarrow.compute as pc
+
+    defaults = defaults or {}
+    renames = renames or {}
+    src_by_target: dict[str, str] = {}
+    for name in t.column_names:
+        tgt = renames.get(name, name)
+        if tgt in src_by_target:
+            raise ValueError(
+                f"evolve_table: both {src_by_target[tgt]!r} and {name!r} "
+                f"map to target column {tgt!r}")
+        src_by_target[tgt] = name
+    n = t.num_rows
+    arrays = []
+    for field in target_schema:
+        src = src_by_target.get(field.name)
+        if src is not None:
+            col = t.column(src)
+            if col.type != field.type:
+                col = pc.cast(col, field.type, safe=safe_cast)
+            arrays.append(col)
+        elif field.name in defaults:
+            arrays.append(pc.fill_null(
+                pa.nulls(n, type=field.type),
+                pa.scalar(defaults[field.name], type=field.type)))
+        else:
+            arrays.append(pa.nulls(n, type=field.type))
+    return pa.table(arrays, schema=target_schema)
+
+
+def plan_compaction_bins(src_dir: str,
+                         target_part_bytes: int = 256 << 20) -> list[dict]:
+    """Deterministic bin-packing of a container dir's part files into
+    CONSECUTIVE groups of >= ``target_part_bytes`` encoded bytes each
+    (pure function of the directory listing + file stamps, so a resumed
+    compaction re-derives identical bins). Consecutive grouping preserves
+    the original partition order — decode order and zone-map locality
+    survive compaction."""
+    files = _part_files(src_dir)
+    if not files:
+        raise ValueError(f"plan_compaction_bins: no .grck parts in {src_dir}")
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for f in files:
+        cur.append(os.path.basename(f))
+        acc += os.path.getsize(f)
+        if acc >= target_part_bytes:
+            bins.append(cur)
+            cur, acc = [], 0
+    if cur:
+        bins.append(cur)
+    out = []
+    for i, names in enumerate(bins):
+        fp = ";".join(_fingerprint(os.path.join(src_dir, n)) for n in names)
+        out.append({"part_id": i, "files": "\n".join(names),
+                    "fingerprint": fp})
+    return out
+
+
+def compact_bin_batch(batch: dict, *, plan: EncodePlan, src_dir: str,
+                      dst_dir: str) -> dict:
+    """Task stage: one compaction bin (N small source parts) -> one
+    target-size container partition. Decode is chunk-streamed per source
+    part; the bin's DECODED bytes (~= target_part_bytes x compression
+    ratio) bound this task's heap, the same bound encode_shard_batch has."""
+    import numpy as np
+
+    results = {"part_id": [], "rows": [], "raw_bytes": [], "enc_bytes": [],
+               "secs": []}
+    for part_id, files_s, fingerprint in zip(
+            batch["part_id"], batch["files"], batch["fingerprint"]):
+        part_id = int(part_id)
+        names = str(files_s).split("\n")
+        t0 = time.perf_counter()
+        tables = [read_partition(os.path.join(src_dir, n)) for n in names]
+        for i, t in enumerate(tables[1:], 1):
+            if not t.schema.equals(tables[0].schema):
+                raise ValueError(
+                    f"compact_parts: mixed schemas inside {src_dir} "
+                    f"({names[0]} vs {names[i]}); evolve the parts to one "
+                    "schema before compacting")
+        table = pa.concat_tables(tables).combine_chunks()
+        del tables
+        out_name = f"part-{part_id:05d}.grck"
+        metrics = write_partition(
+            table, os.path.join(dst_dir, out_name),
+            plan.codecs, plan.context(),
+            extra_meta={"part_id": part_id, "inputs": names,
+                        "compacted_from": src_dir},
+        )
+        secs = time.perf_counter() - t0
+        checkpoint.write_manifest_entry(dst_dir, part_id, {
+            "part_id": part_id,
+            "input": src_dir,
+            "inputs": names,
+            "input_fingerprint": str(fingerprint),
+            "file": out_name,
+            "rows": metrics["rows"],
+            "raw_bytes": metrics["raw_bytes"],
+            "enc_bytes": metrics["enc_bytes"],
+            "codecs": metrics["codecs"],
+            "column_bytes": metrics.get("column_bytes", {}),
+            "stats": metrics.get("stats", {}),
+            "blooms": metrics.get("blooms", {}),
+            "secs": secs,
+        })
+        results["part_id"].append(part_id)
+        results["rows"].append(metrics["rows"])
+        results["raw_bytes"].append(metrics["raw_bytes"])
+        results["enc_bytes"].append(metrics["enc_bytes"])
+        results["secs"].append(secs)
+    return {k: np.asarray(v) for k, v in results.items()}
+
+
+def compact_parts(src_dir: str, dst_dir: str, *,
+                  target_part_bytes: int = 256 << 20,
+                  resume: bool = True,
+                  concurrency: Optional[int] = None,
+                  outer_level: int = 3) -> dict:
+    """Small-file compaction: bin-pack a container dir's parts into
+    ~``target_part_bytes`` encoded parts in ``dst_dir`` (a fresh, fully
+    valid container dir: plan + manifest + zone maps/Blooms recomputed
+    over the merged row ranges, so pruning gets BETTER, not lost).
+
+    Why it exists at 100 TB: a streaming ``encode_dataset`` run or an
+    encode over millions of small inputs leaves a long tail of tiny parts;
+    per-file open/seek overhead then dominates decode, and the manifest
+    grows unbounded. Compaction is the standard lakehouse answer
+    (Iceberg/Delta ``rewrite_data_files``); here it is one Ray task per
+    output bin, each bounded by the bin's decoded size.
+
+    Resumable: bins are a pure function of the source listing, each
+    completed bin publishes an atomic manifest entry keyed by the source
+    parts' fingerprints; a rerun skips finished bins. In-place compaction
+    is refused — the source stays immutable until the caller swaps dirs."""
+    import ray
+    import ray.data
+
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        raise ValueError("compact_parts: in-place compaction is not "
+                         "supported; write to a fresh dst_dir and swap")
+    bins = plan_compaction_bins(src_dir, target_part_bytes)
+    checkpoint.ensure_dirs(dst_dir)
+    plan = checkpoint.read_plan(src_dir)
+    if plan is None:
+        # dir written by encode_dataset (stores no plan): rebuild from a
+        # bounded sample of the first part — codecs may differ from the
+        # original run but decode identity never depends on the plan
+        sample = read_partition(os.path.join(src_dir, bins[0]["files"].split("\n")[0]))
+        plan = build_plan(sample.slice(0, 50_000).combine_chunks(),
+                          outer_level=outer_level)
+    checkpoint.write_plan(dst_dir, plan)
+    checkpoint.prune_stale_parts(dst_dir, bins)
+    fingerprints = {b["part_id"]: b["fingerprint"] for b in bins}
+    done = checkpoint.completed_parts(dst_dir, fingerprints) if resume else set()
+    todo = [b for b in bins if b["part_id"] not in done]
+    if todo:
+        if concurrency is None:
+            concurrency = max(min(len(todo), int(
+                ray.cluster_resources().get("CPU", 8))), 1)
+        ray.data.from_items(todo).map_batches(
+            compact_bin_batch,
+            fn_kwargs={"plan": plan, "src_dir": src_dir, "dst_dir": dst_dir},
+            batch_size=1,
+            concurrency=min(concurrency, len(todo)),
+            num_cpus=1,
+            batch_format="numpy",
+            runtime_env=package_runtime_env(),
+        ).take_all()  # small: one row per bin
+    summary = checkpoint.Manifest(dst_dir).summary()
+    summary["skipped_parts"] = len(bins) - len(todo)
+    summary["source_parts"] = sum(
+        len(b["files"].split("\n")) for b in bins)
+    summary["plan"] = dict(plan.codecs)
+    return summary
+
+
 def _part_files(out_dir: str) -> list[str]:
     return sorted(
         os.path.join(out_dir, f) for f in os.listdir(out_dir)
@@ -414,8 +611,14 @@ def _normalize_predicates(predicate) -> list:
 
 
 def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
-                      predicate=None) -> Iterable[pa.Table]:
+                      predicate=None,
+                      target_schema: Optional[pa.Schema] = None,
+                      defaults: Optional[dict] = None,
+                      renames: Optional[dict] = None,
+                      safe_cast: bool = True) -> Iterable[pa.Table]:
     import pyarrow.compute as pc
+
+    from .container import read_header
 
     preds = _normalize_predicates(predicate)
     # predicate columns must be decoded even when the caller's projection
@@ -427,10 +630,39 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         drop_cols = list(dict.fromkeys(drop_cols))
         if drop_cols:
             read_cols = list(columns) + drop_cols
+    if target_schema is not None:
+        # evolution projection: read only the SOURCE columns the target (via
+        # inverse renames) and the predicates need — per part, intersected
+        # with what that part actually stores (old parts may predate a column)
+        inv = {v: k for k, v in (renames or {}).items()}
+        tgt_sources = [inv.get(f.name, f.name) for f in target_schema]
+        pred_cols = [p[0] for p in preds]
+        read_cols = list(dict.fromkeys(tgt_sources + pred_cols))
     for path in batch["path"].to_pylist():
-        t = read_partition(str(path), read_cols)
+        cols_here = read_cols
+        if target_schema is not None:
+            hdr = read_header(str(path))
+            have = {c["name"] for c in hdr["columns"]}
+            cols_here = [c for c in read_cols if c in have]
+            if not cols_here:
+                # part stores none of the wanted sources: with a predicate
+                # (on a source it lacks -> NULL, never true) it contributes
+                # nothing; otherwise its rows still exist and surface as
+                # defaults/nulls under the target schema
+                if not preds:
+                    t = pa.table({"__void__": pa.nulls(hdr["rows"])})
+                    yield evolve_table(t, target_schema, defaults=defaults,
+                                       renames=renames, safe_cast=safe_cast)
+                continue
+        t = read_partition(str(path), cols_here)
         for col, op, value in preds:
             if not t.num_rows:
+                break
+            if col not in t.column_names:
+                # evolution path: a part written before this column existed
+                # stores no values for it — SQL comparison vs NULL is never
+                # true, so the part contributes no rows
+                t = t.slice(0, 0)
                 break
             c = t.column(col).combine_chunks()
             if op == "in":
@@ -452,14 +684,26 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
             t = t.filter(pc.fill_null(mask, False))
         if drop_cols:
             t = t.drop_columns(drop_cols)
+        if target_schema is not None:
+            t = evolve_table(t, target_schema, defaults=defaults,
+                             renames=renames, safe_cast=safe_cast)
         if t.num_rows or not preds:
             yield t
 
 
 def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
                    concurrency: Optional[int] = None,
-                   predicate: Optional[tuple] = None) -> "Any":
+                   predicate: Optional[tuple] = None,
+                   target_schema: Optional[pa.Schema] = None,
+                   defaults: Optional[dict] = None,
+                   renames: Optional[dict] = None,
+                   safe_cast: bool = True) -> "Any":
     """Container dir -> Ray Dataset (one decode task per partition file).
+
+    ``target_schema`` (with ``defaults`` / ``renames`` / ``safe_cast``)
+    applies read-time schema evolution per part — see :func:`evolve_table`.
+    Predicates name SOURCE (pre-rename) columns; a part that predates a
+    predicate column is pruned entirely (NULL never compares true).
 
     ``predicate`` is one ``(column, op, value)`` tuple or a LIST of them
     (AND-conjunction), op in {==, >, >=, <, <=, in} ('in' takes a value
@@ -497,7 +741,9 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
     ds = ray.data.from_items([{"path": f} for f in files])
     return ds.map_batches(
         decode_part_batch,
-        fn_kwargs={"columns": columns, "predicate": predicate},
+        fn_kwargs={"columns": columns, "predicate": predicate,
+                   "target_schema": target_schema, "defaults": defaults,
+                   "renames": renames, "safe_cast": safe_cast},
         batch_size=1,
         batch_format="pyarrow",
         concurrency=min(concurrency or 8, max(len(files), 1)),
@@ -506,7 +752,15 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
     )
 
 
-def decode_table(out_dir: str, columns: Optional[list[str]] = None) -> pa.Table:
+def decode_table(out_dir: str, columns: Optional[list[str]] = None,
+                 target_schema: Optional[pa.Schema] = None,
+                 defaults: Optional[dict] = None,
+                 renames: Optional[dict] = None,
+                 safe_cast: bool = True) -> pa.Table:
     """Driver-side decode (tests / small results only), partition order."""
     tables = [read_partition(f, columns) for f in _part_files(out_dir)]
+    if target_schema is not None:
+        tables = [evolve_table(t, target_schema, defaults=defaults,
+                               renames=renames, safe_cast=safe_cast)
+                  for t in tables]
     return pa.concat_tables(tables)

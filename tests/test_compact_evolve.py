@@ -1,0 +1,231 @@
+"""Container maintenance ops: small-part compaction (lakehouse
+rewrite_data_files analogue) and read-time schema evolution.
+
+The reference rewrites whole outputs per task run (SURVEY.md §4.1); at
+10^12-document scale parts are immutable and maintenance must be an
+incremental, resumable job over them — these tests pin that contract.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from plugin_serdes_ray.encode import (
+    compact_parts, decode_dataset, decode_table, encode_files, evolve_table,
+    plan_compaction_bins,
+)
+from plugin_serdes_ray.fixtures import generate_webpages
+from plugin_serdes_ray.testing import tables_equal
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wp_ce"))
+    return generate_webpages(out, 1200, 6)
+
+
+@pytest.fixture(scope="module")
+def encoded(ray_session, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc_ce"))
+    summary = encode_files(corpus, out, concurrency=2)
+    assert summary["parts"] == 6
+    return out
+
+
+def _orig(files):
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_bins_deterministic_and_consecutive(encoded):
+    bins = plan_compaction_bins(encoded, target_part_bytes=1)
+    assert bins == plan_compaction_bins(encoded, target_part_bytes=1)
+    # target=1 byte -> every part is its own bin, in listing order
+    assert [b["files"] for b in bins] == sorted(b["files"] for b in bins)
+    assert len(bins) == 6
+    one = plan_compaction_bins(encoded, target_part_bytes=1 << 40)
+    assert len(one) == 1 and len(one[0]["files"].split("\n")) == 6
+
+
+def test_compact_roundtrip_and_summary(ray_session, corpus, encoded,
+                                       tmp_path):
+    dst = str(tmp_path / "compacted")
+    summary = compact_parts(encoded, dst, target_part_bytes=1 << 40,
+                            concurrency=2)
+    assert summary["parts"] == 1
+    assert summary["source_parts"] == 6
+    assert summary["skipped_parts"] == 0
+    # decode identity: same rows, same order (consecutive bins)
+    assert tables_equal(_orig(corpus), decode_table(dst))
+    # the compacted dir is a full container dir: plan + manifest present
+    assert os.path.exists(os.path.join(dst, "_manifest", "plan.json"))
+
+
+def test_compact_partial_bins(ray_session, corpus, encoded, tmp_path):
+    sizes = sorted(os.path.getsize(os.path.join(encoded, f))
+                   for f in os.listdir(encoded) if f.endswith(".grck"))
+    target = sizes[0] + sizes[1]  # ~2-3 source parts per bin
+    dst = str(tmp_path / "compacted2")
+    summary = compact_parts(encoded, dst, target_part_bytes=target,
+                            concurrency=2)
+    assert 1 < summary["parts"] < 6
+    assert tables_equal(_orig(corpus), decode_table(dst))
+
+
+def test_compact_resume_skips_and_heals(ray_session, corpus, encoded,
+                                        tmp_path):
+    dst = str(tmp_path / "compacted3")
+    sizes = sorted(os.path.getsize(os.path.join(encoded, f))
+                   for f in os.listdir(encoded) if f.endswith(".grck"))
+    target = sizes[0] + 1
+    s1 = compact_parts(encoded, dst, target_part_bytes=target, concurrency=2)
+    assert s1["parts"] >= 2
+    s2 = compact_parts(encoded, dst, target_part_bytes=target, concurrency=2)
+    assert s2["skipped_parts"] == s1["parts"]
+    # kill one output part: a rerun redoes ONLY that bin
+    victim = sorted(f for f in os.listdir(dst) if f.endswith(".grck"))[0]
+    os.remove(os.path.join(dst, victim))
+    s3 = compact_parts(encoded, dst, target_part_bytes=target, concurrency=2)
+    assert s3["skipped_parts"] == s1["parts"] - 1
+    assert tables_equal(_orig(corpus), decode_table(dst))
+
+
+def test_compact_refuses_in_place(encoded):
+    with pytest.raises(ValueError, match="in-place"):
+        compact_parts(encoded, encoded + "/../" + os.path.basename(encoded))
+
+
+def test_compact_preserves_pruning(ray_session, corpus, encoded, tmp_path):
+    """Zone maps/Blooms are recomputed over merged ranges: a predicate
+    decode over the compacted dir matches filtering the original."""
+    dst = str(tmp_path / "compacted4")
+    compact_parts(encoded, dst, target_part_bytes=1 << 40, concurrency=2)
+    orig = _orig(corpus)
+    want = orig.filter(pc.equal(orig.column("lang"), "fr"))
+    rows = decode_dataset(dst, predicate=("lang", "==", "fr")).take_all()
+    got = (pa.Table.from_pylist(rows).select(orig.column_names)
+           .cast(orig.schema) if rows else orig.schema.empty_table())
+    assert tables_equal(want.sort_by("url"), got.sort_by("url"))
+
+
+def test_compact_empty_dir_raises(tmp_path):
+    os.makedirs(str(tmp_path / "empty"), exist_ok=True)
+    with pytest.raises(ValueError, match="no .grck"):
+        plan_compaction_bins(str(tmp_path / "empty"))
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+
+def _evolved_schema():
+    return pa.schema([
+        ("page_url", pa.string()),          # renamed from url
+        ("warc_ts", pa.timestamp("us")),    # unchanged
+        ("lang", pa.large_string()),        # widened string type
+        ("crawl_id", pa.int64()),           # new, with default
+        ("quality", pa.float64()),          # new, null-filled
+    ])                                      # html + text dropped
+
+
+def test_evolve_table_unit():
+    t = pa.table({"url": ["a", "b"], "warc_ts": pa.array(
+        [1, 2], pa.timestamp("us")), "lang": ["en", "fr"],
+        "html": [b"x", b"y"], "text": ["t1", "t2"]})
+    out = evolve_table(t, _evolved_schema(), defaults={"crawl_id": 7},
+                       renames={"url": "page_url"})
+    assert out.schema.equals(_evolved_schema())
+    assert out.column("page_url").to_pylist() == ["a", "b"]
+    assert out.column("crawl_id").to_pylist() == [7, 7]
+    assert out.column("quality").to_pylist() == [None, None]
+    assert out.column("lang").type == pa.large_string()
+
+
+def test_evolve_rename_collision_raises():
+    t = pa.table({"a": [1], "b": [2]})
+    with pytest.raises(ValueError, match="map to target"):
+        evolve_table(t, pa.schema([("b", pa.int64())]), renames={"a": "b"})
+
+
+def test_evolve_safe_cast_guards_lossy():
+    t = pa.table({"v": pa.array([300], pa.int64())})
+    tgt = pa.schema([("v", pa.int8())])
+    with pytest.raises(pa.ArrowInvalid):
+        evolve_table(t, tgt)
+    out = evolve_table(t, tgt, safe_cast=False)  # explicit opt-in truncates
+    assert out.column("v").type == pa.int8()
+
+
+def test_evolve_decode_dataset(ray_session, corpus, encoded):
+    tgt = _evolved_schema()
+    rows = decode_dataset(encoded, target_schema=tgt,
+                          defaults={"crawl_id": 7},
+                          renames={"url": "page_url"}).take_all()
+    got = pa.Table.from_pylist(rows).select(tgt.names).cast(tgt)
+    orig = _orig(corpus)
+    assert got.num_rows == orig.num_rows
+    assert (sorted(got.column("page_url").to_pylist())
+            == sorted(orig.column("url").to_pylist()))
+    assert set(got.column("crawl_id").to_pylist()) == {7}
+    assert got.column("quality").null_count == got.num_rows
+
+
+def test_evolve_decode_with_predicate_on_source_name(ray_session, corpus,
+                                                     encoded):
+    """Predicates name SOURCE columns and compose with evolution; manifest
+    pruning still applies underneath."""
+    tgt = _evolved_schema()
+    rows = decode_dataset(encoded, target_schema=tgt,
+                          renames={"url": "page_url"},
+                          predicate=("lang", "==", "fr")).take_all()
+    orig = _orig(corpus)
+    want = orig.filter(pc.equal(orig.column("lang"), "fr"))
+    assert len(rows) == want.num_rows
+    assert set(r["lang"] for r in rows) <= {"fr"}
+
+
+def test_evolve_decode_predicate_on_absent_column(ray_session, encoded):
+    """A predicate on a column no part stores -> NULL never compares true ->
+    zero rows (not a crash)."""
+    tgt = pa.schema([("url", pa.string()), ("quality", pa.float64())])
+    rows = decode_dataset(encoded, target_schema=tgt,
+                          predicate=("quality", ">", 0.5)).take_all()
+    assert rows == []
+
+
+def test_evolve_decode_all_new_columns(ray_session, corpus, encoded):
+    """Target disjoint from stored columns: rows survive as defaults."""
+    tgt = pa.schema([("crawl_id", pa.int64())])
+    rows = decode_dataset(encoded, target_schema=tgt,
+                          defaults={"crawl_id": 3}).take_all()
+    assert len(rows) == _orig(corpus).num_rows
+    assert set(r["crawl_id"] for r in rows) == {3}
+
+
+def test_evolve_decode_table_driver_path(ray_session, corpus, encoded):
+    tgt = _evolved_schema()
+    got = decode_table(encoded, target_schema=tgt, defaults={"crawl_id": 7},
+                       renames={"url": "page_url"})
+    assert got.schema.equals(tgt)
+    assert got.num_rows == _orig(corpus).num_rows
+
+
+def test_compact_then_evolve_chain(ray_session, corpus, encoded, tmp_path):
+    """Maintenance ops compose: compact, then evolved read of the result."""
+    dst = str(tmp_path / "compacted5")
+    compact_parts(encoded, dst, target_part_bytes=1 << 40, concurrency=2)
+    tgt = pa.schema([("page_url", pa.string()), ("lang", pa.string())])
+    rows = decode_dataset(dst, target_schema=tgt,
+                          renames={"url": "page_url"}).take_all()
+    orig = _orig(corpus)
+    assert len(rows) == orig.num_rows
+    assert (sorted(r["page_url"] for r in rows)
+            == sorted(orig.column("url").to_pylist()))
