@@ -56,6 +56,34 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    _ray()
+    from .encode import compact_parts
+
+    summary = compact_parts(args.input, args.output,
+                            target_part_bytes=args.target_mb << 20,
+                            resume=not args.no_resume)
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+def cmd_scrub(args) -> int:
+    _ray()
+    from .encode import verify_container
+
+    rep = verify_container(args.input, deep=args.deep)
+    bad = [r for r in rep["parts"].to_pylist() if not r["ok"]]
+    print(json.dumps({
+        "ok": rep["ok"],
+        "parts": rep["parts"].num_rows,
+        "bad_parts": bad,
+        "manifest_missing": rep["manifest_missing"],
+        "orphans": rep["orphans"],
+        "row_mismatches": rep["row_mismatches"],
+    }, default=str))
+    return 0 if rep["ok"] else 1
+
+
 def cmd_verify(args) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -686,6 +714,21 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("grck_dir")
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("compact",
+                       help="bin-pack small container parts -> fresh dir")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--target-mb", type=int, default=256)
+    p.add_argument("--no-resume", action="store_true")
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("scrub",
+                       help="container fsck: chunk CRCs + manifest audit")
+    p.add_argument("input")
+    p.add_argument("--deep", action="store_true",
+                   help="also decode every chunk and cross-check row counts")
+    p.set_defaults(fn=cmd_scrub)
 
     p = sub.add_parser("convert", help="format conversion by extension")
     p.add_argument("input")

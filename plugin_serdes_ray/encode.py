@@ -551,6 +551,119 @@ def compact_parts(src_dir: str, dst_dir: str, *,
     return summary
 
 
+def scrub_part_batch(batch: pa.Table, *, deep: bool = False) -> pa.Table:
+    """Task stage: integrity-scan one container part.
+
+    Shallow mode reads every chunk payload and checks its CRC32 — pure
+    sequential I/O, no decode cost. Deep mode also decodes every chunk and
+    checks the decoded row count against the header (catches a corrupt
+    symbol table / dictionary whose payload still CRCs clean)."""
+    import base64
+    import zlib
+
+    from .codecs import decode_array
+    from .container import _outer_decompress, read_header
+
+    out = {"file": [], "ok": [], "rows": [], "chunks": [], "error": []}
+    for path in batch["path"].to_pylist():
+        path = str(path)
+        name = os.path.basename(path)
+        rows = chunks = 0
+        err = None
+        try:
+            header = read_header(path)
+            schema = pa.ipc.read_schema(pa.BufferReader(
+                base64.b64decode(header["schema"])))
+            start = header["_data_start"]
+            with open(path, "rb") as f:
+                for col in header["columns"]:
+                    typ = schema.field(col["name"]).type
+                    decoded_rows = 0
+                    for ch in col["chunks"]:
+                        f.seek(start + ch["off"])
+                        payload = f.read(ch["len"])
+                        if len(payload) != ch["len"]:
+                            raise ValueError(
+                                f"{col['name']}: truncated chunk "
+                                f"({len(payload)} < {ch['len']} bytes)")
+                        if (zlib.crc32(payload) & 0xFFFFFFFF) != ch["crc"]:
+                            raise ValueError(
+                                f"{col['name']}: chunk CRC mismatch")
+                        chunks += 1
+                        if deep:
+                            blob = _outer_decompress(payload, ch["outer"])
+                            decoded_rows += len(decode_array(blob, typ))
+                    if deep and decoded_rows != header["rows"]:
+                        raise ValueError(
+                            f"{col['name']}: decoded {decoded_rows} rows, "
+                            f"header says {header['rows']}")
+            rows = header["rows"]
+        except Exception as e:  # report, never crash the scan
+            err = f"{type(e).__name__}: {e}"
+        out["file"].append(name)
+        out["ok"].append(err is None)
+        out["rows"].append(rows)
+        out["chunks"].append(chunks)
+        out["error"].append(err)
+    return pa.table({
+        "file": pa.array(out["file"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "rows": pa.array(out["rows"], pa.int64()),
+        "chunks": pa.array(out["chunks"], pa.int64()),
+        "error": pa.array(out["error"], pa.string()),
+    })
+
+
+def verify_container(out_dir: str, *, deep: bool = False,
+                     concurrency: Optional[int] = None) -> dict:
+    """Distributed container fsck: one Ray task per part checks every chunk
+    CRC (``deep=True`` additionally decodes every chunk and cross-checks
+    row counts), then the manifest is reconciled driver-side — entries
+    whose part file is missing, part files no manifest entry claims
+    (orphans double-count on decode), and row counts that disagree.
+
+    Returns ``{"ok": bool, "parts": report_table, "manifest_missing": [...],
+    "orphans": [...], "row_mismatches": [...]}``. The report is
+    O(parts) rows — safe to materialize. At 100 TB this is the
+    post-ingest audit you run BEFORE deleting the source data."""
+    import ray
+    import ray.data
+
+    files = _part_files(out_dir)
+    if not files:
+        raise ValueError(f"verify_container: no .grck parts in {out_dir}")
+    if concurrency is None:
+        concurrency = max(min(len(files), int(
+            ray.cluster_resources().get("CPU", 8))), 1)
+    report_rows = ray.data.from_items(
+        [{"path": f} for f in files]).map_batches(
+        scrub_part_batch,
+        fn_kwargs={"deep": deep},
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=min(concurrency, len(files)),
+        num_cpus=1,
+        runtime_env=package_runtime_env(),
+    ).take_all()  # O(parts): one row per part
+    report = pa.Table.from_pylist(report_rows)
+    by_file = {r["file"]: r for r in report_rows}
+    entries = checkpoint.read_manifest_entries(out_dir)
+    manifest_missing = [e["file"] for e in entries.values()
+                        if e["file"] not in by_file]
+    manifested = {e["file"] for e in entries.values()}
+    orphans = [f for f in by_file if f not in manifested]
+    row_mismatches = [
+        e["file"] for e in entries.values()
+        if e["file"] in by_file and by_file[e["file"]]["ok"]
+        and by_file[e["file"]]["rows"] != e.get("rows")]
+    ok = (all(r["ok"] for r in report_rows)
+          and not manifest_missing and not row_mismatches)
+    return {"ok": ok, "parts": report,
+            "manifest_missing": manifest_missing,
+            "orphans": orphans,
+            "row_mismatches": row_mismatches}
+
+
 def _part_files(out_dir: str) -> list[str]:
     return sorted(
         os.path.join(out_dir, f) for f in os.listdir(out_dir)

@@ -456,3 +456,37 @@ def test_cli_shards(ray_session, tmp_path, capsys, sf_dir):
     assert stats["written"] >= 1 and stats["rows"] > 0
     files = glob.glob(f"{out}/shard_id=*/part-0.parquet")
     assert len(files) == stats["written"]
+
+
+def test_cli_compact_and_scrub(ray_session, tmp_path, capsys, sf_dir):
+    from plugin_serdes_ray.__main__ import main
+
+    src = f"{sf_dir}/region.parquet"
+    enc = str(tmp_path / "enc")
+    rc = main(["encode", src, enc])
+    assert rc == 0
+    capsys.readouterr()
+
+    dst = str(tmp_path / "compacted")
+    rc = main(["compact", enc, dst, "--target-mb", "256"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["parts"] == 1 and info["source_parts"] == 1
+
+    rc = main(["scrub", dst, "--deep"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and rep["bad_parts"] == []
+
+    # corrupt -> nonzero exit and the part named
+    import os
+    victim = next(f for f in sorted(os.listdir(dst)) if f.endswith(".grck"))
+    p = os.path.join(dst, victim)
+    with open(p, "r+b") as f:
+        f.seek(os.path.getsize(p) - 4)
+        f.write(b"\x00\x00\x00\x00")
+    rc = main(["scrub", dst])
+    assert rc == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rep["ok"]
+    assert [b["file"] for b in rep["bad_parts"]] == [victim]

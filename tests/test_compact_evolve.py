@@ -229,3 +229,75 @@ def test_compact_then_evolve_chain(ray_session, corpus, encoded, tmp_path):
     assert len(rows) == orig.num_rows
     assert (sorted(r["page_url"] for r in rows)
             == sorted(orig.column("url").to_pylist()))
+
+
+# ---------------------------------------------------------------------------
+# container scrub (fsck)
+# ---------------------------------------------------------------------------
+
+
+def _fresh_encode(corpus, tmp_path, name):
+    out = str(tmp_path / name)
+    encode_files(corpus, out, concurrency=2)
+    return out
+
+
+def test_scrub_clean_dir(ray_session, corpus, tmp_path):
+    from plugin_serdes_ray.encode import verify_container
+
+    out = _fresh_encode(corpus, tmp_path, "scrub_clean")
+    rep = verify_container(out, deep=True)
+    assert rep["ok"]
+    assert rep["parts"].num_rows == 6
+    assert rep["manifest_missing"] == [] and rep["orphans"] == []
+    assert rep["row_mismatches"] == []
+    assert set(rep["parts"].column("ok").to_pylist()) == {True}
+
+
+def test_scrub_detects_bitflip(ray_session, corpus, tmp_path):
+    from plugin_serdes_ray.encode import verify_container
+
+    out = _fresh_encode(corpus, tmp_path, "scrub_flip")
+    victim = sorted(f for f in os.listdir(out) if f.endswith(".grck"))[2]
+    p = os.path.join(out, victim)
+    size = os.path.getsize(p)
+    with open(p, "r+b") as f:   # flip one byte in the payload tail
+        f.seek(size - 10)
+        b = f.read(1)
+        f.seek(size - 10)
+        f.write(bytes([b[0] ^ 0xFF]))
+    rep = verify_container(out)
+    assert not rep["ok"]
+    bad = {r["file"]: r["error"] for r in rep["parts"].to_pylist()
+           if not r["ok"]}
+    assert list(bad) == [victim]
+    assert "CRC" in bad[victim] or "truncated" in bad[victim]
+
+
+def test_scrub_detects_missing_and_orphan(ray_session, corpus, tmp_path):
+    from plugin_serdes_ray.encode import verify_container
+
+    out = _fresh_encode(corpus, tmp_path, "scrub_files")
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".grck"))
+    os.remove(os.path.join(out, parts[0]))                 # manifest_missing
+    import shutil
+    shutil.copy(os.path.join(out, parts[1]),
+                os.path.join(out, "block-deadbeef-00000.grck"))  # orphan
+    rep = verify_container(out)
+    assert not rep["ok"]
+    assert rep["manifest_missing"] == [parts[0]]
+    assert rep["orphans"] == ["block-deadbeef-00000.grck"]
+
+
+def test_scrub_detects_truncation(ray_session, corpus, tmp_path):
+    from plugin_serdes_ray.encode import verify_container
+
+    out = _fresh_encode(corpus, tmp_path, "scrub_trunc")
+    victim = sorted(f for f in os.listdir(out) if f.endswith(".grck"))[1]
+    p = os.path.join(out, victim)
+    with open(p, "r+b") as f:
+        f.truncate(os.path.getsize(p) - 64)
+    rep = verify_container(out)
+    assert not rep["ok"]
+    bad = [r for r in rep["parts"].to_pylist() if not r["ok"]]
+    assert [r["file"] for r in bad] == [victim]

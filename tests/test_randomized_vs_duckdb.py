@@ -855,3 +855,57 @@ def test_random_grouped_linreg_vs_duckdb(ray_session):
                 else:
                     assert g[nm] == pytest.approx(w, rel=1e-9,
                                                   abs=1e-12), (seed, kk)
+
+
+def test_random_evolved_decode_vs_duckdb(ray_session, tmp_path):
+    """Schema-evolution decode (random rename/upcast/default/drop subset,
+    optional predicate) == DuckDB SELECT with the same projection over the
+    same parquet, across random multi-file layouts — including dirs whose
+    parts were compacted first."""
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.encode import (compact_parts, decode_dataset,
+                                          encode_files)
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng([53, seed])
+        paths = []
+        for i in range(3):
+            nrows = int(rng.integers(20, 100))
+            t = pa.table({
+                "a": pa.array(rng.integers(0, 100, nrows).astype(np.int32),
+                              type=pa.int32()),
+                "b": pa.array(rng.normal(size=nrows)),
+                "tag": pa.array([f"t{v}" for v in
+                                 rng.integers(0, 4, nrows)])})
+            p = str(tmp_path / f"ev{seed}f{i}.parquet")
+            pq_.write_table(t, p)
+            paths.append(p)
+        src = str(tmp_path / f"ev_enc{seed}")
+        encode_files(paths, src, concurrency=2)
+        if seed % 2:  # alternate: evolve a compacted dir
+            dst = str(tmp_path / f"ev_cmp{seed}")
+            compact_parts(src, dst, target_part_bytes=1 << 40)
+            src = dst
+        con.execute(f"CREATE OR REPLACE VIEW ev_t AS "
+                    f"SELECT * FROM read_parquet({paths!r})")
+        tgt = pa.schema([
+            ("a_big", pa.int64()),        # rename + upcast int32 -> int64
+            ("tag", pa.string()),
+            ("extra", pa.int64()),        # new, default 9
+        ])                                # b dropped
+        for pred, cond in [
+                (None, "TRUE"),
+                (("a", ">=", 50), "a >= 50"),
+                (("tag", "==", "t2"), "tag = 't2'")]:
+            got = decode_dataset(src, target_schema=tgt,
+                                 renames={"a": "a_big"},
+                                 defaults={"extra": 9},
+                                 predicate=pred).take_all()
+            want = con.execute(
+                "SELECT CAST(a AS BIGINT) AS a_big, tag, "
+                "CAST(9 AS BIGINT) AS extra FROM ev_t WHERE "
+                + cond).arrow().to_pylist()
+            assert _sorted_rows(got, ["a_big", "tag", "extra"]) == \
+                _sorted_rows(want, ["a_big", "tag", "extra"]), (seed, pred)
