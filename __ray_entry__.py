@@ -156,6 +156,34 @@ def _compact_evolve_lineitem(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows).select(tgt.names).cast(tgt)
 
 
+def _dict_decode_lang_counts(sf_dir: str) -> pa.Table:
+    """Late-materialization decode: the lang column comes out of the
+    container as dictionary<int32,string> (stored uniques + indices pass
+    through, no take() expansion — encode.decode_dataset
+    dictionary_columns=), then a combiner-shrunk distributed count: each
+    block group_bys its int32 codes, the driver merges O(parts x card)
+    partials."""
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = _cache_dir(sf_dir, "dictdec_documents")
+    encode_files([src], out, resume=True)
+    ds = decode_dataset(out, columns=["lang"], dictionary_columns=["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        assert pa.types.is_dictionary(t.schema.field("lang").type)
+        g = t.group_by("lang").aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang").cast(pa.string()),
+                         "n": g.column("count_all")})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          runtime_env=_env()).take_all()
+    agg = (pa.Table.from_pylist(rows).group_by("lang")
+           .aggregate([("n", "sum")]))
+    return pa.table({"lang": agg.column("lang"),
+                     "n": agg.column("n_sum").cast(pa.int64())})
+
+
 def _serde_write_read(tbl: pa.Table, path: str, fmt: str) -> pa.Table:
     """ONE write+read dispatch shared by _serde_roundtrip (the per-format
     roundtrip queries) and _serde_step (the chain queries) — two copies of
@@ -4051,6 +4079,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compacted manifest (family covered in the 50 block:
         # roundtrip_lineitem_both — same encode/decode machinery)
         "compact_evolve_lineitem": _compact_evolve_lineitem,
+        # late-materialization dictionary decode (family covered in the 50
+        # block: lang_counts — same aggregate, different decode machinery)
+        "dict_decode_lang_counts": _dict_decode_lang_counts,
     }
     return {**first_50, **legacy}
 
@@ -4107,6 +4138,8 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'filtered', * FROM lineitem WHERE l_extendedprice >= 80000.0
     """
+    rt["dict_decode_lang_counts"] = \
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
     rt["compact_evolve_lineitem"] = """
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                l_quantity AS qty, CAST(1 AS BIGINT) AS src_tag

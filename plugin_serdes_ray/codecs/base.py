@@ -262,3 +262,21 @@ def decode_array(chunk: bytes, typ: pa.DataType) -> pa.Array:
     """Decode self-describing chunk bytes back to an array of ``typ``."""
     name, meta, payload = unpack_chunk(chunk)
     return get_codec(name).decode(payload, meta, typ)
+
+
+def decode_array_dictionary(chunk: bytes, typ: pa.DataType) -> pa.Array:
+    """Decode chunk bytes to ``dictionary<int32, typ>`` WITHOUT materializing
+    the flat column (late materialization).
+
+    For dict-family chunks this skips the ``values.take(indices)`` expansion
+    entirely — the stored uniques + indices become the DictionaryArray
+    as-is, so a 100 TB `lang`-style column decodes to O(card) value bytes
+    per chunk and downstream groupby/filter run on int32 codes. Chunks a
+    per-chunk guard fell back to another codec decode flat and re-encode
+    (correctness over speed for that chunk only)."""
+    name, meta, payload = unpack_chunk(chunk)
+    codec = get_codec(name)
+    decode_dict = getattr(codec, "decode_dictionary", None)
+    if decode_dict is not None:
+        return decode_dict(payload, meta, typ)
+    return codec.decode(payload, meta, typ).dictionary_encode()

@@ -48,6 +48,16 @@ class DictCodec(Codec):
             return pa.array([], type=typ)
         return values.take(indices)
 
+    def decode_dictionary(self, payload: bytes, meta: dict,
+                          typ: pa.DataType) -> pa.Array:
+        """Late-materialization decode: stored uniques + indices ARE the
+        DictionaryArray — no take() expansion (see
+        base.decode_array_dictionary)."""
+        values_chunk, idx_chunk = unpack_sections(payload)
+        values = decode_array(values_chunk, typ)
+        indices = decode_array(idx_chunk, pa.int32())
+        return pa.DictionaryArray.from_arrays(indices, values)
+
 
 register(DictCodec("dict", "for", False))
 register(DictCodec("dict_rle", "rle", False))

@@ -394,19 +394,33 @@ def read_header(path: str) -> dict:
     return header
 
 
-def read_partition(path: str, columns: Optional[list[str]] = None) -> pa.Table:
-    """Decode a container file back to a Table (column-prunable)."""
+def read_partition(path: str, columns: Optional[list[str]] = None,
+                   dictionary_columns: Optional[list[str]] = None) -> pa.Table:
+    """Decode a container file back to a Table (column-prunable).
+
+    Columns named in ``dictionary_columns`` decode to
+    ``dictionary<int32, value_type>`` WITHOUT materializing the flat
+    column (late materialization): dict-family chunks hand their stored
+    uniques + indices over as-is; other chunks decode flat and re-encode.
+    Per-chunk dictionaries stay independent (Arrow ChunkedArray allows
+    it) — no cross-chunk unification pass."""
+    from .codecs import decode_array_dictionary
+
     header = read_header(path)
     schema = pa.ipc.read_schema(pa.BufferReader(
         base64.b64decode(header["schema"])))
     start = header["_data_start"]
     wanted = columns if columns is not None else [c["name"] for c in header["columns"]]
+    as_dict = set(dictionary_columns or ())
     out_cols: dict[str, pa.ChunkedArray] = {}
     with open(path, "rb") as f:
         for col in header["columns"]:
             if col["name"] not in wanted:
                 continue
             typ = schema.field(col["name"]).type
+            dict_out = col["name"] in as_dict
+            out_typ = pa.dictionary(pa.int32(), typ) if dict_out else typ
+            dec = decode_array_dictionary if dict_out else decode_array
             pieces = []
             for ch in col["chunks"]:
                 f.seek(start + ch["off"])
@@ -415,14 +429,24 @@ def read_partition(path: str, columns: Optional[list[str]] = None) -> pa.Table:
                     raise ChunkCorruption(
                         f"{path}:{col['name']} chunk crc mismatch")
                 blob = _outer_decompress(payload, ch["outer"])
-                pieces.append(decode_array(blob, typ))
+                pieces.append(dec(blob, typ))
             if pieces:
-                out_cols[col["name"]] = pa.chunked_array(pieces, type=typ)
+                out_cols[col["name"]] = pa.chunked_array(pieces, type=out_typ)
             else:
-                out_cols[col["name"]] = pa.chunked_array([pa.array([], type=typ)])
-    fields = [schema.field(n) for n in wanted]
-    return pa.table({n: out_cols[n] for n in wanted},
-                    schema=pa.schema(fields))
+                out_cols[col["name"]] = pa.chunked_array(
+                    [pa.array([], type=out_typ)])
+    fields = [schema.field(n) if n not in as_dict
+              else pa.field(n, pa.dictionary(pa.int32(),
+                                             schema.field(n).type))
+              for n in wanted]
+    out = pa.table({n: out_cols[n] for n in wanted},
+                   schema=pa.schema(fields))
+    if as_dict:
+        # per-chunk dictionaries -> one dictionary per column: Arrow's
+        # group_by/concat kernels refuse differing chunk dictionaries;
+        # unification cost is O(part cardinality), not O(rows)
+        out = out.unify_dictionaries()
+    return out
 
 
 def partition_codec_report(path: str) -> dict[str, list[str]]:

@@ -728,7 +728,9 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                       target_schema: Optional[pa.Schema] = None,
                       defaults: Optional[dict] = None,
                       renames: Optional[dict] = None,
-                      safe_cast: bool = True) -> Iterable[pa.Table]:
+                      safe_cast: bool = True,
+                      dictionary_columns: Optional[list[str]] = None,
+                      ) -> Iterable[pa.Table]:
     import pyarrow.compute as pc
 
     from .container import read_header
@@ -767,7 +769,8 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                     yield evolve_table(t, target_schema, defaults=defaults,
                                        renames=renames, safe_cast=safe_cast)
                 continue
-        t = read_partition(str(path), cols_here)
+        t = read_partition(str(path), cols_here,
+                           dictionary_columns=dictionary_columns)
         for col, op, value in preds:
             if not t.num_rows:
                 break
@@ -778,6 +781,10 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                 t = t.slice(0, 0)
                 break
             c = t.column(col).combine_chunks()
+            if pa.types.is_dictionary(c.type):
+                # comparison kernels want the flat domain; the filter mask is
+                # computed on decoded values, the kept column stays dict
+                c = c.cast(c.type.value_type)
             if op == "in":
                 try:
                     vs = pa.array(list(value), type=c.type)
@@ -810,8 +817,14 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
                    target_schema: Optional[pa.Schema] = None,
                    defaults: Optional[dict] = None,
                    renames: Optional[dict] = None,
-                   safe_cast: bool = True) -> "Any":
+                   safe_cast: bool = True,
+                   dictionary_columns: Optional[list[str]] = None) -> "Any":
     """Container dir -> Ray Dataset (one decode task per partition file).
+
+    ``dictionary_columns`` decode late-materialized as
+    ``dictionary<int32, value_type>`` (stored uniques + indices pass
+    through; no take() expansion) — the right read for low-cardinality
+    columns feeding a downstream groupby/filter at 100 TB.
 
     ``target_schema`` (with ``defaults`` / ``renames`` / ``safe_cast``)
     applies read-time schema evolution per part — see :func:`evolve_table`.
@@ -856,7 +869,8 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
         decode_part_batch,
         fn_kwargs={"columns": columns, "predicate": predicate,
                    "target_schema": target_schema, "defaults": defaults,
-                   "renames": renames, "safe_cast": safe_cast},
+                   "renames": renames, "safe_cast": safe_cast,
+                   "dictionary_columns": dictionary_columns},
         batch_size=1,
         batch_format="pyarrow",
         concurrency=min(concurrency or 8, max(len(files), 1)),
@@ -869,11 +883,18 @@ def decode_table(out_dir: str, columns: Optional[list[str]] = None,
                  target_schema: Optional[pa.Schema] = None,
                  defaults: Optional[dict] = None,
                  renames: Optional[dict] = None,
-                 safe_cast: bool = True) -> pa.Table:
+                 safe_cast: bool = True,
+                 dictionary_columns: Optional[list[str]] = None) -> pa.Table:
     """Driver-side decode (tests / small results only), partition order."""
-    tables = [read_partition(f, columns) for f in _part_files(out_dir)]
+    tables = [read_partition(f, columns,
+                             dictionary_columns=dictionary_columns)
+              for f in _part_files(out_dir)]
     if target_schema is not None:
         tables = [evolve_table(t, target_schema, defaults=defaults,
                                renames=renames, safe_cast=safe_cast)
                   for t in tables]
-    return pa.concat_tables(tables)
+    out = pa.concat_tables(tables)
+    if dictionary_columns:
+        # each part unified internally; cross-part dictionaries still differ
+        out = out.unify_dictionaries()
+    return out

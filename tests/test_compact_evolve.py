@@ -301,3 +301,59 @@ def test_scrub_detects_truncation(ray_session, corpus, tmp_path):
     assert not rep["ok"]
     bad = [r for r in rep["parts"].to_pylist() if not r["ok"]]
     assert [r["file"] for r in bad] == [victim]
+
+
+# ---------------------------------------------------------------------------
+# late-materialization dictionary decode
+# ---------------------------------------------------------------------------
+
+
+def test_decode_array_dictionary_unit():
+    from plugin_serdes_ray.codecs import (decode_array_dictionary,
+                                          encode_array)
+
+    arr = pa.array(["en", "fr", None, "en", "de", "en"])
+    for codec in ("dict", "dict_rle", "dict_fsst", "plain"):
+        chunk = encode_array(arr, codec)
+        out = decode_array_dictionary(chunk, pa.string())
+        assert pa.types.is_dictionary(out.type), codec
+        assert out.cast(pa.string()).to_pylist() == arr.to_pylist(), codec
+
+
+def test_read_partition_dictionary_columns(ray_session, corpus, encoded):
+    from plugin_serdes_ray.container import read_partition
+
+    part = sorted(f for f in os.listdir(encoded) if f.endswith(".grck"))[0]
+    t = read_partition(os.path.join(encoded, part),
+                       columns=["url", "lang"],
+                       dictionary_columns=["lang"])
+    assert pa.types.is_dictionary(t.schema.field("lang").type)
+    assert t.schema.field("url").type == pa.string()
+    flat = read_partition(os.path.join(encoded, part), columns=["lang"])
+    assert (t.column("lang").cast(pa.string()).combine_chunks()
+            .equals(flat.column("lang").combine_chunks()))
+
+
+def test_decode_dataset_dictionary_with_predicate(ray_session, corpus,
+                                                  encoded):
+    import collections
+
+    orig = _orig(corpus)
+    want = collections.Counter(
+        orig.filter(pc.equal(orig.column("lang"), "en"))
+        .column("lang").to_pylist())
+    rows = decode_dataset(encoded, columns=["url", "lang"],
+                          dictionary_columns=["lang"],
+                          predicate=("lang", "==", "en")).take_all()
+    got = collections.Counter(r["lang"] for r in rows)
+    assert got == want
+
+
+def test_decode_table_dictionary_groupby(ray_session, corpus, encoded):
+    import collections
+
+    t = decode_table(encoded, columns=["lang"], dictionary_columns=["lang"])
+    assert pa.types.is_dictionary(t.schema.field("lang").type)
+    g = t.group_by("lang").aggregate([([], "count_all")]).to_pylist()
+    want = collections.Counter(_orig(corpus).column("lang").to_pylist())
+    assert {r["lang"]: r["count_all"] for r in g} == dict(want)
