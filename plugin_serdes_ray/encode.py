@@ -656,8 +656,12 @@ def verify_container(out_dir: str, *, deep: bool = False,
         e["file"] for e in entries.values()
         if e["file"] in by_file and by_file[e["file"]]["ok"]
         and by_file[e["file"]]["rows"] != e.get("rows")]
+    # orphans fail the audit only when a manifest exists: in an encode_files
+    # dir an unmanifested part double-counts on decode; a plan-less
+    # encode_dataset dir has NO manifest, so every part is a benign "orphan"
     ok = (all(r["ok"] for r in report_rows)
-          and not manifest_missing and not row_mismatches)
+          and not manifest_missing and not row_mismatches
+          and not (orphans and entries))
     return {"ok": ok, "parts": report,
             "manifest_missing": manifest_missing,
             "orphans": orphans,
@@ -746,6 +750,11 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         if drop_cols:
             read_cols = list(columns) + drop_cols
     if target_schema is not None:
+        if columns is not None:
+            raise ValueError(
+                "decode: pass either columns= (projection) or "
+                "target_schema= (evolution defines its own projection), "
+                "not both")
         # evolution projection: read only the SOURCE columns the target (via
         # inverse renames) and the predicates need — per part, intersected
         # with what that part actually stores (old parts may predate a column)
@@ -845,6 +854,10 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
 
     from .container import bloom_may_contain
 
+    if target_schema is not None and columns is not None:
+        # fail at the call site, not inside a worker traceback
+        raise ValueError("decode_dataset: pass either columns= or "
+                         "target_schema=, not both")
     preds = _normalize_predicates(predicate)
     files = _part_files(out_dir)
     if preds:
@@ -886,6 +899,9 @@ def decode_table(out_dir: str, columns: Optional[list[str]] = None,
                  safe_cast: bool = True,
                  dictionary_columns: Optional[list[str]] = None) -> pa.Table:
     """Driver-side decode (tests / small results only), partition order."""
+    if target_schema is not None and columns is not None:
+        raise ValueError("decode_table: pass either columns= or "
+                         "target_schema=, not both")
     tables = [read_partition(f, columns,
                              dictionary_columns=dictionary_columns)
               for f in _part_files(out_dir)]

@@ -357,3 +357,30 @@ def test_decode_table_dictionary_groupby(ray_session, corpus, encoded):
     g = t.group_by("lang").aggregate([([], "count_all")]).to_pylist()
     want = collections.Counter(_orig(corpus).column("lang").to_pylist())
     assert {r["lang"]: r["count_all"] for r in g} == dict(want)
+
+
+def test_evolve_rejects_columns_and_target(ray_session, encoded):
+    with pytest.raises(ValueError, match="not both"):
+        decode_table(encoded, columns=["url"],
+                     target_schema=pa.schema([("url", pa.string())]))
+    with pytest.raises(ValueError, match="not both"):
+        decode_dataset(encoded, columns=["url"],
+                       target_schema=pa.schema([("url", pa.string())])
+                       ).take_all()
+
+
+def test_scrub_orphans_benign_without_manifest(ray_session, corpus,
+                                               tmp_path):
+    """encode_dataset dirs have no manifest: every part is an 'orphan' but
+    the audit must still pass on undamaged data."""
+    import ray.data
+
+    from plugin_serdes_ray.encode import encode_dataset, verify_container
+
+    out = str(tmp_path / "scrub_blocks")
+    ds = ray.data.read_parquet(corpus)
+    encode_dataset(ds, out, concurrency=2)
+    rep = verify_container(out, deep=True)
+    assert rep["ok"]
+    assert rep["orphans"]          # reported for visibility
+    assert rep["manifest_missing"] == []
