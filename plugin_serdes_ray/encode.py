@@ -434,12 +434,20 @@ def plan_compaction_bins(src_dir: str,
 
 
 def compact_bin_batch(batch: dict, *, plan: EncodePlan, src_dir: str,
-                      dst_dir: str) -> dict:
+                      dst_dir: str,
+                      src_raw_bytes: Optional[dict] = None) -> dict:
     """Task stage: one compaction bin (N small source parts) -> one
     target-size container partition. Decode is chunk-streamed per source
     part; the bin's DECODED bytes (~= target_part_bytes x compression
-    ratio) bound this task's heap, the same bound encode_shard_batch has."""
+    ratio) bound this task's heap, the same bound encode_shard_batch has.
+
+    A SINGLETON bin (one source part already at/over target) is
+    byte-copied, never decoded or re-encoded — in a long-tail compaction
+    of a 100 TB container most bytes live in already-full parts and must
+    not be rewritten; only the small-part tail pays CPU."""
     import numpy as np
+
+    from .container import read_header
 
     results = {"part_id": [], "rows": [], "raw_bytes": [], "enc_bytes": [],
                "secs": []}
@@ -448,6 +456,44 @@ def compact_bin_batch(batch: dict, *, plan: EncodePlan, src_dir: str,
         part_id = int(part_id)
         names = str(files_s).split("\n")
         t0 = time.perf_counter()
+        if len(names) == 1:
+            import shutil
+
+            src_path = os.path.join(src_dir, names[0])
+            out_name = f"part-{part_id:05d}.grck"
+            dst_path = os.path.join(dst_dir, out_name)
+            tmp = dst_path + ".tmp"
+            shutil.copyfile(src_path, tmp)
+            os.replace(tmp, dst_path)  # atomic publish, like write_partition
+            header = read_header(dst_path)
+            from .container import partition_codec_report
+
+            report = partition_codec_report(dst_path)
+            raw = (src_raw_bytes or {}).get(names[0], 0)
+            enc = os.path.getsize(dst_path)
+            secs = time.perf_counter() - t0
+            checkpoint.write_manifest_entry(dst_dir, part_id, {
+                "part_id": part_id,
+                "input": src_dir,
+                "inputs": names,
+                "input_fingerprint": str(fingerprint),
+                "file": out_name,
+                "rows": header["rows"],
+                "raw_bytes": raw,
+                "enc_bytes": enc,
+                "codecs": {c: (u[0] if u else "plain")
+                           for c, u in report.items()},
+                "stats": header.get("stats", {}),
+                "blooms": header.get("blooms", {}),
+                "copied": True,
+                "secs": secs,
+            })
+            results["part_id"].append(part_id)
+            results["rows"].append(header["rows"])
+            results["raw_bytes"].append(raw)
+            results["enc_bytes"].append(enc)
+            results["secs"].append(secs)
+            continue
         tables = [read_partition(os.path.join(src_dir, n)) for n in names]
         for i, t in enumerate(tables[1:], 1):
             if not t.schema.equals(tables[0].schema):
@@ -508,7 +554,10 @@ def compact_parts(src_dir: str, dst_dir: str, *,
     Resumable: bins are a pure function of the source listing, each
     completed bin publishes an atomic manifest entry keyed by the source
     parts' fingerprints; a rerun skips finished bins. In-place compaction
-    is refused — the source stays immutable until the caller swaps dirs."""
+    is refused — the source stays immutable until the caller swaps dirs.
+    Singleton bins (a part already at/over target) are byte-copied, never
+    re-encoded (manifest entry marked ``copied``) — compaction CPU scales
+    with the small-part tail, not the container size."""
     import ray
     import ray.data
 
@@ -534,9 +583,14 @@ def compact_parts(src_dir: str, dst_dir: str, *,
         if concurrency is None:
             concurrency = max(min(len(todo), int(
                 ray.cluster_resources().get("CPU", 8))), 1)
+        # raw_bytes for byte-copied singleton bins comes from the SOURCE
+        # manifest (the copy never decodes, so it can't measure it)
+        src_raw = {e["file"]: e.get("raw_bytes", 0)
+                   for e in checkpoint.read_manifest_entries(src_dir).values()}
         ray.data.from_items(todo).map_batches(
             compact_bin_batch,
-            fn_kwargs={"plan": plan, "src_dir": src_dir, "dst_dir": dst_dir},
+            fn_kwargs={"plan": plan, "src_dir": src_dir, "dst_dir": dst_dir,
+                       "src_raw_bytes": src_raw},
             batch_size=1,
             concurrency=min(concurrency, len(todo)),
             num_cpus=1,

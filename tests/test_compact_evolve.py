@@ -384,3 +384,26 @@ def test_scrub_orphans_benign_without_manifest(ray_session, corpus,
     assert rep["ok"]
     assert rep["orphans"]          # reported for visibility
     assert rep["manifest_missing"] == []
+
+
+def test_compact_singleton_bins_byte_copy(ray_session, corpus, encoded,
+                                          tmp_path):
+    """A part already at/over target is byte-copied, not re-encoded —
+    compaction CPU must scale with the small-part tail only."""
+    import hashlib
+
+    from plugin_serdes_ray.state import checkpoint as ckpt
+
+    dst = str(tmp_path / "compacted_copy")
+    summary = compact_parts(encoded, dst, target_part_bytes=1, concurrency=2)
+    assert summary["parts"] == 6
+    src_parts = sorted(f for f in os.listdir(encoded) if f.endswith(".grck"))
+    dst_parts = sorted(f for f in os.listdir(dst) if f.endswith(".grck"))
+    for s, d in zip(src_parts, dst_parts):
+        h = lambda p: hashlib.sha1(open(p, "rb").read()).hexdigest()
+        assert h(os.path.join(encoded, s)) == h(os.path.join(dst, d)), (s, d)
+    entries = ckpt.read_manifest_entries(dst)
+    assert all(e.get("copied") for e in entries.values())
+    # raw_bytes carried over from the source manifest, not zeroed
+    assert sum(e["raw_bytes"] for e in entries.values()) > 0
+    assert tables_equal(_orig(corpus), decode_table(dst))
