@@ -874,7 +874,73 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
             yield t
 
 
-def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
+def _pruned_files(out_dir, preds: list) -> list[str]:
+    """Part files of one dir or a LIST of dirs, manifest-pruned per dir:
+    every predicate conjunct drops partitions whose zone maps (min/max) or
+    distinct-value Bloom filters provably exclude it — before any file
+    opens. Multi-dir inputs make an accumulated corpus (several encode
+    epochs, possibly with different schemas) readable as ONE dataset; pair
+    with ``target_schema=`` to project the union onto a common schema."""
+    from .container import bloom_may_contain
+
+    dirs = [out_dir] if isinstance(out_dir, (str, os.PathLike)) else \
+        list(out_dir)
+    out: list[str] = []
+    for d in dirs:
+        files = _part_files(str(d))
+        if preds:
+            entries = checkpoint.read_manifest_entries(str(d))
+            by_file = {e["file"]: e for e in entries.values()}
+
+            def may_match(e: Optional[dict], col, op, value) -> bool:
+                stats = (e or {}).get("stats", {}).get(col)
+                bloom = (e or {}).get("blooms", {}).get(col)
+                if op == "in":
+                    return any(_zone_may_match(stats, "==", v)
+                               and bloom_may_contain(bloom, v)
+                               for v in value)
+                if not _zone_may_match(stats, op, value):
+                    return False
+                return op != "==" or bloom_may_contain(bloom, value)
+
+            files = [f for f in files
+                     if all(may_match(by_file.get(os.path.basename(f)),
+                                      *p) for p in preds)]
+        out.extend(files)
+    return out
+
+
+def count_rows(out_dir, predicate=None) -> int:
+    """Row count of a container dir (or list of dirs) as cheaply as the
+    predicate allows.
+
+    No predicate: the manifest answers without opening a single part file
+    (unmanifested parts fall back to one header read each — a few hundred
+    bytes). With predicates: zone/Bloom pruning drops provably-excluded
+    parts, the survivors decode ONLY the predicate columns and count the
+    mask — never the payload columns. The 100 TB 'how many rows match'
+    question costs metadata + the predicate column bytes."""
+    preds = _normalize_predicates(predicate)
+    if not preds:
+        from .container import read_header
+
+        total = 0
+        dirs = [out_dir] if isinstance(out_dir, (str, os.PathLike)) else \
+            list(out_dir)
+        for d in dirs:
+            entries = checkpoint.read_manifest_entries(str(d))
+            by_file = {e["file"]: e for e in entries.values()}
+            for f in _part_files(str(d)):
+                e = by_file.get(os.path.basename(f))
+                total += e["rows"] if e is not None else \
+                    read_header(f)["rows"]
+        return total
+    pred_cols = list(dict.fromkeys(p[0] for p in preds))
+    ds = decode_dataset(out_dir, columns=pred_cols, predicate=predicate)
+    return ds.count()
+
+
+def decode_dataset(out_dir, columns: Optional[list[str]] = None,
                    concurrency: Optional[int] = None,
                    predicate: Optional[tuple] = None,
                    target_schema: Optional[pa.Schema] = None,
@@ -882,7 +948,9 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
                    renames: Optional[dict] = None,
                    safe_cast: bool = True,
                    dictionary_columns: Optional[list[str]] = None) -> "Any":
-    """Container dir -> Ray Dataset (one decode task per partition file).
+    """Container dir (or LIST of dirs — an accumulated multi-epoch corpus
+    reads as one dataset; combine with ``target_schema=`` when epochs
+    differ in schema) -> Ray Dataset (one decode task per partition file).
 
     ``dictionary_columns`` decode late-materialized as
     ``dictionary<int32, value_type>`` (stored uniques + indices pass
@@ -913,24 +981,7 @@ def decode_dataset(out_dir: str, columns: Optional[list[str]] = None,
         raise ValueError("decode_dataset: pass either columns= or "
                          "target_schema=, not both")
     preds = _normalize_predicates(predicate)
-    files = _part_files(out_dir)
-    if preds:
-        entries = checkpoint.read_manifest_entries(out_dir)
-        by_file = {e["file"]: e for e in entries.values()}
-
-        def may_match(e: Optional[dict], col, op, value) -> bool:
-            stats = (e or {}).get("stats", {}).get(col)
-            bloom = (e or {}).get("blooms", {}).get(col)
-            if op == "in":
-                return any(_zone_may_match(stats, "==", v)
-                           and bloom_may_contain(bloom, v) for v in value)
-            if not _zone_may_match(stats, op, value):
-                return False
-            return op != "==" or bloom_may_contain(bloom, value)
-
-        files = [f for f in files
-                 if all(may_match(by_file.get(os.path.basename(f)),
-                                  *p) for p in preds)]
+    files = _pruned_files(out_dir, preds)
     ds = ray.data.from_items([{"path": f} for f in files])
     return ds.map_batches(
         decode_part_batch,

@@ -407,3 +407,53 @@ def test_compact_singleton_bins_byte_copy(ray_session, corpus, encoded,
     # raw_bytes carried over from the source manifest, not zeroed
     assert sum(e["raw_bytes"] for e in entries.values()) > 0
     assert tables_equal(_orig(corpus), decode_table(dst))
+
+
+# ---------------------------------------------------------------------------
+# multi-dir decode + fast count
+# ---------------------------------------------------------------------------
+
+
+def test_multi_dir_decode_union(ray_session, corpus, encoded, tmp_path):
+    """Two container dirs (second with a DIFFERENT schema) read as one
+    dataset under a common target schema."""
+    import pyarrow.parquet as pq_
+
+    extra = pa.table({"url": ["https://x.test/a", "https://x.test/b"],
+                      "quality": [0.5, 0.9]})
+    p = str(tmp_path / "extra.parquet")
+    pq_.write_table(extra, p)
+    d2 = str(tmp_path / "enc_extra")
+    encode_files([p], d2)
+    tgt = pa.schema([("url", pa.string()), ("quality", pa.float64())])
+    rows = decode_dataset([encoded, d2], target_schema=tgt).take_all()
+    orig = _orig(corpus)
+    assert len(rows) == orig.num_rows + 2
+    got_q = [r["quality"] for r in rows if r["quality"] is not None]
+    assert sorted(got_q) == [0.5, 0.9]
+
+
+def test_count_rows_manifest_only(ray_session, corpus, encoded, tmp_path,
+                                  monkeypatch):
+    """Without a predicate, count_rows never decodes a chunk."""
+    from plugin_serdes_ray import container, encode as enc
+
+    assert enc.count_rows(encoded) == _orig(corpus).num_rows
+
+    def boom(*a, **k):
+        raise AssertionError("count_rows opened a part payload")
+
+    monkeypatch.setattr(container, "read_partition", boom)
+    monkeypatch.setattr(enc, "read_partition", boom)
+    assert enc.count_rows(encoded) == _orig(corpus).num_rows
+    # multi-dir sum
+    assert enc.count_rows([encoded, encoded]) == 2 * _orig(corpus).num_rows
+
+
+def test_count_rows_with_predicate(ray_session, corpus, encoded):
+    from plugin_serdes_ray.encode import count_rows
+
+    orig = _orig(corpus)
+    want = orig.filter(pc.equal(orig.column("lang"), "en")).num_rows
+    assert count_rows(encoded, predicate=("lang", "==", "en")) == want
+    assert count_rows(encoded, predicate=("lang", "==", "zz_nope")) == 0
