@@ -816,10 +816,12 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         tgt_sources = [inv.get(f.name, f.name) for f in target_schema]
         pred_cols = [p[0] for p in preds]
         read_cols = list(dict.fromkeys(tgt_sources + pred_cols))
+    pred_cols = list(dict.fromkeys(p[0] for p in preds))
     for path in batch["path"].to_pylist():
+        path = str(path)
         cols_here = read_cols
         if target_schema is not None:
-            hdr = read_header(str(path))
+            hdr = read_header(path)
             have = {c["name"] for c in hdr["columns"]}
             cols_here = [c for c in read_cols if c in have]
             if not cols_here:
@@ -832,21 +834,31 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                     yield evolve_table(t, target_schema, defaults=defaults,
                                        renames=renames, safe_cast=safe_cast)
                 continue
-        t = read_partition(str(path), cols_here,
-                           dictionary_columns=dictionary_columns)
+            if any(c not in have for c in pred_cols):
+                # a part written before a predicate column existed stores
+                # no values for it — SQL comparison vs NULL is never true
+                continue
+        if not preds:
+            t = read_partition(path, cols_here,
+                               dictionary_columns=dictionary_columns)
+            if target_schema is not None:
+                t = evolve_table(t, target_schema, defaults=defaults,
+                                 renames=renames, safe_cast=safe_cast)
+            yield t
+            continue
+        # LATE MATERIALIZATION: decode ONLY the predicate columns first and
+        # compute the combined mask — a part that survived zone/Bloom
+        # pruning but matches nothing (range overlap, Bloom false positive)
+        # never decodes its payload columns; on the webtext table a url==
+        # probe pays the url column, not the 10x-larger text/html bytes
+        pt = read_partition(path, pred_cols,
+                            dictionary_columns=dictionary_columns)
+        mask = None
         for col, op, value in preds:
-            if not t.num_rows:
-                break
-            if col not in t.column_names:
-                # evolution path: a part written before this column existed
-                # stores no values for it — SQL comparison vs NULL is never
-                # true, so the part contributes no rows
-                t = t.slice(0, 0)
-                break
-            c = t.column(col).combine_chunks()
+            c = pt.column(col).combine_chunks()
             if pa.types.is_dictionary(c.type):
-                # comparison kernels want the flat domain; the filter mask is
-                # computed on decoded values, the kept column stays dict
+                # comparison kernels want the flat domain; the filter mask
+                # is computed on decoded values, the kept column stays dict
                 c = c.cast(c.type.value_type)
             if op == "in":
                 try:
@@ -854,24 +866,37 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                 except (pa.ArrowInvalid, pa.ArrowTypeError,
                         pa.ArrowNotImplementedError):
                     vs = pa.array(list(value))
-                mask = pc.is_in(c, value_set=vs)
+                m = pc.is_in(c, value_set=vs)
             else:
                 try:
                     value = pa.scalar(value, type=c.type)
                 except (pa.ArrowInvalid, pa.ArrowTypeError,
                         pa.ArrowNotImplementedError):
                     pass  # let Arrow's comparison kernel infer/cast
-                mask = {"==": pc.equal, ">": pc.greater,
-                        ">=": pc.greater_equal, "<": pc.less,
-                        "<=": pc.less_equal}[op](c, value)
-            t = t.filter(pc.fill_null(mask, False))
-        if drop_cols:
-            t = t.drop_columns(drop_cols)
+                m = {"==": pc.equal, ">": pc.greater,
+                     ">=": pc.greater_equal, "<": pc.less,
+                     "<=": pc.less_equal}[op](c, value)
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        if not pc.sum(mask).as_py():
+            continue
+        wanted = cols_here if cols_here is not None else \
+            [c["name"] for c in read_header(path)["columns"]]
+        out_names = [c for c in wanted if c not in drop_cols]
+        rest = [c for c in out_names if c not in pred_cols]
+        rt = read_partition(path, rest,
+                            dictionary_columns=dictionary_columns) \
+            if rest else None
+        fields, arrays = [], []
+        for name in out_names:
+            src = pt if name in pt.schema.names else rt
+            fields.append(src.schema.field(name))
+            arrays.append(src.column(name))
+        t = pa.table(arrays, schema=pa.schema(fields)).filter(mask)
         if target_schema is not None:
             t = evolve_table(t, target_schema, defaults=defaults,
                              renames=renames, safe_cast=safe_cast)
-        if t.num_rows or not preds:
-            yield t
+        yield t
 
 
 def _pruned_files(out_dir, preds: list) -> list[str]:
