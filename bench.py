@@ -128,6 +128,21 @@ def run_bench(sf_dir: str, num_cpus: int, outer_level: int = 3, repeat: int = 1,
         decode_times.append(time.perf_counter() - t0)
     t_decode = min(decode_times)
 
+    # selective point query (url ==): manifest Bloom/zone pruning + the
+    # late-materialized predicate decode — the "find one page in the
+    # container" read path, best-of-3 like the scans above
+    import pyarrow.parquet as pq
+
+    probe_url = pq.read_table(files[0], columns=["url"]).column("url")[7].as_py()
+    point_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hits = decode_dataset(out_dir, columns=["url", "lang"],
+                              predicate=("url", "==", probe_url)).count()
+        point_times.append(time.perf_counter() - t0)
+    t_point = min(point_times)
+    assert hits >= 1
+
     # baseline over the UNIQUE corpus, scaled by repeat once: passing the
     # already-repeated list would both re-gzip duplicates (wasted minutes)
     # and double-count repeat in the ratio below (enc is repeat x E while
@@ -156,6 +171,8 @@ def run_bench(sf_dir: str, num_cpus: int, outer_level: int = 3, repeat: int = 1,
         "decode_secs": t_decode,
         "encode_gbps": raw / t_encode / 1e9,
         "decode_gbps": raw / t_decode / 1e9,
+        "point_query_secs": t_point,
+        "point_query_hits": hits,
         "plan": summary["plan"],
     }
     shutil.rmtree(out_dir, ignore_errors=True)
