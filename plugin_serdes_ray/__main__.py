@@ -67,6 +67,26 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_count(args) -> int:
+    _ray()
+    from .encode import count_rows
+
+    pred = None
+    if args.where:
+        col, op, value = args.where
+        for cast in (int, float):
+            try:
+                value = cast(value)
+                break
+            except ValueError:
+                continue
+        pred = (col, op, value)
+    n = count_rows(args.input, predicate=pred)
+    print(json.dumps({"rows": n, "predicate": list(pred) if pred else None},
+                     default=str))
+    return 0
+
+
 def cmd_scrub(args) -> int:
     _ray()
     from .encode import verify_container
@@ -722,6 +742,13 @@ def main(argv=None) -> int:
     p.add_argument("--target-mb", type=int, default=256)
     p.add_argument("--no-resume", action="store_true")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("count",
+                       help="row count: manifest-only, or predicate-pruned")
+    p.add_argument("input")
+    p.add_argument("--where", nargs=3, metavar=("COL", "OP", "VALUE"),
+                   help="e.g. --where lang == en (OP in ==,>,>=,<,<=)")
+    p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser("scrub",
                        help="container fsck: chunk CRCs + manifest audit")

@@ -490,3 +490,26 @@ def test_cli_compact_and_scrub(ray_session, tmp_path, capsys, sf_dir):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not rep["ok"]
     assert [b["file"] for b in rep["bad_parts"]] == [victim]
+
+
+def test_cli_count(ray_session, tmp_path, capsys, sf_dir):
+    from plugin_serdes_ray.__main__ import main
+
+    src = f"{sf_dir}/orders.parquet"
+    enc = str(tmp_path / "enc_count")
+    main(["encode", src, enc])
+    capsys.readouterr()
+
+    rc = main(["count", enc])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == pq.read_metadata(src).num_rows
+
+    rc = main(["count", enc, "--where", "o_totalprice", ">=", "300000.0"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}') "
+        "WHERE o_totalprice >= 300000.0").fetchone()[0]
+    assert info["rows"] == want
