@@ -747,7 +747,8 @@ def main(argv=None) -> int:
                        help="row count: manifest-only, or predicate-pruned")
     p.add_argument("input")
     p.add_argument("--where", nargs=3, metavar=("COL", "OP", "VALUE"),
-                   help="e.g. --where lang == en (OP in ==,>,>=,<,<=)")
+                   help="e.g. --where lang == en "
+                        "(OP in ==,!=,>,>=,<,<=,is_null,not_null)")
     p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser("scrub",

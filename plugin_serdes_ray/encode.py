@@ -773,8 +773,10 @@ def _normalize_predicates(predicate) -> list:
     for p in preds:
         if len(p) != 3 or not isinstance(p[0], str):
             raise ValueError(f"predicate {p!r}: want (column, op, value)")
-        if p[1] not in ("==", ">", ">=", "<", "<=", "in"):
-            raise ValueError(f"predicate op {p[1]!r}: want == > >= < <= in")
+        if p[1] not in ("==", "!=", ">", ">=", "<", "<=", "in",
+                        "is_null", "not_null"):
+            raise ValueError(f"predicate op {p[1]!r}: want == != > >= < <= "
+                             "in is_null not_null")
         if p[1] == "in" and not isinstance(p[2], (list, tuple, set,
                                                   frozenset)):
             raise ValueError("'in' predicate needs a list/tuple/set value")
@@ -860,7 +862,11 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                 # comparison kernels want the flat domain; the filter mask
                 # is computed on decoded values, the kept column stays dict
                 c = c.cast(c.type.value_type)
-            if op == "in":
+            if op == "is_null":
+                m = pc.is_null(c)
+            elif op == "not_null":
+                m = pc.is_valid(c)
+            elif op == "in":
                 try:
                     vs = pa.array(list(value), type=c.type)
                 except (pa.ArrowInvalid, pa.ArrowTypeError,
@@ -873,7 +879,9 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                 except (pa.ArrowInvalid, pa.ArrowTypeError,
                         pa.ArrowNotImplementedError):
                     pass  # let Arrow's comparison kernel infer/cast
-                m = {"==": pc.equal, ">": pc.greater,
+                # != keeps SQL semantics via the shared fill_null(False):
+                # NULL != x is unknown, so the row drops
+                m = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
                      ">=": pc.greater_equal, "<": pc.less,
                      "<=": pc.less_equal}[op](c, value)
             m = pc.fill_null(m, False)
@@ -920,6 +928,8 @@ def _pruned_files(out_dir, preds: list) -> list[str]:
             def may_match(e: Optional[dict], col, op, value) -> bool:
                 stats = (e or {}).get("stats", {}).get(col)
                 bloom = (e or {}).get("blooms", {}).get(col)
+                if op in ("!=", "is_null", "not_null"):
+                    return True   # min/max and Blooms cannot exclude these
                 if op == "in":
                     return any(_zone_may_match(stats, "==", v)
                                and bloom_may_contain(bloom, v)
@@ -988,7 +998,9 @@ def decode_dataset(out_dir, columns: Optional[list[str]] = None,
     predicate column is pruned entirely (NULL never compares true).
 
     ``predicate`` is one ``(column, op, value)`` tuple or a LIST of them
-    (AND-conjunction), op in {==, >, >=, <, <=, in} ('in' takes a value
+    (AND-conjunction), op in {==, !=, >, >=, <, <=, in, is_null, not_null}
+    (null ops ignore the value; !=/null ops filter exactly but cannot
+    prune partitions — min/max and Blooms can't exclude them) ('in' takes a value
     list). Every conjunct prunes whole partitions via the manifest zone
     maps (min/max recorded at encode time) — and, for ``==`` / ``in`` on
     string/binary/int columns, via the per-partition distinct-value Bloom

@@ -457,3 +457,29 @@ def test_count_rows_with_predicate(ray_session, corpus, encoded):
     want = orig.filter(pc.equal(orig.column("lang"), "en")).num_rows
     assert count_rows(encoded, predicate=("lang", "==", "en")) == want
     assert count_rows(encoded, predicate=("lang", "==", "zz_nope")) == 0
+
+
+def test_decode_predicates_neq_and_null_ops(ray_session, tmp_path):
+    """!=, is_null, not_null keep SQL semantics (NULL != x drops the row)
+    and compose with the other conjuncts."""
+    import pyarrow.parquet as pq_
+
+    t = pa.table({"k": pa.array([1, 2, None, 4, None], pa.int64()),
+                  "tag": pa.array(["a", "b", "b", None, "c"])})
+    p = str(tmp_path / "nulls.parquet")
+    pq_.write_table(t, p)
+    out = str(tmp_path / "enc_nulls")
+    encode_files([p], out)
+
+    def q(pred):
+        rows = [(r["k"], r["tag"]) for r in
+                decode_dataset(out, predicate=pred).take_all()]
+        return sorted(rows, key=lambda r: ((r[0] is None, r[0] or 0),
+                                           (r[1] is None, r[1] or "")))
+
+    assert q(("tag", "!=", "b")) == [(1, "a"), (None, "c")]
+    assert q(("k", "is_null", None)) == [(None, "b"), (None, "c")]
+    assert q(("k", "not_null", None)) == [(1, "a"), (2, "b"), (4, None)]
+    assert q([("k", "not_null", None), ("tag", "!=", "a")]) == [(2, "b")]
+    from plugin_serdes_ray.encode import count_rows
+    assert count_rows(out, predicate=("tag", "!=", "b")) == 2
