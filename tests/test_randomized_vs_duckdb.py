@@ -909,3 +909,49 @@ def test_random_evolved_decode_vs_duckdb(ray_session, tmp_path):
                 + cond).arrow().to_pylist()
             assert _sorted_rows(got, ["a_big", "tag", "extra"]) == \
                 _sorted_rows(want, ["a_big", "tag", "extra"]), (seed, pred)
+
+
+def test_random_null_predicates_vs_duckdb(ray_session, tmp_path):
+    """!= / is_null / not_null (mixed with prunable conjuncts) over columns
+    with random nulls == DuckDB on the same parquet."""
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+
+    con = duckdb.connect()
+    for seed in (0, 1):
+        rng = np.random.default_rng([61, seed])
+        paths = []
+        for i in range(3):
+            nrows = int(rng.integers(30, 100))
+            k = rng.integers(0, 50, nrows).astype(object)
+            k[rng.random(nrows) < 0.2] = None
+            tag = np.array([f"t{v}" for v in rng.integers(0, 4, nrows)],
+                           dtype=object)
+            tag[rng.random(nrows) < 0.2] = None
+            t = pa.table({"k": pa.array(list(k), type=pa.int64()),
+                          "tag": pa.array(list(tag), type=pa.string())})
+            p = str(tmp_path / f"np{seed}f{i}.parquet")
+            pq_.write_table(t, p)
+            paths.append(p)
+        out = str(tmp_path / f"np_enc{seed}")
+        encode_files(paths, out, concurrency=2)
+        con.execute(f"CREATE OR REPLACE VIEW np_t AS "
+                    f"SELECT * FROM read_parquet({paths!r})")
+        probes = [
+            ([("tag", "!=", "t1")], "tag <> 't1'"),
+            ([("k", "is_null", None)], "k IS NULL"),
+            ([("tag", "not_null", None)], "tag IS NOT NULL"),
+            ([("k", "not_null", None), ("k", ">=", 25)],
+             "k IS NOT NULL AND k >= 25"),
+            ([("tag", "is_null", None), ("k", "<", 10)],
+             "tag IS NULL AND k < 10"),
+            ([("k", "!=", 7), ("tag", "==", "t2")],
+             "k <> 7 AND tag = 't2'"),
+        ]
+        for preds, cond in probes:
+            got = decode_dataset(out, predicate=preds).take_all()
+            want = con.execute(
+                "SELECT k, tag FROM np_t WHERE " + cond).arrow().to_pylist()
+            assert _sorted_rows(got, ["k", "tag"]) == \
+                _sorted_rows(want, ["k", "tag"]), (seed, preds)
