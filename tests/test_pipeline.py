@@ -217,9 +217,12 @@ def test_predicate_conjunction_and_in(ray_session, tmp_path):
     assert rows3 == [{"v": "r0-7"}]
     # 'in' with an empty list matches nothing (and prunes everything)
     assert decode_dataset(out, predicate=("k", "in", [])).count() == 0
+    # != is a supported (non-pruning) op now; a truly unknown op raises
+    assert decode_dataset(out, predicate=[("k", "!=", 5),
+                                          ("k", "<", 8)]).count() == 7
     import pytest
     with pytest.raises(ValueError, match="op"):
-        decode_dataset(out, predicate=("k", "!=", 1))
+        decode_dataset(out, predicate=("k", "~=", 1))
     with pytest.raises(ValueError, match="'in' predicate"):
         decode_dataset(out, predicate=("k", "in", 5))
 
