@@ -483,3 +483,38 @@ def test_decode_predicates_neq_and_null_ops(ray_session, tmp_path):
     assert q([("k", "not_null", None), ("tag", "!=", "a")]) == [(2, "b")]
     from plugin_serdes_ray.encode import count_rows
     assert count_rows(out, predicate=("tag", "!=", "b")) == 2
+
+
+def test_randomized_compaction_roundtrip(ray_session, tmp_path):
+    """Random file layouts x random compaction targets: decode equality,
+    deterministic bins, resume idempotence."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.encode import verify_container
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng([71, seed])
+        paths = []
+        for i in range(int(rng.integers(2, 6))):
+            nrows = int(rng.integers(10, 400))
+            t = pa.table({
+                "k": pa.array(rng.integers(0, 1000, nrows), pa.int64()),
+                "s": pa.array(["x" * int(v) for v in
+                               rng.integers(0, 40, nrows)]),
+                "f": pa.array(rng.normal(size=nrows))})
+            p = str(tmp_path / f"rc{seed}f{i}.parquet")
+            pq_.write_table(t, p)
+            paths.append(p)
+        src = str(tmp_path / f"rc_enc{seed}")
+        encode_files(paths, src, concurrency=2)
+        sizes = [os.path.getsize(os.path.join(src, f))
+                 for f in os.listdir(src) if f.endswith(".grck")]
+        target = int(rng.integers(1, sum(sizes) + 2))
+        dst = str(tmp_path / f"rc_cmp{seed}")
+        s1 = compact_parts(src, dst, target_part_bytes=target, concurrency=2)
+        orig = pa.concat_tables([pq_.read_table(p) for p in paths])
+        assert tables_equal(orig, decode_table(dst)), (seed, target)
+        s2 = compact_parts(src, dst, target_part_bytes=target, concurrency=2)
+        assert s2["skipped_parts"] == s1["parts"], (seed, target)
+        assert verify_container(dst, deep=True)["ok"], (seed, target)
