@@ -822,25 +822,36 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
     for path in batch["path"].to_pylist():
         path = str(path)
         cols_here = read_cols
+        part_preds = preds
+        part_pred_cols = pred_cols
         if target_schema is not None:
             hdr = read_header(path)
             have = {c["name"] for c in hdr["columns"]}
             cols_here = [c for c in read_cols if c in have]
+            missing = [p for p in preds if p[0] not in have]
+            if any(p[1] != "is_null" for p in missing):
+                # a part written before a predicate column existed stores
+                # no values for it — every comparison vs NULL is never
+                # true and NULL IS NOT NULL is false, so the part
+                # contributes nothing. IS NULL is the exception below.
+                continue
+            # an is_null conjunct on an absent column is ALL-TRUE (the
+            # column is NULL for every row of this part): drop the
+            # conjunct for this part instead of dropping the part
+            if missing:
+                part_preds = [p for p in preds if p[0] in have]
+                part_pred_cols = list(
+                    dict.fromkeys(p[0] for p in part_preds))
             if not cols_here:
-                # part stores none of the wanted sources: with a predicate
-                # (on a source it lacks -> NULL, never true) it contributes
-                # nothing; otherwise its rows still exist and surface as
-                # defaults/nulls under the target schema
-                if not preds:
+                # part stores none of the wanted sources: if no
+                # present-column predicate remains its rows still exist
+                # and surface as defaults/nulls under the target schema
+                if not part_preds:
                     t = pa.table({"__void__": pa.nulls(hdr["rows"])})
                     yield evolve_table(t, target_schema, defaults=defaults,
                                        renames=renames, safe_cast=safe_cast)
                 continue
-            if any(c not in have for c in pred_cols):
-                # a part written before a predicate column existed stores
-                # no values for it — SQL comparison vs NULL is never true
-                continue
-        if not preds:
+        if not part_preds:
             t = read_partition(path, cols_here,
                                dictionary_columns=dictionary_columns)
             if target_schema is not None:
@@ -853,10 +864,10 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         # pruning but matches nothing (range overlap, Bloom false positive)
         # never decodes its payload columns; on the webtext table a url==
         # probe pays the url column, not the 10x-larger text/html bytes
-        pt = read_partition(path, pred_cols,
+        pt = read_partition(path, part_pred_cols,
                             dictionary_columns=dictionary_columns)
         mask = None
-        for col, op, value in preds:
+        for col, op, value in part_preds:
             c = pt.column(col).combine_chunks()
             if pa.types.is_dictionary(c.type):
                 # comparison kernels want the flat domain; the filter mask
@@ -891,7 +902,7 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         wanted = cols_here if cols_here is not None else \
             [c["name"] for c in read_header(path)["columns"]]
         out_names = [c for c in wanted if c not in drop_cols]
-        rest = [c for c in out_names if c not in pred_cols]
+        rest = [c for c in out_names if c not in part_pred_cols]
         rt = read_partition(path, rest,
                             dictionary_columns=dictionary_columns) \
             if rest else None
@@ -994,8 +1005,10 @@ def decode_dataset(out_dir, columns: Optional[list[str]] = None,
 
     ``target_schema`` (with ``defaults`` / ``renames`` / ``safe_cast``)
     applies read-time schema evolution per part — see :func:`evolve_table`.
-    Predicates name SOURCE (pre-rename) columns; a part that predates a
-    predicate column is pruned entirely (NULL never compares true).
+    Predicates name SOURCE (pre-rename) columns; for a part that predates
+    a predicate column, comparisons and ``not_null`` prune the part (NULL
+    never compares true), while ``is_null`` matches EVERY row of it (the
+    absent column reads as all-NULL).
 
     ``predicate`` is one ``(column, op, value)`` tuple or a LIST of them
     (AND-conjunction), op in {==, !=, >, >=, <, <=, in, is_null, not_null}

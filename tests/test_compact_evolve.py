@@ -201,6 +201,53 @@ def test_evolve_decode_predicate_on_absent_column(ray_session, encoded):
     assert rows == []
 
 
+def test_evolve_decode_is_null_on_absent_column(ray_session, corpus,
+                                                encoded):
+    """SQL semantics: ``quality IS NULL`` over parts that predate the
+    quality column matches EVERY row (the column reads as all-NULL),
+    while ``IS NOT NULL`` matches none."""
+    tgt = pa.schema([("url", pa.string()), ("quality", pa.float64())])
+    orig = _orig(corpus)
+    rows = decode_dataset(encoded, target_schema=tgt,
+                          predicate=("quality", "is_null", None)).take_all()
+    assert len(rows) == orig.num_rows
+    assert (sorted(r["url"] for r in rows)
+            == sorted(orig.column("url").to_pylist()))
+    assert decode_dataset(
+        encoded, target_schema=tgt,
+        predicate=("quality", "not_null", None)).count() == 0
+
+
+def test_evolve_decode_is_null_absent_and_present_conjunct(
+        ray_session, corpus, encoded):
+    """An is_null conjunct on an absent column is all-true and must still
+    AND with predicates on columns the part DOES store."""
+    tgt = pa.schema([("url", pa.string()), ("lang", pa.string()),
+                     ("quality", pa.float64())])
+    rows = decode_dataset(
+        encoded, target_schema=tgt,
+        predicate=[("quality", "is_null", None),
+                   ("lang", "==", "fr")]).take_all()
+    orig = _orig(corpus)
+    want = orig.filter(pc.equal(orig.column("lang"), "fr"))
+    assert len(rows) == want.num_rows
+    assert set(r["lang"] for r in rows) <= {"fr"}
+
+
+def test_evolve_decode_is_null_all_new_target(ray_session, corpus,
+                                              encoded):
+    """Part stores none of the target sources AND the only predicate is
+    is_null on an absent column: every row surfaces as defaults."""
+    tgt = pa.schema([("crawl_id", pa.int64())])
+    rows = decode_dataset(encoded, target_schema=tgt,
+                          defaults={"crawl_id": 3},
+                          predicate=("crawl_id", "is_null", None)).take_all()
+    # note: predicates name SOURCE columns; crawl_id is absent from every
+    # part so is_null matches all rows, then defaults fill the target
+    assert len(rows) == _orig(corpus).num_rows
+    assert set(r["crawl_id"] for r in rows) == {3}
+
+
 def test_evolve_decode_all_new_columns(ray_session, corpus, encoded):
     """Target disjoint from stored columns: rows survive as defaults."""
     tgt = pa.schema([("crawl_id", pa.int64())])
