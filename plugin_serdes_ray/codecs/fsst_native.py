@@ -134,6 +134,39 @@ void minhash_batch(const unsigned char *data, const long *offs, long ndocs,
     }
 }
 
+/* 64-bit content hash per string slice (pipelines/dedup._content_hash64):
+   polynomial h = sum byte_j * P^(end-1-j) mod 2^64 (Horner, 8-lane
+   unrolled), xor length-mix, splitmix64 finalize. Bit-identical to the
+   numpy fallback, so a cluster mixing compiled and fallback workers
+   still hashes identically. */
+void hash64_poly(const unsigned char *data, const long *offs, long n,
+                 unsigned long long *out)
+{
+    const unsigned long long P = 0x100000001B3ULL;
+    const unsigned long long C = 0x9E3779B97F4A7C15ULL;
+    unsigned long long pw[8];
+    pw[0] = 1ULL;
+    for (int i = 1; i < 8; ++i) pw[i] = pw[i - 1] * P;
+    const unsigned long long P8 = pw[7] * P;
+    for (long d = 0; d < n; ++d) {
+        long s = offs[d], e = offs[d + 1];
+        unsigned long long h = 0;
+        long i = s;
+        for (; i + 8 <= e; i += 8)
+            h = h * P8
+                + data[i] * pw[7] + data[i + 1] * pw[6]
+                + data[i + 2] * pw[5] + data[i + 3] * pw[4]
+                + data[i + 4] * pw[3] + data[i + 5] * pw[2]
+                + data[i + 6] * pw[1] + data[i + 7];
+        for (; i < e; ++i) h = h * P + data[i];
+        unsigned long long len = (unsigned long long)(e - s);
+        h ^= (len + 1ULL) * C;
+        h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9ULL;
+        h = (h ^ (h >> 27)) * 0x94D049BB133111EBULL;
+        out[d] = h ^ (h >> 31);
+    }
+}
+
 /* Exact decoded length of a code/escape stream (first pass of decode). */
 long fsst_decoded_len(const unsigned char *e, long n,
                       const unsigned char *slen, int nsym)
@@ -253,6 +286,10 @@ def _build_lib():
         lib.minhash_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
             ctypes.c_int, u64p, u64p, ctypes.c_int, u64p]
+        lib.hash64_poly.restype = None
+        lib.hash64_poly.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+            u64p]
         return lib
     except (OSError, AttributeError):
         return None
@@ -322,6 +359,23 @@ def native_minhash(data: bytes, offsets: np.ndarray, k: int,
         out.ctypes.data_as(u64p))
     del view
     return out
+
+
+def native_hash64(data: np.ndarray, offsets: np.ndarray):
+    """Finalized 64-bit polynomial hash per slice ``data[offs[i]:offs[i+1]]``
+    (single C pass), or None when no compiler exists. Values are
+    bit-identical to dedup.py's numpy fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(offsets) - 1
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(max(n, 1), dtype=np.uint64)
+    lib.hash64_poly(
+        data.ctypes.data, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out[:n]
 
 
 def native_decompress(enc, symbols: list[bytes]):

@@ -12,7 +12,6 @@ variants bucket by MinHash bands / SimHash bands / hyperplane signs.
 from __future__ import annotations
 
 import glob
-import hashlib
 import os
 from typing import Optional
 
@@ -24,102 +23,94 @@ from ..util import package_runtime_env
 
 MERSENNE = (1 << 61) - 1
 
-_HAVE_POLARS: bool | None = None    # first-call latch, fixed per process
+_HASH_P = np.uint64(0x100000001B3)          # odd 64-bit polynomial base
+_HASH_LEN_C = np.uint64(0x9E3779B97F4A7C15)  # length-mix constant
+_HASH_SEG_BYTES = 4 << 20   # per-segment temp bound (~40 B temps / byte)
 
 
-def _settle_polars_hash(arr: pa.Array) -> np.ndarray:
-    """Run polars' vectorized xxhash over ``arr``, riding out the lazy-
-    import race: polars populates its submodule graph on first attribute
-    touch, and a concurrent import in the same Ray worker can observe it
-    half-initialized (seen in the wild as ``module 'polars._reexport'
-    has no attribute 'Series'``).  Plain retries don't always heal it —
-    a partially-failed ``import polars`` stays CACHED in sys.modules, so
-    every later touch re-raises the same AttributeError forever (the
-    r4 driver-sim corpus_diff flake: 100 retries x 0.05 s, same error).
-    Every 20th retry therefore PURGES polars from sys.modules and
-    re-imports fresh; raises RuntimeError only if five fresh imports in
-    a row still can't settle."""
-    import importlib
-    import sys
-    import time
-
-    last_err: Exception | None = None
-    for attempt in range(100):
-        try:
-            import polars as pl
-
-            s = pl.from_arrow(arr)
-            return s.hash(seed=0).to_numpy().astype(np.uint64)
-        except AttributeError as e:  # pragma: no cover - import race
-            # only the lazy-import race is retryable (its message names a
-            # polars module); any other AttributeError is a real bug
-            if "polars" not in str(e):
-                raise
-            last_err = e
-            if attempt % 20 == 19:
-                for name in [m for m in sys.modules
-                             if m == "polars" or m.startswith("polars.")]:
-                    sys.modules.pop(name, None)
-                importlib.invalidate_caches()
-            time.sleep(0.05)
-    raise RuntimeError(
-        "polars lazy attributes never settled in this worker (even after "
-        "fresh re-imports); refusing to switch hash paths mid-run"
-    ) from last_err
-
-
-def _polars_available() -> bool:
-    """Probed lazily (module import must stay cheap for the minhash/simhash
-    pipelines that never hash content), but latched: once a process picks a
-    hash path it never switches.
-
-    The probe exercises the full from_arrow -> Series.hash path, retrying
-    on AttributeError: polars populates its lazy submodule graph
-    (polars._reexport.Series etc.) on first touch, and a concurrent import
-    from another thread in the same Ray worker can observe the module
-    half-initialized (seen in the wild as ``module 'polars._reexport' has
-    no attribute 'Series'``). Retrying until the import settles keeps the
-    hash PATH identical across every process of a run — exact_dedup's
-    map-only route requires that — so a worker whose polars never settles
-    raises loudly instead of silently switching to the sha1 fallback."""
-    global _HAVE_POLARS
-    if _HAVE_POLARS is None:
-        try:
-            import polars  # noqa: F401
-        except ImportError:  # pragma: no cover - polars baked into this env
-            _HAVE_POLARS = False
-            return _HAVE_POLARS
-        # full from_arrow -> hash probe with the purge-and-reimport retry
-        _settle_polars_hash(pa.array(["probe"]))
-        _HAVE_POLARS = True
-    return _HAVE_POLARS
+def _hash64_flat(data: np.ndarray, starts: np.ndarray,
+                 ends: np.ndarray) -> np.ndarray:
+    """Polynomial hash of byte slices ``data[starts[i]:ends[i]]`` —
+    fully vectorized over ONE flat buffer: h_i = sum_j byte_j *
+    P^(end_i-1-j) (mod 2^64), windowed out of a single cumulative sum, so
+    there is no per-row Python. Caller mixes/finalizes."""
+    lo = int(starts[0]) if len(starts) else 0
+    hi = int(ends[-1]) if len(ends) else 0
+    if hi == lo:
+        return np.zeros(len(starts), dtype=np.uint64)
+    b = data[lo:hi].astype(np.uint64)
+    lens = ends - starts
+    maxlen = int(lens.max())
+    pows = np.empty(maxlen + 1, dtype=np.uint64)
+    pows[0] = 1
+    if maxlen:
+        with np.errstate(over="ignore"):
+            np.cumprod(np.full(maxlen, _HASH_P, dtype=np.uint64),
+                       out=pows[1:])
+    # exponent of byte at absolute position p: its string's end - 1 - p
+    e = (np.repeat(ends.astype(np.uint64), lens)
+         - np.uint64(1) - np.arange(lo, hi, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        terms = b * pows[e]
+    cs = np.zeros(hi - lo + 1, dtype=np.uint64)
+    np.cumsum(terms, dtype=np.uint64, out=cs[1:])
+    return cs[ends - lo] - cs[starts - lo]
 
 
 def _content_hash64(arr: pa.Array) -> np.ndarray:
-    """64-bit content hash of each value. Fast path: polars' vectorized
-    xxhash with a fixed seed; fallback: per-row truncated sha1. The path is
-    chosen ONCE at import (module flag), so every scan of one run hashes
-    identically — exact_dedup's unverified map-only route depends on it;
-    duplicated-hash groups additionally verify actual values (collision
-    safety)."""
-    if _polars_available():
-        a = arr if isinstance(arr, pa.Array) else arr.combine_chunks()
-        return _settle_polars_hash(a)
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, v in enumerate(arr):
-        b = v.as_py()
-        if b is None:
-            out[i] = 0
-        else:
-            if isinstance(b, str):
-                b = b.encode()
-            elif not isinstance(b, (bytes, bytearray)):
-                # non-string columns (ints, floats, dates...): serialize
-                # deterministically so HLL over e.g. doc_id works without
-                # polars too
-                b = repr(b).encode()
-            out[i] = np.frombuffer(hashlib.sha1(b).digest()[:8],
-                                   dtype=np.uint64)[0]
+    """Seed-fixed 64-bit content hash of each value — ONE pure
+    numpy/pyarrow code path (no optional fast/slow split, so every worker
+    of a run hashes identically by construction; exact_dedup's unverified
+    map-only route depends on that, and duplicated-hash groups
+    additionally verify actual values for collision safety).
+
+    String/binary values hash as a polynomial over their bytes,
+    length-mixed and splitmix64-finalized. Primary: a single-pass C
+    kernel (codecs/fsst_native.py, compiled once per machine); fallback:
+    the SAME polynomial windowed out of a cumulative sum of the array's
+    FLAT buffer (zero per-row Python, ~4 MiB segments bound the
+    temporaries) — bit-identical values, so compiled and fallback workers
+    can coexist in one cluster. Other types (ints, floats, dates…) cast
+    to their Arrow string form first. Nulls hash to 0."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.cast(t.value_type)
+        t = arr.type
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        arr = arr.cast(pa.string())
+    a = arr.cast(pa.large_binary())
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = a.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1,
+                            offset=a.offset * 8)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    starts, ends = offsets[:-1], offsets[1:]
+    from ..codecs.fsst_native import native_hash64
+
+    out = native_hash64(data, offsets)
+    if out is None:
+        out = np.empty(n, dtype=np.uint64)
+        # segment rows so each call's temporaries stay ~_HASH_SEG_BYTES:
+        # a row belongs to the segment its last byte lands in (a row
+        # larger than one segment stands alone) — boundaries vectorized
+        seg_id = (np.cumsum(ends - starts) - 1) // _HASH_SEG_BYTES
+        cuts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(seg_id)) + 1, [n]))
+        for i, j in zip(cuts[:-1], cuts[1:]):
+            out[i:j] = _hash64_flat(data, starts[i:j], ends[i:j])
+        lens = (ends - starts).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            out ^= (lens + np.uint64(1)) * _HASH_LEN_C
+        out = _mix64(out)
+    null_mask = pc.is_null(a).to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        out[null_mask] = 0
     return out
 
 
