@@ -11,7 +11,8 @@ import pytest
 
 from plugin_serdes_ray.functions import avroio, markdown, toon
 from plugin_serdes_ray.functions.coerce import (
-    CoerceOptions, coerce_table, to_boolean, to_decimal, to_int, to_timestamp,
+    CoerceOptions, coerce_table, to_boolean, to_date, to_decimal, to_float,
+    to_int, to_time, to_timestamp,
 )
 from plugin_serdes_ray.functions.errors import BadLineError
 from plugin_serdes_ray.functions.infer import (
@@ -453,6 +454,49 @@ def test_coerce_timestamp_epoch_fast_path():
     out = to_timestamp(pa.array(["1700000000000", "2023-11-14T22:13:20Z"]), "ms")
     vals = out.to_pylist()
     assert vals[0] == vals[1]
+
+
+def test_coerce_arrow_native_edges():
+    """The r5 pandas-free coercion paths (VERDICT r4 #3): exact >2^53
+    integers, leading '+', int64 overflow strings, whole-float notation,
+    ISO fraction+offset combinations, and zoneless fallback-zone
+    localization."""
+    from datetime import datetime, timezone
+
+    skip = CoerceOptions(on_bad_lines="SKIP")
+    big = str(2 ** 60 + 1)               # exact above 2^53
+    out = to_int(pa.array([big, "+5", "9223372036854775808",
+                           "-9223372036854775808", "1e3", "3.0", "x"]),
+                 opts=skip)
+    assert out.to_pylist() == [2 ** 60 + 1, 5, None,
+                               -(2 ** 63), 1000, 3, None]
+    out_f = to_float(pa.array(["1.5", "2e3", "inf", "-.5", "bad"]),
+                     opts=skip)
+    got = out_f.to_pylist()
+    assert got[:4] == [1.5, 2000.0, float("inf"), -0.5] and got[4] is None
+    # ISO fraction + explicit offset resolve exactly; Z; zoneless
+    # localizes to the fallback zone
+    out_ts = to_timestamp(
+        pa.array(["2023-11-14T22:13:20.123+02:00",
+                  "2023-11-14T20:13:20.123Z",
+                  "2023-11-14 20:13:20.123",
+                  "2023-11-14T20:13", "2023-11-14", "junk"]),
+        "us", opts=skip)
+    vals = out_ts.to_pylist()
+    assert vals[0] == vals[1] == vals[2] == datetime(
+        2023, 11, 14, 20, 13, 20, 123000)
+    assert vals[3] == datetime(2023, 11, 14, 20, 13)
+    assert vals[4] == datetime(2023, 11, 14)
+    assert vals[5] is None
+    ny = to_timestamp(pa.array(["2023-06-01 12:00:00"]), "s",
+                      opts=CoerceOptions(timezone="America/New_York",
+                                         on_bad_lines="SKIP"))
+    assert ny.to_pylist() == [datetime(2023, 6, 1, 16, 0, 0)]  # EDT = UTC-4
+    # dates and times parse with exact-format strptime
+    assert to_date(pa.array(["2024-02-29", "nope"]),
+                   skip).to_pylist()[1] is None
+    t = to_time(pa.array(["03:04", "bad"]), "ms", skip)
+    assert t.to_pylist()[0].hour == 3 and t.to_pylist()[1] is None
 
 
 def test_coerce_table_strict_schema():
