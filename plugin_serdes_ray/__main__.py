@@ -523,6 +523,20 @@ def cmd_validate(args) -> int:
     return 0 if all(out.column("ok").to_pylist()) else 1
 
 
+def cmd_validate_avsc(args) -> int:
+    """Standalone .avsc validation (avro/AvroSchemaValidator.java:12-33):
+    exit 0 + {"valid": true} when the schema parses, else exit 1 with the
+    reference-worded error list. No Ray session needed."""
+    from .functions.avroio import validate_avsc
+
+    text = args.schema
+    if os.path.exists(text):
+        text = open(text).read()
+    errors = validate_avsc(text)
+    print(json.dumps({"valid": not errors, "errors": errors}))
+    return 0 if not errors else 1
+
+
 def cmd_collocations(args) -> int:
     """Top word-bigram collocations by PMI -> stdout/parquet."""
     import pyarrow.parquet as pq
@@ -831,6 +845,11 @@ def main(argv=None) -> int:
                    help="name=path reference table for 'ref' rules")
     p.add_argument("--output", help="optional parquet destination")
     p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("validate-avsc",
+                       help="standalone Avro schema (.avsc) validation")
+    p.add_argument("schema", help="inline .avsc JSON or a file path")
+    p.set_defaults(fn=cmd_validate_avsc)
 
     p = sub.add_parser("collocations",
                        help="top word-bigram collocations by PMI")

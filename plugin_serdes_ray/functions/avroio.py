@@ -389,3 +389,153 @@ def read_container(data: bytes) -> tuple[dict, list[Any]]:
         if inp.read(16) != sync:
             raise ValueError("sync marker mismatch (corrupt avro block)")
     return schema, records
+
+
+# ---------------------------------------------------------------------------
+# standalone .avsc validation (avro/AvroSchemaValidator.java:12-33)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+               "bytes", "string"}
+_NAME_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _valid_name(name: Any) -> bool:
+    return (isinstance(name, str) and name != ""
+            and all(_NAME_RE.match(p) for p in name.split(".")))
+
+
+def _walk_schema(schema: Any, named: dict, errors: list,
+                 in_union: bool = False) -> None:
+    """Recursive structural validation with org.apache.avro
+    Schema.Parser's rejection rules: unknown type names, malformed
+    records/enums/arrays/maps/fixed, duplicate definitions and field
+    names, immediately nested unions, duplicate union branches."""
+    if isinstance(schema, str):
+        if schema not in _PRIMITIVES and schema not in named:
+            errors.append(f'"{schema}" is not a defined name')
+        return
+    if isinstance(schema, list):
+        if in_union:
+            errors.append("nested union: unions may not immediately "
+                          "contain other unions")
+            return
+        seen: set = set()
+        for branch in schema:
+            key = branch if isinstance(branch, str) else (
+                branch.get("name") if isinstance(branch, dict)
+                and branch.get("type") in ("record", "enum", "fixed")
+                else json.dumps(branch, sort_keys=True)
+                if isinstance(branch, dict) else repr(branch))
+            if key in seen:
+                errors.append(f"duplicate in union: {key}")
+            seen.add(key)
+            _walk_schema(branch, named, errors, in_union=True)
+        return
+    if not isinstance(schema, dict):
+        errors.append(f"schema must be a string, list or object, "
+                      f"got {type(schema).__name__}")
+        return
+    t = schema.get("type")
+    if t is None:
+        errors.append('missing "type"')
+        return
+    if isinstance(t, (list, dict)):
+        _walk_schema(t, named, errors, in_union=in_union)
+        return
+    if t in _PRIMITIVES:
+        return
+    if t == "record" or t == "error":
+        name = schema.get("name")
+        if not _valid_name(name):
+            errors.append(f"invalid record name: {name!r}")
+        elif name in named:
+            errors.append(f"redefinition of {name}")
+        else:
+            named[name] = schema
+        fields = schema.get("fields")
+        if not isinstance(fields, list):
+            errors.append(f'record {name!r} has no "fields" array')
+            return
+        fnames: set = set()
+        for fld in fields:
+            if not isinstance(fld, dict) or "name" not in fld:
+                errors.append(f"record {name!r}: field without a name")
+                continue
+            fn = fld["name"]
+            if not _valid_name(fn):
+                errors.append(f"invalid field name: {fn!r}")
+            if fn in fnames:
+                errors.append(f"duplicate field {fn} in record {name!r}")
+            fnames.add(fn)
+            if "type" not in fld:
+                errors.append(f'field {fn!r} has no "type"')
+            else:
+                _walk_schema(fld["type"], named, errors)
+        return
+    if t == "enum":
+        name = schema.get("name")
+        if not _valid_name(name):
+            errors.append(f"invalid enum name: {name!r}")
+        elif name in named:
+            errors.append(f"redefinition of {name}")
+        else:
+            named[name] = schema
+        syms = schema.get("symbols")
+        if not isinstance(syms, list) or not all(
+                _valid_name(s) and "." not in str(s) for s in syms or []):
+            errors.append(f"enum {name!r} needs a list of valid symbols")
+        elif len(set(syms)) != len(syms):
+            errors.append(f"duplicate symbol in enum {name!r}")
+        return
+    if t == "array":
+        if "items" not in schema:
+            errors.append('array has no "items"')
+        else:
+            _walk_schema(schema["items"], named, errors)
+        return
+    if t == "map":
+        if "values" not in schema:
+            errors.append('map has no "values"')
+        else:
+            _walk_schema(schema["values"], named, errors)
+        return
+    if t == "fixed":
+        name = schema.get("name")
+        if not _valid_name(name):
+            errors.append(f"invalid fixed name: {name!r}")
+        elif name in named:
+            errors.append(f"redefinition of {name}")
+        else:
+            named[name] = schema
+        size = schema.get("size")
+        if not isinstance(size, int) or isinstance(size, bool) or size < 0:
+            errors.append(f"fixed {name!r} needs a non-negative int size")
+        return
+    # a type that is itself a reference to a named/primitive type
+    _walk_schema(t, named, errors, in_union=in_union)
+
+
+def validate_avsc(text: Optional[str]) -> list[str]:
+    """Standalone Avro-schema validation
+    (avro/AvroSchemaValidator.java:12-33): returns [] when valid, else the
+    error list, each prefixed with the reference's wording
+    ``invalid avro schema '(<schema>)': <reason>``. Reference semantics
+    preserved: None passes (nulls allowed), and a text containing a
+    templating expression (``{{ ... }}``) passes unvalidated."""
+    if text is None:
+        return []
+    if "{{" in text and "}}" in text:
+        return []   # templating variable: can't validate (reference :19-21)
+
+    def wrap(msg: str) -> str:
+        shown = text if len(text) <= 200 else text[:200] + "..."
+        return f"invalid avro schema '({shown})': {msg}"
+
+    try:
+        schema = json.loads(text)
+    except json.JSONDecodeError as e:
+        return [wrap(f"not valid JSON: {e}")]
+    errors: list[str] = []
+    _walk_schema(schema, {}, errors)
+    return [wrap(e) for e in errors]

@@ -27,6 +27,53 @@ from ..util import package_runtime_env
 class JsonOptions:
     newline_delimited: bool = True
     charset: str = "utf-8"
+    # inverse of the sink's annotation mode (IonToJson.java:306-434):
+    # {"ion_annotations": [...], "value": ...} objects decode into
+    # struct<ion_annotations: list<string>, value: ...> carriers; bare
+    # values sharing a path with at least one wrapper normalize to a
+    # carrier with empty annotations so the column stays one struct type
+    keep_annotations: bool = False
+
+
+def _wrapper_paths(o: Any, path: tuple, out: set) -> None:
+    from ..sinks.json_ import is_annotation_wrapper
+
+    if is_annotation_wrapper(o):
+        out.add(path)
+        return
+    if isinstance(o, dict):
+        for k, v in o.items():
+            _wrapper_paths(v, path + (k,), out)
+    elif isinstance(o, list):
+        for v in o:
+            _wrapper_paths(v, path + ("[]",), out)
+
+
+def _wrap_at(o: Any, path: tuple, paths: set) -> Any:
+    from ..sinks.json_ import is_annotation_wrapper
+
+    if is_annotation_wrapper(o):
+        return {"ion_annotations": list(o.get("ion_annotations") or []),
+                "value": o["value"]}
+    if isinstance(o, dict):
+        return {k: _wrap_at(v, path + (k,), paths) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_wrap_at(v, path + ("[]",), paths) for v in o]
+    if path in paths:
+        return {"ion_annotations": [], "value": o}
+    return o
+
+
+def normalize_annotations(records: list) -> list:
+    """Uniform annotation carriers: every value at a path where ANY record
+    holds an ``{ion_annotations, value}`` wrapper becomes a carrier (bare
+    values get an empty annotation list)."""
+    paths: set = set()
+    for r in records:
+        _wrapper_paths(r, (), paths)
+    if not paths:
+        return records
+    return [_wrap_at(r, (), paths) for r in records]
 
 
 def parse_json_bytes(data: bytes, opts: Optional[JsonOptions] = None) -> list[Any]:
@@ -38,11 +85,14 @@ def parse_json_bytes(data: bytes, opts: Optional[JsonOptions] = None) -> list[An
         # can't occur inside a record) — str.splitlines() also splits on
         # U+2028/U+2029/U+0085, which are legal UNESCAPED inside JSON
         # strings and exactly what our own sink emits with ensure_ascii=False
-        return [json.loads(line) for line in text.split("\n") if line.strip()]
-    parsed = json.loads(text)
-    if isinstance(parsed, list):
-        return parsed
-    return [parsed]
+        records = [json.loads(line) for line in text.split("\n")
+                   if line.strip()]
+    else:
+        parsed = json.loads(text)
+        records = parsed if isinstance(parsed, list) else [parsed]
+    if opts.keep_annotations:
+        records = normalize_annotations(records)
+    return records
 
 
 def parse_concatenated_json(text: str) -> list[Any]:

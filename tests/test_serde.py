@@ -398,6 +398,95 @@ def test_excel_format_code_helpers():
 
 # --------------------------------------------------------------- coercion
 
+def test_validate_avsc_standalone():
+    """AvroSchemaValidator parity (avro/AvroSchemaValidator.java:12-33):
+    null and templating expressions pass; Schema.Parser rejection cases
+    return reference-worded errors."""
+    from plugin_serdes_ray.functions.avroio import validate_avsc
+
+    assert validate_avsc(None) == []
+    assert validate_avsc("{{ trigger.schema }}") == []   # pebble passthrough
+    ok = [
+        '"string"',
+        '["null", "long"]',
+        '{"type":"record","name":"R","fields":'
+        '[{"name":"a","type":"int"},'
+        '{"name":"b","type":["null","string"]}]}',
+        '{"type":"enum","name":"E","symbols":["A","B"]}',
+        '{"type":"fixed","name":"F","size":16}',
+        '{"type":"array","items":{"type":"map","values":"long"}}',
+        # recursive named reference
+        '{"type":"record","name":"Node","fields":'
+        '[{"name":"next","type":["null","Node"]}]}',
+    ]
+    for s in ok:
+        assert validate_avsc(s) == [], s
+    bad = [
+        "not json at all",
+        '"unknowntype"',
+        '{"type":"record","name":"R"}',                     # no fields
+        '{"type":"record","name":"9bad","fields":[]}',      # bad name
+        '{"type":"record","name":"R","fields":'
+        '[{"name":"a","type":"int"},{"name":"a","type":"int"}]}',
+        '["null",["int","string"]]',                        # nested union
+        '["int","int"]',                                    # dup branches
+        '{"type":"enum","name":"E","symbols":["A","A"]}',
+        '{"type":"fixed","name":"F","size":-1}',
+        '{"type":"array"}',
+        '{"type":"map"}',
+        '{"type":"record","name":"R","fields":'
+        '[{"name":"x","type":"Undefined"}]}',
+    ]
+    for s in bad:
+        errs = validate_avsc(s)
+        assert errs and all(e.startswith("invalid avro schema '(")
+                            for e in errs), (s, errs)
+
+
+def test_json_annotation_preservation_roundtrip():
+    """shouldKeepAnnotations analogue (IonToJson.java:120,306-434, fixture
+    IonToJsonTest 'should_transform_ion_to_json_with_annotations'): the
+    carrier is a struct<ion_annotations: list<string>, value>; keep=True
+    re-emits {"ion_annotations": [...], "value": ...} only for annotated
+    values, keep=False writes bare values."""
+    import json as _json
+
+    from plugin_serdes_ray.sinks.json_ import (JsonWriteOptions,
+                                               table_to_json_bytes)
+    from plugin_serdes_ray.sources.json_ import (JsonOptions,
+                                                 parse_json_bytes)
+
+    b64 = ("TGlzdGUgZCfDg8KpY2hhbmdlIHN1ciBsZSBzdWl2aSBkZSBsYSBtYXNzZSBzYWxh"
+           "cmlhbGUgZGUgbCdJVVQ=")
+    src = {"dn": "cn=tony@orga.com,ou=diffusion_list,dc=orga,dc=com",
+           "attributes": {
+               "description": ["Some description 2",
+                               {"ion_annotations": ["base64"],
+                                "value": b64},
+                               "Melusine lover as well"],
+               "someOtherAttribute": ["perhaps 2", "perhapsAgain 2"]}}
+    raw = _json.dumps(src).encode()
+    # read with keep_annotations: mixed bare/wrapped list normalizes into
+    # one struct-typed carrier per element
+    recs = parse_json_bytes(raw, JsonOptions(keep_annotations=True))
+    t = pa.Table.from_pylist(recs)
+    desc_t = t.schema.field("attributes").type.field("description").type
+    assert set(desc_t.value_type.field(i).name
+               for i in range(2)) == {"ion_annotations", "value"}
+    # keep=True reproduces the reference's expected JSON (wrapper only
+    # around the annotated element)
+    out = table_to_json_bytes(t, JsonWriteOptions(keep_annotations=True))
+    got = _json.loads(out.decode().strip())
+    assert got == src
+    # default drops annotations -> bare values everywhere
+    plain = _json.loads(table_to_json_bytes(t).decode().strip())
+    assert plain["attributes"]["description"] == [
+        "Some description 2", b64, "Melusine lover as well"]
+    # a second annotated roundtrip is stable (read-back of keep=True)
+    recs2 = parse_json_bytes(out, JsonOptions(keep_annotations=True))
+    assert pa.Table.from_pylist(recs2).equals(t)
+
+
 def test_coerce_booleans():
     arr = pa.array(["Yes", "off", "TRUE", "0", None, "NA"])
     out = to_boolean(arr)
