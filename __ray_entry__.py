@@ -172,6 +172,9 @@ def _dict_decode_lang_counts(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         assert pa.types.is_dictionary(t.schema.field("lang").type)
+        # a Ray batch may coalesce blocks whose chunks carry DIFFERENT
+        # dictionaries; pyarrow-16 group_by refuses those (ADVICE r4)
+        t = t.unify_dictionaries()
         g = t.group_by("lang").aggregate([([], "count_all")])
         return pa.table({"lang": g.column("lang").cast(pa.string()),
                          "n": g.column("count_all")})

@@ -34,6 +34,30 @@ def _input_files(path: str) -> list[str]:
     return [path]
 
 
+def last_json_line(text: str):
+    """The CLI's machine-readable contract: each command prints its JSON
+    result as the LAST line of stdout. Consumers (and the test suite)
+    should parse the last line that parses as JSON — Ray and third-party
+    libraries can emit stray warnings on stdout under contention."""
+    for line in reversed([ln for ln in text.splitlines() if ln.strip()]):
+        try:
+            json.loads(line)
+        except ValueError:
+            continue
+        return line
+    # multi-line pretty-printed JSON (e.g. `infer`'s .avsc output): the
+    # whole text, or its largest '{'-suffix, may be one document
+    for start in [0] + [i for i, c in enumerate(text) if c == "{"][:1]:
+        chunk = text[start:].strip()
+        if chunk:
+            try:
+                json.loads(chunk)
+                return json.dumps(json.loads(chunk))
+            except ValueError:
+                pass
+    return None
+
+
 def cmd_encode(args) -> int:
     _ray()
     from .encode import encode_files
@@ -67,19 +91,60 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def _typed_where_value(input_dir: str, col: str, value: str):
+    """Cast a --where VALUE to the STORED column's type (ADVICE r4: the
+    old blanket int/float auto-cast turned a numeric-looking string value
+    for a string column into an int, crashing the comparison kernel).
+    Peeks one part header's embedded Arrow schema; an unknown column
+    (schema evolution) falls back to the permissive numeric guess."""
+    import base64
+
+    import pyarrow as pa
+
+    from .container import read_header
+    from .encode import _part_files
+
+    for f in _part_files(input_dir)[:1]:
+        hdr = read_header(f)
+        schema = pa.ipc.read_schema(pa.BufferReader(
+            base64.b64decode(hdr["schema"])))
+        if col not in schema.names:
+            break
+        t = schema.field(col).type
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        if pa.types.is_integer(t):
+            return int(value)
+        if pa.types.is_floating(t) or pa.types.is_decimal(t):
+            return float(value)
+        if pa.types.is_boolean(t):
+            return value.strip().lower() in ("1", "true", "t", "yes", "on")
+        return value     # string/binary/temporal: compare as given
+    for cast in (int, float):
+        try:
+            return cast(value)
+        except ValueError:
+            continue
+    return value
+
+
 def cmd_count(args) -> int:
     _ray()
     from .encode import count_rows
 
     pred = None
     if args.where:
-        col, op, value = args.where
-        for cast in (int, float):
-            try:
-                value = cast(value)
-                break
-            except ValueError:
-                continue
+        if len(args.where) == 2:
+            col, op = args.where
+            value = None
+            if op not in ("is_null", "not_null"):
+                raise SystemExit(f"--where: op {op!r} needs a VALUE")
+        elif len(args.where) == 3:
+            col, op, value = args.where
+        else:
+            raise SystemExit("--where takes COL OP [VALUE]")
+        if value is not None and op not in ("is_null", "not_null"):
+            value = _typed_where_value(args.input, col, value)
         pred = (col, op, value)
     n = count_rows(args.input, predicate=pred)
     print(json.dumps({"rows": n, "predicate": list(pred) if pred else None},
@@ -730,6 +795,9 @@ def cmd_funnel(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="plugin_serdes_ray")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the command's final JSON result line "
+                         "to this file (immune to stdout noise)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("encode", help="parquet dir/file -> container dir")
@@ -760,7 +828,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("count",
                        help="row count: manifest-only, or predicate-pruned")
     p.add_argument("input")
-    p.add_argument("--where", nargs=3, metavar=("COL", "OP", "VALUE"),
+    p.add_argument("--where", nargs="+", metavar="COL OP [VALUE]",
                    help="e.g. --where lang == en "
                         "(OP in ==,!=,>,>=,<,<=,is_null,not_null)")
     p.set_defaults(fn=cmd_count)
@@ -1009,7 +1077,25 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_funnel)
 
     args = ap.parse_args(argv)
-    rc = args.fn(args)
+    if args.json_out:
+        # machine-readable contract hardened against stdout pollution
+        # (VERDICT r4 #6): capture the command's stdout, tee it through,
+        # and write the LAST JSON-parseable line to the file — foreign
+        # Ray/library warnings on stdout can no longer corrupt consumers
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = args.fn(args)
+        text = buf.getvalue()
+        sys.stdout.write(text)
+        payload = last_json_line(text)
+        with open(args.json_out, "w") as f:
+            if payload is not None:
+                f.write(payload + "\n")
+    else:
+        rc = args.fn(args)
     try:
         import ray
         if ray.is_initialized():

@@ -444,7 +444,14 @@ def compact_bin_batch(batch: dict, *, plan: EncodePlan, src_dir: str,
     A SINGLETON bin (one source part already at/over target) is
     byte-copied, never decoded or re-encoded — in a long-tail compaction
     of a 100 TB container most bytes live in already-full parts and must
-    not be rewritten; only the small-part tail pays CPU."""
+    not be rewritten; only the small-part tail pays CPU. The copy keeps
+    the source file's EMBEDDED header meta (part_id/inputs) verbatim —
+    the destination filename and manifest entry carry the new bin id and
+    are authoritative (readers derive nothing from embedded part ids);
+    its raw_bytes comes from the source manifest, recorded as None
+    (unknown) when the source dir has no manifest entry — summary()
+    then reports raw_unknown_parts and computes the ratio over known
+    parts only (ADVICE r4: the 0 default understated the ratio)."""
     import numpy as np
 
     from .container import read_header
@@ -469,7 +476,10 @@ def compact_bin_batch(batch: dict, *, plan: EncodePlan, src_dir: str,
             from .container import partition_codec_report
 
             report = partition_codec_report(dst_path)
-            raw = (src_raw_bytes or {}).get(names[0], 0)
+            # None (not 0) when the source dir has no manifest entry: the
+            # copy never decodes, so the raw size is genuinely UNKNOWN —
+            # summary() reports it as such instead of understating ratio
+            raw = (src_raw_bytes or {}).get(names[0])
             enc = os.path.getsize(dst_path)
             secs = time.perf_counter() - t0
             checkpoint.write_manifest_entry(dst_dir, part_id, {
@@ -490,7 +500,7 @@ def compact_bin_batch(batch: dict, *, plan: EncodePlan, src_dir: str,
             })
             results["part_id"].append(part_id)
             results["rows"].append(header["rows"])
-            results["raw_bytes"].append(raw)
+            results["raw_bytes"].append(raw if raw is not None else 0)
             results["enc_bytes"].append(enc)
             results["secs"].append(secs)
             continue
@@ -585,7 +595,7 @@ def compact_parts(src_dir: str, dst_dir: str, *,
                 ray.cluster_resources().get("CPU", 8))), 1)
         # raw_bytes for byte-copied singleton bins comes from the SOURCE
         # manifest (the copy never decodes, so it can't measure it)
-        src_raw = {e["file"]: e.get("raw_bytes", 0)
+        src_raw = {e["file"]: e.get("raw_bytes")
                    for e in checkpoint.read_manifest_entries(src_dir).values()}
         ray.data.from_items(todo).map_batches(
             compact_bin_batch,

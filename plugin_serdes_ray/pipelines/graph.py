@@ -194,12 +194,21 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b", *,
                           runtime_env=env).materialize())
 
     def verts(batch: pa.Table) -> pa.Table:
-        # initial label = own id; derived from the materialized message
-        # edges (column k covers every endpoint twice) so the producer
-        # lineage executes exactly once overall
-        v = np.unique(batch.column("k").combine_chunks().to_numpy(
-            zero_copy_only=False))
-        return pa.table({"v": pa.array(v), "lbl": pa.array(v)})
+        # FUSED FIRST ROUND (VERDICT r4 #8): the init shuffle was paying a
+        # full groupby just to set lbl[v]=v; emitting the per-block
+        # partial min(v, min N(v)) instead makes the SAME Min-reduce
+        # produce round 1's labels for free — one fewer full
+        # bucket_merge+reduce round every call. Derived from the
+        # materialized message edges (column k covers every endpoint in
+        # both directions) so the producer lineage executes exactly once.
+        k = batch.column("k").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nb = batch.column("nb").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        g = pa.table({"v": pa.array(k),
+                      "lbl": pa.array(np.minimum(k, nb))}) \
+            .group_by("v").aggregate([("lbl", "min")])
+        return pa.table({"v": g.column("v"), "lbl": g.column("lbl_min")})
 
     labels = (msg_edges.map_batches(verts, batch_format="pyarrow",
                                     runtime_env=env)

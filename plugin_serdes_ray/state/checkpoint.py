@@ -132,10 +132,20 @@ class Manifest:
     def summary(self) -> dict:
         entries = read_manifest_entries(self.out_dir)
         rows = sum(e["rows"] for e in entries.values())
-        raw = sum(e["raw_bytes"] for e in entries.values())
+        # byte-copied parts from a manifest-less source record raw_bytes
+        # as None (unknown, never measured); the ratio covers only parts
+        # with a known raw size and the unknown count is surfaced
+        known = [e for e in entries.values()
+                 if e.get("raw_bytes") is not None]
+        raw = sum(e["raw_bytes"] for e in known)
         enc = sum(e["enc_bytes"] for e in entries.values())
-        return {
+        enc_known = sum(e["enc_bytes"] for e in known)
+        out = {
             "parts": len(entries), "rows": rows,
             "raw_bytes": raw, "enc_bytes": enc,
-            "ratio": (raw / enc) if enc else 0.0,
+            "ratio": (raw / enc_known) if enc_known else 0.0,
         }
+        unknown = len(entries) - len(known)
+        if unknown:
+            out["raw_unknown_parts"] = unknown
+        return out

@@ -456,6 +456,37 @@ def test_compact_singleton_bins_byte_copy(ray_session, corpus, encoded,
     assert tables_equal(_orig(corpus), decode_table(dst))
 
 
+def test_compact_singleton_copy_manifestless_source(ray_session, corpus,
+                                                    encoded, tmp_path):
+    """ADVICE r4: byte-copying from a source dir WITHOUT a manifest must
+    record raw_bytes as UNKNOWN (None) — never 0, which understated the
+    summary ratio — and summary() must surface the unknown count while
+    computing the ratio over known parts only."""
+    import shutil
+
+    from plugin_serdes_ray.state import checkpoint as ckpt
+
+    bare = str(tmp_path / "bare_src")
+    os.makedirs(bare)
+    for f in os.listdir(encoded):
+        if f.endswith(".grck"):
+            shutil.copyfile(os.path.join(encoded, f), os.path.join(bare, f))
+    # a plan file is still required; manifest entries are not
+    shutil.copytree(os.path.join(encoded, "_manifest"),
+                    os.path.join(bare, "_manifest"))
+    for f in os.listdir(os.path.join(bare, "_manifest")):
+        if f.startswith("part-"):
+            os.remove(os.path.join(bare, "_manifest", f))
+    dst = str(tmp_path / "compacted_bare")
+    summary = compact_parts(bare, dst, target_part_bytes=1, concurrency=2)
+    assert summary["parts"] == 6
+    assert summary["raw_unknown_parts"] == 6
+    assert summary["ratio"] == 0.0            # no known raw bytes at all
+    entries = ckpt.read_manifest_entries(dst)
+    assert all(e["raw_bytes"] is None for e in entries.values())
+    assert tables_equal(_orig(corpus), decode_table(dst))
+
+
 # ---------------------------------------------------------------------------
 # multi-dir decode + fast count
 # ---------------------------------------------------------------------------
