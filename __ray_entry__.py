@@ -2516,6 +2516,45 @@ def _jsonl_bridge(sf_dir: str, table: str) -> pa.Table:
     return coerce_table(back, src.schema, CoerceOptions(on_bad_lines="ERROR"))
 
 
+def _json_annotations_documents(sf_dir: str) -> pa.Table:
+    """ION-annotation preservation parity (IonToJson.java:120,306-434 +
+    the JsonToIon inverse): every third document's text wraps in an
+    annotation carrier ({ion_annotations: [lang, source], value: text}),
+    the JSONL sink re-emits the wrapper under keep_annotations=True, the
+    source decodes it back (bare siblings normalize to empty-annotation
+    carriers), and the unwrap must return every value byte-identical with
+    its annotations intact. Oracle recomputes (anns, text_out) in SQL."""
+    from plugin_serdes_ray.sinks.json_ import (JsonWriteOptions,
+                                               table_to_json_bytes)
+    from plugin_serdes_ray.sources.json_ import (JsonOptions,
+                                                 normalize_annotations,
+                                                 parse_json_bytes)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "source"])
+    recs = []
+    for r in docs.to_pylist():
+        if r["doc_id"] % 3 == 0:
+            payload = {"ion_annotations": [r["lang"] or "", r["source"] or ""],
+                       "value": r["text"]}
+        else:
+            payload = r["text"]
+        recs.append({"doc_id": r["doc_id"], "payload": payload})
+    t = pa.Table.from_pylist(normalize_annotations(recs))
+    blob = table_to_json_bytes(t, JsonWriteOptions(keep_annotations=True))
+    back = pa.Table.from_pylist(
+        parse_json_bytes(blob, JsonOptions(keep_annotations=True)))
+    out_rows = []
+    for r in back.to_pylist():
+        p = r["payload"]
+        out_rows.append({"doc_id": r["doc_id"],
+                         "anns": "#".join(p["ion_annotations"]),
+                         "text_out": p["value"]})
+    return pa.Table.from_pylist(out_rows).cast(pa.schema(
+        [("doc_id", pa.int64()), ("anns", pa.string()),
+         ("text_out", pa.string())]))
+
+
 def _yaml_json_bridge(sf_dir: str, table: str) -> pa.Table:
     """YamlToJson then JsonToYaml chained: table -> yaml -> jsonl -> yaml
     -> table -> coerce (both bridge directions exercised)."""
@@ -3980,6 +4019,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_bridge_region": lambda sf: _jsonl_bridge(sf, "region"),
         "yaml_json_bridge_nation": lambda sf: _yaml_json_bridge(sf, "nation"),
         "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
+        # ION-annotation preservation (r5: IonToJson.java:306-434 parity)
+        "json_annotations_documents": _json_annotations_documents,
         # similarity search + near-dup singles (consolidated into
         # dedup_near_sim in the first block)
         "ann_brute_top10": _ann_brute,
@@ -4163,6 +4204,13 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_bridge_region": "SELECT * FROM region",
         "yaml_json_bridge_nation": "SELECT * FROM nation",
         "infer_roundtrip_nation": "SELECT * FROM nation",
+        "json_annotations_documents": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN coalesce(lang, '') || '#' || coalesce(source, '')
+                        ELSE '' END AS anns,
+                   text AS text_out
+            FROM documents""",
         "convert_fleet_orders": "SELECT * FROM orders",
         "dup_ngram_spans_documents": """
             WITH grams AS (
