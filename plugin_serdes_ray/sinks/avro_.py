@@ -62,6 +62,12 @@ def table_to_avro_bytes(table: pa.Table, avsc: Optional[str | dict] = None,
     if avsc is None:
         schema = arrow_schema_to_avro(table.schema)
     else:
+        if isinstance(avsc, str):
+            # reference-worded up-front rejection (AvroSchemaValidator
+            # parity) instead of an opaque failure mid-write
+            errors = avroio.validate_avsc(avsc)
+            if errors:
+                raise ValueError("; ".join(errors))
         schema = json.loads(avsc) if isinstance(avsc, str) else avsc
     return avroio.write_container(table.to_pylist(), schema, codec=codec)
 

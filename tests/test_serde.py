@@ -441,6 +441,13 @@ def test_validate_avsc_standalone():
         errs = validate_avsc(s)
         assert errs and all(e.startswith("invalid avro schema '(")
                             for e in errs), (s, errs)
+    # the avro sink rejects an invalid PROVIDED schema up front with the
+    # reference wording, not an opaque mid-write failure
+    from plugin_serdes_ray.sinks.avro_ import table_to_avro_bytes
+
+    with pytest.raises(ValueError, match="invalid avro schema"):
+        table_to_avro_bytes(pa.table({"a": [1]}),
+                            '{"type":"record","name":"R"}')
 
 
 def test_json_annotation_preservation_roundtrip():
