@@ -139,11 +139,22 @@ def _first_per_group_fn(column: str, id_column: str):
 def _exact_dedup_broadcast(hashed, dups, column: str, id_column: str, env):
     """Small-dup-set route: the duplicated hashes fit the driver, so they
     broadcast once (``ray.put``) into two map-only ``is_in`` routes; only
-    suspect rows enter the keyed shuffle."""
+    suspect rows enter the keyed shuffle. Collection stays Arrow
+    (``iter_batches``, 8 bytes/hash) — a ``take_all()`` of row dicts
+    would cost ~100x that in driver heap at the 4M default."""
     import ray
 
-    dup_hashes = pa.array(sorted(r["__h"] for r in dups.take_all()),
-                          type=pa.int64())
+    chunks = []
+    for b in dups.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            c = b.column("__h").combine_chunks()
+            chunks.append(c.chunks[0] if isinstance(c, pa.ChunkedArray)
+                          else c)
+    flat = (pa.concat_arrays(chunks) if chunks
+            else pa.array([], type=pa.int64()))
+    # sorted for a deterministic broadcast object (is_in itself is
+    # order-insensitive)
+    dup_hashes = flat.take(pc.array_sort_indices(flat))
     dup_ref = ray.put(dup_hashes)
 
     def pass_unique(batch: pa.Table) -> pa.Table:
