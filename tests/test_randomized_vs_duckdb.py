@@ -911,6 +911,71 @@ def test_random_evolved_decode_vs_duckdb(ray_session, tmp_path):
                 _sorted_rows(want, ["a_big", "tag", "extra"]), (seed, pred)
 
 
+def test_random_is_null_on_absent_column_vs_duckdb(ray_session, tmp_path):
+    """Multi-epoch corpus where epoch 1 PREDATES a column: predicates on
+    the late column must match DuckDB over union_by_name (absent reads as
+    NULL — is_null keeps whole old parts, comparisons/not_null prune
+    them). Covers the r5 ADVICE fix across random layouts."""
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng([67, seed])
+        old_paths, new_paths = [], []
+        for i in range(int(rng.integers(1, 4))):
+            nrows = int(rng.integers(20, 80))
+            t = pa.table({
+                "id": pa.array(rng.integers(0, 10_000, nrows),
+                               type=pa.int64()),
+                "tag": pa.array([f"t{v}" for v in
+                                 rng.integers(0, 4, nrows)])})
+            p = str(tmp_path / f"ab{seed}old{i}.parquet")
+            pq_.write_table(t, p)
+            old_paths.append(p)
+        for i in range(int(rng.integers(1, 4))):
+            nrows = int(rng.integers(20, 80))
+            q = rng.normal(size=nrows).astype(object)
+            q[rng.random(nrows) < 0.3] = None
+            t = pa.table({
+                "id": pa.array(rng.integers(0, 10_000, nrows),
+                               type=pa.int64()),
+                "tag": pa.array([f"t{v}" for v in
+                                 rng.integers(0, 4, nrows)]),
+                "quality": pa.array(list(q), type=pa.float64())})
+            p = str(tmp_path / f"ab{seed}new{i}.parquet")
+            pq_.write_table(t, p)
+            new_paths.append(p)
+        d_old = str(tmp_path / f"ab_enc_old{seed}")
+        d_new = str(tmp_path / f"ab_enc_new{seed}")
+        encode_files(old_paths, d_old, concurrency=2)
+        encode_files(new_paths, d_new, concurrency=2)
+        con.execute(
+            f"CREATE OR REPLACE VIEW ab_t AS SELECT * FROM "
+            f"read_parquet({(old_paths + new_paths)!r}, "
+            f"union_by_name=true)")
+        tgt = pa.schema([("id", pa.int64()), ("tag", pa.string()),
+                         ("quality", pa.float64())])
+        probes = [
+            ([("quality", "is_null", None)], "quality IS NULL"),
+            ([("quality", "not_null", None)], "quality IS NOT NULL"),
+            ([("quality", ">", 0.0)], "quality > 0.0"),
+            ([("quality", "is_null", None), ("tag", "==", "t1")],
+             "quality IS NULL AND tag = 't1'"),
+            ([("quality", "is_null", None), ("id", "<", 5000)],
+             "quality IS NULL AND id < 5000"),
+        ]
+        for preds, cond in probes:
+            got = decode_dataset([d_old, d_new], target_schema=tgt,
+                                 predicate=preds).take_all()
+            want = con.execute(
+                "SELECT id, tag, quality FROM ab_t WHERE "
+                + cond).arrow().to_pylist()
+            assert _sorted_rows(got, ["id", "tag", "quality"]) == \
+                _sorted_rows(want, ["id", "tag", "quality"]), (seed, preds)
+
+
 def test_random_null_predicates_vs_duckdb(ray_session, tmp_path):
     """!= / is_null / not_null (mixed with prunable conjuncts) over columns
     with random nulls == DuckDB on the same parquet."""
