@@ -1086,14 +1086,17 @@ def main(argv=None) -> int:
         import io as _io
 
         buf = _io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            rc = args.fn(args)
-        text = buf.getvalue()
-        sys.stdout.write(text)
-        payload = last_json_line(text)
-        with open(args.json_out, "w") as f:
-            if payload is not None:
-                f.write(payload + "\n")
+        try:
+            with contextlib.redirect_stdout(buf):
+                rc = args.fn(args)
+        finally:
+            # re-emit captured stdout even when the command raises
+            text = buf.getvalue()
+            sys.stdout.write(text)
+            payload = last_json_line(text)
+            with open(args.json_out, "w") as f:
+                if payload is not None:
+                    f.write(payload + "\n")
     else:
         rc = args.fn(args)
     try:
