@@ -17,6 +17,24 @@ def _last_json(capsys):
     return json.loads(line)
 
 
+def test_last_json_line_contract():
+    """The machine-readable contract survives stdout pollution: stray
+    warnings before/after the JSON line, and multi-line pretty JSON."""
+    from plugin_serdes_ray.__main__ import last_json_line
+
+    noisy = ('2026-01-01 INFO worker.py: started\n'
+             '{"rows": 7}\n'
+             'WARNING streaming_executor: schema changed\n')
+    assert json.loads(last_json_line(noisy)) == {"rows": 7}
+    pretty = '{\n  "type": "record",\n  "name": "R"\n}\n'
+    assert json.loads(last_json_line(pretty)) == {"type": "record",
+                                                  "name": "R"}
+    assert last_json_line("no json here\nat all\n") is None
+    # the LAST of several JSON lines wins
+    two = '{"a": 1}\n{"a": 2}\n'
+    assert json.loads(last_json_line(two)) == {"a": 2}
+
+
 def test_cli_convert_and_infer(tmp_path, capsys, sf_dir):
     from plugin_serdes_ray.__main__ import main
 
