@@ -349,6 +349,30 @@ def _dup_ngram_spans(sf_dir: str):
     })
 
 
+def _dup_span_removal(sf_dir: str):
+    """Exact-substring dedup, REMOVAL form (dedup.remove_duplicate_spans;
+    Lee et al. ACL 2022 analog over the sampled-gram span model of
+    dup_ngram_spans): excise all-but-the-globally-first occurrence of
+    every cross-document duplicated span, merged per doc. Oracle rebuilds
+    the removal intervals in SQL (row_number canonical, gaps-and-islands
+    merge) and checks counts + removed chars + resulting lengths."""
+    from plugin_serdes_ray.pipelines.dedup import remove_duplicate_spans
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    rows = remove_duplicate_spans(ds, "text", "doc_id").take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_spans_removed": pa.array([r["n_spans_removed"] for r in rows],
+                                    type=pa.int64()),
+        "removed_chars": pa.array([r["removed_chars"] for r in rows],
+                                  type=pa.int64()),
+        "clean_len": pa.array(
+            [0 if r["text_clean"] is None else len(r["text_clean"])
+             for r in rows], type=pa.int64()),
+    })
+
+
 def _dedup_oracle_corpus(sf_dir: str, n_injected: int = 5,
                          perturb_tokens: int = 6):
     """Deterministic near-dup oracle corpus over the documents table's ids:
@@ -4021,6 +4045,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
         # ION-annotation preservation (r5: IonToJson.java:306-434 parity)
         "json_annotations_documents": _json_annotations_documents,
+        # exact-substring dedup, removal form (r5; detection form is
+        # dup_ngram_spans_documents in the 50 block)
+        "dup_span_removal_documents": _dup_span_removal,
         # similarity search + near-dup singles (consolidated into
         # dedup_near_sim in the first block)
         "ann_brute_top10": _ann_brute,
@@ -4204,6 +4231,46 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_bridge_region": "SELECT * FROM region",
         "yaml_json_bridge_nation": "SELECT * FROM nation",
         "infer_roundtrip_nation": "SELECT * FROM nation",
+        "dup_span_removal_documents": """
+            WITH occ AS (
+                SELECT d.doc_id, CAST(i AS BIGINT) AS i,
+                       substr(d.text, CAST(i AS BIGINT), 20) AS gram
+                FROM documents d,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, length(d.text) - 19, 10)) AS i)
+                WHERE length(d.text) >= 20),
+            dupg AS (
+                SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM occ)
+                GROUP BY gram HAVING count(*) >= 2),
+            ranked AS (
+                SELECT doc_id, i, row_number() OVER (
+                    PARTITION BY gram ORDER BY doc_id, i) AS rn
+                FROM occ WHERE gram IN (SELECT gram FROM dupg)),
+            removals AS (
+                SELECT doc_id, i AS s, i + 20 AS e
+                FROM ranked WHERE rn > 1),
+            marked AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > coalesce(max(e) OVER (
+                           PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS brk
+                FROM removals),
+            grp AS (
+                SELECT doc_id, s, e, sum(brk) OVER (
+                    PARTITION BY doc_id ORDER BY s, e) AS g
+                FROM marked),
+            isl AS (SELECT doc_id, g, min(s) AS s, max(e) AS e
+                    FROM grp GROUP BY doc_id, g),
+            stats AS (SELECT doc_id, count(*) AS n, sum(e - s) AS rm
+                      FROM isl GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(st.n, 0) AS BIGINT) AS n_spans_removed,
+                   CAST(coalesce(st.rm, 0) AS BIGINT) AS removed_chars,
+                   CAST(coalesce(length(d.text), 0) - coalesce(st.rm, 0)
+                        AS BIGINT) AS clean_len
+            FROM documents d LEFT JOIN stats st USING (doc_id)""",
         "json_annotations_documents": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0

@@ -1184,6 +1184,224 @@ def dup_span_stats(ds, column: str, id_column: str, *, gram: int = 20,
             .map_batches(finish, batch_format="pyarrow", runtime_env=env))
 
 
+def _span_gram_hash_positions(text: str, gram: int, stride: int):
+    """(hash, 0-based code-point start) of every sampled gram — the
+    positional sibling of :func:`_span_gram_hashes` (same rolling hash,
+    same UTF-32 code-point semantics, NO per-doc uniquing: removal needs
+    every occurrence)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) < gram:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    cpu = cp.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        powers = np.uint64(1099511628211) ** np.arange(
+            gram - 1, -1, -1, dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(cpu, gram)[::stride]
+        h = _mix64((win * powers).sum(axis=1, dtype=np.uint64))
+    return h, np.arange(len(h), dtype=np.int64) * stride
+
+
+def remove_duplicate_spans(ds, column: str = "text",
+                           id_column: str = "doc_id", *, gram: int = 20,
+                           stride: int = 10, bloom_bits: int = 1 << 23):
+    """EXACT-SUBSTRING DEDUP, removal form (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — public paper,
+    no code used): excise every occurrence of a cross-document duplicated
+    span except the single globally-first one.
+
+    Span model = :func:`dup_span_stats`'s sampled character grams: a
+    ``gram``-gram every ``stride`` code points; *duplicated* = occurs in
+    >= 2 distinct documents; the canonical (kept) occurrence of a
+    duplicated gram is its lexicographically smallest ``(doc_id, pos)``.
+    Every other occurrence contributes a removal interval
+    ``[pos, pos+gram)``; per document, overlapping-or-touching intervals
+    merge, and the merged spans are cut out of the text.
+
+    Output dataset: ``(id_column, text_clean, n_spans_removed,
+    removed_chars)`` for EVERY input row (untouched rows pass through
+    with zeros; null text stays null with zeros).
+
+    Scale shape: documents shuffle ONLY when they lose spans. Fixed-width
+    ``(gram_hash, doc_id, pos)`` rows (24 B per sampled gram) feed a
+    combiner-shrunk duplicated-hash detection (materialized — O(dup
+    grams) 8-byte rows), a Bloom-prefiltered semi join routes only
+    dup-gram occurrences into the per-hash canonical groupby, removal
+    intervals merge per doc, and a Bloom bitmap of the affected doc ids
+    splits the corpus map-only: clean docs pass through untouched; only
+    affected docs enter ONE ``hash_join`` with their interval lists.
+    Duplicate detection is over the 64-bit mixed gram hash — the
+    :func:`dup_span_stats` collision convention."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .relational import (bloom_probe_hits, bloom_semi_join,
+                             build_key_bloom, hash_join)
+
+    env = package_runtime_env()
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column).to_pylist()
+        ids = batch.column(id_column).combine_chunks()
+        hs, ps, out_ids = [], [], []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            h, p = _span_gram_hash_positions(t, gram, stride)
+            if len(h):
+                hs.append(h)
+                ps.append(p)
+                out_ids.append(np.full(len(h), ids[i].as_py(),
+                                       dtype=np.int64))
+        if not hs:
+            return pa.table({"__h": pa.array([], type=pa.int64()),
+                             id_column: pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64())})
+        return pa.table({"__h": pa.array(
+            np.concatenate(hs).view(np.int64)),
+            id_column: pa.array(np.concatenate(out_ids)),
+            "pos": pa.array(np.concatenate(ps))})
+
+    occ = ds.map_batches(occ_rows, batch_format="pyarrow", runtime_env=env)
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        # distinct (hash, doc) per block so the count is a distinct-DOC
+        # count after the Sum shuffle (a doc's grams stay in one block)
+        g = pa.table({"__h": batch.column("__h"),
+                      id_column: batch.column(id_column)}) \
+            .group_by(["__h", id_column]).aggregate([])
+        g2 = g.group_by(["__h"]).aggregate([("__h", "count")])
+        return pa.table({"__h": g2.column("__h"),
+                         "__c": g2.column("__h_count")})
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("sum(__c)"), 1)).select(["__h"])
+
+    dups = (occ.map_batches(cnt_partial, batch_format="pyarrow",
+                            runtime_env=env)
+            .groupby("__h").aggregate(Sum("__c"))
+            .map_batches(only_dups, batch_format="pyarrow",
+                         runtime_env=env)
+            .materialize())   # O(duplicated grams) fixed-width rows
+
+    marked = bloom_semi_join(occ, dups, "__h", bits=bloom_bits)
+
+    def drop_canonical(group: pa.Table) -> pa.Table:
+        ids = group.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = group.column("pos").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        keep = order[1:]        # everything but the canonical occurrence
+        return pa.table({id_column: pa.array(ids[keep]),
+                         "s": pa.array(pos[keep]),
+                         "e": pa.array(pos[keep] + gram)})
+
+    removals = (marked.groupby("__h")
+                .map_groups(drop_canonical, batch_format="pyarrow",
+                            runtime_env=env))
+
+    def merge_intervals(group: pa.Table) -> pa.Table:
+        s = group.column("s").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        e = group.column("e").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        ms, me = [int(s[0])], [int(e[0])]
+        for i in range(1, len(s)):
+            if s[i] <= me[-1]:              # overlap or touch: merge
+                me[-1] = max(me[-1], int(e[i]))
+            else:
+                ms.append(int(s[i]))
+                me.append(int(e[i]))
+        did = group.column(id_column)[0].as_py()
+        return pa.table({
+            id_column: pa.array([did], type=pa.int64()),
+            "__starts": pa.array([ms], type=pa.list_(pa.int64())),
+            "__ends": pa.array([me], type=pa.list_(pa.int64())),
+            "__nspans": pa.array([len(ms)], type=pa.int64()),
+            "__removed": pa.array([int(sum(b - a for a, b in
+                                           zip(ms, me)))],
+                                  type=pa.int64())})
+
+    doclists = (removals.groupby(id_column)
+                .map_groups(merge_intervals, batch_format="pyarrow",
+                            runtime_env=env)
+                .materialize())   # O(affected docs) rows
+
+    def all_clean(batch: pa.Table) -> pa.Table:
+        zeros = pa.nulls(batch.num_rows, pa.int64()).fill_null(0)
+        return pa.table({id_column: batch.column(id_column),
+                         "text_clean": batch.column(column),
+                         "n_spans_removed": zeros,
+                         "removed_chars": zeros})
+
+    if doclists.count() == 0:
+        # nothing duplicated (only same-offset-mod-stride repeats match
+        # the sampled grams): every row passes through untouched
+        return ds.map_batches(all_clean, batch_format="pyarrow",
+                              runtime_env=env)
+
+    words_ref = build_key_bloom(doclists, [id_column],
+                                out_keys=[id_column],
+                                out_types={id_column: pa.int64()},
+                                bits=bloom_bits, num_hashes=4)
+    mask = bloom_bits - 1
+
+    def probe(batch: pa.Table, want_hits: bool) -> pa.Table:
+        hits = bloom_probe_hits(batch, [id_column], ray.get(words_ref),
+                                4, mask)
+        return batch.filter(pa.array(hits if want_hits else ~hits))
+
+    def passthrough(batch: pa.Table) -> pa.Table:
+        batch = probe(batch, False)
+        zeros = pa.nulls(batch.num_rows, pa.int64()).fill_null(0)
+        return pa.table({id_column: batch.column(id_column),
+                         "text_clean": batch.column(column),
+                         "n_spans_removed": zeros,
+                         "removed_chars": zeros})
+
+    untouched = ds.map_batches(passthrough, batch_format="pyarrow",
+                               runtime_env=env)
+    affected = ds.map_batches(lambda b: probe(b, True),
+                              batch_format="pyarrow", runtime_env=env)
+    joined = hash_join(affected, doclists, id_column, join_type="left")
+
+    def excise(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column).to_pylist()
+        starts = batch.column("__starts").to_pylist()
+        ends = batch.column("__ends").to_pylist()
+        nsp = batch.column("__nspans").to_pylist()
+        rmv = batch.column("__removed").to_pylist()
+        out_t, out_n, out_r = [], [], []
+        for t, ss, ee, n, r in zip(texts, starts, ends, nsp, rmv):
+            if ss is None or t is None:
+                # bloom false positive (no join match) or null text
+                out_t.append(t)
+                out_n.append(0)
+                out_r.append(0)
+                continue
+            pieces, prev = [], 0
+            for a, b in zip(ss, ee):
+                pieces.append(t[prev:a])
+                prev = b
+            pieces.append(t[prev:])
+            out_t.append("".join(pieces))
+            out_n.append(int(n))
+            out_r.append(int(r))
+        return pa.table({id_column: batch.column(id_column),
+                         "text_clean": pa.array(out_t, type=pa.string()),
+                         "n_spans_removed": pa.array(out_n,
+                                                     type=pa.int64()),
+                         "removed_chars": pa.array(out_r,
+                                                   type=pa.int64())})
+
+    cleaned = joined.map_batches(excise, batch_format="pyarrow",
+                                 runtime_env=env)
+    return untouched.union(cleaned)
+
+
 # ---------------------------------------------------------------------------
 # cross-corpus paragraph (line) deduplication — the CCNet dedup step
 # ---------------------------------------------------------------------------

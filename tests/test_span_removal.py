@@ -1,0 +1,115 @@
+"""remove_duplicate_spans (exact-substring dedup, removal form): checked
+against a brute-force Python reference implementing the same spec —
+sampled char grams, >=2-distinct-doc duplication, keep the globally first
+occurrence, merge-and-excise the rest."""
+
+import random
+from collections import defaultdict
+
+import pyarrow as pa
+
+
+def _ref_remove(docs, gram=20, stride=10):
+    by = defaultdict(list)
+    for did, text in docs:
+        if text and len(text) >= gram:
+            for p in range(0, len(text) - gram + 1, stride):
+                by[text[p:p + gram]].append((did, p))
+    removals = defaultdict(list)
+    for g, lst in by.items():
+        if len({d for d, _ in lst}) >= 2:
+            for d, p in sorted(lst)[1:]:
+                removals[d].append((p, p + gram))
+    out = {}
+    for did, text in docs:
+        iv = sorted(removals.get(did, []))
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        if text is None:
+            out[did] = (None, 0, 0)
+            continue
+        pieces, prev = [], 0
+        for s, e in merged:
+            pieces.append(text[prev:s])
+            prev = e
+        pieces.append(text[prev:])
+        out[did] = ("".join(pieces), len(merged),
+                    sum(e - s for s, e in merged))
+    return out
+
+
+def _run(rows, **kw):
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import remove_duplicate_spans
+
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                     type=pa.int64()),
+                  "text": pa.array([r[1] for r in rows],
+                                   type=pa.string())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = remove_duplicate_spans(ds, "text", "doc_id", **kw).take_all()
+    return {r["doc_id"]: (r["text_clean"], r["n_spans_removed"],
+                          r["removed_chars"]) for r in got}
+
+
+def test_span_removal_hand_case(ray_session):
+    # sampled grams (every 10th position) only match duplicated spans at
+    # equal offsets mod stride — give the shared sentence stride-aligned
+    # offsets (0 and 10) so grams line up, like real templated prefixes
+    shared = "the quick brown fox jumps over the lazy dog tonight!"
+    docs = [
+        (1, shared + " unique tail one with extra words here"),
+        (2, "BBBBBBBBB " + shared + " other ending entirely different"),
+        (3, "totally unrelated text with no overlap at all in here ok"),
+        (4, None),
+        (5, "short"),
+    ]
+    got = _run(docs)
+    want = _ref_remove(docs)
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == want[did], (did, got[did], want[did])
+    # the canonical (doc 1) keeps its copy of the shared sentence; doc 2
+    # loses characters; doc 3/5 untouched; null stays null
+    assert got[2][2] > 0
+    assert shared in (got[1][0] or "")
+    assert got[3] == (docs[2][1], 0, 0)
+    assert got[4] == (None, 0, 0)
+    assert got[5] == ("short", 0, 0)
+
+
+def test_span_removal_random_vs_reference(ray_session):
+    rng = random.Random(97)
+    # build docs from a pool of sentences so cross-document duplicate
+    # spans are common, with unicode thrown in (code-point positions)
+    pool = ["sentence %02d aboutす various tõpics number %02d ok" % (i, i)
+            for i in range(12)]
+    docs = []
+    for did in range(40):
+        k = rng.randint(0, 5)
+        body = " ".join(rng.choice(pool) for _ in range(k))
+        body += " unique-%d-%s" % (did, "z" * rng.randint(0, 30))
+        if rng.random() < 0.1:
+            body = ""
+        docs.append((did * 3, body or None))
+    got = _run(docs)
+    want = _ref_remove(docs)
+    assert set(got) == set(want)
+    bad = [(d, got[d], want[d]) for d in want if got[d] != want[d]]
+    assert not bad, bad[:3]
+
+
+def test_span_removal_distributed_tiny_bloom(ray_session):
+    """A saturated bloom (everything 'hits') must not change results —
+    bitmaps only route, groups decide."""
+    shared = "x" * 25 + " common middle part here " + "y" * 25
+    docs = [(i, f"head{i} " + shared + f" tail{i}") for i in range(6)]
+    got = _run(docs, bloom_bits=64)
+    want = _ref_remove(docs)
+    for did in want:
+        assert got[did] == want[did], (did, got[did], want[did])
