@@ -337,6 +337,12 @@ def cmd_dedup(args) -> int:
             lambda t: t.filter(t.column("keep")).select([args.id_column]),
             batch_format="pyarrow", runtime_env=package_runtime_env())
         out = semi_join(ds, kept, args.id_column)
+    elif args.method == "spans":
+        # exact-substring REMOVAL: rows survive with duplicated spans
+        # excised from the text column (keep-globally-first)
+        from .pipelines.dedup import remove_duplicate_spans
+
+        out = remove_duplicate_spans(ds, args.column, args.id_column)
     else:
         from .pipelines.dedup import minhash_lsh_dedup
 
@@ -854,10 +860,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("dedup", help="exact/minhash dedup -> parquet")
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("--method", choices=["exact", "minhash", "semdedup"],
+    p.add_argument("--method",
+                   choices=["exact", "minhash", "semdedup", "spans"],
                    default="exact")
     p.add_argument("--column", default="text",
-                   help="text column (exact/minhash) or embedding "
+                   help="text column (exact/minhash/spans) or embedding "
                         "column (semdedup)")
     p.add_argument("--id-column", default="doc_id")
     p.add_argument("--threshold", type=float, default=None,
