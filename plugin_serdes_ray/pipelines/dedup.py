@@ -1203,7 +1203,8 @@ def _span_gram_hash_positions(text: str, gram: int, stride: int):
 
 def remove_duplicate_spans(ds, column: str = "text",
                            id_column: str = "doc_id", *, gram: int = 20,
-                           stride: int = 10, bloom_bits: int = 1 << 23):
+                           stride: int = 10, bloom_bits: int = 1 << 23,
+                           materialize: bool = False):
     """EXACT-SUBSTRING DEDUP, removal form (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 — public paper,
     no code used): excise every occurrence of a cross-document duplicated
@@ -1230,7 +1231,12 @@ def remove_duplicate_spans(ds, column: str = "text",
     splits the corpus map-only: clean docs pass through untouched; only
     affected docs enter ONE ``hash_join`` with their interval lists.
     Duplicate detection is over the 64-bit mixed gram hash — the
-    :func:`dup_span_stats` collision convention."""
+    :func:`dup_span_stats` collision convention.
+
+    DETERMINISM CONTRACT (as :func:`exact_dedup`): ``ds``'s lineage
+    re-executes for the gram pass and the two routing scans, so upstream
+    stages must be deterministic or pass ``materialize=True`` to pin a
+    snapshot (full-corpus object-store cost)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1238,6 +1244,8 @@ def remove_duplicate_spans(ds, column: str = "text",
                              build_key_bloom, hash_join)
 
     env = package_runtime_env()
+    if materialize:
+        ds = ds.materialize()
 
     def occ_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column(column).to_pylist()
