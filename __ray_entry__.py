@@ -3916,7 +3916,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_step_embeddings": _logreg_step_embeddings,
         "normalize_lineitem": _normalize_lineitem,
         "quantize_embeddings": _quantize_embeddings,
-        "dup_ngram_spans_documents": _dup_ngram_spans,
+        # r5: the removal form supersets the detection machinery (same
+        # gram model + canonical pick + interval merge + bloom-routed
+        # join); detection (dup_ngram_spans_documents) moved to legacy
+        "dup_span_removal_documents": _dup_span_removal,
         "contamination_documents": _contamination_documents,
         "pack_sequences_documents": _pack_sequences_documents,
         "global_shuffle_documents": _global_shuffle_documents,
@@ -4045,9 +4048,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infer_roundtrip_nation": lambda sf: _infer_roundtrip(sf, "nation"),
         # ION-annotation preservation (r5: IonToJson.java:306-434 parity)
         "json_annotations_documents": _json_annotations_documents,
-        # exact-substring dedup, removal form (r5; detection form is
-        # dup_ngram_spans_documents in the 50 block)
-        "dup_span_removal_documents": _dup_span_removal,
+        # exact-substring dup DETECTION (demoted r5: the removal form in
+        # the 50 block supersets it)
+        "dup_ngram_spans_documents": _dup_ngram_spans,
         # similarity search + near-dup singles (consolidated into
         # dedup_near_sim in the first block)
         "ann_brute_top10": _ann_brute,
