@@ -4022,6 +4022,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_lineitem": lambda sf: _roundtrip(sf, "lineitem"),
         "roundtrip_orders_filtered": lambda sf: _roundtrip_filtered(
             sf, "orders", ("o_totalprice", ">=", 300000.0)),
+        # r5: OR-of-ANDs (DNF) predicate decode — zone/Bloom pruning keeps
+        # a part when ANY disjunct may match
+        "roundtrip_orders_or_predicate": lambda sf: _roundtrip_filtered(
+            sf, "orders", [[("o_totalprice", ">=", 450000.0)],
+                           [("o_orderstatus", "==", "F"),
+                            ("o_totalprice", "<", 5000.0)]]),
         # standalone fingerprint row (merged into dedup_near_sim)
         "doc_fingerprints": _fingerprints,
         # whole-doc featurize->assign chain (superseded in the 50 block by
@@ -4207,6 +4213,10 @@ def oracle_sql() -> dict[str, str]:
           for t in ["lineitem", "orders", "documents", "events", "customer"]}
     rt["roundtrip_orders_filtered"] = \
         "SELECT * FROM orders WHERE o_totalprice >= 300000.0"
+    rt["roundtrip_orders_or_predicate"] = """
+        SELECT * FROM orders
+        WHERE o_totalprice >= 450000.0
+           OR (o_orderstatus = 'F' AND o_totalprice < 5000.0)"""
     rt["roundtrip_lineitem_both"] = """
         SELECT 'full' AS which, * FROM lineitem
         UNION ALL

@@ -770,27 +770,62 @@ def _zone_may_match(stats: Optional[list], op: str, value) -> bool:
     return True
 
 
+def _is_conjunct(p) -> bool:
+    return (isinstance(p, tuple) and len(p) == 3
+            and isinstance(p[0], str))
+
+
+def _check_conjunct(p) -> tuple:
+    if not (len(p) == 3 and isinstance(p[0], str)):
+        raise ValueError(f"predicate {p!r}: want (column, op, value)")
+    if p[1] not in ("==", "!=", ">", ">=", "<", "<=", "in",
+                    "is_null", "not_null"):
+        raise ValueError(f"predicate op {p[1]!r}: want == != > >= < <= "
+                         "in is_null not_null")
+    if p[1] == "in" and not isinstance(p[2], (list, tuple, set,
+                                              frozenset)):
+        raise ValueError("'in' predicate needs a list/tuple/set value")
+    return tuple(p)
+
+
 def _normalize_predicates(predicate) -> list:
-    """Accept one ``(col, op, value)`` tuple or a LIST of them (AND)."""
+    """Normalize to DNF: a list of DISJUNCTS, each a non-empty list of
+    ``(col, op, value)`` conjuncts (OR of ANDs). Accepted shapes:
+
+    - one tuple                                  -> ``[[p]]``
+    - a list of tuples (AND, the classic form)   -> ``[[p1, p2, ...]]``
+    - a list of LISTS of tuples (OR of ANDs)     -> as given
+    """
     if predicate is None:
         return []
-    if isinstance(predicate, (list,)) or (
-            isinstance(predicate, tuple)
-            and predicate and not isinstance(predicate[0], str)):
-        preds = list(predicate)
-    else:
-        preds = [predicate]
-    for p in preds:
-        if len(p) != 3 or not isinstance(p[0], str):
-            raise ValueError(f"predicate {p!r}: want (column, op, value)")
-        if p[1] not in ("==", "!=", ">", ">=", "<", "<=", "in",
-                        "is_null", "not_null"):
-            raise ValueError(f"predicate op {p[1]!r}: want == != > >= < <= "
-                             "in is_null not_null")
-        if p[1] == "in" and not isinstance(p[2], (list, tuple, set,
-                                                  frozenset)):
-            raise ValueError("'in' predicate needs a list/tuple/set value")
-    return preds
+    if _is_conjunct(predicate):
+        return [[_check_conjunct(predicate)]]
+    items = list(predicate)
+    if not items:
+        return []
+    if all(_is_conjunct(p) for p in items):
+        return [[_check_conjunct(p) for p in items]]
+    if all(isinstance(d, (list, tuple)) and not _is_conjunct(d)
+           for d in items):
+        out = []
+        for d in items:
+            dl = [_check_conjunct(p) for p in d]
+            if not dl:
+                raise ValueError("predicate: empty OR-disjunct")
+            out.append(dl)
+        return out
+    # a malformed conjunct in the flat form falls through to here — give
+    # the classic error for it rather than the mixed-shape message
+    for p in items:
+        if isinstance(p, tuple) and not _is_conjunct(p):
+            _check_conjunct(p)
+    raise ValueError("predicate: mix conjunct tuples with disjunct lists")
+
+
+def _dnf_columns(dnf: list) -> list:
+    """Distinct predicate column names across every disjunct, in first-
+    appearance order."""
+    return list(dict.fromkeys(p[0] for d in dnf for p in d))
 
 
 def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
@@ -805,14 +840,15 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
 
     from .container import read_header
 
-    preds = _normalize_predicates(predicate)
+    dnf = _normalize_predicates(predicate)
+    pred_cols = _dnf_columns(dnf)
     # predicate columns must be decoded even when the caller's projection
     # excludes them; they are dropped again after filtering
     read_cols = columns
     drop_cols: list[str] = []
-    if preds and columns is not None:
-        drop_cols = [p[0] for p in preds if p[0] not in columns]
-        drop_cols = list(dict.fromkeys(drop_cols))
+    if dnf and columns is not None:
+        drop_cols = list(dict.fromkeys(
+            c for c in pred_cols if c not in columns))
         if drop_cols:
             read_cols = list(columns) + drop_cols
     if target_schema is not None:
@@ -826,42 +862,50 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         # with what that part actually stores (old parts may predate a column)
         inv = {v: k for k, v in (renames or {}).items()}
         tgt_sources = [inv.get(f.name, f.name) for f in target_schema]
-        pred_cols = [p[0] for p in preds]
         read_cols = list(dict.fromkeys(tgt_sources + pred_cols))
-    pred_cols = list(dict.fromkeys(p[0] for p in preds))
     for path in batch["path"].to_pylist():
         path = str(path)
         cols_here = read_cols
-        part_preds = preds
+        part_dnf = dnf
         part_pred_cols = pred_cols
         if target_schema is not None:
             hdr = read_header(path)
             have = {c["name"] for c in hdr["columns"]}
             cols_here = [c for c in read_cols if c in have]
-            missing = [p for p in preds if p[0] not in have]
-            if any(p[1] != "is_null" for p in missing):
-                # a part written before a predicate column existed stores
-                # no values for it — every comparison vs NULL is never
-                # true and NULL IS NOT NULL is false, so the part
-                # contributes nothing. IS NULL is the exception below.
-                continue
-            # an is_null conjunct on an absent column is ALL-TRUE (the
-            # column is NULL for every row of this part): drop the
-            # conjunct for this part instead of dropping the part
-            if missing:
-                part_preds = [p for p in preds if p[0] in have]
-                part_pred_cols = list(
-                    dict.fromkeys(p[0] for p in part_preds))
+            if dnf and any(p[0] not in have for d in dnf for p in d):
+                # resolve each DISJUNCT against the columns this part
+                # stores: a comparison / not_null on an absent column
+                # makes that disjunct all-false (NULL never compares
+                # true); an is_null on an absent column is all-true and
+                # drops out of the conjunction. An emptied (all-true)
+                # disjunct makes the whole part match.
+                live, whole_part = [], False
+                for d in dnf:
+                    missing = [p for p in d if p[0] not in have]
+                    if any(p[1] != "is_null" for p in missing):
+                        continue                     # disjunct dead here
+                    kept = [p for p in d if p[0] in have]
+                    if not kept:
+                        whole_part = True            # disjunct all-true
+                        break
+                    live.append(kept)
+                if whole_part:
+                    part_dnf = []
+                elif not live:
+                    continue                         # no disjunct can hold
+                else:
+                    part_dnf = live
+                part_pred_cols = _dnf_columns(part_dnf)
             if not cols_here:
                 # part stores none of the wanted sources: if no
                 # present-column predicate remains its rows still exist
                 # and surface as defaults/nulls under the target schema
-                if not part_preds:
+                if not part_dnf:
                     t = pa.table({"__void__": pa.nulls(hdr["rows"])})
                     yield evolve_table(t, target_schema, defaults=defaults,
                                        renames=renames, safe_cast=safe_cast)
                 continue
-        if not part_preds:
+        if not part_dnf:
             t = read_partition(path, cols_here,
                                dictionary_columns=dictionary_columns)
             if target_schema is not None:
@@ -876,8 +920,8 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         # probe pays the url column, not the 10x-larger text/html bytes
         pt = read_partition(path, part_pred_cols,
                             dictionary_columns=dictionary_columns)
-        mask = None
-        for col, op, value in part_preds:
+
+        def conjunct_mask(col, op, value):
             c = pt.column(col).combine_chunks()
             if pa.types.is_dictionary(c.type):
                 # comparison kernels want the flat domain; the filter mask
@@ -905,8 +949,18 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
                 m = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
                      ">=": pc.greater_equal, "<": pc.less,
                      "<=": pc.less_equal}[op](c, value)
-            m = pc.fill_null(m, False)
-            mask = m if mask is None else pc.and_(mask, m)
+            return pc.fill_null(m, False)
+
+        # DNF mask: OR over disjuncts of AND over conjuncts (SQL
+        # three-valued logic collapses safely because every conjunct
+        # fill_null(False)s its own unknowns first)
+        mask = None
+        for d in part_dnf:
+            dm = None
+            for col, op, value in d:
+                m = conjunct_mask(col, op, value)
+                dm = m if dm is None else pc.and_(dm, m)
+            mask = dm if mask is None else pc.or_(mask, dm)
         if not pc.sum(mask).as_py():
             continue
         wanted = cols_here if cols_here is not None else \
@@ -928,13 +982,14 @@ def decode_part_batch(batch: pa.Table, *, columns: Optional[list[str]] = None,
         yield t
 
 
-def _pruned_files(out_dir, preds: list) -> list[str]:
+def _pruned_files(out_dir, dnf: list) -> list[str]:
     """Part files of one dir or a LIST of dirs, manifest-pruned per dir:
-    every predicate conjunct drops partitions whose zone maps (min/max) or
-    distinct-value Bloom filters provably exclude it — before any file
-    opens. Multi-dir inputs make an accumulated corpus (several encode
-    epochs, possibly with different schemas) readable as ONE dataset; pair
-    with ``target_schema=`` to project the union onto a common schema."""
+    a partition is dropped when EVERY disjunct has some conjunct whose
+    zone maps (min/max) or distinct-value Bloom filters provably exclude
+    it — before any file opens. Multi-dir inputs make an accumulated
+    corpus (several encode epochs, possibly with different schemas)
+    readable as ONE dataset; pair with ``target_schema=`` to project the
+    union onto a common schema."""
     from .container import bloom_may_contain
 
     dirs = [out_dir] if isinstance(out_dir, (str, os.PathLike)) else \
@@ -942,7 +997,7 @@ def _pruned_files(out_dir, preds: list) -> list[str]:
     out: list[str] = []
     for d in dirs:
         files = _part_files(str(d))
-        if preds:
+        if dnf:
             entries = checkpoint.read_manifest_entries(str(d))
             by_file = {e["file"]: e for e in entries.values()}
 
@@ -959,9 +1014,12 @@ def _pruned_files(out_dir, preds: list) -> list[str]:
                     return False
                 return op != "==" or bloom_may_contain(bloom, value)
 
+            def part_may_match(e: Optional[dict]) -> bool:
+                return any(all(may_match(e, *p) for p in disj)
+                           for disj in dnf)
+
             files = [f for f in files
-                     if all(may_match(by_file.get(os.path.basename(f)),
-                                      *p) for p in preds)]
+                     if part_may_match(by_file.get(os.path.basename(f)))]
         out.extend(files)
     return out
 
@@ -991,8 +1049,8 @@ def count_rows(out_dir, predicate=None) -> int:
                 total += e["rows"] if e is not None else \
                     read_header(f)["rows"]
         return total
-    pred_cols = list(dict.fromkeys(p[0] for p in preds))
-    ds = decode_dataset(out_dir, columns=pred_cols, predicate=predicate)
+    ds = decode_dataset(out_dir, columns=_dnf_columns(preds),
+                        predicate=predicate)
     return ds.count()
 
 
@@ -1020,17 +1078,20 @@ def decode_dataset(out_dir, columns: Optional[list[str]] = None,
     never compares true), while ``is_null`` matches EVERY row of it (the
     absent column reads as all-NULL).
 
-    ``predicate`` is one ``(column, op, value)`` tuple or a LIST of them
-    (AND-conjunction), op in {==, !=, >, >=, <, <=, in, is_null, not_null}
+    ``predicate`` is one ``(column, op, value)`` tuple, a LIST of them
+    (AND-conjunction), or a list of LISTS of them (OR of ANDs — r5 DNF
+    form, e.g. ``[[("lang","==","fr")], [("lang","==","de"),
+    ("k","<",10)]]`` ≡ ``lang='fr' OR (lang='de' AND k<10)``); op in
+    {==, !=, >, >=, <, <=, in, is_null, not_null}
     (null ops ignore the value; !=/null ops filter exactly but cannot
     prune partitions — min/max and Blooms can't exclude them) ('in' takes a value
-    list). Every conjunct prunes whole partitions via the manifest zone
-    maps (min/max recorded at encode time) — and, for ``==`` / ``in`` on
-    string/binary/int columns, via the per-partition distinct-value Bloom
-    filters, which prune point lookups even when value ranges interleave
-    across partitions — before any file is opened, then exact-filters
-    surviving rows — the columnar-engine read path: prune at the read,
-    filter the rest.
+    list). A partition is pruned when EVERY disjunct has a conjunct the
+    manifest zone maps (min/max recorded at encode time) — or, for
+    ``==`` / ``in`` on string/binary/int columns, the per-partition
+    distinct-value Bloom filters, which prune point lookups even when
+    value ranges interleave across partitions — provably excludes,
+    before any file is opened; survivors exact-filter rows — the
+    columnar-engine read path: prune at the read, filter the rest.
     """
     import ray.data
 

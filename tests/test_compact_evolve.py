@@ -248,6 +248,30 @@ def test_evolve_decode_is_null_all_new_target(ray_session, corpus,
     assert set(r["crawl_id"] for r in rows) == {3}
 
 
+def test_evolve_decode_dnf_or_with_absent_column(ray_session, corpus,
+                                                 encoded):
+    """OR-of-ANDs under evolution: a disjunct dead on a part (comparison
+    on an absent column) must not kill a sibling disjunct, and an
+    is_null-on-absent disjunct that empties out matches the whole part."""
+    tgt = pa.schema([("url", pa.string()), ("lang", pa.string()),
+                     ("quality", pa.float64())])
+    orig = _orig(corpus)
+    # quality absent everywhere: first disjunct dead, second limits to fr
+    rows = decode_dataset(
+        encoded, target_schema=tgt,
+        predicate=[[("quality", ">", 0.5)],
+                   [("lang", "==", "fr")]]).take_all()
+    want = orig.filter(pc.equal(orig.column("lang"), "fr"))
+    assert len(rows) == want.num_rows
+    # is_null-on-absent disjunct alone is all-true -> whole corpus,
+    # regardless of the dead comparison disjunct next to it
+    rows2 = decode_dataset(
+        encoded, target_schema=tgt,
+        predicate=[[("quality", ">", 0.5)],
+                   [("quality", "is_null", None)]]).take_all()
+    assert len(rows2) == orig.num_rows
+
+
 def test_evolve_decode_all_new_columns(ray_session, corpus, encoded):
     """Target disjoint from stored columns: rows survive as defaults."""
     tgt = pa.schema([("crawl_id", pa.int64())])

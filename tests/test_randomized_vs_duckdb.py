@@ -911,6 +911,93 @@ def test_random_evolved_decode_vs_duckdb(ray_session, tmp_path):
                 _sorted_rows(want, ["a_big", "tag", "extra"]), (seed, pred)
 
 
+def test_random_dnf_or_predicates_vs_duckdb(ray_session, tmp_path):
+    """OR-of-ANDs predicates (r5 DNF form) == DuckDB WHERE with the same
+    boolean structure, over random multi-file containers with nulls; the
+    partition pruner must keep any part where ANY disjunct may match."""
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.encode import count_rows, decode_dataset, encode_files
+
+    con = duckdb.connect()
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng([71, seed])
+        paths = []
+        for i in range(4):
+            nrows = int(rng.integers(30, 120))
+            k = rng.integers(i * 100, i * 100 + 60, nrows).astype(object)
+            k[rng.random(nrows) < 0.15] = None
+            tag = np.array([f"t{v}" for v in rng.integers(0, 5, nrows)],
+                           dtype=object)
+            tag[rng.random(nrows) < 0.15] = None
+            t = pa.table({"k": pa.array(list(k), type=pa.int64()),
+                          "tag": pa.array(list(tag), type=pa.string())})
+            p = str(tmp_path / f"or{seed}f{i}.parquet")
+            pq_.write_table(t, p)
+            paths.append(p)
+        out = str(tmp_path / f"or_enc{seed}")
+        encode_files(paths, out, concurrency=2)
+        con.execute(f"CREATE OR REPLACE VIEW or_t AS "
+                    f"SELECT * FROM read_parquet({paths!r})")
+        probes = [
+            # zone-disjoint point lookups: each disjunct prunes to a
+            # different part
+            ([[("k", "==", 10)], [("k", "==", 310)]],
+             "k = 10 OR k = 310"),
+            # OR of ANDs with mixed null ops
+            ([[("tag", "==", "t1"), ("k", ">=", 100)],
+              [("k", "is_null", None)]],
+             "(tag = 't1' AND k >= 100) OR k IS NULL"),
+            ([[("tag", "is_null", None), ("k", "<", 50)],
+              [("tag", "==", "t3")], [("k", ">", 330)]],
+             "(tag IS NULL AND k < 50) OR tag = 't3' OR k > 330"),
+            ([[("k", "in", [5, 105, 205])], [("tag", "!=", "t2")]],
+             "k IN (5, 105, 205) OR tag <> 't2'"),
+        ]
+        for preds, cond in probes:
+            got = decode_dataset(out, predicate=preds).take_all()
+            want = con.execute(
+                "SELECT k, tag FROM or_t WHERE " + cond).arrow().to_pylist()
+            assert _sorted_rows(got, ["k", "tag"]) == \
+                _sorted_rows(want, ["k", "tag"]), (seed, preds)
+            assert count_rows(out, predicate=preds) == len(want), \
+                (seed, preds)
+
+
+def test_dnf_or_pruning_keeps_any_matching_disjunct(ray_session, tmp_path):
+    """Proof the pruner ORs across disjuncts: corrupt every part both
+    point lookups exclude — decode succeeds only if exactly the two
+    Bloom-selected parts open."""
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.encode import (_normalize_predicates,
+                                          _pruned_files, decode_dataset,
+                                          encode_files)
+
+    paths = []
+    for i in range(4):
+        t = pa.table({"k": pa.array(
+            list(range(i * 1000, i * 1000 + 50)), type=pa.int64())})
+        p = str(tmp_path / f"pr{i}.parquet")
+        pq_.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "pr_enc")
+    encode_files(paths, out, concurrency=2)
+    preds = [[("k", "==", 10)], [("k", "==", 3010)]]
+    kept = _pruned_files(out, _normalize_predicates(preds))
+    assert len(kept) == 2
+    import os as _os
+
+    for f in _os.listdir(out):
+        fp = _os.path.join(out, f)
+        if f.endswith(".grck") and fp not in kept:
+            data = bytearray(open(fp, "rb").read())
+            data[len(data) // 2] ^= 0xFF        # corrupt pruned parts
+            open(fp, "wb").write(bytes(data))
+    rows = decode_dataset(out, predicate=preds).take_all()
+    assert sorted(r["k"] for r in rows) == [10, 3010]
+
+
 def test_random_is_null_on_absent_column_vs_duckdb(ray_session, tmp_path):
     """Multi-epoch corpus where epoch 1 PREDATES a column: predicates on
     the late column must match DuckDB over union_by_name (absent reads as
