@@ -132,20 +132,26 @@ def cmd_count(args) -> int:
     _ray()
     from .encode import count_rows
 
-    pred = None
-    if args.where:
-        if len(args.where) == 2:
-            col, op = args.where
+    def one_where(tokens):
+        if len(tokens) == 2:
+            col, op = tokens
             value = None
             if op not in ("is_null", "not_null"):
                 raise SystemExit(f"--where: op {op!r} needs a VALUE")
-        elif len(args.where) == 3:
-            col, op, value = args.where
+        elif len(tokens) == 3:
+            col, op, value = tokens
         else:
             raise SystemExit("--where takes COL OP [VALUE]")
         if value is not None and op not in ("is_null", "not_null"):
             value = _typed_where_value(args.input, col, value)
-        pred = (col, op, value)
+        return (col, op, value)
+
+    pred = None
+    if args.where:
+        disjuncts = [one_where(w) for w in args.where]
+        # one --where = plain conjunct; several = OR of them (DNF)
+        pred = disjuncts[0] if len(disjuncts) == 1 else \
+            [[d] for d in disjuncts]
     n = count_rows(args.input, predicate=pred)
     print(json.dumps({"rows": n, "predicate": list(pred) if pred else None},
                      default=str))
@@ -834,9 +840,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("count",
                        help="row count: manifest-only, or predicate-pruned")
     p.add_argument("input")
-    p.add_argument("--where", nargs="+", metavar="COL OP [VALUE]",
+    p.add_argument("--where", nargs="+", action="append",
+                   metavar="COL OP [VALUE]",
                    help="e.g. --where lang == en "
-                        "(OP in ==,!=,>,>=,<,<=,is_null,not_null)")
+                        "(OP in ==,!=,>,>=,<,<=,is_null,not_null); "
+                        "repeat the flag to OR several conditions")
     p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser("scrub",

@@ -548,6 +548,16 @@ def test_cli_count(ray_session, tmp_path, capsys, sf_dir):
     rc = main(["count", enc, "--where", "o_orderpriority", "==", "123"])
     assert rc == 0
     assert _last_json(capsys)["rows"] == 0
+    # repeated --where flags OR together (DNF)
+    rc = main(["count", enc,
+               "--where", "o_totalprice", ">=", "450000.0",
+               "--where", "o_totalprice", "<", "1000.0"])
+    assert rc == 0
+    want_or = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}') "
+        "WHERE o_totalprice >= 450000.0 OR o_totalprice < 1000.0"
+    ).fetchone()[0]
+    assert _last_json(capsys)["rows"] == want_or
     # null ops no longer need a dummy third token
     rc = main(["count", enc, "--where", "o_orderstatus", "not_null"])
     assert rc == 0
