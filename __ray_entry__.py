@@ -356,10 +356,25 @@ def _dup_span_removal(sf_dir: str):
     every cross-document duplicated span, merged per doc. Oracle rebuilds
     the removal intervals in SQL (row_number canonical, gaps-and-islands
     merge) and checks counts + removed chars + resulting lengths."""
+    import pyarrow.compute as pc
+
     from plugin_serdes_ray.pipelines.dedup import remove_duplicate_spans
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    rows = remove_duplicate_spans(ds, "text", "doc_id").take_all()
+    out = remove_duplicate_spans(ds, "text", "doc_id")
+
+    def to_stats(t: pa.Table) -> pa.Table:
+        # lengths computed where the text lives (code points, matching
+        # SQL length()) — the driver never holds the cleaned corpus
+        cl = pc.fill_null(
+            pc.utf8_length(t.column("text_clean")).cast(pa.int64()), 0)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_spans_removed": t.column("n_spans_removed"),
+                         "removed_chars": t.column("removed_chars"),
+                         "clean_len": cl})
+
+    rows = out.map_batches(to_stats, batch_format="pyarrow",
+                           runtime_env=_env()).take_all()
     rows.sort(key=lambda r: r["doc_id"])
     return pa.table({
         "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
@@ -367,9 +382,8 @@ def _dup_span_removal(sf_dir: str):
                                     type=pa.int64()),
         "removed_chars": pa.array([r["removed_chars"] for r in rows],
                                   type=pa.int64()),
-        "clean_len": pa.array(
-            [0 if r["text_clean"] is None else len(r["text_clean"])
-             for r in rows], type=pa.int64()),
+        "clean_len": pa.array([r["clean_len"] for r in rows],
+                              type=pa.int64()),
     })
 
 
