@@ -964,6 +964,71 @@ def test_random_dnf_or_predicates_vs_duckdb(ray_session, tmp_path):
                 (seed, preds)
 
 
+def test_random_generated_dnf_structures_vs_duckdb(ray_session, tmp_path):
+    """Fully random DNF shapes (1-3 disjuncts x 1-3 conjuncts, random
+    ops/columns/values) translated to SQL and compared — structure
+    generator insurance beyond the hand-picked probes."""
+    import pyarrow.parquet as pq_
+
+    from plugin_serdes_ray.encode import decode_dataset, encode_files
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(83)
+    paths = []
+    for i in range(3):
+        nrows = 150
+        k = rng.integers(0, 300, nrows).astype(object)
+        k[rng.random(nrows) < 0.1] = None
+        tag = np.array([f"t{v}" for v in rng.integers(0, 6, nrows)],
+                       dtype=object)
+        tag[rng.random(nrows) < 0.1] = None
+        t = pa.table({"k": pa.array(list(k), type=pa.int64()),
+                      "tag": pa.array(list(tag), type=pa.string())})
+        p = str(tmp_path / f"gd{i}.parquet")
+        pq_.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "gd_enc")
+    encode_files(paths, out, concurrency=2)
+    con.execute(f"CREATE OR REPLACE VIEW gd_t AS "
+                f"SELECT * FROM read_parquet({paths!r})")
+
+    def rand_conjunct():
+        col = rng.choice(["k", "tag"])
+        op = rng.choice(["==", "!=", ">", ">=", "<", "<=",
+                         "is_null", "not_null", "in"])
+        if op in ("is_null", "not_null"):
+            return (col, op, None), \
+                f"{col} IS {'NOT ' if op == 'not_null' else ''}NULL"
+        if col == "k":
+            if op == "in":
+                vs = sorted(int(v) for v in rng.integers(0, 300, 3))
+                return (col, "in", vs), f"k IN ({','.join(map(str, vs))})"
+            v = int(rng.integers(0, 300))
+            sql_op = "<>" if op == "!=" else op
+            return (col, op, v), f"k {sql_op.replace('==', '=')} {v}"
+        v = f"t{int(rng.integers(0, 6))}"
+        if op == "in":
+            return (col, "in", [v, "t0"]), f"tag IN ('{v}', 't0')"
+        if op in (">", ">=", "<", "<="):
+            return (col, op, v), f"tag {op} '{v}'"
+        sql_op = "<>" if op == "!=" else "="
+        return (col, op, v), f"tag {sql_op} '{v}'"
+
+    for _ in range(25):
+        disjuncts, sql_parts = [], []
+        for _ in range(int(rng.integers(1, 4))):
+            cs, ss = zip(*[rand_conjunct()
+                           for _ in range(int(rng.integers(1, 4)))])
+            disjuncts.append(list(cs))
+            sql_parts.append("(" + " AND ".join(ss) + ")")
+        cond = " OR ".join(sql_parts)
+        got = decode_dataset(out, predicate=disjuncts).take_all()
+        want = con.execute(
+            "SELECT k, tag FROM gd_t WHERE " + cond).arrow().to_pylist()
+        assert _sorted_rows(got, ["k", "tag"]) == \
+            _sorted_rows(want, ["k", "tag"]), (cond,)
+
+
 def test_dnf_or_pruning_keeps_any_matching_disjunct(ray_session, tmp_path):
     """Proof the pruner ORs across disjuncts: corrupt every part both
     point lookups exclude — decode succeeds only if exactly the two
