@@ -1024,6 +1024,64 @@ def _pruned_files(out_dir, dnf: list) -> list[str]:
     return out
 
 
+def explain_pruning(out_dir, predicate=None) -> pa.Table:
+    """Metadata-only pruning report: one row per part file with whether
+    the predicate keeps it and, for dropped parts, which conjunct of
+    which disjunct excluded it and HOW (``zone`` min/max vs ``bloom``).
+    The 100 TB observability question — why does this query open N
+    parts — answered without opening any; pair with
+    ``extras.point_query_secs`` when tuning predicates."""
+    from .container import bloom_may_contain
+
+    dnf = _normalize_predicates(predicate)
+    dirs = [out_dir] if isinstance(out_dir, (str, os.PathLike)) else \
+        list(out_dir)
+    files_c, kept_c, reason_c = [], [], []
+    for d in dirs:
+        entries = checkpoint.read_manifest_entries(str(d))
+        by_file = {e["file"]: e for e in entries.values()}
+        for f in _part_files(str(d)):
+            e = by_file.get(os.path.basename(f))
+            if not dnf:
+                files_c.append(f)
+                kept_c.append(True)
+                reason_c.append("no predicate")
+                continue
+            reasons = []
+            kept = False
+            for di, disj in enumerate(dnf):
+                excluded = None
+                for col, op, value in disj:
+                    stats = (e or {}).get("stats", {}).get(col)
+                    bloom = (e or {}).get("blooms", {}).get(col)
+                    if op in ("!=", "is_null", "not_null"):
+                        continue
+                    if op == "in":
+                        if not any(_zone_may_match(stats, "==", v)
+                                   and bloom_may_contain(bloom, v)
+                                   for v in value):
+                            excluded = f"d{di}: {col} in … (zone+bloom)"
+                            break
+                        continue
+                    if not _zone_may_match(stats, op, value):
+                        excluded = f"d{di}: {col} {op} {value!r} (zone)"
+                        break
+                    if op == "==" and not bloom_may_contain(bloom, value):
+                        excluded = f"d{di}: {col} == {value!r} (bloom)"
+                        break
+                if excluded is None:
+                    kept = True
+                    reasons = [f"d{di} may match"]
+                    break
+                reasons.append(excluded)
+            files_c.append(f)
+            kept_c.append(kept)
+            reason_c.append("; ".join(reasons))
+    return pa.table({"file": pa.array(files_c, type=pa.string()),
+                     "kept": pa.array(kept_c, type=pa.bool_()),
+                     "reason": pa.array(reason_c, type=pa.string())})
+
+
 def count_rows(out_dir, predicate=None) -> int:
     """Row count of a container dir (or list of dirs) as cheaply as the
     predicate allows.

@@ -1061,6 +1061,19 @@ def test_dnf_or_pruning_keeps_any_matching_disjunct(ray_session, tmp_path):
             open(fp, "wb").write(bytes(data))
     rows = decode_dataset(out, predicate=preds).take_all()
     assert sorted(r["k"] for r in rows) == [10, 3010]
+    # explain_pruning agrees with the pruner and names the mechanism
+    from plugin_serdes_ray.encode import explain_pruning
+
+    rep = explain_pruning(out, preds)
+    assert rep.num_rows == 4
+    by = {r["file"]: r for r in rep.to_pylist()}
+    for f in by:
+        assert by[f]["kept"] == (f in kept)
+        if not by[f]["kept"]:
+            assert "zone" in by[f]["reason"] or "bloom" in by[f]["reason"]
+    # consistency against the pruner for every generated probe shape
+    rep0 = explain_pruning(out, None)
+    assert all(r["kept"] for r in rep0.to_pylist())
 
 
 def test_random_is_null_on_absent_column_vs_duckdb(ray_session, tmp_path):
