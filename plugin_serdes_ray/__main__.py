@@ -152,6 +152,16 @@ def cmd_count(args) -> int:
         # one --where = plain conjunct; several = OR of them (DNF)
         pred = disjuncts[0] if len(disjuncts) == 1 else \
             [[d] for d in disjuncts]
+    if args.explain:
+        from .encode import explain_pruning
+
+        rep = explain_pruning(args.input, pred)
+        kept = sum(1 for k in rep.column("kept").to_pylist() if k)
+        print(json.dumps({
+            "parts": rep.num_rows, "kept": kept,
+            "pruned": rep.num_rows - kept,
+            "detail": rep.to_pylist()}, default=str))
+        return 0
     n = count_rows(args.input, predicate=pred)
     print(json.dumps({"rows": n, "predicate": list(pred) if pred else None},
                      default=str))
@@ -845,6 +855,9 @@ def main(argv=None) -> int:
                    help="e.g. --where lang == en "
                         "(OP in ==,!=,>,>=,<,<=,is_null,not_null); "
                         "repeat the flag to OR several conditions")
+    p.add_argument("--explain", action="store_true",
+                   help="report which parts the predicate keeps/prunes "
+                        "(zone vs bloom) instead of counting rows")
     p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser("scrub",
