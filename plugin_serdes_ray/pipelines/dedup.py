@@ -1204,7 +1204,8 @@ def _span_gram_hash_positions(text: str, gram: int, stride: int):
 def remove_duplicate_spans(ds, column: str = "text",
                            id_column: str = "doc_id", *, gram: int = 20,
                            stride: int = 10, bloom_bits: int = 1 << 23,
-                           materialize: bool = False):
+                           materialize: bool = False,
+                           max_gram_occurrences: Optional[int] = None):
     """EXACT-SUBSTRING DEDUP, removal form (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 — public paper,
     no code used): excise every occurrence of a cross-document duplicated
@@ -1236,7 +1237,17 @@ def remove_duplicate_spans(ds, column: str = "text",
     DETERMINISM CONTRACT (as :func:`exact_dedup`): ``ds``'s lineage
     re-executes for the gram pass and the two routing scans, so upstream
     stages must be deterministic or pass ``materialize=True`` to pin a
-    snapshot (full-corpus object-store cost)."""
+    snapshot (full-corpus object-store cost).
+
+    SKEW (the web-scale caveat): a boilerplate gram shared by millions
+    of documents concentrates all its occurrences in ONE canonical
+    group (fixed-width 24 B rows, but still one reducer). On a real
+    crawl set ``max_gram_occurrences`` (e.g. 10_000) to leave
+    ultra-common grams to :func:`remove_frequent_lines` — boilerplate
+    is a line/template phenomenon and that operator drops it wholesale
+    for a fraction of the shuffle; this one is for long-tail copied
+    passages. Distinct-DOC counts bound occurrence counts from below,
+    so the cap is applied to the same Sum output that detects dups."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1282,8 +1293,11 @@ def remove_duplicate_spans(ds, column: str = "text",
                          "__c": g2.column("__h_count")})
 
     def only_dups(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.greater(batch.column("sum(__c)"), 1)).select(["__h"])
+        keep = pc.greater(batch.column("sum(__c)"), 1)
+        if max_gram_occurrences is not None:
+            keep = pc.and_(keep, pc.less_equal(
+                batch.column("sum(__c)"), max_gram_occurrences))
+        return batch.filter(keep).select(["__h"])
 
     dups = (occ.map_batches(cnt_partial, batch_format="pyarrow",
                             runtime_env=env)

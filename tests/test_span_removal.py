@@ -104,6 +104,34 @@ def test_span_removal_random_vs_reference(ray_session):
     assert not bad, bad[:3]
 
 
+def test_span_removal_gram_occurrence_cap(ray_session):
+    """max_gram_occurrences leaves boilerplate grams (hot keys at web
+    scale) to remove_frequent_lines: an over-cap gram is not removed,
+    under-cap ones still are."""
+    # same offset (0) in every doc -> grams align; 8 docs share 'hot',
+    # 2 docs share 'cold'
+    hot = "H" * 40
+    cold = "C" * 40
+    docs = ([(i, hot + f" tail{i}") for i in range(8)]
+            + [(100 + i, cold + f" end{i}") for i in range(2)])
+    got = _run(docs, max_gram_occurrences=4)
+    # hot gram's distinct-doc count (8) > cap -> untouched everywhere,
+    # incl. its intra-doc repeats
+    assert all(got[i][1] == 0 for i in range(8))
+    # cold gram (2 docs <= cap) still dedups — behavior equals the
+    # reference run over the cold docs alone (hot grams are disjoint)
+    want_cold = _ref_remove(docs[8:])
+    assert got[100] == want_cold[100]
+    assert got[101] == want_cold[101] and got[101][1] > 0
+    # without the cap every hot doc loses spans (doc 0 keeps only the
+    # canonical first occurrence of its self-repeating gram)
+    got2 = _run(docs)
+    want2 = _ref_remove(docs)
+    for did in want2:
+        assert got2[did] == want2[did], (did, got2[did], want2[did])
+    assert all(got2[i][1] > 0 for i in range(8))
+
+
 def test_span_removal_distributed_tiny_bloom(ray_session):
     """A saturated bloom (everything 'hits') must not change results —
     bitmaps only route, groups decide."""
