@@ -1205,7 +1205,8 @@ def remove_duplicate_spans(ds, column: str = "text",
                            id_column: str = "doc_id", *, gram: int = 20,
                            stride: int = 10, bloom_bits: int = 1 << 23,
                            materialize: bool = False,
-                           max_gram_occurrences: Optional[int] = None):
+                           max_gram_occurrences: Optional[int] = None,
+                           replace: bool = False):
     """EXACT-SUBSTRING DEDUP, removal form (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 — public paper,
     no code used): excise every occurrence of a cross-document duplicated
@@ -1221,7 +1222,11 @@ def remove_duplicate_spans(ds, column: str = "text",
 
     Output dataset: ``(id_column, text_clean, n_spans_removed,
     removed_chars)`` for EVERY input row (untouched rows pass through
-    with zeros; null text stays null with zeros).
+    with zeros; null text stays null with zeros). ``replace=True``
+    instead keeps EVERY input column, swapping the cleaned text into
+    ``column`` in place and appending the two stat columns — the
+    preset-friendly form (sibling columns ride the same bloom routes;
+    the corpus is never re-joined to itself).
 
     Scale shape: documents shuffle ONLY when they lose spans. Fixed-width
     ``(gram_hash, doc_id, pos)`` rows (24 B per sampled gram) feed a
@@ -1352,12 +1357,20 @@ def remove_duplicate_spans(ds, column: str = "text",
                             runtime_env=env)
                 .materialize())   # O(affected docs) rows
 
+    def shape_out(batch: pa.Table, clean_col, n_arr, r_arr) -> pa.Table:
+        if replace:
+            i = batch.column_names.index(column)
+            out = batch.set_column(i, column, clean_col)
+            out = out.append_column("n_spans_removed", n_arr)
+            return out.append_column("removed_chars", r_arr)
+        return pa.table({id_column: batch.column(id_column),
+                         "text_clean": clean_col,
+                         "n_spans_removed": n_arr,
+                         "removed_chars": r_arr})
+
     def all_clean(batch: pa.Table) -> pa.Table:
         zeros = pa.nulls(batch.num_rows, pa.int64()).fill_null(0)
-        return pa.table({id_column: batch.column(id_column),
-                         "text_clean": batch.column(column),
-                         "n_spans_removed": zeros,
-                         "removed_chars": zeros})
+        return shape_out(batch, batch.column(column), zeros, zeros)
 
     if doclists.count() == 0:
         # nothing duplicated (only same-offset-mod-stride repeats match
@@ -1379,10 +1392,7 @@ def remove_duplicate_spans(ds, column: str = "text",
     def passthrough(batch: pa.Table) -> pa.Table:
         batch = probe(batch, False)
         zeros = pa.nulls(batch.num_rows, pa.int64()).fill_null(0)
-        return pa.table({id_column: batch.column(id_column),
-                         "text_clean": batch.column(column),
-                         "n_spans_removed": zeros,
-                         "removed_chars": zeros})
+        return shape_out(batch, batch.column(column), zeros, zeros)
 
     untouched = ds.map_batches(passthrough, batch_format="pyarrow",
                                runtime_env=env)
@@ -1412,12 +1422,13 @@ def remove_duplicate_spans(ds, column: str = "text",
             out_t.append("".join(pieces))
             out_n.append(int(n))
             out_r.append(int(r))
-        return pa.table({id_column: batch.column(id_column),
-                         "text_clean": pa.array(out_t, type=pa.string()),
-                         "n_spans_removed": pa.array(out_n,
-                                                     type=pa.int64()),
-                         "removed_chars": pa.array(out_r,
-                                                   type=pa.int64())})
+        base = batch.drop_columns(["__starts", "__ends", "__nspans",
+                                   "__removed"])
+        clean = pa.array(out_t, type=base.schema.field(column).type
+                         if replace else pa.string())
+        return shape_out(base, clean,
+                         pa.array(out_n, type=pa.int64()),
+                         pa.array(out_r, type=pa.int64()))
 
     cleaned = joined.map_batches(excise, batch_format="pyarrow",
                                  runtime_env=env)

@@ -15,6 +15,8 @@ def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
                      min_words: int = 50, max_words: int = 100_000,
                      near_dedup: bool = False, c4_lines: bool = False,
                      boilerplate_min_df: int = 0,
+                     dup_spans: bool = False,
+                     dup_span_max_occurrences: int | None = 10_000,
                      splits: dict | None = None, seed: int = 0):
     """The standard web-corpus cleaning chain in one call:
 
@@ -35,6 +37,11 @@ def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
        distributed MinHash-LSH filter, dedup.minhash_lsh_dedup_distributed
        at its default thresholds; off by default because LSH thresholds
        are corpus-specific);
+    3b. optional EXACT-SUBSTRING removal (``dup_spans=True`` —
+       dedup.remove_duplicate_spans excises all-but-first occurrences of
+       cross-document duplicated spans from surviving rows, with the
+       ``dup_span_max_occurrences`` boilerplate cap; runs after the
+       row-level dedups so span work never pays for dropped docs);
     4. deterministic train/val/test SPLIT assignment
        (relational.assign_splits — splitmix64 row hash, stable across
        runs and cluster sizes; default 98/1/1).
@@ -45,7 +52,7 @@ def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
     buckets.
     """
     from .dedup import (exact_dedup, minhash_lsh_dedup_distributed,
-                        remove_frequent_lines)
+                        remove_duplicate_spans, remove_frequent_lines)
     from .relational import assign_splits
     from .textstats import (c4_signals, canonicalize_text, gopher_filter,
                             gopher_signals)
@@ -89,6 +96,18 @@ def clean_web_corpus(ds, text_col: str = "text", id_col: str = "doc_id", *,
         runtime_env=env)
     if near_dedup:
         deduped = minhash_lsh_dedup_distributed(deduped, text_col, id_col)
+    if dup_spans:
+        # replace=True keeps sibling columns riding the operator's own
+        # bloom routes (the corpus is never re-joined to itself); the
+        # upstream dedups re-execute per scan, so pin a snapshot first —
+        # the span pass's determinism contract
+        deduped = remove_duplicate_spans(
+            deduped.materialize(), text_col, id_col,
+            max_gram_occurrences=dup_span_max_occurrences,
+            replace=True).map_batches(
+            lambda b: b.drop_columns(["n_spans_removed",
+                                      "removed_chars"]),
+            batch_format="pyarrow", runtime_env=env)
     return assign_splits(deduped, id_col,
                          splits or {"train": 0.98, "val": 0.01,
                                     "test": 0.01}, seed=seed)

@@ -132,6 +132,55 @@ def test_span_removal_gram_occurrence_cap(ray_session):
     assert all(got2[i][1] > 0 for i in range(8))
 
 
+def test_span_removal_replace_keeps_sibling_columns(ray_session):
+    """replace=True swaps the cleaned text in place and keeps every
+    other column — no corpus self-join."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.dedup import remove_duplicate_spans
+
+    shared = "x" * 45 + " shared middle " + "y" * 45
+    rows = [(i, f"{shared} tail{i}", f"l{i % 2}") for i in range(5)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                     type=pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "lang": pa.array([r[2] for r in rows])})
+    out = remove_duplicate_spans(
+        ray.data.from_arrow(t).repartition(3), "text", "doc_id",
+        replace=True).take_all()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == set(range(5))
+    want = _ref_remove([(r[0], r[1]) for r in rows])
+    for did, (wt, wn, wr) in want.items():
+        assert got[did]["text"] == wt
+        assert got[did]["n_spans_removed"] == wn
+        assert got[did]["removed_chars"] == wr
+        assert got[did]["lang"] == f"l{did % 2}"   # sibling survives
+
+
+def test_clean_web_corpus_dup_spans_stage(ray_session):
+    """The preset's optional span-removal stage excises copied passages
+    from surviving rows while keeping the schema + split assignment."""
+    import ray.data
+
+    from plugin_serdes_ray.pipelines.presets import clean_web_corpus
+
+    shared = "P" * 60
+    rows = []
+    for i in range(12):
+        filler = " ".join(f"unique{i}word{j}" for j in range(24))
+        body = filler + " " + shared + f" ending {i}"
+        rows.append({"doc_id": i, "text": body})
+    ds = ray.data.from_items(rows).repartition(3)
+    out = clean_web_corpus(ds, min_words=5, dup_spans=True).take_all()
+    assert out and set(r["split"] for r in out) <= {"train", "val",
+                                                    "test"}
+    texts = {r["doc_id"]: r["text"] for r in out}
+    # exactly one survivor keeps the shared passage
+    assert sum(1 for t in texts.values() if shared in t) == 1
+    assert all(f"ending {d}" in t for d, t in texts.items())
+
+
 def test_span_removal_distributed_tiny_bloom(ray_session):
     """A saturated bloom (everything 'hits') must not change results —
     bitmaps only route, groups decide."""
