@@ -354,11 +354,13 @@ def cmd_dedup(args) -> int:
             batch_format="pyarrow", runtime_env=package_runtime_env())
         out = semi_join(ds, kept, args.id_column)
     elif args.method == "spans":
-        # exact-substring REMOVAL: rows survive with duplicated spans
-        # excised from the text column (keep-globally-first)
+        # exact-substring REMOVAL: every row survives with duplicated
+        # spans excised from the text column (keep-globally-first);
+        # sibling columns stay in place, per-row stats appended
         from .pipelines.dedup import remove_duplicate_spans
 
-        out = remove_duplicate_spans(ds, args.column, args.id_column)
+        out = remove_duplicate_spans(ds, args.column, args.id_column,
+                                     replace=True)
     else:
         from .pipelines.dedup import minhash_lsh_dedup
 
